@@ -1,0 +1,59 @@
+"""Engine configuration.
+
+The reference drives everything from env-var config
+(/root/reference/src/logsentinelai/core/config.py:90-118 — chunk sizes,
+polling knobs, provider switches). Our analog is a small frozen dataclass:
+declarative, picklable (it rides inside Ray tasks), no env magic.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    """Knobs for the inverted-index build + BM25 query engine.
+
+    Defaults are sized for the single-node sandbox (32 CPUs / 128 GiB); the
+    scale path at 10^12 files is the same code with ``num_partitions`` raised
+    so one term-partition's postings fit a worker's heap (partitions are the
+    checkpoint + shuffle + query-shard unit).
+    """
+
+    # BM25 (Okapi; Lucene-style idf) — fixed by BASELINE.json north_star.
+    k1: float = 1.2
+    b: float = 0.75
+
+    # Term-hash partitioning: parts = hash64(term) % num_partitions.
+    num_partitions: int = 8
+    # Doc-range salting for the posting shuffle: each term's postings are
+    # built as `salt_buckets` doc-contiguous runs so a Zipf-head term
+    # ("error", "import") never lands on a single map_groups task.
+    salt_buckets: int = 4
+    # Posting block size for skip/block-max metadata (docids per block).
+    block_size: int = 128
+
+    # Batch size (rows) for the tokenize → postings map_batches stage.
+    # content rows are ~KBs; 1024 rows keeps a batch in the tens of MB.
+    tokenize_batch_size: int = 1024
+
+    # Number of IndexShard query actors (each owns >=1 term partition).
+    num_shards: int = 4
+
+    # Tokens are truncated to this length (guards degenerate minified blobs).
+    max_token_len: int = 64
+
+
+@dataclass(frozen=True)
+class CorpusConfig:
+    """Deterministic synthetic corpus generator knobs (FIXTURES.md §1)."""
+
+    n_docs: int = 500
+    seed: int = 42
+    dup_fraction: float = 0.01  # exact duplicates to exercise dedup-keep-first
+    langs: tuple = ("python", "java", "go", "js", "rust", "c", "md")
+    lang_weights: tuple = (0.3, 0.15, 0.12, 0.15, 0.1, 0.1, 0.08)
+
+
+DEFAULT_INDEX_CONFIG = IndexConfig()

@@ -1,0 +1,88 @@
+"""Posting-list codec: delta-gap + LEB128 varint, numpy-vectorized.
+
+The reference stores documents in Elasticsearch and inherits Lucene's
+compressed postings; this is our from-scratch equivalent (BASELINE.json
+north_star: "delta-gap + varint compression and skip/block-max metadata").
+
+Both encode and decode are fully vectorized (no Python loop over values):
+
+- encode: per-value byte width from bit length, byte slots laid out with
+  ``np.repeat``/cumsum, payload = ``(v >> 7*pos) & 0x7f``, continuation bit
+  on all but the last byte of each value.
+- decode: terminator bytes are those with the high bit clear; per-byte
+  contributions ``(b & 0x7f) << 7*pos`` summed per value with
+  ``np.add.reduceat``.
+
+Values must be unsigned and < 2**63 (doc ids are dense int64, gaps >= 1,
+term frequencies >= 1 — all safely in range).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def varint_sizes(values: np.ndarray) -> np.ndarray:
+    """Encoded byte width per value: ceil(bitlength/7), min 1 — via 9
+    threshold comparisons instead of a 63-iteration bit-shift loop."""
+    v = np.asarray(values, dtype=np.uint64)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 9):
+        nbytes += (v >= np.uint64(1) << np.uint64(7 * k)).astype(np.int64)
+    return nbytes
+
+
+def encode_varint(values: np.ndarray) -> bytes:
+    """LEB128-encode an array of non-negative ints (< 2**63) to bytes."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size == 0:
+        return b""
+    nbytes = varint_sizes(v)
+    total = int(nbytes.sum())
+    # position-within-value for every output byte
+    starts = np.zeros(v.size, dtype=np.int64)
+    np.cumsum(nbytes[:-1], out=starts[1:])
+    byte_val_idx = np.repeat(np.arange(v.size, dtype=np.int64), nbytes)
+    pos = np.arange(total, dtype=np.int64) - starts[byte_val_idx]
+    payload = (v[byte_val_idx] >> (np.uint64(7) * pos.astype(np.uint64))) & np.uint64(0x7F)
+    out = payload.astype(np.uint8)
+    is_last = pos == (nbytes[byte_val_idx] - 1)
+    out[~is_last] |= 0x80
+    return out.tobytes()
+
+
+def decode_varint(data: bytes | memoryview | np.ndarray) -> np.ndarray:
+    """Decode LEB128 bytes back to an int64 array."""
+    b = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
+    if b.size == 0:
+        return np.empty(0, dtype=np.int64)
+    is_last = (b & 0x80) == 0
+    # start index of each value's byte run
+    ends = np.flatnonzero(is_last)
+    starts = np.empty_like(ends)
+    starts[0] = 0
+    starts[1:] = ends[:-1] + 1
+    val_idx = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
+    pos = np.arange(b.size, dtype=np.int64) - starts[val_idx]
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    sums = np.add.reduceat(contrib, starts)
+    return sums.astype(np.int64)
+
+
+def delta_encode(sorted_ids: np.ndarray) -> bytes:
+    """Delta-gap + varint encode a strictly increasing int64 array.
+
+    First value is stored absolute, the rest as gaps (>= 1).
+    """
+    ids = np.asarray(sorted_ids, dtype=np.int64)
+    if ids.size == 0:
+        return b""
+    gaps = np.empty_like(ids)
+    gaps[0] = ids[0]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    return encode_varint(gaps)
+
+
+def delta_decode(data: bytes | memoryview) -> np.ndarray:
+    gaps = decode_varint(data)
+    return np.cumsum(gaps)

@@ -1,0 +1,167 @@
+"""IndexShard actor pool + the driver-side SearchEngine.
+
+The shards are the stateful analog of the reference's GeoIP reader — load
+once in ``__init__``, serve every query after (reference core/geoip.py:32-59
+loads the mmdb once into a singleton). Each shard owns one or more term
+partitions' segment files: the dictionary (term → row) lives in memory, the
+compressed posting streams stay as Arrow binary buffers.
+
+Query flow (term-partitioned index):
+  tokenize query → route each term to the shard owning hash(term) % P →
+  shards return the terms' compressed segment rows (bytes move once per
+  query, decoded lazily per block) → the driver runs block-max WAND across
+  all terms → joins the doc map for (repo, path, lang, sha256).
+
+Per-term score assembly must happen at a single point in a term-partitioned
+layout, so WAND runs at the coordinator over shard-served compressed blocks;
+shards keep the memory-heavy state. (A doc-partitioned layout would run WAND
+shard-side and merge heaps; the term-partitioned layout is mandated by the
+north star's hash-partitioned-by-term build.) Keyword filters (lang/repo)
+are field posting lists — decoded once per query into a sorted doc-id array,
+membership-tested via binary search during WAND evaluation.
+
+Scale notes (10^12 docs): the doc map join at the end reads only the k
+result rows via parquet row-group pruning on dense doc_id; nothing on the
+query path holds an N-sized array.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pa_ds
+import pyarrow.parquet as pq
+import ray
+
+from ..analysis.tokenizer import tokenize_py
+from ..index import manifest as mf
+from ..index.build import term_partition
+from .bm25 import bm25_idf
+from .postings import PostingsCursor, TermPostings
+from .wand import block_max_wand
+
+
+@ray.remote(num_cpus=1)
+class IndexShard:
+    """Owns the segment files of a set of term partitions."""
+
+    def __init__(self, index_dir: str, parts: list[int]):
+        self.parts = list(parts)
+        self.terms: dict[str, dict] = {}
+        seg_dir = os.path.join(index_dir, "segments")
+        for p in self.parts:
+            path = os.path.join(seg_dir, f"part-{p:04d}.parquet")
+            if not os.path.exists(path):
+                continue
+            tbl = pq.read_table(path)
+            cols = tbl.to_pydict()
+            for i, term in enumerate(cols["term"]):
+                self.terms[term] = {k: cols[k][i] for k in tbl.column_names}
+
+    def get_terms(self, terms: list[str]) -> dict[str, dict]:
+        return {t: self.terms[t] for t in terms if t in self.terms}
+
+    def n_terms(self) -> int:
+        return len(self.terms)
+
+
+class SearchEngine:
+    """Driver-side query coordinator over an IndexShard actor pool."""
+
+    def __init__(self, index_dir: str, num_shards: int | None = None):
+        self.index_dir = index_dir
+        self.stats = mf.read_stats(index_dir)
+        self.P = int(self.stats["num_partitions"])
+        n_shards = min(num_shards or 4, self.P)
+        # round-robin parts over shards
+        assignment: list[list[int]] = [[] for _ in range(n_shards)]
+        for p in range(self.P):
+            assignment[p % n_shards].append(p)
+        self.shards = [IndexShard.remote(index_dir, parts)
+                       for parts in assignment]
+        self.part_to_shard = {p: self.shards[p % n_shards]
+                              for p in range(self.P)}
+        self._docs_dataset = pa_ds.dataset(
+            os.path.join(index_dir, "docs"), format="parquet")
+
+    def shutdown(self) -> None:
+        for s in self.shards:
+            ray.kill(s)
+        self.shards = []
+
+    # -- internals ---------------------------------------------------------
+
+    def _fetch_terms(self, terms: list[str]) -> dict[str, dict]:
+        by_shard: dict = {}
+        for t in terms:
+            shard = self.part_to_shard[term_partition(t, self.P)]
+            by_shard.setdefault(shard, []).append(t)
+        futures = [shard.get_terms.remote(ts) for shard, ts in by_shard.items()]
+        out: dict[str, dict] = {}
+        for d in ray.get(futures):
+            out.update(d)
+        return out
+
+    def _filter_predicate(self, filters: dict[str, str] | None):
+        if not filters:
+            return None
+        arrays = []
+        for field, value in filters.items():
+            rows = self._fetch_terms([f"{field}:{value}"])
+            row = rows.get(f"{field}:{value}")
+            if row is None:
+                return lambda doc_id: False  # no doc matches
+            arrays.append(TermPostings(row).all_doc_ids())
+
+        inter = arrays[0]
+        for a in arrays[1:]:
+            inter = np.intersect1d(inter, a, assume_unique=True)
+
+        def predicate(doc_id: int) -> bool:
+            i = int(np.searchsorted(inter, doc_id))
+            return i < inter.size and inter[i] == doc_id
+
+        return predicate
+
+    def _join_docmap(self, doc_ids: list[int]) -> pa.Table:
+        if not doc_ids:
+            return self._docs_dataset.schema.empty_table()
+        flt = pc.field("doc_id").isin(doc_ids)
+        return self._docs_dataset.to_table(
+            columns=["doc_id", "repo", "path", "commit", "lang", "sha256"],
+            filter=flt)
+
+    # -- public API --------------------------------------------------------
+
+    def search(self, text: str, k: int = 10,
+               filters: dict[str, str] | None = None,
+               with_meta: bool = True) -> pa.Table:
+        """Top-k BM25. Returns (rank, doc_id, score [, repo path commit lang
+        sha256]) sorted by (score desc, doc_id asc)."""
+        terms = sorted(set(tokenize_py(text, int(self.stats["max_token_len"]))))
+        rows = self._fetch_terms(terms)
+        n, avgdl = self.stats["n_docs"], self.stats["avgdl"]
+        cursors = []
+        for t in terms:  # sorted-term order — the scoring contract
+            row = rows.get(t)
+            if row is None:
+                continue
+            tp = TermPostings(row)
+            idf = bm25_idf(n, int(tp.df))
+            cursors.append(PostingsCursor(tp, idf, self.stats["k1"],
+                                          self.stats["b"], avgdl))
+        pred = self._filter_predicate(filters)
+        topk = block_max_wand(cursors, k, pred)
+        result = pa.table({
+            "rank": pa.array(np.arange(1, len(topk) + 1, dtype=np.int32)),
+            "doc_id": pa.array([d for d, _ in topk], pa.int64()),
+            "score": pa.array([s for _, s in topk], pa.float64()),
+        })
+        if not with_meta or result.num_rows == 0:
+            return result
+        meta = self._join_docmap([d for d, _ in topk])
+        joined = result.join(meta, keys="doc_id", join_type="left outer")
+        return joined.sort_by("rank")

@@ -1,0 +1,9 @@
+from .text import (  # noqa: F401
+    LANG_MARKERS,
+    STOPWORDS,
+    add_fingerprint_minmd5,
+    add_fingerprint_rolling,
+    add_lang_id,
+    add_quality,
+    add_token_count,
+)

@@ -1,0 +1,269 @@
+"""DuckDB oracle SQL — one entry per SQL-expressible queries() key.
+
+Every statement is semantically *identical* to its Ray implementation in
+``queries.py`` (same regex dialect — RE2 in both pyarrow and DuckDB — same
+tokenizer transform order, same integer-ization, same tie-breaks), so the
+driver's row-count + schema + value-hash comparison holds exactly.
+
+Keys intentionally absent (rows-only checks): dedup_minhash, dedup_simhash,
+embedding_dupes, embedding_knn_lsh, fingerprint_rolling,
+multimodal_features — sketch/LSH internals aren't SQL-expressible.
+"""
+
+from __future__ import annotations
+
+# the code-aware tokenizer transform (tokenizer.py) as a SQL fragment
+_CAMEL = (r"lower(regexp_replace(regexp_replace({col},"
+          r" '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),"
+          r" '([a-z0-9])([A-Z])', '\1 \2', 'g'))")
+
+_SEVERITY_CASE = """CASE event_type
+    WHEN 'error' THEN 1 WHEN 'purchase' THEN 2 WHEN 'signup' THEN 3
+    WHEN 'click' THEN 4 WHEN 'view' THEN 5 ELSE 999 END"""
+
+_BM25_TERMS = "('error'), ('merge'), ('spark'), ('window')"
+
+_BM25_BASE = f"""
+WITH tr AS (
+  SELECT doc_id, lang, {_CAMEL.format(col='text')} AS s FROM documents
+), tok AS (
+  SELECT doc_id, substr(t, 1, 64) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+        FROM tr)
+  WHERE t <> ''
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+         (SELECT count(*)::DOUBLE FROM tok) /
+         (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+), q(term) AS (VALUES {_BM25_TERMS}),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)"""
+
+ORACLE_SQL: dict[str, str] = {
+    "severity_histogram": f"""
+        SELECT event_type, {_SEVERITY_CASE} AS priority,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2 ORDER BY priority
+    """,
+    "severity_alerts": f"""
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS sum_value_micro
+        FROM events WHERE {_SEVERITY_CASE} <= 2
+        GROUP BY 1 ORDER BY event_type
+    """,
+    "events_daily": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n,
+               sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS sum_value_micro
+        FROM events GROUP BY 1 ORDER BY day
+    """,
+    "top_users": """
+        SELECT user_id, count(*)::BIGINT AS n_events
+        FROM events GROUP BY 1
+        ORDER BY n_events DESC, user_id ASC LIMIT 10
+    """,
+    "user_count_windows": """
+        WITH r AS (
+          SELECT user_id, event_id,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        )
+        SELECT user_id, CAST((rn - 1) // 10 AS BIGINT) AS window_id,
+               count(*)::BIGINT AS n, min_by(event_id, rn) AS first_event
+        FROM r GROUP BY user_id, (rn - 1) // 10
+        ORDER BY user_id, window_id
+    """,
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+                   AS sum_base_cents,
+               sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0,
+                              0) AS BIGINT)) AS sum_disc_e4,
+               count(*)::BIGINT AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "top_customers": """
+        SELECT o.o_custkey,
+               sum(CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT))
+                   AS total_cents,
+               count(*)::BIGINT AS n_orders,
+               any_value(c.c_name) AS c_name
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1 ORDER BY total_cents DESC, o_custkey ASC LIMIT 10
+    """,
+    "metadata_stamp": """
+        SELECT doc_id, 'documents' AS "@log_type",
+               'batch' AS "@processing_mode",
+               'success' AS "@processing_result",
+               n_chars::BIGINT AS "@log_count"
+        FROM documents ORDER BY doc_id
+    """,
+    "dead_letter": """
+        SELECT CASE WHEN length(text) >= 200 THEN 'success'
+                    ELSE 'failed' END AS "@processing_result",
+               CASE WHEN length(text) >= 200 THEN NULL
+                    ELSE 'ValidationError' END AS "@error_type",
+               count(*)::BIGINT AS n
+        FROM documents GROUP BY 1, 2 ORDER BY 1
+    """,
+    "term_match_counts": f"""
+        SELECT lang, count(*)::BIGINT AS n_docs
+        FROM documents
+        WHERE regexp_matches({_CAMEL.format(col='text')},
+                             '(^|[^a-z0-9])merge([^a-z0-9]|$)')
+        GROUP BY 1 ORDER BY lang
+    """,
+    "df_top_terms": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        )
+        SELECT term, count(*)::BIGINT AS df FROM tok
+        GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 20
+    """,
+    "bm25_topk": _BM25_BASE + """
+        SELECT doc_id, round(score, 6) AS score FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
+    "bm25_topk_filtered": _BM25_BASE + """
+        SELECT s.doc_id, round(s.score, 6) AS score
+        FROM scores s JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en'
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS doc_id FROM documents
+        GROUP BY text ORDER BY doc_id
+    """,
+    "ngram_jaccard_dupes": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS arr
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                         FOR i IN generate_series(1, len(arr) - 2)]) AS sh
+          FROM t WHERE len(arr) >= 3
+        ), gd AS (
+          SELECT DISTINCT doc_id, sh FROM g
+        ), sz AS (
+          SELECT doc_id, count(*) AS n FROM gd GROUP BY 1
+        ), p AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM gd x JOIN gd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT p.a, p.b,
+               inter::DOUBLE / (sa.n + sb.n - inter) AS jaccard
+        FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+        WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
+        ORDER BY a, b
+    """,
+    "lang_id_confusion": r"""
+        WITH s AS (
+          SELECT doc_id, 'de' AS cand,
+                 len(regexp_extract_all(lower(text),
+                     '\b(der|die|und|nicht|das)\b')) AS sc FROM documents
+          UNION ALL SELECT doc_id, 'en',
+                 len(regexp_extract_all(lower(text),
+                     '\b(the|and|of|is|to)\b')) FROM documents
+          UNION ALL SELECT doc_id, 'es',
+                 len(regexp_extract_all(lower(text),
+                     '\b(el|la|de|que|los)\b')) FROM documents
+          UNION ALL SELECT doc_id, 'fr',
+                 len(regexp_extract_all(lower(text),
+                     '\b(le|la|et|les|des)\b')) FROM documents
+          UNION ALL SELECT doc_id, 'zh',
+                 len(regexp_extract_all(lower(text),
+                     '\b(de|shi|le|wo|zai)\b')) FROM documents
+        ), best AS (
+          SELECT doc_id, cand,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY sc DESC, cand ASC) AS rn
+          FROM s
+        )
+        SELECT d.lang, b.cand AS predicted_lang, count(*)::BIGINT AS n
+        FROM best b JOIN documents d USING (doc_id)
+        WHERE b.rn = 1 GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "quality_by_lang": r"""
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(length(lower(text)))::BIGINT AS total_chars,
+               sum(len(regexp_extract_all(lower(text), '[a-z]')))::BIGINT
+                   AS total_alpha,
+               sum(len(regexp_extract_all(lower(text), '[0-9]')))::BIGINT
+                   AS total_digit,
+               sum(len(regexp_extract_all(lower(text),
+                   '[a-z0-9]+')))::BIGINT AS total_tokens,
+               sum(len(regexp_extract_all(lower(text),
+                   '\b(the|a|an|and|or|of|to|in|is|it)\b')))::BIGINT
+                   AS total_stopwords
+        FROM documents GROUP BY 1 ORDER BY lang
+    """,
+    "token_stats": """
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(len(regexp_extract_all(lower(text),
+                   '[a-z0-9]+')))::BIGINT AS total_tokens,
+               sum(n_chars)::BIGINT AS total_chars
+        FROM documents GROUP BY 1 ORDER BY source
+    """,
+    "fingerprint_minmd5": """
+        SELECT doc_id,
+               CASE WHEN length(text) <= 8 THEN md5(text)
+                    ELSE list_min([md5(substring(text, i, 8))
+                                   FOR i IN generate_series(
+                                       1, length(text) - 7)])
+               END AS fingerprint
+        FROM documents ORDER BY doc_id
+    """,
+    "embedding_knn": """
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        ), scored AS (
+          SELECT vec_id,
+                 list_cosine_similarity(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                     (SELECT qv FROM q)) AS c
+          FROM embeddings
+        )
+        SELECT vec_id, round(c, 6) AS cosine FROM scored
+        ORDER BY c DESC, vec_id ASC LIMIT 10
+    """,
+    "multimodal_stats": """
+        SELECT lang, count(*)::BIGINT AS n,
+               sum(octet_length(encode(text)))::BIGINT AS total_bytes,
+               sum(octet_length(encode(text)) % 640 + 1)::BIGINT
+                   AS total_width,
+               sum((octet_length(encode(text)) // 640) % 480 + 1)::BIGINT
+                   AS total_height
+        FROM documents GROUP BY 1 ORDER BY lang
+    """,
+}

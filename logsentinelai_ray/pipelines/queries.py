@@ -1,0 +1,585 @@
+"""The queries() registry: one callable per operator/pipeline (SURVEY §2).
+
+Every callable takes ``sf_dir`` (a directory of the driver's parquet
+tables) and returns a Dataset / pandas DataFrame / pyarrow Table. Names of
+computed columns match the DuckDB oracles in ``oracles.py`` exactly (the
+driver's hash compare is column-name-sorted).
+
+Float determinism policy: aggregate outputs are integer-izable wherever
+possible (micro-units / counts — integer sums are order-independent, float
+sums are not); genuinely-float scores (BM25, cosine) are rounded to 6
+decimals on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"),
+                           columns=columns)
+
+
+def _round6(arr):
+    return pc.round(arr, ndigits=6)
+
+
+# ---------------------------------------------------------------------------
+# events: severity / aggregation / window parity (reference A1/A2/A5, O6,
+# §2.10 count windows)
+# ---------------------------------------------------------------------------
+
+def q_severity_histogram(sf_dir: str):
+    """Count per event type ordered by the fixed priority map (A2)."""
+    from ..stages.severity import severity_histogram
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    return severity_histogram(ds)
+
+
+def q_severity_alerts(sf_dir: str):
+    """Threshold filter (priority <= 2) + per-type count and value sum in
+    micro-units (reference alert path, core/elasticsearch.py:156-174)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..stages.severity import add_priority
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = add_priority(t)
+        t = t.filter(pc.less_equal(t["priority"], 2))
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "value_micro": micro})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_micro", alias_name="sum_value_micro")))
+    return out.sort("event_type")
+
+
+def q_events_daily(sf_dir: str):
+    """Per-day event count + integer value sum (Kibana date-histogram
+    analog, A5)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        return pa.table({"day": day, "value_micro": micro})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("day")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_micro", alias_name="sum_value_micro")))
+    return out.sort("day")
+
+
+def q_top_users(sf_dir: str):
+    """Top-10 users by event count (Kibana top-N, O6); tie-break id asc."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    out = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
+    pdf = out.to_pandas().sort_values(["n_events", "user_id"],
+                                      ascending=[False, True]).head(10)
+    return pdf.reset_index(drop=True)
+
+
+def q_user_count_windows(sf_dir: str):
+    """Count-windows of 10 events per user in (ts, event_id) order — the
+    batch analog of the reference's realtime count window
+    (core/monitoring.py:412-427: emit every chunk_size pending lines)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def windows(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        g["window_id"] = np.arange(len(g)) // 10
+        out = (g.groupby("window_id", as_index=False)
+               .agg(n=("event_id", "size"),
+                    first_event=("event_id", "first")))
+        out.insert(0, "user_id", g["user_id"].iloc[0])
+        return out
+
+    out = ds.groupby("user_id").map_groups(windows, batch_format="pandas")
+    return out.sort(["user_id", "window_id"])
+
+
+# ---------------------------------------------------------------------------
+# lineitem / orders / customer: grouped aggregates + joins (the "real
+# distributed version" of the reference's LLM-delegated statistics, A1)
+# ---------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1-shaped pricing summary with exact integer-cent sums."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount", "l_shipdate"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(
+            t["l_shipdate"], pa.scalar(np.datetime64("1998-09-01", "us"))))
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0),
+                                 ndigits=0), pa.int64())
+        # price has 2 decimals, discount 2 → the product has exactly 4:
+        # scale by 1e4 so rounding is unambiguous (a 1e2 scale leaves
+        # values at *.5 where pyarrow half-even and DuckDB half-away split)
+        disc = pc.multiply(pc.multiply(t["l_extendedprice"],
+                                       pc.subtract(pa.scalar(1.0),
+                                                   t["l_discount"])),
+                           10000.0)
+        disc_e4 = pc.cast(pc.round(disc, ndigits=0), pa.int64())
+        qty = pc.cast(pc.round(t["l_quantity"], ndigits=0), pa.int64())
+        return pa.table({"l_returnflag": t["l_returnflag"],
+                         "l_linestatus": t["l_linestatus"],
+                         "qty": qty, "base_cents": cents,
+                         "disc_e4": disc_e4})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("qty", alias_name="sum_qty"),
+                      Sum("base_cents", alias_name="sum_base_cents"),
+                      Sum("disc_e4", alias_name="sum_disc_e4"),
+                      Count(alias_name="count_order")))
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def q_top_customers(sf_dir: str):
+    """Top-10 customers by total order value: broadcast-join the (small)
+    customer side into an orders aggregation — no shuffle join (the
+    reference's only join is exactly this broadcast-lookup shape, GeoIP
+    J1, core/geoip.py:154-242)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0),
+                                 ndigits=0), pa.int64())
+        return pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+
+    agg = (orders.map_batches(prep, batch_format="pyarrow")
+           .groupby("o_custkey")
+           .aggregate(Sum("cents", alias_name="total_cents"),
+                      Count(alias_name="n_orders")))
+    top = agg.to_pandas().sort_values(
+        ["total_cents", "o_custkey"], ascending=[False, True]).head(10)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
+        .to_pandas()
+    name_of = dict(zip(cust["c_custkey"], cust["c_name"]))
+    top["c_name"] = [name_of.get(k) for k in top["o_custkey"]]
+    return top.reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# documents: metadata stamping / dead-letter (M6, M9)
+# ---------------------------------------------------------------------------
+
+def q_metadata_stamp(sf_dir: str):
+    from ..stages.metadata import stamp_metadata
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = ds.map_batches(
+        lambda t: stamp_metadata(t, log_type="documents",
+                                 count_col="n_chars"),
+        batch_format="pyarrow")
+    return out.select_columns(["doc_id", "@log_type", "@processing_mode",
+                               "@processing_result", "@log_count"]) \
+        .sort("doc_id")
+
+
+def q_dead_letter(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from ..stages.metadata import dead_letter_split
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = (ds.map_batches(
+        lambda t: dead_letter_split(t, min_chars=200),
+        batch_format="pyarrow")
+        .groupby(["@processing_result", "@error_type"])
+        .aggregate(Count(alias_name="n")))
+    return out.sort("@processing_result")
+
+
+# ---------------------------------------------------------------------------
+# search: term filters, document frequency, BM25 top-k (the flagship)
+# ---------------------------------------------------------------------------
+
+def q_term_match_counts(sf_dir: str):
+    """Docs containing token 'merge' per lang — the Kibana keyword term
+    filter + count aggregation shape (SURVEY §1.2)."""
+    from ray.data.aggregate import Count
+
+    from ..analysis.tokenizer import tokenize_batch_arrow
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        row_idx, toks, _ = tokenize_batch_arrow(t["text"])
+        hit_rows = np.unique(
+            row_idx[pc.equal(toks, "merge").to_numpy(zero_copy_only=False)])
+        mask = np.zeros(t.num_rows, dtype=bool)
+        mask[hit_rows] = True
+        return pa.table({"lang": t["lang"].filter(pa.array(mask))})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("lang").aggregate(Count(alias_name="n_docs")))
+    return out.sort("lang")
+
+
+def q_df_top_terms(sf_dir: str):
+    """Top-20 terms by document frequency (df is the core statistic of the
+    inverted index; partial per-batch distinct → groupby sum)."""
+    from ray.data.aggregate import Sum
+
+    from ..analysis.tokenizer import tokenize_batch_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        row_idx, toks, _ = tokenize_batch_arrow(t["text"])
+        enc = toks.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = max(1, len(enc.dictionary))
+        uniq = np.unique(row_idx * nv + codes)
+        terms = enc.dictionary.take(pa.array(uniq % nv))
+        tdf = pa.table({"term": terms}).group_by("term").aggregate(
+            [([], "count_all")])
+        return pa.table({"term": tdf["term"],
+                         "df_part": pc.cast(tdf["count_all"], pa.int64())})
+
+    out = (ds.map_batches(partial_df, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("df_part", alias_name="df")))
+    pdf = out.to_pandas().sort_values(["df", "term"],
+                                      ascending=[False, True]).head(20)
+    return pdf.reset_index(drop=True)
+
+
+_ENGINE_CACHE: dict = {}
+BM25_QUERY_TEXT = "error merge spark window"
+
+
+def _docs_engine(sf_dir: str):
+    """Build (once per sf_dir) an index over documents mapped to the corpus
+    shape with id-aligned keys: repo = f"r{doc_id:012d}" makes the engine's
+    sort-based dense doc ids equal the source doc_ids, so results compare
+    1:1 with SQL over the original table."""
+    if sf_dir in _ENGINE_CACHE:
+        return _ENGINE_CACHE[sf_dir]
+    import hashlib
+
+    import ray.data as rd
+
+    from ..config import IndexConfig
+    from ..index.build import build_index
+    from ..query.shards import SearchEngine
+
+    def to_corpus(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        repo = pa.array([f"r{d:012d}" for d in did], pa.string())
+        return pa.table({
+            "repo": repo,
+            "path": pa.array([f"doc_{d}.md" for d in did], pa.string()),
+            "commit": pa.array(
+                [hashlib.sha1(str(d).encode()).hexdigest() for d in did],
+                pa.string()),
+            "lang": t["lang"], "content": t["text"],
+        })
+
+    corpus = _read(sf_dir, "documents",
+                   columns=["doc_id", "lang", "text"]) \
+        .map_batches(to_corpus, batch_format="pyarrow")
+    tag = "documents:" + sf_dir.rstrip("/")
+    idx_dir = os.path.join(
+        "/tmp/lsai_idx",
+        hashlib.sha256(tag.encode()).hexdigest()[:16])
+    cfg = IndexConfig(num_partitions=8, salt_buckets=4)
+    build_index(corpus, idx_dir, cfg, corpus_tag=tag)
+    eng = SearchEngine(idx_dir, num_shards=4)
+    _ENGINE_CACHE[sf_dir] = eng
+    return eng
+
+
+def q_bm25_topk(sf_dir: str):
+    eng = _docs_engine(sf_dir)
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_bm25_topk_filtered(sf_dir: str):
+    eng = _docs_engine(sf_dir)
+    res = eng.search(BM25_QUERY_TEXT, k=10, filters={"lang": "en"},
+                     with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(sf_dir: str):
+    from ..dedup import exact_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup(ds).sort("doc_id")
+
+
+def q_ngram_jaccard_dupes(sf_dir: str):
+    from ..dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ngram_jaccard_pairs(ds, n=3, threshold=0.5)
+
+
+def q_dedup_minhash(sf_dir: str):
+    from ..dedup import minhash_lsh_dupes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_lsh_dupes(ds, n=3, threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str):
+    from ..dedup import simhash_dupes
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dupes(ds, max_hamming=3)
+
+
+def q_embedding_dupes(sf_dir: str):
+    from ..ann import embedding_dupes
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = embedding_dupes(ds, threshold=0.9)
+    return pa.table({"a": out["a"], "b": out["b"],
+                     "cosine": _round6(out["cosine"])})
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_lang_id_confusion(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    from ..functions import add_lang_id
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    out = (ds.map_batches(add_lang_id, batch_format="pyarrow")
+           .select_columns(["lang", "predicted_lang"])
+           .groupby(["lang", "predicted_lang"])
+           .aggregate(Count(alias_name="n")))
+    return out.sort(["lang", "predicted_lang"])
+
+
+def q_quality_by_lang(sf_dir: str):
+    """Per-lang quality totals as exact integers (ratio-of-sums beats
+    sum-of-ratios for float determinism)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(t["text"])
+        return pa.table({
+            "lang": t["lang"],
+            "chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "alpha": pc.cast(pc.count_substring_regex(text, "[a-z]"),
+                             pa.int64()),
+            "digit": pc.cast(pc.count_substring_regex(text, "[0-9]"),
+                             pa.int64()),
+            "tokens": pc.cast(pc.count_substring_regex(text, "[a-z0-9]+"),
+                              pa.int64()),
+            "stops": pc.cast(pc.count_substring_regex(
+                text, r"\b(the|a|an|and|or|of|to|in|is|it)\b"), pa.int64()),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("chars", alias_name="total_chars"),
+                      Sum("alpha", alias_name="total_alpha"),
+                      Sum("digit", alias_name="total_digit"),
+                      Sum("tokens", alias_name="total_tokens"),
+                      Sum("stops", alias_name="total_stopwords")))
+    return out.sort("lang")
+
+
+def q_token_stats(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["source", "text", "n_chars"])
+    out = (ds.map_batches(add_token_count, batch_format="pyarrow")
+           .select_columns(["source", "n_tokens", "n_chars"])
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_tokens", alias_name="total_tokens"),
+                      Sum("n_chars", alias_name="total_chars")))
+    return out.sort("source")
+
+
+def q_fingerprint_minmd5(sf_dir: str):
+    from ..functions import add_fingerprint_minmd5
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(add_fingerprint_minmd5, batch_format="pyarrow")
+    return out.select_columns(["doc_id", "fingerprint"]).sort("doc_id")
+
+
+def q_fingerprint_rolling(sf_dir: str):
+    from ..functions import add_fingerprint_rolling
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ds.map_batches(add_fingerprint_rolling, batch_format="pyarrow")
+
+    def to_str(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "fingerprint_rolling": pc.cast(t["fingerprint_rolling"],
+                                           pa.string()),
+        })
+
+    return out.map_batches(to_str, batch_format="pyarrow").sort("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def _query_vector(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
+                        columns=["vec_id", "embedding"])
+    idx = tbl["vec_id"].to_pylist().index(0)
+    return np.asarray(tbl["embedding"][idx].as_py(), dtype=np.float64)
+
+
+def q_embedding_knn(sf_dir: str):
+    from ..ann import cosine_topk_bruteforce
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_topk_bruteforce(ds, _query_vector(sf_dir), k=10)
+    return pa.table({"vec_id": out["vec_id"],
+                     "cosine": _round6(out["cosine"])})
+
+
+def q_embedding_knn_lsh(sf_dir: str):
+    from ..ann import cosine_topk_lsh
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_topk_lsh(ds, _query_vector(sf_dir), k=10)
+    return pa.table({"vec_id": out["vec_id"],
+                     "cosine": _round6(out["cosine"])})
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+def q_multimodal_stats(sf_dir: str):
+    """Binary-payload plumbing: attach blob + typed metadata, fake-decode
+    in an actor pool, aggregate dimensions per lang (ints only)."""
+    from functools import partial
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..multimodal import BinaryFeatureExtractor, attach_binary_payload
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    feats = (ds.map_batches(partial(attach_binary_payload),
+                            batch_format="pyarrow")
+             .map_batches(BinaryFeatureExtractor, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4)))
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"],
+                         "payload_bytes": t["payload_bytes"],
+                         "width": pc.cast(t["width"], pa.int64()),
+                         "height": pc.cast(t["height"], pa.int64())})
+
+    out = (feats.map_batches(prep, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n"),
+                      Sum("payload_bytes", alias_name="total_bytes"),
+                      Sum("width", alias_name="total_width"),
+                      Sum("height", alias_name="total_height")))
+    return out.sort("lang")
+
+
+def q_multimodal_features(sf_dir: str):
+    """Rows-only: per-doc fake feature vectors (blake2b-derived)."""
+    from functools import partial
+
+    from ..multimodal import BinaryFeatureExtractor, attach_binary_payload
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    feats = (ds.map_batches(partial(attach_binary_payload),
+                            batch_format="pyarrow")
+             .map_batches(BinaryFeatureExtractor, batch_format="pyarrow",
+                          batch_size=256, concurrency=(1, 4)))
+
+    def feature_str(t: pa.Table) -> pa.Table:
+        # list<double> serialized for the driver's hash compare
+        s = pa.array([",".join(f"{v:.6f}" for v in row)
+                      for row in t["feature"].to_pylist()], pa.string())
+        return pa.table({"doc_id": t["doc_id"], "width": t["width"],
+                         "height": t["height"], "feature": s})
+
+    return feats.map_batches(feature_str, batch_format="pyarrow") \
+        .sort("doc_id")
+
+
+QUERY_REGISTRY = {
+    "severity_histogram": q_severity_histogram,
+    "severity_alerts": q_severity_alerts,
+    "events_daily": q_events_daily,
+    "top_users": q_top_users,
+    "user_count_windows": q_user_count_windows,
+    "pricing_summary": q_pricing_summary,
+    "top_customers": q_top_customers,
+    "metadata_stamp": q_metadata_stamp,
+    "dead_letter": q_dead_letter,
+    "term_match_counts": q_term_match_counts,
+    "df_top_terms": q_df_top_terms,
+    "bm25_topk": q_bm25_topk,
+    "bm25_topk_filtered": q_bm25_topk_filtered,
+    "dedup_exact": q_dedup_exact,
+    "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_dupes": q_embedding_dupes,
+    "lang_id_confusion": q_lang_id_confusion,
+    "quality_by_lang": q_quality_by_lang,
+    "token_stats": q_token_stats,
+    "fingerprint_minmd5": q_fingerprint_minmd5,
+    "fingerprint_rolling": q_fingerprint_rolling,
+    "embedding_knn": q_embedding_knn,
+    "embedding_knn_lsh": q_embedding_knn_lsh,
+    "multimodal_stats": q_multimodal_stats,
+    "multimodal_features": q_multimodal_features,
+}

@@ -44,8 +44,11 @@ from .postings import PostingsCursor, TermPostings
 from .wand import block_max_wand
 
 
-@ray.remote(num_cpus=1)
+@ray.remote(num_cpus=0.25)
 class IndexShard:
+    # num_cpus=0.25: shards are memory-holders that serve short lookup
+    # bursts; reserving whole CPUs would starve concurrently-running build
+    # pipelines (actor pools + map tasks) on small clusters.
     """Owns the segment files of a set of term partitions."""
 
     def __init__(self, index_dir: str, parts: list[int]):
@@ -160,8 +163,11 @@ class SearchEngine:
             "doc_id": pa.array([d for d, _ in topk], pa.int64()),
             "score": pa.array([s for _, s in topk], pa.float64()),
         })
-        if not with_meta or result.num_rows == 0:
+        if not with_meta:
             return result
         meta = self._join_docmap([d for d, _ in topk])
+        if meta.num_rows == 0:  # keep schema stable on empty results
+            meta = meta.select(["doc_id", "repo", "path", "commit", "lang",
+                                "sha256"])
         joined = result.join(meta, keys="doc_id", join_type="left outer")
         return joined.sort_by("rank")

@@ -1,0 +1,76 @@
+import pytest
+import ray
+
+
+@pytest.fixture(scope="session", autouse=True)
+def ray_session():
+    ray.init(address="local", num_cpus=4, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    yield
+    ray.shutdown()
+
+
+@pytest.fixture(scope="session")
+def small_corpus():
+    from logsentinelai_ray.config import CorpusConfig
+    from logsentinelai_ray.corpus import generate_corpus
+
+    return generate_corpus(CorpusConfig(n_docs=250))
+
+
+@pytest.fixture(scope="session")
+def small_index(ray_session, small_corpus, tmp_path_factory):
+    """Build the small index once per session; returns (index_dir, cfg)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index.build import build_index
+
+    cfg = IndexConfig(num_partitions=8, salt_buckets=2, block_size=32)
+    idx_dir = str(tmp_path_factory.mktemp("index") / "idx")
+    build_index(rd.from_arrow(small_corpus), idx_dir, cfg, corpus_tag="t250")
+    return idx_dir, cfg
+
+
+@pytest.fixture(scope="session")
+def oracle(small_index):
+    import pyarrow.parquet as pq
+
+    from logsentinelai_ray.query.bm25 import BM25Oracle
+
+    idx_dir, cfg = small_index
+    docs = pq.read_table(f"{idx_dir}/docs")
+    pairs = list(zip(docs["doc_id"].to_pylist(), docs["content"].to_pylist()))
+    attrs = {d: {"lang": l, "repo": r} for d, l, r in
+             zip(docs["doc_id"].to_pylist(), docs["lang"].to_pylist(),
+                 docs["repo"].to_pylist())}
+    return BM25Oracle(pairs, attrs, cfg)
+
+
+@pytest.fixture(scope="session")
+def engine(small_index):
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    idx_dir, _ = small_index
+    return SearchEngine(idx_dir, num_shards=3)
+
+
+QUERY_SET = [
+    # reference-derived vocabulary: Kibana filter fields + threat/prompt
+    # terms (SURVEY.md §5.2.3): hot single term, rare term, multi-term,
+    # identifier (camelCase split), zero-hit, dup-term
+    "error",
+    "authentication failure",
+    "authentication failure error",
+    "select union passwd",
+    "parseHttpRequest",
+    "auth_failure_count",
+    "robots.txt",
+    "sql injection attempt",
+    "failed password for root",
+    "import return self the error",
+    "zzz_no_such_term",
+    "error error error",
+]

@@ -1,0 +1,77 @@
+"""Driver-mimicking comparison harness (import-safe, no Ray session).
+
+``compare(name, sf_dir)`` runs the Ray query and its DuckDB oracle on the
+same parquet directory and compares row count, column names, and values the
+way the driver does: columns sorted by name, rows sorted by all columns,
+order-insensitive.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pandas as pd
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')")
+    return con.sql(sql).df()
+
+
+def to_pandas(obj) -> pd.DataFrame:
+    import pyarrow as pa
+
+    if isinstance(obj, pd.DataFrame):
+        return obj
+    if isinstance(obj, pa.Table):
+        return obj.to_pandas()
+    return obj.to_pandas()  # ray Dataset
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(by=list(df.columns), na_position="last")
+    return df.reset_index(drop=True)
+
+
+def values_equal(a, b) -> bool:
+    if a is b:
+        return True
+    if pd.isna(a) and pd.isna(b):
+        return True
+    if isinstance(a, float) or isinstance(b, float):
+        try:
+            return (a == b) or math.isclose(float(a), float(b),
+                                            rel_tol=0, abs_tol=0)
+        except (TypeError, ValueError):
+            return False
+    return a == b
+
+
+def compare(name: str, sf_dir: str) -> tuple[bool, str]:
+    from logsentinelai_ray.pipelines import ORACLE_SQL, QUERY_REGISTRY
+
+    got = canon(to_pandas(QUERY_REGISTRY[name](sf_dir)))
+    if name not in ORACLE_SQL:
+        return True, f"rows-only: {len(got)} rows, cols={list(got.columns)}"
+    exp = canon(run_oracle(ORACLE_SQL[name], sf_dir))
+    if list(got.columns) != list(exp.columns):
+        return False, f"columns differ: ray={list(got.columns)} " \
+                      f"sql={list(exp.columns)}"
+    if len(got) != len(exp):
+        return False, f"row count differs: ray={len(got)} sql={len(exp)}"
+    for col in got.columns:
+        ga, ea = got[col].tolist(), exp[col].tolist()
+        for i, (x, y) in enumerate(zip(ga, ea)):
+            if not values_equal(x, y):
+                return False, (f"value mismatch col={col} row={i}: "
+                               f"ray={x!r} sql={y!r}")
+    return True, f"MATCH ({len(got)} rows)"

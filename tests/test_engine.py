@@ -1,0 +1,165 @@
+"""End-to-end engine tests: rank-identity vs oracle, WAND vs exhaustive,
+doc-id determinism, sha256 integrity, resume (SURVEY.md §5.2.2/4/5)."""
+
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import QUERY_SET
+
+
+def _pairs(tbl):
+    return list(zip(tbl["doc_id"].to_pylist(), tbl["score"].to_pylist()))
+
+
+@pytest.mark.parametrize("query", QUERY_SET)
+def test_rank_identity(engine, oracle, query):
+    for k in (1, 5, 10, 100):
+        got = _pairs(engine.search(query, k=k, with_meta=False))
+        exp = oracle.search(query, k=k)
+        assert [d for d, _ in got] == [d for d, _ in exp], (query, k)
+        # scores bit-identical (same float ops, same order)
+        assert [s for _, s in got] == [s for _, s in exp], (query, k)
+
+
+@pytest.mark.parametrize("flt", [{"lang": "python"}, {"lang": "md"},
+                                 {"repo": "org1/repo1"},
+                                 {"lang": "python", "repo": "org3/repo10"},
+                                 {"lang": "no_such_lang"}])
+def test_rank_identity_filtered(engine, oracle, flt):
+    for query in ("error", "select union passwd", "authentication failure"):
+        got = _pairs(engine.search(query, k=20, filters=flt, with_meta=False))
+        exp = oracle.search(query, k=20, filters=flt)
+        assert got == exp, (query, flt)
+
+
+def test_wand_equals_exhaustive(engine):
+    """WAND pruning must be invisible: identical to brute-force cursor scan."""
+    from logsentinelai_ray.analysis import tokenize_py
+    from logsentinelai_ray.query.bm25 import bm25_idf
+    from logsentinelai_ray.query.postings import PostingsCursor, TermPostings
+    from logsentinelai_ray.query.wand import block_max_wand
+
+    stats = engine.stats
+    for query in QUERY_SET:
+        terms = sorted(set(tokenize_py(query, int(stats["max_token_len"]))))
+        rows = engine._fetch_terms(terms)
+        scores: dict[int, float] = {}
+        cursors = []
+        for t in terms:
+            if t not in rows:
+                continue
+            tp = TermPostings(rows[t])
+            idf = bm25_idf(stats["n_docs"], int(tp.df))
+            cur = PostingsCursor(tp, idf, stats["k1"], stats["b"],
+                                 stats["avgdl"])
+            cursors.append(PostingsCursor(TermPostings(rows[t]), idf,
+                                          stats["k1"], stats["b"],
+                                          stats["avgdl"]))
+            while not cur.exhausted():
+                scores[cur.cur_doc] = scores.get(cur.cur_doc, 0.0) \
+                    + cur.score_current()
+                cur.next()
+        exhaustive = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))
+        for k in (1, 7, 40, 10_000):
+            assert block_max_wand(cursors, k) == exhaustive[:k], (query, k)
+            for c in cursors:  # reset cursors for the next k
+                c.__init__(c.tp, c.idf, c.k1, c.b, c.avgdl)
+
+
+def test_doc_ids_deterministic_and_deduped(small_index, small_corpus):
+    idx_dir, _ = small_index
+    docs = pq.read_table(os.path.join(idx_dir, "docs")).sort_by("doc_id")
+    keys = list(zip(docs["repo"].to_pylist(), docs["path"].to_pylist(),
+                    docs["commit"].to_pylist()))
+    expected = sorted({(r, p, c) for r, p, c in
+                       zip(small_corpus["repo"].to_pylist(),
+                           small_corpus["path"].to_pylist(),
+                           small_corpus["commit"].to_pylist())})
+    assert keys == expected  # dense ids = rank in sorted key order
+    assert docs["doc_id"].to_pylist() == list(range(len(expected)))
+    # duplicates existed in the input and were dropped
+    assert small_corpus.num_rows > len(expected)
+
+
+def test_sha256_integrity(small_index, engine):
+    """Per-row content sha256 equality vs the source (input_hint invariant)."""
+    import hashlib
+
+    idx_dir, _ = small_index
+    docs = pq.read_table(os.path.join(idx_dir, "docs"))
+    by_id = dict(zip(docs["doc_id"].to_pylist(), docs["content"].to_pylist()))
+    res = engine.search("authentication failure error", k=25)
+    assert res.num_rows > 0
+    for doc_id, sha in zip(res["doc_id"].to_pylist(),
+                           res["sha256"].to_pylist()):
+        assert hashlib.sha256(by_id[doc_id].encode()).hexdigest() == sha
+
+
+def test_collection_stats_match_oracle(small_index, oracle):
+    from logsentinelai_ray.index import manifest as mf
+
+    idx_dir, _ = small_index
+    stats = mf.read_stats(idx_dir)
+    assert stats["n_docs"] == oracle.n_docs
+    assert stats["avgdl"] == pytest.approx(oracle.avgdl, abs=1e-12)
+
+
+def test_df_consistency(small_index, oracle):
+    """sum(df) over segments == number of distinct (term, doc) pairs."""
+    idx_dir, cfg = small_index
+    seg_df = {}
+    for p in range(cfg.num_partitions):
+        tbl = pq.read_table(os.path.join(idx_dir, "segments",
+                                         f"part-{p:04d}.parquet"))
+        for t, df in zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()):
+            seg_df[t] = seg_df.get(t, 0) + df
+    for term, plist in oracle.postings.items():
+        assert seg_df.get(term) == len(plist), term
+
+
+def test_resume_skips_completed_partitions(small_corpus, tmp_path):
+    """Kill-and-resume: only missing partitions rebuild; ranks identical."""
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2, block_size=16)
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(small_corpus), idx, cfg, corpus_tag="r")
+    e1 = SearchEngine(idx, num_shards=2)
+    before = _pairs(e1.search("select union passwd", k=10, with_meta=False))
+    e1.shutdown()
+    # simulate mid-shuffle crash
+    os.remove(os.path.join(idx, "segments", "part-0002.parquet"))
+    os.remove(os.path.join(idx, "manifest", "part-0002.json"))
+    meta = build_index(rd.from_arrow(small_corpus), idx, cfg, corpus_tag="r")
+    # earlier stages were skipped
+    assert set(meta["timings"]) == {"segments_s"}
+    e2 = SearchEngine(idx, num_shards=2)
+    after = _pairs(e2.search("select union passwd", k=10, with_meta=False))
+    e2.shutdown()
+    assert before == after
+
+
+def test_salting_splits_hot_terms(small_index):
+    """Hot Zipf-head terms must appear as multiple salt runs pre-merge: the
+    merged segment's block_first sequence stays sorted (concat correctness
+    is covered by rank-identity; here we check the hot term spans blocks)."""
+    idx_dir, cfg = small_index
+    from logsentinelai_ray.index.build import term_partition
+
+    p = term_partition("error", cfg.num_partitions)
+    tbl = pq.read_table(os.path.join(idx_dir, "segments",
+                                     f"part-{p:04d}.parquet"))
+    row = {t: i for i, t in enumerate(tbl["term"].to_pylist())}["error"]
+    firsts = tbl["block_first"][row].as_py()
+    lasts = tbl["block_last"][row].as_py()
+    assert len(firsts) > 1
+    assert firsts == sorted(firsts)
+    assert all(f <= l for f, l in zip(firsts, lasts))
+    assert all(lasts[i] < firsts[i + 1] for i in range(len(firsts) - 1))

@@ -1,0 +1,64 @@
+"""Tokenizer golden cases + Arrow/Python equivalence (SURVEY.md §5.2.1)."""
+
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from logsentinelai_ray.analysis import tokenize_batch_arrow, tokenize_py
+
+GOLDEN = {
+    "parseHttpRequest": ["parse", "http", "request"],
+    "auth_failure_count": ["auth", "failure", "count"],
+    "HTTPServer": ["http", "server"],
+    "XMLHttpRequest2": ["xml", "http", "request2"],
+    "/etc/passwd": ["etc", "passwd"],
+    "robots.txt": ["robots", "txt"],
+    "SELECT UNION": ["select", "union"],
+    "a_b-c.d/e": ["a", "b", "c", "d", "e"],
+    "": [],
+    "   \n\t ": [],
+    "漢字 only": ["only"],
+    "MiXeD9Case": ["mi", "xe", "d9", "case"],
+}
+
+
+def test_golden_cases():
+    for text, expected in GOLDEN.items():
+        assert tokenize_py(text) == expected, text
+
+
+def test_max_token_len():
+    long = "a" * 200
+    assert tokenize_py(long, max_token_len=64) == ["a" * 64]
+
+
+def _arrow_tokens(texts):
+    ri, toks, dl = tokenize_batch_arrow(pa.array(texts, pa.string()))
+    per_row = [[] for _ in texts]
+    for i, t in zip(ri, toks.to_pylist()):
+        per_row[i].append(t)
+    return per_row, dl
+
+
+def test_arrow_matches_python_on_goldens():
+    texts = list(GOLDEN)
+    per_row, dl = _arrow_tokens(texts)
+    for i, text in enumerate(texts):
+        assert per_row[i] == tokenize_py(text)
+        assert dl[i] == len(tokenize_py(text))
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(max_size=80), min_size=0, max_size=20))
+def test_arrow_matches_python_property(texts):
+    per_row, dl = _arrow_tokens(texts)
+    for i, text in enumerate(texts):
+        expected = tokenize_py(text)
+        assert per_row[i] == expected
+        assert dl[i] == len(expected)
+
+
+def test_null_content_is_empty():
+    per_row, dl = _arrow_tokens(["x", None, "y z"])
+    assert per_row == [["x"], [], ["y", "z"]]
+    assert list(dl) == [1, 0, 2]

@@ -1,0 +1,217 @@
+#!/usr/bin/env python
+"""Benchmark driver — prints ONE JSON line with the headline numbers.
+
+Headline metric: inverted-index build throughput (docs/s) over the
+deterministic synthetic source-code corpus (FIXTURES.md §1, bench tier)
+plus BM25 top-k query latency p50/p99 over the reference-derived query
+set, plus wall times of representative registry pipelines over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1).
+
+``--scaling`` re-runs the build+query headline in TWO fresh processes at
+num_cpus=8 and num_cpus=32 on the same corpus and reports both
+throughputs and the scaling efficiency (the sandbox stand-in for the
+north rule's N vs 4N cluster sizes).
+
+Corpus generation is deterministic and cached under /tmp (untimed); the
+page cache is warmed with one untimed read pass before the timed build.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
+# --scaling amortizes fixed stage overheads over a larger corpus so the
+# measurement reflects the parallel fraction, not constant costs
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "400000"))
+CORPUS_CACHE = f"/tmp/lsai_bench_corpus_{BENCH_DOCS}"
+
+QUERY_SET = [
+    "error", "authentication failure", "authentication failure error",
+    "select union passwd", "parseHttpRequest", "auth_failure_count",
+    "robots.txt", "sql injection attempt", "failed password for root",
+    "import return self the error", "zzz_no_such_term", "error error error",
+    "buffer cache thread lock async", "http server client socket connect",
+]
+
+
+def ensure_corpus() -> str:
+    marker = os.path.join(CORPUS_CACHE, "_DONE")
+    if not os.path.exists(marker):
+        shutil.rmtree(CORPUS_CACHE, ignore_errors=True)
+        # generate in a subprocess: keeps the ~1 GB of generation-time heap
+        # (and allocator fragmentation) out of the benchmarking process
+        code = (
+            "from logsentinelai_ray.config import CorpusConfig\n"
+            "from logsentinelai_ray.corpus import write_corpus\n"
+            f"write_corpus({CORPUS_CACHE!r}, "
+            f"CorpusConfig(n_docs={BENCH_DOCS}), num_files=32)\n")
+        subprocess.run([sys.executable, "-c", code], check=True,
+                       cwd=os.path.dirname(os.path.abspath(__file__)))
+        open(marker, "w").close()
+    return CORPUS_CACHE
+
+
+def bench_index_and_query() -> dict:
+    import numpy as np
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    import pyarrow as pa
+
+    corpus_dir = ensure_corpus()
+    # warm page cache + worker pool (untimed): a real decode pass —
+    # .count() would read only parquet metadata
+    rd.read_parquet(corpus_dir).map_batches(
+        lambda t: pa.table({"n": [t.num_rows]}),
+        batch_format="pyarrow").sum("n")
+
+    # tmpfs index output: measures the engine, not /dev/vda writeback (the
+    # object store lives in shm anyway; production would write to a real FS)
+    idx_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    idx_dir = f"{idx_base}/lsai_bench_idx_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    cfg = IndexConfig(num_partitions=32, salt_buckets=4)
+    t0 = time.monotonic()
+    meta = build_index(corpus_dir, idx_dir, cfg,
+                       corpus_tag=f"bench{BENCH_DOCS}")
+    build_s = time.monotonic() - t0
+    n_docs = meta["n_docs"]
+
+    eng = SearchEngine(idx_dir, num_shards=8)
+    eng.search("error", k=10, with_meta=False)  # warm actors
+    lat = []
+    for _ in range(3):
+        for q in QUERY_SET:
+            t0 = time.monotonic()
+            eng.search(q, k=10, with_meta=False)
+            lat.append(time.monotonic() - t0)
+    lat = np.array(lat)
+    eng.shutdown()
+    return {
+        "build_s": round(build_s, 3),
+        "n_docs": int(n_docs),
+        "docs_per_sec": round(n_docs / build_s, 1),
+        "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
+        "query_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
+        "stage_timings": meta["timings"],
+    }
+
+
+def bench_pipelines() -> dict:
+    from logsentinelai_ray.pipelines import QUERY_REGISTRY
+
+    names = ["pricing_summary", "severity_histogram", "events_daily",
+             "user_count_windows", "dedup_exact", "ngram_jaccard_dupes",
+             "dedup_minhash", "dedup_simhash", "quality_by_lang",
+             "lang_id_confusion", "embedding_knn", "multimodal_stats",
+             "df_top_terms"]
+    out = {}
+    for name in names:
+        t0 = time.monotonic()
+        res = QUERY_REGISTRY[name](SF_DIR)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()  # force execution
+        out[name] = round(time.monotonic() - t0, 3)
+    return out
+
+
+def run_once() -> dict:
+    import logging
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import ray
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    core = bench_index_and_query()
+    pipelines = bench_pipelines()
+    ray.shutdown()
+
+    queries = dict(pipelines)
+    queries["index_build"] = core["build_s"]
+    result = {
+        "metric": "index_build_plus_bm25_query",
+        "value": core["build_s"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": core["docs_per_sec"],
+        "n_docs": core["n_docs"],
+        "query_p50_ms": core["query_p50_ms"],
+        "query_p99_ms": core["query_p99_ms"],
+        "stage_timings": core["stage_timings"],
+    }
+    return result
+
+
+def run_scaling() -> dict:
+    def sub(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_DOCS=str(SCALING_DOCS))
+        out = subprocess.run([sys.executable, __file__, "--core-only"],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
+        os.sync()  # flush dirty pages so run N+1 isn't throttled by N's I/O
+        time.sleep(2)
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = sub(8), sub(32)
+    eff = (lo["build_s"] / hi["build_s"]) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "cpus_lo": 8, "cpus_hi": 32,
+        "build_s_8": lo["build_s"], "build_s_32": hi["build_s"],
+        "docs_per_sec_8": lo["docs_per_sec"],
+        "docs_per_sec_32": hi["docs_per_sec"],
+        "query_p50_ms_32": hi["query_p50_ms"],
+        "query_p99_ms_32": hi["query_p99_ms"],
+        "n_docs": hi["n_docs"],
+    }
+
+
+def run_core_only() -> dict:
+    import logging
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import ray
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    core = bench_index_and_query()
+    ray.shutdown()
+    return core
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    elif "--core-only" in sys.argv:
+        print(json.dumps(run_core_only()))
+    else:
+        print(json.dumps(run_once()))

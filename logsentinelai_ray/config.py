@@ -35,14 +35,22 @@ class IndexConfig:
     block_size: int = 128
 
     # Batch size (rows) for the tokenize → postings map_batches stage.
-    # content rows are ~KBs; 1024 rows keeps a batch in the tens of MB.
-    tokenize_batch_size: int = 1024
+    # content rows are ~KBs; 2048 rows keeps a batch around ~20-50 MB and
+    # bounds the file count of the partitioned exchange
+    # (batches * num_partitions files).
+    tokenize_batch_size: int = 2048
 
     # Number of IndexShard query actors (each owns >=1 term partition).
     num_shards: int = 4
 
     # Tokens are truncated to this length (guards degenerate minified blobs).
     max_token_len: int = 64
+
+    # Below this many corpus rows the dedup key scan is collected to the
+    # driver (a few MB) instead of paying a distributed groupby's fixed
+    # cost; above it, the keys-only Dataset groupby runs. Both paths are
+    # exact and tested; the threshold only trades constants.
+    driver_dedup_max_rows: int = 2_000_000
 
 
 @dataclass(frozen=True)

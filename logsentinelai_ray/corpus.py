@@ -74,8 +74,13 @@ def sha256_hex(content: str) -> str:
 
 
 def generate_corpus(cfg: CorpusConfig | None = None, *, n_docs: int | None = None,
-                    seed: int | None = None) -> pa.Table:
-    """Build the corpus as one pyarrow Table (drivers shard it afterwards)."""
+                    seed: int | None = None, counter_base: int = 0) -> pa.Table:
+    """Build the corpus as one pyarrow Table (drivers shard it afterwards).
+
+    ``counter_base`` offsets the commit-hash counter so chunked generation
+    (write_corpus) can't collide keys across chunks. Keep chunks under
+    ~150k docs: the word pool is a 32-bit-offset string array.
+    """
     cfg = cfg or CorpusConfig()
     n = n_docs if n_docs is not None else cfg.n_docs
     rng = np.random.RandomState(seed if seed is not None else cfg.seed)
@@ -88,31 +93,61 @@ def generate_corpus(cfg: CorpusConfig | None = None, *, n_docs: int | None = Non
 
     lang_idx = rng.choice(len(cfg.langs), size=n, p=np.array(cfg.lang_weights))
     n_lines = rng.randint(50, 401, size=n)
+    mod_idx = rng.randint(0, 40, size=n)
+    file_idx = rng.randint(0, 997, size=n)
 
-    repos, paths, commits, langs, contents = [], [], [], [], []
+    # vectorized text assembly: sample every word / insert decision in one
+    # shot, then join per line / per doc (the only remaining Python loops
+    # are string joins)
+    total_lines = int(n_lines.sum())
+    words_per_line = rng.randint(3, 9, size=total_lines)
+    total_words = int(words_per_line.sum())
+    word_idx = rng.choice(len(vocab), size=total_words, p=zipf_p)
+    all_words = vocab[word_idx]
+    extra_kind = rng.random_sample(total_lines)  # <.15 ident, <.20 threat, <.23 log
+    extra_idx = rng.randint(0, 2 ** 30, size=total_lines)
+
+    import pyarrow.compute as pc
+
+    word_off = np.zeros(total_lines + 1, dtype=np.int64)
+    np.cumsum(words_per_line, out=word_off[1:])
+    words_pa = pa.array(all_words, pa.string())
+    if isinstance(words_pa, pa.ChunkedArray):
+        words_pa = words_pa.combine_chunks()
+    words_pa = words_pa.cast(pa.large_string())
+    word_lists = pa.LargeListArray.from_arrays(pa.array(word_off), words_pa)
+    lines = pc.binary_join(word_lists, pa.scalar(" ", pa.large_string()))
+    # line suffixes (identifier / threat / log flavor), null = no suffix
+    suffixes = np.full(total_lines, None, dtype=object)
+    m1 = extra_kind < 0.15
+    m2 = (extra_kind >= 0.15) & (extra_kind < 0.20)
+    m3 = (extra_kind >= 0.20) & (extra_kind < 0.23)
+    suffixes[m1] = np.array(_IDENTIFIERS, dtype=object)[
+        extra_idx[m1] % len(_IDENTIFIERS)]
+    suffixes[m2] = np.array(_THREATS, dtype=object)[
+        extra_idx[m2] % len(_THREATS)]
+    suffixes[m3] = np.array(_LOG_LINES, dtype=object)[
+        extra_idx[m3] % len(_LOG_LINES)]
+    suffix_pa = pa.array(suffixes, pa.string()).cast(pa.large_string())
+    lines = pc.binary_join_element_wise(
+        lines, suffix_pa, pa.scalar(" ", pa.large_string()),
+        null_handling="skip")
+
+    line_off = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_lines, out=line_off[1:])
+    line_lists = pa.LargeListArray.from_arrays(pa.array(line_off), lines)
+    contents = pc.binary_join(
+        line_lists, pa.scalar("\n", pa.large_string())).to_pylist()
+
+    repos, paths, commits, langs = [], [], [], []
     for i in range(n):
         lang = cfg.langs[lang_idx[i]]
         repo = f"org{i % 7}/repo{i % 23}"
-        path = (f"src/module_{rng.randint(0, 40)}/file_{rng.randint(0, 997)}"
-                f".{_EXT[lang]}")
-        lines = []
-        for _ in range(int(n_lines[i])):
-            words = rng.choice(vocab, size=rng.randint(3, 9), p=zipf_p)
-            line = " ".join(words.tolist())
-            r = rng.random_sample()
-            if r < 0.15:
-                line += " " + _IDENTIFIERS[rng.randint(0, len(_IDENTIFIERS))]
-            elif r < 0.20:
-                line += " " + _THREATS[rng.randint(0, len(_THREATS))]
-            elif r < 0.23:
-                line += " " + _LOG_LINES[rng.randint(0, len(_LOG_LINES))]
-            lines.append(line)
-        content = "\n".join(lines)
         repos.append(repo)
-        paths.append(path)
-        commits.append(_commit_hex(repo, path, i))
+        paths.append(f"src/module_{mod_idx[i]}/file_{file_idx[i]}"
+                     f".{_EXT[lang]}")
+        commits.append(_commit_hex(repo, paths[-1], counter_base + i))
         langs.append(lang)
-        contents.append(content)
 
     # Exact duplicates of earlier rows (~dup_fraction), appended at the end so
     # "keep first" has a well-defined meaning in original row order.
@@ -137,20 +172,28 @@ def generate_corpus(cfg: CorpusConfig | None = None, *, n_docs: int | None = Non
 def write_corpus(out_dir: str, cfg: CorpusConfig | None = None, *,
                  n_docs: int | None = None, seed: int | None = None,
                  num_files: int = 4) -> str:
-    """Write the corpus as a directory of Parquet shards (resumable layout)."""
+    """Write the corpus as a directory of Parquet shards (resumable
+    layout). Generation is chunked per file (seed + file index, disjoint
+    commit counters) so arbitrarily large corpora stay within 32-bit
+    Arrow offsets and bounded memory."""
     import os
 
     import pyarrow.parquet as pq
 
-    table = generate_corpus(cfg, n_docs=n_docs, seed=seed)
+    cfg = cfg or CorpusConfig()
+    n = n_docs if n_docs is not None else cfg.n_docs
+    base_seed = seed if seed is not None else cfg.seed
     os.makedirs(out_dir, exist_ok=True)
-    n = table.num_rows
     per = max(1, (n + num_files - 1) // num_files)
+    done = 0
     for f in range(num_files):
-        lo = f * per
-        if lo >= n:
+        if done >= n:
             break
-        pq.write_table(table.slice(lo, per), f"{out_dir}/part-{f:04d}.parquet")
+        chunk = min(per, n - done)
+        table = generate_corpus(cfg, n_docs=chunk, seed=base_seed + f,
+                                counter_base=done)
+        pq.write_table(table, f"{out_dir}/part-{f:04d}.parquet")
+        done += chunk
     return out_dir
 
 

@@ -1,28 +1,44 @@
-"""Index build pipeline — SPIMI over Ray Data (SURVEY.md §7 phases 2).
+"""Index build pipeline — SPIMI over Ray Data (SURVEY.md §7 phase 2).
 
 Stages (each a checkpoint; a rerun skips completed work via the manifest):
 
   1. doc prep   : dedup (repo,path,commit) keep-first + deterministic dense
-                  doc_id by global sort + distributed zipWithIndex; sha256
-                  per row. Output ``docs/`` parquet (one file per block).
+                  doc_id in INPUT order + sha256. No content ever moves
+                  through a shuffle: only the (key, row) projection is
+                  exchanged; content is read once and written once.
   2. postings   : ``map_batches`` tokenize (zero-copy Arrow, vectorized tf
                   via np.unique) → raw triples (part, salt, term, doc_id,
-                  tf, dl) + field postings ("lang:x", "repo:y") for keyword
-                  filters. Output ``postings_raw/`` parquet — the persisted
-                  mid-shuffle checkpoint required by the north rule.
+                  tf, dl) + field postings ("lang:x", "repo:y"), written as
+                  **hash-partitioned parquet** ``postings_raw/part=P/``.
+                  This IS the build's term shuffle: the exchange
+                  materializes through partitioned storage, which is what
+                  makes the build resumable mid-shuffle (north rule) — a
+                  network shuffle that dies loses its partials; a
+                  partitioned-parquet exchange doesn't.
   2b. stats     : global N / avgdl / total_tokens aggregate → stats.json.
-  3. encode     : groupby(part, salt) → vectorized run encoding (salt = S
-                  contiguous doc-id ranges → hot-term skew spread over S
-                  tasks; see segments.py).
-  4. merge      : groupby(part) → concat runs per term, write
-                  ``segments/part-XXXX.parquet`` atomically + manifest entry.
+  3. encode     : one task per (part, salt): read its partition slice, sort,
+                  delta+varint+block-max encode (segments.py). salt = S
+                  contiguous doc-id ranges, so a Zipf-head term ("error",
+                  "import", "the") is encoded by S parallel tasks instead
+                  of one — the skew salting the north rule requires.
+  4. merge      : one task per part: concatenate the S runs per term
+                  (disjoint increasing doc ranges — no re-sort), write
+                  ``segments/part-XXXX.parquet`` atomically + manifest
+                  entry.
 
-Doc-id assignment is the one place the Dataset API genuinely can't express
-the semantics (distributed zipWithIndex after a global sort), so stage 1
-drops to raw Ray tasks over the sorted dataset's block refs: a tiny
-last-key wave, a dedup wave (block boundary duplicates handled by passing
-the previous block's last key), a prefix-sum on the driver (num_blocks ints)
-and an id-assign/write wave. Everything else is pure Dataset pipeline.
+Why raw tasks for stages 3/4 instead of ``groupby(part).map_groups``: the
+exchange already happened at stage-2 write time (partition pruning replaces
+it), so the reduce side is embarrassingly parallel over a small fixed
+keyspace (P*S tasks). Ray Data's sort-based groupby would re-shuffle data
+that is already partitioned on disk and pay an all-to-all it doesn't need;
+on a 100 TB corpus the partitioned layout additionally means any dead
+reduce task replays exactly one partition's files.
+
+Doc-id assignment (stage 1) drops to raw Ray tasks over the materialized
+input's block refs — distributed zipWithIndex with keep-first dedup is the
+one semantic the Dataset API can't express: per-block counts → driver
+prefix sum (num_blocks ints) → per-block id assignment, with the rare
+duplicate keys resolved by a tiny keys-only aggregation.
 
 Reference parity notes: the reference's "index build" is one ES ``index()``
 call per chunk with wall-clock ids (reference core/elasticsearch.py:46-77,
@@ -41,6 +57,7 @@ from functools import partial
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pa_ds
 import pyarrow.parquet as pq
 import ray
 
@@ -61,195 +78,436 @@ def term_partition(term: str, num_partitions: int) -> int:
 
 
 # --------------------------------------------------------------------------
-# Stage 1: dedup + deterministic dense doc ids (distributed zipWithIndex)
+# Stage 1: dedup keep-first + deterministic dense doc ids in input order
 # --------------------------------------------------------------------------
 
-@ray.remote(num_cpus=0.25)
-def _last_key(tbl: pa.Table):
-    if tbl.num_rows == 0:
-        return None
-    return tbl["sortkey"][tbl.num_rows - 1].as_py()
-
-
-@ray.remote(num_cpus=0.5)
-def _dedup_block(tbl: pa.Table, prev_last_key):
-    """Drop consecutive duplicate sortkeys (globally sorted input); the
-    first row is also dropped when it equals the previous block's last key."""
-    n = tbl.num_rows
-    if n == 0:
-        return tbl
-    keys = tbl["sortkey"].combine_chunks()
-    keep = np.ones(n, dtype=bool)
-    eq = pc.equal(keys.slice(1), keys.slice(0, n - 1))
-    keep[1:] = np.logical_not(eq.to_numpy(zero_copy_only=False))
-    if prev_last_key is not None and keys[0].as_py() == prev_last_key:
-        keep[0] = False
-    return tbl.filter(pa.array(keep))
+def _keys_of(tbl: pa.Table, origin: int) -> pa.Table:
+    key = pc.binary_join_element_wise(tbl["repo"], tbl["path"],
+                                      tbl["commit"], "\x00")
+    return pa.table({
+        "key": key,
+        "origin": pa.array(np.full(tbl.num_rows, origin, dtype=np.int32)),
+        "pos": pa.array(np.arange(tbl.num_rows, dtype=np.int64)),
+    })
 
 
 @ray.remote(num_cpus=1)
-def _finalize_block(tbl: pa.Table, offset: int, out_path: str) -> int:
-    """Assign dense doc ids from the global offset, add sha256, write."""
-    n = tbl.num_rows
-    doc_id = pa.array(np.arange(offset, offset + n, dtype=np.int64))
+def _block_keys(tbl: pa.Table, origin: int) -> pa.Table:
+    """Tiny (key, origin, pos) projection of one block — the only data
+    that takes part in the id-assignment/dedup exchange."""
+    return _keys_of(tbl, origin)
+
+
+@ray.remote(num_cpus=1)
+def _file_keys(path: str, origin: int) -> pa.Table:
+    """Same, straight from a parquet file via column pruning — the content
+    column is never read."""
+    tbl = pq.read_table(path, columns=["repo", "path", "commit"])
+    return _keys_of(tbl, origin)
+
+
+def _finalize(tbl: pa.Table, ids: np.ndarray, out_path: str) -> int:
+    """Apply the per-origin id mapping (-1 = duplicate, drop), add sha256,
+    write one docs/ parquet file."""
+    keep = ids >= 0
+    if not keep.all():
+        tbl = tbl.filter(pa.array(keep))
+        ids = ids[keep]
     sha = pa.array([hashlib.sha256(c.encode("utf-8")).hexdigest()
                     for c in tbl["content"].to_pylist()], pa.string())
-    out = (tbl.drop_columns(["sortkey"])
-              .add_column(0, "doc_id", doc_id)
+    out = (tbl.add_column(0, "doc_id", pa.array(ids, pa.int64()))
               .append_column("sha256", sha))
-    tmp = out_path + ".tmp"
+    tmp = out_path + f".tmp-{os.getpid()}"
     pq.write_table(out, tmp)
     os.replace(tmp, out_path)
-    return n
+    return out.num_rows
 
 
-def _add_sortkey(batch: pa.Table) -> pa.Table:
-    key = pc.binary_join_element_wise(batch["repo"], batch["path"],
-                                      batch["commit"], "\x00")
-    return batch.append_column("sortkey", key)
+@ray.remote(num_cpus=1, num_returns=2)
+def _finalize_block(tbl: pa.Table, ids: np.ndarray, out_path: str):
+    return _finalize(tbl, ids, out_path), None
 
 
-def prep_docs(corpus_ds, index_dir: str) -> int:
-    """Stage 1. Returns n_docs (post-dedup)."""
+@ray.remote(num_cpus=1, num_returns=2)
+def _finalize_file(path: str, ids: np.ndarray, out_path: str):
+    return _finalize(pq.read_table(path), ids, out_path), None
+
+
+def _assign_ids_driver(key_refs: list, counts: list[int]) -> list:
+    """Small-corpus path: collect the (key, origin, pos) projection (a few
+    MB) and compute sorted-key-rank doc ids on the driver. Returns one
+    int64 id array per origin (-1 marks duplicate rows to drop)."""
+    tbl = pa.concat_tables(ray.get(list(key_refs)))
+    keys = tbl["key"].to_numpy(zero_copy_only=False)
+    origin = tbl["origin"].to_numpy(zero_copy_only=False)
+    pos = tbl["pos"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((pos, origin, keys))  # key, then keep-first order
+    k_sorted = keys[order]
+    n = k_sorted.size
+    new = np.empty(n, dtype=bool)
+    if n:
+        new[0] = True
+        new[1:] = k_sorted[1:] != k_sorted[:-1]
+    ids_sorted = np.where(new, np.cumsum(new) - 1, -1).astype(np.int64)
+    ids = np.empty(n, dtype=np.int64)
+    ids[order] = ids_sorted
+    per_origin = []
+    for i, c in enumerate(counts):
+        arr = np.full(c, -1, dtype=np.int64)
+        m = origin == i
+        arr[pos[m]] = ids[m]
+        per_origin.append(arr)
+    return per_origin
+
+
+@ray.remote(num_cpus=1)
+def _key_block_info(refs: list) -> list:
+    out = []
+    for tbl in ray.get(refs):
+        if tbl.num_rows == 0:
+            out.append((None, None, 0))
+        else:
+            out.append((tbl["key"][0].as_py(),
+                        tbl["key"][tbl.num_rows - 1].as_py(),
+                        tbl.num_rows))
+    return out
+
+
+@ray.remote(num_cpus=1, num_returns=2)
+def _distinct_count(tbl: pa.Table, prev_last_key):
+    """Count keys whose FIRST occurrence (in sorted order) is in this
+    block."""
+    if tbl.num_rows == 0:
+        return 0, None
+    keys = tbl["key"].combine_chunks()
+    n = tbl.num_rows
+    new = np.ones(n, dtype=bool)
+    eq = pc.equal(keys.slice(1), keys.slice(0, n - 1))
+    new[1:] = np.logical_not(eq.to_numpy(zero_copy_only=False))
+    if prev_last_key is not None and keys[0].as_py() == prev_last_key:
+        new[0] = False
+    return int(new.sum()), None
+
+
+@ray.remote(num_cpus=1)
+def _emit_mapping(tbl: pa.Table, prev_last_key, rank_offset: int,
+                  mapping_dir: str, uid: str) -> int:
+    """Assign sorted-rank ids within one sorted-keys block and write the
+    (pos, doc_id) mapping partitioned by origin — the id routing exchange."""
+    if tbl.num_rows == 0:
+        return 0
+    keys = tbl["key"].combine_chunks()
+    n = tbl.num_rows
+    new = np.ones(n, dtype=bool)
+    eq = pc.equal(keys.slice(1), keys.slice(0, n - 1))
+    new[1:] = np.logical_not(eq.to_numpy(zero_copy_only=False))
+    if prev_last_key is not None and keys[0].as_py() == prev_last_key:
+        new[0] = False
+    ids = np.where(new, rank_offset + np.cumsum(new) - 1, -1).astype(np.int64)
+    out = pa.table({
+        "origin": tbl["origin"],
+        "pos": tbl["pos"],
+        "doc_id": pa.array(ids),
+    }).sort_by("origin")
+    origins = out["origin"].to_numpy(zero_copy_only=False)
+    bounds = np.flatnonzero(np.diff(origins)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(origins)]))
+    for s, e in zip(starts, ends):
+        o = int(origins[s])
+        odir = os.path.join(mapping_dir, f"origin={o}")
+        os.makedirs(odir, exist_ok=True)
+        path = os.path.join(odir, f"{uid}.parquet")
+        pq.write_table(out.slice(s, e - s).drop_columns(["origin"]), path)
+    return int(new.sum())
+
+
+@ray.remote(num_cpus=1)
+def _load_mapping(mapping_dir: str, origin: int, count: int) -> np.ndarray:
+    arr = np.full(count, -1, dtype=np.int64)
+    odir = os.path.join(mapping_dir, f"origin={origin}")
+    if os.path.isdir(odir):
+        tbl = pa_ds.dataset(odir, format="parquet").to_table()
+        arr[tbl["pos"].to_numpy(zero_copy_only=False)] = \
+            tbl["doc_id"].to_numpy(zero_copy_only=False)
+    return arr
+
+
+def _assign_ids_distributed(key_refs: list, counts: list[int],
+                            index_dir: str) -> list:
+    """Scale path: keys-only Dataset sort → per-block rank assignment with
+    boundary handling → id routing back to origins through a partitioned
+    mapping exchange. Content never takes part; block completion order is
+    irrelevant because blocks are re-ordered by their first key (the sort's
+    range partitioning makes key ranges disjoint up to boundary ties).
+
+    Keep-first nuance: for a duplicate key whose run straddles two sorted
+    blocks the survivor is the earliest block's first row, which may not be
+    the minimal (origin, pos) — indistinguishable, because duplicates are
+    exact full-row duplicates by definition of the key.
+    Returns one ObjectRef per origin resolving to its id array."""
+    import shutil
+
+    import ray.data as rd
+
+    sorted_mat = rd.from_arrow_refs(list(key_refs)).sort("key").materialize()
+    refs2 = list(sorted_mat.to_arrow_refs())
+    info = ray.get(_key_block_info.remote(list(refs2)))
+    nonempty = [(first, last, cnt, r) for (first, last, cnt), r
+                in zip(info, refs2) if cnt > 0]
+    # order blocks by (first, last): ranges are disjoint up to a single
+    # boundary-tied key, and the tie-break by last key restores true range
+    # order (the completion order of to_arrow_refs is meaningless)
+    nonempty.sort(key=lambda x: (x[0], x[1]))
+    prev_lasts = []
+    prev = None
+    for first, last, cnt, r in nonempty:
+        prev_lasts.append(prev)
+        prev = last
+    dpairs = [_distinct_count.remote(r, pl)
+              for (_, _, _, r), pl in zip(nonempty, prev_lasts)]
+    dcounts = ray.get([c for c, _ in dpairs])
+    rank_offsets = np.zeros(len(dcounts), dtype=np.int64)
+    np.cumsum(dcounts[:-1], out=rank_offsets[1:])
+    mapping_dir = os.path.join(index_dir, "_id_mapping")
+    shutil.rmtree(mapping_dir, ignore_errors=True)
+    os.makedirs(mapping_dir, exist_ok=True)
+    ray.get([
+        _emit_mapping.remote(r, pl, int(off), mapping_dir, f"m{j:05d}")
+        for j, ((_, _, _, r), pl, off)
+        in enumerate(zip(nonempty, prev_lasts, rank_offsets))
+    ])
+    return [_load_mapping.remote(mapping_dir, i, c)
+            for i, c in enumerate(counts)]
+
+
+def _corpus_files(path: str) -> list[str]:
+    if os.path.isfile(path):
+        return [path]
+    return sorted(os.path.join(path, f) for f in os.listdir(path)
+                  if f.endswith(".parquet"))
+
+
+def prep_docs(corpus, index_dir: str,
+              cfg: IndexConfig | None = None) -> int:
+    """Stage 1. ``corpus`` is a Ray Dataset OR a parquet file/dir path.
+
+    The path form is the scale path: per-file row counts come from parquet
+    footers, the dedup exchange reads only the key columns (column
+    pruning), and the id-assign/sha/write wave streams each file through a
+    worker — the content column never transits the object store.
+    """
+    cfg = cfg or IndexConfig()
     docs_dir = os.path.join(index_dir, "docs")
     os.makedirs(docs_dir, exist_ok=True)
-    keyed = corpus_ds.map_batches(_add_sortkey, batch_format="pyarrow")
-    sorted_ds = keyed.sort("sortkey").materialize()
-    refs = sorted_ds.to_arrow_refs()
-    last_keys = ray.get([_last_key.remote(r) for r in refs])
-    # previous non-empty block's last key for each block
-    prev_keys = []
-    prev = None
-    for lk in last_keys:
-        prev_keys.append(prev)
-        if lk is not None:
-            prev = lk
-    dedup_refs = [_dedup_block.remote(r, pk) for r, pk in zip(refs, prev_keys)]
-    counts = ray.get([_count_rows.remote(r) for r in dedup_refs])
-    offsets = np.zeros(len(counts), dtype=np.int64)
-    np.cumsum(counts[:-1], out=offsets[1:])
-    waves = [
-        _finalize_block.remote(r, int(off),
-                               os.path.join(docs_dir, f"part-{i:05d}.parquet"))
-        for i, (r, off) in enumerate(zip(dedup_refs, offsets))
+
+    if isinstance(corpus, str):
+        sources = _corpus_files(corpus)
+        counts = [pq.ParquetFile(f).metadata.num_rows for f in sources]
+        key_refs = [_file_keys.remote(f, i)
+                    for i, f in enumerate(sources)]
+        finalize = _finalize_file
+    else:
+        mat = corpus.materialize()
+        sources = list(mat.to_arrow_refs())
+        counts = ray.get(_counts_all.remote(list(sources)))
+        key_refs = [_block_keys.remote(r, i)
+                    for i, r in enumerate(sources)]
+        finalize = _finalize_block
+
+    if sum(counts) <= cfg.driver_dedup_max_rows:
+        id_arrays = _assign_ids_driver(key_refs, counts)
+    else:
+        id_arrays = _assign_ids_distributed(key_refs, counts, index_dir)
+    pairs = [
+        finalize.remote(src, ids,
+                        os.path.join(docs_dir, f"part-{i:05d}.parquet"))
+        for i, (src, ids) in enumerate(zip(sources, id_arrays))
     ]
-    written = ray.get(waves)
+    written = ray.get([w for w, _ in pairs])
     n_docs = int(sum(written))
+    _write_docmap(index_dir)
     mf.mark_stage(index_dir, "docs", {"n_docs": n_docs})
     return n_docs
 
 
-@ray.remote(num_cpus=0.1)
-def _count_rows(tbl: pa.Table) -> int:
-    return tbl.num_rows
+def _write_docmap(index_dir: str) -> None:
+    """Stage 1b: doc-id-sorted metadata projection (no content) so the
+    query-time result join prunes row groups by doc_id. Keys-only sort —
+    content stays in docs/ untouched."""
+    import ray.data as rd
+
+    docmap_dir = os.path.join(index_dir, "docmap")
+    meta = rd.read_parquet(
+        os.path.join(index_dir, "docs"),
+        columns=["doc_id", "repo", "path", "commit", "lang", "sha256"])
+    meta.sort("doc_id").write_parquet(docmap_dir)
+
+
+@ray.remote(num_cpus=1)
+def _counts_all(refs: list) -> list:
+    return [t.num_rows for t in ray.get(refs)]
 
 
 # --------------------------------------------------------------------------
-# Stage 2: raw postings (tokenize → triples) — stateful actor pool
+# Stage 2: raw postings — tokenize tasks writing hash-partitioned parquet
 # --------------------------------------------------------------------------
 
-class TokenizeEmit:
-    """Actor-pool stage: content → raw posting triples.
+# per-worker term→partition hash cache: worker processes persist across
+# stages, so a module global gives actor-style state amortization without
+# paying actor-pool process startup (stateless tasks reuse the warm pool)
+_PART_CACHE: dict[str, int] = {}
 
-    State built once per actor (the reference's analog is the LLM handle
-    built once per run, reference core/commons.py:451 / core/llm.py:18-79):
-    here it's the term→partition hash cache, which persists across batches.
-    """
 
-    def __init__(self, cfg: IndexConfig, n_docs: int):
-        self.cfg = cfg
-        self.n_docs = max(1, n_docs)
-        self._part_cache: dict[str, int] = {}
+def _parts_for(terms: list[str], P: int) -> np.ndarray:
+    cache = _PART_CACHE
+    out = np.empty(len(terms), dtype=np.int32)
+    for i, t in enumerate(terms):
+        p = cache.get(t)
+        if p is None:
+            p = term_partition(t, P)
+            cache[t] = p
+        out[i] = p
+    if len(cache) > 1_000_000:
+        cache.clear()
+    return out
 
-    def _parts_for(self, terms: list[str]) -> np.ndarray:
-        cache, P = self._part_cache, self.cfg.num_partitions
-        out = np.empty(len(terms), dtype=np.int32)
-        for i, t in enumerate(terms):
-            p = cache.get(t)
-            if p is None:
-                p = term_partition(t, P)
-                cache[t] = p
-            out[i] = p
-        return out
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        cfg = self.cfg
-        row_idx, tokens, dl_np = tokenize_batch_arrow(batch["content"],
-                                                      cfg.max_token_len)
-        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        enc = tokens.dictionary_encode()
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = enc.dictionary.to_pylist()
-        nv = max(1, len(vocab))
-        # tf per (row, term): np.unique over a combined key — no Python loop
-        combined = row_idx * nv + codes
-        uniq, tf = np.unique(combined, return_counts=True)
-        u_row = (uniq // nv).astype(np.int64)
-        u_code = (uniq % nv).astype(np.int64)
-        term_parts = self._parts_for(vocab)
+def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int
+                  ) -> pa.Table:
+    """Stage-2 batch kernel: content → raw posting triples.
 
-        content_terms = pa.table({
-            "part": pa.array(term_parts[u_code], pa.int32()),
-            "term": pa.array(np.asarray(vocab, dtype=object)[u_code],
-                             pa.string()),
-            "doc_id": pa.array(doc_ids[u_row], pa.int64()),
-            "tf": pa.array(tf.astype(np.int32), pa.int32()),
-            "dl": pa.array(dl_np[u_row].astype(np.int32), pa.int32()),
-            "is_field": pa.array(np.zeros(len(uniq), dtype=bool)),
-        })
+    (The reference's analog of per-worker state is the LLM handle built
+    once per run, reference core/commons.py:451 / core/llm.py:18-79; here
+    the only state is the hash cache above.)"""
+    row_idx, tokens, dl_np = tokenize_batch_arrow(batch["content"],
+                                                  cfg.max_token_len)
+    doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    n_docs = max(1, n_docs)
+    P = cfg.num_partitions
+    enc = tokens.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = enc.dictionary.to_pylist()
+    nv = max(1, len(vocab))
+    # tf per (row, term): np.unique over a combined key — no Python loop
+    combined = row_idx * nv + codes
+    uniq, tf = np.unique(combined, return_counts=True)
+    u_row = (uniq // nv).astype(np.int64)
+    u_code = (uniq % nv).astype(np.int64)
+    term_parts = _parts_for(vocab, P)
 
-        # keyword-field postings for filters (lang / repo): tf=1, dl=1;
-        # these are the analog of the Kibana keyword fields the reference
-        # dashboards filter on (SURVEY.md §1.2).
-        field_tables = [content_terms]
-        for col, prefix in (("lang", "lang:"), ("repo", "repo:")):
-            fterms = [prefix + v for v in batch[col].to_pylist()]
-            field_tables.append(pa.table({
-                "part": pa.array(self._parts_for(fterms), pa.int32()),
-                "term": pa.array(fterms, pa.string()),
-                "doc_id": pa.array(doc_ids, pa.int64()),
-                "tf": pa.array(np.ones(len(fterms), dtype=np.int32)),
-                "dl": pa.array(np.ones(len(fterms), dtype=np.int32)),
-                "is_field": pa.array(np.ones(len(fterms), dtype=bool)),
-            }))
-        out = pa.concat_tables(field_tables)
-        # salt: S contiguous doc-id ranges
-        did = out["doc_id"].to_numpy(zero_copy_only=False)
-        salt = np.minimum((did * cfg.salt_buckets) // self.n_docs,
-                          cfg.salt_buckets - 1).astype(np.int32)
-        return out.add_column(1, "salt", pa.array(salt))
+    content_terms = pa.table({
+        "part": pa.array(term_parts[u_code], pa.int32()),
+        "term": pa.array(np.asarray(vocab, dtype=object)[u_code],
+                         pa.string()),
+        "doc_id": pa.array(doc_ids[u_row], pa.int64()),
+        "tf": pa.array(tf.astype(np.int32), pa.int32()),
+        "dl": pa.array(dl_np[u_row].astype(np.int32), pa.int32()),
+        "is_field": pa.array(np.zeros(len(uniq), dtype=bool)),
+    })
+
+    # keyword-field postings for filters (lang / repo): tf=1, dl=1;
+    # these are the analog of the Kibana keyword fields the reference
+    # dashboards filter on (SURVEY.md §1.2).
+    field_tables = [content_terms]
+    for col, prefix in (("lang", "lang:"), ("repo", "repo:")):
+        fterms = [prefix + v for v in batch[col].to_pylist()]
+        field_tables.append(pa.table({
+            "part": pa.array(_parts_for(fterms, P), pa.int32()),
+            "term": pa.array(fterms, pa.string()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "tf": pa.array(np.ones(len(fterms), dtype=np.int32)),
+            "dl": pa.array(np.ones(len(fterms), dtype=np.int32)),
+            "is_field": pa.array(np.ones(len(fterms), dtype=bool)),
+        }))
+    out = pa.concat_tables(field_tables)
+    # salt: S contiguous doc-id ranges
+    did = out["doc_id"].to_numpy(zero_copy_only=False)
+    salt = np.minimum((did * cfg.salt_buckets) // n_docs,
+                      cfg.salt_buckets - 1).astype(np.int32)
+    return out.add_column(1, "salt", pa.array(salt))
+
+
+def _emit_and_partition(batch: pa.Table, cfg: IndexConfig, n_docs: int,
+                        out_dir: str) -> pa.Table:
+    """Tokenize one batch and write its triples sliced per partition —
+    the map side of the hash exchange. Emits one summary row."""
+    if batch.num_rows == 0:
+        return pa.table({"rows": pa.array([0], pa.int64()),
+                         "tokens": pa.array([0], pa.int64())})
+    triples = tokenize_emit(batch, cfg, n_docs)
+    # content-token count (BM25 total_tokens) falls out of this pass for
+    # free — no separate stats scan over the exchange needed
+    n_tokens = pc.sum(pc.if_else(pc.invert(triples["is_field"]),
+                                 triples["tf"],
+                                 pa.scalar(0, pa.int32()))).as_py() or 0
+    order = pc.sort_indices(triples["part"])
+    triples = triples.take(order)
+    parts = triples["part"].to_numpy(zero_copy_only=False)
+    bounds = np.flatnonzero(np.diff(parts)) + 1
+    starts = np.concatenate(([0], bounds))
+    ends = np.concatenate((bounds, [len(parts)]))
+    uid = hashlib.blake2b(
+        f"{os.getpid()}-{batch['doc_id'][0].as_py()}".encode(),
+        digest_size=8).hexdigest()
+    for s, e in zip(starts, ends):
+        p = int(parts[s])
+        pdir = os.path.join(out_dir, f"part={p}")
+        os.makedirs(pdir, exist_ok=True)
+        path = os.path.join(pdir, f"{uid}-{p}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(triples.slice(s, e - s).drop_columns(["part"]), tmp)
+        os.replace(tmp, path)
+    return pa.table({"rows": pa.array([triples.num_rows], pa.int64()),
+                     "tokens": pa.array([n_tokens], pa.int64())})
 
 
 def emit_postings(index_dir: str, cfg: IndexConfig, n_docs: int) -> None:
-    """Stage 2: docs/ → postings_raw/ (persisted mid-shuffle checkpoint)."""
+    """Stage 2: docs/ → postings_raw/part=P/ (the persisted shuffle)."""
     import ray.data as rd
 
+    import shutil
+
+    out_dir = os.path.join(index_dir, "postings_raw")
+    # a half-finished previous attempt leaves partial files with fresh
+    # uids; re-emitting on top would duplicate postings — start clean
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
     docs = rd.read_parquet(os.path.join(index_dir, "docs"),
                            columns=["doc_id", "repo", "lang", "content"])
-    triples = docs.map_batches(
-        TokenizeEmit, fn_constructor_args=(cfg, n_docs),
+    sums = docs.map_batches(
+        partial(_emit_and_partition, cfg=cfg, n_docs=n_docs,
+                out_dir=out_dir),
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
-        concurrency=(1, 8))
-    out_dir = os.path.join(index_dir, "postings_raw")
-    triples.write_parquet(out_dir)
-    mf.mark_stage(index_dir, "postings_raw", {})
+    ).sum(["rows", "tokens"])
+    mf.mark_stage(index_dir, "postings_raw",
+                  {"rows": int(sums["sum(rows)"] or 0),
+                   "total_tokens": int(sums["sum(tokens)"] or 0)})
 
 
 def compute_stats(index_dir: str, cfg: IndexConfig, n_docs: int) -> dict:
-    """Stage 2b: global collection stats (partial per-batch sums → tiny)."""
-    import ray.data as rd
+    """Stage 2b: global collection stats — read from the stage-2 summary
+    (computed during tokenization; falls back to a column-pruned scan of
+    the exchange if the summary is missing)."""
+    payload = mf.read_stage(index_dir, "postings_raw")
+    if "total_tokens" in payload:
+        total = payload["total_tokens"]
+    else:
+        import ray.data as rd
 
-    triples = rd.read_parquet(os.path.join(index_dir, "postings_raw"),
-                              columns=["tf", "is_field"])
+        triples = rd.read_parquet(os.path.join(index_dir, "postings_raw"),
+                                  columns=["tf", "is_field"])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        mask = pc.invert(batch["is_field"])
-        s = pc.sum(pc.if_else(mask, batch["tf"], pa.scalar(0, pa.int32())))
-        return pa.table({"t": pa.array([s.as_py() or 0], pa.int64())})
+        def partial_sum(batch: pa.Table) -> pa.Table:
+            mask = pc.invert(batch["is_field"])
+            s = pc.sum(pc.if_else(mask, batch["tf"],
+                                  pa.scalar(0, pa.int32())))
+            return pa.table({"t": pa.array([s.as_py() or 0], pa.int64())})
 
-    total = triples.map_batches(partial, batch_format="pyarrow").sum("t")
+        total = triples.map_batches(partial_sum,
+                                    batch_format="pyarrow").sum("t")
     stats = {
         "n_docs": int(n_docs),
         "total_tokens": int(total or 0),
@@ -266,29 +524,55 @@ def compute_stats(index_dir: str, cfg: IndexConfig, n_docs: int) -> dict:
 
 
 # --------------------------------------------------------------------------
-# Stages 3+4: shuffle → encode runs → merge → segments + manifest
+# Stages 3+4: per-partition encode + merge tasks over the persisted shuffle
 # --------------------------------------------------------------------------
 
-def _merge_and_write(group: pa.Table, index_dir: str, fingerprint: str
-                     ) -> pa.Table:
+@ray.remote(num_cpus=1)
+def _encode_part_salt(index_dir: str, part: int, salt: int,
+                      cfg: IndexConfig, avgdl: float) -> pa.Table:
+    """Reduce-side stage 3: encode one (part, salt) run from the
+    partitioned parquet exchange."""
+    pdir = os.path.join(index_dir, "postings_raw", f"part={part}")
+    if not os.path.isdir(pdir):
+        from .segments import _empty_run_table
+
+        return _empty_run_table()
+    tbl = pa_ds.dataset(pdir, format="parquet").to_table(
+        filter=pc.field("salt") == salt)
+    if tbl.num_rows == 0:
+        from .segments import _empty_run_table
+
+        return _empty_run_table()
+    tbl = (tbl.append_column("part", pa.array([part] * tbl.num_rows,
+                                              pa.int32())))
+    return encode_runs(tbl, cfg, avgdl)
+
+
+@ray.remote(num_cpus=1)
+def _merge_part(index_dir: str, part: int, fingerprint: str,
+                runs: list) -> dict:
+    """Reduce-side stage 4: merge one part's salt runs, write segment +
+    manifest entry (the per-partition checkpoint unit)."""
     t0 = time.monotonic()
-    merged = merge_runs(group)
-    part = int(merged["part"][0].as_py()) if merged.num_rows else -1
-    if part < 0:
-        return pa.table({"part": pa.array([], pa.int32()),
-                         "n_terms": pa.array([], pa.int64()),
-                         "n_postings": pa.array([], pa.int64())})
+    runs = ray.get(runs)  # refs inside a list are not auto-dereferenced
+    tables = [t for t in runs if t.num_rows]
+    if tables:
+        merged = merge_runs(pa.concat_tables(tables))
+    else:
+        from .segments import SEGMENT_SCHEMA
+
+        merged = SEGMENT_SCHEMA.empty_table()
     seg_dir = os.path.join(index_dir, "segments")
     os.makedirs(seg_dir, exist_ok=True)
     path = os.path.join(seg_dir, f"part-{part:04d}.parquet")
     tmp = path + f".tmp-{os.getpid()}"
     pq.write_table(merged, tmp)
     os.replace(tmp, path)
-    n_postings = int(pc.sum(merged["df"]).as_py() or 0)
-    nbytes = sum(len(v) for v in merged["doc_data"].to_pylist())
-    nbytes += sum(len(v) for v in merged["tf_data"].to_pylist())
-    nbytes += sum(len(v) for v in merged["dl_data"].to_pylist())
-    mf.write_part_entry(index_dir, {
+    n_postings = int(pc.sum(merged["df"]).as_py() or 0) if merged.num_rows \
+        else 0
+    nbytes = sum(len(v) for col in ("doc_data", "tf_data", "dl_data")
+                 for v in merged[col].to_pylist()) if merged.num_rows else 0
+    entry = {
         "part": part,
         "fingerprint": fingerprint,
         "n_terms": merged.num_rows,
@@ -296,52 +580,24 @@ def _merge_and_write(group: pa.Table, index_dir: str, fingerprint: str
         "posting_bytes": int(nbytes),
         "elapsed_s": round(time.monotonic() - t0, 4),
         "output": path,
-    })
-    return pa.table({"part": pa.array([part], pa.int32()),
-                     "n_terms": pa.array([merged.num_rows], pa.int64()),
-                     "n_postings": pa.array([n_postings], pa.int64())})
-
-
-def _write_empty_part(index_dir: str, part: int, fingerprint: str) -> None:
-    from .segments import SEGMENT_SCHEMA
-
-    seg_dir = os.path.join(index_dir, "segments")
-    os.makedirs(seg_dir, exist_ok=True)
-    path = os.path.join(seg_dir, f"part-{part:04d}.parquet")
-    tmp = path + ".tmp"
-    pq.write_table(SEGMENT_SCHEMA.empty_table(), tmp)
-    os.replace(tmp, path)
-    mf.write_part_entry(index_dir, {
-        "part": part, "fingerprint": fingerprint, "n_terms": 0,
-        "n_postings": 0, "posting_bytes": 0, "elapsed_s": 0.0,
-        "output": path,
-    })
+    }
+    mf.write_part_entry(index_dir, entry)
+    return entry
 
 
 def build_segments(index_dir: str, cfg: IndexConfig, avgdl: float,
                    fingerprint: str) -> None:
     """Stages 3+4, restricted to partitions not yet in the manifest."""
-    import ray.data as rd
-
     done = mf.completed_parts(index_dir, fingerprint)
     remaining = sorted(set(range(cfg.num_partitions)) - done)
     if not remaining:
         return
-    triples = rd.read_parquet(os.path.join(index_dir, "postings_raw"))
-    if done:
-        want = pa.array(remaining, pa.int32())
-        triples = triples.map_batches(
-            lambda t: t.filter(pc.is_in(t["part"], value_set=want)),
-            batch_format="pyarrow")
-    runs = triples.groupby(["part", "salt"]).map_groups(
-        partial(encode_runs, cfg=cfg, avgdl=avgdl), batch_format="pyarrow")
-    summary = runs.groupby("part").map_groups(
-        partial(_merge_and_write, index_dir=index_dir,
-                fingerprint=fingerprint),
-        batch_format="pyarrow")
-    written = {int(p) for p in summary.to_pandas()["part"].tolist()}
-    for p in set(remaining) - written:
-        _write_empty_part(index_dir, p, fingerprint)
+    merges = []
+    for p in remaining:
+        runs = [_encode_part_salt.remote(index_dir, p, s, cfg, avgdl)
+                for s in range(cfg.salt_buckets)]
+        merges.append(_merge_part.remote(index_dir, p, fingerprint, runs))
+    ray.get(merges)
 
 
 # --------------------------------------------------------------------------
@@ -353,19 +609,37 @@ def build_index(corpus_ds, index_dir: str, cfg: IndexConfig | None = None,
     """Build (or resume) the full index. Returns the build meta dict.
 
     ``corpus_ds``: Ray Dataset with columns (repo, path, commit, lang,
-    content) — BASELINE.json input_hint shape. ``corpus_tag`` identifies the
+    content) — BASELINE.json input_hint shape — OR a parquet file/dir path
+    (the faster stage-1 path; see prep_docs). ``corpus_tag`` identifies the
     input for lineage (a path or content fingerprint); a resumed build only
     skips work whose manifest fingerprint matches tag + config.
     """
+    import shutil
+
     cfg = cfg or IndexConfig()
     fingerprint = mf._fingerprint(corpus_tag, cfg)
-    os.makedirs(index_dir, exist_ok=True)
+    # a prior build of a DIFFERENT input/config in this directory is not
+    # resumable — wipe it rather than mixing artifacts. The start marker is
+    # written before any stage so even a killed build stays identifiable.
+    import json
+
+    start_marker = os.path.join(index_dir, "manifest", "_build.json")
+    if os.path.isdir(index_dir) and os.listdir(index_dir):
+        prior_fp = None
+        if os.path.exists(start_marker):
+            with open(start_marker) as f:
+                prior_fp = json.load(f).get("fingerprint")
+        if prior_fp != fingerprint:
+            shutil.rmtree(index_dir, ignore_errors=True)
+    os.makedirs(os.path.join(index_dir, "manifest"), exist_ok=True)
+    with open(start_marker, "w") as f:
+        json.dump({"fingerprint": fingerprint, "corpus_tag": corpus_tag}, f)
     t0 = time.monotonic()
     timings: dict[str, float] = {}
 
     if not mf.stage_done(index_dir, "docs"):
         t = time.monotonic()
-        n_docs = prep_docs(corpus_ds, index_dir)
+        n_docs = prep_docs(corpus_ds, index_dir, cfg)
         timings["prep_docs_s"] = round(time.monotonic() - t, 3)
     else:
         n_docs = mf.read_stage(index_dir, "docs")["n_docs"]

@@ -53,12 +53,28 @@ class TermPostings:
         self._cache = (bi, (ids, tfs, dls))
         return ids, tfs, dls
 
-    def all_doc_ids(self) -> np.ndarray:
-        """Decode every block's doc ids (used for field-filter postings)."""
+    def decode_all(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode the whole posting list in three varint calls (one per
+        stream) + a segmented cumsum — ~100x fewer numpy dispatches than
+        per-block decoding; this is the TAAT fast path."""
         if self.n_blocks == 0:
-            return np.empty(0, dtype=np.int64)
-        return np.concatenate([self.decode_block(b)[0]
-                               for b in range(self.n_blocks)])
+            z = np.empty(0, dtype=np.int64)
+            return z, z, z
+        gaps = decode_varint(self.doc_data)
+        tfs = decode_varint(self.tf_data)
+        dls = decode_varint(self.dl_data)
+        # per-block cumsum (first value of each block is absolute):
+        # c - repeat(c[start] - gap[start]) restarts the sum at each block
+        starts = np.zeros(self.n_blocks, dtype=np.int64)
+        np.cumsum(self.block_count[:-1], out=starts[1:])
+        c = np.cumsum(gaps)
+        corr = c[starts] - gaps[starts]
+        ids = c - np.repeat(corr, self.block_count)
+        return ids, tfs, dls
+
+    def all_doc_ids(self) -> np.ndarray:
+        """Doc ids of the whole posting list (field-filter postings)."""
+        return self.decode_all()[0]
 
 
 class PostingsCursor:

@@ -72,12 +72,27 @@ class IndexShard:
 
 
 class SearchEngine:
-    """Driver-side query coordinator over an IndexShard actor pool."""
+    """Driver-side query coordinator over an IndexShard actor pool.
 
-    def __init__(self, index_dir: str, num_shards: int | None = None):
+    Two exact, rank-identical execution strategies (equivalence is unit
+    tested):
+
+    - **TAAT-vectorized** (default when ``n_docs <= taat_max_docs``): decode
+      each query term's postings fully, accumulate numpy-vectorized BM25
+      contributions into a dense float64 accumulator in sorted-term order —
+      the same per-doc float addition order as the oracle. ~10-100x faster
+      per query than doc-at-a-time when the accumulator fits memory.
+    - **Block-max WAND** (the 10^12-doc scale path): doc-at-a-time with
+      skip/block-max pruning; no N-sized state.
+    """
+
+    def __init__(self, index_dir: str, num_shards: int | None = None,
+                 taat_max_docs: int = 5_000_000,
+                 term_cache_size: int = 4096):
         self.index_dir = index_dir
         self.stats = mf.read_stats(index_dir)
         self.P = int(self.stats["num_partitions"])
+        self.taat_max_docs = taat_max_docs
         n_shards = min(num_shards or 4, self.P)
         # round-robin parts over shards
         assignment: list[list[int]] = [[] for _ in range(n_shards)]
@@ -87,8 +102,14 @@ class SearchEngine:
                        for parts in assignment]
         self.part_to_shard = {p: self.shards[p % n_shards]
                               for p in range(self.P)}
-        self._docs_dataset = pa_ds.dataset(
-            os.path.join(index_dir, "docs"), format="parquet")
+        docmap = os.path.join(index_dir, "docmap")
+        if not os.path.isdir(docmap):  # older index layout
+            docmap = os.path.join(index_dir, "docs")
+        self._docs_dataset = pa_ds.dataset(docmap, format="parquet")
+        # small driver-side term cache (the ES "query cache" analog);
+        # None entries record known-absent terms
+        self._term_cache: dict[str, dict | None] = {}
+        self._term_cache_size = term_cache_size
 
     def shutdown(self) -> None:
         for s in self.shards:
@@ -98,17 +119,28 @@ class SearchEngine:
     # -- internals ---------------------------------------------------------
 
     def _fetch_terms(self, terms: list[str]) -> dict[str, dict]:
-        by_shard: dict = {}
-        for t in terms:
-            shard = self.part_to_shard[term_partition(t, self.P)]
-            by_shard.setdefault(shard, []).append(t)
-        futures = [shard.get_terms.remote(ts) for shard, ts in by_shard.items()]
-        out: dict[str, dict] = {}
-        for d in ray.get(futures):
-            out.update(d)
-        return out
+        missing = [t for t in terms if t not in self._term_cache]
+        if missing:
+            by_shard: dict = {}
+            for t in missing:
+                shard = self.part_to_shard[term_partition(t, self.P)]
+                by_shard.setdefault(shard, []).append(t)
+            futures = [shard.get_terms.remote(ts)
+                       for shard, ts in by_shard.items()]
+            fetched: dict[str, dict] = {}
+            for d in ray.get(futures):
+                fetched.update(d)
+            if len(self._term_cache) + len(missing) > self._term_cache_size:
+                self._term_cache.clear()
+            for t in missing:
+                self._term_cache[t] = fetched.get(t)
+        return {t: self._term_cache[t] for t in terms
+                if self._term_cache.get(t) is not None}
 
-    def _filter_predicate(self, filters: dict[str, str] | None):
+    def _filter_ids(self, filters: dict[str, str] | None
+                    ) -> np.ndarray | None:
+        """Sorted doc-id array matching ALL keyword filters (None = no
+        filter; empty array = nothing matches). Backed by field postings."""
         if not filters:
             return None
         arrays = []
@@ -116,12 +148,17 @@ class SearchEngine:
             rows = self._fetch_terms([f"{field}:{value}"])
             row = rows.get(f"{field}:{value}")
             if row is None:
-                return lambda doc_id: False  # no doc matches
+                return np.empty(0, dtype=np.int64)
             arrays.append(TermPostings(row).all_doc_ids())
-
         inter = arrays[0]
         for a in arrays[1:]:
             inter = np.intersect1d(inter, a, assume_unique=True)
+        return inter
+
+    def _filter_predicate(self, filters: dict[str, str] | None):
+        inter = self._filter_ids(filters)
+        if inter is None:
+            return None
 
         def predicate(doc_id: int) -> bool:
             i = int(np.searchsorted(inter, doc_id))
@@ -137,16 +174,60 @@ class SearchEngine:
             columns=["doc_id", "repo", "path", "commit", "lang", "sha256"],
             filter=flt)
 
+    def _search_taat(self, rows: dict[str, dict], terms: list[str],
+                     k: int, filter_ids: np.ndarray | None
+                     ) -> list[tuple[int, float]]:
+        """Vectorized term-at-a-time exact scoring (dense accumulator)."""
+        n = int(self.stats["n_docs"])
+        k1, b, avgdl = (self.stats["k1"], self.stats["b"],
+                        self.stats["avgdl"])
+        acc = np.zeros(n, dtype=np.float64)
+        for t in terms:  # sorted-term order = the oracle's addition order
+            row = rows.get(t)
+            if row is None:
+                continue
+            tp = TermPostings(row)
+            idf = bm25_idf(n, int(tp.df))
+            ids, tfs, dls = tp.decode_all()
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            # identical expression tree to bm25_tf_norm (elementwise
+            # IEEE ops match the scalar oracle bit-for-bit)
+            contrib = idf * (tf * (k1 + 1.0)
+                             / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            acc[ids] += contrib
+        cand = np.flatnonzero(acc > 0.0)
+        if filter_ids is not None:
+            cand = cand[np.isin(cand, filter_ids, assume_unique=True)]
+        if cand.size == 0:
+            return []
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
+
     # -- public API --------------------------------------------------------
 
     def search(self, text: str, k: int = 10,
                filters: dict[str, str] | None = None,
-               with_meta: bool = True) -> pa.Table:
+               with_meta: bool = True,
+               strategy: str | None = None) -> pa.Table:
         """Top-k BM25. Returns (rank, doc_id, score [, repo path commit lang
-        sha256]) sorted by (score desc, doc_id asc)."""
+        sha256]) sorted by (score desc, doc_id asc).
+
+        ``strategy``: None = auto (TAAT when the accumulator fits),
+        "taat" / "wand" to force a path (both are exact)."""
         terms = sorted(set(tokenize_py(text, int(self.stats["max_token_len"]))))
         rows = self._fetch_terms(terms)
         n, avgdl = self.stats["n_docs"], self.stats["avgdl"]
+        if strategy is None:
+            strategy = "taat" if n <= self.taat_max_docs else "wand"
+        if strategy == "taat":
+            filter_ids = self._filter_ids(filters)
+            if filter_ids is not None and filter_ids.size == 0:
+                topk = []
+            else:
+                topk = self._search_taat(rows, terms, k, filter_ids)
+            return self._format_result(topk, with_meta)
         cursors = []
         for t in terms:  # sorted-term order — the scoring contract
             row = rows.get(t)
@@ -158,6 +239,10 @@ class SearchEngine:
                                           self.stats["b"], avgdl))
         pred = self._filter_predicate(filters)
         topk = block_max_wand(cursors, k, pred)
+        return self._format_result(topk, with_meta)
+
+    def _format_result(self, topk: list[tuple[int, float]],
+                       with_meta: bool) -> pa.Table:
         result = pa.table({
             "rank": pa.array(np.arange(1, len(topk) + 1, dtype=np.int32)),
             "doc_id": pa.array([d for d, _ in topk], pa.int64()),

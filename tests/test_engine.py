@@ -14,25 +14,31 @@ def _pairs(tbl):
     return list(zip(tbl["doc_id"].to_pylist(), tbl["score"].to_pylist()))
 
 
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
 @pytest.mark.parametrize("query", QUERY_SET)
-def test_rank_identity(engine, oracle, query):
+def test_rank_identity(engine, oracle, query, strategy):
     for k in (1, 5, 10, 100):
-        got = _pairs(engine.search(query, k=k, with_meta=False))
+        got = _pairs(engine.search(query, k=k, with_meta=False,
+                                   strategy=strategy))
         exp = oracle.search(query, k=k)
-        assert [d for d, _ in got] == [d for d, _ in exp], (query, k)
+        assert [d for d, _ in got] == [d for d, _ in exp], \
+            (query, k, strategy)
         # scores bit-identical (same float ops, same order)
-        assert [s for _, s in got] == [s for _, s in exp], (query, k)
+        assert [s for _, s in got] == [s for _, s in exp], \
+            (query, k, strategy)
 
 
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
 @pytest.mark.parametrize("flt", [{"lang": "python"}, {"lang": "md"},
                                  {"repo": "org1/repo1"},
                                  {"lang": "python", "repo": "org3/repo10"},
                                  {"lang": "no_such_lang"}])
-def test_rank_identity_filtered(engine, oracle, flt):
+def test_rank_identity_filtered(engine, oracle, flt, strategy):
     for query in ("error", "select union passwd", "authentication failure"):
-        got = _pairs(engine.search(query, k=20, filters=flt, with_meta=False))
+        got = _pairs(engine.search(query, k=20, filters=flt,
+                                   with_meta=False, strategy=strategy))
         exp = oracle.search(query, k=20, filters=flt)
-        assert got == exp, (query, flt)
+        assert got == exp, (query, flt, strategy)
 
 
 def test_wand_equals_exhaustive(engine):
@@ -74,11 +80,13 @@ def test_doc_ids_deterministic_and_deduped(small_index, small_corpus):
     docs = pq.read_table(os.path.join(idx_dir, "docs")).sort_by("doc_id")
     keys = list(zip(docs["repo"].to_pylist(), docs["path"].to_pylist(),
                     docs["commit"].to_pylist()))
-    expected = sorted({(r, p, c) for r, p, c in
+    # dense ids = rank of the key in sorted-key order (order-independent
+    # of input block layout, hence deterministic under Ray's scheduling)
+    expected = sorted({rpc for rpc in
                        zip(small_corpus["repo"].to_pylist(),
                            small_corpus["path"].to_pylist(),
                            small_corpus["commit"].to_pylist())})
-    assert keys == expected  # dense ids = rank in sorted key order
+    assert keys == expected
     assert docs["doc_id"].to_pylist() == list(range(len(expected)))
     # duplicates existed in the input and were dropped
     assert small_corpus.num_rows > len(expected)
@@ -144,6 +152,26 @@ def test_resume_skips_completed_partitions(small_corpus, tmp_path):
     after = _pairs(e2.search("select union passwd", k=10, with_meta=False))
     e2.shutdown()
     assert before == after
+
+
+def test_distributed_dedup_path_matches_driver_path(small_corpus, tmp_path):
+    """The Dataset-groupby dedup (scale path) and the driver-side dedup
+    (small path) must produce identical doc maps."""
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index.build import build_index
+
+    outs = []
+    for thresh, sub in ((0, "a"), (10**9, "b")):
+        cfg = IndexConfig(num_partitions=4, salt_buckets=2,
+                          driver_dedup_max_rows=thresh)
+        idx = str(tmp_path / sub)
+        build_index(rd.from_arrow(small_corpus), idx, cfg, corpus_tag="d")
+        docs = pq.read_table(os.path.join(idx, "docs")).sort_by("doc_id")
+        outs.append(docs.select(["doc_id", "repo", "path", "commit",
+                                 "sha256"]))
+    assert outs[0].equals(outs[1])
 
 
 def test_salting_splits_hot_terms(small_index):

@@ -138,24 +138,23 @@ def _assign_ids_driver(key_refs: list, counts: list[int]) -> list:
     MB) and compute sorted-key-rank doc ids on the driver. Returns one
     int64 id array per origin (-1 marks duplicate rows to drop)."""
     tbl = pa.concat_tables(ray.get(list(key_refs)))
-    keys = tbl["key"].to_numpy(zero_copy_only=False)
-    origin = tbl["origin"].to_numpy(zero_copy_only=False)
-    pos = tbl["pos"].to_numpy(zero_copy_only=False)
-    order = np.lexsort((pos, origin, keys))  # key, then keep-first order
-    k_sorted = keys[order]
-    n = k_sorted.size
-    new = np.empty(n, dtype=bool)
-    if n:
-        new[0] = True
-        new[1:] = k_sorted[1:] != k_sorted[:-1]
+    # Arrow C++ sort — Python-object string sorting is ~100x slower
+    s = tbl.sort_by([("key", "ascending"), ("origin", "ascending"),
+                     ("pos", "ascending")])
+    keys = s["key"].combine_chunks()
+    n = s.num_rows
+    new = np.ones(n, dtype=bool)
+    if n > 1:
+        eq = pc.equal(keys.slice(1), keys.slice(0, n - 1))
+        new[1:] = np.logical_not(eq.to_numpy(zero_copy_only=False))
     ids_sorted = np.where(new, np.cumsum(new) - 1, -1).astype(np.int64)
-    ids = np.empty(n, dtype=np.int64)
-    ids[order] = ids_sorted
+    origin = s["origin"].to_numpy(zero_copy_only=False)
+    pos = s["pos"].to_numpy(zero_copy_only=False)
     per_origin = []
     for i, c in enumerate(counts):
         arr = np.full(c, -1, dtype=np.int64)
         m = origin == i
-        arr[pos[m]] = ids[m]
+        arr[pos[m]] = ids_sorted[m]
         per_origin.append(arr)
     return per_origin
 

@@ -352,14 +352,17 @@ def _counts_all(refs: list) -> list:
 # Stage 2: raw postings — tokenize tasks writing hash-partitioned parquet
 # --------------------------------------------------------------------------
 
-# per-worker term→partition hash cache: worker processes persist across
-# stages, so a module global gives actor-style state amortization without
-# paying actor-pool process startup (stateless tasks reuse the warm pool)
-_PART_CACHE: dict[str, int] = {}
+# per-worker term→partition hash caches, KEYED BY num_partitions: worker
+# processes persist across stages AND across different builds in one Ray
+# session, so a P-agnostic cache would poison a later build with a
+# different partition count (observed as postings landing in the wrong
+# partition). Module globals give actor-style state amortization without
+# paying actor-pool process startup.
+_PART_CACHES: dict[int, dict[str, int]] = {}
 
 
 def _parts_for(terms: list[str], P: int) -> np.ndarray:
-    cache = _PART_CACHE
+    cache = _PART_CACHES.setdefault(P, {})
     out = np.empty(len(terms), dtype=np.int32)
     for i, t in enumerate(terms):
         p = cache.get(t)
@@ -448,15 +451,18 @@ def _emit_and_partition(batch: pa.Table, cfg: IndexConfig, n_docs: int,
     bounds = np.flatnonzero(np.diff(parts)) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(parts)]))
+    # uid derives ONLY from the batch's first doc id: a retried task writes
+    # the same file names with the same contents (idempotent side-write) —
+    # a pid-based uid would duplicate postings under Ray task retries
     uid = hashlib.blake2b(
-        f"{os.getpid()}-{batch['doc_id'][0].as_py()}".encode(),
+        f"b{batch['doc_id'][0].as_py()}".encode(),
         digest_size=8).hexdigest()
     for s, e in zip(starts, ends):
         p = int(parts[s])
         pdir = os.path.join(out_dir, f"part={p}")
         os.makedirs(pdir, exist_ok=True)
         path = os.path.join(pdir, f"{uid}-{p}.parquet")
-        tmp = path + ".tmp"
+        tmp = path + f".tmp-{os.getpid()}"
         pq.write_table(triples.slice(s, e - s).drop_columns(["part"]), tmp)
         os.replace(tmp, path)
     return pa.table({"rows": pa.array([triples.num_rows], pa.int64()),
@@ -527,11 +533,11 @@ def compute_stats(index_dir: str, cfg: IndexConfig, n_docs: int) -> dict:
 # --------------------------------------------------------------------------
 
 @ray.remote(num_cpus=1)
-def _encode_part_salt(index_dir: str, part: int, salt: int,
+def _encode_part_salt(exchange_dir: str, part: int, salt: int,
                       cfg: IndexConfig, avgdl: float) -> pa.Table:
     """Reduce-side stage 3: encode one (part, salt) run from the
-    partitioned parquet exchange."""
-    pdir = os.path.join(index_dir, "postings_raw", f"part={part}")
+    partitioned parquet exchange rooted at ``exchange_dir``."""
+    pdir = os.path.join(exchange_dir, f"part={part}")
     if not os.path.isdir(pdir):
         from .segments import _empty_run_table
 
@@ -593,7 +599,9 @@ def build_segments(index_dir: str, cfg: IndexConfig, avgdl: float,
         return
     merges = []
     for p in remaining:
-        runs = [_encode_part_salt.remote(index_dir, p, s, cfg, avgdl)
+        runs = [_encode_part_salt.remote(
+                    os.path.join(index_dir, "postings_raw"), p, s, cfg,
+                    avgdl)
                 for s in range(cfg.salt_buckets)]
         merges.append(_merge_part.remote(index_dir, p, fingerprint, runs))
     ray.get(merges)

@@ -149,6 +149,12 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(score, 6) AS score FROM scores
         ORDER BY score DESC, doc_id ASC LIMIT 10
     """,
+    # the incremental build must equal full-corpus BM25 exactly — same
+    # oracle as bm25_topk
+    "bm25_topk_incremental": _BM25_BASE + """
+        SELECT doc_id, round(score, 6) AS score FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+    """,
     "bm25_topk_filtered": _BM25_BASE + """
         SELECT s.doc_id, round(s.score, 6) AS score
         FROM scores s JOIN documents d USING (doc_id)
@@ -256,6 +262,31 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT vec_id, round(c, 6) AS cosine FROM scored
         ORDER BY c DESC, vec_id ASC LIMIT 10
+    """,
+    "session_duration": """
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000
+                    AS BIGINT) AS elapsed_s
+        FROM events GROUP BY 1 ORDER BY user_id
+    """,
+    "highest_severity_event": f"""
+        WITH p AS (
+          SELECT user_id, event_id, event_type, ts,
+                 {_SEVERITY_CASE} AS priority,
+                 row_number() OVER (
+                     PARTITION BY user_id
+                     ORDER BY {_SEVERITY_CASE}, ts, event_id) AS rn
+          FROM events
+        )
+        SELECT user_id, event_id, event_type, priority::BIGINT AS priority
+        FROM p WHERE rn = 1 ORDER BY user_id
+    """,
+    "alert_format": """
+        SELECT event_id,
+               '[CRITICAL] user=' || CAST(user_id AS VARCHAR) ||
+               ' props=' || substring(coalesce(props, ''), 1, 100)
+                   AS message
+        FROM events WHERE event_type = 'error' ORDER BY event_id
     """,
     "multimodal_stats": """
         SELECT lang, count(*)::BIGINT AS n,

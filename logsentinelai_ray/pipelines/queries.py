@@ -316,9 +316,66 @@ def _docs_engine(sf_dir: str):
         hashlib.sha256(tag.encode()).hexdigest()[:16])
     cfg = IndexConfig(num_partitions=8, salt_buckets=4)
     build_index(corpus, idx_dir, cfg, corpus_tag=tag)
-    eng = SearchEngine(idx_dir, num_shards=4)
+    eng = SearchEngine(idx_dir, num_shards=2)
     _ENGINE_CACHE[sf_dir] = eng
     return eng
+
+
+def q_bm25_topk_incremental(sf_dir: str):
+    """Build the index on the first half of documents, then APPEND the
+    second half via the incremental delta path (index/update.py) — the
+    result must equal BM25 over the full corpus (stats are updated
+    exactly), so it shares the full-corpus SQL oracle."""
+    if ("incr", sf_dir) in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[("incr", sf_dir)]
+    else:
+        import hashlib
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from ..config import IndexConfig
+        from ..index.build import build_index
+        from ..index.update import update_index
+        from ..query.shards import SearchEngine
+
+        src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "lang", "text"])
+        src = src.sort_by("doc_id")
+        did = src["doc_id"].to_numpy(zero_copy_only=False)
+        half = int(np.median(did))
+
+        def corpusify(t: pa.Table) -> pa.Table:
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "repo": pa.array([f"r{x:012d}" for x in d], pa.string()),
+                "path": pa.array([f"doc_{x}.md" for x in d], pa.string()),
+                "commit": pa.array(
+                    [hashlib.sha1(str(x).encode()).hexdigest()
+                     for x in d], pa.string()),
+                "lang": t["lang"], "content": t["text"],
+            })
+
+        tag = "documents-incr:" + sf_dir.rstrip("/")
+        work = os.path.join(
+            "/tmp/lsai_idx",
+            hashlib.sha256(tag.encode()).hexdigest()[:16])
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(f"{work}/base", exist_ok=True)
+        os.makedirs(f"{work}/delta", exist_ok=True)
+        mask = did < half
+        pq.write_table(corpusify(src.filter(pa.array(mask))),
+                       f"{work}/base/part-0.parquet")
+        pq.write_table(corpusify(src.filter(pa.array(~mask))),
+                       f"{work}/delta/part-0.parquet")
+        cfg = IndexConfig(num_partitions=8, salt_buckets=4)
+        build_index(f"{work}/base", f"{work}/idx", cfg, corpus_tag=tag)
+        update_index(f"{work}/delta", f"{work}/idx", cfg, delta_tag=tag)
+        eng = SearchEngine(f"{work}/idx", num_shards=2)
+        _ENGINE_CACHE[("incr", sf_dir)] = eng
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
 
 
 def q_bm25_topk(sf_dir: str):
@@ -554,6 +611,73 @@ def q_multimodal_features(sf_dir: str):
         .sort("doc_id")
 
 
+def q_session_duration(sf_dir: str):
+    """Per-user elapsed seconds between first and last event — the
+    reference's elapsed-time computation (M8, core/commons.py:190-211) as
+    a distributed aggregate."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    out = (ds.groupby("user_id")
+           .aggregate(Min("ts", alias_name="first_ts"),
+                      Max("ts", alias_name="last_ts"),
+                      Count(alias_name="n_events")))
+
+    def elapsed(t: pa.Table) -> pa.Table:
+        secs = pc.cast(pc.divide(pc.cast(pc.subtract(t["last_ts"],
+                                                     t["first_ts"]),
+                                         pa.int64()), 1_000_000),
+                       pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "n_events": t["n_events"],
+                         "elapsed_s": secs})
+
+    return out.map_batches(elapsed, batch_format="pyarrow").sort("user_id")
+
+
+def q_highest_severity_event(sf_dir: str):
+    """Per-user highest-severity event (min priority, tie-break earliest
+    ts then event_id) — the reference's highest-severity selection (A3,
+    core/elasticsearch.py:185-197)."""
+    import pandas as pd
+
+    from ..stages.severity import EVENT_PRIORITY
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "event_type", "ts"])
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(priority=g["event_type"].map(EVENT_PRIORITY)
+                     .fillna(999).astype("int64"))
+        g = g.sort_values(["priority", "ts", "event_id"]).head(1)
+        return g[["user_id", "event_id", "event_type", "priority"]]
+
+    out = ds.groupby("user_id").map_groups(pick, batch_format="pandas")
+    return out.sort("user_id")
+
+
+def q_alert_format(sf_dir: str):
+    """Alert message construction with the reference's truncation rules
+    (O2, core/elasticsearch.py:210-258: top-N slices, line[:100]): one
+    formatted row per CRITICAL-priority event, message truncated."""
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "user_id", "props"])
+
+    def fmt(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["event_type"], "error")
+        t = t.filter(keep)
+        msg = pc.binary_join_element_wise(
+            pa.array(["[CRITICAL] user="] * t.num_rows),
+            pc.cast(t["user_id"], pa.string()),
+            pa.array([" props="] * t.num_rows),
+            pc.utf8_slice_codeunits(pc.fill_null(t["props"], ""), 0, 100),
+            "")
+        return pa.table({"event_id": t["event_id"],
+                         "message": msg})
+
+    return ds.map_batches(fmt, batch_format="pyarrow").sort("event_id")
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -568,6 +692,7 @@ QUERY_REGISTRY = {
     "df_top_terms": q_df_top_terms,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_filtered": q_bm25_topk_filtered,
+    "bm25_topk_incremental": q_bm25_topk_incremental,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
     "dedup_minhash": q_dedup_minhash,
@@ -582,4 +707,7 @@ QUERY_REGISTRY = {
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "multimodal_stats": q_multimodal_stats,
     "multimodal_features": q_multimodal_features,
+    "session_duration": q_session_duration,
+    "highest_severity_event": q_highest_severity_event,
+    "alert_format": q_alert_format,
 }

@@ -86,14 +86,19 @@ class PostingsCursor:
     """
 
     __slots__ = ("tp", "idf", "k1", "b", "avgdl", "max_score", "cur_doc",
-                 "_bi", "_pos", "_ids", "_tfs", "_dls")
+                 "_bi", "_pos", "_ids", "_tfs", "_dls", "bound_scale")
 
     def __init__(self, tp: TermPostings, idf: float, k1: float = 1.2,
-                 b: float = 0.75, avgdl: float = 1.0):
+                 b: float = 0.75, avgdl: float = 1.0,
+                 bound_scale: float = 1.0):
         self.tp = tp
         self.idf = idf
         self.k1, self.b, self.avgdl = k1, b, avgdl
-        self.max_score = (idf * float(tp.block_max.max())
+        # bound_scale >= 1 keeps stored block-max bounds safe when the
+        # collection avgdl has grown since the blocks were encoded
+        # (incremental updates; tf_norm is increasing in avgdl)
+        self.bound_scale = bound_scale
+        self.max_score = (idf * float(tp.block_max.max()) * bound_scale
                           if tp.n_blocks else 0.0)
         self._bi = -1
         self._pos = 0
@@ -156,7 +161,7 @@ class PostingsCursor:
         bi = self.block_index_for(target)
         if bi >= self.tp.n_blocks:
             return 0.0
-        return self.idf * float(self.tp.block_max[bi])
+        return self.idf * float(self.tp.block_max[bi]) * self.bound_scale
 
     def block_last_for(self, target: int) -> int:
         """block_last of the block containing target (INF if exhausted)."""

@@ -44,11 +44,12 @@ from .postings import PostingsCursor, TermPostings
 from .wand import block_max_wand
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0.1)
 class IndexShard:
-    # num_cpus=0.25: shards are memory-holders that serve short lookup
-    # bursts; reserving whole CPUs would starve concurrently-running build
-    # pipelines (actor pools + map tasks) on small clusters.
+    # num_cpus=0.1: shards are memory-holders that serve short lookup
+    # bursts; larger reservations accumulate across cached engines and
+    # starve concurrently-running pipelines (actor pools + map tasks) on
+    # small clusters.
     """Owns the segment files of a set of term partitions."""
 
     def __init__(self, index_dir: str, parts: list[int]):
@@ -228,6 +229,8 @@ class SearchEngine:
             else:
                 topk = self._search_taat(rows, terms, k, filter_ids)
             return self._format_result(topk, with_meta)
+        bounds_avgdl = self.stats.get("min_bounds_avgdl", avgdl) or avgdl
+        bound_scale = max(1.0, avgdl / bounds_avgdl)
         cursors = []
         for t in terms:  # sorted-term order — the scoring contract
             row = rows.get(t)
@@ -236,7 +239,8 @@ class SearchEngine:
             tp = TermPostings(row)
             idf = bm25_idf(n, int(tp.df))
             cursors.append(PostingsCursor(tp, idf, self.stats["k1"],
-                                          self.stats["b"], avgdl))
+                                          self.stats["b"], avgdl,
+                                          bound_scale))
         pred = self._filter_predicate(filters)
         topk = block_max_wand(cursors, k, pred)
         return self._format_result(topk, with_meta)

@@ -42,55 +42,70 @@ def _shingle_rows(batch: pa.Table, text_col: str, id_col: str,
 
 
 def _pairs_of_group(group: pa.Table, max_group: int | None) -> pa.Table:
+    """Expand one shingle's doc set into packed pair keys a*2^32+b."""
     ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
     g = ids.size
     if g < 2 or (max_group is not None and g > max_group):
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64())})
+        return pa.table({"pk": pa.array([], pa.int64())})
     ia, ib = np.triu_indices(g, k=1)
-    return pa.table({"a": pa.array(ids[ia], pa.int64()),
-                     "b": pa.array(ids[ib], pa.int64())})
+    pk = (ids[ia].astype(np.int64) << 32) | ids[ib].astype(np.int64)
+    return pa.table({"pk": pa.array(pk, pa.int64())})
 
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
-                        max_group: int | None = None):
-    """Returns a pyarrow Table (a, b, jaccard) sorted by (a, b)."""
-    import ray
-    from ray.data.aggregate import Count
+                        max_group: int | None = None,
+                        driver_max_rows: int = 50_000_000):
+    """Returns a pyarrow Table (a, b, jaccard) sorted by (a, b).
 
+    Pair EXPANSION runs distributed (groupby shingle); pair COUNTING is a
+    single np.unique over packed 64-bit keys — streamed to the driver below
+    ``driver_max_rows`` pair rows (a Dataset groupby on so-small rows costs
+    10x the work in shuffle overhead), and a distributed groupby above it.
+    Doc ids must fit in 31 bits for the packing (scale note: at 10^12 docs
+    the packed key becomes two columns and the groupby path applies).
+    """
     from functools import partial
+
+    from ray.data.aggregate import Count
 
     shingles = ds.map_batches(
         partial(_shingle_rows, text_col=text_col, id_col=id_col, n=n),
+        batch_format="pyarrow").materialize()
+    # per-doc distinct shingle counts: one int per doc — driver-side
+    doc_col = np.concatenate([
+        b["doc_id"].to_numpy(zero_copy_only=False)
+        for b in shingles.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20)] or
+        [np.empty(0, dtype=np.int64)])
+    sz_ids, sz_counts = np.unique(doc_col, return_counts=True)
+
+    pairs_ds = shingles.groupby("sh").map_groups(
+        partial(_pairs_of_group, max_group=max_group),
         batch_format="pyarrow")
-    # per-doc distinct shingle counts (tiny table: one int per doc)
-    sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
-    sizes = dict(zip(*[sizes_ds.to_pandas()[c].to_numpy()
-                       for c in ("doc_id", "n_sh")]))
-    sizes_ref = ray.put(sizes)
 
-    inter = (shingles
-             .groupby("sh")
-             .map_groups(partial(_pairs_of_group, max_group=max_group),
-                         batch_format="pyarrow")
-             .groupby(["a", "b"])
-             .aggregate(Count(alias_name="inter")))
+    n_pairs = pairs_ds.count()
+    if n_pairs <= driver_max_rows:
+        pk = np.concatenate([
+            b["pk"].to_numpy(zero_copy_only=False)
+            for b in pairs_ds.iter_batches(batch_format="pyarrow",
+                                           batch_size=1 << 20)] or
+            [np.empty(0, dtype=np.int64)])
+        uniq, inter = np.unique(pk, return_counts=True)
+    else:
+        agg = (pairs_ds.groupby("pk").aggregate(Count(alias_name="c"))
+               .to_pandas())
+        uniq = agg["pk"].to_numpy()
+        inter = agg["c"].to_numpy()
 
-    def score(batch: pa.Table) -> pa.Table:
-        sz = ray.get(sizes_ref)
-        a = batch["a"].to_numpy(zero_copy_only=False)
-        b = batch["b"].to_numpy(zero_copy_only=False)
-        it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
-        na = np.array([sz[x] for x in a], dtype=np.float64)
-        nb = np.array([sz[x] for x in b], dtype=np.float64)
-        j = it / (na + nb - it)
-        keep = j >= threshold
-        return pa.table({"a": pa.array(a[keep], pa.int64()),
-                         "b": pa.array(b[keep], pa.int64()),
-                         "jaccard": pa.array(j[keep], pa.float64())})
-
-    out = inter.map_batches(score, batch_format="pyarrow")
-    return pa.Table.from_pandas(
-        out.to_pandas().sort_values(["a", "b"]).reset_index(drop=True),
-        preserve_index=False)
+    a = (uniq >> 32).astype(np.int64)
+    b = (uniq & 0xFFFFFFFF).astype(np.int64)
+    na = sz_counts[np.searchsorted(sz_ids, a)].astype(np.float64)
+    nb = sz_counts[np.searchsorted(sz_ids, b)].astype(np.float64)
+    it = inter.astype(np.float64)
+    j = it / (na + nb - it)
+    keep = j >= threshold
+    order = np.lexsort((b[keep], a[keep]))
+    return pa.table({"a": pa.array(a[keep][order], pa.int64()),
+                     "b": pa.array(b[keep][order], pa.int64()),
+                     "jaccard": pa.array(j[keep][order], pa.float64())})

@@ -288,6 +288,43 @@ ORACLE_SQL: dict[str, str] = {
                    AS message
         FROM events WHERE event_type = 'error' ORDER BY event_id
     """,
+    "ip_classification": r"""
+        WITH x AS (
+          SELECT lang,
+                 unnest(regexp_extract_all(text,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ip
+          FROM documents
+        ), c AS (
+          SELECT lang,
+                 CAST(string_split(ip, '.')[1] AS INT) AS o1,
+                 CAST(string_split(ip, '.')[2] AS INT) AS o2,
+                 CAST(string_split(ip, '.')[3] AS INT) AS o3,
+                 CAST(string_split(ip, '.')[4] AS INT) AS o4
+          FROM x
+        ), v AS (
+          SELECT lang,
+                 CASE WHEN o1 > 255 OR o2 > 255 OR o3 > 255 OR o4 > 255
+                      THEN NULL
+                      WHEN o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                           OR (o1 = 192 AND o2 = 168) OR o1 = 127
+                           OR (o1 = 169 AND o2 = 254)
+                      THEN 1 ELSE 0 END AS is_priv
+          FROM c
+        ), agg AS (
+          SELECT lang, count(*) AS total_ips,
+                 sum(CASE WHEN is_priv = 1 THEN 1 ELSE 0 END)
+                     AS total_private,
+                 sum(CASE WHEN is_priv = 0 THEN 1 ELSE 0 END)
+                     AS total_public
+          FROM v GROUP BY 1
+        )
+        SELECT d.lang, coalesce(a.total_ips, 0)::BIGINT AS total_ips,
+               coalesce(a.total_private, 0)::BIGINT AS total_private,
+               coalesce(a.total_public, 0)::BIGINT AS total_public
+        FROM (SELECT DISTINCT lang FROM documents) d
+        LEFT JOIN agg a USING (lang)
+        ORDER BY d.lang
+    """,
     "multimodal_stats": """
         SELECT lang, count(*)::BIGINT AS n,
                sum(octet_length(encode(text)))::BIGINT AS total_bytes,

@@ -678,6 +678,29 @@ def q_alert_format(sf_dir: str):
     return ds.map_batches(fmt, batch_format="pyarrow").sort("event_id")
 
 
+def q_ip_classification(sf_dir: str):
+    """Embedded-IP extraction + private/public classification per lang
+    (M11, reference core/geoip.py:101-106). The driver testdata contains
+    no IP literals, so counts are zero here; the operator's non-trivial
+    behavior is unit-tested over the generated corpus (which embeds
+    access-log lines with real IPs)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.geoip import add_ip_stats
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    out = (ds.map_batches(
+        lambda t: add_ip_stats(t, text_col="text"),
+        batch_format="pyarrow")
+        .select_columns(["lang", "n_ips", "n_private_ips",
+                         "n_public_ips"])
+        .groupby("lang")
+        .aggregate(Sum("n_ips", alias_name="total_ips"),
+                   Sum("n_private_ips", alias_name="total_private"),
+                   Sum("n_public_ips", alias_name="total_public")))
+    return out.sort("lang")
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -710,4 +733,5 @@ QUERY_REGISTRY = {
     "session_duration": q_session_duration,
     "highest_severity_event": q_highest_severity_event,
     "alert_format": q_alert_format,
+    "ip_classification": q_ip_classification,
 }

@@ -111,6 +111,14 @@ class SearchEngine:
         # None entries record known-absent terms
         self._term_cache: dict[str, dict | None] = {}
         self._term_cache_size = term_cache_size
+        # decoded-contribution cache for TAAT: (ids, idf*tf_norm, df) per
+        # term — decode+scoring dominate repeat-query latency; bounded by
+        # total cached postings. Valid for this engine's lifetime (stats
+        # are fixed at construction; rebuild the engine after updates).
+        self._contrib_cache: dict[str, tuple] = {}
+        self._contrib_budget = 8_000_000  # postings
+        self._contrib_cached = 0
+        self._docmap_mem = None  # lazy in-memory docmap (small-N fast path)
 
     def shutdown(self) -> None:
         for s in self.shards:
@@ -167,35 +175,66 @@ class SearchEngine:
 
         return predicate
 
+    _DOCMAP_COLS = ["doc_id", "repo", "path", "commit", "lang", "sha256"]
+
     def _join_docmap(self, doc_ids: list[int]) -> pa.Table:
         if not doc_ids:
             return self._docs_dataset.schema.empty_table()
+        if int(self.stats["n_docs"]) <= self.taat_max_docs:
+            # small-N fast path: docmap pinned in memory, gather by id
+            # (the parquet-filter path below re-opens files per query)
+            if self._docmap_mem is None:
+                tbl = self._docs_dataset.to_table(columns=self._DOCMAP_COLS)
+                order = pc.sort_indices(tbl["doc_id"])
+                self._docmap_mem = tbl.take(order)
+            dm = self._docmap_mem
+            sorted_ids = dm["doc_id"].to_numpy(zero_copy_only=False)
+            want = np.asarray(doc_ids, dtype=np.int64)
+            idx = np.searchsorted(sorted_ids, want)
+            ok = idx < sorted_ids.size
+            idx, w = idx[ok], want[ok]
+            ok2 = sorted_ids[idx] == w
+            return dm.take(pa.array(idx[ok2]))
         flt = pc.field("doc_id").isin(doc_ids)
         return self._docs_dataset.to_table(
-            columns=["doc_id", "repo", "path", "commit", "lang", "sha256"],
-            filter=flt)
+            columns=self._DOCMAP_COLS, filter=flt)
+
+    def _term_contrib(self, t: str, row: dict
+                      ) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, idf*tf_norm) for one term, cached decoded."""
+        hit = self._contrib_cache.get(t)
+        if hit is not None:
+            return hit
+        n = int(self.stats["n_docs"])
+        k1, b, avgdl = (self.stats["k1"], self.stats["b"],
+                        self.stats["avgdl"])
+        tp = TermPostings(row)
+        idf = bm25_idf(n, int(tp.df))
+        ids, tfs, dls = tp.decode_all()
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        # identical expression tree to bm25_tf_norm (elementwise IEEE ops
+        # match the scalar oracle bit-for-bit)
+        contrib = idf * (tf * (k1 + 1.0)
+                         / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        if self._contrib_cached + ids.size > self._contrib_budget:
+            self._contrib_cache.clear()
+            self._contrib_cached = 0
+        self._contrib_cache[t] = (ids, contrib)
+        self._contrib_cached += ids.size
+        return ids, contrib
 
     def _search_taat(self, rows: dict[str, dict], terms: list[str],
                      k: int, filter_ids: np.ndarray | None
                      ) -> list[tuple[int, float]]:
         """Vectorized term-at-a-time exact scoring (dense accumulator)."""
         n = int(self.stats["n_docs"])
-        k1, b, avgdl = (self.stats["k1"], self.stats["b"],
-                        self.stats["avgdl"])
         acc = np.zeros(n, dtype=np.float64)
         for t in terms:  # sorted-term order = the oracle's addition order
             row = rows.get(t)
             if row is None:
                 continue
-            tp = TermPostings(row)
-            idf = bm25_idf(n, int(tp.df))
-            ids, tfs, dls = tp.decode_all()
-            tf = tfs.astype(np.float64)
-            dl = dls.astype(np.float64)
-            # identical expression tree to bm25_tf_norm (elementwise
-            # IEEE ops match the scalar oracle bit-for-bit)
-            contrib = idf * (tf * (k1 + 1.0)
-                             / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            ids, contrib = self._term_contrib(t, row)
             acc[ids] += contrib
         cand = np.flatnonzero(acc > 0.0)
         if filter_ids is not None:

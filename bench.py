@@ -33,13 +33,13 @@ BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "100000"))
 CORPUS_CACHE = f"/tmp/lsai_bench_corpus_{BENCH_DOCS}"
 
-QUERY_SET = [
-    "error", "authentication failure", "authentication failure error",
-    "select union passwd", "parseHttpRequest", "auth_failure_count",
-    "robots.txt", "sql injection attempt", "failed password for root",
-    "import return self the error", "zzz_no_such_term", "error error error",
-    "buffer cache thread lock async", "http server client socket connect",
-]
+def _query_set() -> list[dict]:
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "queries.json")) as f:
+        return json.load(f)["queries"]
+
+
+QUERY_SET = _query_set()
 
 
 def ensure_corpus() -> str:
@@ -94,7 +94,8 @@ def bench_index_and_query() -> dict:
     for _ in range(3):
         for q in QUERY_SET:
             t0 = time.monotonic()
-            eng.search(q, k=10, with_meta=False)
+            eng.search(q["text"], k=q.get("k", 10),
+                       filters=q.get("filters"), with_meta=False)
             lat.append(time.monotonic() - t0)
     lat = np.array(lat)
     eng.shutdown()

@@ -57,20 +57,18 @@ def engine(small_index):
     return SearchEngine(idx_dir, num_shards=3)
 
 
-QUERY_SET = [
-    # reference-derived vocabulary: Kibana filter fields + threat/prompt
-    # terms (SURVEY.md §5.2.3): hot single term, rare term, multi-term,
-    # identifier (camelCase split), zero-hit, dup-term
-    "error",
-    "authentication failure",
-    "authentication failure error",
-    "select union passwd",
-    "parseHttpRequest",
-    "auth_failure_count",
-    "robots.txt",
-    "sql injection attempt",
-    "failed password for root",
-    "import return self the error",
-    "zzz_no_such_term",
-    "error error error",
-]
+def _load_query_set():
+    """The checked-in reference-derived query set (queries.json,
+    SURVEY.md §5.2.3)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "queries.json")
+    with open(path) as f:
+        return json.load(f)["queries"]
+
+
+QUERY_RECORDS = _load_query_set()
+# unfiltered texts (filtered variants are exercised by dedicated tests)
+QUERY_SET = [q["text"] for q in QUERY_RECORDS if "filters" not in q]
+FILTERED_QUERIES = [q for q in QUERY_RECORDS if "filters" in q]

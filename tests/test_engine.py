@@ -174,6 +174,39 @@ def test_distributed_dedup_path_matches_driver_path(small_corpus, tmp_path):
     assert outs[0].equals(outs[1])
 
 
+def test_pluggable_scorer_params(small_corpus, tmp_path):
+    """SURVEY §2.11: BM25 k1/b are config, enforced end-to-end — an index
+    built with non-default parameters stays rank-identical to an oracle
+    using the same parameters (and differs from the default ranking)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.query.bm25 import BM25Oracle
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2, k1=0.9, b=0.3)
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(small_corpus), idx, cfg, corpus_tag="kb")
+    docs = pq.read_table(os.path.join(idx, "docs"))
+    pairs = list(zip(docs["doc_id"].to_pylist(),
+                     docs["content"].to_pylist()))
+    oracle = BM25Oracle(pairs, None, cfg)
+    default_oracle = BM25Oracle(
+        pairs, None, IndexConfig(num_partitions=4, salt_buckets=2))
+    eng = SearchEngine(idx, num_shards=2)
+    try:
+        any_diff = False
+        for q in ("select union passwd", "authentication failure error"):
+            got = _pairs(eng.search(q, k=15, with_meta=False))
+            assert got == oracle.search(q, k=15), q
+            if got != default_oracle.search(q, k=15):
+                any_diff = True
+        assert any_diff, "k1/b had no effect — parameters not plumbed"
+    finally:
+        eng.shutdown()
+
+
 def test_salting_splits_hot_terms(small_index):
     """Hot Zipf-head terms must appear as multiple salt runs pre-merge: the
     merged segment's block_first sequence stays sorted (concat correctness

@@ -174,6 +174,48 @@ def test_distributed_dedup_path_matches_driver_path(small_corpus, tmp_path):
     assert outs[0].equals(outs[1])
 
 
+def test_resume_after_partial_emit(small_corpus, tmp_path):
+    """A crash DURING stage 2 leaves partial exchange files without the
+    _SUCCESS marker; the rerun must wipe and re-emit (not double-count
+    postings) and converge to the same index."""
+    import shutil
+
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2, block_size=16)
+    ref_idx = str(tmp_path / "ref")
+    build_index(rd.from_arrow(small_corpus), ref_idx, cfg, corpus_tag="pe")
+    e_ref = SearchEngine(ref_idx, num_shards=2)
+    expect = _pairs(e_ref.search("select union passwd", k=10,
+                                 with_meta=False))
+    e_ref.shutdown()
+
+    # simulate: crash mid-emit — exchange dir half-written, no _SUCCESS,
+    # later stages never ran
+    idx = str(tmp_path / "crashed")
+    build_index(rd.from_arrow(small_corpus), idx, cfg, corpus_tag="pe")
+    os.remove(os.path.join(idx, "postings_raw", "_SUCCESS"))
+    shutil.rmtree(os.path.join(idx, "segments"))
+    for name in os.listdir(os.path.join(idx, "manifest")):
+        if name != "_build.json":  # keep the start marker: same build
+            os.remove(os.path.join(idx, "manifest", name))
+    os.remove(os.path.join(idx, "stats.json"))
+    part0 = os.path.join(idx, "postings_raw", "part=0")
+    for name in os.listdir(part0)[:1]:
+        os.remove(os.path.join(part0, name))  # half-written partition
+    meta = build_index(rd.from_arrow(small_corpus), idx, cfg,
+                       corpus_tag="pe")
+    assert "emit_postings_s" in meta["timings"]  # stage 2 re-ran
+    e2 = SearchEngine(idx, num_shards=2)
+    got = _pairs(e2.search("select union passwd", k=10, with_meta=False))
+    e2.shutdown()
+    assert got == expect
+
+
 def test_pluggable_scorer_params(small_corpus, tmp_path):
     """SURVEY §2.11: BM25 k1/b are config, enforced end-to-end — an index
     built with non-default parameters stays rank-identical to an oracle

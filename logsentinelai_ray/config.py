@@ -46,11 +46,12 @@ class IndexConfig:
     # Tokens are truncated to this length (guards degenerate minified blobs).
     max_token_len: int = 64
 
-    # Below this many corpus rows the dedup key scan is collected to the
-    # driver (a few MB) instead of paying a distributed groupby's fixed
-    # cost; above it, the keys-only Dataset groupby runs. Both paths are
-    # exact and tested; the threshold only trades constants.
-    driver_dedup_max_rows: int = 2_000_000
+    # Below this many corpus rows the doc-id/dedup key scan is collected to
+    # the driver (a few MB) instead of paying distributed-sort startup;
+    # above it, the keys-only distributed sort + mapping exchange runs
+    # (measured FASTER already at 100k rows, and the only option at scale).
+    # Both paths are exact and tested identical.
+    driver_dedup_max_rows: int = 50_000
 
 
 @dataclass(frozen=True)

@@ -98,6 +98,44 @@ def bench_index_and_query() -> dict:
                        filters=q.get("filters"), with_meta=False)
             lat.append(time.monotonic() - t0)
     lat = np.array(lat)
+    # the WAND (scale) strategy, measured on a query subset for visibility
+    # (auto-strategy picks TAAT here because the accumulator fits; WAND is
+    # the no-N-sized-state path for 10^12-doc shards)
+    wand_lat = []
+    for q in QUERY_SET[:3]:
+        for _ in range(2):
+            t0 = time.monotonic()
+            eng.search(q["text"], k=q.get("k", 10), with_meta=False,
+                       strategy="wand")
+            wand_lat.append(time.monotonic() - t0)
+    # selective-query WAND demo: mixed rare-identifier + hot-term query —
+    # the rare term's idf sets a threshold the hot-only docs can't reach,
+    # so block-max pruning skips them (the case WAND exists for)
+    import pyarrow.parquet as pq
+
+    rare, rare_df = None, 0
+    for p in range(cfg.num_partitions):
+        seg = pq.read_table(f"{idx_dir}/segments/part-{p:04d}.parquet",
+                            columns=["term", "df"])
+        for t, df in zip(seg["term"].to_pylist(), seg["df"].to_pylist()):
+            if 20 <= df <= 200 and ":" not in t:
+                rare, rare_df = t, int(df)
+                break
+        if rare:
+            break
+    sel = {}
+    if rare:
+        qtext = f"{rare} error the"
+        for strat in ("taat", "wand"):
+            eng.search(qtext, k=10, with_meta=False, strategy=strat)
+            ts = []
+            for _ in range(5):
+                t0 = time.monotonic()
+                eng.search(qtext, k=10, with_meta=False, strategy=strat)
+                ts.append(time.monotonic() - t0)
+            sel[f"selective_{strat}_ms"] = round(
+                float(np.median(ts)) * 1000, 2)
+        sel["selective_term_df"] = rare_df
     eng.shutdown()
     return {
         "build_s": round(build_s, 3),
@@ -105,6 +143,8 @@ def bench_index_and_query() -> dict:
         "docs_per_sec": round(n_docs / build_s, 1),
         "query_p50_ms": round(float(np.percentile(lat, 50)) * 1000, 2),
         "query_p99_ms": round(float(np.percentile(lat, 99)) * 1000, 2),
+        "query_p50_wand_ms": round(float(np.median(wand_lat)) * 1000, 2),
+        **sel,
         "stage_timings": meta["timings"],
     }
 

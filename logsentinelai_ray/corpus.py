@@ -106,6 +106,17 @@ def generate_corpus(cfg: CorpusConfig | None = None, *, n_docs: int | None = Non
     all_words = vocab[word_idx]
     extra_kind = rng.random_sample(total_lines)  # <.15 ident, <.20 threat, <.23 log
     extra_idx = rng.randint(0, 2 ** 30, size=total_lines)
+    # synthetic identifiers: pairs of vocab words with Zipfian popularity
+    # on BOTH components → a realistic long-tailed identifier vocabulary
+    # (~vocab² distinct). camelCase/snake_case variants split back into
+    # their (hot) component words under the code-aware tokenizer; the
+    # FUSED lowercase variant survives as a single rare term, giving the
+    # index a realistic Zipf tail (selective terms for WAND pruning)
+    # alongside the hot head. Fixed _IDENTIFIERS stay in rotation as the
+    # stable targets of queries.json.
+    id_w1 = rng.choice(len(vocab), size=total_lines, p=zipf_p)
+    id_w2 = rng.choice(len(vocab), size=total_lines, p=zipf_p)
+    id_style = rng.randint(0, 4, size=total_lines)  # fixed/camel/snake/fused
 
     import pyarrow.compute as pc
 
@@ -122,8 +133,16 @@ def generate_corpus(cfg: CorpusConfig | None = None, *, n_docs: int | None = Non
     m1 = extra_kind < 0.15
     m2 = (extra_kind >= 0.15) & (extra_kind < 0.20)
     m3 = (extra_kind >= 0.20) & (extra_kind < 0.23)
-    suffixes[m1] = np.array(_IDENTIFIERS, dtype=object)[
-        extra_idx[m1] % len(_IDENTIFIERS)]
+    m1_fixed = m1 & (id_style == 0)
+    suffixes[m1_fixed] = np.array(_IDENTIFIERS, dtype=object)[
+        extra_idx[m1_fixed] % len(_IDENTIFIERS)]
+    for li in np.flatnonzero(m1 & (id_style == 1)):
+        w1, w2 = vocab[id_w1[li]], vocab[id_w2[li]]
+        suffixes[li] = w1 + w2.capitalize()
+    for li in np.flatnonzero(m1 & (id_style == 2)):
+        suffixes[li] = vocab[id_w1[li]] + "_" + vocab[id_w2[li]]
+    for li in np.flatnonzero(m1 & (id_style == 3)):
+        suffixes[li] = vocab[id_w1[li]] + vocab[id_w2[li]]
     suffixes[m2] = np.array(_THREATS, dtype=object)[
         extra_idx[m2] % len(_THREATS)]
     suffixes[m3] = np.array(_LOG_LINES, dtype=object)[

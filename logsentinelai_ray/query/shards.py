@@ -281,8 +281,40 @@ class SearchEngine:
                                           self.stats["b"], avgdl,
                                           bound_scale))
         pred = self._filter_predicate(filters)
-        topk = block_max_wand(cursors, k, pred)
+        seed = None if filters else self._wand_seed(rows, terms, k)
+        topk = block_max_wand(cursors, k, pred, seed_threshold=seed)
         return self._format_result(topk, with_meta)
+
+    def _wand_seed(self, rows: dict[str, dict], terms: list[str],
+                   k: int, max_seed_df: int = 10_000) -> float | None:
+        """Exact threshold warm-start for WAND: fully score the rarest
+        term's candidate docs (a mini-TAAT over <= max_seed_df docs using
+        the cached decoded contributions) — the k-th best of that subset
+        is a provable lower bound on the true k-th best score, so
+        nextafter(bound, -inf) is a safe initial pruning threshold.
+        Without it, mixed rare+hot queries only reach a useful threshold
+        after scanning a large fraction of the hot lists."""
+        present = [(int(rows[t]["df"]), t) for t in terms if t in rows]
+        if len(present) < 2:
+            return None
+        min_df, rare = min(present)
+        if min_df > max_seed_df or min_df < k:
+            return None
+        cand, _ = self._term_contrib(rare, rows[rare])
+        totals = np.zeros(cand.size, dtype=np.float64)
+        for t in terms:  # sorted-term order — exact score assembly
+            if t not in rows:
+                continue
+            ids, contrib = self._term_contrib(t, rows[t])
+            pos = np.searchsorted(ids, cand)
+            ok = pos < ids.size
+            hit = np.zeros(cand.size, dtype=bool)
+            hit[ok] = ids[pos[ok]] == cand[ok]
+            totals[hit] += contrib[pos[hit]]
+        if totals.size < k:
+            return None
+        kth = float(np.partition(totals, -k)[-k])
+        return float(np.nextafter(kth, -np.inf))
 
     def _format_result(self, topk: list[tuple[int, float]],
                        with_meta: bool) -> pa.Table:

@@ -26,17 +26,24 @@ from .postings import INF_DOC, PostingsCursor
 
 
 def block_max_wand(cursors: list[PostingsCursor], k: int,
-                   filter_predicate=None) -> list[tuple[int, float]]:
+                   filter_predicate=None,
+                   seed_threshold: float | None = None
+                   ) -> list[tuple[int, float]]:
     """Return top-k ``(doc_id, score)`` sorted by (score desc, doc_id asc).
 
     ``cursors`` must be in sorted-term order (the scoring order contract).
+    ``seed_threshold`` warm-starts pruning; it MUST be strictly below the
+    true k-th best score (callers pass ``nextafter(lower_bound, -inf)`` of
+    a provable lower bound, e.g. the k-th best among one term's fully
+    scored candidates) — then no true top-k doc is ever pruned, and the
+    heap still collects them all.
     """
     term_order = [c for c in cursors if not c.exhausted()]
     if not term_order or k <= 0:
         return []
     # heap of (score, -doc_id): heap[0] is the weakest kept result
     heap: list[tuple[float, int]] = []
-    threshold = float("-inf")
+    threshold = float("-inf") if seed_threshold is None else seed_threshold
 
     active = list(term_order)
     while True:
@@ -93,13 +100,15 @@ def block_max_wand(cursors: list[PostingsCursor], k: int,
                 if len(heap) < k:
                     heapq.heappush(heap, (score, -pivot_doc))
                     if len(heap) == k:
-                        threshold = heap[0][0]
-                elif score > threshold:
+                        threshold = max(threshold, heap[0][0])
+                elif score > heap[0][0]:
                     # equal-score later docs lose the doc_id-asc tie-break
                     # (docs are enumerated in increasing id order), so a
-                    # strict > is rank-exact.
+                    # strict > is rank-exact. (Compare against the heap
+                    # floor, not the pruning threshold: with a seed the
+                    # heap may briefly hold sub-seed entries to displace.)
                     heapq.heapreplace(heap, (score, -pivot_doc))
-                    threshold = heap[0][0]
+                    threshold = max(threshold, heap[0][0])
             for c in active:
                 if c.cur_doc == pivot_doc:
                     c.next()

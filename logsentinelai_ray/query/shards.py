@@ -242,6 +242,18 @@ class SearchEngine:
         if cand.size == 0:
             return []
         scores = acc[cand]
+        if cand.size > 4 * k:
+            # exact partition-based top-k: a full lexsort over the
+            # candidate set dominated latency at 10^6 candidates. Select
+            # everything strictly above the k-th value plus the smallest
+            # ids among exact ties at the k-th value (doc-id-asc
+            # tie-break), then sort only that tiny set.
+            kth_val = np.partition(scores, cand.size - k)[cand.size - k]
+            above = scores > kth_val
+            n_above = int(above.sum())
+            tie_ids = np.sort(cand[scores == kth_val])[:k - n_above]
+            keep = np.concatenate((cand[above], tie_ids))
+            cand, scores = keep, acc[keep]
         order = np.lexsort((cand, -scores))[:k]
         return [(int(cand[i]), float(scores[i])) for i in order]
 

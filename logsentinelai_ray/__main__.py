@@ -1,0 +1,131 @@
+"""Console entry point — the analog of the reference's console scripts
+(reference pyproject.toml [project.scripts]; each analyzer exposes a
+``main()`` that parses args and runs the generic pipeline, e.g.
+analyzers/httpd_access.py:64-117).
+
+Usage (each subcommand owns its Ray session):
+
+  python -m logsentinelai_ray build  --corpus DIR --index DIR [--tag T]
+                                     [--partitions N] [--salts S]
+  python -m logsentinelai_ray update --corpus DIR --index DIR [--tag T]
+  python -m logsentinelai_ray search --index DIR "query text" [-k K]
+                                     [--filter lang=python] [--strategy s]
+  python -m logsentinelai_ray gen    --out DIR --docs N [--seed S]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_session(num_cpus: int | None):
+    import logging
+    import warnings
+
+    warnings.filterwarnings("ignore")
+    import ray
+
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    if not ray.is_initialized():
+        kwargs = {"address": "local", "include_dashboard": False,
+                  "logging_level": logging.ERROR}
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="logsentinelai_ray")
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--num-cpus", type=int, default=None)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", parents=[common],
+                       help="build an index from a parquet corpus")
+    b.add_argument("--corpus", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--tag", default="cli")
+    b.add_argument("--partitions", type=int, default=32)
+    b.add_argument("--salts", type=int, default=4)
+
+    u = sub.add_parser("update", parents=[common],
+                       help="append new corpus files to an index")
+    u.add_argument("--corpus", required=True)
+    u.add_argument("--index", required=True)
+    u.add_argument("--tag", default="cli-delta")
+    u.add_argument("--partitions", type=int, default=32)
+    u.add_argument("--salts", type=int, default=4)
+
+    s = sub.add_parser("search", parents=[common],
+                       help="BM25 top-k query")
+    s.add_argument("--index", required=True)
+    s.add_argument("text")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--filter", action="append", default=[],
+                   metavar="FIELD=VALUE")
+    s.add_argument("--strategy", choices=["taat", "wand"], default=None)
+
+    g = sub.add_parser("gen", parents=[common],
+                       help="write a deterministic synthetic corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--docs", type=int, default=5000)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--files", type=int, default=8)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen":
+        from .config import CorpusConfig
+        from .corpus import write_corpus
+
+        write_corpus(args.out, CorpusConfig(n_docs=args.docs,
+                                            seed=args.seed),
+                     num_files=args.files)
+        print(json.dumps({"written": args.out, "docs": args.docs}))
+        return 0
+
+    ray = _ray_session(args.num_cpus)
+    try:
+        if args.cmd == "build":
+            from .config import IndexConfig
+            from .index.build import build_index
+
+            cfg = IndexConfig(num_partitions=args.partitions,
+                              salt_buckets=args.salts)
+            meta = build_index(args.corpus, args.index, cfg,
+                               corpus_tag=args.tag)
+            print(json.dumps({"n_docs": meta["n_docs"],
+                              "timings": meta["timings"],
+                              "total_s": meta["total_s"]}))
+        elif args.cmd == "update":
+            from .config import IndexConfig
+            from .index.update import update_index
+
+            cfg = IndexConfig(num_partitions=args.partitions,
+                              salt_buckets=args.salts)
+            res = update_index(args.corpus, args.index, cfg,
+                               delta_tag=args.tag)
+            print(json.dumps(res))
+        elif args.cmd == "search":
+            from .query.shards import SearchEngine
+
+            filters = dict(f.split("=", 1) for f in args.filter) or None
+            eng = SearchEngine(args.index)
+            res = eng.search(args.text, k=args.k, filters=filters,
+                             strategy=args.strategy)
+            for row in res.to_pylist():
+                print(json.dumps(row))
+            eng.shutdown()
+    finally:
+        ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

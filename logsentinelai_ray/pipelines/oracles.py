@@ -63,13 +63,15 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "severity_alerts": f"""
         SELECT event_type, count(*)::BIGINT AS n,
-               sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS sum_value_micro
+               CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_value_micro
         FROM events WHERE {_SEVERITY_CASE} <= 2
         GROUP BY 1 ORDER BY event_type
     """,
     "events_daily": """
         SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n,
-               sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS sum_value_micro
+               CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_value_micro
         FROM events GROUP BY 1 ORDER BY day
     """,
     "top_users": """
@@ -91,11 +93,13 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               sum(CAST(round(l_quantity, 0) AS BIGINT)) AS sum_qty,
-               sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
-                   AS sum_base_cents,
-               sum(CAST(round(l_extendedprice * (1.0 - l_discount) * 10000.0,
-                              0) AS BIGINT)) AS sum_disc_e4,
+               CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+                                   * 10000.0, 0) AS BIGINT))
+                    AS BIGINT) AS sum_disc_e4,
                count(*)::BIGINT AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -103,8 +107,8 @@ ORACLE_SQL: dict[str, str] = {
     """,
     "top_customers": """
         SELECT o.o_custkey,
-               sum(CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT))
-                   AS total_cents,
+               CAST(sum(CAST(round(o.o_totalprice * 100.0, 0) AS BIGINT))
+                    AS BIGINT) AS total_cents,
                count(*)::BIGINT AS n_orders,
                any_value(c.c_name) AS c_name
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -145,15 +149,18 @@ ORACLE_SQL: dict[str, str] = {
         SELECT term, count(*)::BIGINT AS df FROM tok
         GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 20
     """,
+    # ORDER BY the *unrounded* table column (scores.score) so tie-breaks
+    # match the engine, which sorts by full-precision score before rounding
+    # for output; round() stays in the projection only.
     "bm25_topk": _BM25_BASE + """
-        SELECT doc_id, round(score, 6) AS score FROM scores
-        ORDER BY score DESC, doc_id ASC LIMIT 10
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
     # the incremental build must equal full-corpus BM25 exactly — same
     # oracle as bm25_topk
     "bm25_topk_incremental": _BM25_BASE + """
-        SELECT doc_id, round(score, 6) AS score FROM scores
-        ORDER BY score DESC, doc_id ASC LIMIT 10
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
     "bm25_topk_filtered": _BM25_BASE + """
         SELECT s.doc_id, round(s.score, 6) AS score

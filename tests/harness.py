@@ -66,6 +66,17 @@ def compare(name: str, sf_dir: str) -> tuple[bool, str]:
     if list(got.columns) != list(exp.columns):
         return False, f"columns differ: ray={list(got.columns)} " \
                       f"sql={list(exp.columns)}"
+    # the driver's value-hash is dtype-sensitive: DuckDB sum(BIGINT) →
+    # HUGEINT → float64 silently hash-mismatches an int64 engine column
+    # even when every value is equal (round-1 lesson). Catch the
+    # int-vs-float kind-skew here so it fails locally, not at the driver.
+    for col in got.columns:
+        gk = got[col].dtype.kind
+        ek = exp[col].dtype.kind
+        if {gk, ek} == {"i", "f"} or {gk, ek} == {"u", "f"}:
+            return False, (f"dtype kind mismatch col={col}: "
+                           f"ray={got[col].dtype} sql={exp[col].dtype} "
+                           f"(driver value-hash would differ)")
     if len(got) != len(exp):
         return False, f"row count differs: ray={len(got)} sql={len(exp)}"
     for col in got.columns:

@@ -6,14 +6,25 @@ Definition (shared verbatim by the DuckDB oracle in __ray_entry__):
   J(a, b)   = |Sa ∩ Sb| / (|Sa| + |Sb| - |Sa ∩ Sb|)
   output    = pairs with J >= threshold, (a < b), sorted by (a, b)
 
-Plan shape: map_batches shingle-emit (vectorized split) →
-groupby(shingle).map_groups pair-expansion (np.triu_indices per group) →
-groupby(a, b).count = intersection sizes → jaccard against broadcast
-per-doc set sizes. Only (hash, id) pairs ever shuffle, never text.
+Plan shape: map_batches shingle-emit (fully vectorized: Arrow list
+offsets → windowed takes → binary_join_element_wise, per-doc distinct via
+an Arrow group_by) → groupby(shingle).map_groups pair-expansion
+(np.triu_indices per group) → groupby(a, b).count = intersection sizes →
+jaccard against broadcast per-doc set sizes. Only (hash, id) pairs ever
+shuffle, never text. Per-doc set sizes come from a distributed
+groupby(doc_id).count() — one row per document — never from streaming
+shingle rows to the driver.
 
 Skew note: a shingle shared by g docs expands to g(g-1)/2 pairs; real
 corpora cap g (``max_group``) and salt the expansion — the cap defaults to
 None here so the result is exactly the oracle's.
+
+Scale notes (10^12 docs): the packed int64 pair key needs ids < 2^31 —
+enforced with a hard error; beyond that the expansion emits two id columns
+and the same groupby applies. The broadcast size lookup is one (id, count)
+int64 pair per document; beyond ~10^9 documents replace the broadcast with
+two hash-partitioned joins of the pair table against the size table on a
+then b (same exchange the pair groupby already uses).
 """
 
 from __future__ import annotations
@@ -25,26 +36,50 @@ import pyarrow.compute as pc
 
 def _shingle_rows(batch: pa.Table, text_col: str, id_col: str,
                   n: int) -> pa.Table:
+    """Emit (doc_id, sh) distinct word-n-gram rows — no per-row Python.
+
+    Tokens come from one vectorized regex split; shingles are built from
+    the flattened token values with windowed ``pc.take`` and a single
+    ``binary_join_element_wise``; per-doc distinctness is an Arrow
+    ``group_by`` over (doc_id, sh).
+    """
     text = pc.utf8_lower(batch[text_col])
     lists = pc.split_pattern_regex(text, pattern="[^a-z0-9]+")
-    doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
-    out_ids: list[int] = []
-    out_sh: list[str] = []
-    for did, toks in zip(doc_ids, lists.to_pylist()):
-        toks = [t for t in (toks or []) if t]
-        if len(toks) < n:
-            continue
-        sh = {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
-        out_ids.extend([did] * len(sh))
-        out_sh.extend(sh)
-    return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
-                     "sh": pa.array(out_sh, pa.string())})
+    flat = pc.list_flatten(lists)
+    parent = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+    keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    flat = pc.filter(flat, pa.array(keep))
+    parent = parent[keep]
+    counts = np.bincount(parent, minlength=len(batch)).astype(np.int64)
+    n_sh = np.maximum(counts - n + 1, 0)
+    total = int(n_sh.sum())
+    if total == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "sh": pa.array([], pa.string())})
+    row_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    base = np.repeat(row_starts, n_sh)
+    sh_starts = np.cumsum(n_sh) - n_sh
+    offs = np.arange(total, dtype=np.int64) - np.repeat(sh_starts, n_sh)
+    idx = base + offs
+    cols = [pc.take(flat, pa.array(idx + j, pa.int64())) for j in range(n)]
+    sh = pc.binary_join_element_wise(*cols, " ")
+    doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64), n_sh)
+    doc_ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_rep]
+    t = pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "sh": sh})
+    # each document lives in exactly one input row, so per-batch distinct
+    # (doc_id, sh) is globally distinct
+    return t.group_by(["doc_id", "sh"]).aggregate([])
 
 
 def _pairs_of_group(group: pa.Table, max_group: int | None) -> pa.Table:
     """Expand one shingle's doc set into packed pair keys a*2^32+b."""
     ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
     g = ids.size
+    if g and ids[-1] >= 2 ** 31:
+        raise ValueError(
+            f"doc_id {int(ids[-1])} >= 2^31 overflows the packed int64 "
+            "pair key; use the two-column (a, b) groupby path instead "
+            "(see module scale notes)")
     if g < 2 or (max_group is not None and g > max_group):
         return pa.table({"pk": pa.array([], pa.int64())})
     ia, ib = np.triu_indices(g, k=1)
@@ -52,39 +87,73 @@ def _pairs_of_group(group: pa.Table, max_group: int | None) -> pa.Table:
     return pa.table({"pk": pa.array(pk, pa.int64())})
 
 
+def _doc_sizes(shingles) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct-shingle count per doc via a distributed groupby.
+
+    Only one (doc_id, count) row per document ever reaches the driver —
+    the shingle rows themselves stay in the cluster.
+    """
+    from ray.data.aggregate import Count
+
+    agg = shingles.groupby("doc_id").aggregate(Count(alias_name="n_sh"))
+    ids_parts, cnt_parts = [], []
+    for b in agg.iter_batches(batch_format="pyarrow", batch_size=1 << 20):
+        ids_parts.append(b["doc_id"].to_numpy(zero_copy_only=False))
+        cnt_parts.append(b["n_sh"].to_numpy(zero_copy_only=False))
+    if not ids_parts:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    ids = np.concatenate(ids_parts)
+    cnt = np.concatenate(cnt_parts)
+    order = np.argsort(ids)
+    return ids[order], cnt[order]
+
+
+def _jaccard_filter(batch: pa.Table, sz_ref, threshold: float) -> pa.Table:
+    """Unpack (pk, inter) → (a, b, jaccard) rows above threshold."""
+    import ray
+
+    sz_ids, sz_counts = ray.get(sz_ref)
+    pk = batch["pk"].to_numpy(zero_copy_only=False)
+    inter = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+    a = (pk >> 32).astype(np.int64)
+    b = (pk & 0xFFFFFFFF).astype(np.int64)
+    na = sz_counts[np.searchsorted(sz_ids, a)].astype(np.float64)
+    nb = sz_counts[np.searchsorted(sz_ids, b)].astype(np.float64)
+    j = inter / (na + nb - inter)
+    keep = j >= threshold
+    return pa.table({"a": pa.array(a[keep], pa.int64()),
+                     "b": pa.array(b[keep], pa.int64()),
+                     "jaccard": pa.array(j[keep], pa.float64())})
+
+
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
                         max_group: int | None = None,
-                        driver_max_rows: int = 50_000_000):
+                        driver_max_rows: int = 5_000_000):
     """Returns a pyarrow Table (a, b, jaccard) sorted by (a, b).
 
-    Pair EXPANSION runs distributed (groupby shingle); pair COUNTING is a
-    single np.unique over packed 64-bit keys — streamed to the driver below
-    ``driver_max_rows`` pair rows (a Dataset groupby on so-small rows costs
-    10x the work in shuffle overhead), and a distributed groupby above it.
-    Doc ids must fit in 31 bits for the packing (scale note: at 10^12 docs
-    the packed key becomes two columns and the groupby path applies).
+    Pair EXPANSION runs distributed (groupby shingle). Pair COUNTING
+    defaults to a distributed ``groupby("pk").count()`` with the per-doc
+    size lookup broadcast via ``ray.put`` and the threshold filter applied
+    inside ``map_batches`` — only surviving pairs reach the driver. A
+    driver-side ``np.unique`` fast path applies only below
+    ``driver_max_rows`` pair rows, where shuffle overhead dwarfs the work.
     """
     from functools import partial
 
+    import ray
     from ray.data.aggregate import Count
 
     shingles = ds.map_batches(
         partial(_shingle_rows, text_col=text_col, id_col=id_col, n=n),
         batch_format="pyarrow").materialize()
-    # per-doc distinct shingle counts: one int per doc — driver-side
-    doc_col = np.concatenate([
-        b["doc_id"].to_numpy(zero_copy_only=False)
-        for b in shingles.iter_batches(batch_format="pyarrow",
-                                       batch_size=1 << 20)] or
-        [np.empty(0, dtype=np.int64)])
-    sz_ids, sz_counts = np.unique(doc_col, return_counts=True)
+    sz_ids, sz_counts = _doc_sizes(shingles)
 
     pairs_ds = shingles.groupby("sh").map_groups(
         partial(_pairs_of_group, max_group=max_group),
-        batch_format="pyarrow")
-
+        batch_format="pyarrow").materialize()
     n_pairs = pairs_ds.count()
+
     if n_pairs <= driver_max_rows:
         pk = np.concatenate([
             b["pk"].to_numpy(zero_copy_only=False)
@@ -92,20 +161,32 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                                            batch_size=1 << 20)] or
             [np.empty(0, dtype=np.int64)])
         uniq, inter = np.unique(pk, return_counts=True)
+        a = (uniq >> 32).astype(np.int64)
+        b = (uniq & 0xFFFFFFFF).astype(np.int64)
+        na = sz_counts[np.searchsorted(sz_ids, a)].astype(np.float64)
+        nb = sz_counts[np.searchsorted(sz_ids, b)].astype(np.float64)
+        it = inter.astype(np.float64)
+        j = it / (na + nb - it)
+        keep = j >= threshold
+        a, b, j = a[keep], b[keep], j[keep]
     else:
-        agg = (pairs_ds.groupby("pk").aggregate(Count(alias_name="c"))
-               .to_pandas())
-        uniq = agg["pk"].to_numpy()
-        inter = agg["c"].to_numpy()
+        sz_ref = ray.put((sz_ids, sz_counts))
+        out = (pairs_ds.groupby("pk")
+               .aggregate(Count(alias_name="inter"))
+               .map_batches(partial(_jaccard_filter, sz_ref=sz_ref,
+                                    threshold=threshold),
+                            batch_format="pyarrow"))
+        parts = list(out.iter_batches(batch_format="pyarrow",
+                                      batch_size=1 << 20))
+        t = (pa.concat_tables(parts) if parts else
+             pa.table({"a": pa.array([], pa.int64()),
+                       "b": pa.array([], pa.int64()),
+                       "jaccard": pa.array([], pa.float64())}))
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
 
-    a = (uniq >> 32).astype(np.int64)
-    b = (uniq & 0xFFFFFFFF).astype(np.int64)
-    na = sz_counts[np.searchsorted(sz_ids, a)].astype(np.float64)
-    nb = sz_counts[np.searchsorted(sz_ids, b)].astype(np.float64)
-    it = inter.astype(np.float64)
-    j = it / (na + nb - it)
-    keep = j >= threshold
-    order = np.lexsort((b[keep], a[keep]))
-    return pa.table({"a": pa.array(a[keep][order], pa.int64()),
-                     "b": pa.array(b[keep][order], pa.int64()),
-                     "jaccard": pa.array(j[keep][order], pa.float64())})
+    order = np.lexsort((b, a))
+    return pa.table({"a": pa.array(a[order], pa.int64()),
+                     "b": pa.array(b[order], pa.int64()),
+                     "jaccard": pa.array(j[order], pa.float64())})

@@ -332,6 +332,65 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN agg a USING (lang)
         ORDER BY d.lang
     """,
+    # nested build→explode→aggregate reduces to a flat group-by over the
+    # same rows (the nesting is the Ray pipeline's work, not the math's)
+    "nested_severity_histogram": f"""
+        SELECT event_type, {_SEVERITY_CASE} AS priority,
+               count(*)::BIGINT AS n,
+               count(DISTINCT user_id)::BIGINT AS n_docs
+        FROM events GROUP BY 1, 2 ORDER BY priority
+    """,
+    "geoip_enrichment": """
+        WITH e AS (
+          SELECT event_id, user_id,
+                 CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                     AS k
+          FROM events
+        ), raw AS (
+          SELECT event_id,
+                 CASE user_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 172
+                      WHEN 2 THEN 192 WHEN 3 THEN 52 ELSE 98 END AS o1,
+                 CASE user_id % 5 WHEN 1 THEN 16 + (k % 16)
+                      WHEN 2 THEN 168 ELSE k % 256 END AS o2,
+                 user_id % 256 AS o3,
+                 1 + (k % 254) AS o4
+          FROM e
+          UNION ALL
+          SELECT event_id,
+                 CASE event_id % 2 WHEN 0 THEN 8 ELSE 127 END,
+                 (event_id // 7) % 256, k % 256, 1 + (event_id % 254)
+          FROM e
+        ), pub AS (
+          SELECT DISTINCT event_id, o1, o2, o3,
+                 CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+                   || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR)
+                     AS ip
+          FROM raw
+          WHERE NOT (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                     OR (o1 = 192 AND o2 = 168) OR o1 = 127
+                     OR (o1 = 169 AND o2 = 254))
+        ), cc AS (
+          SELECT event_id, ip,
+                 list_extract(['US','DE','KR','JP','BR','IN','FR','GB'],
+                              1 + (o1*7 + o2*13 + o3*31) % 8)
+                     AS country_code
+          FROM pub
+        ), per_ip AS (
+          SELECT country_code, ip, count(*) AS n
+          FROM cc GROUP BY 1, 2
+        ), ranked AS (
+          SELECT country_code, ip || ' (' || country_code || ')' AS top_ip,
+                 row_number() OVER (PARTITION BY country_code
+                                    ORDER BY n DESC, ip ASC) AS rn
+          FROM per_ip
+        )
+        SELECT p.country_code, CAST(sum(p.n) AS BIGINT) AS n_ips,
+               count(*)::BIGINT AS n_uniq_ips, any_value(r.top_ip) AS top_ip
+        FROM per_ip p
+        JOIN (SELECT country_code, top_ip FROM ranked WHERE rn = 1) r
+          USING (country_code)
+        GROUP BY 1 ORDER BY 1
+    """,
     "multimodal_stats": """
         SELECT lang, count(*)::BIGINT AS n,
                sum(octet_length(encode(text)))::BIGINT AS total_bytes,

@@ -701,6 +701,132 @@ def q_ip_classification(sf_dir: str):
     return out.sort("lang")
 
 
+def q_nested_severity_histogram(sf_dir: str):
+    """The Kibana ``events.severity.keyword`` panel done properly as a
+    NESTED-field aggregation (reference analyzers/httpd_access.py:33-61:
+    documents hold ``events: list[SecurityEvent]``): build one document
+    per user with an ``events: list<struct>`` column, explode it with
+    ``list_flatten`` + ``list_parent_indices`` (parent attribution), and
+    aggregate severity counts plus the number of parent documents
+    containing each severity."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.nested import build_event_docs, explode_events
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "event_type", "ts"])
+    docs = build_event_docs(ds)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = explode_events(batch)
+        # per-batch partial agg; each user is exactly one doc row in
+        # exactly one batch, so within-batch distinct users sum to the
+        # global per-severity doc count
+        agg = (pa.table({"event_type": t["event_type"],
+                         "priority": t["priority"],
+                         "user_id": t["user_id"]})
+               .group_by(["event_type", "priority"])
+               .aggregate([("user_id", "count"),
+                           ("user_id", "count_distinct")]))
+        return pa.table({"event_type": agg["event_type"],
+                         "priority": agg["priority"],
+                         "pn": agg["user_id_count"],
+                         "pdocs": agg["user_id_count_distinct"]})
+
+    out = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby(["event_type", "priority"])
+           .aggregate(Sum("pn", alias_name="n"),
+                      Sum("pdocs", alias_name="n_docs")))
+    return out.sort("priority")
+
+
+def _derive_ip_lines(t: pa.Table) -> pa.Table:
+    """Deterministic source/peer IP derivation (driver tables embed no IP
+    literals; this column transform stands in for the reference's parsed
+    ``source_ips`` field, core/geoip.py:113-124 — the enrichment machinery
+    downstream is the real thing). Octet families mix RFC1918/loopback
+    (dropped by enrichment) with plain public ranges."""
+    k = pc.cast(pc.struct_field(
+        pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+        pa.int64()).to_numpy(zero_copy_only=False)
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    eid = t["event_id"].to_numpy(zero_copy_only=False)
+    s1 = np.array([10, 172, 192, 52, 98], dtype=np.int64)[uid % 5]
+    s2 = np.where(s1 == 172, 16 + (k % 16),
+                  np.where(s1 == 192, 168, k % 256))
+    s3 = uid % 256
+    s4 = 1 + (k % 254)
+    p1 = np.array([8, 127], dtype=np.int64)[eid % 2]
+    p2 = (eid // 7) % 256
+    p3 = k % 256
+    p4 = 1 + (eid % 254)
+
+    def ip(a, b, c, d):
+        return pc.binary_join_element_wise(
+            pc.cast(pa.array(a), pa.string()),
+            pc.cast(pa.array(b), pa.string()),
+            pc.cast(pa.array(c), pa.string()),
+            pc.cast(pa.array(d), pa.string()), ".")
+
+    line = pc.binary_join_element_wise(
+        pa.array(["src="] * t.num_rows), ip(s1, s2, s3, s4),
+        pa.array([" peer="] * t.num_rows), ip(p1, p2, p3, p4), "")
+    return pa.table({"event_id": t["event_id"], "line": line})
+
+
+def q_geoip_enrichment(sf_dir: str):
+    """J1 — the reference's GeoIP enrichment join as a driver entry
+    (core/geoip.py:154-242): broadcast DB handle via ray.put, actor-pool
+    lookup with LRU, private/invalid dropped, per-row dedup, list<struct>
+    output, then the stats-dict key-rewrite shape (``top_source_ips``
+    keys become "ip (CC)", core/geoip.py:232-241) in the per-country
+    rollup."""
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.geoip import GeoIPEnrich, _fake_geo_db
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "props"])
+    lines = ds.map_batches(_derive_ip_lines, batch_format="pyarrow")
+    db_ref = ray.put(_fake_geo_db())
+    enriched = lines.map_batches(
+        GeoIPEnrich, fn_constructor_args=(db_ref,),
+        fn_constructor_kwargs={"text_col": "line"},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def explode(t: pa.Table) -> pa.Table:
+        g = t["geo_ips"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        flat = pc.list_flatten(g)
+        agg = (pa.table({"country_code": pc.struct_field(flat,
+                                                         "country_code"),
+                         "ip": pc.struct_field(flat, "ip")})
+               .group_by(["country_code", "ip"])
+               .aggregate([("ip", "count")]))
+        return pa.table({"country_code": agg["country_code"],
+                         "ip": agg["ip"], "pn": agg["ip_count"]})
+
+    counts = (enriched.map_batches(explode, batch_format="pyarrow")
+              .groupby(["country_code", "ip"])
+              .aggregate(Sum("pn", alias_name="n")))
+
+    def rollup(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n", "ip"], ascending=[False, True])
+        top = g.iloc[0]
+        return pd.DataFrame({
+            "country_code": [g["country_code"].iloc[0]],
+            "n_ips": [int(g["n"].sum())],
+            "n_uniq_ips": [len(g)],
+            "top_ip": [f"{top['ip']} ({top['country_code']})"],
+        })
+
+    out = counts.groupby("country_code").map_groups(
+        rollup, batch_format="pandas")
+    return out.sort("country_code")
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -734,4 +860,6 @@ QUERY_REGISTRY = {
     "highest_severity_event": q_highest_severity_event,
     "alert_format": q_alert_format,
     "ip_classification": q_ip_classification,
+    "nested_severity_histogram": q_nested_severity_histogram,
+    "geoip_enrichment": q_geoip_enrichment,
 }

@@ -86,11 +86,11 @@ def _fake_geo_db() -> dict[str, str]:
 
 
 def _fake_lookup(ip: str) -> str:
-    import hashlib
-
-    prefix = ".".join(ip.split(".")[:3])
-    h = hashlib.blake2b(prefix.encode(), digest_size=2).digest()
-    return _COUNTRIES[h[0] % len(_COUNTRIES)]
+    """Prefix (/24) → country code. SQL-replicable octet arithmetic so the
+    whole enrichment has an exact DuckDB oracle (a real mmdb lookup would
+    be the swap-in here)."""
+    o1, o2, o3 = (int(x) for x in ip.split(".")[:3])
+    return _COUNTRIES[(o1 * 7 + o2 * 13 + o3 * 31) % len(_COUNTRIES)]
 
 
 class GeoIPEnrich:
@@ -121,15 +121,21 @@ class GeoIPEnrich:
     def __call__(self, batch: pa.Table) -> pa.Table:
         import re
 
+        # vectorized pre-pass: pyarrow lacks a findall kernel, so the
+        # per-row Python walk is unavoidable — but only for rows that the
+        # RE2 count kernel says actually contain an IP-shaped substring
+        text = pc.fill_null(batch[self.text_col], "")
+        counts = pc.count_substring_regex(text, IP_PATTERN) \
+            .to_numpy(zero_copy_only=False)
         rex = re.compile(IP_PATTERN)
-        ips_out, cc_out = [], []
-        for t in batch[self.text_col].to_pylist():
+        ips_out = [[] for _ in range(batch.num_rows)]
+        for i in np.flatnonzero(counts > 0):
             pairs = []
-            for ip in dict.fromkeys(rex.findall(t or "")):
+            for ip in dict.fromkeys(rex.findall(text[int(i)].as_py())):
                 cc = self._lookup(ip)
                 if cc is not None:
                     pairs.append({"ip": ip, "country_code": cc})
-            ips_out.append(pairs)
+            ips_out[int(i)] = pairs
         typ = pa.list_(pa.struct([("ip", pa.string()),
                                   ("country_code", pa.string())]))
         return batch.append_column("geo_ips", pa.array(ips_out, typ))

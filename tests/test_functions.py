@@ -79,3 +79,37 @@ def test_ip_classification_query_matches_oracle():
 
     ok, msg = compare("ip_classification", "/root/testdata/sf0.001")
     assert ok, msg
+
+
+def test_nested_event_docs_roundtrip(ray_session):
+    """build_event_docs produces list<struct> documents; explode_events
+    recovers every event with correct parent attribution."""
+    import ray.data as rd
+
+    from logsentinelai_ray.stages.nested import (
+        EVENT_STRUCT,
+        build_event_docs,
+        explode_events,
+    )
+
+    tbl = pa.table({
+        "user_id": pa.array([2, 1, 2, 1, 3], pa.int64()),
+        "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+        "event_type": pa.array(["error", "view", "click", "error",
+                                "purchase"]),
+        "ts": pa.array([3, 1, 2, 4, 5], pa.timestamp("us")),
+    })
+    docs = build_event_docs(rd.from_arrow(tbl)).sort("user_id")
+    dt = pa.concat_tables(
+        list(docs.iter_batches(batch_format="pyarrow", batch_size=100)))
+    assert dt.schema.field("events").type == pa.list_(EVENT_STRUCT)
+    assert dt["user_id"].to_pylist() == [1, 2, 3]
+    evs = dt["events"].to_pylist()
+    # events within a doc ordered by (ts, event_id)
+    assert [e["event_id"] for e in evs[0]] == [11, 13]
+    assert [e["event_id"] for e in evs[1]] == [12, 10]
+    assert evs[2][0]["priority"] == 2  # purchase -> HIGH
+    flat = explode_events(dt)
+    assert sorted(zip(flat["user_id"].to_pylist(),
+                      flat["event_id"].to_pylist())) == \
+        [(1, 11), (1, 13), (2, 10), (2, 12), (3, 14)]

@@ -31,6 +31,29 @@ def _round6(arr):
     return pc.round(arr, ndigits=6)
 
 
+def _topk_block(t: pa.Table, k: int, sort_keys) -> pa.Table:
+    idx = pc.sort_indices(t, sort_keys=sort_keys)
+    return t.take(idx.slice(0, k))
+
+
+def topk(ds, k: int, sort_keys):
+    """Distributed exact top-k over an aggregated Dataset: per-block local
+    top-k inside map_batches (each key occupies exactly one row after an
+    aggregate, so per-block truncation is lossless), then a global merge
+    of <= k x blocks rows on the driver — mirrors the search engine's
+    partition top-k (query/shards.py). Nothing result-set-sized is ever
+    collected. Returns a pandas DataFrame of the final k rows."""
+    from functools import partial as _p
+
+    parts = list(ds.map_batches(_p(_topk_block, k=k, sort_keys=sort_keys),
+                                batch_format="pyarrow")
+                 .iter_batches(batch_format="pyarrow", batch_size=1 << 20))
+    if not parts:
+        return None
+    merged = pa.concat_tables(parts)
+    return _topk_block(merged, k, sort_keys).to_pandas()
+
+
 # ---------------------------------------------------------------------------
 # events: severity / aggregation / window parity (reference A1/A2/A5, O6,
 # §2.10 count windows)
@@ -94,9 +117,8 @@ def q_top_users(sf_dir: str):
 
     ds = _read(sf_dir, "events", columns=["user_id"])
     out = ds.groupby("user_id").aggregate(Count(alias_name="n_events"))
-    pdf = out.to_pandas().sort_values(["n_events", "user_id"],
-                                      ascending=[False, True]).head(10)
-    return pdf.reset_index(drop=True)
+    return topk(out, 10, [("n_events", "descending"),
+                          ("user_id", "ascending")])
 
 
 def q_user_count_windows(sf_dir: str):
@@ -180,8 +202,8 @@ def q_top_customers(sf_dir: str):
            .groupby("o_custkey")
            .aggregate(Sum("cents", alias_name="total_cents"),
                       Count(alias_name="n_orders")))
-    top = agg.to_pandas().sort_values(
-        ["total_cents", "o_custkey"], ascending=[False, True]).head(10)
+    top = topk(agg, 10, [("total_cents", "descending"),
+                         ("o_custkey", "ascending")])
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
         .to_pandas()
     name_of = dict(zip(cust["c_custkey"], cust["c_name"]))
@@ -271,9 +293,9 @@ def q_df_top_terms(sf_dir: str):
 
     out = (ds.map_batches(partial_df, batch_format="pyarrow")
            .groupby("term").aggregate(Sum("df_part", alias_name="df")))
-    pdf = out.to_pandas().sort_values(["df", "term"],
-                                      ascending=[False, True]).head(20)
-    return pdf.reset_index(drop=True)
+    # per-block local top-k → tiny global merge: nothing vocabulary-sized
+    # ever reaches the driver
+    return topk(out, 20, [("df", "descending"), ("term", "ascending")])
 
 
 _ENGINE_CACHE: dict = {}

@@ -53,23 +53,49 @@ class IndexShard:
     """Owns the segment files of a set of term partitions."""
 
     def __init__(self, index_dir: str, parts: list[int]):
+        # hold the segment as Arrow tables + a term → (table, row) index;
+        # rows are sliced lazily at lookup time. (Materializing per-term
+        # Python dicts for the whole vocabulary cost hundreds of bytes and
+        # a slow cold start per term at realistic vocabulary sizes.)
         self.parts = list(parts)
-        self.terms: dict[str, dict] = {}
+        self.tables: list[pa.Table] = []
+        self.term_index: dict[str, tuple[int, int]] = {}
         seg_dir = os.path.join(index_dir, "segments")
         for p in self.parts:
             path = os.path.join(seg_dir, f"part-{p:04d}.parquet")
             if not os.path.exists(path):
                 continue
             tbl = pq.read_table(path)
-            cols = tbl.to_pydict()
-            for i, term in enumerate(cols["term"]):
-                self.terms[term] = {k: cols[k][i] for k in tbl.column_names}
+            ti = len(self.tables)
+            self.tables.append(tbl)
+            self.term_index.update(
+                (t, (ti, i)) for i, t in enumerate(tbl["term"].to_pylist()))
 
-    def get_terms(self, terms: list[str]) -> dict[str, dict]:
-        return {t: self.terms[t] for t in terms if t in self.terms}
+    def get_terms(self, terms: list[str]) -> pa.Table | None:
+        """Requested terms' segment rows as ONE Arrow table (Ray ships
+        Arrow tables via pickle-5 out-of-band buffers — no per-value
+        pickling of the posting streams)."""
+        by_tbl: dict[int, list[int]] = {}
+        for t in terms:
+            loc = self.term_index.get(t)
+            if loc is not None:
+                by_tbl.setdefault(loc[0], []).append(loc[1])
+        if not by_tbl:
+            return None
+        slices = [self.tables[ti].take(pa.array(idx, pa.int64()))
+                  for ti, idx in sorted(by_tbl.items())]
+        return pa.concat_tables(slices)
 
     def n_terms(self) -> int:
-        return len(self.terms)
+        return len(self.term_index)
+
+    def warmup(self) -> pa.Table | None:
+        """Ship one tiny real row: the first Arrow object serialized by a
+        worker pays a one-time (~300 ms) serializer/import cost — pay it
+        at engine construction, not inside the first user query."""
+        if not self.tables:
+            return None
+        return self.tables[0].slice(0, 1)
 
 
 class SearchEngine:
@@ -101,6 +127,9 @@ class SearchEngine:
             assignment[p % n_shards].append(p)
         self.shards = [IndexShard.remote(index_dir, parts)
                        for parts in assignment]
+        # overlap segment loads across shards AND warm each worker's Arrow
+        # serialization path before the first query (see IndexShard.warmup)
+        ray.get([s.warmup.remote() for s in self.shards])
         self.part_to_shard = {p: self.shards[p % n_shards]
                               for p in range(self.P)}
         docmap = os.path.join(index_dir, "docmap")
@@ -137,8 +166,22 @@ class SearchEngine:
             futures = [shard.get_terms.remote(ts)
                        for shard, ts in by_shard.items()]
             fetched: dict[str, dict] = {}
-            for d in ray.get(futures):
-                fetched.update(d)
+            for tbl in ray.get(futures):
+                if tbl is None:
+                    continue
+                for i, t in enumerate(tbl["term"].to_pylist()):
+                    # zero-copy numpy views of the block metadata (a hot
+                    # term has ~n_docs/block_size entries — materializing
+                    # Python lists here dominated first-query latency)
+                    row: dict = {"term": t, "df": tbl["df"][i].as_py()}
+                    for f in ("block_first", "block_last", "block_count",
+                              "block_max", "block_doc_off", "block_tf_off",
+                              "block_dl_off"):
+                        row[f] = tbl[f][i].values.to_numpy(
+                            zero_copy_only=False)
+                    for f in ("doc_data", "tf_data", "dl_data"):
+                        row[f] = tbl[f][i].as_py()
+                    fetched[t] = row
             if len(self._term_cache) + len(missing) > self._term_cache_size:
                 self._term_cache.clear()
             for t in missing:

@@ -91,12 +91,16 @@ def _popcount(x: np.ndarray) -> np.ndarray:
                       ).reshape(x.size, -1).sum(axis=1)
 
 
-def _band_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
+def _band_pairs(group: pa.Table, max_hamming: int,
+                max_group: int | None) -> pa.Table:
     ids = group["doc_id"].to_numpy(zero_copy_only=False)
     fps = group["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
     order = np.argsort(ids)
     ids, fps = ids[order], fps[order]
-    if ids.size < 2:
+    if ids.size < 2 or (max_group is not None and ids.size > max_group):
+        # a degenerate band value (g docs) expands to g(g-1)/2 pairs; the
+        # cap bounds that blowup at the cost of the pairs whose ONLY
+        # shared band was the hot one (exactness holds with cap=None)
         return pa.table({"a": pa.array([], pa.int64()),
                          "b": pa.array([], pa.int64()),
                          "hamming": pa.array([], pa.int32())})
@@ -109,12 +113,21 @@ def _band_pairs(group: pa.Table, max_hamming: int) -> pa.Table:
 
 
 def simhash_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
-                  max_hamming: int = 3) -> pa.Table:
+                  max_hamming: int = 3,
+                  max_group: int | None = None) -> pa.Table:
     """Returns (a, b, hamming) with hamming <= max_hamming, sorted (a, b).
 
-    Exact under the pigeonhole banding (no missed pairs); pair discovery
-    and verification both run inside the band groupby — nothing N-sized on
-    the driver."""
+    Exact under the pigeonhole banding (no missed pairs) when
+    ``max_group`` is None; pair discovery and verification both run
+    inside the band groupby — nothing N-sized on the driver.
+
+    ``max_group`` bounds the quadratic pair expansion of a degenerate
+    band value (e.g. a boilerplate-dominated corpus where one band
+    collides across a large doc fraction): groups above the cap are
+    skipped, which can only drop pairs, never invent them. A corpus of
+    identical documents has Θ(N²) true pairs — no exact algorithm is
+    sub-quadratic in its own output, so bounding time means bounding
+    output."""
     from functools import partial
 
     from ray.data.aggregate import Min
@@ -125,11 +138,19 @@ def simhash_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
                           fn_constructor_args=(text_col, id_col, n_bands),
                           batch_format="pyarrow", concurrency=(1, 4))
     pairs = (rows.groupby(["band", "val"])
-             .map_groups(partial(_band_pairs, max_hamming=max_hamming),
+             .map_groups(partial(_band_pairs, max_hamming=max_hamming,
+                                 max_group=max_group),
                          batch_format="pyarrow")
              .groupby(["a", "b"])
              .aggregate(Min("hamming", alias_name="hamming")))
-    pdf = pairs.to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
-    return pa.Table.from_pandas(pdf, preserve_index=False).cast(
-        pa.schema([("a", pa.int64()), ("b", pa.int64()),
-                   ("hamming", pa.int32())]))
+    schema = pa.schema([("a", pa.int64()), ("b", pa.int64()),
+                        ("hamming", pa.int32())])
+    # collect via iter_batches, skipping the schema-less empty blocks an
+    # all-to-all can emit for empty partitions at tiny scale
+    parts = [b for b in pairs.iter_batches(batch_format="pyarrow",
+                                           batch_size=1 << 20)
+             if b.num_rows]
+    if not parts:
+        return schema.empty_table()
+    t = pa.concat_tables([p.select(["a", "b", "hamming"]) for p in parts])
+    return t.cast(schema).sort_by([("a", "ascending"), ("b", "ascending")])

@@ -356,15 +356,17 @@ def rollback_update(index_dir: str) -> bool:
     return True
 
 
-def update_index(new_corpus_path: str, index_dir: str,
+def update_index(new_corpus: str | list[str], index_dir: str,
                  cfg: IndexConfig | None = None,
                  delta_tag: str = "delta") -> dict:
     """Append new parquet corpus files to an existing index.
 
-    Safe to rerun after a crash with the same arguments: the pending
-    marker pins ``n_base``, every artifact write is deterministic and
-    atomic, merged parts are skipped via the manifest, and the final
-    stats commit is applied exactly once.
+    ``new_corpus`` is a parquet file/dir path OR an explicit list of
+    parquet files (the continuous-ingest watcher passes the per-round
+    file batch). Safe to rerun after a crash with the same arguments:
+    the pending marker pins ``n_base`` and the file list, every artifact
+    write is deterministic and atomic, merged parts are skipped via the
+    manifest, and the final stats commit is applied exactly once.
     """
     import ray.data as rd
 
@@ -372,18 +374,21 @@ def update_index(new_corpus_path: str, index_dir: str,
     cfg = _effective_config(stats, cfg)
     t0 = time.monotonic()
 
-    corpus_abs = os.path.abspath(new_corpus_path)
+    if isinstance(new_corpus, (list, tuple)):
+        files = sorted(os.path.abspath(f) for f in new_corpus)
+    else:
+        files = [os.path.abspath(f) for f in _corpus_files(new_corpus)]
     pending = _pending_path(index_dir)
     if os.path.exists(pending):
         with open(pending) as f:
             pend = json.load(f)
         if (pend["delta_tag"] != delta_tag
-                or pend["corpus_path"] != corpus_abs):
+                or pend["corpus_files"] != files):
             raise RuntimeError(
                 f"a previous update ({pend['delta_tag']!r} over "
-                f"{pend['corpus_path']!r}) is incomplete; rerun it with "
-                "the same arguments to resume, or rollback_update() if no "
-                "part merged yet")
+                f"{len(pend['corpus_files'])} files) is incomplete; rerun "
+                "it with the same arguments to resume, or "
+                "rollback_update() if no part merged yet")
         n_base = int(pend["n_base"])
         fingerprint = mf._fingerprint(f"{delta_tag}@{n_base}", cfg)
         if fingerprint != pend["fingerprint"]:
@@ -398,11 +403,10 @@ def update_index(new_corpus_path: str, index_dir: str,
         with open(tmp, "w") as f:
             json.dump({"fingerprint": fingerprint, "n_base": n_base,
                        "delta_tag": delta_tag,
-                       "corpus_path": corpus_abs}, f)
+                       "corpus_files": files}, f)
         os.replace(tmp, pending)
 
     # ---- id assignment: distributed anti-join vs the committed docmap
-    files = _corpus_files(new_corpus_path)
     counts = [pq.ParquetFile(f).metadata.num_rows for f in files]
     id_arrays, n_new = _assign_delta_ids(index_dir, files, counts,
                                          n_base, cfg)

@@ -113,3 +113,36 @@ def test_nested_event_docs_roundtrip(ray_session):
     assert sorted(zip(flat["user_id"].to_pylist(),
                       flat["event_id"].to_pylist())) == \
         [(1, 11), (1, 13), (2, 10), (2, 12), (3, 14)]
+
+
+def test_simhash_max_group_bounds_degenerate_bands(ray_session):
+    """Adversarial constant corpus: every band value collides across all
+    docs. Uncapped on a small corpus → all C(n,2) hamming-0 pairs; with
+    max_group the degenerate bands are skipped in bounded time."""
+    import time
+
+    import ray.data as rd
+
+    from logsentinelai_ray.dedup.simhash import simhash_dupes
+
+    n_small = 40
+    small = pa.table({
+        "doc_id": pa.array(np.arange(n_small), pa.int64()),
+        "text": pa.array(["the same boilerplate text repeated forever"]
+                         * n_small),
+    })
+    out = simhash_dupes(rd.from_arrow(small))
+    assert out.num_rows == n_small * (n_small - 1) // 2
+    assert set(out["hamming"].to_pylist()) == {0}
+
+    n_big = 4000
+    big = pa.table({
+        "doc_id": pa.array(np.arange(n_big), pa.int64()),
+        "text": pa.array(["the same boilerplate text repeated forever"]
+                         * n_big),
+    })
+    t0 = time.monotonic()
+    capped = simhash_dupes(rd.from_arrow(big), max_group=100)
+    elapsed = time.monotonic() - t0
+    assert capped.num_rows == 0  # every band group exceeds the cap
+    assert elapsed < 60, f"degenerate corpus took {elapsed:.1f}s with cap"

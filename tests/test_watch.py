@@ -1,0 +1,153 @@
+"""Continuous ingest (reference core/monitoring.py:301-438 analog): the
+watcher must pick up dropped files round by round, stay rank-identical to
+a from-scratch rebuild after every round, load-shed to max_batch_files,
+and resume a crashed round from the pending marker."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from tests.conftest import QUERY_SET
+
+
+def _search_ids(index_dir, queries, k=15):
+    """Ranked (document-key, score) lists — doc_id numbering differs
+    between an incremental index and a from-scratch rebuild (new keys
+    rank after existing ones), so identity is judged on the documents
+    themselves."""
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    eng = SearchEngine(index_dir, num_shards=2)
+    try:
+        out = {}
+        for q in queries:
+            r = eng.search(q, k=k)
+            out[q] = list(zip(r["sha256"].to_pylist(),
+                              r["score"].to_pylist()))
+        return out
+    finally:
+        eng.shutdown()
+
+
+def test_watcher_ingests_deltas_rank_identical(ray_session,
+                                               tmp_path_factory):
+    from logsentinelai_ray.config import CorpusConfig, IndexConfig
+    from logsentinelai_ray.corpus import generate_corpus
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.index.watch import CorpusWatcher
+
+    root = tmp_path_factory.mktemp("watch")
+    live = str(root / "live")
+    os.makedirs(live)
+    cfg = IndexConfig(num_partitions=8, salt_buckets=2, block_size=32)
+
+    base = generate_corpus(CorpusConfig(n_docs=150, seed=51))
+    pq.write_table(base, f"{live}/000-base.parquet")
+    idx = str(root / "idx")
+    build_index(live, idx, cfg, corpus_tag="base")
+
+    watcher = CorpusWatcher(live, idx, cfg)
+    # frontier starts empty; mark the base file as already ingested
+    from logsentinelai_ray.index.watch import _write_frontier
+    _write_frontier(idx, [os.path.abspath(f"{live}/000-base.parquet")])
+    assert watcher.poll_once() is None  # nothing new yet
+
+    deltas = [generate_corpus(CorpusConfig(n_docs=60, seed=s))
+              for s in (52, 53, 54)]
+    tables_so_far = [base]
+    queries = QUERY_SET[:4]
+    for i, d in enumerate(deltas):
+        pq.write_table(d, f"{live}/{i + 1:03d}-delta.parquet")
+        res = watcher.poll_once()
+        assert res is not None and res["n_new_docs"] > 0
+        tables_so_far.append(d)
+
+        # full rebuild over everything dropped so far → rank-identical
+        rebuild_dir = str(root / f"rebuild{i}")
+        build_index(live, rebuild_dir, cfg, corpus_tag=f"rb{i}")
+        got = _search_ids(idx, queries)
+        exp = _search_ids(rebuild_dir, queries)
+        assert got == exp, f"round {i} diverged from full rebuild"
+
+
+def test_watcher_load_shed_and_crash_resume(ray_session, tmp_path_factory):
+    import logsentinelai_ray.index.update as upd
+    from logsentinelai_ray.config import CorpusConfig, IndexConfig
+    from logsentinelai_ray.corpus import generate_corpus
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.index.watch import CorpusWatcher, read_frontier
+
+    root = tmp_path_factory.mktemp("shed")
+    live = str(root / "live")
+    os.makedirs(live)
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2, block_size=32)
+    pq.write_table(generate_corpus(CorpusConfig(n_docs=80, seed=61)),
+                   f"{live}/000.parquet")
+    idx = str(root / "idx")
+    build_index(f"{live}/000.parquet", idx, cfg, corpus_tag="b")
+    watcher = CorpusWatcher(live, idx, cfg, max_batch_files=1)
+    from logsentinelai_ray.index.watch import _write_frontier
+    _write_frontier(idx, [os.path.abspath(f"{live}/000.parquet")])
+
+    for s in (62, 63):
+        pq.write_table(generate_corpus(CorpusConfig(n_docs=30, seed=s)),
+                       f"{live}/{s}.parquet")
+    # load shed: one file per round
+    assert len(watcher.pending_files()) == 2
+    r1 = watcher.poll_once()
+    assert r1["n_new_docs"] == 30
+    assert len(watcher.pending_files()) == 1
+
+    # crash the second round mid-merge, then resume via the watcher
+    orig = upd._merge_delta_part
+    state = {"n": 0}
+
+    class Boom:
+        def remote(self, *a, **k):
+            if state["n"] >= 1:
+                raise RuntimeError("simulated crash")
+            state["n"] += 1
+            import ray as _ray
+            ref = orig.remote(*a, **k)
+            _ray.get(ref)
+            return ref
+
+    upd._merge_delta_part = Boom()
+    try:
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            watcher.poll_once()
+    finally:
+        upd._merge_delta_part = orig
+    # frontier not advanced by the crashed round
+    assert len(watcher.pending_files()) == 1
+    r2 = watcher.poll_once()  # resumes from the pending marker
+    assert r2["n_new_docs"] == 30
+    assert watcher.poll_once() is None
+    assert len(read_frontier(idx)) == 3
+
+    # index consistent: docmap covers all docs exactly once
+    docmap = pq.read_table(os.path.join(idx, "docmap"))
+    assert sorted(docmap["doc_id"].to_pylist()) == list(range(140))
+
+
+def test_watcher_run_loop_stops_on_idle(ray_session, tmp_path_factory):
+    from logsentinelai_ray.config import CorpusConfig, IndexConfig
+    from logsentinelai_ray.corpus import generate_corpus
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.index.watch import CorpusWatcher, _write_frontier
+
+    root = tmp_path_factory.mktemp("loop")
+    live = str(root / "live")
+    os.makedirs(live)
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2, block_size=32)
+    pq.write_table(generate_corpus(CorpusConfig(n_docs=50, seed=71)),
+                   f"{live}/000.parquet")
+    idx = str(root / "idx")
+    build_index(f"{live}/000.parquet", idx, cfg, corpus_tag="b")
+    watcher = CorpusWatcher(live, idx, cfg)
+    _write_frontier(idx, [os.path.abspath(f"{live}/000.parquet")])
+    pq.write_table(generate_corpus(CorpusConfig(n_docs=20, seed=72)),
+                   f"{live}/001.parquet")
+    results = watcher.run(poll_interval=0.05, idle_rounds=2)
+    assert len(results) == 1 and results[0]["n_new_docs"] == 20

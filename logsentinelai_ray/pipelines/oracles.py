@@ -332,6 +332,15 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN agg a USING (lang)
         ORDER BY d.lang
     """,
+    "alert_sink": f"""
+        SELECT event_id, {_SEVERITY_CASE} AS priority,
+               '[' || CASE {_SEVERITY_CASE} WHEN 1 THEN 'CRITICAL'
+                      ELSE 'HIGH' END ||
+               '] user=' || CAST(user_id AS VARCHAR) ||
+               ' props=' || substring(coalesce(props, ''), 1, 100)
+                   AS message
+        FROM events WHERE {_SEVERITY_CASE} <= 2 ORDER BY event_id
+    """,
     # nested build→explode→aggregate reduces to a flat group-by over the
     # same rows (the nesting is the Ray pipeline's work, not the math's)
     "nested_severity_histogram": f"""

@@ -723,6 +723,40 @@ def q_ip_classification(sf_dir: str):
     return out.sort("lang")
 
 
+def q_alert_sink(sf_dir: str):
+    """The severity-threshold → notify flow end-to-end (K3 with a real
+    transport half, reference utils/telegram_alert.py:22-61): format
+    alerts at priority <= 2, DELIVER them through a FileAlertSink actor
+    pool, then read the delivered JSONL back as the result — the
+    returned rows are what actually landed in the sink."""
+    import glob
+    import hashlib
+    import json as _json
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages.alerts import FileAlertSink, notify_alerts
+
+    out_dir = os.path.join(
+        "/tmp/lsai_alert_sink",
+        hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:16])
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "user_id", "props"])
+    notify_alerts(ds, lambda: FileAlertSink(out_dir), min_priority=2)
+    rows = []
+    for path in sorted(glob.glob(os.path.join(out_dir, "*.jsonl"))):
+        with open(path) as f:
+            rows.extend(_json.loads(line) for line in f)
+    tbl = pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "priority": pa.array([r["priority"] for r in rows], pa.int32()),
+        "message": pa.array([r["message"] for r in rows], pa.string()),
+    })
+    return tbl.sort_by("event_id")
+
+
 def q_nested_severity_histogram(sf_dir: str):
     """The Kibana ``events.severity.keyword`` panel done properly as a
     NESTED-field aggregation (reference analyzers/httpd_access.py:33-61:
@@ -884,4 +918,5 @@ QUERY_REGISTRY = {
     "ip_classification": q_ip_classification,
     "nested_severity_histogram": q_nested_severity_histogram,
     "geoip_enrichment": q_geoip_enrichment,
+    "alert_sink": q_alert_sink,
 }

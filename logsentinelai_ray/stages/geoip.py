@@ -93,17 +93,43 @@ def _fake_lookup(ip: str) -> str:
     return _COUNTRIES[(o1 * 7 + o2 * 13 + o3 * 31) % len(_COUNTRIES)]
 
 
+def mmdb_lookup_factory(mmdb_path: str):
+    """Real-database lookup via maxminddb (OPTIONAL dependency — absent
+    from this container, so the deterministic ``_fake_lookup`` stand-in
+    is the default; reference core/geoip.py:21-59 loads the mmdb once,
+    utils/geoip_downloader.py:36-135 fetches it). Pass the returned
+    callable as ``GeoIPEnrich(lookup_fn=...)`` to swap the real DB in."""
+    try:
+        import maxminddb
+    except ImportError as e:  # pragma: no cover - dep absent here
+        raise ImportError(
+            "maxminddb is not installed; GeoIPEnrich falls back to the "
+            "documented synthetic lookup unless a lookup_fn is provided"
+        ) from e
+    reader = maxminddb.open_database(mmdb_path)
+
+    def lookup(ip: str) -> str | None:
+        rec = reader.get(ip) or {}
+        return (rec.get("country") or {}).get("iso_code")
+
+    return lookup
+
+
 class GeoIPEnrich:
     """Actor-pool stage: extract public IPs per row, enrich each with a
     country code via the broadcast DB handle; private/invalid IPs are
-    dropped exactly like the reference (core/geoip.py:183-216)."""
+    dropped exactly like the reference (core/geoip.py:183-216).
+
+    ``lookup_fn`` overrides the per-IP country resolution (e.g.
+    ``mmdb_lookup_factory(path)`` for a real GeoLite2 database)."""
 
     def __init__(self, db_ref=None, cache_size: int = 1000,
-                 text_col: str = "content"):
+                 text_col: str = "content", lookup_fn=None):
         import ray
 
         self.db = ray.get(db_ref) if db_ref is not None else _fake_geo_db()
         self.text_col = text_col
+        self.lookup_fn = lookup_fn
         self.cache: dict[str, str | None] = {}
         self.cache_size = cache_size  # reference GEOIP_CACHE_SIZE=1000
 
@@ -111,8 +137,13 @@ class GeoIPEnrich:
         hit = self.cache.get(ip, "__miss__")
         if hit != "__miss__":
             return hit
-        val = None if is_private_ip(ip) else \
-            self.db.get(".".join(ip.split(".")[:3])) or _fake_lookup(ip)
+        if is_private_ip(ip):
+            val = None
+        elif self.lookup_fn is not None:
+            val = self.lookup_fn(ip)
+        else:
+            val = self.db.get(".".join(ip.split(".")[:3])) \
+                or _fake_lookup(ip)
         if len(self.cache) >= self.cache_size:
             self.cache.clear()
         self.cache[ip] = val

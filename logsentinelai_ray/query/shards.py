@@ -44,12 +44,16 @@ from .postings import PostingsCursor, TermPostings
 from .wand import block_max_wand
 
 
-@ray.remote(num_cpus=0.1)
+@ray.remote(num_cpus=0.1, max_concurrency=4)
 class IndexShard:
     # num_cpus=0.1: shards are memory-holders that serve short lookup
     # bursts; larger reservations accumulate across cached engines and
     # starve concurrently-running pipelines (actor pools + map tasks) on
-    # small clusters.
+    # small clusters. max_concurrency=4: every method is read-only after
+    # __init__ (tables + term_index are immutable), so a threaded actor
+    # lets an on-demand decode_term run instead of queueing behind the
+    # speculative prewarm backlog (numpy decode releases the GIL for its
+    # vectorized passes).
     """Owns the segment files of a set of term partitions."""
 
     def __init__(self, index_dir: str, parts: list[int]):
@@ -95,7 +99,51 @@ class IndexShard:
         at engine construction, not inside the first user query."""
         if not self.tables:
             return None
-        return self.tables[0].slice(0, 1)
+        return self.tables[0].slice(0, 1), np.zeros(1)
+
+    def hot_terms(self, top_n: int) -> list[str]:
+        """This shard's highest-df content terms (the Zipf head that
+        dominates TAAT decode cost) — drives speculative prewarm."""
+        pairs: list[tuple[int, str]] = []
+        for tbl in self.tables:
+            if tbl.num_rows == 0:
+                continue
+            idx = pc.sort_indices(
+                tbl, sort_keys=[("df", "descending")]).slice(0, top_n)
+            sel = tbl.take(idx)
+            pairs.extend(zip(sel["df"].to_pylist(),
+                             sel["term"].to_pylist()))
+        pairs.sort(reverse=True)
+        return [t for _, t in pairs[:top_n] if ":" not in t]
+
+    def decode_term(self, term: str, n_docs: int, k1: float, b: float,
+                    avgdl: float):
+        """Shard-side TAAT decode: (df, doc_ids, idf*tf_norm) for one
+        term, or None. Decoding runs where the compressed row lives, in
+        parallel across the shards owning a query's terms, and the
+        result arrays come back zero-copy through the object store —
+        the driver never decodes hot posting lists serially. The float
+        expression tree matches bm25_tf_norm exactly (elementwise IEEE
+        ops ≡ the scalar oracle bit-for-bit)."""
+        loc = self.term_index.get(term)
+        if loc is None:
+            return None
+        tbl = self.tables[loc[0]]
+        i = loc[1]
+        row: dict = {"term": term, "df": tbl["df"][i].as_py()}
+        for f in ("block_first", "block_last", "block_count", "block_max",
+                  "block_doc_off", "block_tf_off", "block_dl_off"):
+            row[f] = tbl[f][i].values.to_numpy(zero_copy_only=False)
+        for f in ("doc_data", "tf_data", "dl_data"):
+            row[f] = tbl[f][i].as_py()
+        tp = TermPostings(row)
+        idf = bm25_idf(n_docs, int(tp.df))
+        ids, tfs, dls = tp.decode_all()
+        tf = tfs.astype(np.float64)
+        dl = dls.astype(np.float64)
+        contrib = idf * (tf * (k1 + 1.0)
+                         / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+        return int(tp.df), ids, contrib
 
 
 class SearchEngine:
@@ -115,7 +163,8 @@ class SearchEngine:
 
     def __init__(self, index_dir: str, num_shards: int | None = None,
                  taat_max_docs: int = 5_000_000,
-                 term_cache_size: int = 4096):
+                 term_cache_size: int = 4096,
+                 prewarm_hot_terms: int = 16):
         self.index_dir = index_dir
         self.stats = mf.read_stats(index_dir)
         self.P = int(self.stats["num_partitions"])
@@ -142,12 +191,29 @@ class SearchEngine:
         self._term_cache_size = term_cache_size
         # decoded-contribution cache for TAAT: (ids, idf*tf_norm, df) per
         # term — decode+scoring dominate repeat-query latency; bounded by
-        # total cached postings. Valid for this engine's lifetime (stats
-        # are fixed at construction; rebuild the engine after updates).
+        # total cached postings (~16 B each decoded). Valid for this
+        # engine's lifetime (stats are fixed at construction; rebuild the
+        # engine after updates).
         self._contrib_cache: dict[str, tuple] = {}
-        self._contrib_budget = 8_000_000  # postings
+        self._absent_terms: set[str] = set()
+        self._contrib_budget = 64_000_000  # postings (~1 GB decoded)
         self._contrib_cached = 0
         self._docmap_mem = None  # lazy in-memory docmap (small-N fast path)
+        # speculative prewarm: kick off shard-side decodes of each
+        # shard's Zipf-head terms NOW (results wait in the object store,
+        # materialized on first use) — first queries for hot terms find
+        # their decode already done/overlapped instead of paying it
+        self._pending: dict = {}
+        if prewarm_hot_terms and int(self.stats["n_docs"]):
+            n = int(self.stats["n_docs"])
+            k1, b, avgdl = (self.stats["k1"], self.stats["b"],
+                            self.stats["avgdl"])
+            hot = ray.get([s.hot_terms.remote(prewarm_hot_terms)
+                           for s in self.shards])
+            for shard, terms in zip(self.shards, hot):
+                for t in terms:
+                    self._pending[t] = shard.decode_term.remote(
+                        t, n, k1, b, avgdl)
 
     def shutdown(self) -> None:
         for s in self.shards:
@@ -242,42 +308,53 @@ class SearchEngine:
         return self._docs_dataset.to_table(
             columns=self._DOCMAP_COLS, filter=flt)
 
-    def _term_contrib(self, t: str, row: dict
-                      ) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_ids, idf*tf_norm) for one term, cached decoded."""
-        hit = self._contrib_cache.get(t)
-        if hit is not None:
-            return hit
+    def _ensure_contribs(self, terms: list[str]) -> None:
+        """Populate the decoded-contribution cache for ``terms`` with ONE
+        parallel round of shard-side decodes (IndexShard.decode_term):
+        hot posting lists are decoded where they live, concurrently
+        across the shards owning the query's terms, and the (ids,
+        contrib) arrays return zero-copy through the object store — the
+        driver never serially decodes a df~N list."""
+        missing = [t for t in terms if t not in self._contrib_cache
+                   and t not in self._absent_terms]
+        if not missing:
+            return
         n = int(self.stats["n_docs"])
         k1, b, avgdl = (self.stats["k1"], self.stats["b"],
                         self.stats["avgdl"])
-        tp = TermPostings(row)
-        idf = bm25_idf(n, int(tp.df))
-        ids, tfs, dls = tp.decode_all()
-        tf = tfs.astype(np.float64)
-        dl = dls.astype(np.float64)
-        # identical expression tree to bm25_tf_norm (elementwise IEEE ops
-        # match the scalar oracle bit-for-bit)
-        contrib = idf * (tf * (k1 + 1.0)
-                         / (tf + k1 * (1.0 - b + b * dl / avgdl)))
-        if self._contrib_cached + ids.size > self._contrib_budget:
+        futures = [
+            (t, self._pending.pop(t, None)
+             or self.part_to_shard[term_partition(t, self.P)]
+             .decode_term.remote(t, n, k1, b, avgdl)) for t in missing]
+        results = list(zip((t for t, _ in futures),
+                           ray.get([f for _, f in futures])))
+        # evict BEFORE inserting, never mid-round: one query's terms must
+        # all be resident together or TAAT would silently drop a term
+        round_size = sum(r[1].size for _, r in results if r is not None)
+        if self._contrib_cached + round_size > self._contrib_budget:
             self._contrib_cache.clear()
+            self._absent_terms.clear()
             self._contrib_cached = 0
-        self._contrib_cache[t] = (ids, contrib)
-        self._contrib_cached += ids.size
-        return ids, contrib
+        for t, res in results:
+            if res is None:
+                self._absent_terms.add(t)
+                continue
+            df, ids, contrib = res
+            self._contrib_cache[t] = (ids, contrib, df)
+            self._contrib_cached += ids.size
 
-    def _search_taat(self, rows: dict[str, dict], terms: list[str],
-                     k: int, filter_ids: np.ndarray | None
+    def _search_taat(self, terms: list[str], k: int,
+                     filter_ids: np.ndarray | None
                      ) -> list[tuple[int, float]]:
-        """Vectorized term-at-a-time exact scoring (dense accumulator)."""
+        """Vectorized term-at-a-time exact scoring (dense accumulator).
+        Call ``_ensure_contribs(terms)`` first."""
         n = int(self.stats["n_docs"])
         acc = np.zeros(n, dtype=np.float64)
         for t in terms:  # sorted-term order = the oracle's addition order
-            row = rows.get(t)
-            if row is None:
+            hit = self._contrib_cache.get(t)
+            if hit is None:
                 continue
-            ids, contrib = self._term_contrib(t, row)
+            ids, contrib, _df = hit
             acc[ids] += contrib
         cand = np.flatnonzero(acc > 0.0)
         if filter_ids is not None:
@@ -312,7 +389,6 @@ class SearchEngine:
         ``strategy``: None = auto (TAAT when the accumulator fits),
         "taat" / "wand" to force a path (both are exact)."""
         terms = sorted(set(tokenize_py(text, int(self.stats["max_token_len"]))))
-        rows = self._fetch_terms(terms)
         n, avgdl = self.stats["n_docs"], self.stats["avgdl"]
         if strategy is None:
             strategy = "taat" if n <= self.taat_max_docs else "wand"
@@ -321,8 +397,10 @@ class SearchEngine:
             if filter_ids is not None and filter_ids.size == 0:
                 topk = []
             else:
-                topk = self._search_taat(rows, terms, k, filter_ids)
+                self._ensure_contribs(terms)
+                topk = self._search_taat(terms, k, filter_ids)
             return self._format_result(topk, with_meta)
+        rows = self._fetch_terms(terms)
         bounds_avgdl = self.stats.get("min_bounds_avgdl", avgdl) or avgdl
         bound_scale = max(1.0, avgdl / bounds_avgdl)
         cursors = []
@@ -336,12 +414,12 @@ class SearchEngine:
                                           self.stats["b"], avgdl,
                                           bound_scale))
         pred = self._filter_predicate(filters)
-        seed = None if filters else self._wand_seed(rows, terms, k)
+        seed = None if filters else self._wand_seed(terms, k)
         topk = block_max_wand(cursors, k, pred, seed_threshold=seed)
         return self._format_result(topk, with_meta)
 
-    def _wand_seed(self, rows: dict[str, dict], terms: list[str],
-                   k: int, max_seed_df: int = 10_000) -> float | None:
+    def _wand_seed(self, terms: list[str], k: int,
+                   max_seed_df: int = 10_000) -> float | None:
         """Exact threshold warm-start for WAND: fully score the rarest
         term's candidate docs (a mini-TAAT over <= max_seed_df docs using
         the cached decoded contributions) — the k-th best of that subset
@@ -349,23 +427,26 @@ class SearchEngine:
         nextafter(bound, -inf) is a safe initial pruning threshold.
         Without it, mixed rare+hot queries only reach a useful threshold
         after scanning a large fraction of the hot lists."""
-        present = [(int(rows[t]["df"]), t) for t in terms if t in rows]
+        self._ensure_contribs(terms)
+        present = [(hit[2], t) for t in terms
+                   if (hit := self._contrib_cache.get(t)) is not None]
         if len(present) < 2:
             return None
         min_df, rare = min(present)
         if min_df > max_seed_df or min_df < k:
             return None
-        cand, _ = self._term_contrib(rare, rows[rare])
+        cand = self._contrib_cache[rare][0]
         totals = np.zeros(cand.size, dtype=np.float64)
         for t in terms:  # sorted-term order — exact score assembly
-            if t not in rows:
+            hit = self._contrib_cache.get(t)
+            if hit is None:
                 continue
-            ids, contrib = self._term_contrib(t, rows[t])
+            ids, contrib, _df = hit
             pos = np.searchsorted(ids, cand)
             ok = pos < ids.size
-            hit = np.zeros(cand.size, dtype=bool)
-            hit[ok] = ids[pos[ok]] == cand[ok]
-            totals[hit] += contrib[pos[hit]]
+            sel = np.zeros(cand.size, dtype=bool)
+            sel[ok] = ids[pos[ok]] == cand[ok]
+            totals[sel] += contrib[pos[sel]]
         if totals.size < k:
             return None
         kth = float(np.partition(totals, -k)[-k])

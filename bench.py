@@ -156,7 +156,8 @@ def bench_pipelines() -> dict:
              "user_count_windows", "dedup_exact", "ngram_jaccard_dupes",
              "dedup_minhash", "dedup_simhash", "quality_by_lang",
              "lang_id_confusion", "embedding_knn", "multimodal_stats",
-             "df_top_terms"]
+             "df_top_terms", "nested_severity_histogram",
+             "geoip_enrichment", "alert_sink"]
     out = {}
     for name in names:
         t0 = time.monotonic()

@@ -8,6 +8,9 @@ Usage (each subcommand owns its Ray session):
   python -m logsentinelai_ray build  --corpus DIR --index DIR [--tag T]
                                      [--partitions N] [--salts S]
   python -m logsentinelai_ray update --corpus DIR --index DIR [--tag T]
+  python -m logsentinelai_ray watch  --corpus DIR --index DIR
+                                     [--interval S] [--max-batch-files N]
+                                     [--max-rounds R] [--idle-rounds I]
   python -m logsentinelai_ray search --index DIR "query text" [-k K]
                                      [--filter lang=python] [--strategy s]
   python -m logsentinelai_ray gen    --out DIR --docs N [--seed S]
@@ -55,12 +58,22 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--salts", type=int, default=4)
 
     u = sub.add_parser("update", parents=[common],
-                       help="append new corpus files to an index")
+                       help="append new corpus files to an index (the "
+                            "index-shape config derives from stats.json)")
     u.add_argument("--corpus", required=True)
     u.add_argument("--index", required=True)
     u.add_argument("--tag", default="cli-delta")
-    u.add_argument("--partitions", type=int, default=32)
-    u.add_argument("--salts", type=int, default=4)
+
+    w = sub.add_parser("watch", parents=[common],
+                       help="poll a corpus dir and ingest new parquet "
+                            "files (realtime-monitor analog)")
+    w.add_argument("--corpus", required=True)
+    w.add_argument("--index", required=True)
+    w.add_argument("--interval", type=float, default=2.0)
+    w.add_argument("--max-batch-files", type=int, default=None)
+    w.add_argument("--max-rounds", type=int, default=None)
+    w.add_argument("--idle-rounds", type=int, default=None,
+                   help="stop after this many consecutive empty polls")
 
     s = sub.add_parser("search", parents=[common],
                        help="BM25 top-k query")
@@ -104,14 +117,23 @@ def main(argv: list[str] | None = None) -> int:
                               "timings": meta["timings"],
                               "total_s": meta["total_s"]}))
         elif args.cmd == "update":
-            from .config import IndexConfig
             from .index.update import update_index
 
-            cfg = IndexConfig(num_partitions=args.partitions,
-                              salt_buckets=args.salts)
-            res = update_index(args.corpus, args.index, cfg,
+            # cfg=None derives num_partitions/salts/etc from the index's
+            # own stats.json — a CLI default can't mis-route postings
+            res = update_index(args.corpus, args.index, None,
                                delta_tag=args.tag)
             print(json.dumps(res))
+        elif args.cmd == "watch":
+            from .index.watch import CorpusWatcher
+
+            watcher = CorpusWatcher(args.corpus, args.index, None,
+                                    max_batch_files=args.max_batch_files)
+            results = watcher.run(poll_interval=args.interval,
+                                  max_rounds=args.max_rounds,
+                                  idle_rounds=args.idle_rounds)
+            print(json.dumps({"rounds_ingested": len(results),
+                              "results": results}))
         elif args.cmd == "search":
             from .query.shards import SearchEngine
 

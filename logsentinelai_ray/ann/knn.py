@@ -82,31 +82,133 @@ class _LSHBucketer:
         return (bits * (1 << np.arange(bits.shape[1]))).sum(axis=1)
 
 
+def _probe_buckets(q: np.ndarray, bucketer: "_LSHBucketer",
+                   n_probes: int) -> np.ndarray:
+    """Multi-probe bucket set: the query's own bucket plus single-bit
+    flips of the LEAST-confident hyperplanes first (smallest |projection|
+    — the standard multi-probe LSH ordering). Recall rises with
+    ``n_probes`` at linear extra scan cost; single-probe recall sags as
+    dimensionality grows because near neighbors straddle low-margin
+    planes."""
+    proj = q @ bucketer.planes
+    base = int(((proj > 0) * (1 << np.arange(proj.size))).sum())
+    a = np.abs(proj)
+    n = proj.size
+    # perturbation sets of size <= 2, ordered by total flipped margin
+    # (near neighbors of a weak-cosine query sit 2-3 bits away, so
+    # single-bit probing alone stalls)
+    cands: list[tuple[float, int]] = [(0.0, 0)]
+    for i in range(n):
+        cands.append((a[i], 1 << i))
+        for j in range(i + 1, n):
+            cands.append((a[i] + a[j], (1 << i) | (1 << j)))
+    cands.sort()
+    return np.asarray([base ^ m for _, m in cands[:n_probes]],
+                      dtype=np.int64)
+
+
 def cosine_topk_lsh(ds, query_vec, k: int = 10, vec_col: str = "embedding",
-                    id_col: str = "vec_id", n_planes: int = 8,
-                    seed: int = 42) -> pa.Table:
-    """Approximate top-k: scan only rows whose LSH bucket matches the
-    query's. Returns the same schema as the brute-force variant."""
+                    id_col: str = "vec_id", n_planes: int = 6,
+                    seed: int = 42, n_probes: int = 8,
+                    n_tables: int = 4) -> pa.Table:
+    """Approximate top-k: scan only rows whose bucket, in ANY of the
+    ``n_tables`` independent hyperplane tables, is in that table's
+    multi-probe set. Multiple tables are the recall lever (a weak-cosine
+    neighbor flips ~p·n_planes bits in one table, so single-table
+    probing stalls); probes-per-table are the precision lever. Returns
+    the brute-force schema."""
     import ray
 
     q = np.asarray(query_vec, dtype=np.float64)
-    bucketer = _LSHBucketer(q.size, n_planes, seed)
-    q_bucket = int(bucketer.bucket(q[None, :])[0])
-    q_ref = ray.put((q, q_bucket))
+    seeds = [seed + 131 * t for t in range(n_tables)]
+    probes = [
+        _probe_buckets(q, _LSHBucketer(q.size, n_planes, s), n_probes)
+        for s in seeds]
+    q_ref = ray.put((q, probes))
 
     def local(batch: pa.Table) -> pa.Table:
-        qv, qb = ray.get(q_ref)
+        qv, prs = ray.get(q_ref)
         mat = _batch_vectors(batch, vec_col)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         if mat.size == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
-        b = _LSHBucketer(qv.size, n_planes, seed)
-        keep = b.bucket(mat) == qb
+        keep = np.zeros(mat.shape[0], dtype=bool)
+        for s, pr in zip(seeds, prs):
+            b = _LSHBucketer(qv.size, n_planes, s)
+            keep |= np.isin(b.bucket(mat), pr)
         mat, ids = mat[keep], ids[keep]
         if mat.size == 0:
             return pa.table({id_col: pa.array([], pa.int64()),
                              "cosine": pa.array([], pa.float64())})
+        cos = _cosine(mat, qv)
+        order = np.lexsort((ids, -cos))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "cosine": pa.array(cos[order], pa.float64())})
+
+    cand = ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["cosine", id_col],
+                            ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(cand.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def ivf_centroids(ds, n_centroids: int = 16, n_iters: int = 8,
+                  sample_size: int = 4096, vec_col: str = "embedding",
+                  seed: int = 42) -> np.ndarray:
+    """Coarse quantizer for IVF: spherical k-means over a bounded sample
+    (sampling, not a full pass — at 10^12 rows the sample is still a
+    representative few thousand vectors; the assignment pass below is
+    what scans everything). Deterministic for a fixed seed."""
+    sample = ds.limit(sample_size).to_pandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in sample[vec_col]])
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    rng = np.random.RandomState(seed)
+    cent = unit[rng.choice(unit.shape[0],
+                           size=min(n_centroids, unit.shape[0]),
+                           replace=False)]
+    for _ in range(n_iters):
+        assign = np.argmax(unit @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            m = assign == c
+            if m.any():
+                v = unit[m].mean(axis=0)
+                n = np.sqrt((v * v).sum()) or 1.0
+                cent[c] = v / n
+    return cent
+
+
+def cosine_topk_ivf(ds, query_vec, centroids: np.ndarray, k: int = 10,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    n_probe: int = 2) -> pa.Table:
+    """IVF approximate top-k: scan only rows assigned to the ``n_probe``
+    centroids nearest the query (centroids broadcast via ray.put).
+    Returns the brute-force schema; recall rises with n_probe."""
+    import ray
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum()) or 1.0
+    probe = np.argsort(-(centroids @ (q / qn)))[:n_probe]
+    ref = ray.put((q, centroids, np.asarray(probe)))
+
+    def local(batch: pa.Table) -> pa.Table:
+        qv, cent, pr = ray.get(ref)
+        mat = _batch_vectors(batch, vec_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "cosine": pa.array([], pa.float64())})
+        if mat.size == 0:
+            return empty
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        assign = np.argmax((mat / norms[:, None]) @ cent.T, axis=1)
+        keep = np.isin(assign, pr)
+        mat, ids = mat[keep], ids[keep]
+        if mat.size == 0:
+            return empty
         cos = _cosine(mat, qv)
         order = np.lexsort((ids, -cos))[:k]
         return pa.table({id_col: pa.array(ids[order], pa.int64()),

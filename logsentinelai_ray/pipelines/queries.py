@@ -576,6 +576,20 @@ def q_embedding_knn_lsh(sf_dir: str):
                      "cosine": _round6(out["cosine"])})
 
 
+def q_embedding_knn_ivf(sf_dir: str):
+    """IVF coarse-quantizer ANN (sampled spherical k-means centroids,
+    n_probe nearest lists scanned) — the inverted-file scale path next
+    to the LSH one; approximate by design (rows-only check)."""
+    from ..ann import cosine_topk_ivf, ivf_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cent = ivf_centroids(ds, n_centroids=16)
+    out = cosine_topk_ivf(ds, _query_vector(sf_dir), cent, k=10,
+                          n_probe=4)
+    return pa.table({"vec_id": out["vec_id"],
+                     "cosine": _round6(out["cosine"])})
+
+
 # ---------------------------------------------------------------------------
 # multimodal
 # ---------------------------------------------------------------------------
@@ -910,6 +924,7 @@ QUERY_REGISTRY = {
     "fingerprint_rolling": q_fingerprint_rolling,
     "embedding_knn": q_embedding_knn,
     "embedding_knn_lsh": q_embedding_knn_lsh,
+    "embedding_knn_ivf": q_embedding_knn_ivf,
     "multimodal_stats": q_multimodal_stats,
     "multimodal_features": q_multimodal_features,
     "session_duration": q_session_duration,

@@ -219,3 +219,37 @@ def test_geoip_mmdb_seam():
     out = enrich(pa.table({"content": pa.array(["hit 8.8.8.8 now"])}))
     assert out["geo_ips"].to_pylist() == [
         [{"ip": "8.8.8.8", "country_code": "XX"}]]
+
+
+def test_ann_recall_multiprobe_and_ivf(ray_session):
+    """Approximate ANN paths against the exact baseline at sf0.01:
+    multi-probe LSH must beat single-probe recall, and IVF with n_probe=4
+    must reach recall@10 >= 0.5 on this deterministic corpus."""
+    import ray.data as rd
+
+    from logsentinelai_ray.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+        cosine_topk_lsh,
+        ivf_centroids,
+    )
+
+    sf = "/root/testdata/sf0.01/embeddings.parquet"
+    ds = rd.read_parquet(sf, columns=["vec_id", "embedding"])
+    import pyarrow.parquet as pq
+
+    q = pq.read_table(sf, columns=["vec_id", "embedding"]) \
+        .filter(pa.compute.equal(pa.compute.field("vec_id"), 0)) \
+        ["embedding"][0].as_py()
+    exact = set(cosine_topk_bruteforce(ds, q, k=10)["vec_id"].to_pylist())
+
+    single = set(cosine_topk_lsh(ds, q, k=10, n_tables=1,
+                                 n_probes=1)["vec_id"].to_pylist())
+    multi = set(cosine_topk_lsh(ds, q, k=10)["vec_id"].to_pylist())
+    assert len(multi & exact) >= len(single & exact)
+    assert len(multi & exact) >= 7  # measured 0.9 on this corpus
+
+    cent = ivf_centroids(ds, n_centroids=16)
+    ivf = set(cosine_topk_ivf(ds, q, cent, k=10,
+                              n_probe=4)["vec_id"].to_pylist())
+    assert len(ivf & exact) >= 5

@@ -268,12 +268,10 @@ def _merge_delta_part(index_dir: str, delta_dir: str, part: int,
     """Encode this part's delta runs and append them to the existing
     segment (concat per term; delta ids > all existing ids)."""
     t0 = time.monotonic()
-    runs = []
-    for salt in range(cfg.salt_buckets):
-        tbl = ray.get(_encode_part_salt.remote(
-            delta_dir, part, salt, cfg, avgdl_delta))
-        if tbl.num_rows:
-            runs.append(tbl)
+    refs = [_encode_part_salt.remote(delta_dir, part, salt, cfg,
+                                     avgdl_delta)
+            for salt in range(cfg.salt_buckets)]  # fan out, one wait
+    runs = [t for t in ray.get(refs) if t.num_rows]
     seg_path = os.path.join(index_dir, "segments",
                             f"part-{part:04d}.parquet")
     existing = pq.read_table(seg_path) if os.path.exists(seg_path) else None

@@ -99,10 +99,15 @@ def _block_keys(tbl: pa.Table, origin: int) -> pa.Table:
 
 
 @ray.remote(num_cpus=1)
-def _file_keys(path: str, origin: int) -> pa.Table:
-    """Same, straight from a parquet file via column pruning — the content
-    column is never read."""
-    tbl = pq.read_table(path, columns=["repo", "path", "commit"])
+def _file_keys(path: str, origin: int, row_group: int | None = None
+               ) -> pa.Table:
+    """Same, straight from a parquet file (or ONE of its row groups) via
+    column pruning — the content column is never read."""
+    if row_group is not None:
+        tbl = pq.ParquetFile(path).read_row_group(
+            row_group, columns=["repo", "path", "commit"])
+    else:
+        tbl = pq.read_table(path, columns=["repo", "path", "commit"])
     return _keys_of(tbl, origin)
 
 
@@ -129,8 +134,14 @@ def _finalize_block(tbl: pa.Table, ids: np.ndarray, out_path: str):
 
 
 @ray.remote(num_cpus=1, num_returns=2)
-def _finalize_file(path: str, ids: np.ndarray, out_path: str):
-    return _finalize(pq.read_table(path), ids, out_path), None
+def _finalize_file(src, ids: np.ndarray, out_path: str):
+    """``src`` is a path, or a (path, row_group) pair for the row-group-
+    split stage-1 units (a single huge file must not serialize behind one
+    task)."""
+    path, rg = src if isinstance(src, tuple) else (src, None)
+    tbl = (pq.ParquetFile(path).read_row_group(rg) if rg is not None
+           else pq.read_table(path))
+    return _finalize(tbl, ids, out_path), None
 
 
 def _assign_ids_driver(key_refs: list, counts: list[int]) -> list:
@@ -301,10 +312,24 @@ def prep_docs(corpus, index_dir: str,
     os.makedirs(docs_dir, exist_ok=True)
 
     if isinstance(corpus, str):
-        sources = _corpus_files(corpus)
-        counts = [pq.ParquetFile(f).metadata.num_rows for f in sources]
-        key_refs = [_file_keys.remote(f, i)
-                    for i, f in enumerate(sources)]
+        # stage-1 unit = one row group when a file has several (a single
+        # huge file must not bound parallelism to the file count); ids are
+        # sorted-key ranks, so the unit split cannot change them
+        sources = []
+        counts = []
+        for f in _corpus_files(corpus):
+            meta = pq.ParquetFile(f).metadata
+            if meta.num_row_groups > 1:
+                for rg in range(meta.num_row_groups):
+                    sources.append((f, rg))
+                    counts.append(meta.row_group(rg).num_rows)
+            else:
+                sources.append(f)
+                counts.append(meta.num_rows)
+        key_refs = [
+            _file_keys.remote(s[0], i, s[1]) if isinstance(s, tuple)
+            else _file_keys.remote(s, i)
+            for i, s in enumerate(sources)]
         finalize = _finalize_file
     else:
         mat = corpus.materialize()

@@ -266,3 +266,40 @@ def test_salting_splits_hot_terms(small_index):
     assert firsts == sorted(firsts)
     assert all(f <= l for f, l in zip(firsts, lasts))
     assert all(lasts[i] < firsts[i + 1] for i in range(len(firsts) - 1))
+
+
+def test_row_group_split_build_identical(ray_session, tmp_path_factory):
+    """A single multi-row-group file must split into per-row-group stage-1
+    units and produce the exact same index (ids are sorted-key ranks, so
+    the unit split is invisible)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from logsentinelai_ray.config import CorpusConfig, IndexConfig
+    from logsentinelai_ray.corpus import generate_corpus
+    from logsentinelai_ray.index.build import build_index
+
+    root = tmp_path_factory.mktemp("rgsplit")
+    tbl = generate_corpus(CorpusConfig(n_docs=200, seed=91))
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2, block_size=32)
+
+    one = str(root / "one")
+    many = str(root / "many")
+    os.makedirs(one)
+    os.makedirs(many)
+    pq.write_table(tbl, f"{one}/c.parquet")  # single row group
+    pq.write_table(tbl, f"{many}/c.parquet", row_group_size=37)
+    assert pq.ParquetFile(f"{many}/c.parquet").metadata.num_row_groups > 3
+
+    dm = {}
+    for label, src in (("one", one), ("many", many)):
+        idx = str(root / f"idx_{label}")
+        build_index(src, idx, cfg, corpus_tag=label)
+        dm[label] = pq.read_table(
+            os.path.join(idx, "docmap")).sort_by("doc_id").to_pydict()
+        # split path actually produced more than one docs part file
+        if label == "many":
+            assert len(glob.glob(os.path.join(idx, "docs",
+                                              "*.parquet"))) > 3
+    assert dm["one"] == dm["many"]

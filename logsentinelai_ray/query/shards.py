@@ -258,16 +258,20 @@ class SearchEngine:
     def _filter_ids(self, filters: dict[str, str] | None
                     ) -> np.ndarray | None:
         """Sorted doc-id array matching ALL keyword filters (None = no
-        filter; empty array = nothing matches). Backed by field postings."""
+        filter; empty array = nothing matches). Backed by field postings,
+        decoded shard-side and cached like content terms (a hot filter
+        like lang:python is ~a third of the corpus — decoding it on the
+        driver per query dominated filtered-query latency)."""
         if not filters:
             return None
+        fterms = [f"{field}:{value}" for field, value in filters.items()]
+        self._ensure_contribs(fterms)
         arrays = []
-        for field, value in filters.items():
-            rows = self._fetch_terms([f"{field}:{value}"])
-            row = rows.get(f"{field}:{value}")
-            if row is None:
+        for ft in fterms:
+            hit = self._contrib_cache.get(ft)
+            if hit is None:
                 return np.empty(0, dtype=np.int64)
-            arrays.append(TermPostings(row).all_doc_ids())
+            arrays.append(hit[0])
         inter = arrays[0]
         for a in arrays[1:]:
             inter = np.intersect1d(inter, a, assume_unique=True)

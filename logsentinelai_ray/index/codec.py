@@ -52,19 +52,23 @@ def encode_varint(values: np.ndarray) -> bytes:
 
 
 def decode_varint(data: bytes | memoryview | np.ndarray) -> np.ndarray:
-    """Decode LEB128 bytes back to an int64 array."""
+    """Decode LEB128 bytes back to an int64 array.
+
+    Per-byte shift position = distance from the value's first byte,
+    computed with one ``maximum.accumulate`` over start markers (cheaper
+    than the cumsum-index + double-gather formulation on multi-MB hot
+    posting streams)."""
     b = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
     is_last = (b & 0x80) == 0
-    # start index of each value's byte run
-    ends = np.flatnonzero(is_last)
-    starts = np.empty_like(ends)
-    starts[0] = 0
-    starts[1:] = ends[:-1] + 1
-    val_idx = np.cumsum(np.concatenate(([0], is_last[:-1].astype(np.int64))))
-    pos = np.arange(b.size, dtype=np.int64) - starts[val_idx]
-    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64))
+    idx = np.arange(b.size, dtype=np.int64)
+    start_at = np.zeros(b.size, dtype=np.int64)
+    start_at[1:] = np.where(is_last[:-1], idx[1:], 0)
+    np.maximum.accumulate(start_at, out=start_at)  # start index per byte
+    pos = (idx - start_at).astype(np.uint64)
+    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos)
+    starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
     sums = np.add.reduceat(contrib, starts)
     return sums.astype(np.int64)
 

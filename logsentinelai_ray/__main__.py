@@ -25,6 +25,7 @@ import sys
 
 def _ray_session(num_cpus: int | None):
     import logging
+    import os
     import warnings
 
     warnings.filterwarnings("ignore")
@@ -32,10 +33,15 @@ def _ray_session(num_cpus: int | None):
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     if not ray.is_initialized():
-        kwargs = {"address": "local", "include_dashboard": False,
-                  "logging_level": logging.ERROR}
-        if num_cpus:
-            kwargs["num_cpus"] = num_cpus
+        # honor a cluster address when one is set (the `ray job submit`
+        # path: RAY_ADDRESS=auto/host:port joins the running cluster);
+        # default to a fresh local instance otherwise
+        address = os.environ.get("RAY_ADDRESS", "local")
+        kwargs = {"address": address, "logging_level": logging.ERROR}
+        if address == "local":
+            kwargs["include_dashboard"] = False
+            if num_cpus:
+                kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     from ray.data import DataContext
 

@@ -860,9 +860,13 @@ def q_geoip_enrichment(sf_dir: str):
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "props"])
     lines = ds.map_batches(_derive_ip_lines, batch_format="pyarrow")
     db_ref = ray.put(_fake_geo_db())
+    # cache_size: the derived corpus has ~50k distinct IPs, so the
+    # reference's default LRU of 1000 would thrash; the knob exists for
+    # exactly this (reference GEOIP_CACHE_SIZE)
     enriched = lines.map_batches(
         GeoIPEnrich, fn_constructor_args=(db_ref,),
-        fn_constructor_kwargs={"text_col": "line"},
+        fn_constructor_kwargs={"text_col": "line",
+                               "cache_size": 100_000},
         batch_format="pyarrow", concurrency=(1, 4))
 
     def explode(t: pa.Table) -> pa.Table:

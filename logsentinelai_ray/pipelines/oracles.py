@@ -332,6 +332,12 @@ ORACLE_SQL: dict[str, str] = {
         LEFT JOIN agg a USING (lang)
         ORDER BY d.lang
     """,
+    "sampled_severity_histogram": f"""
+        SELECT event_type, {_SEVERITY_CASE} AS priority,
+               count(*)::BIGINT AS n
+        FROM events WHERE event_id % 16 = 0
+        GROUP BY 1, 2 ORDER BY priority
+    """,
     "alert_sink": f"""
         SELECT event_id, {_SEVERITY_CASE} AS priority,
                '[' || CASE {_SEVERITY_CASE} WHEN 1 THEN 'CRITICAL'

@@ -737,6 +737,24 @@ def q_ip_classification(sf_dir: str):
     return out.sort("lang")
 
 
+def q_sampled_severity_histogram(sf_dir: str):
+    """O3/O5 — load-shed sampling done deterministically: keep rows with
+    event_id & 15 == 0 (a 1/16 hash sample; the scalable analog of the
+    reference's realtime sampling threshold, core/monitoring.py:381-399)
+    then aggregate severity. Hash sampling is reproducible across reruns,
+    cluster sizes and block orders — unlike random_sample — so the result
+    has an exact SQL oracle."""
+    from ..stages.severity import severity_histogram
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+    sampled = ds.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.bit_wise_and(t["event_id"], 15), 0))
+        .select(["event_type"]),
+        batch_format="pyarrow")
+    return severity_histogram(sampled)
+
+
 def q_alert_sink(sf_dir: str):
     """The severity-threshold → notify flow end-to-end (K3 with a real
     transport half, reference utils/telegram_alert.py:22-61): format
@@ -938,4 +956,5 @@ QUERY_REGISTRY = {
     "nested_severity_histogram": q_nested_severity_histogram,
     "geoip_enrichment": q_geoip_enrichment,
     "alert_sink": q_alert_sink,
+    "sampled_severity_histogram": q_sampled_severity_histogram,
 }

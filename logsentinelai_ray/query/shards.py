@@ -44,8 +44,12 @@ from .postings import PostingsCursor, TermPostings
 from .wand import block_max_wand
 
 
-@ray.remote(num_cpus=0.1, max_concurrency=4)
+@ray.remote(num_cpus=0.1, max_concurrency=4, max_restarts=2,
+            max_task_retries=2)
 class IndexShard:
+    # max_restarts/max_task_retries: shards are pure readers of immutable
+    # segment files (constructor args are plain strings, reloadable from
+    # disk), so a died shard process restarts and replays transparently.
     # num_cpus=0.1: shards are memory-holders that serve short lookup
     # bursts; larger reservations accumulate across cached engines and
     # starve concurrently-running pipelines (actor pools + map tasks) on

@@ -303,3 +303,31 @@ def test_row_group_split_build_identical(ray_session, tmp_path_factory):
             assert len(glob.glob(os.path.join(idx, "docs",
                                               "*.parquet"))) > 3
     assert dm["one"] == dm["many"]
+
+
+def test_shard_death_recovers(ray_session, small_index):
+    """IndexShard actors are restartable pure readers: kill one shard's
+    process mid-session; subsequent queries must succeed with identical
+    results (Ray restarts the actor, which reloads its segments)."""
+    import ray as _ray
+
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    idx_dir, cfg = small_index
+    eng = SearchEngine(idx_dir, num_shards=3)
+    try:
+        before = eng.search("error merge window", k=10,
+                            with_meta=False).to_pydict()
+        # kill the shard processes hard (no_restart=False → Ray restarts)
+        for s in eng.shards:
+            _ray.kill(s, no_restart=False)
+        eng._term_cache.clear()
+        eng._contrib_cache.clear()
+        eng._absent_terms.clear()
+        eng._contrib_cached = 0
+        eng._pending.clear()
+        after = eng.search("error merge window", k=10,
+                           with_meta=False).to_pydict()
+        assert after == before
+    finally:
+        eng.shutdown()

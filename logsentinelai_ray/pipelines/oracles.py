@@ -240,6 +240,13 @@ ORACLE_SQL: dict[str, str] = {
                    AS total_stopwords
         FROM documents GROUP BY 1 ORDER BY lang
     """,
+    "bpe_token_stats": r"""
+        SELECT source, count(*)::BIGINT AS n_docs,
+               sum(len(regexp_extract_all(text,
+                   '''[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9'']+'
+                   )))::BIGINT AS total_bpe_tokens
+        FROM documents GROUP BY 1 ORDER BY source
+    """,
     "token_stats": """
         SELECT source, count(*)::BIGINT AS n_docs,
                sum(len(regexp_extract_all(lower(text),

@@ -521,6 +521,32 @@ def q_token_stats(sf_dir: str):
     return out.sort("source")
 
 
+BPE_ISH_PATTERN = r"'[a-z]+| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9']+"
+
+
+def q_bpe_token_stats(sf_dir: str):
+    """BPE-ish token counting: a lookahead-free GPT-2-style pre-tokenizer
+    pattern (contraction tails, space-prefixed letter/digit runs,
+    punctuation runs) counted with one vectorized RE2 kernel per batch —
+    the training-data token-budget estimator next to the whitespace-ish
+    ``token_stats``. Identical RE2 pattern on both sides of the oracle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(pc.fill_null(t["text"], ""),
+                                     BPE_ISH_PATTERN)
+        return pa.table({"source": t["source"],
+                         "n_bpe": pc.cast(n, pa.int64())})
+
+    out = (ds.map_batches(count_tokens, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("n_bpe", alias_name="total_bpe_tokens")))
+    return out.sort("source")
+
+
 def q_fingerprint_minmd5(sf_dir: str):
     from ..functions import add_fingerprint_minmd5
 
@@ -957,4 +983,5 @@ QUERY_REGISTRY = {
     "geoip_enrichment": q_geoip_enrichment,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
+    "bpe_token_stats": q_bpe_token_stats,
 }

@@ -53,6 +53,13 @@ class IndexConfig:
     # Both paths are exact and tested identical.
     driver_dedup_max_rows: int = 50_000
 
+    # Build the positional sidecar (positions/part=P/, one row per token
+    # occurrence) alongside the postings — enables phrase queries (the ES
+    # match_phrase analog). Off by default: positions cost ~total_tokens
+    # rows of extra exchange volume (Lucene's .pos file is the same
+    # order), so only phrase-serving indexes pay it.
+    store_positions: bool = False
+
 
 @dataclass(frozen=True)
 class CorpusConfig:

@@ -400,9 +400,16 @@ def _parts_for(terms: list[str], P: int) -> np.ndarray:
     return out
 
 
-def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int
-                  ) -> pa.Table:
-    """Stage-2 batch kernel: content → raw posting triples.
+def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int,
+                  with_positions: bool = False
+                  ) -> tuple[pa.Table, pa.Table | None]:
+    """Stage-2 batch kernel: content → (raw posting triples, positions).
+
+    ``positions`` is None unless ``with_positions``: one row per token
+    occurrence (part, term, doc_id, pos) where ``pos`` is the occurrence's
+    index in the document's post-filter token stream — the phrase-query
+    sidecar (ES match_phrase analog; the reference's ES mappings keep
+    positions implicitly via the standard analyzer).
 
     (The reference's analog of per-worker state is the LLM handle built
     once per run, reference core/commons.py:451 / core/llm.py:18-79; here
@@ -424,6 +431,22 @@ def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int
     u_row = (uniq // nv).astype(np.int64)
     u_code = (uniq % nv).astype(np.int64)
     term_parts = _parts_for(vocab, P)
+
+    positions = None
+    if with_positions and codes.size:
+        # pos = occurrence index within its row's token stream: occurrences
+        # are emitted in row-major document order, so subtracting each
+        # row's first-occurrence offset gives in-document positions.
+        starts = np.zeros(len(dl_np), dtype=np.int64)
+        np.cumsum(dl_np[:-1], out=starts[1:])
+        occ_pos = (np.arange(codes.size, dtype=np.int64)
+                   - starts[row_idx]).astype(np.int32)
+        positions = pa.table({
+            "part": pa.array(term_parts[codes], pa.int32()),
+            "term": tokens,
+            "doc_id": pa.array(doc_ids[row_idx], pa.int64()),
+            "pos": pa.array(occ_pos, pa.int32()),
+        })
 
     content_terms = pa.table({
         "part": pa.array(term_parts[u_code], pa.int32()),
@@ -454,42 +477,55 @@ def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int
     did = out["doc_id"].to_numpy(zero_copy_only=False)
     salt = np.minimum((did * cfg.salt_buckets) // n_docs,
                       cfg.salt_buckets - 1).astype(np.int32)
-    return out.add_column(1, "salt", pa.array(salt))
+    return out.add_column(1, "salt", pa.array(salt)), positions
 
 
-def _emit_and_partition(batch: pa.Table, cfg: IndexConfig, n_docs: int,
-                        out_dir: str) -> pa.Table:
-    """Tokenize one batch and write its triples sliced per partition —
-    the map side of the hash exchange. Emits one summary row."""
-    if batch.num_rows == 0:
-        return pa.table({"rows": pa.array([0], pa.int64()),
-                         "tokens": pa.array([0], pa.int64())})
-    triples = tokenize_emit(batch, cfg, n_docs)
-    # content-token count (BM25 total_tokens) falls out of this pass for
-    # free — no separate stats scan over the exchange needed
-    n_tokens = pc.sum(pc.if_else(pc.invert(triples["is_field"]),
-                                 triples["tf"],
-                                 pa.scalar(0, pa.int32()))).as_py() or 0
-    order = pc.sort_indices(triples["part"])
-    triples = triples.take(order)
-    parts = triples["part"].to_numpy(zero_copy_only=False)
+def _write_part_slices(tbl: pa.Table, out_dir: str, uid: str) -> None:
+    """Write ``tbl`` sliced by its (sorted-on-write) ``part`` column into
+    ``out_dir/part=P/{uid}-P.parquet`` — atomic, deterministic names, so a
+    retried task overwrites its own files instead of duplicating them."""
+    order = pc.sort_indices(tbl["part"])
+    tbl = tbl.take(order)
+    parts = tbl["part"].to_numpy(zero_copy_only=False)
     bounds = np.flatnonzero(np.diff(parts)) + 1
     starts = np.concatenate(([0], bounds))
     ends = np.concatenate((bounds, [len(parts)]))
-    # uid derives ONLY from the batch's first doc id: a retried task writes
-    # the same file names with the same contents (idempotent side-write) —
-    # a pid-based uid would duplicate postings under Ray task retries
-    uid = hashlib.blake2b(
-        f"b{batch['doc_id'][0].as_py()}".encode(),
-        digest_size=8).hexdigest()
     for s, e in zip(starts, ends):
         p = int(parts[s])
         pdir = os.path.join(out_dir, f"part={p}")
         os.makedirs(pdir, exist_ok=True)
         path = os.path.join(pdir, f"{uid}-{p}.parquet")
         tmp = path + f".tmp-{os.getpid()}"
-        pq.write_table(triples.slice(s, e - s).drop_columns(["part"]), tmp)
+        pq.write_table(tbl.slice(s, e - s).drop_columns(["part"]), tmp)
         os.replace(tmp, path)
+
+
+def _emit_and_partition(batch: pa.Table, cfg: IndexConfig, n_docs: int,
+                        out_dir: str) -> pa.Table:
+    """Tokenize one batch and write its triples sliced per partition —
+    the map side of the hash exchange. Emits one summary row. When
+    ``cfg.store_positions``, the same tokenize pass also writes the
+    positions sidecar occurrences to ``{out_dir}_pos/part=P/`` (no second
+    tokenization)."""
+    if batch.num_rows == 0:
+        return pa.table({"rows": pa.array([0], pa.int64()),
+                         "tokens": pa.array([0], pa.int64())})
+    triples, positions = tokenize_emit(batch, cfg, n_docs,
+                                       with_positions=cfg.store_positions)
+    # content-token count (BM25 total_tokens) falls out of this pass for
+    # free — no separate stats scan over the exchange needed
+    n_tokens = pc.sum(pc.if_else(pc.invert(triples["is_field"]),
+                                 triples["tf"],
+                                 pa.scalar(0, pa.int32()))).as_py() or 0
+    # uid derives ONLY from the batch's first doc id: a retried task writes
+    # the same file names with the same contents (idempotent side-write) —
+    # a pid-based uid would duplicate postings under Ray task retries
+    uid = hashlib.blake2b(
+        f"b{batch['doc_id'][0].as_py()}".encode(),
+        digest_size=8).hexdigest()
+    _write_part_slices(triples, out_dir, uid)
+    if positions is not None:
+        _write_part_slices(positions, out_dir + "_pos", uid)
     return pa.table({"rows": pa.array([triples.num_rows], pa.int64()),
                      "tokens": pa.array([n_tokens], pa.int64())})
 
@@ -504,6 +540,7 @@ def emit_postings(index_dir: str, cfg: IndexConfig, n_docs: int) -> None:
     # a half-finished previous attempt leaves partial files with fresh
     # uids; re-emitting on top would duplicate postings — start clean
     shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(out_dir + "_pos", ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
     docs = rd.read_parquet(os.path.join(index_dir, "docs"),
                            columns=["doc_id", "repo", "lang", "content"])
@@ -547,6 +584,7 @@ def compute_stats(index_dir: str, cfg: IndexConfig, n_docs: int) -> dict:
         "salt_buckets": cfg.salt_buckets,
         "block_size": cfg.block_size,
         "max_token_len": cfg.max_token_len,
+        "store_positions": cfg.store_positions,
         "codec": "delta-gap+leb128-varint+blockmax",
     }
     mf.write_stats(index_dir, stats)
@@ -613,6 +651,54 @@ def _merge_part(index_dir: str, part: int, fingerprint: str,
     }
     mf.write_part_entry(index_dir, entry)
     return entry
+
+
+POSITIONS_SCHEMA = pa.schema([
+    ("term", pa.string()),
+    ("doc_id", pa.int64()),
+    ("pos", pa.int32()),
+])
+
+
+@ray.remote(num_cpus=1)
+def _consolidate_positions(index_dir: str, raw_pos_dir: str, part: int,
+                           out_name: str) -> int:
+    """Reduce-side positions stage: collect one part's raw occurrence
+    files, sort by (term, doc_id, pos) and write one consolidated file
+    under ``positions/part=P/`` with small row groups — the sort is what
+    gives parquet min/max statistics the power to prune a phrase query's
+    read down to the query terms' row groups."""
+    out_dir = os.path.join(index_dir, "positions", f"part={part}")
+    os.makedirs(out_dir, exist_ok=True)
+    path = os.path.join(out_dir, out_name)
+    pdir = os.path.join(raw_pos_dir, f"part={part}")
+    if os.path.isdir(pdir):
+        tbl = pa_ds.dataset(pdir, format="parquet").to_table()
+        tbl = tbl.sort_by([("term", "ascending"), ("doc_id", "ascending"),
+                           ("pos", "ascending")])
+        tbl = tbl.cast(POSITIONS_SCHEMA)
+    else:
+        tbl = POSITIONS_SCHEMA.empty_table()
+    tmp = path + f".tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp, row_group_size=1 << 16)
+    os.replace(tmp, path)
+    return tbl.num_rows
+
+
+def build_positions(index_dir: str, cfg: IndexConfig,
+                    raw_dirname: str = "postings_raw_pos",
+                    out_name: str = "base.parquet",
+                    stage_name: str = "positions") -> None:
+    """Positions consolidation stage (skipped unless cfg.store_positions).
+    Deterministic file names + atomic writes make a rerun idempotent; the
+    stage marker lets a resumed build skip it wholesale."""
+    if not cfg.store_positions or mf.stage_done(index_dir, stage_name):
+        return
+    raw = os.path.join(index_dir, raw_dirname)
+    occ = ray.get([
+        _consolidate_positions.remote(index_dir, raw, p, out_name)
+        for p in range(cfg.num_partitions)])
+    mf.mark_stage(index_dir, stage_name, {"n_occurrences": int(sum(occ))})
 
 
 def build_segments(index_dir: str, cfg: IndexConfig, avgdl: float,
@@ -691,6 +777,11 @@ def build_index(corpus_ds, index_dir: str, cfg: IndexConfig | None = None,
     t = time.monotonic()
     build_segments(index_dir, cfg, stats["avgdl"], fingerprint)
     timings["segments_s"] = round(time.monotonic() - t, 3)
+
+    if cfg.store_positions:
+        t = time.monotonic()
+        build_positions(index_dir, cfg)
+        timings["positions_s"] = round(time.monotonic() - t, 3)
 
     meta = {
         "fingerprint": fingerprint,

@@ -69,7 +69,7 @@ from .build import (
 # of truth) — a silent mismatch would route delta postings into the wrong
 # term partitions (ADVICE round 1).
 _SHAPE_FIELDS = ("num_partitions", "salt_buckets", "block_size",
-                 "max_token_len", "k1", "b")
+                 "max_token_len", "k1", "b", "store_positions")
 
 
 def _effective_config(stats: dict, cfg: IndexConfig | None) -> IndexConfig:
@@ -348,7 +348,15 @@ def rollback_update(index_dir: str) -> bool:
     dm = os.path.join(index_dir, "docmap", f"delta-{n_base:012d}.parquet")
     if os.path.exists(dm):
         os.remove(dm)
+    pos_root = os.path.join(index_dir, "positions")
+    if os.path.isdir(pos_root):
+        for pdir in os.listdir(pos_root):
+            dp = os.path.join(pos_root, pdir, f"delta-{n_base:012d}.parquet")
+            if os.path.exists(dp):
+                os.remove(dp)
     shutil.rmtree(os.path.join(index_dir, "postings_delta"),
+                  ignore_errors=True)
+    shutil.rmtree(os.path.join(index_dir, "postings_delta_pos"),
                   ignore_errors=True)
     os.remove(path)
     return True
@@ -435,6 +443,7 @@ def update_index(new_corpus: str | list[str], index_dir: str,
     import shutil
 
     shutil.rmtree(delta_dir, ignore_errors=True)
+    shutil.rmtree(delta_dir + "_pos", ignore_errors=True)
     os.makedirs(delta_dir, exist_ok=True)
     from functools import partial
 
@@ -453,11 +462,24 @@ def update_index(new_corpus: str | list[str], index_dir: str,
     avgdl_build = stats["avgdl"] if stats["avgdl"] > 0 else 1.0
     done = mf.completed_parts(index_dir, fingerprint)
     remaining = sorted(set(range(cfg.num_partitions)) - done)
-    ray.get([
+    merge_refs = [
         _merge_delta_part.remote(index_dir, delta_dir, p, fingerprint,
                                  cfg, avgdl_build, n_base, n_total)
         for p in remaining
-    ])
+    ]
+    # positions sidecar delta: one consolidated file per part appended
+    # next to the base file (deterministic name -> idempotent resume);
+    # runs concurrently with the segment merges, all waited together
+    pos_refs = []
+    if cfg.store_positions:
+        from .build import _consolidate_positions
+
+        pos_refs = [
+            _consolidate_positions.remote(
+                index_dir, delta_dir + "_pos", p,
+                f"delta-{n_base:012d}.parquet")
+            for p in range(cfg.num_partitions)]
+    ray.get(merge_refs + pos_refs)
 
     # ---- commit: exact stats update, applied exactly once
     if int(stats["n_docs"]) == n_base:

@@ -55,6 +55,27 @@ df AS (
   GROUP BY tf.doc_id
 )"""
 
+# phrase oracle: reproduce the tokenizer exactly (camel transform, split,
+# drop empties, truncate to 64), then count phrase starts with a position
+# comprehension — overlapping-match semantics, same as the engine's
+# positional verify (query/phrase.py).
+_PHRASE_ARR = (
+    "list_transform(list_filter(regexp_split_to_array("
+    + _CAMEL.format(col="text")
+    + ", '[^a-z0-9]+'), x -> x <> ''), x -> substr(x, 1, 64))"
+)
+
+_PHRASE_MATCH_BASE = f"""
+WITH t AS (
+  SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+), pm AS (
+  SELECT doc_id,
+         len([i FOR i IN generate_series(1, len(arr) - 1)
+              IF arr[i] = 'sort' AND arr[i+1] = 'merge'])::BIGINT
+             AS n_matches
+  FROM t WHERE len(arr) >= 2
+)"""
+
 ORACLE_SQL: dict[str, str] = {
     "severity_histogram": f"""
         SELECT event_type, {_SEVERITY_CASE} AS priority,
@@ -166,6 +187,19 @@ ORACLE_SQL: dict[str, str] = {
         SELECT s.doc_id, round(s.score, 6) AS score
         FROM scores s JOIN documents d USING (doc_id)
         WHERE d.lang = 'en'
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+    """,
+    "phrase_match": _PHRASE_MATCH_BASE + """
+        SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
+        ORDER BY doc_id
+    """,
+    # BM25 over the phrase's terms restricted to exact-phrase docs — the
+    # engine's phrase_topk (positional filter + standard TAAT scoring)
+    "phrase_topk": _BM25_BASE.replace(_BM25_TERMS, "('merge'), ('sort')")
+    + _PHRASE_MATCH_BASE.replace("WITH t AS", ", t AS") + """
+        SELECT s.doc_id, round(s.score, 6) AS score
+        FROM scores s JOIN pm USING (doc_id)
+        WHERE pm.n_matches > 0
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
     "dedup_exact": """

@@ -336,7 +336,8 @@ def _docs_engine(sf_dir: str):
     idx_dir = os.path.join(
         "/tmp/lsai_idx",
         hashlib.sha256(tag.encode()).hexdigest()[:16])
-    cfg = IndexConfig(num_partitions=8, salt_buckets=4)
+    cfg = IndexConfig(num_partitions=8, salt_buckets=4,
+                      store_positions=True)
     build_index(corpus, idx_dir, cfg, corpus_tag=tag)
     eng = SearchEngine(idx_dir, num_shards=2)
     _ENGINE_CACHE[sf_dir] = eng
@@ -411,6 +412,27 @@ def q_bm25_topk_filtered(sf_dir: str):
     eng = _docs_engine(sf_dir)
     res = eng.search(BM25_QUERY_TEXT, k=10, filters={"lang": "en"},
                      with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+PHRASE_QUERY_TEXT = "sort merge"
+
+
+def q_phrase_match(sf_dir: str):
+    """ES match_phrase analog over the positional sidecar: all docs
+    containing the consecutive token sequence, with overlapping
+    occurrence counts (query/phrase.py). Exact SQL oracle via a token-
+    position comprehension."""
+    eng = _docs_engine(sf_dir)
+    return eng.phrase_match(PHRASE_QUERY_TEXT)
+
+
+def q_phrase_topk(sf_dir: str):
+    """match_phrase + BM25 scoring: top-10 of the phrase's terms among
+    docs containing the exact phrase."""
+    eng = _docs_engine(sf_dir)
+    res = eng.phrase_topk(PHRASE_QUERY_TEXT, k=10)
     return pa.table({"doc_id": res["doc_id"],
                      "score": _round6(res["score"])})
 
@@ -960,6 +982,8 @@ QUERY_REGISTRY = {
     "bm25_topk": q_bm25_topk,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_incremental": q_bm25_topk_incremental,
+    "phrase_match": q_phrase_match,
+    "phrase_topk": q_phrase_topk,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
     "dedup_minhash": q_dedup_minhash,

@@ -1,0 +1,131 @@
+"""Positional phrase queries — the ES ``match_phrase`` analog.
+
+The reference's Elasticsearch backend keeps token positions implicitly
+(standard analyzer, reference core/elasticsearch.py index mappings) and
+serves ``match_phrase`` from them; our from-scratch analog is the
+positions sidecar written by the build (index/build.py build_positions):
+``positions/part=P/*.parquet`` rows (term, doc_id, pos) sorted by
+(term, doc_id, pos), hash-partitioned by term exactly like the postings.
+
+Query plan (two-level pruning, nothing corpus-sized anywhere):
+
+1. *Candidate conjunction* over the compressed postings index: the doc-id
+   lists of the phrase's unique terms (already decoded shard-side and
+   cached by the engine) intersect in ascending-df order — docs missing
+   any term can never match the phrase, and the conjunction is usually
+   orders of magnitude smaller than any single term's postings.
+2. *Positional verification*, distributed: the candidate ids are chunked
+   and each chunk is verified by a Ray task that reads ONLY the phrase
+   terms' rows from the positions sidecar (partition-dir pruning by term
+   hash + parquet row-group statistics on the sorted ``term``/``doc_id``
+   columns) and counts phrase starts vectorized — for an m-term phrase a
+   doc position p starts a match iff term_j occurs at p+j for all j, i.e.
+   the intersection of the per-term (doc, pos - j) key sets.
+
+Match counting is *overlapping* (every valid start position counts), the
+same semantics as the SQL oracle's position comprehension.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pa_ds
+import ray
+
+PHRASE_RESULT_SCHEMA = pa.schema([
+    ("doc_id", pa.int64()),
+    ("n_matches", pa.int64()),
+])
+
+
+def _empty_result() -> pa.Table:
+    return PHRASE_RESULT_SCHEMA.empty_table()
+
+
+@ray.remote(num_cpus=1)
+def _phrase_verify(index_dir: str, terms: list[str], term_parts: list[int],
+                   cand: np.ndarray) -> pa.Table:
+    """Verify one sorted candidate-id chunk against the positions sidecar.
+
+    Keys pack (chunk-local candidate rank, shifted position) into one
+    int64 — chunk-local ranks keep the pack safe at any corpus size
+    (a raw doc_id * 2^32 pack would overflow at 10^12 docs)."""
+    lo, hi = int(cand[0]), int(cand[-1])
+    keys: np.ndarray | None = None
+    for j, (t, p) in enumerate(zip(terms, term_parts)):
+        pdir = os.path.join(index_dir, "positions", f"part={p}")
+        tbl = pa_ds.dataset(pdir, format="parquet").to_table(
+            columns=["doc_id", "pos"],
+            filter=(pc.field("term") == t)
+            & (pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi))
+        did = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        pos = tbl["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # keep occurrences of candidate docs only (the range filter may
+        # admit non-candidates between lo and hi)
+        r = np.searchsorted(cand, did)
+        r_clip = np.minimum(r, cand.size - 1)
+        ok = cand[r_clip] == did
+        shifted = pos[ok] - j
+        ok2 = shifted >= 0
+        kj = (r[ok][ok2] << 32) | shifted[ok2]
+        # keys are unique per term ((doc, pos) pairs are distinct
+        # occurrences); intersect1d sorts internally
+        keys = kj if keys is None else np.intersect1d(
+            keys, kj, assume_unique=True)
+        if keys.size == 0:
+            return _empty_result()
+    counts = np.bincount((keys >> 32).astype(np.int64),
+                         minlength=cand.size)
+    m = counts > 0
+    return pa.table({
+        "doc_id": pa.array(cand[m], pa.int64()),
+        "n_matches": pa.array(counts[m].astype(np.int64), pa.int64()),
+    })
+
+
+def phrase_match(engine, phrase: str,
+                 chunk_docs: int = 200_000) -> pa.Table:
+    """All docs containing ``phrase`` as a consecutive token sequence,
+    with overlapping-match counts: (doc_id, n_matches) sorted by doc_id.
+
+    ``engine`` is a SearchEngine over an index built with
+    ``store_positions=True``. ``chunk_docs`` bounds one verify task's
+    candidate set (and thereby its positions read + key arrays).
+    """
+    from ..analysis.tokenizer import tokenize_py
+    from ..index.build import term_partition
+
+    if not engine.stats.get("store_positions"):
+        raise ValueError(
+            "index was built without the positions sidecar; rebuild with "
+            "IndexConfig(store_positions=True) to serve phrase queries")
+    terms = tokenize_py(phrase, int(engine.stats["max_token_len"]))
+    if not terms:
+        return _empty_result()
+    uniq = sorted(set(terms))
+    engine._ensure_contribs(uniq)
+    per_term = []
+    for t in uniq:
+        hit = engine._contrib_cache.get(t)
+        if hit is None:
+            return _empty_result()
+        per_term.append((hit[2], hit[0]))  # (df, sorted ids)
+    per_term.sort(key=lambda x: x[0])
+    cand = per_term[0][1]
+    for _, ids in per_term[1:]:
+        cand = np.intersect1d(cand, ids, assume_unique=True)
+        if cand.size == 0:
+            return _empty_result()
+    parts = [term_partition(t, engine.P) for t in terms]
+    n_chunks = max(1, -(-cand.size // chunk_docs))
+    futures = [
+        _phrase_verify.remote(engine.index_dir, list(terms), parts, chunk)
+        for chunk in np.array_split(cand, n_chunks)]
+    tables = [t for t in ray.get(futures) if t.num_rows]
+    if not tables:
+        return _empty_result()
+    return pa.concat_tables(tables).sort_by("doc_id")

@@ -426,6 +426,34 @@ class SearchEngine:
         topk = block_max_wand(cursors, k, pred, seed_threshold=seed)
         return self._format_result(topk, with_meta)
 
+    def phrase_match(self, phrase: str,
+                     chunk_docs: int = 200_000) -> pa.Table:
+        """All docs containing ``phrase`` as consecutive tokens, with
+        overlapping occurrence counts — (doc_id, n_matches) sorted by
+        doc_id. Requires an index built with store_positions=True (the
+        ES match_phrase analog; see query/phrase.py)."""
+        from .phrase import phrase_match
+
+        return phrase_match(self, phrase, chunk_docs=chunk_docs)
+
+    def phrase_topk(self, phrase: str, k: int = 10,
+                    with_meta: bool = False,
+                    chunk_docs: int = 200_000) -> pa.Table:
+        """Top-k BM25 over the phrase's terms among docs that contain the
+        exact phrase (ES match_phrase + scoring): positional verification
+        restricts the candidate set, then the standard TAAT scorer runs
+        with that set as a filter — scores are identical to a plain
+        multi-term query on those docs."""
+        matches = self.phrase_match(phrase, chunk_docs=chunk_docs)
+        match_ids = matches["doc_id"].to_numpy(zero_copy_only=False)
+        if match_ids.size == 0:
+            return self._format_result([], with_meta)
+        terms = sorted(set(tokenize_py(phrase,
+                                       int(self.stats["max_token_len"]))))
+        self._ensure_contribs(terms)
+        topk = self._search_taat(terms, k, match_ids)
+        return self._format_result(topk, with_meta)
+
     def _wand_seed(self, terms: list[str], k: int,
                    max_seed_df: int = 10_000) -> float | None:
         """Exact threshold warm-start for WAND: fully score the rarest

@@ -1,0 +1,183 @@
+"""Phrase search (positional sidecar) tests: engine vs a brute-force
+token-scan oracle, chunked verification, incremental updates, and the
+no-positions error path."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from logsentinelai_ray.analysis.tokenizer import tokenize_py
+
+
+def _brute_counts(docs, phrase):
+    """(doc_id -> overlapping match count) by scanning every token list."""
+    pt = tokenize_py(phrase)
+    out = {}
+    for doc_id, content in docs:
+        toks = tokenize_py(content)
+        c = sum(1 for i in range(len(toks) - len(pt) + 1)
+                if toks[i:i + len(pt)] == pt)
+        if c:
+            out[doc_id] = c
+    return out
+
+
+@pytest.fixture(scope="module")
+def indexed_docs(small_index):
+    idx_dir, _cfg = small_index
+    tbl = pq.read_table(f"{idx_dir}/docs", columns=["doc_id", "content"])
+    return list(zip(tbl["doc_id"].to_pylist(), tbl["content"].to_pylist()))
+
+
+def _sample_phrases(indexed_docs):
+    """Bigrams/trigram drawn from real documents (so matches exist), plus
+    a repeated-token bigram if one occurs anywhere."""
+    phrases = []
+    for _d, content in indexed_docs[:8]:
+        toks = tokenize_py(content)
+        if len(toks) >= 8:
+            phrases.append(" ".join(toks[3:5]))
+            phrases.append(" ".join(toks[2:5]))
+    for _d, content in indexed_docs:
+        toks = tokenize_py(content)
+        rep = next((t for a, t in zip(toks, toks[1:]) if a == t), None)
+        if rep:
+            phrases.append(f"{rep} {rep}")
+            break
+    return sorted(set(phrases))[:8]
+
+
+def test_phrase_match_vs_bruteforce(engine, indexed_docs):
+    for phrase in _sample_phrases(indexed_docs):
+        exp = _brute_counts(indexed_docs, phrase)
+        got_tbl = engine.phrase_match(phrase)
+        got = dict(zip(got_tbl["doc_id"].to_pylist(),
+                       got_tbl["n_matches"].to_pylist()))
+        assert got == exp, phrase
+        # sorted by doc_id
+        ids = got_tbl["doc_id"].to_pylist()
+        assert ids == sorted(ids)
+
+
+def test_phrase_single_term_equals_tf(engine, indexed_docs):
+    """A one-term 'phrase' must count every occurrence (== tf)."""
+    term = tokenize_py(indexed_docs[0][1])[0]
+    exp = _brute_counts(indexed_docs, term)
+    got_tbl = engine.phrase_match(term)
+    got = dict(zip(got_tbl["doc_id"].to_pylist(),
+                   got_tbl["n_matches"].to_pylist()))
+    assert got == exp
+
+
+def test_phrase_absent_term_is_empty(engine):
+    res = engine.phrase_match("zzznosuchtoken qqqneither")
+    assert res.num_rows == 0
+    assert res.schema.names == ["doc_id", "n_matches"]
+
+
+def test_phrase_chunked_verification_identical(engine, indexed_docs):
+    """Tiny chunk_docs forces many verify tasks; results must not change."""
+    phrase = _sample_phrases(indexed_docs)[0]
+    a = engine.phrase_match(phrase, chunk_docs=4)
+    b = engine.phrase_match(phrase, chunk_docs=10 ** 9)
+    assert a.equals(b)
+
+
+def test_phrase_topk_scores_match_plain_search(engine, indexed_docs):
+    """phrase_topk == plain multi-term BM25 restricted to phrase docs."""
+    phrase = _sample_phrases(indexed_docs)[0]
+    match_ids = set(engine.phrase_match(phrase)["doc_id"].to_pylist())
+    if not match_ids:
+        pytest.skip("sampled phrase matched nothing")
+    res = engine.phrase_topk(phrase, k=10)
+    full = engine.search(phrase, k=10 ** 6, with_meta=False)
+    by_id = dict(zip(full["doc_id"].to_pylist(),
+                     full["score"].to_pylist()))
+    expect = sorted(((by_id[d], -d) for d in match_ids),
+                    reverse=True)[:10]
+    got = list(zip(res["score"].to_pylist(),
+                   (-d for d in res["doc_id"].to_pylist())))
+    assert got == expect
+
+
+def test_phrase_requires_positions(ray_session, small_corpus, tmp_path):
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2)
+    idx = str(tmp_path / "nopos")
+    build_index(rd.from_arrow(small_corpus.slice(0, 40)), idx, cfg,
+                corpus_tag="nopos40")
+    eng = SearchEngine(idx, num_shards=1)
+    with pytest.raises(ValueError, match="store_positions"):
+        eng.phrase_match("anything here")
+    eng.shutdown()
+
+
+def test_phrase_after_incremental_update(ray_session, small_corpus,
+                                         tmp_path):
+    """Positions sidecar must stay exact through update_index: phrase
+    results over base+delta == phrase results over a full build."""
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.index.update import update_index
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2,
+                      store_positions=True)
+    n = small_corpus.num_rows
+    half = n // 2
+    base_dir = tmp_path / "base"
+    delta_dir = tmp_path / "delta"
+    base_dir.mkdir()
+    delta_dir.mkdir()
+    pq.write_table(small_corpus.slice(0, half),
+                   str(base_dir / "part-0.parquet"))
+    pq.write_table(small_corpus.slice(half),
+                   str(delta_dir / "part-0.parquet"))
+
+    idx_inc = str(tmp_path / "idx_inc")
+    build_index(str(base_dir), idx_inc, cfg, corpus_tag="ph-base")
+    update_index(str(delta_dir), idx_inc, cfg, delta_tag="ph-delta")
+
+    idx_full = str(tmp_path / "idx_full")
+    build_index(rd.from_arrow(small_corpus), idx_full, cfg,
+                corpus_tag="ph-full")
+
+    eng_inc = SearchEngine(idx_inc, num_shards=1)
+    eng_full = SearchEngine(idx_full, num_shards=1)
+    docs_inc = pq.read_table(f"{idx_inc}/docs",
+                             columns=["doc_id", "content", "sha256"])
+    docs = list(zip(docs_inc["doc_id"].to_pylist(),
+                    docs_inc["content"].to_pylist()))
+    sha_inc = dict(zip(docs_inc["doc_id"].to_pylist(),
+                       docs_inc["sha256"].to_pylist()))
+    docs_full = pq.read_table(f"{idx_full}/docs",
+                              columns=["doc_id", "sha256"])
+    sha_full = dict(zip(docs_full["doc_id"].to_pylist(),
+                        docs_full["sha256"].to_pylist()))
+    phrases = _sample_phrases(docs)
+    for phrase in phrases[:4]:
+        got = eng_inc.phrase_match(phrase)
+        exp = _brute_counts(docs, phrase)
+        assert dict(zip(got["doc_id"].to_pylist(),
+                        got["n_matches"].to_pylist())) == exp, phrase
+        # doc ids differ between a base+delta build and a full build
+        # (sorted-rank vs base-then-delta assignment); the *documents*
+        # matched must be identical — compare keyed by content sha
+        full = eng_full.phrase_match(phrase)
+        by_sha_inc = {sha_inc[d]: n for d, n in
+                      zip(got["doc_id"].to_pylist(),
+                          got["n_matches"].to_pylist())}
+        by_sha_full = {sha_full[d]: n for d, n in
+                       zip(full["doc_id"].to_pylist(),
+                           full["n_matches"].to_pylist())}
+        assert by_sha_inc == by_sha_full, phrase
+    eng_inc.shutdown()
+    eng_full.shutdown()

@@ -189,6 +189,57 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.lang = 'en'
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
+    # ES prefix-query analogs: the engine expands the prefix against the
+    # shard dictionaries; SQL expands it with LIKE over the token stream
+    "prefix_df": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        )
+        SELECT term, count(*)::BIGINT AS df FROM tok
+        WHERE term LIKE 's%' GROUP BY 1 ORDER BY term
+    """,
+    "prefix_search": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+          GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT count(*)::DOUBLE FROM tok) /
+                 (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf
+          WHERE term LIKE 's%' GROUP BY 1
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                                       + 0.75 * dl.dl / stats.avgdl))
+                 ) AS score
+          FROM tf
+          JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
     "phrase_match": _PHRASE_MATCH_BASE + """
         SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
         ORDER BY doc_id

@@ -437,6 +437,26 @@ def q_phrase_topk(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+PREFIX_QUERY = "s"
+
+
+def q_prefix_df(sf_dir: str):
+    """ES prefix-query term expansion: every content term starting with
+    the prefix with its document frequency — a parallel dictionary scan
+    across the index shards (query/shards.py expand_terms)."""
+    eng = _docs_engine(sf_dir)
+    return eng.expand_prefix(PREFIX_QUERY)
+
+
+def q_prefix_search(sf_dir: str):
+    """Top-10 BM25 over all terms matching the prefix (ES wildcard query
+    with scoring; the expansion set is the disjunction's term list)."""
+    eng = _docs_engine(sf_dir)
+    res = eng.prefix_search(PREFIX_QUERY, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -984,6 +1004,8 @@ QUERY_REGISTRY = {
     "bm25_topk_incremental": q_bm25_topk_incremental,
     "phrase_match": q_phrase_match,
     "phrase_topk": q_phrase_topk,
+    "prefix_df": q_prefix_df,
+    "prefix_search": q_prefix_search,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
     "dedup_minhash": q_dedup_minhash,

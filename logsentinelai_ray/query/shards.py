@@ -105,6 +105,29 @@ class IndexShard:
             return None
         return self.tables[0].slice(0, 1), np.zeros(1)
 
+    def expand_terms(self, prefix: str, limit: int) -> pa.Table:
+        """Dictionary scan: this shard's CONTENT terms starting with
+        ``prefix`` (field terms like ``lang:x`` are excluded), as a
+        (term, df) table capped at the ``limit`` highest-df terms — the
+        ES wildcard/prefix rewrite (top_terms_N) analog. The scan runs
+        where the dictionary lives; only ≤ limit tiny rows ship back."""
+        outs = []
+        for tbl in self.tables:
+            if tbl.num_rows == 0:
+                continue
+            m = pc.and_(pc.starts_with(tbl["term"], prefix),
+                        pc.invert(pc.match_substring(tbl["term"], ":")))
+            sel = tbl.filter(m).select(["term", "df"])
+            if sel.num_rows:
+                outs.append(sel)
+        if not outs:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        cat = pa.concat_tables(outs)
+        idx = pc.sort_indices(cat, sort_keys=[("df", "descending"),
+                                              ("term", "ascending")])
+        return cat.take(idx.slice(0, limit))
+
     def hot_terms(self, top_n: int) -> list[str]:
         """This shard's highest-df content terms (the Zipf head that
         dominates TAAT decode cost) — drives speculative prewarm."""
@@ -424,6 +447,40 @@ class SearchEngine:
         pred = self._filter_predicate(filters)
         seed = None if filters else self._wand_seed(terms, k)
         topk = block_max_wand(cursors, k, pred, seed_threshold=seed)
+        return self._format_result(topk, with_meta)
+
+    def expand_prefix(self, prefix: str,
+                      max_expansions: int = 64) -> pa.Table:
+        """All content terms starting with ``prefix``, (term, df) sorted
+        by term asc — a parallel dictionary scan across the shards. When
+        more than ``max_expansions`` terms match, the highest-df terms
+        win (the ES top_terms_N rewrite; deterministic df-desc/term-asc
+        tie-break)."""
+        if not prefix:
+            raise ValueError("empty prefix would expand the whole "
+                             "vocabulary; give at least one character")
+        tbls = ray.get([s.expand_terms.remote(prefix, max_expansions)
+                        for s in self.shards])
+        cat = pa.concat_tables(tbls)
+        idx = pc.sort_indices(cat, sort_keys=[("df", "descending"),
+                                              ("term", "ascending")])
+        cat = cat.take(idx.slice(0, max_expansions))
+        return cat.sort_by("term")
+
+    def prefix_search(self, prefix: str, k: int = 10,
+                      max_expansions: int = 64,
+                      with_meta: bool = False) -> pa.Table:
+        """Top-k BM25 treating every term with this prefix as a query
+        term (ES prefix/wildcard query with scoring): expand via the
+        shard dictionaries, then the standard exact TAAT scorer runs
+        over the expanded term set — identical scores to an explicit
+        multi-term query on those terms."""
+        exp = self.expand_prefix(prefix, max_expansions)
+        terms = exp["term"].to_pylist()
+        if not terms:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(terms)
+        topk = self._search_taat(sorted(terms), k, None)
         return self._format_result(topk, with_meta)
 
     def phrase_match(self, phrase: str,

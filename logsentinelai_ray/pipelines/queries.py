@@ -475,6 +475,18 @@ def q_ngram_jaccard_dupes(sf_dir: str):
     return ngram_jaccard_pairs(ds, n=3, threshold=0.5)
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Near-dup cluster assignment: connected components over the n-gram
+    Jaccard pairs (dedup/cluster.py) — every doc in >= 1 pair labeled
+    with the min doc_id reachable through the pair graph. Exact
+    recursive-CTE SQL oracle."""
+    from ..dedup import connected_components, ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(ds)
+    return connected_components(pairs)
+
+
 def q_dedup_minhash(sf_dir: str):
     from ..dedup import minhash_lsh_dupes
 
@@ -1008,6 +1020,7 @@ QUERY_REGISTRY = {
     "prefix_search": q_prefix_search,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embedding_dupes": q_embedding_dupes,

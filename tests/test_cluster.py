@@ -1,0 +1,88 @@
+"""Connected-components tests: driver union-find vs the distributed
+label-propagation path on adversarial graph shapes."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logsentinelai_ray.dedup import connected_components
+
+
+def _pairs(edges):
+    a, b = zip(*edges) if edges else ((), ())
+    return pa.table({"a": pa.array(list(a), pa.int64()),
+                     "b": pa.array(list(b), pa.int64()),
+                     "jaccard": pa.array([1.0] * len(edges),
+                                         pa.float64())})
+
+
+def _brute(edges):
+    """Reference: repeated min-label sweeps until fixpoint."""
+    nodes = sorted({x for e in edges for x in e})
+    lbl = {n: n for n in nodes}
+    changed = True
+    while changed:
+        changed = False
+        for x, y in edges:
+            m = min(lbl[x], lbl[y])
+            for z in (x, y):
+                if lbl[z] != m:
+                    lbl[z] = m
+                    changed = True
+    return lbl
+
+
+GRAPHS = {
+    "two_components": [(1, 2), (2, 3), (10, 11)],
+    "chain": [(i, i + 1) for i in range(50)],
+    "reversed_chain": [(i + 1, i + 2) for i in reversed(range(40))],
+    "star": [(100, i) for i in range(101, 120)],
+    "bridge": [(1, 2), (3, 4), (2, 3), (5, 6)],
+    "self_loop": [(7, 7), (7, 8)],
+    "dup_edges": [(1, 2), (1, 2), (2, 1), (2, 3)],
+}
+
+
+@pytest.mark.parametrize("name", sorted(GRAPHS))
+def test_driver_path_matches_bruteforce(name):
+    edges = GRAPHS[name]
+    out = connected_components(_pairs(edges))
+    exp = _brute(edges)
+    got = dict(zip(out["doc_id"].to_pylist(),
+                   out["cluster_id"].to_pylist()))
+    assert got == exp
+
+
+@pytest.mark.parametrize("name", ["two_components", "short_chain", "star",
+                                  "bridge"])
+def test_distributed_path_matches_driver(ray_session, name):
+    # short_chain: the distributed path converges in O(diameter) rounds
+    # of two shuffles each — a 50-edge chain is a driver-path test, not
+    # worth ~50 Ray groupby rounds in the suite
+    edges = GRAPHS.get(name) or [(i, i + 1) for i in range(8)]
+    pairs = _pairs(edges)
+    a = connected_components(pairs)  # driver path
+    b = connected_components(pairs, max_driver_edges=0)  # forced dist
+    assert a.equals(b)
+
+
+def test_random_graph_both_paths(ray_session):
+    rng = np.random.default_rng(7)
+    a = rng.integers(0, 200, size=300)
+    b = rng.integers(0, 200, size=300)
+    keep = a != b
+    pairs = pa.table({"a": pa.array(a[keep], pa.int64()),
+                      "b": pa.array(b[keep], pa.int64()),
+                      "jaccard": pa.array(np.ones(keep.sum()))})
+    d = connected_components(pairs)
+    dist = connected_components(pairs, max_driver_edges=0)
+    assert d.equals(dist)
+    exp = _brute(list(zip(a[keep].tolist(), b[keep].tolist())))
+    got = dict(zip(d["doc_id"].to_pylist(), d["cluster_id"].to_pylist()))
+    assert got == exp
+
+
+def test_empty_pairs():
+    out = connected_components(_pairs([]))
+    assert out.num_rows == 0
+    assert out.schema.names == ["doc_id", "cluster_id"]

@@ -112,6 +112,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM r GROUP BY user_id, (rn - 1) // 10
         ORDER BY user_id, window_id
     """,
+    "value_quantiles": """
+        WITH m AS (
+          SELECT event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro
+          FROM events
+        )
+        SELECT event_type, count(*)::BIGINT AS n,
+               quantile_disc(value_micro, 0.5)::BIGINT AS p50,
+               quantile_disc(value_micro, 0.9)::BIGINT AS p90,
+               quantile_disc(value_micro, 0.99)::BIGINT AS p99
+        FROM m GROUP BY 1 ORDER BY 1
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)

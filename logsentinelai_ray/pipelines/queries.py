@@ -147,6 +147,48 @@ def q_user_count_windows(sf_dir: str):
 # distributed version" of the reference's LLM-delegated statistics, A1)
 # ---------------------------------------------------------------------------
 
+def q_value_quantiles(sf_dir: str):
+    """Exact per-group discrete quantiles (p50/p90/p99 of value_micro per
+    event type) via groupby().map_groups — each group sorts locally on
+    the worker that owns it and emits one row, so the shuffle moves each
+    event exactly once and nothing group-sized reaches the driver.
+
+    Index convention matches DuckDB quantile_disc: the sorted element at
+    max(0, ceil(q*n) - 1). Scale note: exact per-group quantiles need
+    the group on one worker (here: events of one type); for groups
+    beyond worker memory the same result comes from a distributed sort +
+    rank selection at ceil(q*n) - 1."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "value_micro": micro})
+
+    def quantiles(g: pa.Table) -> pa.Table:
+        v = np.sort(g["value_micro"].to_numpy(zero_copy_only=False))
+        n = v.size
+
+        def q(p: float) -> int:
+            return int(v[max(0, math.ceil(p * n) - 1)])
+
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()]),
+            "n": pa.array([n], pa.int64()),
+            "p50": pa.array([q(0.5)], pa.int64()),
+            "p90": pa.array([q(0.9)], pa.int64()),
+            "p99": pa.array([q(0.99)], pa.int64()),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("event_type")
+           .map_groups(quantiles, batch_format="pyarrow"))
+    return out.sort("event_type")
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary with exact integer-cent sums."""
     from ray.data.aggregate import Count, Sum
@@ -1005,6 +1047,7 @@ QUERY_REGISTRY = {
     "events_daily": q_events_daily,
     "top_users": q_top_users,
     "user_count_windows": q_user_count_windows,
+    "value_quantiles": q_value_quantiles,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "metadata_stamp": q_metadata_stamp,

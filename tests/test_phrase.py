@@ -84,6 +84,31 @@ def test_phrase_chunked_verification_identical(engine, indexed_docs):
     assert a.equals(b)
 
 
+def test_phrase_range_plan_matches_candidate_plan(engine, indexed_docs):
+    """candidate_max_df=0 forces the range plan (no posting decode, pure
+    sidecar conjunction); results must be identical to the default."""
+    for phrase in _sample_phrases(indexed_docs)[:4]:
+        a = engine.phrase_match(phrase)
+        b = engine.phrase_match(phrase, candidate_max_df=0)
+        assert a.equals(b), phrase
+        c = engine.phrase_match(phrase, candidate_max_df=0, chunk_docs=16)
+        assert a.equals(c), phrase
+
+
+def test_phrase_topk_block_scorer_matches_taat(engine, indexed_docs):
+    """Forcing the scale path (block-targeted scoring instead of the
+    TAAT accumulator) must give bit-identical top-k."""
+    phrase = _sample_phrases(indexed_docs)[0]
+    a = engine.phrase_topk(phrase, k=10)
+    saved = engine.taat_max_docs
+    try:
+        engine.taat_max_docs = 0
+        b = engine.phrase_topk(phrase, k=10)
+    finally:
+        engine.taat_max_docs = saved
+    assert a.equals(b)
+
+
 def test_phrase_topk_scores_match_plain_search(engine, indexed_docs):
     """phrase_topk == plain multi-term BM25 restricted to phrase docs."""
     phrase = _sample_phrases(indexed_docs)[0]

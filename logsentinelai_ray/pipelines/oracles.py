@@ -201,6 +201,35 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.lang = 'en'
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
+    # ES bool query: score over must+should terms, restricted to docs
+    # containing every must term and no must_not term
+    "boolean_search":
+    _BM25_BASE.replace(_BM25_TERMS, "('merge'), ('spark'), ('window')")
+    + """
+        SELECT s.doc_id, round(s.score, 6) AS score
+        FROM scores s
+        WHERE s.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+          AND s.doc_id IN (SELECT doc_id FROM tf WHERE term = 'window')
+          AND s.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'error')
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+    """,
+    # ES aggregation on query results: per-lang doc count over docs
+    # containing any query term
+    "search_facets": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        )
+        SELECT d.lang, count(DISTINCT tok.doc_id)::BIGINT AS n_docs
+        FROM tok JOIN documents d USING (doc_id)
+        WHERE tok.term IN ('error', 'merge', 'spark', 'window')
+        GROUP BY 1 ORDER BY 1
+    """,
     # ES prefix-query analogs: the engine expands the prefix against the
     # shard dictionaries; SQL expands it with LIKE over the token stream
     "prefix_df": f"""

@@ -479,6 +479,24 @@ def q_phrase_topk(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_boolean_search(sf_dir: str):
+    """ES bool query: must-conjunction + must_not exclusion, scored by
+    BM25 over must+should terms (query/shards.py boolean_search)."""
+    eng = _docs_engine(sf_dir)
+    res = eng.boolean_search(must="merge window", should="spark",
+                             must_not="error", k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_search_facets(sf_dir: str):
+    """ES aggregation on query results: per-lang count of docs matching
+    any query term, computed purely from posting-list intersections (no
+    document metadata read)."""
+    eng = _docs_engine(sf_dir)
+    return eng.search_facets(BM25_QUERY_TEXT, field="lang")
+
+
 PREFIX_QUERY = "s"
 
 
@@ -1061,6 +1079,8 @@ QUERY_REGISTRY = {
     "phrase_topk": q_phrase_topk,
     "prefix_df": q_prefix_df,
     "prefix_search": q_prefix_search,
+    "boolean_search": q_boolean_search,
+    "search_facets": q_search_facets,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
     "dedup_clusters": q_dedup_clusters,

@@ -116,18 +116,22 @@ class IndexShard:
             return None
         return self.tables[0].slice(0, 1), np.zeros(1)
 
-    def expand_terms(self, prefix: str, limit: int) -> pa.Table:
-        """Dictionary scan: this shard's CONTENT terms starting with
-        ``prefix`` (field terms like ``lang:x`` are excluded), as a
-        (term, df) table capped at the ``limit`` highest-df terms — the
-        ES wildcard/prefix rewrite (top_terms_N) analog. The scan runs
-        where the dictionary lives; only ≤ limit tiny rows ship back."""
+    def expand_terms(self, prefix: str, limit: int,
+                     include_fields: bool = False) -> pa.Table:
+        """Dictionary scan: this shard's terms starting with ``prefix``,
+        as a (term, df) table capped at the ``limit`` highest-df terms —
+        the ES wildcard/prefix rewrite (top_terms_N) analog. Field terms
+        (``lang:x``) are excluded unless ``include_fields`` (facet
+        enumeration scans them on purpose). The scan runs where the
+        dictionary lives; only <= limit tiny rows ship back."""
         outs = []
         for tbl in self.tables:
             if tbl.num_rows == 0:
                 continue
-            m = pc.and_(pc.starts_with(tbl["term"], prefix),
-                        pc.invert(pc.match_substring(tbl["term"], ":")))
+            m = pc.starts_with(tbl["term"], prefix)
+            if not include_fields:
+                m = pc.and_(m, pc.invert(pc.match_substring(tbl["term"],
+                                                            ":")))
             sel = tbl.filter(m).select(["term", "df"])
             if sel.num_rows:
                 outs.append(sel)
@@ -560,6 +564,90 @@ class SearchEngine:
         self._ensure_contribs(terms)
         topk = self._search_taat(sorted(terms), k, None)
         return self._format_result(topk, with_meta)
+
+    def boolean_search(self, must: str = "", should: str = "",
+                       must_not: str = "", k: int = 10,
+                       with_meta: bool = False) -> pa.Table:
+        """ES bool query: docs containing ALL ``must`` terms and NONE of
+        the ``must_not`` terms, scored by BM25 over must+should terms
+        (should widens scoring, not matching — ES semantics with a must
+        clause present; with no must clause, any should term matches).
+
+        Scale note: candidate narrowing uses the decoded id lists the
+        TAAT cache already holds; past ``taat_max_docs`` the same
+        semantics run as WAND over the must conjunction with a must_not
+        membership predicate — this method guards the TAAT ceiling the
+        same way search() does."""
+        mt = sorted(set(tokenize_py(must,
+                                    int(self.stats["max_token_len"]))))
+        st = sorted(set(tokenize_py(should,
+                                    int(self.stats["max_token_len"]))))
+        nt = sorted(set(tokenize_py(must_not,
+                                    int(self.stats["max_token_len"]))))
+        if not mt and not st:
+            return self._format_result([], with_meta)
+        score_terms = sorted(set(mt) | set(st))
+        self._ensure_contribs(score_terms + nt)
+        sets = {}
+        for t in mt + nt:
+            hit = self._contrib_cache.get(t)
+            if hit is None and t in mt:
+                return self._format_result([], with_meta)
+            sets[t] = None if hit is None else hit[0]
+        if mt:
+            cand = sets[mt[0]]
+            for t in mt[1:]:
+                cand = np.intersect1d(cand, sets[t], assume_unique=True)
+                if cand.size == 0:
+                    return self._format_result([], with_meta)
+        else:
+            present = [self._contrib_cache[t][0] for t in st
+                       if self._contrib_cache.get(t) is not None]
+            if not present:
+                return self._format_result([], with_meta)
+            cand = np.unique(np.concatenate(present))
+        for t in nt:
+            ids = sets.get(t)
+            if ids is not None and ids.size:
+                cand = cand[~np.isin(cand, ids, assume_unique=True)]
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        topk = self._search_taat(score_terms, k, cand)
+        return self._format_result(topk, with_meta)
+
+    def search_facets(self, text: str, field: str = "lang") -> pa.Table:
+        """ES aggregation on query results: per field value, how many
+        docs match ANY of the query's terms. Counts come from sorted-id
+        intersections of the match set with the field posting lists —
+        the field values are enumerated from the term dictionary, and no
+        document metadata is read at all."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        self._ensure_contribs(terms)
+        present = [self._contrib_cache[t][0] for t in terms
+                   if self._contrib_cache.get(t) is not None]
+        schema = pa.schema([(field, pa.string()), ("n_docs", pa.int64())])
+        if not present:
+            return schema.empty_table()
+        matches = (present[0] if len(present) == 1
+                   else np.unique(np.concatenate(present)))
+        prefix = f"{field}:"
+        values = ray.get([s.expand_terms.remote(prefix, 1 << 20, True)
+                          for s in self.shards])
+        fterms = sorted(t for tbl in values
+                        for t in tbl["term"].to_pylist())
+        self._ensure_contribs(fterms)
+        out_vals, out_counts = [], []
+        for ft in fterms:
+            hit = self._contrib_cache.get(ft)
+            if hit is None:
+                continue
+            inter = np.intersect1d(matches, hit[0], assume_unique=True)
+            if inter.size:
+                out_vals.append(ft[len(prefix):])
+                out_counts.append(int(inter.size))
+        return pa.table({field: pa.array(out_vals, pa.string()),
+                         "n_docs": pa.array(out_counts, pa.int64())})
 
     def phrase_match(self, phrase: str, chunk_docs: int = 200_000,
                      candidate_max_df: int = 5_000_000) -> pa.Table:

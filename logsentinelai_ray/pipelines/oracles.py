@@ -285,6 +285,20 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
         ORDER BY doc_id
     """,
+    # match_phrase_prefix: last slot matches any term with the prefix
+    "phrase_prefix": f"""
+        WITH t AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        ), pm AS (
+          SELECT doc_id,
+                 len([i FOR i IN generate_series(1, len(arr) - 1)
+                      IF arr[i] = 'merge' AND arr[i+1] LIKE 's%'])::BIGINT
+                     AS n_matches
+          FROM t WHERE len(arr) >= 2
+        )
+        SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
+        ORDER BY doc_id
+    """,
     # BM25 over the phrase's terms restricted to exact-phrase docs — the
     # engine's phrase_topk (positional filter + standard TAAT scoring)
     "phrase_topk": _BM25_BASE.replace(_BM25_TERMS, "('merge'), ('sort')")

@@ -479,6 +479,14 @@ def q_phrase_topk(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_phrase_prefix(sf_dir: str):
+    """ES match_phrase_prefix: 'merge s' — leading token exact, last
+    token expanded as a prefix against the shard dictionaries; a
+    position matches when any expansion follows 'merge'."""
+    eng = _docs_engine(sf_dir)
+    return eng.phrase_prefix_match("merge s")
+
+
 def q_boolean_search(sf_dir: str):
     """ES bool query: must-conjunction + must_not exclusion, scored by
     BM25 over must+should terms (query/shards.py boolean_search)."""
@@ -1081,6 +1089,7 @@ QUERY_REGISTRY = {
     "prefix_search": q_prefix_search,
     "boolean_search": q_boolean_search,
     "search_facets": q_search_facets,
+    "phrase_prefix": q_phrase_prefix,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
     "dedup_clusters": q_dedup_clusters,

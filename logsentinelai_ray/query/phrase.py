@@ -46,27 +46,47 @@ def _empty_result() -> pa.Table:
     return PHRASE_RESULT_SCHEMA.empty_table()
 
 
+def _slot_positions(index_dir: str, slot: list[tuple[str, int]],
+                    lo: int, hi: int) -> tuple[np.ndarray, np.ndarray]:
+    """All (doc_id, pos) occurrences in [lo, hi] of any of the slot's
+    (term, part) alternatives — one alternative for a plain phrase slot,
+    several for an expanded last-slot prefix (match_phrase_prefix)."""
+    dids, poss = [], []
+    by_part: dict[int, list[str]] = {}
+    for t, p in slot:
+        by_part.setdefault(p, []).append(t)
+    for p, ts in by_part.items():
+        pdir = os.path.join(index_dir, "positions", f"part={p}")
+        tfilter = (pc.field("term") == ts[0] if len(ts) == 1
+                   else pc.field("term").isin(ts))
+        tbl = pa_ds.dataset(pdir, format="parquet").to_table(
+            columns=["doc_id", "pos"],
+            filter=tfilter
+            & (pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi))
+        dids.append(tbl["doc_id"].to_numpy(zero_copy_only=False))
+        poss.append(tbl["pos"].to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+    if not dids:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    return np.concatenate(dids), np.concatenate(poss)
+
+
 @ray.remote(num_cpus=1)
-def _phrase_verify(index_dir: str, terms: list[str], term_parts: list[int],
+def _phrase_verify(index_dir: str, slots: list[list[tuple[str, int]]],
                    lo: int, hi: int,
                    cand: np.ndarray | None = None) -> pa.Table:
     """Verify one doc-id range [lo, hi] against the positions sidecar,
-    optionally restricted to a sorted candidate-id array.
+    optionally restricted to a sorted candidate-id array. ``slots`` is
+    one list of (term, part) alternatives per phrase position.
 
     Keys pack (range-local doc offset, shifted position) into one int64 —
     range-local offsets keep the pack safe at any corpus size (a raw
     doc_id * 2^32 pack would overflow at 10^12 docs); callers bound the
     range width below 2^31 docs."""
     keys: np.ndarray | None = None
-    for j, (t, p) in enumerate(zip(terms, term_parts)):
-        pdir = os.path.join(index_dir, "positions", f"part={p}")
-        tbl = pa_ds.dataset(pdir, format="parquet").to_table(
-            columns=["doc_id", "pos"],
-            filter=(pc.field("term") == t)
-            & (pc.field("doc_id") >= lo) & (pc.field("doc_id") <= hi))
-        did = tbl["doc_id"].to_numpy(zero_copy_only=False)
-        pos = tbl["pos"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if cand is not None:
+    for j, slot in enumerate(slots):
+        did, pos = _slot_positions(index_dir, slot, lo, hi)
+        if cand is not None and did.size:
             # keep occurrences of candidate docs only (the range filter
             # may admit non-candidates between lo and hi)
             r = np.searchsorted(cand, did)
@@ -76,8 +96,9 @@ def _phrase_verify(index_dir: str, terms: list[str], term_parts: list[int],
         shifted = pos - j
         ok2 = shifted >= 0
         kj = ((did[ok2] - lo) << 32) | shifted[ok2]
-        # keys are unique per term ((doc, pos) pairs are distinct
-        # occurrences); intersect1d sorts internally
+        # keys are unique within a slot (one token occupies a (doc, pos)
+        # slot, so alternatives never collide); intersect1d sorts
+        # internally
         keys = kj if keys is None else np.intersect1d(
             keys, kj, assume_unique=True)
         if keys.size == 0:
@@ -113,45 +134,81 @@ def phrase_match(engine, phrase: str, chunk_docs: int = 200_000,
       happens inside each range task via the same key intersection.
     """
     from ..analysis.tokenizer import tokenize_py
+
+    terms = tokenize_py(phrase, int(engine.stats["max_token_len"]))
+    if not terms:
+        return _empty_result()
+    return _run_phrase(engine, [[t] for t in terms], chunk_docs,
+                       candidate_max_df)
+
+
+def phrase_prefix_match(engine, phrase: str, max_expansions: int = 64,
+                        chunk_docs: int = 200_000,
+                        candidate_max_df: int = 5_000_000) -> pa.Table:
+    """ES ``match_phrase_prefix``: the last token is treated as a prefix
+    and expanded against the shard dictionaries (capped at the
+    ``max_expansions`` highest-df terms, the ES rewrite); a position
+    matches when the leading tokens match exactly and the last slot
+    matches ANY expansion. Same exact verify machinery as phrase_match —
+    the last slot just carries several (term, part) alternatives."""
+    from ..analysis.tokenizer import tokenize_py
+
+    terms = tokenize_py(phrase, int(engine.stats["max_token_len"]))
+    if not terms:
+        return _empty_result()
+    expansions = engine.expand_prefix(terms[-1],
+                                      max_expansions)["term"].to_pylist()
+    if not expansions:
+        return _empty_result()
+    slots = [[t] for t in terms[:-1]] + [list(expansions)]
+    return _run_phrase(engine, slots, chunk_docs, candidate_max_df)
+
+
+def _run_phrase(engine, slots: list[list[str]], chunk_docs: int,
+                candidate_max_df: int) -> pa.Table:
+    """Shared planner: candidate conjunction when some slot is cheap to
+    decode, doc-range partitioning when every slot is hot."""
     from ..index.build import term_partition
 
     if not engine.stats.get("store_positions"):
         raise ValueError(
             "index was built without the positions sidecar; rebuild with "
             "IndexConfig(store_positions=True) to serve phrase queries")
-    terms = tokenize_py(phrase, int(engine.stats["max_token_len"]))
-    if not terms:
-        return _empty_result()
-    uniq = sorted(set(terms))
-    parts = [term_partition(t, engine.P) for t in terms]
+    uniq = sorted({t for slot in slots for t in slot})
     dfs = engine._term_dfs(uniq)
-    if any(df == 0 for df in dfs.values()):
+    slot_dfs = [sum(dfs[t] for t in slot) for slot in slots]
+    if any(d == 0 for d in slot_dfs):
         return _empty_result()
+    part_slots = [[(t, term_partition(t, engine.P)) for t in slot
+                   if dfs[t] > 0] for slot in slots]
     chunk_docs = min(chunk_docs, 2 ** 31 - 1)  # key-pack range bound
 
-    if min(dfs.values()) <= candidate_max_df:
+    if min(slot_dfs) <= candidate_max_df:
         engine._ensure_contribs(uniq)
-        per_term = []
-        for t in uniq:
-            hit = engine._contrib_cache.get(t)
-            if hit is None:
+        per_slot = []
+        for slot, d in zip(slots, slot_dfs):
+            id_sets = [engine._contrib_cache[t][0] for t in slot
+                       if engine._contrib_cache.get(t) is not None]
+            if not id_sets:
                 return _empty_result()
-            per_term.append((hit[2], hit[0]))  # (df, sorted ids)
-        per_term.sort(key=lambda x: x[0])
-        cand = per_term[0][1]
-        for _, ids in per_term[1:]:
+            ids = (id_sets[0] if len(id_sets) == 1
+                   else np.unique(np.concatenate(id_sets)))
+            per_slot.append((d, ids))
+        per_slot.sort(key=lambda x: x[0])
+        cand = per_slot[0][1]
+        for _, ids in per_slot[1:]:
             cand = np.intersect1d(cand, ids, assume_unique=True)
             if cand.size == 0:
                 return _empty_result()
         n_chunks = max(1, -(-cand.size // chunk_docs))
         futures = [
-            _phrase_verify.remote(engine.index_dir, list(terms), parts,
+            _phrase_verify.remote(engine.index_dir, part_slots,
                                   int(chunk[0]), int(chunk[-1]), chunk)
             for chunk in np.array_split(cand, n_chunks)]
     else:
         n_docs = int(engine.stats["n_docs"])
         futures = [
-            _phrase_verify.remote(engine.index_dir, list(terms), parts,
+            _phrase_verify.remote(engine.index_dir, part_slots,
                                   lo, min(lo + chunk_docs - 1, n_docs - 1))
             for lo in range(0, n_docs, chunk_docs)]
     tables = [t for t in ray.get(futures) if t.num_rows]

@@ -660,6 +660,16 @@ class SearchEngine:
         return phrase_match(self, phrase, chunk_docs=chunk_docs,
                             candidate_max_df=candidate_max_df)
 
+    def phrase_prefix_match(self, phrase: str, max_expansions: int = 64,
+                            chunk_docs: int = 200_000) -> pa.Table:
+        """ES match_phrase_prefix: phrase whose last token is a prefix
+        expanded against the term dictionaries (query/phrase.py)."""
+        from .phrase import phrase_prefix_match
+
+        return phrase_prefix_match(self, phrase,
+                                   max_expansions=max_expansions,
+                                   chunk_docs=chunk_docs)
+
     def phrase_topk(self, phrase: str, k: int = 10,
                     with_meta: bool = False,
                     chunk_docs: int = 200_000) -> pa.Table:

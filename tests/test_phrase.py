@@ -126,6 +126,39 @@ def test_phrase_topk_scores_match_plain_search(engine, indexed_docs):
     assert got == expect
 
 
+def test_phrase_prefix_vs_bruteforce(engine, indexed_docs):
+    """match_phrase_prefix == brute force with an uncapped expansion."""
+    lead = None
+    for _d, content in indexed_docs:
+        toks = tokenize_py(content)
+        if len(toks) >= 2:
+            lead, nxt = toks[0], toks[1]
+            break
+    assert lead is not None
+    for plen in (1, 2, len(nxt)):
+        prefix = nxt[:plen]
+        got_tbl = engine.phrase_prefix_match(f"{lead} {prefix}",
+                                             max_expansions=10 ** 6)
+        got = dict(zip(got_tbl["doc_id"].to_pylist(),
+                       got_tbl["n_matches"].to_pylist()))
+        exp = {}
+        for d, content in indexed_docs:
+            toks = tokenize_py(content)
+            c = sum(1 for i in range(len(toks) - 1)
+                    if toks[i] == lead and toks[i + 1].startswith(prefix))
+            if c:
+                exp[d] = c
+        assert got == exp, (lead, prefix)
+
+
+def test_phrase_prefix_plans_agree(engine, indexed_docs):
+    lead = tokenize_py(indexed_docs[0][1])[0]
+    a = engine.phrase_prefix_match(f"{lead} a", max_expansions=10 ** 6)
+    b = engine.phrase_prefix_match(f"{lead} a", max_expansions=10 ** 6,
+                                   chunk_docs=16)
+    assert a.equals(b)
+
+
 def test_phrase_requires_positions(ray_session, small_corpus, tmp_path):
     import ray.data as rd
 

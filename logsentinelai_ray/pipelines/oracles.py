@@ -285,6 +285,28 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
         ORDER BY doc_id
     """,
+    # span_near: per doc, count (i, j) occurrence pairs of the two terms
+    # within the window — nested list lambdas over position lists
+    "span_near": f"""
+        WITH t AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        ), p AS (
+          SELECT doc_id,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'sort'] AS p1,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'merge'] AS p2
+          FROM t
+        ), pm AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(p1,
+                     x -> len(list_filter(p2,
+                         y -> abs(x - y) <= 3)))) AS BIGINT) AS n_matches
+          FROM p WHERE len(p1) > 0 AND len(p2) > 0
+        )
+        SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
+        ORDER BY doc_id
+    """,
     # match_phrase_prefix: last slot matches any term with the prefix
     "phrase_prefix": f"""
         WITH t AS (

@@ -487,6 +487,13 @@ def q_phrase_prefix(sf_dir: str):
     return eng.phrase_prefix_match("merge s")
 
 
+def q_span_near(sf_dir: str):
+    """ES span_near (unordered) analog: docs where 'sort' and 'merge'
+    occur within 3 tokens, with qualifying occurrence-pair counts."""
+    eng = _docs_engine(sf_dir)
+    return eng.proximity_match("sort", "merge", window=3)
+
+
 def q_boolean_search(sf_dir: str):
     """ES bool query: must-conjunction + must_not exclusion, scored by
     BM25 over must+should terms (query/shards.py boolean_search)."""
@@ -1090,6 +1097,7 @@ QUERY_REGISTRY = {
     "boolean_search": q_boolean_search,
     "search_facets": q_search_facets,
     "phrase_prefix": q_phrase_prefix,
+    "span_near": q_span_near,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
     "dedup_clusters": q_dedup_clusters,

@@ -110,6 +110,100 @@ def _phrase_verify(index_dir: str, slots: list[list[tuple[str, int]]],
     })
 
 
+@ray.remote(num_cpus=1)
+def _proximity_verify(index_dir: str, slot1: list[tuple[str, int]],
+                      slot2: list[tuple[str, int]], window: int,
+                      lo: int, hi: int,
+                      cand: np.ndarray | None = None) -> pa.Table:
+    """Count, per doc in [lo, hi], the (i, j) position pairs with
+    term1@i, term2@j and |i - j| <= window. Pair counting is two
+    searchsorteds over packed (doc, pos) keys: for every term1
+    occurrence the term2 occurrences within the window form one
+    contiguous key range (positions never approach the 2^32 pack
+    boundary, so ranges cannot leak across docs)."""
+    d1, p1 = _slot_positions(index_dir, slot1, lo, hi)
+    d2, p2 = _slot_positions(index_dir, slot2, lo, hi)
+    if cand is not None:
+        for i, (d, p) in enumerate(((d1, p1), (d2, p2))):
+            r = np.searchsorted(cand, d)
+            r_clip = np.minimum(r, cand.size - 1)
+            ok = cand[r_clip] == d
+            if i == 0:
+                d1, p1 = d[ok], p[ok]
+            else:
+                d2, p2 = d[ok], p[ok]
+    if d1.size == 0 or d2.size == 0:
+        return _empty_result()
+    k1 = ((d1 - lo) << 32) | p1
+    k2 = np.sort(((d2 - lo) << 32) | p2)
+    hi_idx = np.searchsorted(k2, k1 + window, side="right")
+    lo_idx = np.searchsorted(k2, k1 - window, side="left")
+    pair_counts = hi_idx - lo_idx
+    docs = np.unique(d1)
+    sums = np.zeros(docs.size, dtype=np.int64)
+    np.add.at(sums, np.searchsorted(docs, d1), pair_counts)
+    m = sums > 0
+    return pa.table({
+        "doc_id": pa.array(docs[m], pa.int64()),
+        "n_matches": pa.array(sums[m], pa.int64()),
+    })
+
+
+def proximity_match(engine, term1: str, term2: str, window: int = 3,
+                    chunk_docs: int = 200_000,
+                    candidate_max_df: int = 5_000_000) -> pa.Table:
+    """ES span_near (unordered) analog: docs where an occurrence of
+    ``term1`` and one of ``term2`` sit within ``window`` tokens;
+    n_matches counts every qualifying (i, j) occurrence pair. The two
+    terms must be distinct single tokens (identical terms would count
+    each occurrence paired with itself)."""
+    from ..analysis.tokenizer import tokenize_py
+    from ..index.build import term_partition
+
+    if not engine.stats.get("store_positions"):
+        raise ValueError(
+            "index was built without the positions sidecar; rebuild with "
+            "IndexConfig(store_positions=True) to serve proximity queries")
+    t1 = tokenize_py(term1, int(engine.stats["max_token_len"]))
+    t2 = tokenize_py(term2, int(engine.stats["max_token_len"]))
+    if len(t1) != 1 or len(t2) != 1 or t1 == t2:
+        raise ValueError("proximity_match takes two distinct single terms")
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    t1, t2 = t1[0], t2[0]
+    dfs = engine._term_dfs([t1, t2])
+    if dfs[t1] == 0 or dfs[t2] == 0:
+        return _empty_result()
+    slot1 = [(t1, term_partition(t1, engine.P))]
+    slot2 = [(t2, term_partition(t2, engine.P))]
+    chunk_docs = min(chunk_docs, 2 ** 31 - 1)
+    if min(dfs[t1], dfs[t2]) <= candidate_max_df:
+        engine._ensure_contribs([t1, t2])
+        h1, h2 = (engine._contrib_cache.get(t1),
+                  engine._contrib_cache.get(t2))
+        if h1 is None or h2 is None:
+            return _empty_result()
+        cand = np.intersect1d(h1[0], h2[0], assume_unique=True)
+        if cand.size == 0:
+            return _empty_result()
+        n_chunks = max(1, -(-cand.size // chunk_docs))
+        futures = [
+            _proximity_verify.remote(engine.index_dir, slot1, slot2,
+                                     window, int(c[0]), int(c[-1]), c)
+            for c in np.array_split(cand, n_chunks)]
+    else:
+        n_docs = int(engine.stats["n_docs"])
+        futures = [
+            _proximity_verify.remote(engine.index_dir, slot1, slot2,
+                                     window, lo,
+                                     min(lo + chunk_docs - 1, n_docs - 1))
+            for lo in range(0, n_docs, chunk_docs)]
+    tables = [t for t in ray.get(futures) if t.num_rows]
+    if not tables:
+        return _empty_result()
+    return pa.concat_tables(tables).sort_by("doc_id")
+
+
 def phrase_match(engine, phrase: str, chunk_docs: int = 200_000,
                  candidate_max_df: int = 5_000_000) -> pa.Table:
     """All docs containing ``phrase`` as a consecutive token sequence,

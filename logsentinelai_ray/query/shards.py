@@ -670,6 +670,15 @@ class SearchEngine:
                                    max_expansions=max_expansions,
                                    chunk_docs=chunk_docs)
 
+    def proximity_match(self, term1: str, term2: str, window: int = 3,
+                        chunk_docs: int = 200_000) -> pa.Table:
+        """ES span_near (unordered): (doc_id, n_matches) for docs where
+        the two terms occur within ``window`` tokens (query/phrase.py)."""
+        from .phrase import proximity_match
+
+        return proximity_match(self, term1, term2, window=window,
+                               chunk_docs=chunk_docs)
+
     def phrase_topk(self, phrase: str, k: int = 10,
                     with_meta: bool = False,
                     chunk_docs: int = 200_000) -> pa.Table:

@@ -159,6 +159,38 @@ def test_phrase_prefix_plans_agree(engine, indexed_docs):
     assert a.equals(b)
 
 
+def test_proximity_vs_bruteforce(engine, indexed_docs):
+    toks0 = tokenize_py(indexed_docs[0][1])
+    pairs = [(toks0[0], toks0[1]), (toks0[2], toks0[0])]
+    for t1, t2 in pairs:
+        if t1 == t2:
+            continue
+        for w in (1, 3, 10):
+            got_tbl = engine.proximity_match(t1, t2, window=w)
+            got = dict(zip(got_tbl["doc_id"].to_pylist(),
+                           got_tbl["n_matches"].to_pylist()))
+            exp = {}
+            for d, content in indexed_docs:
+                toks = tokenize_py(content)
+                p1 = [i for i, t in enumerate(toks) if t == t1]
+                p2 = [i for i, t in enumerate(toks) if t == t2]
+                c = sum(1 for x in p1 for y in p2 if abs(x - y) <= w)
+                if c:
+                    exp[d] = c
+            assert got == exp, (t1, t2, w)
+
+
+def test_proximity_rejects_bad_args(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        engine.proximity_match("same", "same")
+    with _pt.raises(ValueError):
+        engine.proximity_match("two words", "other")
+    with _pt.raises(ValueError):
+        engine.proximity_match("a", "b", window=0)
+
+
 def test_phrase_requires_positions(ray_session, small_corpus, tmp_path):
     import ray.data as rd
 

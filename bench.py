@@ -154,10 +154,16 @@ def bench_pipelines() -> dict:
 
     names = ["pricing_summary", "severity_histogram", "events_daily",
              "user_count_windows", "dedup_exact", "ngram_jaccard_dupes",
-             "dedup_minhash", "dedup_simhash", "quality_by_lang",
-             "lang_id_confusion", "embedding_knn", "multimodal_stats",
-             "df_top_terms", "nested_severity_histogram",
-             "geoip_enrichment", "alert_sink"]
+             "dedup_minhash", "dedup_simhash", "dedup_clusters",
+             "quality_by_lang", "lang_id_confusion", "embedding_knn",
+             "multimodal_stats", "df_top_terms",
+             "nested_severity_histogram", "geoip_enrichment",
+             "alert_sink", "value_quantiles",
+             # fulltext family over the shared docs engine: the first
+             # entry's timing includes the positional index build, the
+             # rest reuse the cached engine
+             "phrase_match", "phrase_topk", "phrase_prefix", "span_near",
+             "prefix_search", "boolean_search", "search_facets"]
     out = {}
     for name in names:
         t0 = time.monotonic()

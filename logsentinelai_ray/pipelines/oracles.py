@@ -201,6 +201,64 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.lang = 'en'
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
+    # ES _count analog: docs containing any query term
+    "match_count": _BM25_BASE + """
+        SELECT count(DISTINCT tf.doc_id)::BIGINT AS n_matches
+        FROM tf JOIN q USING (term)
+    """,
+    # search_after pagination == OFFSET in total (score desc, id asc)
+    # order; ORDER BY the unrounded score like bm25_topk
+    "bm25_page2": _BM25_BASE + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10 OFFSET 10
+    """,
+    # more_like_this: top-5 tf*idf terms of doc 0 (tie term asc) as the
+    # query, BM25 top-10 excluding the source doc
+    "more_like_this": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+          GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT count(*)::DOUBLE FROM tok) /
+                 (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        ), alldf AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY 1
+        ), q AS (
+          SELECT tf.term FROM tf
+          JOIN alldf USING (term) CROSS JOIN stats
+          WHERE tf.doc_id = 0
+          ORDER BY tf.tf * ln(1 + (stats.n - alldf.df + 0.5)
+                              / (alldf.df + 0.5)) DESC, tf.term ASC
+          LIMIT 5
+        ), df AS (
+          SELECT term, df FROM alldf WHERE term IN (SELECT term FROM q)
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                                       + 0.75 * dl.dl / stats.avgdl))
+                 ) AS score
+          FROM tf
+          JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        WHERE doc_id <> 0
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
     # ES bool query: score over must+should terms, restricted to docs
     # containing every must term and no must_not term
     "boolean_search":

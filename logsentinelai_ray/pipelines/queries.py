@@ -487,6 +487,37 @@ def q_phrase_prefix(sf_dir: str):
     return eng.phrase_prefix_match("merge s")
 
 
+def q_match_count(sf_dir: str):
+    """ES _count analog: docs containing any query term (posting-id
+    union, no scoring)."""
+    eng = _docs_engine(sf_dir)
+    n = eng.match_count(BM25_QUERY_TEXT)
+    return pa.table({"n_matches": pa.array([n], pa.int64())})
+
+
+def q_bm25_page2(sf_dir: str):
+    """ES search_after pagination: page 2 (results 11-20) using page 1's
+    last (score, doc_id) as the cursor — must equal OFFSET 10 in SQL."""
+    eng = _docs_engine(sf_dir)
+    page1 = eng.search_after(BM25_QUERY_TEXT, k=10)
+    if page1.num_rows < 10:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.float64())})
+    cursor = (page1["score"][9].as_py(), page1["doc_id"][9].as_py())
+    res = eng.search_after(BM25_QUERY_TEXT, k=10, after=cursor)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_more_like_this(sf_dir: str):
+    """ES more_like_this: top tf*idf terms of doc 0 as a query, top-10
+    excluding the source doc."""
+    eng = _docs_engine(sf_dir)
+    res = eng.more_like_this(0, max_terms=5, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_span_near(sf_dir: str):
     """ES span_near (unordered) analog: docs where 'sort' and 'merge'
     occur within 3 tokens, with qualifying occurrence-pair counts."""
@@ -1098,6 +1129,9 @@ QUERY_REGISTRY = {
     "search_facets": q_search_facets,
     "phrase_prefix": q_phrase_prefix,
     "span_near": q_span_near,
+    "match_count": q_match_count,
+    "bm25_page2": q_bm25_page2,
+    "more_like_this": q_more_like_this,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
     "dedup_clusters": q_dedup_clusters,

@@ -565,6 +565,116 @@ class SearchEngine:
         topk = self._search_taat(sorted(terms), k, None)
         return self._format_result(topk, with_meta)
 
+    def match_count(self, text: str) -> int:
+        """ES _count analog: number of docs containing ANY query term —
+        a posting-id union, no scoring, no metadata read."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        self._ensure_contribs(terms)
+        present = [self._contrib_cache[t][0] for t in terms
+                   if self._contrib_cache.get(t) is not None]
+        if not present:
+            return 0
+        if len(present) == 1:
+            return int(present[0].size)
+        return int(np.unique(np.concatenate(present)).size)
+
+    def search_after(self, text: str, k: int = 10,
+                     after: tuple[float, int] | None = None,
+                     with_meta: bool = False) -> pa.Table:
+        """ES search_after pagination: the next ``k`` results strictly
+        after the cursor ``(score, doc_id)`` in (score desc, doc_id asc)
+        order. Pass the previous page's last row (full-precision score)
+        as the cursor; ``after=None`` is page one.
+
+        Runs on the TAAT accumulator (the cursor predicate filters the
+        scored candidates before top-k selection); past ``taat_max_docs``
+        the same semantics come from WAND with its pruning threshold
+        warm-started at nextafter(cursor_score, -inf) and the cursor
+        predicate applied to the heap — not needed at sandbox scale, so
+        this method enforces the TAAT ceiling explicitly."""
+        if int(self.stats["n_docs"]) > self.taat_max_docs:
+            raise NotImplementedError(
+                "search_after currently requires the TAAT path; see "
+                "docstring for the WAND warm-start formulation")
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        self._ensure_contribs(terms)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        for t in terms:  # sorted-term order = the oracle's addition order
+            hit = self._contrib_cache.get(t)
+            if hit is None:
+                continue
+            ids, contrib, _df = hit
+            acc[ids] += contrib
+        cand = np.flatnonzero(acc > 0.0)
+        if after is not None:
+            s, d = float(after[0]), int(after[1])
+            scores = acc[cand]
+            keep = (scores < s) | ((scores == s) & (cand > d))
+            cand = cand[keep]
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        topk = [(int(cand[i]), float(scores[i])) for i in order]
+        return self._format_result(topk, with_meta)
+
+    def more_like_this(self, doc_id: int, max_terms: int = 5,
+                       k: int = 10, with_meta: bool = False) -> pa.Table:
+        """ES more_like_this analog: rank the source doc's terms by
+        tf * idf (tie-break term asc), take the top ``max_terms`` as a
+        query, return the BM25 top-k excluding the source doc. The
+        source content is read with a doc_id row-group-pruned scan of
+        the index's docs files — one document, never the corpus."""
+        docs_dir = os.path.join(self.index_dir, "docs")
+        src = pa_ds.dataset(docs_dir, format="parquet").to_table(
+            columns=["doc_id", "content"],
+            filter=pc.field("doc_id") == doc_id)
+        if src.num_rows == 0:
+            raise KeyError(f"doc_id {doc_id} not in index")
+        toks = tokenize_py(src["content"][0].as_py(),
+                           int(self.stats["max_token_len"]))
+        if not toks:
+            return self._format_result([], with_meta)
+        uniq, tf = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+        dfs = self._term_dfs([str(t) for t in uniq])
+        n = int(self.stats["n_docs"])
+        weights = np.array([t * bm25_idf(n, dfs[str(u)])
+                            if dfs[str(u)] else 0.0
+                            for u, t in zip(uniq, tf)])
+        # uniq is sorted asc; a stable sort on -weight keeps term-asc as
+        # the tie-break (lexsort can't key on object arrays)
+        order = np.argsort(-weights, kind="stable")[:max_terms]
+        terms = sorted(str(uniq[i]) for i in order if weights[i] > 0)
+        if not terms:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(terms)
+        exclude = np.array([doc_id], dtype=np.int64)
+        res = self._search_taat_excluding(terms, k, exclude)
+        return self._format_result(res, with_meta)
+
+    def _search_taat_excluding(self, terms: list[str], k: int,
+                               exclude: np.ndarray
+                               ) -> list[tuple[int, float]]:
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        for t in terms:
+            hit = self._contrib_cache.get(t)
+            if hit is None:
+                continue
+            ids, contrib, _df = hit
+            acc[ids] += contrib
+        acc[exclude[exclude < n]] = 0.0
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return []
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        return [(int(cand[i]), float(scores[i])) for i in order]
+
     def boolean_search(self, must: str = "", should: str = "",
                        must_not: str = "", k: int = 10,
                        with_meta: bool = False) -> pa.Table:

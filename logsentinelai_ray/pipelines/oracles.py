@@ -201,6 +201,84 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.lang = 'en'
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
+    # ES regexp query: full-match term expansion (RE2 both sides)
+    "regex_df": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        )
+        SELECT term, count(*)::BIGINT AS df FROM tok
+        WHERE regexp_full_match(term, 's[a-z]*a[a-z]*')
+        GROUP BY 1 ORDER BY term
+    """,
+    # ES fuzzy query: BM25 over terms within 2 Levenshtein edits
+    "fuzzy_search": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+          GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT count(*)::DOUBLE FROM tok) /
+                 (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf
+          WHERE levenshtein(term, 'sort') <= 2 GROUP BY 1
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                                       + 0.75 * dl.dl / stats.avgdl))
+                 ) AS score
+          FROM tf
+          JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
+    # ES highlight analog: fixed window around the first raw occurrence
+    "highlight_topk": _BM25_BASE + """
+        , top AS (
+          SELECT doc_id FROM scores
+          ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+        )
+        SELECT d.doc_id,
+               CASE WHEN strpos(d.text, 'merge') > 0
+                    THEN substr(d.text,
+                                greatest(1, strpos(d.text, 'merge') - 40),
+                                96)
+                    ELSE '' END AS snippet
+        FROM documents d JOIN top USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    # ES termvectors analog: (term, tf) of one doc
+    "term_vectors": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+          WHERE doc_id = 0
+        )
+        SELECT substr(t, 1, 64) AS term, count(*)::BIGINT AS tf
+        FROM (SELECT unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+              FROM tr)
+        WHERE t <> '' GROUP BY 1 ORDER BY term
+    """,
     # ES _count analog: docs containing any query term
     "match_count": _BM25_BASE + """
         SELECT count(DISTINCT tf.doc_id)::BIGINT AS n_matches

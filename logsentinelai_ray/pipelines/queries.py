@@ -487,6 +487,36 @@ def q_phrase_prefix(sf_dir: str):
     return eng.phrase_prefix_match("merge s")
 
 
+def q_regex_df(sf_dir: str):
+    """ES regexp query expansion: content terms fully matching the
+    pattern with their dfs (RE2 both sides)."""
+    eng = _docs_engine(sf_dir)
+    return eng.expand_regex("s[a-z]*a[a-z]*")
+
+
+def q_fuzzy_search(sf_dir: str):
+    """ES fuzzy query: top-10 BM25 over terms within 2 edits of 'sort'
+    (Levenshtein dictionary scan + exact TAAT disjunction)."""
+    eng = _docs_engine(sf_dir)
+    res = eng.fuzzy_search("sort", max_edits=2, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_highlight_topk(sf_dir: str):
+    """ES highlight analog: 96-char snippets around the first raw-text
+    'merge' for the bm25_topk result docs."""
+    eng = _docs_engine(sf_dir)
+    top = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    return eng.highlight(top["doc_id"].to_pylist(), "merge")
+
+
+def q_term_vectors(sf_dir: str):
+    """ES termvectors analog: (term, tf) of doc 0, term-asc."""
+    eng = _docs_engine(sf_dir)
+    return eng.term_vectors(0)
+
+
 def q_match_count(sf_dir: str):
     """ES _count analog: docs containing any query term (posting-id
     union, no scoring)."""
@@ -1132,6 +1162,10 @@ QUERY_REGISTRY = {
     "match_count": q_match_count,
     "bm25_page2": q_bm25_page2,
     "more_like_this": q_more_like_this,
+    "regex_df": q_regex_df,
+    "fuzzy_search": q_fuzzy_search,
+    "highlight_topk": q_highlight_topk,
+    "term_vectors": q_term_vectors,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
     "dedup_clusters": q_dedup_clusters,

@@ -44,6 +44,26 @@ from .postings import PostingsCursor, TermPostings
 from .wand import block_max_wand
 
 
+def _levenshtein_leq(a: str, b: str, k: int) -> bool:
+    """True iff Levenshtein distance(a, b) <= k. Full-row DP with a
+    row-min early exit — terms are <= 64 chars and the length prefilter
+    keeps the candidate set small, so O(len^2) per survivor is cheap."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        ai = a[i - 1]
+        cur = [i]
+        for j in range(1, lb + 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ai != b[j - 1])))
+        if min(cur) > k:
+            return False
+        prev = cur
+    return prev[lb] <= k
+
+
 @ray.remote(num_cpus=0.1, max_concurrency=4, max_restarts=2,
             max_task_retries=2)
 class IndexShard:
@@ -139,6 +159,62 @@ class IndexShard:
             return pa.table({"term": pa.array([], pa.string()),
                              "df": pa.array([], pa.int64())})
         cat = pa.concat_tables(outs)
+        idx = pc.sort_indices(cat, sort_keys=[("df", "descending"),
+                                              ("term", "ascending")])
+        return cat.take(idx.slice(0, limit))
+
+    def expand_regex(self, pattern: str, limit: int) -> pa.Table:
+        """Dictionary scan with an RE2 full-match pattern (ES regexp
+        query): content terms matching ``pattern``, capped at the
+        ``limit`` highest-df terms."""
+        outs = []
+        anchored = f"^(?:{pattern})$"
+        for tbl in self.tables:
+            if tbl.num_rows == 0:
+                continue
+            m = pc.and_(pc.match_substring_regex(tbl["term"], anchored),
+                        pc.invert(pc.match_substring(tbl["term"], ":")))
+            sel = tbl.filter(m).select(["term", "df"])
+            if sel.num_rows:
+                outs.append(sel)
+        if not outs:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        cat = pa.concat_tables(outs)
+        idx = pc.sort_indices(cat, sort_keys=[("df", "descending"),
+                                              ("term", "ascending")])
+        return cat.take(idx.slice(0, limit))
+
+    def expand_fuzzy(self, term: str, max_edits: int,
+                     limit: int) -> pa.Table:
+        """Dictionary scan for terms within ``max_edits`` Levenshtein
+        edits (ES fuzzy query). Vectorized length prefilter (edit
+        distance >= length difference), then banded DP on the small
+        survivor set. An automaton intersection would beat the scan at
+        huge vocabularies; the scan is shard-parallel and runs where
+        the dictionary lives."""
+        tlen = len(term)
+        outs = []
+        for tbl in self.tables:
+            if tbl.num_rows == 0:
+                continue
+            lens = pc.utf8_length(tbl["term"])
+            m = pc.and_(
+                pc.and_(pc.greater_equal(lens, tlen - max_edits),
+                        pc.less_equal(lens, tlen + max_edits)),
+                pc.invert(pc.match_substring(tbl["term"], ":")))
+            sel = tbl.filter(m)
+            if sel.num_rows:
+                outs.append(sel)
+        hits_t, hits_df = [], []
+        for tbl in outs:
+            for t, df in zip(tbl["term"].to_pylist(),
+                             tbl["df"].to_pylist()):
+                if _levenshtein_leq(term, t, max_edits):
+                    hits_t.append(t)
+                    hits_df.append(df)
+        cat = pa.table({"term": pa.array(hits_t, pa.string()),
+                        "df": pa.array(hits_df, pa.int64())})
         idx = pc.sort_indices(cat, sort_keys=[("df", "descending"),
                                               ("term", "ascending")])
         return cat.take(idx.slice(0, limit))
@@ -549,6 +625,47 @@ class SearchEngine:
         cat = cat.take(idx.slice(0, max_expansions))
         return cat.sort_by("term")
 
+    def expand_regex(self, pattern: str,
+                     max_expansions: int = 64) -> pa.Table:
+        """Content terms fully matching the RE2 ``pattern`` (ES regexp
+        query), (term, df) sorted by term asc, df-capped like
+        expand_prefix."""
+        if not pattern:
+            raise ValueError("empty pattern")
+        tbls = ray.get([s.expand_regex.remote(pattern, max_expansions)
+                        for s in self.shards])
+        cat = pa.concat_tables(tbls)
+        idx = pc.sort_indices(cat, sort_keys=[("df", "descending"),
+                                              ("term", "ascending")])
+        return cat.take(idx.slice(0, max_expansions)).sort_by("term")
+
+    def expand_fuzzy(self, term: str, max_edits: int = 1,
+                     max_expansions: int = 64) -> pa.Table:
+        """Content terms within ``max_edits`` Levenshtein edits of
+        ``term`` (ES fuzzy query), (term, df) sorted by term asc."""
+        if not term:
+            raise ValueError("empty term")
+        tbls = ray.get([
+            s.expand_fuzzy.remote(term, max_edits, max_expansions)
+            for s in self.shards])
+        cat = pa.concat_tables(tbls)
+        idx = pc.sort_indices(cat, sort_keys=[("df", "descending"),
+                                              ("term", "ascending")])
+        return cat.take(idx.slice(0, max_expansions)).sort_by("term")
+
+    def fuzzy_search(self, term: str, max_edits: int = 1, k: int = 10,
+                     max_expansions: int = 64,
+                     with_meta: bool = False) -> pa.Table:
+        """Top-k BM25 over the fuzzy expansion set (exact TAAT on the
+        expanded disjunction, like prefix_search)."""
+        exp = self.expand_fuzzy(term, max_edits, max_expansions)
+        terms = exp["term"].to_pylist()
+        if not terms:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(terms)
+        topk = self._search_taat(sorted(terms), k, None)
+        return self._format_result(topk, with_meta)
+
     def prefix_search(self, prefix: str, k: int = 10,
                       max_expansions: int = 64,
                       with_meta: bool = False) -> pa.Table:
@@ -674,6 +791,52 @@ class SearchEngine:
         scores = acc[cand]
         order = np.lexsort((cand, -scores))[:k]
         return [(int(cand[i]), float(scores[i])) for i in order]
+
+    def highlight(self, doc_ids: list[int], term: str,
+                  before: int = 40, width: int = 96) -> pa.Table:
+        """ES highlight analog: for each doc id, the ``width``-char text
+        window starting ``before`` chars before the first raw-text
+        occurrence of ``term`` (empty string when absent). Content is
+        fetched with one doc_id-pruned read of the k result docs —
+        highlighting only ever touches result rows, never the corpus."""
+        docs_dir = os.path.join(self.index_dir, "docs")
+        tbl = pa_ds.dataset(docs_dir, format="parquet").to_table(
+            columns=["doc_id", "content"],
+            filter=pc.field("doc_id").isin(list(doc_ids)))
+        by_id = dict(zip(tbl["doc_id"].to_pylist(),
+                         tbl["content"].to_pylist()))
+        snippets = []
+        for d in doc_ids:
+            content = by_id.get(d, "")
+            idx = content.find(term)
+            if idx < 0:
+                snippets.append("")
+            else:
+                start = max(0, idx - before)
+                snippets.append(content[start:start + width])
+        return pa.table({
+            "doc_id": pa.array(list(doc_ids), pa.int64()),
+            "snippet": pa.array(snippets, pa.string()),
+        })
+
+    def term_vectors(self, doc_id: int) -> pa.Table:
+        """ES termvectors analog: (term, tf) for one document, term-asc.
+        Re-tokenizes the single pruned-fetch doc — identical tokens to
+        the indexed ones by construction (same analyzer)."""
+        docs_dir = os.path.join(self.index_dir, "docs")
+        src = pa_ds.dataset(docs_dir, format="parquet").to_table(
+            columns=["doc_id", "content"],
+            filter=pc.field("doc_id") == doc_id)
+        if src.num_rows == 0:
+            raise KeyError(f"doc_id {doc_id} not in index")
+        toks = tokenize_py(src["content"][0].as_py(),
+                           int(self.stats["max_token_len"]))
+        uniq, tf = np.unique(np.asarray(toks, dtype=object),
+                             return_counts=True)
+        return pa.table({
+            "term": pa.array([str(t) for t in uniq], pa.string()),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+        })
 
     def boolean_search(self, must: str = "", should: str = "",
                        must_not: str = "", k: int = 10,

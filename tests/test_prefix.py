@@ -66,3 +66,77 @@ def test_prefix_search_equals_explicit_multi_term(engine, vocab_df):
 def test_prefix_search_no_match_is_empty(engine):
     res = engine.prefix_search("zzzznothing", k=5)
     assert res.num_rows == 0
+
+
+def _ref_levenshtein(a, b):
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_expand_regex_matches_vocabulary(engine, vocab_df):
+    import re
+
+    pattern = "[a-z]*e[a-z]*r[a-z]*"
+    exp = engine.expand_regex(pattern, max_expansions=10 ** 6)
+    got = dict(zip(exp["term"].to_pylist(), exp["df"].to_pylist()))
+    rx = re.compile(f"^(?:{pattern})$")
+    want = {t: n for t, n in vocab_df.items() if rx.match(t)}
+    assert got == want
+
+
+def test_expand_fuzzy_matches_reference_dp(engine, vocab_df):
+    probe = sorted(vocab_df)[len(vocab_df) // 2]
+    for k in (0, 1, 2):
+        exp = engine.expand_fuzzy(probe, max_edits=k,
+                                  max_expansions=10 ** 6)
+        got = dict(zip(exp["term"].to_pylist(), exp["df"].to_pylist()))
+        want = {t: n for t, n in vocab_df.items()
+                if _ref_levenshtein(probe, t) <= k}
+        assert got == want, (probe, k)
+
+
+def test_fuzzy_search_equals_explicit_disjunction(engine, vocab_df):
+    probe = sorted(vocab_df)[0]
+    exp = engine.expand_fuzzy(probe, max_edits=2, max_expansions=10 ** 6)
+    terms = exp["term"].to_pylist()
+    if not terms:
+        import pytest as _pt
+
+        _pt.skip("no fuzzy matches for probe")
+    res = engine.fuzzy_search(probe, max_edits=2, k=15,
+                              max_expansions=10 ** 6)
+    explicit = engine.search(" ".join(terms), k=15, with_meta=False)
+    assert res["doc_id"].to_pylist() == explicit["doc_id"].to_pylist()
+    assert res["score"].to_pylist() == explicit["score"].to_pylist()
+
+
+def test_highlight_and_term_vectors(engine, small_index):
+    import pyarrow.parquet as pq
+
+    idx_dir, _cfg = small_index
+    docs = pq.read_table(f"{idx_dir}/docs", columns=["doc_id", "content"])
+    d0 = docs["doc_id"][0].as_py()
+    content = docs["content"][0].as_py()
+    term = tokenize_py(content)[5]
+    hl = engine.highlight([d0], term, before=40, width=96)
+    snip = hl["snippet"][0].as_py()
+    idx = content.find(term)
+    start = max(0, idx - 40)
+    assert snip == content[start:start + 96]
+    # absent term -> empty snippet
+    hl2 = engine.highlight([d0], "zzznotinthere")
+    assert hl2["snippet"][0].as_py() == ""
+
+    tv = engine.term_vectors(d0)
+    from collections import Counter
+
+    want = Counter(tokenize_py(content))
+    got = dict(zip(tv["term"].to_pylist(), tv["tf"].to_pylist()))
+    assert got == dict(want)
+    assert tv["term"].to_pylist() == sorted(got)

@@ -201,6 +201,38 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.lang = 'en'
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
+    # ES _stats analog: the engine serves these from metadata; SQL
+    # recounts from raw text. Field postings (lang:/repo:) add one term
+    # per distinct lang + one per doc (repo keys are unique per doc in
+    # the mapped corpus) and two postings per doc.
+    "index_stats": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        )
+        SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+               ((SELECT count(DISTINCT term) FROM tok)
+                + (SELECT count(DISTINCT lang) FROM documents)
+                + (SELECT count(*) FROM documents))::BIGINT AS n_terms,
+               ((SELECT count(*) FROM (SELECT DISTINCT doc_id, term
+                                       FROM tok))
+                + 2 * (SELECT count(*) FROM documents))::BIGINT
+                   AS n_postings,
+               (SELECT count(*) FROM tok)::BIGINT AS total_tokens
+    """,
+    # delete tombstones: results exclude the top-3 docs; scores keep
+    # pre-delete statistics (computed over the full corpus)
+    "bm25_topk_deleted": _BM25_BASE + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        WHERE doc_id NOT IN (SELECT doc_id FROM scores
+                             ORDER BY score DESC, doc_id ASC LIMIT 3)
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
     # ES regexp query: full-match term expansion (RE2 both sides)
     "regex_df": f"""
         WITH tr AS (

@@ -487,6 +487,41 @@ def q_phrase_prefix(sf_dir: str):
     return eng.phrase_prefix_match("merge s")
 
 
+def q_index_stats(sf_dir: str):
+    """ES _stats analog: doc/term/posting/token counts served from index
+    metadata (no corpus scan); the oracle recounts from raw text."""
+    eng = _docs_engine(sf_dir)
+    return eng.index_stats()
+
+
+def q_bm25_topk_deleted(sf_dir: str):
+    """ES delete-API analog: tombstone the top-3 docs of the standard
+    query, then re-query — deleted docs vanish, surviving scores are
+    unchanged (stats stay pre-delete until rebuild, the Lucene
+    contract). Runs on a cloned index dir so the shared engine cache
+    stays pristine."""
+    import shutil
+
+    from ..index.delete import delete_docs
+    from ..query.shards import SearchEngine
+
+    if ("del", sf_dir) in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[("del", sf_dir)]
+    else:
+        base = _docs_engine(sf_dir)
+        top3 = base.search(BM25_QUERY_TEXT, k=3,
+                           with_meta=False)["doc_id"].to_pylist()
+        clone = base.index_dir + "-del"
+        shutil.rmtree(clone, ignore_errors=True)
+        shutil.copytree(base.index_dir, clone)
+        delete_docs(clone, top3)
+        eng = SearchEngine(clone, num_shards=2)
+        _ENGINE_CACHE[("del", sf_dir)] = eng
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_regex_df(sf_dir: str):
     """ES regexp query expansion: content terms fully matching the
     pattern with their dfs (RE2 both sides)."""
@@ -1164,6 +1199,8 @@ QUERY_REGISTRY = {
     "more_like_this": q_more_like_this,
     "regex_df": q_regex_df,
     "fuzzy_search": q_fuzzy_search,
+    "index_stats": q_index_stats,
+    "bm25_topk_deleted": q_bm25_topk_deleted,
     "highlight_topk": q_highlight_topk,
     "term_vectors": q_term_vectors,
     "dedup_exact": q_dedup_exact,

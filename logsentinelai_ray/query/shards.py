@@ -317,6 +317,12 @@ class SearchEngine:
         self._contrib_budget = 64_000_000  # postings (~1 GB decoded)
         self._contrib_cached = 0
         self._docmap_mem = None  # lazy in-memory docmap (small-N fast path)
+        # ES-style delete tombstones (index/delete.py): a sorted doc-id
+        # exclusion applied on every query path; stats stay pre-delete
+        # (the ES/Lucene contract until a segment merge/rebuild)
+        from ..index.delete import read_tombstones
+
+        self._tombstones = read_tombstones(index_dir)
         # speculative prewarm: kick off shard-side decodes of each
         # shard's Zipf-head terms NOW (results wait in the object store,
         # materialized on first use) — first queries for hot terms find
@@ -337,6 +343,26 @@ class SearchEngine:
         for s in self.shards:
             ray.kill(s)
         self.shards = []
+
+    def reload_tombstones(self) -> int:
+        """Re-read the delete set from disk (the ES refresh analog);
+        returns its size."""
+        from ..index.delete import read_tombstones
+
+        self._tombstones = read_tombstones(self.index_dir)
+        return int(self._tombstones.size)
+
+    def _mask_tombstones(self, acc: np.ndarray) -> None:
+        """Zero deleted docs out of a TAAT accumulator in place."""
+        t = self._tombstones
+        if t.size:
+            acc[t[t < acc.size]] = 0.0
+
+    def _drop_tombstones(self, ids: np.ndarray) -> np.ndarray:
+        t = self._tombstones
+        if not t.size or not ids.size:
+            return ids
+        return ids[~np.isin(ids, t, assume_unique=False)]
 
     # -- internals ---------------------------------------------------------
 
@@ -478,6 +504,7 @@ class SearchEngine:
                 continue
             ids, contrib, _df = hit
             acc[ids] += contrib
+        self._mask_tombstones(acc)
         cand = np.flatnonzero(acc > 0.0)
         if filter_ids is not None:
             cand = cand[np.isin(cand, filter_ids, assume_unique=True)]
@@ -536,7 +563,17 @@ class SearchEngine:
                                           self.stats["b"], avgdl,
                                           bound_scale))
         pred = self._filter_predicate(filters)
-        seed = None if filters else self._wand_seed(terms, k)
+        tomb = self._tombstones
+        if tomb.size:
+            base_pred = pred
+
+            def pred(doc_id: int, _b=base_pred, _t=tomb) -> bool:
+                i = int(np.searchsorted(_t, doc_id))
+                if i < _t.size and _t[i] == doc_id:
+                    return False
+                return _b is None or _b(doc_id)
+
+        seed = None if (filters or tomb.size) else self._wand_seed(terms, k)
         topk = block_max_wand(cursors, k, pred, seed_threshold=seed)
         return self._format_result(topk, with_meta)
 
@@ -692,9 +729,9 @@ class SearchEngine:
                    if self._contrib_cache.get(t) is not None]
         if not present:
             return 0
-        if len(present) == 1:
-            return int(present[0].size)
-        return int(np.unique(np.concatenate(present)).size)
+        matches = (present[0] if len(present) == 1
+                   else np.unique(np.concatenate(present)))
+        return int(self._drop_tombstones(matches).size)
 
     def search_after(self, text: str, k: int = 10,
                      after: tuple[float, int] | None = None,
@@ -725,6 +762,7 @@ class SearchEngine:
                 continue
             ids, contrib, _df = hit
             acc[ids] += contrib
+        self._mask_tombstones(acc)
         cand = np.flatnonzero(acc > 0.0)
         if after is not None:
             s, d = float(after[0]), int(after[1])
@@ -785,6 +823,7 @@ class SearchEngine:
             ids, contrib, _df = hit
             acc[ids] += contrib
         acc[exclude[exclude < n]] = 0.0
+        self._mask_tombstones(acc)
         cand = np.flatnonzero(acc > 0.0)
         if cand.size == 0:
             return []
@@ -836,6 +875,29 @@ class SearchEngine:
         return pa.table({
             "term": pa.array([str(t) for t in uniq], pa.string()),
             "tf": pa.array(tf.astype(np.int64), pa.int64()),
+        })
+
+    def index_stats(self) -> pa.Table:
+        """ES _stats/_cat-indices analog: corpus-level counts served
+        from index METADATA (stats.json + the shard dictionaries) —
+        no posting decode, no corpus scan. n_terms/n_postings include
+        the keyword field postings (lang:/repo:), like ES counts its
+        keyword fields."""
+        n_terms = int(sum(ray.get([s.n_terms.remote()
+                                   for s in self.shards])))
+        seg_dir = os.path.join(self.index_dir, "segments")
+        n_postings = 0
+        for name in os.listdir(seg_dir):
+            if name.endswith(".parquet"):
+                t = pq.read_table(os.path.join(seg_dir, name),
+                                  columns=["df"])
+                n_postings += int(pc.sum(t["df"]).as_py() or 0)
+        return pa.table({
+            "n_docs": pa.array([int(self.stats["n_docs"])], pa.int64()),
+            "n_terms": pa.array([n_terms], pa.int64()),
+            "n_postings": pa.array([n_postings], pa.int64()),
+            "total_tokens": pa.array([int(self.stats["total_tokens"])],
+                                     pa.int64()),
         })
 
     def boolean_search(self, must: str = "", should: str = "",
@@ -904,6 +966,7 @@ class SearchEngine:
             return schema.empty_table()
         matches = (present[0] if len(present) == 1
                    else np.unique(np.concatenate(present)))
+        matches = self._drop_tombstones(matches)
         prefix = f"{field}:"
         values = ray.get([s.expand_terms.remote(prefix, 1 << 20, True)
                           for s in self.shards])
@@ -930,8 +993,16 @@ class SearchEngine:
         ES match_phrase analog; plan selection in query/phrase.py)."""
         from .phrase import phrase_match
 
-        return phrase_match(self, phrase, chunk_docs=chunk_docs,
-                            candidate_max_df=candidate_max_df)
+        res = phrase_match(self, phrase, chunk_docs=chunk_docs,
+                           candidate_max_df=candidate_max_df)
+        return self._filter_deleted_rows(res)
+
+    def _filter_deleted_rows(self, res: pa.Table) -> pa.Table:
+        if not self._tombstones.size or res.num_rows == 0:
+            return res
+        ids = res["doc_id"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(ids, self._tombstones)
+        return res.filter(pa.array(keep))
 
     def phrase_prefix_match(self, phrase: str, max_expansions: int = 64,
                             chunk_docs: int = 200_000) -> pa.Table:
@@ -939,9 +1010,10 @@ class SearchEngine:
         expanded against the term dictionaries (query/phrase.py)."""
         from .phrase import phrase_prefix_match
 
-        return phrase_prefix_match(self, phrase,
-                                   max_expansions=max_expansions,
-                                   chunk_docs=chunk_docs)
+        return self._filter_deleted_rows(
+            phrase_prefix_match(self, phrase,
+                                max_expansions=max_expansions,
+                                chunk_docs=chunk_docs))
 
     def proximity_match(self, term1: str, term2: str, window: int = 3,
                         chunk_docs: int = 200_000) -> pa.Table:
@@ -949,8 +1021,9 @@ class SearchEngine:
         the two terms occur within ``window`` tokens (query/phrase.py)."""
         from .phrase import proximity_match
 
-        return proximity_match(self, term1, term2, window=window,
-                               chunk_docs=chunk_docs)
+        return self._filter_deleted_rows(
+            proximity_match(self, term1, term2, window=window,
+                            chunk_docs=chunk_docs))
 
     def phrase_topk(self, phrase: str, k: int = 10,
                     with_meta: bool = False,

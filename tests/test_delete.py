@@ -1,0 +1,108 @@
+"""Tombstone deletes: every query path must exclude deleted docs while
+surviving scores stay bit-identical (pre-delete stats, the ES/Lucene
+contract)."""
+
+import shutil
+
+import numpy as np
+import pytest
+
+from logsentinelai_ray.index.delete import delete_docs, read_tombstones
+
+
+@pytest.fixture(scope="module")
+def deleted_engine(small_index, engine, tmp_path_factory):
+    """Clone the session index, tombstone 5 docs that match 'error'."""
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    idx_dir, _cfg = small_index
+    victims = engine.search("error", k=5,
+                            with_meta=False)["doc_id"].to_pylist()
+    clone = str(tmp_path_factory.mktemp("delidx") / "idx")
+    shutil.copytree(idx_dir, clone)
+    n = delete_docs(clone, victims)
+    assert n == len(set(victims))
+    eng = SearchEngine(clone, num_shards=2)
+    yield eng, set(victims)
+    eng.shutdown()
+
+
+def test_delete_is_idempotent_and_merges(small_index, tmp_path):
+    idx_dir, _cfg = small_index
+    clone = str(tmp_path / "idx2")
+    shutil.copytree(idx_dir, clone)
+    assert delete_docs(clone, [3, 1, 2]) == 3
+    assert delete_docs(clone, [2, 7]) == 4
+    assert read_tombstones(clone).tolist() == [1, 2, 3, 7]
+
+
+@pytest.mark.parametrize("strategy", ["taat", "wand"])
+def test_search_excludes_deleted_scores_unchanged(engine, deleted_engine,
+                                                  strategy):
+    eng, victims = deleted_engine
+    for q in ("error", "error merge window", "authentication failure"):
+        before = engine.search(q, k=100, with_meta=False,
+                               strategy=strategy)
+        after = eng.search(q, k=100, with_meta=False, strategy=strategy)
+        got = list(zip(after["doc_id"].to_pylist(),
+                       after["score"].to_pylist()))
+        exp = [(d, s) for d, s in zip(before["doc_id"].to_pylist(),
+                                      before["score"].to_pylist())
+               if d not in victims][:100]
+        # the k-cut can differ (before had victims consuming slots);
+        # compare the overlapping prefix
+        m = min(len(got), len(exp))
+        assert got[:m] == exp[:m], (q, strategy)
+        assert not victims & set(d for d, _ in got)
+
+
+def test_phrase_boolean_count_facets_exclude_deleted(engine,
+                                                     deleted_engine):
+    eng, victims = deleted_engine
+    pm = eng.phrase_match("error")
+    assert not victims & set(pm["doc_id"].to_pylist())
+    base_pm = engine.phrase_match("error")
+    base = {d: n for d, n in zip(base_pm["doc_id"].to_pylist(),
+                                 base_pm["n_matches"].to_pylist())
+            if d not in victims}
+    assert dict(zip(pm["doc_id"].to_pylist(),
+                    pm["n_matches"].to_pylist())) == base
+
+    bs = eng.boolean_search(must="error", k=10 ** 6)
+    assert not victims & set(bs["doc_id"].to_pylist())
+
+    assert eng.match_count("error") == engine.match_count("error") \
+        - len(victims & set(
+            engine.search("error", k=10 ** 6,
+                          with_meta=False)["doc_id"].to_pylist()))
+
+    f_before = dict(zip(*[engine.search_facets("error")[c].to_pylist()
+                          for c in ("lang", "n_docs")]))
+    f_after = dict(zip(*[eng.search_facets("error")[c].to_pylist()
+                         for c in ("lang", "n_docs")]))
+    assert sum(f_before.values()) - sum(f_after.values()) == len(victims)
+
+
+def test_search_after_excludes_deleted(deleted_engine):
+    eng, victims = deleted_engine
+    page = eng.search_after("error", k=10 ** 6)
+    assert not victims & set(page["doc_id"].to_pylist())
+
+
+def test_reload_tombstones(small_index, tmp_path):
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    idx_dir, _cfg = small_index
+    clone = str(tmp_path / "idx3")
+    shutil.copytree(idx_dir, clone)
+    eng = SearchEngine(clone, num_shards=1)
+    before = eng.search("error", k=5, with_meta=False)
+    victim = before["doc_id"][0].as_py()
+    delete_docs(clone, [victim])
+    # engine still serves the old set until reload (refresh contract)
+    assert victim in eng.search("error", k=5,
+                                with_meta=False)["doc_id"].to_pylist()
+    assert eng.reload_tombstones() == 1
+    assert victim not in eng.search("error", k=5,
+                                    with_meta=False)["doc_id"].to_pylist()
+    eng.shutdown()

@@ -39,6 +39,34 @@ def read_tombstones(index_dir: str) -> np.ndarray:
         zero_copy_only=False).astype(np.int64)
 
 
+def compact_index(index_dir: str, dst_dir: str, cfg=None,
+                  corpus_tag: str = "compacted") -> dict:
+    """ES force-merge analog: rebuild the index without its tombstoned
+    docs. The surviving documents stream from the old index's ``docs/``
+    files (content read once, never through the driver) into a fresh
+    ``build_index`` — doc ids are re-ranked densely and collection
+    statistics (N, df, avgdl) reflect the post-delete corpus, so scores
+    change exactly as an ES segment merge changes them. Returns the new
+    build's meta dict."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .build import build_index
+
+    tomb = read_tombstones(index_dir)
+    docs = rd.read_parquet(
+        os.path.join(index_dir, "docs"),
+        columns=["doc_id", "repo", "path", "commit", "lang", "content"])
+    if tomb.size:
+        tomb_set = pa.array(tomb.tolist(), pa.int64())
+        docs = docs.map_batches(
+            lambda t: t.filter(
+                pc.invert(pc.is_in(t["doc_id"], value_set=tomb_set))),
+            batch_format="pyarrow")
+    docs = docs.drop_columns(["doc_id"])
+    return build_index(docs, dst_dir, cfg, corpus_tag=corpus_tag)
+
+
 def delete_docs(index_dir: str, doc_ids) -> int:
     """Merge ``doc_ids`` into the tombstone set (idempotent, atomic).
     Returns the total tombstone count after the merge. Engines opened

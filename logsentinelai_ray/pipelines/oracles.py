@@ -233,6 +233,48 @@ ORACLE_SQL: dict[str, str] = {
                              ORDER BY score DESC, doc_id ASC LIMIT 3)
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
+    # force-merge: BM25 recomputed over the corpus minus the top-3 docs
+    # (two full pipelines: the first picks the victims, the second
+    # scores the compacted corpus with its own N/df/avgdl)
+    "bm25_topk_rebuilt": _BM25_BASE + """
+        , d2 AS (
+          SELECT * FROM documents
+          WHERE doc_id NOT IN (SELECT doc_id FROM scores
+                               ORDER BY score DESC, doc_id ASC LIMIT 3)
+        ), tok2 AS (
+          SELECT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr JOIN d2 USING (doc_id))
+          WHERE t <> ''
+        ), tf2 AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok2
+          GROUP BY 1, 2
+        ), dl2 AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok2 GROUP BY 1
+        ), stats2 AS (
+          SELECT (SELECT count(*)::DOUBLE FROM d2) AS n,
+                 (SELECT count(*)::DOUBLE FROM tok2) /
+                 (SELECT count(*)::DOUBLE FROM d2) AS avgdl
+        ), df2 AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf2
+          WHERE term IN (SELECT term FROM q) GROUP BY 1
+        ), scores2 AS (
+          SELECT tf2.doc_id,
+                 sum(ln(1 + (stats2.n - df2.df + 0.5) / (df2.df + 0.5))
+                     * tf2.tf * (1.2 + 1)
+                     / (tf2.tf + 1.2 * (1 - 0.75
+                                        + 0.75 * dl2.dl / stats2.avgdl))
+                 ) AS score
+          FROM tf2
+          JOIN q USING (term) JOIN df2 USING (term)
+          JOIN dl2 USING (doc_id)
+          CROSS JOIN stats2
+          GROUP BY tf2.doc_id
+        )
+        SELECT doc_id, round(scores2.score, 6) AS score FROM scores2
+        ORDER BY scores2.score DESC, doc_id ASC LIMIT 10
+    """,
     # ES regexp query: full-match term expansion (RE2 both sides)
     "regex_df": f"""
         WITH tr AS (
@@ -450,6 +492,12 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
     "phrase_match": _PHRASE_MATCH_BASE + """
+        SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
+        ORDER BY doc_id
+    """,
+    # the base+delta positional sidecar must equal full-corpus phrase
+    # results — same oracle as phrase_match
+    "phrase_match_incremental": _PHRASE_MATCH_BASE + """
         SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
         ORDER BY doc_id
     """,

@@ -433,7 +433,8 @@ def q_bm25_topk_incremental(sf_dir: str):
                        f"{work}/base/part-0.parquet")
         pq.write_table(corpusify(src.filter(pa.array(~mask))),
                        f"{work}/delta/part-0.parquet")
-        cfg = IndexConfig(num_partitions=8, salt_buckets=4)
+        cfg = IndexConfig(num_partitions=8, salt_buckets=4,
+                          store_positions=True)
         build_index(f"{work}/base", f"{work}/idx", cfg, corpus_tag=tag)
         update_index(f"{work}/delta", f"{work}/idx", cfg, delta_tag=tag)
         eng = SearchEngine(f"{work}/idx", num_shards=2)
@@ -441,6 +442,15 @@ def q_bm25_topk_incremental(sf_dir: str):
     res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
     return pa.table({"doc_id": res["doc_id"],
                      "score": _round6(res["score"])})
+
+
+def q_phrase_match_incremental(sf_dir: str):
+    """Phrase search over the base+delta index (positions sidecar
+    appended by update_index) — must equal the full-corpus phrase
+    oracle, so it shares phrase_match's SQL."""
+    q_bm25_topk_incremental(sf_dir)  # ensure the incremental engine
+    eng = _ENGINE_CACHE[("incr", sf_dir)]
+    return eng.phrase_match(PHRASE_QUERY_TEXT)
 
 
 def q_bm25_topk(sf_dir: str):
@@ -520,6 +530,35 @@ def q_bm25_topk_deleted(sf_dir: str):
     res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
     return pa.table({"doc_id": res["doc_id"],
                      "score": _round6(res["score"])})
+
+
+def q_bm25_topk_rebuilt(sf_dir: str):
+    """ES force-merge analog: compact the tombstoned clone into a fresh
+    index — deleted docs are gone AND collection stats (N, df, avgdl)
+    are recomputed, so scores change exactly as a segment merge changes
+    them. Internal doc ids re-rank densely; results map back to source
+    ids through the repo key (the external document identity)."""
+    from ..index.delete import compact_index
+    from ..query.shards import SearchEngine
+
+    if ("compact", sf_dir) in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[("compact", sf_dir)]
+    else:
+        q_bm25_topk_deleted(sf_dir)  # ensure the tombstoned clone
+        src = _ENGINE_CACHE[("del", sf_dir)].index_dir
+        dst = src + "-compact"
+        from ..config import IndexConfig
+
+        compact_index(src, dst,
+                      IndexConfig(num_partitions=8, salt_buckets=4,
+                                  store_positions=True),
+                      corpus_tag="compact:" + sf_dir.rstrip("/"))
+        eng = SearchEngine(dst, num_shards=2)
+        _ENGINE_CACHE[("compact", sf_dir)] = eng
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=True)
+    orig = pa.array([int(r[1:]) for r in res["repo"].to_pylist()],
+                    pa.int64())
+    return pa.table({"doc_id": orig, "score": _round6(res["score"])})
 
 
 def q_regex_df(sf_dir: str):
@@ -1187,6 +1226,7 @@ QUERY_REGISTRY = {
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_incremental": q_bm25_topk_incremental,
     "phrase_match": q_phrase_match,
+    "phrase_match_incremental": q_phrase_match_incremental,
     "phrase_topk": q_phrase_topk,
     "prefix_df": q_prefix_df,
     "prefix_search": q_prefix_search,
@@ -1201,6 +1241,7 @@ QUERY_REGISTRY = {
     "fuzzy_search": q_fuzzy_search,
     "index_stats": q_index_stats,
     "bm25_topk_deleted": q_bm25_topk_deleted,
+    "bm25_topk_rebuilt": q_bm25_topk_rebuilt,
     "highlight_topk": q_highlight_topk,
     "term_vectors": q_term_vectors,
     "dedup_exact": q_dedup_exact,

@@ -616,6 +616,47 @@ ORACLE_SQL: dict[str, str] = {
         SELECT s AS doc_id, least(s, min(t))::BIGINT AS cluster_id
         FROM r GROUP BY s ORDER BY doc_id
     """,
+    # C4-style quality filter: first-failing-rule verdicts, all-integer
+    # comparisons (shared definition with queries.py q_quality_filter)
+    "quality_filter": r"""
+        WITH m AS (
+          SELECT length(lower(text)) AS n_chars,
+                 len(regexp_extract_all(lower(text), '[a-z]')) AS n_alpha,
+                 len(regexp_extract_all(lower(text), '[0-9]')) AS n_digit,
+                 len(regexp_extract_all(lower(text),
+                     '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+          FROM documents
+        )
+        SELECT CASE
+                 WHEN n_chars < 200 THEN 'too_short'
+                 WHEN n_alpha * 10 < n_chars * 6 THEN 'low_alpha'
+                 WHEN n_digit * 10 > n_chars * 3 THEN 'high_digit'
+                 WHEN n_stop = 0 THEN 'no_stopword'
+                 ELSE 'kept' END AS verdict,
+               count(*)::BIGINT AS n_docs
+        FROM m GROUP BY 1 ORDER BY verdict
+    """,
+    "corpus_card": r"""
+        WITH m AS (
+          SELECT doc_id, lang, text,
+                 length(lower(text)) AS n_chars,
+                 len(regexp_extract_all(lower(text), '[a-z]')) AS n_alpha,
+                 len(regexp_extract_all(lower(text), '[0-9]')) AS n_digit,
+                 len(regexp_extract_all(lower(text),
+                     '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop,
+                 len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+          FROM documents
+        )
+        SELECT (SELECT count(*) FROM m)::BIGINT AS n_docs,
+               (SELECT count(DISTINCT text) FROM m)::BIGINT
+                   AS n_unique_texts,
+               (SELECT count(*) FROM m
+                WHERE n_chars >= 200 AND n_alpha * 10 >= n_chars * 6
+                  AND n_digit * 10 <= n_chars * 3
+                  AND n_stop > 0)::BIGINT AS n_quality_kept,
+               (SELECT sum(n_tok) FROM m)::BIGINT AS total_tokens,
+               (SELECT count(DISTINCT lang) FROM m)::BIGINT AS n_langs
+    """,
     "lang_id_confusion": r"""
         WITH s AS (
           SELECT doc_id, 'de' AS cand,

@@ -770,6 +770,91 @@ def q_quality_by_lang(sf_dir: str):
     return out.sort("lang")
 
 
+def q_quality_filter(sf_dir: str):
+    """C4-style quality filtering: first-failing-rule verdict per doc
+    (too_short / low_alpha / high_digit / no_stopword / kept), counted.
+    All rules are INTEGER comparisons (n_alpha*10 >= n_chars*6 instead
+    of ratio >= 0.6) so the SQL oracle is exact with no float edges."""
+    from ray.data.aggregate import Count
+
+    from ..functions.text import STOPWORDS
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+    def verdicts(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(t["text"])
+        n_chars = pc.utf8_length(text).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_alpha = pc.count_substring_regex(text, r"[a-z]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_digit = pc.count_substring_regex(text, r"[0-9]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_stop = pc.count_substring_regex(text, stop_pat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = np.select(
+            [n_chars < 200,
+             n_alpha * 10 < n_chars * 6,
+             n_digit * 10 > n_chars * 3,
+             n_stop == 0],
+            ["too_short", "low_alpha", "high_digit", "no_stopword"],
+            default="kept")
+        return pa.table({"verdict": pa.array(v.tolist(), pa.string())})
+
+    out = (ds.map_batches(verdicts, batch_format="pyarrow")
+           .groupby("verdict").aggregate(Count(alias_name="n_docs")))
+    return out.sort("verdict")
+
+
+def q_corpus_card(sf_dir: str):
+    """Training-dataset card: one summary row (n_docs, n_unique_texts,
+    n_quality_kept, total_tokens, n_langs) — the composite a data
+    curator reads before training. Each number is a distributed
+    aggregate; the oracle recomputes all five in SQL."""
+    from ..dedup import exact_dedup
+    from ..functions.text import STOPWORDS
+
+    docs = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    n_docs = docs.count()
+    n_unique = exact_dedup(
+        _read(sf_dir, "documents", columns=["doc_id", "text"])).count()
+    n_langs = _read(sf_dir, "documents", columns=["lang"]) \
+        .groupby("lang").count().count()
+    stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(t["text"])
+        n_chars = pc.utf8_length(text).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_alpha = pc.count_substring_regex(text, r"[a-z]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_digit = pc.count_substring_regex(text, r"[0-9]").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_stop = pc.count_substring_regex(text, stop_pat).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        n_tok = pc.count_substring_regex(text, r"[a-z0-9]+").to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        kept = ((n_chars >= 200) & (n_alpha * 10 >= n_chars * 6)
+                & (n_digit * 10 <= n_chars * 3) & (n_stop > 0))
+        return pa.table({
+            "kept": pa.array([int(kept.sum())], pa.int64()),
+            "tokens": pa.array([int(n_tok.sum())], pa.int64()),
+        })
+
+    sums = (_read(sf_dir, "documents", columns=["text"])
+            .map_batches(partial, batch_format="pyarrow")
+            .sum(["kept", "tokens"]))
+    return pa.table({
+        "n_docs": pa.array([int(n_docs)], pa.int64()),
+        "n_unique_texts": pa.array([int(n_unique)], pa.int64()),
+        "n_quality_kept": pa.array([int(sums["sum(kept)"] or 0)],
+                                   pa.int64()),
+        "total_tokens": pa.array([int(sums["sum(tokens)"] or 0)],
+                                 pa.int64()),
+        "n_langs": pa.array([int(n_langs)], pa.int64()),
+    })
+
+
 def q_token_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -1253,6 +1338,8 @@ QUERY_REGISTRY = {
     "lang_id_confusion": q_lang_id_confusion,
     "quality_by_lang": q_quality_by_lang,
     "token_stats": q_token_stats,
+    "quality_filter": q_quality_filter,
+    "corpus_card": q_corpus_card,
     "fingerprint_minmd5": q_fingerprint_minmd5,
     "fingerprint_rolling": q_fingerprint_rolling,
     "embedding_knn": q_embedding_knn,

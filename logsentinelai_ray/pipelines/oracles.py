@@ -616,6 +616,15 @@ ORACLE_SQL: dict[str, str] = {
         SELECT s AS doc_id, least(s, min(t))::BIGINT AS cluster_id
         FROM r GROUP BY s ORDER BY doc_id
     """,
+    # per-label embedding centroids (the k-means/IVF training aggregate);
+    # float64 accumulation both sides, rounded to 6 in the projection
+    "embedding_centroids": """
+        SELECT label, dim, round(avg(CAST(val AS DOUBLE)), 6) AS mean_val
+        FROM (SELECT label, unnest(embedding) AS val,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings)
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     # C4-style quality filter: first-failing-rule verdicts, all-integer
     # comparisons (shared definition with queries.py q_quality_filter)
     "quality_filter": r"""

@@ -969,6 +969,50 @@ def q_embedding_knn_ivf(sf_dir: str):
 # multimodal
 # ---------------------------------------------------------------------------
 
+def q_embedding_centroids(sf_dir: str):
+    """Per-label embedding centroid (per-dimension mean), long format
+    (label, dim, mean_val) — the vector aggregate under k-means/IVF
+    training. Per-batch float64 partial sums + a tiny (labels x dims)
+    groupby merge; only partials shuffle, never vectors."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["label", "embedding"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        dim = len(emb[0])
+        mat = emb.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(-1, dim)
+        labels = t["label"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(labels)
+        rows_label, rows_dim, rows_s, rows_n = [], [], [], []
+        for lb in uniq:
+            m = labels == lb
+            s = mat[m].sum(axis=0)
+            rows_label.extend([int(lb)] * dim)
+            rows_dim.extend(range(1, dim + 1))  # 1-based like SQL
+            rows_s.extend(s.tolist())
+            rows_n.extend([int(m.sum())] * dim)
+        return pa.table({
+            "label": pa.array(rows_label, pa.int32()),
+            "dim": pa.array(rows_dim, pa.int64()),
+            "s": pa.array(rows_s, pa.float64()),
+            "n": pa.array(rows_n, pa.int64()),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby(["label", "dim"])
+           .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        mean = pc.divide(t["s"], pc.cast(t["n"], pa.float64()))
+        return pa.table({"label": t["label"], "dim": t["dim"],
+                         "mean_val": _round6(mean)})
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort(["label", "dim"])
+
+
 def q_multimodal_stats(sf_dir: str):
     """Binary-payload plumbing: attach blob + typed metadata, fake-decode
     in an actor pool, aggregate dimensions per lang (ints only)."""
@@ -1342,6 +1386,7 @@ QUERY_REGISTRY = {
     "corpus_card": q_corpus_card,
     "fingerprint_minmd5": q_fingerprint_minmd5,
     "fingerprint_rolling": q_fingerprint_rolling,
+    "embedding_centroids": q_embedding_centroids,
     "embedding_knn": q_embedding_knn,
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "embedding_knn_ivf": q_embedding_knn_ivf,

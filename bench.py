@@ -225,6 +225,7 @@ def run_once() -> dict:
         "n_docs": core["n_docs"],
         "query_p50_ms": core["query_p50_ms"],
         "query_p99_ms": core["query_p99_ms"],
+        "query_coldpass_p99_ms": core["query_coldpass_p99_ms"],
         "stage_timings": core["stage_timings"],
     }
     return result

@@ -60,6 +60,13 @@ class IndexConfig:
     # order), so only phrase-serving indexes pay it.
     store_positions: bool = False
 
+    # Index the path column as a second SCORED field (terms "p:tok" with
+    # real tf/dl and its own avgdl in stats) — enables multi-field
+    # search with per-field boosts (ES multi_match; filename search for
+    # a code corpus). Off by default: path tokens add a few postings per
+    # doc to the exchange.
+    index_path_field: bool = False
+
 
 @dataclass(frozen=True)
 class CorpusConfig:

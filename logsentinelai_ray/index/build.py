@@ -458,10 +458,40 @@ def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int,
         "is_field": pa.array(np.zeros(len(uniq), dtype=bool)),
     })
 
+    # scored path field (ES multi_match): real tf/dl under its own
+    # avgdl (stats.path_avgdl); terms namespaced "p:" so they share the
+    # partitioning/encode/merge machinery without colliding with content
+    field_tables = [content_terms]
+    if cfg.index_path_field and "path" in batch.column_names:
+        p_row, p_tok, p_dl = tokenize_batch_arrow(batch["path"],
+                                                  cfg.max_token_len)
+        p_enc = pc.binary_join_element_wise(
+            pa.array(["p:"] * len(p_tok), pa.string()), p_tok, "")
+        p_enc = p_enc.dictionary_encode()
+        if isinstance(p_enc, pa.ChunkedArray):
+            p_enc = p_enc.combine_chunks()
+        p_codes = p_enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        p_vocab = p_enc.dictionary.to_pylist()
+        pnv = max(1, len(p_vocab))
+        p_comb = p_row * pnv + p_codes
+        p_uniq, p_tf = np.unique(p_comb, return_counts=True)
+        pu_row = (p_uniq // pnv).astype(np.int64)
+        pu_code = (p_uniq % pnv).astype(np.int64)
+        p_parts = _parts_for(p_vocab, P)
+        field_tables.append(pa.table({
+            "part": pa.array(p_parts[pu_code], pa.int32()),
+            "term": pa.array(np.asarray(p_vocab, dtype=object)[pu_code],
+                             pa.string()),
+            "doc_id": pa.array(doc_ids[pu_row], pa.int64()),
+            "tf": pa.array(p_tf.astype(np.int32), pa.int32()),
+            "dl": pa.array(p_dl[pu_row].astype(np.int32), pa.int32()),
+            "is_field": pa.array(np.ones(len(p_uniq), dtype=bool)),
+        }))
+
     # keyword-field postings for filters (lang / repo): tf=1, dl=1;
     # these are the analog of the Kibana keyword fields the reference
     # dashboards filter on (SURVEY.md §1.2).
-    field_tables = [content_terms]
     for col, prefix in (("lang", "lang:"), ("repo", "repo:")):
         fterms = [prefix + v for v in batch[col].to_pylist()]
         field_tables.append(pa.table({
@@ -509,7 +539,8 @@ def _emit_and_partition(batch: pa.Table, cfg: IndexConfig, n_docs: int,
     tokenization)."""
     if batch.num_rows == 0:
         return pa.table({"rows": pa.array([0], pa.int64()),
-                         "tokens": pa.array([0], pa.int64())})
+                         "tokens": pa.array([0], pa.int64()),
+                         "path_tokens": pa.array([0], pa.int64())})
     triples, positions = tokenize_emit(batch, cfg, n_docs,
                                        with_positions=cfg.store_positions)
     # content-token count (BM25 total_tokens) falls out of this pass for
@@ -517,6 +548,12 @@ def _emit_and_partition(batch: pa.Table, cfg: IndexConfig, n_docs: int,
     n_tokens = pc.sum(pc.if_else(pc.invert(triples["is_field"]),
                                  triples["tf"],
                                  pa.scalar(0, pa.int32()))).as_py() or 0
+    n_path_tokens = 0
+    if cfg.index_path_field:
+        pmask = pc.starts_with(triples["term"], "p:")
+        n_path_tokens = pc.sum(pc.if_else(pmask, triples["tf"],
+                                          pa.scalar(0, pa.int32()))
+                               ).as_py() or 0
     # uid derives ONLY from the batch's first doc id: a retried task writes
     # the same file names with the same contents (idempotent side-write) —
     # a pid-based uid would duplicate postings under Ray task retries
@@ -527,7 +564,8 @@ def _emit_and_partition(batch: pa.Table, cfg: IndexConfig, n_docs: int,
     if positions is not None:
         _write_part_slices(positions, out_dir + "_pos", uid)
     return pa.table({"rows": pa.array([triples.num_rows], pa.int64()),
-                     "tokens": pa.array([n_tokens], pa.int64())})
+                     "tokens": pa.array([n_tokens], pa.int64()),
+                     "path_tokens": pa.array([n_path_tokens], pa.int64())})
 
 
 def emit_postings(index_dir: str, cfg: IndexConfig, n_docs: int) -> None:
@@ -542,16 +580,19 @@ def emit_postings(index_dir: str, cfg: IndexConfig, n_docs: int) -> None:
     shutil.rmtree(out_dir, ignore_errors=True)
     shutil.rmtree(out_dir + "_pos", ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-    docs = rd.read_parquet(os.path.join(index_dir, "docs"),
-                           columns=["doc_id", "repo", "lang", "content"])
+    cols = ["doc_id", "repo", "lang", "content"]
+    if cfg.index_path_field:
+        cols.append("path")
+    docs = rd.read_parquet(os.path.join(index_dir, "docs"), columns=cols)
     sums = docs.map_batches(
         partial(_emit_and_partition, cfg=cfg, n_docs=n_docs,
                 out_dir=out_dir),
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
-    ).sum(["rows", "tokens"])
+    ).sum(["rows", "tokens", "path_tokens"])
     mf.mark_stage(index_dir, "postings_raw",
                   {"rows": int(sums["sum(rows)"] or 0),
-                   "total_tokens": int(sums["sum(tokens)"] or 0)})
+                   "total_tokens": int(sums["sum(tokens)"] or 0),
+                   "path_tokens": int(sums["sum(path_tokens)"] or 0)})
 
 
 def compute_stats(index_dir: str, cfg: IndexConfig, n_docs: int) -> dict:
@@ -575,10 +616,14 @@ def compute_stats(index_dir: str, cfg: IndexConfig, n_docs: int) -> dict:
 
         total = triples.map_batches(partial_sum,
                                     batch_format="pyarrow").sum("t")
+    path_tokens = int(payload.get("path_tokens", 0))
     stats = {
         "n_docs": int(n_docs),
         "total_tokens": int(total or 0),
         "avgdl": (float(total) / n_docs) if n_docs else 0.0,
+        "index_path_field": cfg.index_path_field,
+        "path_total_tokens": path_tokens,
+        "path_avgdl": (path_tokens / n_docs) if n_docs else 0.0,
         "k1": cfg.k1, "b": cfg.b,
         "num_partitions": cfg.num_partitions,
         "salt_buckets": cfg.salt_buckets,

@@ -69,7 +69,8 @@ from .build import (
 # of truth) — a silent mismatch would route delta postings into the wrong
 # term partitions (ADVICE round 1).
 _SHAPE_FIELDS = ("num_partitions", "salt_buckets", "block_size",
-                 "max_token_len", "k1", "b", "store_positions")
+                 "max_token_len", "k1", "b", "store_positions",
+                 "index_path_field")
 
 
 def _effective_config(stats: dict, cfg: IndexConfig | None) -> IndexConfig:
@@ -447,16 +448,19 @@ def update_index(new_corpus: str | list[str], index_dir: str,
     os.makedirs(delta_dir, exist_ok=True)
     from functools import partial
 
-    docs = rd.read_parquet(new_doc_files,
-                           columns=["doc_id", "repo", "lang", "content"])
+    cols = ["doc_id", "repo", "lang", "content"]
+    if cfg.index_path_field:
+        cols.append("path")
+    docs = rd.read_parquet(new_doc_files, columns=cols)
     # salts are computed over the union range [0, n_total): delta ids land
     # in the upper salt buckets, still contiguous non-decreasing runs
     sums = docs.map_batches(
         partial(_emit_and_partition, cfg=cfg, n_docs=n_total,
                 out_dir=delta_dir),
         batch_format="pyarrow", batch_size=cfg.tokenize_batch_size,
-    ).sum(["rows", "tokens"])
+    ).sum(["rows", "tokens", "path_tokens"])
     delta_tokens = int(sums["sum(tokens)"] or 0)
+    delta_path_tokens = int(sums["sum(path_tokens)"] or 0)
 
     # ---- merge delta runs into segments (skip parts already merged)
     avgdl_build = stats["avgdl"] if stats["avgdl"] > 0 else 1.0
@@ -484,12 +488,16 @@ def update_index(new_corpus: str | list[str], index_dir: str,
     # ---- commit: exact stats update, applied exactly once
     if int(stats["n_docs"]) == n_base:
         total_tokens = int(stats["total_tokens"]) + delta_tokens
+        path_total = (int(stats.get("path_total_tokens", 0))
+                      + delta_path_tokens)
         min_bounds = min(stats.get("min_bounds_avgdl", stats["avgdl"]),
                          avgdl_build) or 1.0
         stats.update({
             "n_docs": n_total,
             "total_tokens": total_tokens,
             "avgdl": total_tokens / n_total if n_total else 0.0,
+            "path_total_tokens": path_total,
+            "path_avgdl": path_total / n_total if n_total else 0.0,
             "min_bounds_avgdl": min_bounds,
         })
         mf.write_stats(index_dir, stats)

@@ -214,13 +214,24 @@ ORACLE_SQL: dict[str, str] = {
                        unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
                 FROM tr)
           WHERE t <> ''
+        ), ptok AS (
+          SELECT doc_id, t AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower('doc_' || CAST(doc_id AS VARCHAR)
+                                 || '.md'), '[^a-z0-9]+')) AS t
+                FROM documents)
+          WHERE t <> ''
         )
         SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
                ((SELECT count(DISTINCT term) FROM tok)
+                + (SELECT count(DISTINCT term) FROM ptok)
                 + (SELECT count(DISTINCT lang) FROM documents)
                 + (SELECT count(*) FROM documents))::BIGINT AS n_terms,
                ((SELECT count(*) FROM (SELECT DISTINCT doc_id, term
                                        FROM tok))
+                + (SELECT count(*) FROM (SELECT DISTINCT doc_id, term
+                                         FROM ptok))
                 + 2 * (SELECT count(*) FROM documents))::BIGINT
                    AS n_postings,
                (SELECT count(*) FROM tok)::BIGINT AS total_tokens
@@ -352,6 +363,52 @@ ORACLE_SQL: dict[str, str] = {
         FROM (SELECT unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
               FROM tr)
         WHERE t <> '' GROUP BY 1 ORDER BY term
+    """,
+    # ES multi_match: content BM25 + boosted path-field BM25, each field
+    # under its own avgdl; the path string is derived from doc_id exactly
+    # as the engine's corpus mapper derives it
+    "multifield_search": _BM25_BASE + """
+        , ptok AS (
+          SELECT doc_id, t AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower('doc_' || CAST(doc_id AS VARCHAR)
+                                 || '.md'), '[^a-z0-9]+')) AS t
+                FROM documents)
+          WHERE t <> ''
+        ), ptf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ptok
+          GROUP BY 1, 2
+        ), pdl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM ptok GROUP BY 1
+        ), pstats AS (
+          SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT count(*)::DOUBLE FROM ptok) /
+                 (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        ), pq(term) AS (VALUES ('42'), ('md')),
+        pdf AS (
+          SELECT term, count(*)::DOUBLE AS df FROM ptf
+          WHERE term IN (SELECT term FROM pq) GROUP BY 1
+        ), pscores AS (
+          SELECT ptf.doc_id,
+                 sum(ln(1 + (pstats.n - pdf.df + 0.5) / (pdf.df + 0.5))
+                     * ptf.tf * (1.2 + 1)
+                     / (ptf.tf + 1.2 * (1 - 0.75
+                                        + 0.75 * pdl.dl / pstats.avgdl))
+                 ) AS score
+          FROM ptf
+          JOIN pq USING (term) JOIN pdf USING (term)
+          JOIN pdl USING (doc_id)
+          CROSS JOIN pstats
+          GROUP BY ptf.doc_id
+        ), combined AS (
+          SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+                 coalesce(c.score, 0) + 2.0 * coalesce(p.score, 0)
+                     AS score
+          FROM scores c FULL OUTER JOIN pscores p USING (doc_id)
+        )
+        SELECT doc_id, round(combined.score, 6) AS score FROM combined
+        ORDER BY combined.score DESC, doc_id ASC LIMIT 10
     """,
     # ES _count analog: docs containing any query term
     "match_count": _BM25_BASE + """

@@ -379,7 +379,7 @@ def _docs_engine(sf_dir: str):
         "/tmp/lsai_idx",
         hashlib.sha256(tag.encode()).hexdigest()[:16])
     cfg = IndexConfig(num_partitions=8, salt_buckets=4,
-                      store_positions=True)
+                      store_positions=True, index_path_field=True)
     build_index(corpus, idx_dir, cfg, corpus_tag=tag)
     eng = SearchEngine(idx_dir, num_shards=2)
     _ENGINE_CACHE[sf_dir] = eng
@@ -589,6 +589,18 @@ def q_term_vectors(sf_dir: str):
     """ES termvectors analog: (term, tf) of doc 0, term-asc."""
     eng = _docs_engine(sf_dir)
     return eng.term_vectors(0)
+
+
+def q_multifield_search(sf_dir: str):
+    """ES multi_match analog: content BM25 + 2x boosted path-field BM25
+    (the path field is indexed scored, with its own avgdl). The path
+    query '42 md' makes filename tokens discriminate: doc 42's path
+    contributes a rare-term score on top of its content score."""
+    eng = _docs_engine(sf_dir)
+    res = eng.search_fields(content_query=BM25_QUERY_TEXT,
+                            path_query="42 md", path_boost=2.0, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
 
 
 def q_match_count(sf_dir: str):
@@ -1363,6 +1375,7 @@ QUERY_REGISTRY = {
     "search_facets": q_search_facets,
     "phrase_prefix": q_phrase_prefix,
     "span_near": q_span_near,
+    "multifield_search": q_multifield_search,
     "match_count": q_match_count,
     "bm25_page2": q_bm25_page2,
     "more_like_this": q_more_like_this,

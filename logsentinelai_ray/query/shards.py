@@ -494,10 +494,18 @@ class SearchEngine:
         n = int(self.stats["n_docs"])
         k1, b, avgdl = (self.stats["k1"], self.stats["b"],
                         self.stats["avgdl"])
+        # scored path-field terms ("p:tok") normalize under the path
+        # field's own avgdl (ES per-field norms)
+        path_avgdl = float(self.stats.get("path_avgdl") or 0.0) or 1.0
+
+        def _avgdl(t: str) -> float:
+            return path_avgdl if t.startswith("p:") else avgdl
+
         futures = [
             (t, self._pending.pop(t, None)
              or self.part_to_shard[term_partition(t, self.P)]
-             .decode_term.remote(t, n, k1, b, avgdl)) for t in missing]
+             .decode_term.remote(t, n, k1, b, _avgdl(t)))
+            for t in missing]
         results = list(zip((t for t, _ in futures),
                            ray.get([f for _, f in futures])))
         # evict BEFORE inserting, never mid-round: one query's terms must
@@ -741,6 +749,48 @@ class SearchEngine:
             return self._format_result([], with_meta)
         self._ensure_contribs(terms)
         topk = self._search_taat(sorted(terms), k, None)
+        return self._format_result(topk, with_meta)
+
+    def search_fields(self, content_query: str = "",
+                      path_query: str = "", path_boost: float = 1.0,
+                      k: int = 10, with_meta: bool = False) -> pa.Table:
+        """ES multi_match analog: score = BM25(content terms) +
+        path_boost * BM25(path-field terms), each field under its own
+        avgdl (requires an index built with index_path_field=True for a
+        non-empty path_query). TAAT-regime; past the ceiling the WAND
+        formulation needs per-field block-max bounds (block_max is
+        encoded under the content avgdl; path_avgdl < avgdl keeps those
+        bounds safe, the reverse needs a per-field bound scale)."""
+        if int(self.stats["n_docs"]) > self.taat_max_docs:
+            raise NotImplementedError(
+                "search_fields currently requires the TAAT path; see "
+                "docstring for the per-field WAND bound formulation")
+        if path_query and not self.stats.get("index_path_field"):
+            raise ValueError(
+                "index was built without the scored path field; rebuild "
+                "with IndexConfig(index_path_field=True)")
+        mx = int(self.stats["max_token_len"])
+        ct = sorted(set(tokenize_py(content_query, mx)))
+        pt = sorted("p:" + t for t in set(tokenize_py(path_query, mx)))
+        if not ct and not pt:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(ct + pt)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        for t in sorted(ct + pt):  # one global term order, like the SQL
+            hit = self._contrib_cache.get(t)
+            if hit is None:
+                continue
+            ids, contrib, _df = hit
+            boost = path_boost if t.startswith("p:") else 1.0
+            acc[ids] += boost * contrib
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        topk = [(int(cand[i]), float(scores[i])) for i in order]
         return self._format_result(topk, with_meta)
 
     def match_count(self, text: str) -> int:

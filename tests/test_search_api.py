@@ -89,3 +89,76 @@ def test_more_like_this_equals_manual_query(engine, doc_tokens):
 def test_more_like_this_unknown_doc(engine):
     with pytest.raises(KeyError):
         engine.more_like_this(10 ** 12)
+
+
+def test_multifield_search_vs_bruteforce(engine, small_index):
+    """search_fields == hand-computed content BM25 + boost*path BM25
+    with per-field avgdl."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    idx_dir, _cfg = small_index
+    docs = pq.read_table(f"{idx_dir}/docs",
+                         columns=["doc_id", "path", "content"])
+    rows = list(zip(docs["doc_id"].to_pylist(),
+                    docs["path"].to_pylist(),
+                    docs["content"].to_pylist()))
+    n = len(rows)
+    ctoks = {d: tokenize_py(c) for d, _p, c in rows}
+    ptoks = {d: tokenize_py(p) for d, p, _c in rows}
+
+    def bm25(tokmap, qterms):
+        avgdl = sum(len(v) for v in tokmap.values()) / n
+        df = {}
+        for ts in tokmap.values():
+            for t in set(ts):
+                df[t] = df.get(t, 0) + 1
+        out = {}
+        for d, ts in tokmap.items():
+            s = 0.0
+            for t in sorted(set(qterms)):
+                if t not in df or t not in ts:
+                    continue
+                tf = float(ts.count(t))
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                dl = float(len(ts))
+                s += idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75
+                                                   * dl / avgdl))
+            if s:
+                out[d] = s
+        return out
+
+    cq, pq_text, boost = "error merge", "py main", 2.0
+    cs = bm25(ctoks, tokenize_py(cq))
+    ps = bm25(ptoks, tokenize_py(pq_text))
+    total = {}
+    for d in set(cs) | set(ps):
+        total[d] = cs.get(d, 0.0) + boost * ps.get(d, 0.0)
+    exp = sorted(((s, -d) for d, s in total.items()), reverse=True)[:15]
+    res = engine.search_fields(cq, pq_text, path_boost=boost, k=15)
+    got = list(zip(res["score"].to_pylist(),
+                   (-d for d in res["doc_id"].to_pylist())))
+    assert [(round(s, 9), d) for s, d in got] == \
+        [(round(s, 9), d) for s, d in exp]
+
+
+def test_multifield_requires_path_index(ray_session, small_corpus,
+                                        tmp_path):
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    idx = str(tmp_path / "nopath")
+    build_index(rd.from_arrow(small_corpus.slice(0, 30)), idx,
+                IndexConfig(num_partitions=4, salt_buckets=2),
+                corpus_tag="nopath30")
+    eng = SearchEngine(idx, num_shards=1)
+    with pytest.raises(ValueError, match="path field"):
+        eng.search_fields("error", "py")
+    # content-only use of search_fields still works
+    r = eng.search_fields("error", "", k=5)
+    assert r.num_rows > 0
+    eng.shutdown()

@@ -723,6 +723,31 @@ ORACLE_SQL: dict[str, str] = {
                (SELECT sum(n_tok) FROM m)::BIGINT AS total_tokens,
                (SELECT count(DISTINCT lang) FROM m)::BIGINT AS n_langs
     """,
+    # unigram-LM surprisal (perplexity-proxy quality score); engine and
+    # SQL both round the mean to 6 before the ordering tie-break
+    "unigram_surprisal": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), cnt AS (
+          SELECT term, count(*)::DOUBLE AS n FROM tok GROUP BY 1
+        ), tot AS (
+          SELECT count(*)::DOUBLE AS t FROM tok
+        ), sc AS (
+          SELECT tok.doc_id,
+                 round(sum(-ln(cnt.n / tot.t)) / count(*), 6)
+                     AS avg_surprisal
+          FROM tok JOIN cnt USING (term) CROSS JOIN tot
+          GROUP BY tok.doc_id
+        )
+        SELECT doc_id, avg_surprisal FROM sc
+        ORDER BY avg_surprisal DESC, doc_id ASC LIMIT 20
+    """,
     "lang_id_confusion": r"""
         WITH s AS (
           SELECT doc_id, 'de' AS cand,

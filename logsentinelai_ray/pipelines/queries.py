@@ -782,6 +782,67 @@ def q_quality_by_lang(sf_dir: str):
     return out.sort("lang")
 
 
+def q_unigram_surprisal(sf_dir: str):
+    """Perplexity-proxy quality scoring (the KenLM-filter analog at
+    unigram order): fit the corpus unigram LM (term occurrence counts /
+    total), then score each doc by its mean token surprisal
+    -ln p(t). Two passes: a distributed count groupby whose result (one
+    row per vocab term) broadcasts via ray.put, then a vectorized
+    per-batch scoring join — documents never shuffle. Returns the 20
+    most surprising docs (doc_id, avg_surprisal)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..analysis.tokenizer import tokenize_batch_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def term_counts(t: pa.Table) -> pa.Table:
+        _row, toks, _dl = tokenize_batch_arrow(t["text"])
+        enc = toks.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        counts = np.bincount(codes, minlength=len(enc.dictionary))
+        return pa.table({"term": enc.dictionary,
+                         "n": pa.array(counts.astype(np.int64))})
+
+    agg = (ds.map_batches(term_counts, batch_format="pyarrow")
+           .groupby("term").aggregate(Sum("n", alias_name="n")))
+    parts = list(agg.iter_batches(batch_format="pyarrow",
+                                  batch_size=1 << 20))
+    vocab_tbl = pa.concat_tables(parts).sort_by("term")
+    terms = np.asarray(vocab_tbl["term"].to_pylist(), dtype=object)
+    counts = vocab_tbl["n"].to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    total = float(counts.sum())
+    lm_ref = ray.put((terms, np.log(counts / total)))
+
+    def score(t: pa.Table) -> pa.Table:
+        terms_b, logp_b = ray.get(lm_ref)
+        row_idx, toks, dl = tokenize_batch_arrow(t["text"])
+        enc = toks.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        batch_vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+        # LM lookup per batch-vocab entry (every token is in the LM by
+        # construction), then fan out by dictionary code
+        lp = logp_b[np.searchsorted(terms_b, batch_vocab)][codes]
+        sums = np.zeros(t.num_rows, dtype=np.float64)
+        np.add.at(sums, row_idx, -lp)
+        keep = dl > 0
+        return pa.table({
+            "doc_id": t["doc_id"].filter(pa.array(keep)),
+            "avg_surprisal": pa.array(
+                np.round(sums[keep] / dl[keep], 6)),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return topk(scored, 20, [("avg_surprisal", "descending"),
+                             ("doc_id", "ascending")])
+
+
 def q_quality_filter(sf_dir: str):
     """C4-style quality filtering: first-failing-rule verdict per doc
     (too_short / low_alpha / high_digit / no_stopword / kept), counted.
@@ -1397,6 +1458,7 @@ QUERY_REGISTRY = {
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
     "corpus_card": q_corpus_card,
+    "unigram_surprisal": q_unigram_surprisal,
     "fingerprint_minmd5": q_fingerprint_minmd5,
     "fingerprint_rolling": q_fingerprint_rolling,
     "embedding_centroids": q_embedding_centroids,

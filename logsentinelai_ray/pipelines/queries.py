@@ -246,9 +246,16 @@ def q_top_customers(sf_dir: str):
                       Count(alias_name="n_orders")))
     top = topk(agg, 10, [("total_cents", "descending"),
                          ("o_custkey", "ascending")])
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]) \
-        .to_pandas()
-    name_of = dict(zip(cust["c_custkey"], cust["c_name"]))
+    # name lookup for the 10 winners only: a predicate-pushdown read of
+    # the dim table (row-group pruned), never a full materialization
+    import pyarrow.dataset as pa_ds
+
+    cust = pa_ds.dataset(os.path.join(sf_dir, "customer.parquet"),
+                         format="parquet").to_table(
+        columns=["c_custkey", "c_name"],
+        filter=pc.field("c_custkey").isin(list(top["o_custkey"])))
+    name_of = dict(zip(cust["c_custkey"].to_pylist(),
+                       cust["c_name"].to_pylist()))
     top["c_name"] = [name_of.get(k) for k in top["o_custkey"]]
     return top.reset_index(drop=True)
 
@@ -998,12 +1005,13 @@ def q_fingerprint_rolling(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def _query_vector(sf_dir: str) -> np.ndarray:
-    import pyarrow.parquet as pq
+    import pyarrow.dataset as pa_ds
 
-    tbl = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"),
-                        columns=["vec_id", "embedding"])
-    idx = tbl["vec_id"].to_pylist().index(0)
-    return np.asarray(tbl["embedding"][idx].as_py(), dtype=np.float64)
+    # one-row predicate-pushdown read, not a full-table scan
+    tbl = pa_ds.dataset(os.path.join(sf_dir, "embeddings.parquet"),
+                        format="parquet").to_table(
+        columns=["embedding"], filter=pc.field("vec_id") == 0)
+    return np.asarray(tbl["embedding"][0].as_py(), dtype=np.float64)
 
 
 def q_embedding_knn(sf_dir: str):

@@ -62,6 +62,10 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--tag", default="cli")
     b.add_argument("--partitions", type=int, default=32)
     b.add_argument("--salts", type=int, default=4)
+    b.add_argument("--positions", action="store_true",
+                   help="build the positional sidecar (phrase queries)")
+    b.add_argument("--path-field", action="store_true",
+                   help="index path as a scored field (multi-field)")
 
     u = sub.add_parser("update", parents=[common],
                        help="append new corpus files to an index (the "
@@ -89,6 +93,23 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--filter", action="append", default=[],
                    metavar="FIELD=VALUE")
     s.add_argument("--strategy", choices=["taat", "wand"], default=None)
+    s.add_argument("--phrase", action="store_true",
+                   help="treat the text as an exact phrase (positional)")
+    s.add_argument("--path-query", default="",
+                   help="additional scored path-field query terms")
+    s.add_argument("--path-boost", type=float, default=1.0)
+
+    d = sub.add_parser("delete", parents=[common],
+                       help="tombstone documents by doc id")
+    d.add_argument("--index", required=True)
+    d.add_argument("doc_ids", nargs="+", type=int)
+
+    c = sub.add_parser("compact", parents=[common],
+                       help="force-merge: rebuild without tombstoned "
+                            "docs (stats recomputed)")
+    c.add_argument("--index", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--tag", default="cli-compact")
 
     g = sub.add_parser("gen", parents=[common],
                        help="write a deterministic synthetic corpus")
@@ -116,7 +137,9 @@ def main(argv: list[str] | None = None) -> int:
             from .index.build import build_index
 
             cfg = IndexConfig(num_partitions=args.partitions,
-                              salt_buckets=args.salts)
+                              salt_buckets=args.salts,
+                              store_positions=args.positions,
+                              index_path_field=args.path_field)
             meta = build_index(args.corpus, args.index, cfg,
                                corpus_tag=args.tag)
             print(json.dumps({"n_docs": meta["n_docs"],
@@ -145,11 +168,31 @@ def main(argv: list[str] | None = None) -> int:
 
             filters = dict(f.split("=", 1) for f in args.filter) or None
             eng = SearchEngine(args.index)
-            res = eng.search(args.text, k=args.k, filters=filters,
-                             strategy=args.strategy)
+            if args.phrase:
+                res = eng.phrase_topk(args.text, k=args.k,
+                                      with_meta=True)
+            elif args.path_query:
+                res = eng.search_fields(args.text, args.path_query,
+                                        path_boost=args.path_boost,
+                                        k=args.k, with_meta=True)
+            else:
+                res = eng.search(args.text, k=args.k, filters=filters,
+                                 strategy=args.strategy)
             for row in res.to_pylist():
                 print(json.dumps(row))
             eng.shutdown()
+        elif args.cmd == "delete":
+            from .index.delete import delete_docs
+
+            n = delete_docs(args.index, args.doc_ids)
+            print(json.dumps({"tombstones": n}))
+        elif args.cmd == "compact":
+            from .index.delete import compact_index
+
+            meta = compact_index(args.index, args.out,
+                                 corpus_tag=args.tag)
+            print(json.dumps({"n_docs": meta["n_docs"],
+                              "total_s": meta["total_s"]}))
     finally:
         ray.shutdown()
     return 0

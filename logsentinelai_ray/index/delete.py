@@ -53,6 +53,20 @@ def compact_index(index_dir: str, dst_dir: str, cfg=None,
 
     from .build import build_index
 
+    if cfg is None:
+        # derive the shape from the source index (like update_index):
+        # a default-config compaction of a 32-partition index must not
+        # silently change partitioning
+        import dataclasses
+
+        from ..config import IndexConfig
+        from . import manifest as mf
+        from .update import _SHAPE_FIELDS
+
+        stats = mf.read_stats(index_dir)
+        stored = {f: stats[f] for f in _SHAPE_FIELDS if f in stats}
+        cfg = dataclasses.replace(IndexConfig(), **stored)
+
     tomb = read_tombstones(index_dir)
     docs = rd.read_parquet(
         os.path.join(index_dir, "docs"),

@@ -86,11 +86,12 @@ class PostingsCursor:
     """
 
     __slots__ = ("tp", "idf", "k1", "b", "avgdl", "max_score", "cur_doc",
-                 "_bi", "_pos", "_ids", "_tfs", "_dls", "bound_scale")
+                 "_bi", "_pos", "_ids", "_tfs", "_dls", "bound_scale",
+                 "score_scale")
 
     def __init__(self, tp: TermPostings, idf: float, k1: float = 1.2,
                  b: float = 0.75, avgdl: float = 1.0,
-                 bound_scale: float = 1.0):
+                 bound_scale: float = 1.0, score_scale: float = 1.0):
         self.tp = tp
         self.idf = idf
         self.k1, self.b, self.avgdl = k1, b, avgdl
@@ -98,8 +99,12 @@ class PostingsCursor:
         # collection avgdl has grown since the blocks were encoded
         # (incremental updates; tf_norm is increasing in avgdl)
         self.bound_scale = bound_scale
+        # score_scale: per-field query boost, applied OUTSIDE the
+        # idf*tf_norm product — boost*(idf*tf_norm) — so WAND scores
+        # stay bit-identical to the TAAT path's boosted contributions
+        self.score_scale = score_scale
         self.max_score = (idf * float(tp.block_max.max()) * bound_scale
-                          if tp.n_blocks else 0.0)
+                          * score_scale if tp.n_blocks else 0.0)
         self._bi = -1
         self._pos = 0
         self._ids = self._tfs = self._dls = None
@@ -161,7 +166,8 @@ class PostingsCursor:
         bi = self.block_index_for(target)
         if bi >= self.tp.n_blocks:
             return 0.0
-        return self.idf * float(self.tp.block_max[bi]) * self.bound_scale
+        return (self.idf * float(self.tp.block_max[bi])
+                * self.bound_scale * self.score_scale)
 
     def block_last_for(self, target: int) -> int:
         """block_last of the block containing target (INF if exhausted)."""
@@ -178,7 +184,8 @@ class PostingsCursor:
         """
         tf = float(self._tfs[self._pos])
         dl = float(self._dls[self._pos])
-        return self.idf * bm25_tf_norm(tf, dl, self.avgdl, self.k1, self.b)
+        s = self.idf * bm25_tf_norm(tf, dl, self.avgdl, self.k1, self.b)
+        return s if self.score_scale == 1.0 else self.score_scale * s
 
     def exhausted(self) -> bool:
         return self.cur_doc == INF_DOC

@@ -753,18 +753,21 @@ class SearchEngine:
 
     def search_fields(self, content_query: str = "",
                       path_query: str = "", path_boost: float = 1.0,
-                      k: int = 10, with_meta: bool = False) -> pa.Table:
+                      k: int = 10, with_meta: bool = False,
+                      strategy: str | None = None) -> pa.Table:
         """ES multi_match analog: score = BM25(content terms) +
         path_boost * BM25(path-field terms), each field under its own
         avgdl (requires an index built with index_path_field=True for a
-        non-empty path_query). TAAT-regime; past the ceiling the WAND
-        formulation needs per-field block-max bounds (block_max is
-        encoded under the content avgdl; path_avgdl < avgdl keeps those
-        bounds safe, the reverse needs a per-field bound scale)."""
-        if int(self.stats["n_docs"]) > self.taat_max_docs:
-            raise NotImplementedError(
-                "search_fields currently requires the TAAT path; see "
-                "docstring for the per-field WAND bound formulation")
+        non-empty path_query).
+
+        Both exact strategies, like search(): TAAT below the ceiling,
+        block-max WAND above. WAND bound safety for path terms: their
+        block_max was encoded under the CONTENT avgdl, and the tf
+        normalization is increasing in avgdl, so the stored bound
+        over-estimates whenever path_avgdl <= the encode-time avgdl —
+        enforced with an explicit check (paths are orders of magnitude
+        shorter than content, so the check never fires in practice);
+        the boost simply scales each path cursor's idf."""
         if path_query and not self.stats.get("index_path_field"):
             raise ValueError(
                 "index was built without the scored path field; rebuild "
@@ -774,23 +777,59 @@ class SearchEngine:
         pt = sorted("p:" + t for t in set(tokenize_py(path_query, mx)))
         if not ct and not pt:
             return self._format_result([], with_meta)
-        self._ensure_contribs(ct + pt)
         n = int(self.stats["n_docs"])
-        acc = np.zeros(n, dtype=np.float64)
-        for t in sorted(ct + pt):  # one global term order, like the SQL
-            hit = self._contrib_cache.get(t)
-            if hit is None:
+        if strategy is None:
+            strategy = "taat" if n <= self.taat_max_docs else "wand"
+        if strategy == "taat":
+            self._ensure_contribs(ct + pt)
+            acc = np.zeros(n, dtype=np.float64)
+            for t in sorted(ct + pt):  # one global order, like the SQL
+                hit = self._contrib_cache.get(t)
+                if hit is None:
+                    continue
+                ids, contrib, _df = hit
+                boost = path_boost if t.startswith("p:") else 1.0
+                acc[ids] += boost * contrib
+            self._mask_tombstones(acc)
+            cand = np.flatnonzero(acc > 0.0)
+            if cand.size == 0:
+                return self._format_result([], with_meta)
+            scores = acc[cand]
+            order = np.lexsort((cand, -scores))[:k]
+            topk = [(int(cand[i]), float(scores[i])) for i in order]
+            return self._format_result(topk, with_meta)
+        # WAND: mixed-field cursors; per-field avgdl + boosted idf
+        avgdl = self.stats["avgdl"]
+        path_avgdl = float(self.stats.get("path_avgdl") or 0.0) or 1.0
+        bounds_avgdl = self.stats.get("min_bounds_avgdl", avgdl) or avgdl
+        if pt and path_avgdl > bounds_avgdl:
+            raise ValueError(
+                "path_avgdl exceeds the encode-time avgdl; stored "
+                "block-max bounds would be unsafe for WAND — use "
+                "strategy='taat' (exact) for this index")
+        rows = self._fetch_terms(sorted(ct + pt))
+        bound_scale = max(1.0, avgdl / bounds_avgdl)
+        cursors = []
+        for t in sorted(ct + pt):  # sorted order — the scoring contract
+            row = rows.get(t)
+            if row is None:
                 continue
-            ids, contrib, _df = hit
-            boost = path_boost if t.startswith("p:") else 1.0
-            acc[ids] += boost * contrib
-        self._mask_tombstones(acc)
-        cand = np.flatnonzero(acc > 0.0)
-        if cand.size == 0:
-            return self._format_result([], with_meta)
-        scores = acc[cand]
-        order = np.lexsort((cand, -scores))[:k]
-        topk = [(int(cand[i]), float(scores[i])) for i in order]
+            tp = TermPostings(row)
+            is_path = t.startswith("p:")
+            idf = bm25_idf(n, int(tp.df))
+            cursors.append(PostingsCursor(
+                tp, idf, self.stats["k1"], self.stats["b"],
+                path_avgdl if is_path else avgdl,
+                1.0 if is_path else bound_scale,
+                score_scale=path_boost if is_path else 1.0))
+        pred = None
+        tomb = self._tombstones
+        if tomb.size:
+            def pred(doc_id: int, _t=tomb) -> bool:
+                i = int(np.searchsorted(_t, doc_id))
+                return not (i < _t.size and _t[i] == doc_id)
+
+        topk = block_max_wand(cursors, k, pred)
         return self._format_result(topk, with_meta)
 
     def match_count(self, text: str) -> int:

@@ -143,6 +143,22 @@ def test_multifield_search_vs_bruteforce(engine, small_index):
         [(round(s, 9), d) for s, d in exp]
 
 
+def test_multifield_taat_equals_wand(engine):
+    """Mixed-field WAND (per-field avgdl, boosted cursors) must be
+    bit-identical to the TAAT accumulator."""
+    for cq, pq_text, boost in (("error merge", "py main", 2.0),
+                               ("authentication failure", "md", 0.5),
+                               ("", "py", 3.0)):
+        a = engine.search_fields(cq, pq_text, path_boost=boost, k=25,
+                                 strategy="taat")
+        b = engine.search_fields(cq, pq_text, path_boost=boost, k=25,
+                                 strategy="wand")
+        assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), \
+            (cq, pq_text)
+        assert a["score"].to_pylist() == b["score"].to_pylist(), \
+            (cq, pq_text)
+
+
 def test_multifield_requires_path_index(ray_session, small_corpus,
                                         tmp_path):
     import ray.data as rd

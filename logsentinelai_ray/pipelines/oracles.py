@@ -480,6 +480,22 @@ ORACLE_SQL: dict[str, str] = {
           AND s.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'error')
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
+    # ES sort-by-keyword-field: first 10 matching docs by (lang, doc_id)
+    "search_sorted": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        )
+        SELECT DISTINCT tok.doc_id, d.lang
+        FROM tok JOIN documents d USING (doc_id)
+        WHERE tok.term IN ('error', 'merge', 'spark', 'window')
+        ORDER BY d.lang, tok.doc_id LIMIT 10
+    """,
     # ES aggregation on query results: per-lang doc count over docs
     # containing any query term
     "search_facets": f"""

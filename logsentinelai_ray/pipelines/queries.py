@@ -658,6 +658,15 @@ def q_boolean_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_search_sorted(sf_dir: str):
+    """ES sort-by-keyword-field: first 10 docs matching any query term
+    ordered by (lang asc, doc_id asc), computed from posting
+    intersections alone."""
+    eng = _docs_engine(sf_dir)
+    return eng.search_sorted_by_field(BM25_QUERY_TEXT, field="lang",
+                                     k=10)
+
+
 def q_search_facets(sf_dir: str):
     """ES aggregation on query results: per-lang count of docs matching
     any query term, computed purely from posting-list intersections (no
@@ -1442,6 +1451,7 @@ QUERY_REGISTRY = {
     "prefix_search": q_prefix_search,
     "boolean_search": q_boolean_search,
     "search_facets": q_search_facets,
+    "search_sorted": q_search_sorted,
     "phrase_prefix": q_phrase_prefix,
     "span_near": q_span_near,
     "multifield_search": q_multifield_search,

@@ -832,6 +832,46 @@ class SearchEngine:
         topk = block_max_wand(cursors, k, pred)
         return self._format_result(topk, with_meta)
 
+    def search_sorted_by_field(self, text: str, field: str = "lang",
+                               k: int = 10) -> pa.Table:
+        """ES sort-by-keyword-field analog: the first k docs matching
+        ANY query term, ordered by (field value asc, doc_id asc) —
+        served entirely from posting intersections: field values come
+        from the term dictionary in sorted order and each value's id
+        list intersects the match set until k rows fill. No document
+        metadata is read (the ES doc-values trick, posting-style)."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        self._ensure_contribs(terms)
+        present = [self._contrib_cache[t][0] for t in terms
+                   if self._contrib_cache.get(t) is not None]
+        schema = pa.schema([("doc_id", pa.int64()),
+                            (field, pa.string())])
+        if not present:
+            return schema.empty_table()
+        matches = (present[0] if len(present) == 1
+                   else np.unique(np.concatenate(present)))
+        matches = self._drop_tombstones(matches)
+        prefix = f"{field}:"
+        values = ray.get([s.expand_terms.remote(prefix, 1 << 20, True)
+                          for s in self.shards])
+        fterms = sorted(t for tbl in values
+                        for t in tbl["term"].to_pylist())
+        self._ensure_contribs(fterms)
+        out_ids, out_vals = [], []
+        for ft in fterms:
+            if len(out_ids) >= k:
+                break
+            hit = self._contrib_cache.get(ft)
+            if hit is None:
+                continue
+            inter = np.intersect1d(matches, hit[0], assume_unique=True)
+            take = inter[:k - len(out_ids)]
+            out_ids.extend(int(d) for d in take)
+            out_vals.extend([ft[len(prefix):]] * take.size)
+        return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
+                         field: pa.array(out_vals, pa.string())})
+
     def match_count(self, text: str) -> int:
         """ES _count analog: number of docs containing ANY query term —
         a posting-id union, no scoring, no metadata read."""

@@ -480,6 +480,36 @@ ORACLE_SQL: dict[str, str] = {
           AND s.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'error')
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
+    # ES completion suggester: top-4 prefix completions by df
+    "suggest": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        )
+        SELECT term, count(*)::BIGINT AS df FROM tok
+        WHERE term LIKE 's%' GROUP BY 1
+        ORDER BY df DESC, term ASC LIMIT 4
+    """,
+    # ES term suggester ("did you mean"): fuzzy corrections by df
+    "spell_suggest": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        )
+        SELECT term, count(*)::BIGINT AS df FROM tok
+        WHERE levenshtein(term, 'mrge') <= 2 GROUP BY 1
+        ORDER BY df DESC, term ASC LIMIT 3
+    """,
     # ES sort-by-keyword-field: first 10 matching docs by (lang, doc_id)
     "search_sorted": f"""
         WITH tr AS (

@@ -648,6 +648,22 @@ def q_span_near(sf_dir: str):
     return eng.proximity_match("sort", "merge", window=3)
 
 
+def q_suggest(sf_dir: str):
+    """ES completion-suggester analog: top-4 completions of the prefix
+    by (df desc, term asc) from the shard dictionaries."""
+    eng = _docs_engine(sf_dir)
+    exp = eng.expand_prefix("s", max_expansions=4)
+    return exp.sort_by([("df", "descending"), ("term", "ascending")])
+
+
+def q_spell_suggest(sf_dir: str):
+    """ES term-suggester ("did you mean") analog: corrections of the
+    typo 'mrge' within 2 edits, ranked (df desc, term asc), top 3."""
+    eng = _docs_engine(sf_dir)
+    exp = eng.expand_fuzzy("mrge", max_edits=2, max_expansions=3)
+    return exp.sort_by([("df", "descending"), ("term", "ascending")])
+
+
 def q_boolean_search(sf_dir: str):
     """ES bool query: must-conjunction + must_not exclusion, scored by
     BM25 over must+should terms (query/shards.py boolean_search)."""
@@ -1452,6 +1468,8 @@ QUERY_REGISTRY = {
     "boolean_search": q_boolean_search,
     "search_facets": q_search_facets,
     "search_sorted": q_search_sorted,
+    "suggest": q_suggest,
+    "spell_suggest": q_spell_suggest,
     "phrase_prefix": q_phrase_prefix,
     "span_near": q_span_near,
     "multifield_search": q_multifield_search,

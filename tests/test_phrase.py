@@ -208,6 +208,45 @@ def test_phrase_requires_positions(ray_session, small_corpus, tmp_path):
     eng.shutdown()
 
 
+def test_positions_stage_resumes(ray_session, small_corpus, tmp_path):
+    """Killing the build after segments but before positions must
+    resume with ONLY the positions stage re-running, and phrase results
+    must be identical to an unbroken build."""
+    import os
+
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index import manifest as mf
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2,
+                      store_positions=True)
+    idx = str(tmp_path / "resume")
+    build_index(rd.from_arrow(small_corpus.slice(0, 60)), idx, cfg,
+                corpus_tag="res60")
+    eng = SearchEngine(idx, num_shards=1)
+    toks = tokenize_py(small_corpus["content"][0].as_py())
+    phrase = " ".join(toks[1:3])
+    before = eng.phrase_match(phrase)
+    eng.shutdown()
+
+    # simulate the crash: positions stage marker + one part file gone
+    os.remove(os.path.join(idx, "positions", "_SUCCESS"))
+    os.remove(os.path.join(idx, "positions", "part=1", "base.parquet"))
+    meta = build_index(rd.from_arrow(small_corpus.slice(0, 60)), idx,
+                       cfg, corpus_tag="res60")
+    # resume re-ran positions only: no prep/emit timings in this run
+    assert "prep_docs_s" not in meta["timings"]
+    assert "emit_postings_s" not in meta["timings"]
+    assert "positions_s" in meta["timings"]
+    assert mf.stage_done(idx, "positions")
+    eng2 = SearchEngine(idx, num_shards=1)
+    assert eng2.phrase_match(phrase).equals(before)
+    eng2.shutdown()
+
+
 def test_phrase_after_incremental_update(ray_session, small_corpus,
                                          tmp_path):
     """Positions sidecar must stay exact through update_index: phrase

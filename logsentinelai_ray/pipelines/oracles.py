@@ -748,6 +748,66 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n_docs
         FROM m GROUP BY 1 ORDER BY verdict
     """,
+    # the composed pipeline: quality filter -> exact dedup (min doc_id
+    # per text) -> BM25 over the cleaned corpus with its own stats
+    "clean_corpus_search": r"""
+        WITH m AS (
+          SELECT doc_id, text,
+                 length(lower(text)) AS n_chars,
+                 len(regexp_extract_all(lower(text), '[a-z]')) AS n_alpha,
+                 len(regexp_extract_all(lower(text), '[0-9]')) AS n_digit,
+                 len(regexp_extract_all(lower(text),
+                     '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+          FROM documents
+        ), kept AS (
+          SELECT doc_id, text FROM m
+          WHERE n_chars >= 200 AND n_alpha * 10 >= n_chars * 6
+            AND n_digit * 10 <= n_chars * 3 AND n_stop > 0
+        ), uniq AS (
+          SELECT min(doc_id) AS doc_id FROM kept GROUP BY text
+        ), d2 AS (
+          SELECT kept.doc_id, kept.text FROM kept JOIN uniq USING (doc_id)
+        ), tr AS (
+          SELECT doc_id,
+                 lower(regexp_replace(regexp_replace(text,
+                     '([A-Z]+)([A-Z][a-z])', '\1 \2', 'g'),
+                     '([a-z0-9])([A-Z])', '\1 \2', 'g')) AS s
+          FROM d2
+        ), tok AS (
+          SELECT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+          GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*)::DOUBLE FROM d2) AS n,
+                 (SELECT count(*)::DOUBLE FROM tok) /
+                 (SELECT count(*)::DOUBLE FROM d2) AS avgdl
+        ), q(term) AS (VALUES ('error'), ('merge'), ('spark'),
+                              ('window')),
+        df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf
+          WHERE term IN (SELECT term FROM q) GROUP BY 1
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                                       + 0.75 * dl.dl / stats.avgdl))
+                 ) AS score
+          FROM tf
+          JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
     "corpus_card": r"""
         WITH m AS (
           SELECT doc_id, lang, text,

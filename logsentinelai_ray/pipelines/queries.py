@@ -960,6 +960,93 @@ def q_corpus_card(sf_dir: str):
     })
 
 
+def q_clean_corpus_search(sf_dir: str):
+    """The composed training-data pipeline as one flow: quality-filter
+    (the integer rules of q_quality_filter) → exact dedup (keep min
+    doc_id per text) → index build → BM25 top-10. Every stage is the
+    same distributed operator exercised elsewhere; the oracle replays
+    filter+dedup+BM25 entirely in SQL. Engine ids re-rank densely over
+    the cleaned corpus; results map back through the repo key."""
+    import hashlib as _hashlib
+
+    from ..config import IndexConfig
+    from ..functions.text import STOPWORDS
+    from ..index.build import build_index
+    from ..query.shards import SearchEngine
+
+    if ("clean", sf_dir) in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[("clean", sf_dir)]
+    else:
+        from ray.data.aggregate import Min
+
+        stop_pat = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+        def keep_rules(t: pa.Table) -> pa.Table:
+            text = pc.utf8_lower(t["text"])
+            n_chars = pc.utf8_length(text).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            n_alpha = pc.count_substring_regex(text, r"[a-z]") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            n_digit = pc.count_substring_regex(text, r"[0-9]") \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            n_stop = pc.count_substring_regex(text, stop_pat) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            kept = ((n_chars >= 200) & (n_alpha * 10 >= n_chars * 6)
+                    & (n_digit * 10 <= n_chars * 3) & (n_stop > 0))
+            return t.filter(pa.array(kept))
+
+        filtered = (_read(sf_dir, "documents",
+                          columns=["doc_id", "lang", "text"])
+                    .map_batches(keep_rules, batch_format="pyarrow"))
+        # exact dedup keep-first among the kept docs: min doc_id per
+        # text via a distributed groupby; the survivor-id array (one
+        # int64 per unique doc) broadcasts via ray.put like the other
+        # small-side lookups (beyond ~10^9 survivors the same filter
+        # runs as a hash-partitioned anti-join instead of a broadcast)
+        import ray as _ray
+
+        survivors_ds = (filtered.groupby("text")
+                        .aggregate(Min("doc_id", alias_name="doc_id")))
+        surv_parts = [b["doc_id"].to_numpy(zero_copy_only=False)
+                      for b in survivors_ds.iter_batches(
+                          batch_format="pyarrow", batch_size=1 << 20)]
+        surv_ref = _ray.put(np.sort(np.concatenate(surv_parts))
+                            if surv_parts
+                            else np.empty(0, dtype=np.int64))
+
+        def to_corpus(t: pa.Table) -> pa.Table:
+            surv = _ray.get(surv_ref)
+            did_all = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(surv, did_all)
+            ok = pos < surv.size
+            ok[ok] = surv[pos[ok]] == did_all[ok]
+            t = t.filter(pa.array(ok))
+            did = t["doc_id"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "repo": pa.array([f"r{d:012d}" for d in did]),
+                "path": pa.array([f"doc_{d}.md" for d in did]),
+                "commit": pa.array(
+                    [_hashlib.sha1(str(d).encode()).hexdigest()
+                     for d in did]),
+                "lang": t["lang"], "content": t["text"],
+            })
+
+        corpus = filtered.map_batches(to_corpus, batch_format="pyarrow")
+        tag = "clean:" + sf_dir.rstrip("/")
+        idx_dir = os.path.join(
+            "/tmp/lsai_idx",
+            _hashlib.sha256(tag.encode()).hexdigest()[:16])
+        build_index(corpus, idx_dir,
+                    IndexConfig(num_partitions=8, salt_buckets=4),
+                    corpus_tag=tag)
+        eng = SearchEngine(idx_dir, num_shards=2)
+        _ENGINE_CACHE[("clean", sf_dir)] = eng
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=True)
+    orig = pa.array([int(r[1:]) for r in res["repo"].to_pylist()],
+                    pa.int64())
+    return pa.table({"doc_id": orig, "score": _round6(res["score"])})
+
+
 def q_token_stats(sf_dir: str):
     from ray.data.aggregate import Count, Sum
 
@@ -1493,6 +1580,7 @@ QUERY_REGISTRY = {
     "quality_by_lang": q_quality_by_lang,
     "token_stats": q_token_stats,
     "quality_filter": q_quality_filter,
+    "clean_corpus_search": q_clean_corpus_search,
     "corpus_card": q_corpus_card,
     "unigram_surprisal": q_unigram_surprisal,
     "fingerprint_minmd5": q_fingerprint_minmd5,

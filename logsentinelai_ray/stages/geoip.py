@@ -57,7 +57,11 @@ def add_ip_stats(batch: pa.Table, text_col: str = "content") -> pa.Table:
     rex = re.compile(IP_PATTERN)
     priv = np.zeros(batch.num_rows, dtype=np.int64)
     pub = np.zeros(batch.num_rows, dtype=np.int64)
-    for i, t in enumerate(batch[text_col].to_pylist()):
+    # the Python walk touches ONLY rows the vectorized count says have a
+    # match — zero-match rows (the common case) never materialize
+    hot = np.flatnonzero(n_ips > 0)
+    hot_texts = pc.take(text, pa.array(hot, pa.int64())).to_pylist()
+    for i, t in zip(hot, hot_texts):
         if not t:
             continue
         for m in rex.findall(t):

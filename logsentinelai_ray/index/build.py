@@ -707,25 +707,65 @@ POSITIONS_SCHEMA = pa.schema([
 
 @ray.remote(num_cpus=1)
 def _consolidate_positions(index_dir: str, raw_pos_dir: str, part: int,
-                           out_name: str) -> int:
+                           out_name: str, lo: int | None = None,
+                           hi: int | None = None) -> int:
     """Reduce-side positions stage: collect one part's raw occurrence
-    files, sort by (term, doc_id, pos) and write one consolidated file
-    under ``positions/part=P/`` with small row groups — the sort is what
-    gives parquet min/max statistics the power to prune a phrase query's
-    read down to the query terms' row groups."""
+    rows (optionally restricted to the doc-id range [lo, hi) — the
+    sidecar's skew split), sort by (term, doc_id, pos) and write one
+    consolidated file under ``positions/part=P/`` — the sort is what
+    gives parquet min/max statistics the power to prune a phrase
+    query's read down to the query terms' row groups.
+
+    Two scale lessons are baked in (measured on the 1M-doc corpus):
+
+    - the sort runs as a numpy lexsort over LEXICOGRAPHICALLY-ORDERED
+      dictionary codes (factorize, sort the unique terms once, remap) —
+      an Arrow string sort_by over tens of millions of occurrence rows
+      was several-fold slower;
+    - term-hash partitioning alone skews hard: the part holding the
+      Zipf head can carry a large multiple of the average occurrence
+      count (observed: one 13-minute 18 GB straggler while 31 siblings
+      idled). Doc-range splitting is the same cure the postings use
+      (salt runs): each (part, range) consolidates independently into
+      its own file and a phrase query reads the part DIRECTORY, so the
+      split is invisible to readers."""
     out_dir = os.path.join(index_dir, "positions", f"part={part}")
     os.makedirs(out_dir, exist_ok=True)
     path = os.path.join(out_dir, out_name)
     pdir = os.path.join(raw_pos_dir, f"part={part}")
     if os.path.isdir(pdir):
-        tbl = pa_ds.dataset(pdir, format="parquet").to_table()
-        tbl = tbl.sort_by([("term", "ascending"), ("doc_id", "ascending"),
-                           ("pos", "ascending")])
-        tbl = tbl.cast(POSITIONS_SCHEMA)
+        flt = None
+        if lo is not None:
+            flt = (pc.field("doc_id") >= lo) & (pc.field("doc_id") < hi)
+        tbl = pa_ds.dataset(pdir, format="parquet").to_table(filter=flt)
+        enc = tbl["term"].combine_chunks()
+        if not pa.types.is_dictionary(enc.type):
+            enc = enc.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dict_arr = enc.dictionary
+        # rank[i] = lexicographic rank of dictionary entry i
+        order = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False)
+        rank = np.empty(len(dict_arr), dtype=np.int64)
+        rank[order] = np.arange(len(dict_arr), dtype=np.int64)
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        pos = tbl["pos"].to_numpy(zero_copy_only=False)
+        idx = np.lexsort((pos, doc, rank[codes]))
+        # materialize term as plain string (one C++ gather) so every
+        # sidecar file shares POSITIONS_SCHEMA — parquet re-dictionary-
+        # encodes on write regardless
+        term_sorted = pa.DictionaryArray.from_arrays(
+            pa.array(codes[idx].astype(np.int32)), dict_arr) \
+            .cast(pa.string())
+        tbl = pa.table({
+            "term": term_sorted,
+            "doc_id": pa.array(doc[idx], pa.int64()),
+            "pos": pa.array(pos[idx].astype(np.int32), pa.int32()),
+        })
     else:
         tbl = POSITIONS_SCHEMA.empty_table()
     tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(tbl, tmp, row_group_size=1 << 16)
+    pq.write_table(tbl, tmp, row_group_size=1 << 18)
     os.replace(tmp, path)
     return tbl.num_rows
 
@@ -735,14 +775,26 @@ def build_positions(index_dir: str, cfg: IndexConfig,
                     out_name: str = "base.parquet",
                     stage_name: str = "positions") -> None:
     """Positions consolidation stage (skipped unless cfg.store_positions).
-    Deterministic file names + atomic writes make a rerun idempotent; the
-    stage marker lets a resumed build skip it wholesale."""
+    Fans out per (part, doc-range) — ``salt_buckets`` contiguous ranges
+    per part — to bound straggler wall-time and task memory under the
+    Zipf-head term skew (see _consolidate_positions). Deterministic file
+    names + atomic writes make a rerun idempotent; the stage marker lets
+    a resumed build skip it wholesale."""
     if not cfg.store_positions or mf.stage_done(index_dir, stage_name):
         return
     raw = os.path.join(index_dir, raw_dirname)
-    occ = ray.get([
-        _consolidate_positions.remote(index_dir, raw, p, out_name)
-        for p in range(cfg.num_partitions)])
+    n_docs = int(mf.read_stage(index_dir, "docs")["n_docs"])
+    S = max(1, cfg.salt_buckets)
+    stem = out_name[:-len(".parquet")] if out_name.endswith(".parquet") \
+        else out_name
+    bounds = [n_docs * s // S for s in range(S)] + [n_docs]
+    tasks = []
+    for p in range(cfg.num_partitions):
+        for s in range(S):
+            tasks.append(_consolidate_positions.remote(
+                index_dir, raw, p, f"{stem}-{s:02d}.parquet",
+                bounds[s], bounds[s + 1]))
+    occ = ray.get(tasks)
     mf.mark_stage(index_dir, stage_name, {"n_occurrences": int(sum(occ))})
 
 

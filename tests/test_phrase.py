@@ -234,7 +234,8 @@ def test_positions_stage_resumes(ray_session, small_corpus, tmp_path):
 
     # simulate the crash: positions stage marker + one part file gone
     os.remove(os.path.join(idx, "positions", "_SUCCESS"))
-    os.remove(os.path.join(idx, "positions", "part=1", "base.parquet"))
+    os.remove(os.path.join(idx, "positions", "part=1",
+                           "base-00.parquet"))
     meta = build_index(rd.from_arrow(small_corpus.slice(0, 60)), idx,
                        cfg, corpus_tag="res60")
     # resume re-ran positions only: no prep/emit timings in this run

@@ -1,3 +1,9 @@
+from .sketch import (  # noqa: F401
+    hll_cardinality,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
 from .text import (  # noqa: F401
     LANG_MARKERS,
     STOPWORDS,

@@ -1088,6 +1088,28 @@ def q_bpe_token_stats(sf_dir: str):
     return out.sort("source")
 
 
+def q_cardinality_sketch(sf_dir: str):
+    """ES ``cardinality`` aggregation analog (SURVEY §2.6: the reference
+    delegates distinct counting to Elasticsearch's HLL sketch): approximate
+    distinct counts via HyperLogLog (p=12, ~1.6 % stderr). Each map task
+    emits one 4 KB register array per batch; only sketches cross the wire —
+    the scale path for distinct-count at 10^12 rows, where an exact
+    distinct is a full shuffle. Deterministic (SipHash with pandas' fixed
+    key), so rows-only driver checks are stable. Accuracy vs exact distinct
+    is pinned by tests/test_sketch.py."""
+    import pandas as pd
+
+    from ..functions.sketch import hll_cardinality
+
+    rows = []
+    for table, col in (("events", "user_id"), ("events", "event_type"),
+                       ("documents", "lang")):
+        ds = _read(sf_dir, table, columns=[col])
+        est = hll_cardinality(ds, col, p=12)
+        rows.append({"field": f"{table}.{col}", "estimate": int(round(est))})
+    return pd.DataFrame(rows)
+
+
 def q_fingerprint_minmd5(sf_dir: str):
     from ..functions import add_fingerprint_minmd5
 
@@ -1583,6 +1605,7 @@ QUERY_REGISTRY = {
     "clean_corpus_search": q_clean_corpus_search,
     "corpus_card": q_corpus_card,
     "unigram_surprisal": q_unigram_surprisal,
+    "cardinality_sketch": q_cardinality_sketch,
     "fingerprint_minmd5": q_fingerprint_minmd5,
     "fingerprint_rolling": q_fingerprint_rolling,
     "embedding_centroids": q_embedding_centroids,

@@ -1,0 +1,66 @@
+"""HyperLogLog cardinality sketch: merge exactness, accuracy, determinism,
+Dataset path, and the registry entry vs an exact DuckDB distinct count."""
+
+import numpy as np
+import pyarrow as pa
+
+from logsentinelai_ray.functions.sketch import (
+    hll_cardinality,
+    hll_estimate,
+    hll_merge,
+    hll_sketch,
+)
+
+
+def test_sketch_merge_is_exact_union():
+    a = pa.array([f"k{i}" for i in range(5000)])
+    b = pa.array([f"k{i}" for i in range(2500, 9000)])
+    both = pa.array([f"k{i}" for i in range(9000)])
+    merged = hll_merge(hll_sketch(a), hll_sketch(b))
+    assert np.array_equal(merged, hll_sketch(both))
+
+
+def test_estimate_accuracy_and_determinism():
+    for n in (300, 5_000, 100_000):
+        vals = pa.array(np.arange(n, dtype=np.int64))
+        est1 = hll_estimate(hll_sketch(vals, p=12))
+        est2 = hll_estimate(hll_sketch(vals, p=12))
+        assert est1 == est2
+        # p=12 → stderr ~1.6 %; 5 % is > 3 sigma for these fixed inputs
+        assert abs(est1 - n) / n < 0.05, (n, est1)
+
+
+def test_small_range_linear_counting():
+    vals = pa.array([f"u{i}" for i in range(40)] * 3 + [None, None])
+    est = hll_estimate(hll_sketch(vals, p=12))
+    assert abs(est - 40) < 2
+
+
+def test_dataset_cardinality_matches_local_sketch(ray_session):
+    import ray.data as rd
+
+    n = 20_000
+    tbl = pa.table({"k": pa.array(np.arange(n, dtype=np.int64) % 7777)})
+    ds = rd.from_arrow(tbl).repartition(8)
+    est = hll_cardinality(ds, "k", p=12)
+    # batch boundaries must not change the estimate: union is exact
+    assert est == hll_estimate(hll_sketch(tbl.column("k"), p=12))
+    assert abs(est - 7777) / 7777 < 0.05
+
+
+def test_cardinality_sketch_entry_vs_exact(ray_session):
+    import duckdb
+
+    from logsentinelai_ray.pipelines.queries import q_cardinality_sketch
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = q_cardinality_sketch(sf_dir)
+    got = dict(zip(out["field"], out["estimate"]))
+    con = duckdb.connect()
+    for table, col in (("events", "user_id"), ("events", "event_type"),
+                       ("documents", "lang")):
+        exact = con.execute(
+            f"SELECT count(DISTINCT {col}) FROM "
+            f"read_parquet('{sf_dir}/{table}.parquet')").fetchone()[0]
+        est = got[f"{table}.{col}"]
+        assert abs(est - exact) <= max(1, 0.06 * exact), (table, col, est, exact)

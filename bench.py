@@ -177,7 +177,7 @@ def bench_pipelines() -> dict:
              "quality_by_lang", "lang_id_confusion", "embedding_knn",
              "multimodal_stats", "df_top_terms",
              "nested_severity_histogram", "geoip_enrichment",
-             "alert_sink", "value_quantiles",
+             "alert_sink", "value_quantiles", "cardinality_sketch",
              # fulltext family over the shared docs engine: the first
              # entry's timing includes the positional index build, the
              # rest reuse the cached engine

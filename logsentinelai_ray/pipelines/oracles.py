@@ -124,6 +124,65 @@ ORACLE_SQL: dict[str, str] = {
                quantile_disc(value_micro, 0.99)::BIGINT AS p99
         FROM m GROUP BY 1 ORDER BY 1
     """,
+    # bucket bounds must match queries._RANGE_BOUNDS_MICRO / _RANGE_LABELS
+    "range_agg": """
+        WITH m AS (
+          SELECT CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro
+          FROM events
+        ), b AS (
+          SELECT CASE WHEN value_micro < 10000000 THEN 0
+                      WHEN value_micro < 50000000 THEN 10000000
+                      WHEN value_micro < 100000000 THEN 50000000
+                      WHEN value_micro < 250000000 THEN 100000000
+                      ELSE 250000000 END AS lo_micro,
+                 CASE WHEN value_micro < 10000000 THEN 'lt_10'
+                      WHEN value_micro < 50000000 THEN '10_50'
+                      WHEN value_micro < 100000000 THEN '50_100'
+                      WHEN value_micro < 250000000 THEN '100_250'
+                      ELSE 'gte_250' END AS bucket,
+                 value_micro
+          FROM m
+        )
+        SELECT lo_micro, bucket, count(*)::BIGINT AS n,
+               CAST(sum(value_micro) AS BIGINT) AS sum_value_micro
+        FROM b GROUP BY 1, 2 ORDER BY lo_micro
+    """,
+    "events_cumulative": """
+        WITH d AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1
+        )
+        SELECT day, n,
+               CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_n,
+               CAST(coalesce(n - lag(n) OVER (ORDER BY day), 0) AS BIGINT)
+                   AS delta_n
+        FROM d ORDER BY day
+    """,
+    # same binning spec as queries.q_value_percentile_sketch: bin width
+    # 1e6 micro, 1024 bins (overflow clamps to bin 1023), estimate =
+    # lower bound of the first bin whose cumulative count >= ceil(q*n)
+    "value_percentile_sketch": """
+        WITH m AS (
+          SELECT least(greatest(
+                   CAST(round(value * 1e6, 0) AS BIGINT) // 1000000,
+                   0), 1023) AS bin
+          FROM events
+        ), b AS (
+          SELECT bin, count(*)::BIGINT AS c FROM m GROUP BY 1
+        ), cm AS (
+          SELECT bin, sum(c) OVER (ORDER BY bin) AS cc FROM b
+        ), t AS (
+          SELECT count(*)::BIGINT AS n FROM m
+        )
+        SELECT t.n AS n,
+               CAST((SELECT min(bin) FROM cm WHERE cc >= ceil(0.5 * t.n))
+                    * 1000000 AS BIGINT) AS p50_micro,
+               CAST((SELECT min(bin) FROM cm WHERE cc >= ceil(0.9 * t.n))
+                    * 1000000 AS BIGINT) AS p90_micro,
+               CAST((SELECT min(bin) FROM cm WHERE cc >= ceil(0.99 * t.n))
+                    * 1000000 AS BIGINT) AS p99_micro
+        FROM t
+    """,
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(round(l_quantity, 0) AS BIGINT)) AS BIGINT)

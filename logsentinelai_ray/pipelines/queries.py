@@ -189,6 +189,106 @@ def q_value_quantiles(sf_dir: str):
     return out.sort("event_type")
 
 
+# ES `range` aggregation bucket lower bounds, in micro value units
+# (10 / 50 / 100 / 250 value units); bucket i covers [lo[i], lo[i+1]).
+_RANGE_BOUNDS_MICRO = [10_000_000, 50_000_000, 100_000_000, 250_000_000]
+_RANGE_LABELS = ["lt_10", "10_50", "50_100", "100_250", "gte_250"]
+
+
+def q_range_agg(sf_dir: str):
+    """ES ``range`` aggregation analog (the Kibana range-bucket panel):
+    count + integer-micro sum of ``value`` over fixed half-open ranges.
+    Bucketing is one vectorized ``np.digitize`` per batch; the groupby
+    then moves at most 5 bucket rows per block — no data-sized shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    bounds = np.asarray(_RANGE_BOUNDS_MICRO, dtype=np.int64)
+    los = np.concatenate(([0], bounds))
+    labels = np.asarray(_RANGE_LABELS)
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        b = np.digitize(micro.to_numpy(zero_copy_only=False), bounds)
+        return pa.table({"lo_micro": pa.array(los[b]),
+                         "bucket": pa.array(labels[b]),
+                         "value_micro": micro})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby(["lo_micro", "bucket"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_micro", alias_name="sum_value_micro")))
+    return out.sort("lo_micro")
+
+
+def q_events_cumulative(sf_dir: str):
+    """ES pipeline aggregations (``cumulative_sum`` + ``derivative``) over
+    the daily date histogram. The parent histogram is a distributed
+    groupby; the window pass runs on the driver over the #days-row bucket
+    array — exactly how ES evaluates pipeline aggs (a post-pass over
+    buckets, bounded by bucket count, never data-sized). First-bucket
+    derivative is 0 by the coalesce convention shared with the oracle."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("day").aggregate(Count(alias_name="n")))
+    pdf = out.sort("day").to_pandas()
+    pdf["cum_n"] = pdf["n"].cumsum().astype("int64")
+    pdf["delta_n"] = pdf["n"].diff().fillna(0).astype("int64")
+    return pdf
+
+
+# Percentile-sketch bin width (1 value unit, in micro) and bin count;
+# values at/above nbins*width collapse into the last bin.
+_SKETCH_BIN_MICRO = 1_000_000
+_SKETCH_NBINS = 1024
+
+
+def q_value_percentile_sketch(sf_dir: str):
+    """Mergeable fixed-width histogram percentile sketch — the ES
+    ``percentiles`` aggregation analog and the scale path for
+    ``value_quantiles``: each task collapses its batches into a 1024-bin
+    int64 count vector (8 KB); only vectors leave the tasks and merge by
+    addition, so the estimate is independent of batch boundaries, merge
+    order and cluster size (unlike t-digest, whose merge is
+    order-sensitive). The estimate convention — lower bound of the first
+    bin whose cumulative count reaches ceil(q*n) — is deterministic and
+    reproduced exactly by the SQL oracle: approximate vs the true
+    quantile (within one bin width), exact vs its own spec."""
+    import math
+
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def sketch(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        bins = np.clip(micro // _SKETCH_BIN_MICRO, 0, _SKETCH_NBINS - 1)
+        counts = np.bincount(bins, minlength=_SKETCH_NBINS).astype(np.int64)
+        return pa.table({"counts": pa.array([counts.tobytes()], pa.binary())})
+
+    total = np.zeros(_SKETCH_NBINS, dtype=np.int64)
+    for b in (ds.map_batches(sketch, batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        for s in b.column("counts"):
+            total += np.frombuffer(s.as_py(), np.int64)
+    n = int(total.sum())
+    cum = np.cumsum(total)
+    row = {"n": n}
+    for q, name in ((0.5, "p50_micro"), (0.9, "p90_micro"),
+                    (0.99, "p99_micro")):
+        idx = int(np.searchsorted(cum, math.ceil(q * n), side="left"))
+        row[name] = idx * _SKETCH_BIN_MICRO
+    return pd.DataFrame([row])
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary with exact integer-cent sums."""
     from ray.data.aggregate import Count, Sum
@@ -1560,6 +1660,9 @@ QUERY_REGISTRY = {
     "top_users": q_top_users,
     "user_count_windows": q_user_count_windows,
     "value_quantiles": q_value_quantiles,
+    "range_agg": q_range_agg,
+    "events_cumulative": q_events_cumulative,
+    "value_percentile_sketch": q_value_percentile_sketch,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "metadata_stamp": q_metadata_stamp,

@@ -64,3 +64,46 @@ def test_cardinality_sketch_entry_vs_exact(ray_session):
             f"read_parquet('{sf_dir}/{table}.parquet')").fetchone()[0]
         est = got[f"{table}.{col}"]
         assert abs(est - exact) <= max(1, 0.06 * exact), (table, col, est, exact)
+
+def test_percentile_sketch_within_one_bin_of_exact(ray_session):
+    import duckdb
+
+    from logsentinelai_ray.pipelines.queries import (
+        _SKETCH_BIN_MICRO,
+        q_value_percentile_sketch,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = q_value_percentile_sketch(sf_dir).iloc[0]
+    con = duckdb.connect()
+    exact = con.execute(
+        "SELECT quantile_disc(CAST(round(value*1e6,0) AS BIGINT), "
+        "[0.5, 0.9, 0.99]) FROM "
+        f"read_parquet('{sf_dir}/events.parquet')").fetchone()[0]
+    for name, ex in zip(("p50_micro", "p90_micro", "p99_micro"), exact):
+        # the estimate is the bin lower bound: exact value lies in
+        # [estimate, estimate + bin width)
+        assert out[name] <= ex < out[name] + _SKETCH_BIN_MICRO, (name, out[name], ex)
+
+
+def test_percentile_sketch_batch_boundary_invariance(ray_session):
+    """Count-vector merge is addition — repartitioning must not change
+    any estimate (unlike an order-sensitive t-digest merge)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.pipelines import queries as q
+
+    sf_dir = "/root/testdata/sf0.001"
+    base = q.q_value_percentile_sketch(sf_dir)
+
+    orig = q._read
+
+    def read_repart(sf, table, columns=None):
+        return orig(sf, table, columns=columns).repartition(13)
+
+    q._read, saved = read_repart, q._read
+    try:
+        repart = q.q_value_percentile_sketch(sf_dir)
+    finally:
+        q._read = saved
+    assert base.equals(repart)

@@ -179,6 +179,7 @@ def bench_pipelines() -> dict:
              "nested_severity_histogram", "geoip_enrichment",
              "alert_sink", "value_quantiles", "cardinality_sketch",
              "range_agg", "events_cumulative", "value_percentile_sketch",
+             "significant_terms",
              # fulltext family over the shared docs engine: the first
              # entry's timing includes the positional index build, the
              # rest reuse the cached engine

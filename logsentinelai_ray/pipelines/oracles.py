@@ -241,6 +241,37 @@ ORACLE_SQL: dict[str, str] = {
         SELECT term, count(*)::BIGINT AS df FROM tok
         GROUP BY 1 ORDER BY df DESC, term ASC LIMIT 20
     """,
+    # JLH expression written with the identical operation tree as the
+    # engine (queries.q_significant_terms) so doubles agree bit-for-bit;
+    # BIGINT / BIGINT is float division in DuckDB, matching numpy float64
+    "significant_terms": f"""
+        WITH tr AS (
+          SELECT doc_id, lang, {{camel}} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, lang, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), stats AS (
+          SELECT term,
+                 sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT
+                     AS fg_df,
+                 count(*)::BIGINT AS df
+          FROM tok GROUP BY 1
+        ), sizes AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT
+                     AS fg_n
+          FROM documents
+        )
+        SELECT term, fg_df, df,
+               round((fg_df / fg_n - df / n)
+                     * ((fg_df / fg_n) / (df / n)), 6) AS score
+        FROM stats, sizes
+        WHERE fg_df >= 3 AND fg_df / fg_n > df / n
+        ORDER BY score DESC, term ASC LIMIT 15
+    """.format(camel=_CAMEL.format(col='text')),
     # ORDER BY the *unrounded* table column (scores.score) so tie-breaks
     # match the engine, which sorts by full-precision score before rounding
     # for output; round() stays in the projection only.

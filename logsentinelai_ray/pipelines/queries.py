@@ -447,6 +447,76 @@ def q_df_top_terms(sf_dir: str):
     return topk(out, 20, [("df", "descending"), ("term", "ascending")])
 
 
+def q_significant_terms(sf_dir: str):
+    """ES ``significant_terms`` aggregation (JLH score): terms
+    over-represented in a foreground subset (here docs with lang='de')
+    vs the whole corpus as background — the Kibana "what is unusual
+    about these logs" panel. One tokenize pass computes per-term
+    foreground df and total df together (per-batch distinct + partial
+    sums, then a single term groupby — the same exchange shape as
+    ``df_top_terms``); corpus sizes are two scalar aggregates. The JLH
+    expression ``(fg_rate - bg_rate) * (fg_rate / bg_rate)`` is written
+    with the identical operation tree in the SQL oracle so the doubles
+    agree bit-for-bit before the shared round-to-6."""
+    from ray.data.aggregate import Sum
+
+    from ..analysis.tokenizer import tokenize_batch_arrow
+
+    fg_lang = "de"
+    min_fg_df = 3
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        row_idx, toks, _ = tokenize_batch_arrow(t["text"])
+        enc = toks.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nv = max(1, len(enc.dictionary))
+        uniq = np.unique(row_idx * nv + codes)
+        rows = uniq // nv
+        terms = enc.dictionary.take(pa.array(uniq % nv))
+        is_fg = pc.equal(t["lang"], fg_lang).to_numpy(
+            zero_copy_only=False)[rows].astype(np.int64)
+        part = pa.table({"term": terms, "fg": pa.array(is_fg)})
+        agg = part.group_by("term").aggregate(
+            [("fg", "sum"), ([], "count_all")])
+        return pa.table({"term": agg["term"],
+                         "fg_part": pc.cast(agg["fg_sum"], pa.int64()),
+                         "df_part": pc.cast(agg["count_all"], pa.int64())})
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("term").aggregate(Sum("fg_part", alias_name="fg_df"),
+                                        Sum("df_part", alias_name="df")))
+
+    lang_ds = _read(sf_dir, "documents", columns=["lang"])
+    n = float(lang_ds.count())
+
+    def count_fg(t: pa.Table) -> pa.Table:
+        c = pc.sum(pc.cast(pc.equal(t["lang"], fg_lang), pa.int64()))
+        return pa.table({"c": pa.array([c.as_py() or 0], pa.int64())})
+
+    fg_n = float(lang_ds.map_batches(
+        count_fg, batch_format="pyarrow").sum("c"))
+
+    def score(t: pa.Table) -> pa.Table:
+        fg_i = t["fg_df"].to_numpy(zero_copy_only=False)
+        fg = fg_i.astype(np.float64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fg_rate = fg / fg_n
+        bg_rate = df / n
+        jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+        keep = (fg_i >= min_fg_df) & (fg_rate > bg_rate)
+        out = pa.table({"term": t["term"], "fg_df": t["fg_df"],
+                        "df": t["df"],
+                        "score": _round6(pa.array(jlh))})
+        return out.filter(pa.array(keep))
+
+    scored = stats.map_batches(score, batch_format="pyarrow")
+    return topk(scored, 15, [("score", "descending"),
+                             ("term", "ascending")])
+
+
 _ENGINE_CACHE: dict = {}
 BM25_QUERY_TEXT = "error merge spark window"
 
@@ -1663,6 +1733,7 @@ QUERY_REGISTRY = {
     "range_agg": q_range_agg,
     "events_cumulative": q_events_cumulative,
     "value_percentile_sketch": q_value_percentile_sketch,
+    "significant_terms": q_significant_terms,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,
     "metadata_stamp": q_metadata_stamp,

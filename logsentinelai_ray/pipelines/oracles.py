@@ -23,7 +23,15 @@ _SEVERITY_CASE = """CASE event_type
 
 _BM25_TERMS = "('error'), ('merge'), ('spark'), ('window')"
 
-_BM25_BASE = f"""
+
+def _bm25_base(terms: str) -> str:
+    """The shared BM25 CTE prefix, parameterized by the VALUES term list
+    (used by the single-query oracles via ``_BM25_BASE`` and per-query by
+    the ``msearch`` oracle)."""
+    return _BM25_BASE_TEMPLATE.replace("__TERMS__", terms)
+
+
+_BM25_BASE_TEMPLATE = f"""
 WITH tr AS (
   SELECT doc_id, lang, {_CAMEL.format(col='text')} AS s FROM documents
 ), tok AS (
@@ -39,7 +47,7 @@ WITH tr AS (
   SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
          (SELECT count(*)::DOUBLE FROM tok) /
          (SELECT count(*)::DOUBLE FROM documents) AS avgdl
-), q(term) AS (VALUES {_BM25_TERMS}),
+), q(term) AS (VALUES __TERMS__),
 df AS (
   SELECT term, count(*)::DOUBLE AS df FROM tf
   WHERE term IN (SELECT term FROM q) GROUP BY 1
@@ -54,6 +62,24 @@ df AS (
   CROSS JOIN stats
   GROUP BY tf.doc_id
 )"""
+
+_BM25_BASE = _bm25_base(_BM25_TERMS)
+
+# one BM25 subquery per msearch request (see queries.MSEARCH_REQUESTS);
+# terms are the tokenized query texts, k and tie-breaks as in bm25_topk
+_MSEARCH_SPEC = [
+    (0, "('error'), ('merge'), ('spark'), ('window')", 5),
+    (1, "('authentication'), ('failure')", 5),
+    (2, "('window'), ('function')", 5),
+]
+
+_MSEARCH_SQL = "\nUNION ALL\n".join(
+    f"""SELECT * FROM (
+        {_bm25_base(terms)}
+        SELECT CAST({qid} AS BIGINT) AS query_id, doc_id,
+               round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT {k})"""
+    for qid, terms, k in _MSEARCH_SPEC)
 
 # phrase oracle: reproduce the tokenizer exactly (camel transform, split,
 # drop empties, truncate to 64), then count phrase starts with a position
@@ -279,6 +305,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(scores.score, 6) AS score FROM scores
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
+    "msearch": _MSEARCH_SQL,
     # the incremental build must equal full-corpus BM25 exactly — same
     # oracle as bm25_topk
     "bm25_topk_incremental": _BM25_BASE + """

@@ -637,6 +637,26 @@ def q_bm25_topk(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+MSEARCH_REQUESTS = [
+    {"text": "error merge spark window", "k": 5},
+    {"text": "authentication failure", "k": 5},
+    {"text": "window function", "k": 5},
+]
+
+
+def q_msearch(sf_dir: str):
+    """ES ``_msearch`` analog: a batch of BM25 top-k queries in one
+    engine call — the union of all terms is prefetched in a single shard
+    round, then each query runs the exact path against warm caches.
+    Results identical to issuing the queries one by one (the oracle is a
+    UNION ALL of per-query BM25 SQL)."""
+    eng = _docs_engine(sf_dir)
+    res = eng.msearch(MSEARCH_REQUESTS, with_meta=False)
+    return pa.table({"query_id": res["query_id"],
+                     "doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_bm25_topk_filtered(sf_dir: str):
     eng = _docs_engine(sf_dir)
     res = eng.search(BM25_QUERY_TEXT, k=10, filters={"lang": "en"},
@@ -1741,6 +1761,7 @@ QUERY_REGISTRY = {
     "term_match_counts": q_term_match_counts,
     "df_top_terms": q_df_top_terms,
     "bm25_topk": q_bm25_topk,
+    "msearch": q_msearch,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_incremental": q_bm25_topk_incremental,
     "phrase_match": q_phrase_match,

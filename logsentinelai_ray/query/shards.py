@@ -609,6 +609,38 @@ class SearchEngine:
         topk = block_max_wand(cursors, k, pred, seed_threshold=seed)
         return self._format_result(topk, with_meta)
 
+    def msearch(self, requests: list[dict], with_meta: bool = True,
+                strategy: str | None = None) -> pa.Table:
+        """ES ``_msearch`` analog: a batch of top-k queries in one call.
+
+        The union of all queries' terms is prefetched in a single
+        parallel shard round (one decode / get_terms wave instead of one
+        wave per query), then each query runs the normal exact search
+        path against the warm caches — identical results to issuing the
+        queries one by one, at a fraction of the actor round trips.
+        Each request is ``{"text": ..., "k": ..., "filters": ...}``
+        (k defaults to 10); output stacks the per-query results with a
+        leading ``query_id`` column (the request's position)."""
+        mtl = int(self.stats["max_token_len"])
+        all_terms = sorted({t for r in requests
+                            for t in tokenize_py(r["text"], mtl)})
+        strat = strategy or (
+            "taat" if self.stats["n_docs"] <= self.taat_max_docs
+            else "wand")
+        if all_terms:
+            if strat == "taat":
+                self._ensure_contribs(all_terms)
+            else:
+                self._fetch_terms(all_terms)
+        outs = []
+        for qid, r in enumerate(requests):
+            res = self.search(r["text"], k=r.get("k", 10),
+                              filters=r.get("filters"),
+                              with_meta=with_meta, strategy=strategy)
+            outs.append(res.add_column(
+                0, "query_id", pa.array([qid] * len(res), pa.int64())))
+        return pa.concat_tables(outs)
+
     def _term_dfs(self, terms: list[str]) -> dict[str, int]:
         """df per term (0 = absent) via shard dictionary lookups — no
         posting decode. Served from the contrib cache when resident."""

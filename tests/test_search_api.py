@@ -178,3 +178,19 @@ def test_multifield_requires_path_index(ray_session, small_corpus,
     r = eng.search_fields("error", "", k=5)
     assert r.num_rows > 0
     eng.shutdown()
+
+
+def test_msearch_equals_sequential_search(engine, doc_tokens):
+    """msearch must equal issuing each query separately (same exact
+    paths, warm-cache prefetch is a pure optimization), per query_id."""
+    toks0 = doc_tokens[0][1]
+    reqs = [{"text": " ".join(toks0[:3]), "k": 7},
+            {"text": f"{toks0[0]} zzzmissing", "k": 5},
+            {"text": "zzzmissing qqqalsomissing", "k": 5}]
+    batch = engine.msearch(reqs, with_meta=False)
+    for qid, r in enumerate(reqs):
+        solo = engine.search(r["text"], k=r["k"], with_meta=False)
+        part = batch.filter(
+            np.equal(batch["query_id"].to_numpy(zero_copy_only=False), qid))
+        assert part["doc_id"].to_pylist() == solo["doc_id"].to_pylist()
+        assert part["score"].to_pylist() == solo["score"].to_pylist()

@@ -173,6 +173,88 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(value_micro) AS BIGINT) AS sum_value_micro
         FROM b GROUP BY 1, 2 ORDER BY lo_micro
     """,
+    # integer milli-units; variance = floor((n*sumsq - sum^2)/n^2) in
+    # HUGEINT (matches the Python-bignum driver step in queries.py);
+    # all values non-negative so DuckDB's truncating // == floor
+    "extended_stats": """
+        WITH m AS (
+          SELECT event_type,
+                 CAST(round(value * 1e3, 0) AS BIGINT) AS v
+          FROM events
+        )
+        SELECT event_type, count(*)::BIGINT AS n,
+               min(v)::BIGINT AS min_milli, max(v)::BIGINT AS max_milli,
+               CAST(sum(v) AS BIGINT) AS sum_milli,
+               CAST(sum(v * v) AS BIGINT) AS sumsq_milli2,
+               CAST(sum(v) // count(*) AS BIGINT) AS avg_milli,
+               CAST((count(*) * sum(v * v) - sum(v) * sum(v))
+                    // (count(*) * count(*)) AS BIGINT) AS var_milli2
+        FROM m GROUP BY 1 ORDER BY 1
+    """,
+    # bucket predicates must match queries.q_filters_agg: isodow 6/7 ==
+    # pyarrow day_of_week >= 5 (both Monday-based weeks)
+    "filters_agg": """
+        WITH m AS (
+          SELECT ts, event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro
+          FROM events
+        )
+        SELECT * FROM (
+          SELECT 'errors' AS bucket, count(*)::BIGINT AS n,
+                 CAST(sum(value_micro) AS BIGINT) AS sum_value_micro
+          FROM m WHERE event_type = 'error'
+          UNION ALL
+          SELECT 'high_value', count(*)::BIGINT,
+                 CAST(sum(value_micro) AS BIGINT)
+          FROM m WHERE value_micro >= 100000000
+          UNION ALL
+          SELECT 'weekend', count(*)::BIGINT,
+                 CAST(sum(value_micro) AS BIGINT)
+          FROM m WHERE isodow(ts) >= 6
+        ) ORDER BY bucket
+    """,
+    # after-key page 2 == offset pagination (the equivalence the entry
+    # demonstrates); page size must match queries._COMPOSITE_PAGE_SIZE
+    "composite_agg": """
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               count(*)::BIGINT AS n,
+               CAST(sum(CAST(round(value * 1e6, 0) AS BIGINT)) AS BIGINT)
+                   AS sum_value_micro
+        FROM events GROUP BY 1, 2
+        ORDER BY event_type, day LIMIT 20 OFFSET 20
+    """,
+    "top_hits_agg": """
+        WITH m AS (
+          SELECT event_id, event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro
+          FROM events
+        ), r AS (
+          SELECT event_type, event_id, value_micro,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY value_micro DESC,
+                                             event_id ASC) AS rank
+          FROM m
+        )
+        SELECT event_type, CAST(rank AS BIGINT) AS rank, event_id,
+               value_micro
+        FROM r WHERE rank <= 3 ORDER BY event_type, rank
+    """,
+    "bucket_stats": """
+        WITH d AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1
+        )
+        SELECT count(*)::BIGINT AS n_days,
+               CAST(sum(n) AS BIGINT) AS sum_n,
+               CAST(sum(n) // count(*) AS BIGINT) AS avg_n,
+               max(n)::BIGINT AS max_n,
+               (SELECT min(day) FROM d WHERE n = (SELECT max(n) FROM d))
+                   AS max_day,
+               min(n)::BIGINT AS min_n,
+               (SELECT min(day) FROM d WHERE n = (SELECT min(n) FROM d))
+                   AS min_day
+        FROM d
+    """,
     "events_cumulative": """
         WITH d AS (
           SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n

@@ -289,6 +289,189 @@ def q_value_percentile_sketch(sf_dir: str):
     return pd.DataFrame([row])
 
 
+def q_extended_stats(sf_dir: str):
+    """ES ``extended_stats`` aggregation analog: count/min/max/sum/avg/
+    variance of ``value`` per event type, all in exact integer arithmetic
+    (milli-units) so the result is order- and cluster-size-independent.
+
+    The distributed part is the standard mergeable partial set (n, min,
+    max, sum, sum-of-squares) — one row per (type, block) crosses the
+    shuffle. Variance is derived on the driver over the ~5 group rows with
+    Python bignum ints (n*sumsq - sum^2 overflows int64 at sf>=0.1; the
+    oracle side does the same arithmetic in DuckDB HUGEINT), as
+    floor((n*sumsq - sum^2) / n^2) — exact population variance in
+    milli^2 units. Scale note: sumsq in milli^2 stays within int64 up to
+    ~10^8 rows per group; beyond that the partial needs a two-word
+    (hi, lo) sum, same exchange shape."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        milli = pc.cast(pc.round(pc.multiply(t["value"], 1e3), ndigits=0),
+                        pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "value_milli": milli,
+                         "sq_milli2": pc.multiply(milli, milli)})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Min("value_milli", alias_name="min_milli"),
+                      Max("value_milli", alias_name="max_milli"),
+                      Sum("value_milli", alias_name="sum_milli"),
+                      Sum("sq_milli2", alias_name="sumsq_milli2")))
+    pdf = out.sort("event_type").to_pandas()
+    n = [int(x) for x in pdf["n"]]
+    s = [int(x) for x in pdf["sum_milli"]]
+    s2 = [int(x) for x in pdf["sumsq_milli2"]]
+    pdf["avg_milli"] = np.array([si // ni for si, ni in zip(s, n)],
+                                dtype=np.int64)
+    pdf["var_milli2"] = np.array(
+        [(ni * s2i - si * si) // (ni * ni)
+         for ni, si, s2i in zip(n, s, s2)], dtype=np.int64)
+    return pdf
+
+
+# named filter buckets for the ES `filters` aggregation analog; buckets
+# may overlap (each event is tested against every filter independently)
+_FILTER_BUCKET_NAMES = ["errors", "high_value", "weekend"]
+
+
+def q_filters_agg(sf_dir: str):
+    """ES ``filters`` aggregation analog: named, possibly-overlapping
+    predicate buckets, each with count + integer-micro value sum. Every
+    mask is one vectorized kernel per batch and each block contributes at
+    most ``len(buckets)`` partial rows to the exchange — the same
+    bounded-shuffle shape as ``range_agg``."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        masks = {
+            "errors": pc.equal(t["event_type"], "error"),
+            # >= 100 value units, exact on the integer-micro column
+            "high_value": pc.greater_equal(micro, 100_000_000),
+            # pyarrow day_of_week: Monday=0 .. Sunday=6
+            "weekend": pc.greater_equal(pc.day_of_week(t["ts"]), 5),
+        }
+        parts = []
+        for name in _FILTER_BUCKET_NAMES:
+            sel = micro.filter(masks[name])
+            parts.append(pa.table({
+                "bucket": pa.array([name] * len(sel), pa.string()),
+                "value_micro": sel}))
+        return pa.concat_tables(parts)
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_micro", alias_name="sum_value_micro")))
+    return out.sort("bucket")
+
+
+_COMPOSITE_PAGE_SIZE = 20
+
+
+def q_composite_agg(sf_dir: str):
+    """ES ``composite`` aggregation analog with true after-key pagination:
+    group by the composite key (event_type, day), fetch page 1 in key
+    order, then fetch page 2 with a strict key-tuple ``> after_key``
+    filter — exactly the ES cursor protocol (the oracle proves the
+    after-key page equals offset pagination). The groupby is distributed;
+    each page fetch is a per-block bottom-k merge (``topk`` ascending), so
+    nothing bucket-set-sized reaches the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                         "value_micro": micro})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby(["event_type", "day"])
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_micro", alias_name="sum_value_micro")))
+    agg = agg.materialize()  # tiny (one row per bucket); reused per page
+    keys = [("event_type", "ascending"), ("day", "ascending")]
+    page1 = topk(agg, _COMPOSITE_PAGE_SIZE, keys)
+    if page1 is None or len(page1) < _COMPOSITE_PAGE_SIZE:
+        return page1
+    after_type = page1["event_type"].iloc[-1]
+    after_day = page1["day"].iloc[-1]
+
+    def after(t: pa.Table) -> pa.Table:
+        gt = pc.or_(
+            pc.greater(t["event_type"], after_type),
+            pc.and_(pc.equal(t["event_type"], after_type),
+                    pc.greater(t["day"], after_day)))
+        return t.filter(gt)
+
+    return topk(agg.map_batches(after, batch_format="pyarrow"),
+                _COMPOSITE_PAGE_SIZE, keys)
+
+
+def q_top_hits_agg(sf_dir: str):
+    """ES ``top_hits`` sub-aggregation analog: the top-3 events per event
+    type by (value desc, event_id asc), with their rank. Each group's
+    top-k is selected inside ``map_groups`` on the worker that owns the
+    group — only 3 rows per type survive, nothing group-sized moves after
+    the groupby. Values compared in exact integer micro units."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def hits(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.assign(value_micro=(g["value"] * 1e6).round()
+                     .astype("int64"))
+        g = g.sort_values(["value_micro", "event_id"],
+                          ascending=[False, True]).head(3)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["event_type", "rank", "event_id", "value_micro"]]
+
+    out = ds.groupby("event_type").map_groups(hits, batch_format="pandas")
+    return out.sort(["event_type", "rank"])
+
+
+def q_bucket_stats(sf_dir: str):
+    """ES sibling pipeline aggregations (``stats_bucket`` /
+    ``max_bucket`` / ``min_bucket`` / ``avg_bucket``) over the daily date
+    histogram: one summary row about the buckets themselves. The parent
+    histogram is distributed; the sibling pass runs over the #days bucket
+    rows (bounded by bucket count, as in ES). ``max_day`` / ``min_day``
+    use the ES keys-of-extreme-bucket semantics, first key wins."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    pdf = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("day").aggregate(Count(alias_name="n"))
+           .sort("day").to_pandas())
+    n = pdf["n"].astype("int64")
+    max_n, min_n = int(n.max()), int(n.min())
+    return pd.DataFrame([{
+        "n_days": np.int64(len(pdf)),
+        "sum_n": np.int64(n.sum()),
+        "avg_n": np.int64(int(n.sum()) // len(pdf)),
+        "max_n": np.int64(max_n),
+        "max_day": pdf.loc[n.idxmax(), "day"] if len(pdf) else None,
+        "min_n": np.int64(min_n),
+        "min_day": pdf.loc[n.idxmin(), "day"] if len(pdf) else None,
+    }])
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary with exact integer-cent sums."""
     from ray.data.aggregate import Count, Sum
@@ -1751,6 +1934,11 @@ QUERY_REGISTRY = {
     "user_count_windows": q_user_count_windows,
     "value_quantiles": q_value_quantiles,
     "range_agg": q_range_agg,
+    "extended_stats": q_extended_stats,
+    "filters_agg": q_filters_agg,
+    "composite_agg": q_composite_agg,
+    "top_hits_agg": q_top_hits_agg,
+    "bucket_stats": q_bucket_stats,
     "events_cumulative": q_events_cumulative,
     "value_percentile_sketch": q_value_percentile_sketch,
     "significant_terms": q_significant_terms,

@@ -102,6 +102,46 @@ WITH t AS (
   FROM t WHERE len(arr) >= 2
 )"""
 
+# path-field BM25 over the synthetic corpus path ("doc_<id>.md", exactly
+# as the engine's corpus mapper derives it), each field under its own
+# avgdl — shared by the multifield_search (sum) and dis_max (max +
+# tie-breaker) oracles
+_PATH_BM25_CTE = """
+        , ptok AS (
+          SELECT doc_id, t AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           lower('doc_' || CAST(doc_id AS VARCHAR)
+                                 || '.md'), '[^a-z0-9]+')) AS t
+                FROM documents)
+          WHERE t <> ''
+        ), ptf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ptok
+          GROUP BY 1, 2
+        ), pdl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM ptok GROUP BY 1
+        ), pstats AS (
+          SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT count(*)::DOUBLE FROM ptok) /
+                 (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        ), pq(term) AS (VALUES ('42'), ('md')),
+        pdf AS (
+          SELECT term, count(*)::DOUBLE AS df FROM ptf
+          WHERE term IN (SELECT term FROM pq) GROUP BY 1
+        ), pscores AS (
+          SELECT ptf.doc_id,
+                 sum(ln(1 + (pstats.n - pdf.df + 0.5) / (pdf.df + 0.5))
+                     * ptf.tf * (1.2 + 1)
+                     / (ptf.tf + 1.2 * (1 - 0.75
+                                        + 0.75 * pdl.dl / pstats.avgdl))
+                 ) AS score
+          FROM ptf
+          JOIN pq USING (term) JOIN pdf USING (term)
+          JOIN pdl USING (doc_id)
+          CROSS JOIN pstats
+          GROUP BY ptf.doc_id
+        )"""
+
 ORACLE_SQL: dict[str, str] = {
     "severity_histogram": f"""
         SELECT event_type, {_SEVERITY_CASE} AS priority,
@@ -566,41 +606,8 @@ ORACLE_SQL: dict[str, str] = {
     # ES multi_match: content BM25 + boosted path-field BM25, each field
     # under its own avgdl; the path string is derived from doc_id exactly
     # as the engine's corpus mapper derives it
-    "multifield_search": _BM25_BASE + """
-        , ptok AS (
-          SELECT doc_id, t AS term
-          FROM (SELECT doc_id,
-                       unnest(regexp_split_to_array(
-                           lower('doc_' || CAST(doc_id AS VARCHAR)
-                                 || '.md'), '[^a-z0-9]+')) AS t
-                FROM documents)
-          WHERE t <> ''
-        ), ptf AS (
-          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM ptok
-          GROUP BY 1, 2
-        ), pdl AS (
-          SELECT doc_id, count(*)::DOUBLE AS dl FROM ptok GROUP BY 1
-        ), pstats AS (
-          SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
-                 (SELECT count(*)::DOUBLE FROM ptok) /
-                 (SELECT count(*)::DOUBLE FROM documents) AS avgdl
-        ), pq(term) AS (VALUES ('42'), ('md')),
-        pdf AS (
-          SELECT term, count(*)::DOUBLE AS df FROM ptf
-          WHERE term IN (SELECT term FROM pq) GROUP BY 1
-        ), pscores AS (
-          SELECT ptf.doc_id,
-                 sum(ln(1 + (pstats.n - pdf.df + 0.5) / (pdf.df + 0.5))
-                     * ptf.tf * (1.2 + 1)
-                     / (ptf.tf + 1.2 * (1 - 0.75
-                                        + 0.75 * pdl.dl / pstats.avgdl))
-                 ) AS score
-          FROM ptf
-          JOIN pq USING (term) JOIN pdf USING (term)
-          JOIN pdl USING (doc_id)
-          CROSS JOIN pstats
-          GROUP BY ptf.doc_id
-        ), combined AS (
+    "multifield_search": _BM25_BASE + _PATH_BM25_CTE + """
+        , combined AS (
           SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
                  coalesce(c.score, 0) + 2.0 * coalesce(p.score, 0)
                      AS score
@@ -608,6 +615,55 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, round(combined.score, 6) AS score FROM combined
         ORDER BY combined.score DESC, doc_id ASC LIMIT 10
+    """,
+    # ES dis_max: best field wins, the other enters via the 0.5 tie
+    # breaker; power-of-two boost/tie keep the combine bit-exact
+    "dis_max": _BM25_BASE + _PATH_BM25_CTE + """
+        , combined AS (
+          SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+                 greatest(coalesce(c.score, 0),
+                          2.0 * coalesce(p.score, 0))
+                 + 0.5 * least(coalesce(c.score, 0),
+                               2.0 * coalesce(p.score, 0)) AS score
+          FROM scores c FULL OUTER JOIN pscores p USING (doc_id)
+        )
+        SELECT doc_id, round(combined.score, 6) AS score FROM combined
+        ORDER BY combined.score DESC, doc_id ASC LIMIT 10
+    """,
+    # ES function_score filter+weight: BM25 * per-lang weight, applied
+    # before top-k (weights re-rank); ORDER BY the unrounded product
+    "function_score": _BM25_BASE + """
+        , w AS (
+          SELECT s.doc_id,
+                 s.score * CASE d.lang WHEN 'en' THEN 1.5
+                                       WHEN 'de' THEN 1.25
+                                       ELSE 1.0 END AS score
+          FROM scores s JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, round(w.score, 6) AS score FROM w
+        ORDER BY w.score DESC, doc_id ASC LIMIT 10
+    """,
+    # query_string 'lang:en +merge -error "sort merge" spark window':
+    # scoring terms are must+should+phrase tokens; candidates must hold
+    # the lang filter, the must term, the phrase, and not the must_not
+    "query_string": _bm25_base(
+        "('merge'), ('sort'), ('spark'), ('window')") + f"""
+        , arr AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        ), ph AS (
+          SELECT doc_id FROM arr
+          WHERE len(arr) >= 2
+            AND len([i FOR i IN generate_series(1, len(arr) - 1)
+                     IF arr[i] = 'sort' AND arr[i+1] = 'merge']) > 0
+        )
+        SELECT s.doc_id, round(s.score, 6) AS score
+        FROM scores s JOIN documents d USING (doc_id)
+        WHERE d.lang = 'en'
+          AND s.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+          AND s.doc_id NOT IN (SELECT doc_id FROM tf
+                               WHERE term = 'error')
+          AND s.doc_id IN (SELECT doc_id FROM ph)
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
     # ES _count analog: docs containing any query term
     "match_count": _BM25_BASE + """

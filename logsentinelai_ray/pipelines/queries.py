@@ -1047,6 +1047,44 @@ def q_boolean_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+QUERY_STRING_QUERY = 'lang:en +merge -error "sort merge" spark window'
+
+
+def q_query_string(sf_dir: str):
+    """ES query_string mini-language: keyword-field filter + must term +
+    must_not exclusion + must phrase (positional verify) + scoring
+    should terms, parsed and composed by the engine
+    (query/shards.py::query_string)."""
+    eng = _docs_engine(sf_dir)
+    res = eng.query_string(QUERY_STRING_QUERY, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_function_score(sf_dir: str):
+    """ES function_score (filter+weight functions): BM25 multiplied by
+    per-lang weights (en 1.5x, de 1.25x) BEFORE top-k selection — the
+    weights re-rank. Applied as vectorized multiplies over the lang
+    field posting lists."""
+    eng = _docs_engine(sf_dir)
+    res = eng.function_score_search(
+        BM25_QUERY_TEXT, weights={"lang": {"en": 1.5, "de": 1.25}}, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_dis_max(sf_dir: str):
+    """ES dis_max across content and path fields: best field dominates,
+    the other enters through the tie breaker (0.5) — contrast with
+    multifield_search's plain boosted sum on the same two queries."""
+    eng = _docs_engine(sf_dir)
+    res = eng.dis_max_search(content_query=BM25_QUERY_TEXT,
+                             path_query="42 md", path_boost=2.0,
+                             tie_breaker=0.5, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_search_sorted(sf_dir: str):
     """ES sort-by-keyword-field: first 10 docs matching any query term
     ordered by (lang asc, doc_id asc), computed from posting
@@ -1958,6 +1996,9 @@ QUERY_REGISTRY = {
     "prefix_df": q_prefix_df,
     "prefix_search": q_prefix_search,
     "boolean_search": q_boolean_search,
+    "query_string": q_query_string,
+    "function_score": q_function_score,
+    "dis_max": q_dis_max,
     "search_facets": q_search_facets,
     "search_sorted": q_search_sorted,
     "suggest": q_suggest,

@@ -28,6 +28,7 @@ query path holds an N-sized array.
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -42,6 +43,11 @@ from ..index.build import term_partition
 from .bm25 import bm25_idf
 from .postings import PostingsCursor, TermPostings
 from .wand import block_max_wand
+
+
+# query_string lexer: optional +/- sign, then a quoted phrase or a bare
+# token (field:value tokens are recognized by the parser, not the lexer)
+_QS_TOKEN = re.compile(r'([+-]?)("([^"]*)"|\S+)')
 
 
 def _levenshtein_leq(a: str, b: str, k: int) -> bool:
@@ -1130,6 +1136,169 @@ class SearchEngine:
             ids = sets.get(t)
             if ids is not None and ids.size:
                 cand = cand[~np.isin(cand, ids, assume_unique=True)]
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        topk = self._search_taat(score_terms, k, cand)
+        return self._format_result(topk, with_meta)
+
+    def function_score_search(self, text: str,
+                              weights: dict[str, dict[str, float]],
+                              k: int = 10,
+                              with_meta: bool = False) -> pa.Table:
+        """ES function_score with filter+weight functions: BM25(text)
+        multiplied by the weight of every matching filter, here keyword
+        field values (e.g. ``{"lang": {"en": 1.5, "de": 1.25}}``). Each
+        weight applies as one vectorized in-place multiply over the
+        field's posting id list (already resident in the filter/TAAT
+        cache) — no document metadata is read. Weights apply before
+        top-k selection, so they re-rank, not just re-label.
+
+        Scale note: runs in the TAAT regime like boolean_search; past
+        the ceiling the same semantics hold under WAND with upper bounds
+        inflated by max(weight) plus exact per-doc re-weighting at
+        scoring time (bounds stay admissible because weights are
+        per-doc multipliers bounded by the max)."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        if not terms:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(terms)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        for t in terms:  # sorted-term order — the scoring contract
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                acc[hit[0]] += hit[1]
+        for field in sorted(weights):
+            for value in sorted(weights[field]):
+                ft = f"{field}:{value}"
+                self._ensure_contribs([ft])
+                hit = self._contrib_cache.get(ft)
+                if hit is not None:
+                    acc[hit[0]] *= float(weights[field][value])
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        topk = [(int(cand[i]), float(scores[i])) for i in order]
+        return self._format_result(topk, with_meta)
+
+    def dis_max_search(self, content_query: str = "",
+                       path_query: str = "", path_boost: float = 2.0,
+                       tie_breaker: float = 0.5, k: int = 10,
+                       with_meta: bool = False) -> pa.Table:
+        """ES dis_max across the content and scored-path fields:
+        score = max(content, boost*path) + tie_breaker * min(content,
+        boost*path) — the best field dominates, the other contributes
+        only through the tie breaker (vs multi_match's plain sum,
+        search_fields). Two TAAT accumulators, one vectorized max/min
+        combine. Power-of-two boost/tie_breaker defaults keep the
+        combine bit-exact against the SQL oracle regardless of whether
+        the multiplier is applied per-term or post-sum."""
+        if path_query and not self.stats.get("index_path_field"):
+            raise ValueError(
+                "index was built without the scored path field; rebuild "
+                "with IndexConfig(index_path_field=True)")
+        mx = int(self.stats["max_token_len"])
+        ct = sorted(set(tokenize_py(content_query, mx)))
+        pt = sorted("p:" + t for t in set(tokenize_py(path_query, mx)))
+        if not ct and not pt:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(ct + pt)
+        n = int(self.stats["n_docs"])
+        acc_c = np.zeros(n, dtype=np.float64)
+        acc_p = np.zeros(n, dtype=np.float64)
+        for t in ct:
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                acc_c[hit[0]] += hit[1]
+        for t in pt:
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                acc_p[hit[0]] += hit[1]
+        acc_p *= path_boost
+        acc = (np.maximum(acc_c, acc_p)
+               + tie_breaker * np.minimum(acc_c, acc_p))
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        topk = [(int(cand[i]), float(scores[i])) for i in order]
+        return self._format_result(topk, with_meta)
+
+    def query_string(self, qs: str, k: int = 10,
+                     with_meta: bool = False) -> pa.Table:
+        """ES query_string mini-language (a compatible subset):
+
+        - ``field:value`` — keyword-field filter (``lang:``/``repo:``
+          field postings, same as search()'s ``filters``)
+        - ``"a phrase"`` — must contain the consecutive token sequence
+          (positional verify, phrase_match)
+        - ``+term`` — must (conjunction)
+        - ``-term`` — must_not (exclusion)
+        - ``term`` — should (scores; with no must/phrase clause present,
+          any should term matches — ES bool semantics)
+
+        Scoring: BM25 summed over must + should + phrase terms in
+        sorted-term order (phrase terms score as plain terms once the
+        positional constraint holds, as in phrase_topk). Composition is
+        all sorted-id set algebra over cached posting lists."""
+        must, should, must_not, phrases = [], [], [], []
+        filters: dict[str, str] = {}
+        for m in _QS_TOKEN.finditer(qs):
+            sign, raw, quoted = m.group(1), m.group(2), m.group(3)
+            if quoted is not None:
+                phrases.append(quoted)
+                continue
+            if not sign and ":" in raw:
+                f, v = raw.split(":", 1)
+                if f in ("lang", "repo") and v:
+                    filters[f] = v
+                    continue
+            (must if sign == "+" else
+             must_not if sign == "-" else should).append(raw)
+        mx = int(self.stats["max_token_len"])
+        mt = sorted({t for s in must for t in tokenize_py(s, mx)})
+        st = sorted({t for s in should for t in tokenize_py(s, mx)})
+        nt = sorted({t for s in must_not for t in tokenize_py(s, mx)})
+        pterms = [tokenize_py(p, mx) for p in phrases]
+        score_terms = sorted(set(mt) | set(st)
+                             | {t for p in pterms for t in p})
+        if not score_terms:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(score_terms + nt)
+        cand: np.ndarray | None = None
+
+        def _narrow(ids: np.ndarray | None) -> np.ndarray:
+            if ids is None:
+                return np.empty(0, dtype=np.int64)
+            return (ids if cand is None
+                    else np.intersect1d(cand, ids, assume_unique=True))
+
+        for p in phrases:
+            ids = self.phrase_match(p)["doc_id"] \
+                .to_numpy(zero_copy_only=False)
+            cand = _narrow(ids)
+        for t in mt:
+            hit = self._contrib_cache.get(t)
+            cand = _narrow(None if hit is None else hit[0])
+        fl = self._filter_ids(filters)
+        if fl is not None:
+            cand = _narrow(fl)
+        if cand is None:  # pure-should query: any should term matches
+            present = [self._contrib_cache[t][0] for t in st
+                       if self._contrib_cache.get(t) is not None]
+            if not present:
+                return self._format_result([], with_meta)
+            cand = np.unique(np.concatenate(present))
+        for t in nt:
+            hit = self._contrib_cache.get(t)
+            if hit is not None and cand.size:
+                cand = cand[~np.isin(cand, hit[0], assume_unique=True)]
         if cand.size == 0:
             return self._format_result([], with_meta)
         topk = self._search_taat(score_terms, k, cand)

@@ -194,3 +194,96 @@ def test_msearch_equals_sequential_search(engine, doc_tokens):
             np.equal(batch["query_id"].to_numpy(zero_copy_only=False), qid))
         assert part["doc_id"].to_pylist() == solo["doc_id"].to_pylist()
         assert part["score"].to_pylist() == solo["score"].to_pylist()
+
+
+def test_query_string_equals_boolean_search(engine, doc_tokens):
+    """A query_string with only +must / -not / bare-should clauses must
+    reproduce boolean_search exactly (same composition, same scorer)."""
+    a = engine.query_string("+merge +window -error spark", k=10)
+    b = engine.boolean_search(must="merge window", should="spark",
+                              must_not="error", k=10)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_query_string_phrase_and_filter_narrow(engine, doc_tokens):
+    """Adding a phrase clause and a field filter can only narrow the
+    bool result; every survivor contains the phrase and the filter
+    value."""
+    base = engine.query_string("+merge spark", k=1000)
+    narrowed = engine.query_string('+merge spark "sort merge"', k=1000)
+    assert set(narrowed["doc_id"].to_pylist()) <= \
+        set(base["doc_id"].to_pylist())
+    ph = set(engine.phrase_match("sort merge")["doc_id"].to_pylist())
+    assert set(narrowed["doc_id"].to_pylist()) <= ph
+
+
+def test_query_string_pure_should_matches_any(engine, doc_tokens):
+    """With no must/phrase clause, any should term matches (ES bool
+    semantics) — equals a plain search over the same terms."""
+    a = engine.query_string("merge window", k=10)
+    b = engine.search("merge window", k=10, with_meta=False,
+                      strategy="taat")
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_function_score_unit_weights_is_plain_search(engine):
+    a = engine.function_score_search("merge window",
+                                     weights={"lang": {"en": 1.0}}, k=10)
+    b = engine.search("merge window", k=10, with_meta=False,
+                      strategy="taat")
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_function_score_weights_rerank(engine, small_index):
+    """Weighted docs' scores scale by exactly the weight; the weighted
+    ranking equals brute-force reweighting of the full unweighted
+    result."""
+    idx_dir, _ = small_index
+    tbl = pq.read_table(f"{idx_dir}/docs", columns=["doc_id", "lang"])
+    lang_of = dict(zip(tbl["doc_id"].to_pylist(),
+                       tbl["lang"].to_pylist()))
+    w = {"lang": {"en": 2.0}}
+    base = engine.search("merge window", k=10_000, with_meta=False,
+                         strategy="taat")
+    exp = sorted(
+        ((d, s * (2.0 if lang_of[d] == "en" else 1.0))
+         for d, s in zip(base["doc_id"].to_pylist(),
+                         base["score"].to_pylist())),
+        key=lambda t: (-t[1], t[0]))[:10]
+    got = engine.function_score_search("merge window", weights=w, k=10)
+    assert got["doc_id"].to_pylist() == [d for d, _ in exp]
+    assert got["score"].to_pylist() == [s for _, s in exp]
+
+
+def test_dis_max_tie_one_equals_multifield_sum(engine):
+    """max(a,b) + 1.0*min(a,b) == a + b bit-exactly, so dis_max with
+    tie_breaker=1 must equal the multi_match boosted sum."""
+    a = engine.dis_max_search(content_query="merge window",
+                              path_query="42 md", path_boost=2.0,
+                              tie_breaker=1.0, k=10)
+    b = engine.search_fields(content_query="merge window",
+                             path_query="42 md", path_boost=2.0, k=10,
+                             strategy="taat")
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert np.allclose(a["score"].to_pylist(), b["score"].to_pylist(),
+                       rtol=0, atol=1e-12)
+
+
+def test_dis_max_zero_tie_takes_best_field(engine):
+    """With tie_breaker=0 every score equals the better single-field
+    score."""
+    res = engine.dis_max_search(content_query="merge window",
+                                path_query="42 md", path_boost=2.0,
+                                tie_breaker=0.0, k=10)
+    c = engine.search("merge window", k=10_000, with_meta=False,
+                      strategy="taat")
+    p = engine.search_fields(content_query="", path_query="42 md",
+                             path_boost=2.0, k=10_000, strategy="taat")
+    cs = dict(zip(c["doc_id"].to_pylist(), c["score"].to_pylist()))
+    ps = dict(zip(p["doc_id"].to_pylist(), p["score"].to_pylist()))
+    for d, s in zip(res["doc_id"].to_pylist(),
+                    res["score"].to_pylist()):
+        assert s == max(cs.get(d, 0.0), ps.get(d, 0.0))

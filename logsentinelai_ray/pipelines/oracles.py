@@ -1173,6 +1173,37 @@ ORACLE_SQL: dict[str, str] = {
                END AS fingerprint
         FROM documents ORDER BY doc_id
     """,
+    # ES scroll/reindex-with-query analog: all docs containing any query
+    # term, with sha256(text) proving export round-trip integrity
+    "scroll_export": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), m AS (
+          SELECT DISTINCT doc_id
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE substr(t, 1, 64) IN ('error', 'merge', 'spark', 'window')
+        )
+        SELECT d.doc_id, d.lang, sha256(d.text) AS sha256
+        FROM documents d JOIN m USING (doc_id)
+        ORDER BY d.doc_id
+    """,
+    # pre-filtered kNN (ES knn with filter): restrict BEFORE scoring
+    "embedding_knn_filtered": """
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        ), scored AS (
+          SELECT vec_id,
+                 list_cosine_similarity(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                     (SELECT qv FROM q)) AS c
+          FROM embeddings WHERE label <= 4
+        )
+        SELECT vec_id, round(c, 6) AS cosine FROM scored
+        ORDER BY c DESC, vec_id ASC LIMIT 10
+    """,
     "embedding_knn": """
         WITH q AS (
           SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv

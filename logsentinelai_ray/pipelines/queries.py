@@ -1122,6 +1122,40 @@ def q_prefix_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_scroll_export(sf_dir: str):
+    """ES scroll / reindex-with-query analog: every doc matching any
+    query term is exported to partitioned parquet and read back. The
+    match-id set comes from the index (posting union, ``match_ids``),
+    is broadcast once via ``ray.put``, and membership is one vectorized
+    ``np.isin`` per docmap block — the docmap streams, nothing
+    corpus-sized reaches the driver, and the partitioned output is the
+    resumable-sink shape (one file per block). The returned sha256
+    column proves content integrity through the export round-trip."""
+    import hashlib
+    import shutil
+
+    import ray
+    import ray.data as rd
+
+    eng = _docs_engine(sf_dir)
+    ids = eng.match_ids(BM25_QUERY_TEXT)
+    ref = ray.put(ids)
+
+    def keep(t: pa.Table) -> pa.Table:
+        arr = ray.get(ref)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(d, arr)))
+
+    docmap = rd.read_parquet(os.path.join(eng.index_dir, "docmap"),
+                             columns=["doc_id", "lang", "sha256"])
+    outdir = os.path.join(
+        "/tmp/lsai_scroll",
+        hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12])
+    shutil.rmtree(outdir, ignore_errors=True)
+    docmap.map_batches(keep, batch_format="pyarrow").write_parquet(outdir)
+    return rd.read_parquet(outdir).sort("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -1564,6 +1598,27 @@ def q_embedding_knn(sf_dir: str):
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     out = cosine_topk_bruteforce(ds, _query_vector(sf_dir), k=10)
+    return pa.table({"vec_id": out["vec_id"],
+                     "cosine": _round6(out["cosine"])})
+
+
+def q_embedding_knn_filtered(sf_dir: str):
+    """ES kNN-with-filter analog: brute-force cosine top-10 restricted
+    to vectors with label <= 4 — the filter is a vectorized predicate
+    applied per batch BEFORE scoring (pre-filtered kNN, the exact ES
+    semantics, vs post-filtering which can return < k)."""
+    from ..ann import cosine_topk_bruteforce
+
+    ds = _read(sf_dir, "embeddings",
+               columns=["vec_id", "embedding", "label"])
+
+    def flt(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less_equal(t["label"], 4)) \
+            .select(["vec_id", "embedding"])
+
+    out = cosine_topk_bruteforce(
+        ds.map_batches(flt, batch_format="pyarrow"),
+        _query_vector(sf_dir), k=10)
     return pa.table({"vec_id": out["vec_id"],
                      "cosine": _round6(out["cosine"])})
 
@@ -2012,6 +2067,7 @@ QUERY_REGISTRY = {
     "regex_df": q_regex_df,
     "fuzzy_search": q_fuzzy_search,
     "index_stats": q_index_stats,
+    "scroll_export": q_scroll_export,
     "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_rebuilt": q_bm25_topk_rebuilt,
     "highlight_topk": q_highlight_topk,
@@ -2034,6 +2090,7 @@ QUERY_REGISTRY = {
     "fingerprint_rolling": q_fingerprint_rolling,
     "embedding_centroids": q_embedding_centroids,
     "embedding_knn": q_embedding_knn,
+    "embedding_knn_filtered": q_embedding_knn_filtered,
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "multimodal_stats": q_multimodal_stats,

@@ -910,19 +910,24 @@ class SearchEngine:
         return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
                          field: pa.array(out_vals, pa.string())})
 
-    def match_count(self, text: str) -> int:
-        """ES _count analog: number of docs containing ANY query term —
-        a posting-id union, no scoring, no metadata read."""
+    def match_ids(self, text: str) -> np.ndarray:
+        """Sorted doc-id array of docs containing ANY query term — a
+        posting-id union, no scoring, no metadata read. The id set for
+        _count and the broadcast side of scroll-style exports."""
         terms = sorted(set(tokenize_py(text,
                                        int(self.stats["max_token_len"]))))
         self._ensure_contribs(terms)
         present = [self._contrib_cache[t][0] for t in terms
                    if self._contrib_cache.get(t) is not None]
         if not present:
-            return 0
+            return np.empty(0, dtype=np.int64)
         matches = (present[0] if len(present) == 1
                    else np.unique(np.concatenate(present)))
-        return int(self._drop_tombstones(matches).size)
+        return self._drop_tombstones(matches)
+
+    def match_count(self, text: str) -> int:
+        """ES _count analog: len(match_ids)."""
+        return int(self.match_ids(text).size)
 
     def search_after(self, text: str, k: int = 10,
                      after: tuple[float, int] | None = None,

@@ -184,7 +184,12 @@ def bench_pipelines() -> dict:
              # entry's timing includes the positional index build, the
              # rest reuse the cached engine
              "phrase_match", "phrase_topk", "phrase_prefix", "span_near",
-             "prefix_search", "boolean_search", "search_facets"]
+             "prefix_search", "boolean_search", "search_facets",
+             "extended_stats", "filters_agg", "composite_agg",
+             "top_hits_agg", "events_moving", "query_string",
+             "function_score", "dis_max", "min_should_match",
+             "scroll_export", "stratified_sample", "sequence_pack",
+             "embedding_knn_filtered"]
     out = {}
     for name in names:
         t0 = time.monotonic()

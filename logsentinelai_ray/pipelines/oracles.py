@@ -295,6 +295,45 @@ ORACLE_SQL: dict[str, str] = {
                    AS min_day
         FROM d
     """,
+    "events_moving": """
+        WITH d AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1
+        )
+        SELECT day, n,
+               CAST(count(*) OVER w AS BIGINT) AS mov_n,
+               CAST(sum(n) OVER w AS BIGINT) AS mov_sum3,
+               CAST((sum(n) OVER w) // (count(*) OVER w) AS BIGINT)
+                   AS mov_avg3
+        FROM d
+        WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY day
+    """,
+    # thresholds must match queries._STRATA_LANGS/_STRATA_THR
+    "stratified_sample": """
+        SELECT doc_id, lang FROM documents
+        WHERE doc_id % 10 < CASE lang WHEN 'de' THEN 4 WHEN 'en' THEN 5
+                                      WHEN 'es' THEN 3 WHEN 'fr' THEN 2
+                                      WHEN 'zh' THEN 1 ELSE 0 END
+        ORDER BY doc_id
+    """,
+    # chunk = exclusive prefix sum of n_chars // 10000 per lang in
+    # doc_id order (fixed-order LM sequence packing)
+    "sequence_pack": """
+        WITH e AS (
+          SELECT lang, doc_id, n_chars,
+                 coalesce(sum(n_chars) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS excl
+          FROM documents
+        )
+        SELECT lang, CAST(excl // 10000 AS BIGINT) AS chunk_id,
+               count(*)::BIGINT AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM e GROUP BY 1, 2 ORDER BY lang, chunk_id
+    """,
     "events_cumulative": """
         WITH d AS (
           SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
@@ -642,6 +681,32 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, round(w.score, 6) AS score FROM w
         ORDER BY w.score DESC, doc_id ASC LIMIT 10
+    """,
+    # ES minimum_should_match: docs matching >= 2 distinct query terms,
+    # scored by the full BM25 sum
+    "min_should_match": _BM25_BASE + """
+        SELECT s.doc_id, round(s.score, 6) AS score FROM scores s
+        WHERE s.doc_id IN (SELECT doc_id FROM tf JOIN q USING (term)
+                           GROUP BY doc_id
+                           HAVING count(DISTINCT term) >= 2)
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+    """,
+    # ES _analyze analog: the tokenizer chain over a fixed string;
+    # position = post-filter sequential index (empties dropped)
+    "analyze_tokens": f"""
+        WITH a AS (
+          SELECT regexp_split_to_array({_CAMEL.format(
+              col="'GetUserById error_count FooBar2000"
+                  " https://x.io/a?q=1'")},
+              '[^a-z0-9]+') AS arr
+        ), u AS (
+          SELECT unnest(arr) AS t, generate_subscripts(arr, 1) AS i
+          FROM a
+        )
+        SELECT CAST(row_number() OVER (ORDER BY i) - 1 AS BIGINT)
+                   AS position,
+               substr(t, 1, 64) AS token
+        FROM u WHERE t <> '' ORDER BY position
     """,
     # query_string 'lang:en +merge -error "sort merge" spark window':
     # scoring terms are must+should+phrase tokens; candidates must hold

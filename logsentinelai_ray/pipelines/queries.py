@@ -289,6 +289,84 @@ def q_value_percentile_sketch(sf_dir: str):
     return pd.DataFrame([row])
 
 
+def q_events_moving(sf_dir: str):
+    """ES ``moving_fn`` pipeline aggregation over the daily histogram:
+    3-day trailing window sum and floor-average of the bucket counts.
+    Parent histogram distributed; the window pass is bucket-bounded."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    pdf = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("day").aggregate(Count(alias_name="n"))
+           .sort("day").to_pandas())
+    roll = pdf["n"].rolling(3, min_periods=1)
+    pdf["mov_n"] = roll.count().astype("int64")
+    pdf["mov_sum3"] = roll.sum().astype("int64")
+    pdf["mov_avg3"] = (pdf["mov_sum3"] // pdf["mov_n"]).astype("int64")
+    return pdf
+
+
+# per-lang deterministic keep thresholds: keep rows with doc_id%10 < thr
+_STRATA_LANGS = ["de", "en", "es", "fr", "zh"]
+_STRATA_THR = [4, 5, 3, 2, 1]
+
+
+def q_stratified_sample(sf_dir: str):
+    """Stratified deterministic sampling — the training-data mixture
+    primitive (downsample dominant languages, keep rare ones): per-lang
+    keep rates applied as a hash predicate (doc_id % 10 < rate), so the
+    sample is identical across reruns, block orders and cluster sizes
+    (unlike random_sample) and has an exact SQL oracle. One vectorized
+    lookup + compare per batch."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+    thr_arr = pa.array(_STRATA_THR, pa.int64())
+
+    def keep(t: pa.Table) -> pa.Table:
+        idx = pc.index_in(t["lang"], pa.array(_STRATA_LANGS))
+        thr = pc.fill_null(pc.take(thr_arr, idx), 0) \
+            .to_numpy(zero_copy_only=False)
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(did % 10 < thr))
+
+    return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
+
+
+_PACK_BUDGET_CHARS = 10_000
+
+
+def q_sequence_pack(sf_dir: str):
+    """Training sequence packing: per lang, docs in doc_id order fill
+    contiguous ~10k-char chunks (chunk = exclusive-prefix-sum of
+    n_chars // budget — the standard fixed-order packing for LM
+    training batches). Each lang's packing runs in one map_groups on
+    the worker owning the group; output is one row per (lang, chunk):
+    doc count + exact char total. Scale note: packing is per-lang
+    sequential by construction; for groups beyond worker memory the
+    same chunk ids come from a distributed prefix sum over doc_id
+    ranges (the doc-id assignment in index/build.py already implements
+    that pattern)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id")
+        excl = g["n_chars"].cumsum().shift(fill_value=0)
+        g["chunk_id"] = (excl // _PACK_BUDGET_CHARS).astype("int64")
+        out = (g.groupby("chunk_id", as_index=False)
+               .agg(n_docs=("doc_id", "size"),
+                    total_chars=("n_chars", "sum")))
+        out.insert(0, "lang", g["lang"].iloc[0])
+        return out
+
+    out = ds.groupby("lang").map_groups(pack, batch_format="pandas")
+    return out.sort(["lang", "chunk_id"])
+
+
 def q_extended_stats(sf_dir: str):
     """ES ``extended_stats`` aggregation analog: count/min/max/sum/avg/
     variance of ``value`` per event type, all in exact integer arithmetic
@@ -1045,6 +1123,33 @@ def q_boolean_search(sf_dir: str):
                              must_not="error", k=10)
     return pa.table({"doc_id": res["doc_id"],
                      "score": _round6(res["score"])})
+
+
+def q_min_should_match(sf_dir: str):
+    """ES minimum_should_match: docs matching at least 2 of the 4 query
+    terms, scored by the full BM25 sum — the match-count restriction is
+    one np.unique-with-counts over the concatenated posting id lists."""
+    eng = _docs_engine(sf_dir)
+    res = eng.boolean_search(should=BM25_QUERY_TEXT, k=10,
+                             min_should_match=2)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+ANALYZE_TEXT = "GetUserById error_count FooBar2000 https://x.io/a?q=1"
+
+
+def q_analyze_tokens(sf_dir: str):
+    """ES _analyze API analog: the code-aware analyzer chain applied to
+    a fixed string, returning (position, token) — the tokenizer contract
+    itself (camelCase/snake_case splits, lowercasing, URL shredding) as
+    a queryable surface with an exact SQL oracle."""
+    from ..analysis.tokenizer import tokenize_py
+
+    toks = tokenize_py(ANALYZE_TEXT)
+    return pa.table({
+        "position": pa.array(np.arange(len(toks), dtype=np.int64)),
+        "token": pa.array(toks, pa.string())})
 
 
 QUERY_STRING_QUERY = 'lang:en +merge -error "sort merge" spark window'
@@ -2033,6 +2138,7 @@ QUERY_REGISTRY = {
     "top_hits_agg": q_top_hits_agg,
     "bucket_stats": q_bucket_stats,
     "events_cumulative": q_events_cumulative,
+    "events_moving": q_events_moving,
     "value_percentile_sketch": q_value_percentile_sketch,
     "significant_terms": q_significant_terms,
     "pricing_summary": q_pricing_summary,
@@ -2051,6 +2157,8 @@ QUERY_REGISTRY = {
     "prefix_df": q_prefix_df,
     "prefix_search": q_prefix_search,
     "boolean_search": q_boolean_search,
+    "min_should_match": q_min_should_match,
+    "analyze_tokens": q_analyze_tokens,
     "query_string": q_query_string,
     "function_score": q_function_score,
     "dis_max": q_dis_max,
@@ -2081,6 +2189,8 @@ QUERY_REGISTRY = {
     "lang_id_confusion": q_lang_id_confusion,
     "quality_by_lang": q_quality_by_lang,
     "token_stats": q_token_stats,
+    "stratified_sample": q_stratified_sample,
+    "sequence_pack": q_sequence_pack,
     "quality_filter": q_quality_filter,
     "clean_corpus_search": q_clean_corpus_search,
     "corpus_card": q_corpus_card,

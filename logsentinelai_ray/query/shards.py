@@ -1098,11 +1098,17 @@ class SearchEngine:
 
     def boolean_search(self, must: str = "", should: str = "",
                        must_not: str = "", k: int = 10,
-                       with_meta: bool = False) -> pa.Table:
+                       with_meta: bool = False,
+                       min_should_match: int = 0) -> pa.Table:
         """ES bool query: docs containing ALL ``must`` terms and NONE of
         the ``must_not`` terms, scored by BM25 over must+should terms
         (should widens scoring, not matching — ES semantics with a must
         clause present; with no must clause, any should term matches).
+
+        ``min_should_match`` (ES minimum_should_match): require at
+        least that many DISTINCT should terms per doc — computed as one
+        ``np.unique(counts)`` over the concatenated should id lists,
+        never per doc. 0 keeps the default semantics above.
 
         Scale note: candidate narrowing uses the decoded id lists the
         TAAT cache already holds; past ``taat_max_docs`` the same
@@ -1125,18 +1131,25 @@ class SearchEngine:
             if hit is None and t in mt:
                 return self._format_result([], with_meta)
             sets[t] = None if hit is None else hit[0]
+        cand = None
         if mt:
             cand = sets[mt[0]]
             for t in mt[1:]:
                 cand = np.intersect1d(cand, sets[t], assume_unique=True)
                 if cand.size == 0:
                     return self._format_result([], with_meta)
-        else:
+        msm = min_should_match if mt else max(min_should_match, 1)
+        if st and msm > 0:
             present = [self._contrib_cache[t][0] for t in st
                        if self._contrib_cache.get(t) is not None]
-            if not present:
+            if len(present) < msm:
                 return self._format_result([], with_meta)
-            cand = np.unique(np.concatenate(present))
+            u, c = np.unique(np.concatenate(present), return_counts=True)
+            smatch = u[c >= msm]
+            cand = (smatch if cand is None
+                    else np.intersect1d(cand, smatch, assume_unique=True))
+        if cand is None:
+            return self._format_result([], with_meta)
         for t in nt:
             ids = sets.get(t)
             if ids is not None and ids.size:

@@ -287,3 +287,29 @@ def test_dis_max_zero_tie_takes_best_field(engine):
     for d, s in zip(res["doc_id"].to_pylist(),
                     res["score"].to_pylist()):
         assert s == max(cs.get(d, 0.0), ps.get(d, 0.0))
+
+
+def test_min_should_match_vs_bruteforce(engine, doc_tokens):
+    """msm=2 keeps exactly the docs containing >= 2 distinct query
+    terms; their scores equal the plain disjunction's scores."""
+    text = "merge window error spark"
+    qs = set(tokenize_py(text))
+    exp_ids = {d for d, toks in doc_tokens if len(qs & set(toks)) >= 2}
+    res = engine.boolean_search(should=text, k=10_000,
+                                min_should_match=2)
+    assert set(res["doc_id"].to_pylist()) == exp_ids
+    plain = engine.search(text, k=10_000, with_meta=False,
+                          strategy="taat")
+    ps = dict(zip(plain["doc_id"].to_pylist(),
+                  plain["score"].to_pylist()))
+    for d, s in zip(res["doc_id"].to_pylist(),
+                    res["score"].to_pylist()):
+        assert s == ps[d]
+
+
+def test_min_should_match_one_equals_default(engine):
+    a = engine.boolean_search(should="merge window", k=10)
+    b = engine.boolean_search(should="merge window", k=10,
+                              min_should_match=1)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()

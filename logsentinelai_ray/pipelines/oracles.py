@@ -467,6 +467,31 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
     "msearch": _MSEARCH_SQL,
+    # snapshot + restore must serve identical ranks — same SQL as
+    # bm25_topk
+    "snapshot_restore": _BM25_BASE + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
+    # ES _explain: per-term BM25 contribution of the top-1 doc; the
+    # same contribution expression as the scores CTE, ungrouped
+    "explain_score": _BM25_BASE + """
+        , top1 AS (
+          SELECT doc_id FROM scores
+          ORDER BY scores.score DESC, doc_id ASC LIMIT 1
+        )
+        SELECT tf.term, CAST(df.df AS BIGINT) AS df,
+               round(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                                       + 0.75 * dl.dl / stats.avgdl)),
+                     6) AS contribution
+        FROM tf
+        JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        WHERE tf.doc_id = (SELECT doc_id FROM top1)
+        ORDER BY tf.term
+    """,
     # the incremental build must equal full-corpus BM25 exactly — same
     # oracle as bm25_topk
     "bm25_topk_incremental": _BM25_BASE + """

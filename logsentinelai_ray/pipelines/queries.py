@@ -1227,6 +1227,43 @@ def q_prefix_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_explain_score(sf_dir: str):
+    """ES _explain analog: per-term BM25 contribution breakdown for the
+    standard query's top-1 doc — the contributions sum bit-exactly to
+    its search score (query/shards.py::explain)."""
+    eng = _docs_engine(sf_dir)
+    top1 = eng.search(BM25_QUERY_TEXT, k=1, with_meta=False)
+    if top1.num_rows == 0:
+        return pa.table({"term": pa.array([], pa.string()),
+                         "df": pa.array([], pa.int64()),
+                         "contribution": pa.array([], pa.float64())})
+    exp = eng.explain(BM25_QUERY_TEXT, top1["doc_id"][0].as_py())
+    return pa.table({"term": exp["term"], "df": exp["df"],
+                     "contribution": _round6(exp["contribution"])})
+
+
+def q_snapshot_restore(sf_dir: str):
+    """ES snapshot/restore analog: copy the index directory, re-verify
+    the restored segments against the manifest lineage (counts
+    recomputed from the copied bytes — index/snapshot.py), reopen, and
+    re-run the standard query: ranks identical to the live index, so
+    this shares bm25_topk's oracle."""
+    from ..index.snapshot import snapshot_index
+    from ..query.shards import SearchEngine
+
+    if ("snap", sf_dir) in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[("snap", sf_dir)]
+    else:
+        base = _docs_engine(sf_dir)
+        dst = base.index_dir + "-snap"
+        snapshot_index(base.index_dir, dst)
+        eng = SearchEngine(dst, num_shards=2)
+        _ENGINE_CACHE[("snap", sf_dir)] = eng
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_scroll_export(sf_dir: str):
     """ES scroll / reindex-with-query analog: every doc matching any
     query term is exported to partitioned parquet and read back. The
@@ -2176,6 +2213,8 @@ QUERY_REGISTRY = {
     "fuzzy_search": q_fuzzy_search,
     "index_stats": q_index_stats,
     "scroll_export": q_scroll_export,
+    "explain_score": q_explain_score,
+    "snapshot_restore": q_snapshot_restore,
     "bm25_topk_deleted": q_bm25_topk_deleted,
     "bm25_topk_rebuilt": q_bm25_topk_rebuilt,
     "highlight_topk": q_highlight_topk,

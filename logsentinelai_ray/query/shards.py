@@ -910,6 +910,29 @@ class SearchEngine:
         return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
                          field: pa.array(out_vals, pa.string())})
 
+    def explain(self, text: str, doc_id: int) -> pa.Table:
+        """ES _explain analog: the per-term BM25 contribution breakdown
+        of one doc for a query — (term, df, contribution) term-asc; the
+        contributions sum to search()'s score for the doc bit-exactly
+        (same cached contribution arrays, one binary search per term)."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        self._ensure_contribs(terms)
+        out_t, out_df, out_c = [], [], []
+        for t in terms:
+            hit = self._contrib_cache.get(t)
+            if hit is None:
+                continue
+            ids, contrib, df = hit
+            i = int(np.searchsorted(ids, doc_id))
+            if i < ids.size and ids[i] == doc_id:
+                out_t.append(t)
+                out_df.append(int(df))
+                out_c.append(float(contrib[i]))
+        return pa.table({"term": pa.array(out_t, pa.string()),
+                         "df": pa.array(out_df, pa.int64()),
+                         "contribution": pa.array(out_c, pa.float64())})
+
     def match_ids(self, text: str) -> np.ndarray:
         """Sorted doc-id array of docs containing ANY query term — a
         posting-id union, no scoring, no metadata read. The id set for

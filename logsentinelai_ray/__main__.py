@@ -13,6 +13,9 @@ Usage (each subcommand owns its Ray session):
                                      [--max-rounds R] [--idle-rounds I]
   python -m logsentinelai_ray search --index DIR "query text" [-k K]
                                      [--filter lang=python] [--strategy s]
+                                     [--query-string | --phrase]
+  python -m logsentinelai_ray explain  --index DIR "query text" DOC_ID
+  python -m logsentinelai_ray snapshot --index DIR --out DIR
   python -m logsentinelai_ray gen    --out DIR --docs N [--seed S]
 """
 
@@ -98,6 +101,23 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("--path-query", default="",
                    help="additional scored path-field query terms")
     s.add_argument("--path-boost", type=float, default=1.0)
+    s.add_argument("--query-string", action="store_true",
+                   help="parse the text as the ES query_string "
+                        "mini-language (field:value, \"phrase\", "
+                        "+must, -must_not)")
+
+    e = sub.add_parser("explain", parents=[common],
+                       help="per-term BM25 contribution breakdown of "
+                            "one doc for a query (_explain analog)")
+    e.add_argument("--index", required=True)
+    e.add_argument("text")
+    e.add_argument("doc_id", type=int)
+
+    sn = sub.add_parser("snapshot", parents=[common],
+                        help="copy the index and verify the restored "
+                             "segments against the manifest lineage")
+    sn.add_argument("--index", required=True)
+    sn.add_argument("--out", required=True)
 
     d = sub.add_parser("delete", parents=[common],
                        help="tombstone documents by doc id")
@@ -168,7 +188,9 @@ def main(argv: list[str] | None = None) -> int:
 
             filters = dict(f.split("=", 1) for f in args.filter) or None
             eng = SearchEngine(args.index)
-            if args.phrase:
+            if args.query_string:
+                res = eng.query_string(args.text, k=args.k)
+            elif args.phrase:
                 res = eng.phrase_topk(args.text, k=args.k,
                                       with_meta=True)
             elif args.path_query:
@@ -181,6 +203,19 @@ def main(argv: list[str] | None = None) -> int:
             for row in res.to_pylist():
                 print(json.dumps(row))
             eng.shutdown()
+        elif args.cmd == "explain":
+            from .query.shards import SearchEngine
+
+            eng = SearchEngine(args.index)
+            exp = eng.explain(args.text, args.doc_id)
+            for row in exp.to_pylist():
+                print(json.dumps(row))
+            eng.shutdown()
+        elif args.cmd == "snapshot":
+            from .index.snapshot import snapshot_index
+
+            report = snapshot_index(args.index, args.out)
+            print(json.dumps(report))
         elif args.cmd == "delete":
             from .index.delete import delete_docs
 

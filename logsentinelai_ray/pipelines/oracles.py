@@ -498,6 +498,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(scores.score, 6) AS score FROM scores
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
+    # ES terms query (multi-value keyword filter): lang IN (en, de)
+    "bm25_topk_terms_filter": _BM25_BASE + """
+        SELECT s.doc_id, round(s.score, 6) AS score
+        FROM scores s JOIN documents d USING (doc_id)
+        WHERE d.lang IN ('en', 'de')
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+    """,
     "bm25_topk_filtered": _BM25_BASE + """
         SELECT s.doc_id, round(s.score, 6) AS score
         FROM scores s JOIN documents d USING (doc_id)

@@ -926,6 +926,17 @@ def q_bm25_topk_filtered(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_bm25_topk_terms_filter(sf_dir: str):
+    """ES terms query as a filter: docs whose lang is ANY of {en, de}
+    (a union of the field posting lists, then the standard intersect)
+    — the multi-value form of bm25_topk_filtered."""
+    eng = _docs_engine(sf_dir)
+    res = eng.search(BM25_QUERY_TEXT, k=10,
+                     filters={"lang": ["en", "de"]}, with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 PHRASE_QUERY_TEXT = "sort merge"
 
 
@@ -2187,6 +2198,7 @@ QUERY_REGISTRY = {
     "bm25_topk": q_bm25_topk,
     "msearch": q_msearch,
     "bm25_topk_filtered": q_bm25_topk_filtered,
+    "bm25_topk_terms_filter": q_bm25_topk_terms_filter,
     "bm25_topk_incremental": q_bm25_topk_incremental,
     "phrase_match": q_phrase_match,
     "phrase_match_incremental": q_phrase_match_incremental,

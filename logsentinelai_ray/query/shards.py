@@ -429,23 +429,31 @@ class SearchEngine:
         return {t: self._term_cache[t] for t in terms
                 if self._term_cache.get(t) is not None}
 
-    def _filter_ids(self, filters: dict[str, str] | None
-                    ) -> np.ndarray | None:
+    def _filter_ids(self, filters: dict | None) -> np.ndarray | None:
         """Sorted doc-id array matching ALL keyword filters (None = no
-        filter; empty array = nothing matches). Backed by field postings,
-        decoded shard-side and cached like content terms (a hot filter
-        like lang:python is ~a third of the corpus — decoding it on the
-        driver per query dominated filtered-query latency)."""
+        filter; empty array = nothing matches). A filter value may be a
+        single string (ES term query) or a list (ES terms query: docs
+        matching ANY of the values — a union of the value posting
+        lists). Backed by field postings, decoded shard-side and cached
+        like content terms (a hot filter like lang:python is ~a third
+        of the corpus — decoding it on the driver per query dominated
+        filtered-query latency)."""
         if not filters:
             return None
-        fterms = [f"{field}:{value}" for field, value in filters.items()]
-        self._ensure_contribs(fterms)
+        per_field: list[list[str]] = []
+        for field, value in filters.items():
+            vals = (list(value) if isinstance(value, (list, tuple))
+                    else [value])
+            per_field.append([f"{field}:{v}" for v in vals])
+        self._ensure_contribs([ft for fts in per_field for ft in fts])
         arrays = []
-        for ft in fterms:
-            hit = self._contrib_cache.get(ft)
-            if hit is None:
+        for fts in per_field:
+            present = [self._contrib_cache[ft][0] for ft in fts
+                       if self._contrib_cache.get(ft) is not None]
+            if not present:
                 return np.empty(0, dtype=np.int64)
-            arrays.append(hit[0])
+            arrays.append(present[0] if len(present) == 1
+                          else np.unique(np.concatenate(present)))
         inter = arrays[0]
         for a in arrays[1:]:
             inter = np.intersect1d(inter, a, assume_unique=True)

@@ -313,3 +313,26 @@ def test_min_should_match_one_equals_default(engine):
                               min_should_match=1)
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_terms_filter_union_vs_single(engine, small_index):
+    """A list-valued filter is the union of the single-value filters;
+    surviving scores are unchanged from the unfiltered query."""
+    idx_dir, _ = small_index
+    tbl = pq.read_table(f"{idx_dir}/docs", columns=["doc_id", "lang"])
+    lang_of = dict(zip(tbl["doc_id"].to_pylist(),
+                       tbl["lang"].to_pylist()))
+    full = engine.search("merge window", k=10_000, with_meta=False,
+                         strategy="taat")
+    exp = [(d, s) for d, s in zip(full["doc_id"].to_pylist(),
+                                  full["score"].to_pylist())
+           if lang_of[d] in ("en", "de")][:10]
+    got = engine.search("merge window", k=10,
+                        filters={"lang": ["en", "de"]}, with_meta=False,
+                        strategy="taat")
+    assert list(zip(got["doc_id"].to_pylist(),
+                    got["score"].to_pylist())) == exp
+    # unknown value contributes nothing; all-unknown matches nothing
+    empty = engine.search("merge window", k=10,
+                          filters={"lang": ["zzz"]}, with_meta=False)
+    assert empty.num_rows == 0

@@ -498,6 +498,19 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(scores.score, 6) AS score FROM scores
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
+    # ES field collapsing: best doc per lang, then top-k overall
+    "collapse_by_lang": _BM25_BASE + """
+        , best AS (
+          SELECT s.doc_id, d.lang, s.score,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY s.score DESC,
+                                             s.doc_id ASC) AS rn
+          FROM scores s JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, lang, round(best.score, 6) AS score FROM best
+        WHERE rn = 1
+        ORDER BY best.score DESC, doc_id ASC LIMIT 10
+    """,
     # ES terms query (multi-value keyword filter): lang IN (en, de)
     "bm25_topk_terms_filter": _BM25_BASE + """
         SELECT s.doc_id, round(s.score, 6) AS score
@@ -713,6 +726,63 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT doc_id, round(w.score, 6) AS score FROM w
         ORDER BY w.score DESC, doc_id ASC LIMIT 10
+    """,
+    # ES weighted_avg: priority-weighted mean in integer micro units
+    # (weight = 6 - priority, severe events weigh more)
+    "weighted_avg": f"""
+        WITH m AS (
+          SELECT (6 - {_SEVERITY_CASE}) AS w,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS v
+          FROM events
+        )
+        SELECT CAST(sum(w) AS BIGINT) AS sum_w,
+               CAST(sum(w * v) // sum(w) AS BIGINT) AS wavg_micro
+        FROM m
+    """,
+    # ES adjacency_matrix over the filters_agg predicates: singles +
+    # pairwise intersections
+    "adjacency_matrix": """
+        WITH m AS (
+          SELECT (event_type = 'error') AS f_err,
+                 (CAST(round(value * 1e6, 0) AS BIGINT)
+                  >= 100000000) AS f_hi,
+                 (isodow(ts) >= 6) AS f_we
+          FROM events
+        )
+        SELECT * FROM (
+          SELECT 'errors' AS bucket, count(*) FILTER (f_err)::BIGINT
+              AS n FROM m
+          UNION ALL SELECT 'errors&high_value',
+              count(*) FILTER (f_err AND f_hi)::BIGINT FROM m
+          UNION ALL SELECT 'errors&weekend',
+              count(*) FILTER (f_err AND f_we)::BIGINT FROM m
+          UNION ALL SELECT 'high_value',
+              count(*) FILTER (f_hi)::BIGINT FROM m
+          UNION ALL SELECT 'high_value&weekend',
+              count(*) FILTER (f_hi AND f_we)::BIGINT FROM m
+          UNION ALL SELECT 'weekend',
+              count(*) FILTER (f_we)::BIGINT FROM m
+        ) ORDER BY bucket
+    """,
+    # ES percolator: stored term-conjunctions matched against the doc
+    # stream; terms must match queries.PERCOLATE_QUERIES
+    "percolate": f"""
+        WITH t AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        )
+        SELECT * FROM (
+          SELECT CAST(0 AS BIGINT) AS query_id,
+                 count(*) FILTER (list_contains(arr, 'error')
+                                  AND list_contains(arr, 'merge'))
+                     ::BIGINT AS n_docs FROM t
+          UNION ALL
+          SELECT 1, count(*) FILTER (
+              list_contains(arr, 'authentication')
+              AND list_contains(arr, 'failure'))::BIGINT FROM t
+          UNION ALL
+          SELECT 2, count(*) FILTER (list_contains(arr, 'window'))
+              ::BIGINT FROM t
+        ) ORDER BY query_id
     """,
     # ES minimum_should_match: docs matching >= 2 distinct query terms,
     # scored by the full BM25 sum

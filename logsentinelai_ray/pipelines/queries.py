@@ -550,6 +550,122 @@ def q_bucket_stats(sf_dir: str):
     }])
 
 
+def q_weighted_avg(sf_dir: str):
+    """ES ``weighted_avg`` aggregation analog: the priority-weighted
+    mean of ``value`` over all events, in exact integer arithmetic —
+    sum(w*v_micro) // sum(w) with the severity priority as the weight
+    (CRITICAL-class events count 1x .. INFO-class 5x inverted to
+    weight = 6 - priority so severe events weigh more). Mergeable
+    (num, den) partials; one row out."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..stages.severity import add_priority
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = add_priority(t)
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        w = pc.subtract(pa.scalar(6, pa.int64()),
+                        pc.cast(t["priority"], pa.int64()))
+        return pa.table({"num": pc.multiply(w, micro), "den": w})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .aggregate(Sum("num", alias_name="num"),
+                      Sum("den", alias_name="den")))
+    num, den = int(out["num"]), int(out["den"])
+    return pd.DataFrame([{"sum_w": np.int64(den),
+                          "wavg_micro": np.int64(num // den)}])
+
+
+def q_adjacency_matrix(sf_dir: str):
+    """ES ``adjacency_matrix`` aggregation analog: counts for each named
+    filter and each pairwise intersection (errors/high_value/weekend,
+    the filters_agg predicates). All masks are vectorized per batch and
+    at most 6 partial rows per block cross the shuffle."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        m = {
+            "errors": pc.equal(t["event_type"], "error")
+            .to_numpy(zero_copy_only=False),
+            "high_value": pc.greater_equal(micro, 100_000_000)
+            .to_numpy(zero_copy_only=False),
+            "weekend": pc.greater_equal(pc.day_of_week(t["ts"]), 5)
+            .to_numpy(zero_copy_only=False),
+        }
+        names = _FILTER_BUCKET_NAMES
+        keys, counts = [], []
+        for i, a in enumerate(names):
+            keys.append(a)
+            counts.append(int(m[a].sum()))
+            for b in names[i + 1:]:
+                keys.append(f"{a}&{b}")
+                counts.append(int((m[a] & m[b]).sum()))
+        return pa.table({"bucket": pa.array(keys, pa.string()),
+                         "n_part": pa.array(counts, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Sum("n_part", alias_name="n")))
+    return out.sort("bucket")
+
+
+# stored percolator queries: conjunctions of content terms
+PERCOLATE_QUERIES = [
+    (0, ["error", "merge"]),
+    (1, ["authentication", "failure"]),
+    (2, ["window"]),
+]
+
+
+def q_percolate(sf_dir: str):
+    """ES percolator analog (reverse search): stored queries run against
+    the document stream — one tokenize pass per batch builds a per-term
+    presence mask, each stored conjunction is an AND of masks, and only
+    (query_id, count) partials cross the shuffle. The direction is
+    inverted from search (queries are the stored side, docs stream
+    through), which is exactly how ES percolation differs from query."""
+    from ray.data.aggregate import Sum
+
+    from ..analysis.tokenizer import tokenize_batch_arrow
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    all_terms = sorted({t for _, ts in PERCOLATE_QUERIES for t in ts})
+
+    def prep(t: pa.Table) -> pa.Table:
+        row_idx, toks, _ = tokenize_batch_arrow(t["text"])
+        masks = {}
+        for term in all_terms:
+            hit_rows = np.unique(row_idx[
+                pc.equal(toks, term).to_numpy(zero_copy_only=False)])
+            mk = np.zeros(t.num_rows, dtype=bool)
+            mk[hit_rows] = True
+            masks[term] = mk
+        qids, counts = [], []
+        for qid, terms in PERCOLATE_QUERIES:
+            conj = np.ones(t.num_rows, dtype=bool)
+            for term in terms:
+                conj &= masks[term]
+            qids.append(qid)
+            counts.append(int(conj.sum()))
+        return pa.table({"query_id": pa.array(qids, pa.int64()),
+                         "n_part": pa.array(counts, pa.int64())})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("query_id").aggregate(Sum("n_part",
+                                              alias_name="n_docs")))
+    return out.sort("query_id")
+
+
 def q_pricing_summary(sf_dir: str):
     """TPC-H Q1-shaped pricing summary with exact integer-cent sums."""
     from ray.data.aggregate import Count, Sum
@@ -923,6 +1039,16 @@ def q_bm25_topk_filtered(sf_dir: str):
     res = eng.search(BM25_QUERY_TEXT, k=10, filters={"lang": "en"},
                      with_meta=False)
     return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_collapse_by_lang(sf_dir: str):
+    """ES field collapsing: top hits with at most one (best) doc per
+    lang — per-value argmax over the score accumulator restricted to
+    the lang field posting ids (query/shards.py::collapse_search)."""
+    eng = _docs_engine(sf_dir)
+    res = eng.collapse_search(BM25_QUERY_TEXT, field="lang", k=10)
+    return pa.table({"doc_id": res["doc_id"], "lang": res["lang"],
                      "score": _round6(res["score"])})
 
 
@@ -2180,6 +2306,9 @@ QUERY_REGISTRY = {
     "user_count_windows": q_user_count_windows,
     "value_quantiles": q_value_quantiles,
     "range_agg": q_range_agg,
+    "weighted_avg": q_weighted_avg,
+    "adjacency_matrix": q_adjacency_matrix,
+    "percolate": q_percolate,
     "extended_stats": q_extended_stats,
     "filters_agg": q_filters_agg,
     "composite_agg": q_composite_agg,
@@ -2199,6 +2328,7 @@ QUERY_REGISTRY = {
     "msearch": q_msearch,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_terms_filter": q_bm25_topk_terms_filter,
+    "collapse_by_lang": q_collapse_by_lang,
     "bm25_topk_incremental": q_bm25_topk_incremental,
     "phrase_match": q_phrase_match,
     "phrase_match_incremental": q_phrase_match_incremental,

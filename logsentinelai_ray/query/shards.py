@@ -918,6 +918,50 @@ class SearchEngine:
         return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
                          field: pa.array(out_vals, pa.string())})
 
+    def collapse_search(self, text: str, field: str = "lang",
+                        k: int = 10) -> pa.Table:
+        """ES field collapsing: top-k where at most one doc — the best
+        by (score desc, doc_id asc) — survives per field value. Field
+        values enumerate from the term dictionary; each value's best
+        doc is one vectorized argmax over the accumulator restricted to
+        that value's posting ids. Returns (doc_id, field, score)."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        self._ensure_contribs(terms)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        for t in terms:
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                acc[hit[0]] += hit[1]
+        self._mask_tombstones(acc)
+        prefix = f"{field}:"
+        values = ray.get([s.expand_terms.remote(prefix, 1 << 20, True)
+                          for s in self.shards])
+        fterms = sorted(t for tbl in values
+                        for t in tbl["term"].to_pylist())
+        self._ensure_contribs(fterms)
+        rows = []
+        for ft in fterms:
+            hit = self._contrib_cache.get(ft)
+            if hit is None:
+                continue
+            ids = hit[0]
+            s = acc[ids]
+            m = s > 0.0
+            if not m.any():
+                continue
+            ids_m, s_m = ids[m], s[m]
+            best = np.lexsort((ids_m, -s_m))[0]
+            rows.append((int(ids_m[best]), ft[len(prefix):],
+                         float(s_m[best])))
+        rows.sort(key=lambda r: (-r[2], r[0]))
+        rows = rows[:k]
+        return pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            field: pa.array([r[1] for r in rows], pa.string()),
+            "score": pa.array([r[2] for r in rows], pa.float64())})
+
     def explain(self, text: str, doc_id: int) -> pa.Table:
         """ES _explain analog: the per-term BM25 contribution breakdown
         of one doc for a query — (term, df, contribution) term-asc; the

@@ -727,6 +727,40 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(w.score, 6) AS score FROM w
         ORDER BY w.score DESC, doc_id ASC LIMIT 10
     """,
+    # ES top_metrics: metric value at the top of a (ts, event_id) desc
+    # sort, per event type
+    "top_metrics": """
+        WITH r AS (
+          SELECT event_type, event_id,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY ts DESC,
+                                             event_id DESC) AS rn
+          FROM events
+        )
+        SELECT event_type, event_id AS last_event,
+               value_micro AS last_value_micro
+        FROM r WHERE rn = 1 ORDER BY event_type
+    """,
+    # ES _rank_eval: P@10 inputs + first-relevant rank; relevance =
+    # docs containing all 4 distinct query terms
+    "rank_eval": _BM25_BASE + """
+        , rel AS (
+          SELECT doc_id FROM tf JOIN q USING (term)
+          GROUP BY doc_id HAVING count(DISTINCT term) = 4
+        ), top AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY scores.score DESC,
+                                    doc_id ASC) AS rnk
+          FROM scores ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+        )
+        SELECT (SELECT count(*) FROM rel)::BIGINT AS n_rel,
+               (SELECT count(*) FROM top JOIN rel USING (doc_id))
+                   ::BIGINT AS n_rel_top10,
+               CAST(coalesce((SELECT min(rnk) FROM top
+                              JOIN rel USING (doc_id)), 0) AS BIGINT)
+                   AS first_rel_rank
+    """,
     # ES weighted_avg: priority-weighted mean in integer micro units
     # (weight = 6 - priority, severe events weigh more)
     "weighted_avg": f"""

@@ -550,6 +550,29 @@ def q_bucket_stats(sf_dir: str):
     }])
 
 
+def q_top_metrics(sf_dir: str):
+    """ES ``top_metrics`` aggregation analog: per event type, the value
+    (in exact micro units) of the most recent event — the metric at the
+    top of a (ts desc, event_id desc) sort, selected inside map_groups
+    so only one row per group survives."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "event_type", "ts", "value"])
+
+    def top1(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"],
+                          ascending=[False, False]).head(1)
+        return pd.DataFrame({
+            "event_type": g["event_type"].values,
+            "last_event": g["event_id"].astype("int64").values,
+            "last_value_micro": (g["value"] * 1e6).round()
+            .astype("int64").values})
+
+    out = ds.groupby("event_type").map_groups(top1, batch_format="pandas")
+    return out.sort("event_type")
+
+
 def q_weighted_avg(sf_dir: str):
     """ES ``weighted_avg`` aggregation analog: the priority-weighted
     mean of ``value`` over all events, in exact integer arithmetic —
@@ -1040,6 +1063,25 @@ def q_bm25_topk_filtered(sf_dir: str):
                      with_meta=False)
     return pa.table({"doc_id": res["doc_id"],
                      "score": _round6(res["score"])})
+
+
+def q_rank_eval(sf_dir: str):
+    """ES _rank_eval analog: precision@10 inputs and the first-relevant
+    rank (reciprocal-rank numerator) for the standard query, with
+    relevance = docs containing ALL four query terms (a judgment set
+    both sides can compute). Integer outputs only — the ES metrics
+    (P@k = n_rel_top10/10, MRR = 1/first_rel_rank) follow directly."""
+    eng = _docs_engine(sf_dir)
+    top = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    rel_tbl = eng.boolean_search(must=BM25_QUERY_TEXT, k=1_000_000)
+    rel = set(rel_tbl["doc_id"].to_pylist())
+    ids = top["doc_id"].to_pylist()
+    n_rel_top10 = sum(1 for d in ids if d in rel)
+    first = next((i + 1 for i, d in enumerate(ids) if d in rel), 0)
+    return pa.table({
+        "n_rel": pa.array([len(rel)], pa.int64()),
+        "n_rel_top10": pa.array([n_rel_top10], pa.int64()),
+        "first_rel_rank": pa.array([first], pa.int64())})
 
 
 def q_collapse_by_lang(sf_dir: str):
@@ -2307,6 +2349,7 @@ QUERY_REGISTRY = {
     "value_quantiles": q_value_quantiles,
     "range_agg": q_range_agg,
     "weighted_avg": q_weighted_avg,
+    "top_metrics": q_top_metrics,
     "adjacency_matrix": q_adjacency_matrix,
     "percolate": q_percolate,
     "extended_stats": q_extended_stats,
@@ -2329,6 +2372,7 @@ QUERY_REGISTRY = {
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_terms_filter": q_bm25_topk_terms_filter,
     "collapse_by_lang": q_collapse_by_lang,
+    "rank_eval": q_rank_eval,
     "bm25_topk_incremental": q_bm25_topk_incremental,
     "phrase_match": q_phrase_match,
     "phrase_match_incremental": q_phrase_match_incremental,

@@ -49,6 +49,32 @@ from .wand import block_max_wand
 # token (field:value tokens are recognized by the parser, not the lexer)
 _QS_TOKEN = re.compile(r'([+-]?)("([^"]*)"|\S+)')
 
+# keyword fields that may appear as field:value filters in query_string
+_QS_FILTER_FIELDS = ("lang", "repo")
+
+
+def parse_query_string(qs: str) -> dict:
+    """Parse the ES query_string mini-language into clause lists:
+    ``{"must": [...], "should": [...], "must_not": [...],
+    "phrases": [...], "filters": {field: value}}``. Pure function —
+    see SearchEngine.query_string for the execution semantics."""
+    must, should, must_not, phrases = [], [], [], []
+    filters: dict[str, str] = {}
+    for m in _QS_TOKEN.finditer(qs):
+        sign, raw, quoted = m.group(1), m.group(2), m.group(3)
+        if quoted is not None:
+            phrases.append(quoted)
+            continue
+        if not sign and ":" in raw:
+            f, v = raw.split(":", 1)
+            if f in _QS_FILTER_FIELDS and v:
+                filters[f] = v
+                continue
+        (must if sign == "+" else
+         must_not if sign == "-" else should).append(raw)
+    return {"must": must, "should": should, "must_not": must_not,
+            "phrases": phrases, "filters": filters}
+
 
 def _levenshtein_leq(a: str, b: str, k: int) -> bool:
     """True iff Levenshtein distance(a, b) <= k. Full-row DP with a
@@ -1340,20 +1366,10 @@ class SearchEngine:
         sorted-term order (phrase terms score as plain terms once the
         positional constraint holds, as in phrase_topk). Composition is
         all sorted-id set algebra over cached posting lists."""
-        must, should, must_not, phrases = [], [], [], []
-        filters: dict[str, str] = {}
-        for m in _QS_TOKEN.finditer(qs):
-            sign, raw, quoted = m.group(1), m.group(2), m.group(3)
-            if quoted is not None:
-                phrases.append(quoted)
-                continue
-            if not sign and ":" in raw:
-                f, v = raw.split(":", 1)
-                if f in ("lang", "repo") and v:
-                    filters[f] = v
-                    continue
-            (must if sign == "+" else
-             must_not if sign == "-" else should).append(raw)
+        parsed = parse_query_string(qs)
+        must, should = parsed["must"], parsed["should"]
+        must_not, phrases = parsed["must_not"], parsed["phrases"]
+        filters = parsed["filters"]
         mx = int(self.stats["max_token_len"])
         mt = sorted({t for s in must for t in tokenize_py(s, mx)})
         st = sorted({t for s in should for t in tokenize_py(s, mx)})

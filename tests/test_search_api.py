@@ -336,3 +336,33 @@ def test_terms_filter_union_vs_single(engine, small_index):
     empty = engine.search("merge window", k=10,
                           filters={"lang": ["zzz"]}, with_meta=False)
     assert empty.num_rows == 0
+
+
+def test_parse_query_string_clauses():
+    from logsentinelai_ray.query.shards import parse_query_string
+
+    p = parse_query_string('lang:en +a -b "c d" e repo:r1 x:y')
+    assert p["must"] == ["a"]
+    assert p["must_not"] == ["b"]
+    assert p["phrases"] == ["c d"]
+    # unknown field:value tokens fall through to should
+    assert p["should"] == ["e", "x:y"]
+    assert p["filters"] == {"lang": "en", "repo": "r1"}
+
+
+def test_parse_query_string_never_crashes():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logsentinelai_ray.query.shards import parse_query_string
+
+    @given(st.text(max_size=80))
+    @settings(max_examples=200, deadline=None)
+    def check(qs):
+        p = parse_query_string(qs)
+        assert set(p) == {"must", "should", "must_not", "phrases",
+                          "filters"}
+        for key in ("must", "should", "must_not", "phrases"):
+            assert all(isinstance(x, str) for x in p[key])
+
+    check()

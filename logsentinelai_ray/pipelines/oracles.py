@@ -727,6 +727,60 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(w.score, 6) AS score FROM w
         ORDER BY w.score DESC, doc_id ASC LIMIT 10
     """,
+    # ES rare_terms: least-frequent content terms (df <= 2)
+    "rare_terms": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), d AS (
+          SELECT substr(t, 1, 64) AS term,
+                 count(DISTINCT doc_id)::BIGINT AS df
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> '' GROUP BY 1
+        )
+        SELECT term, df FROM d WHERE df <= 2
+        ORDER BY df ASC, term ASC LIMIT 20
+    """,
+    # ES string_stats: per-lang character-length stats of text
+    "string_stats": """
+        SELECT lang, count(*)::BIGINT AS n,
+               min(length(text))::BIGINT AS min_len,
+               max(length(text))::BIGINT AS max_len,
+               CAST(sum(length(text)) AS BIGINT) AS sum_len,
+               CAST(sum(length(text)) // count(*) AS BIGINT) AS avg_len
+        FROM documents GROUP BY 1 ORDER BY lang
+    """,
+    # ES matrix_stats between value (centi) and hour(ts): floor
+    # division emulated for any-sign numerators so a negative
+    # covariance floors exactly like Python's //
+    "matrix_stats": """
+        WITH m AS (
+          SELECT CAST(round(value * 1e2, 0) AS BIGINT) AS x,
+                 CAST(hour(ts) AS BIGINT) AS y
+          FROM events
+        ), s AS (
+          SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+                 sum(y)::HUGEINT AS sy, sum(x * y)::HUGEINT AS sxy,
+                 sum(x * x)::HUGEINT AS sx2, sum(y * y)::HUGEINT AS sy2
+          FROM m
+        ), d AS (
+          SELECT n, sx, sy, n * n AS den,
+                 n * sxy - sx * sy AS cnum,
+                 n * sx2 - sx * sx AS xnum,
+                 n * sy2 - sy * sy AS ynum
+          FROM s
+        )
+        SELECT CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sum_x,
+               CAST(sy AS BIGINT) AS sum_y,
+               CAST((cnum - ((cnum % den) + den) % den) // den
+                    AS BIGINT) AS cov_pop,
+               CAST((xnum - ((xnum % den) + den) % den) // den
+                    AS BIGINT) AS var_x_pop,
+               CAST((ynum - ((ynum % den) + den) % den) // den
+                    AS BIGINT) AS var_y_pop
+        FROM d
+    """,
     # ES top_metrics: metric value at the top of a (ts, event_id) desc
     # sort, per event type
     "top_metrics": """

@@ -1065,6 +1065,84 @@ def q_bm25_topk_filtered(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_rare_terms(sf_dir: str):
+    """ES ``rare_terms`` aggregation: the 20 least-frequent content
+    terms (df <= 2), served entirely from the shard dictionaries —
+    no posting bytes or documents are read."""
+    eng = _docs_engine(sf_dir)
+    res = eng.rare_terms(max_df=2, limit=20)
+    return pa.table({"term": res["term"],
+                     "df": pc.cast(res["df"], pa.int64())})
+
+
+def q_string_stats(sf_dir: str):
+    """ES ``string_stats`` aggregation analog: per-lang length stats of
+    the text field (count, min/max/sum of character lengths, floor
+    average) in exact integers — one `utf8_length` kernel per batch,
+    mergeable partials."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"],
+                         "len": pc.cast(pc.utf8_length(t["text"]),
+                                        pa.int64())})
+
+    pdf = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n"),
+                      Min("len", alias_name="min_len"),
+                      Max("len", alias_name="max_len"),
+                      Sum("len", alias_name="sum_len"))
+           .sort("lang").to_pandas())
+    pdf["avg_len"] = (pdf["sum_len"] // pdf["n"]).astype("int64")
+    return pdf
+
+
+def q_matrix_stats(sf_dir: str):
+    """ES ``matrix_stats`` aggregation analog: exact second-moment
+    statistics between value (centi units) and hour-of-day — mergeable
+    (n, Σx, Σy, Σxy, Σx², Σy²) partials, population covariance and
+    variances derived as floor((n·Σxy − ΣxΣy)/n²) with Python bignums
+    (the oracle emulates floor division in HUGEINT, so negative
+    covariance floors identically)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        x = pc.cast(pc.round(pc.multiply(t["value"], 1e2), ndigits=0),
+                    pa.int64())
+        y = pc.cast(pc.hour(t["ts"]), pa.int64())
+        return pa.table({"x": x, "y": y,
+                         "xy": pc.multiply(x, y),
+                         "x2": pc.multiply(x, x),
+                         "y2": pc.multiply(y, y)})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .aggregate(Count(alias_name="n"),
+                      Sum("x", alias_name="sum_x"),
+                      Sum("y", alias_name="sum_y"),
+                      Sum("xy", alias_name="sum_xy"),
+                      Sum("x2", alias_name="sum_x2"),
+                      Sum("y2", alias_name="sum_y2")))
+    n, sx, sy = int(out["n"]), int(out["sum_x"]), int(out["sum_y"])
+    sxy, sx2, sy2 = (int(out["sum_xy"]), int(out["sum_x2"]),
+                     int(out["sum_y2"]))
+    den = n * n
+    return pd.DataFrame([{
+        "n": np.int64(n), "sum_x": np.int64(sx), "sum_y": np.int64(sy),
+        "cov_pop": np.int64((n * sxy - sx * sy) // den),
+        "var_x_pop": np.int64((n * sx2 - sx * sx) // den),
+        "var_y_pop": np.int64((n * sy2 - sy * sy) // den),
+    }])
+
+
 def q_rank_eval(sf_dir: str):
     """ES _rank_eval analog: precision@10 inputs and the first-relevant
     rank (reciprocal-rank numerator) for the standard query, with
@@ -2350,6 +2428,8 @@ QUERY_REGISTRY = {
     "range_agg": q_range_agg,
     "weighted_avg": q_weighted_avg,
     "top_metrics": q_top_metrics,
+    "string_stats": q_string_stats,
+    "matrix_stats": q_matrix_stats,
     "adjacency_matrix": q_adjacency_matrix,
     "percolate": q_percolate,
     "extended_stats": q_extended_stats,
@@ -2373,6 +2453,7 @@ QUERY_REGISTRY = {
     "bm25_topk_terms_filter": q_bm25_topk_terms_filter,
     "collapse_by_lang": q_collapse_by_lang,
     "rank_eval": q_rank_eval,
+    "rare_terms": q_rare_terms,
     "bm25_topk_incremental": q_bm25_topk_incremental,
     "phrase_match": q_phrase_match,
     "phrase_match_incremental": q_phrase_match_incremental,

@@ -195,6 +195,27 @@ class IndexShard:
                                               ("term", "ascending")])
         return cat.take(idx.slice(0, limit))
 
+    def rare_terms(self, max_df: int, limit: int) -> pa.Table:
+        """ES rare_terms scan: this shard's content terms with
+        df <= max_df as a (term, df) table, ranked (df asc, term asc),
+        capped at ``limit``. Metadata-only — no posting bytes move."""
+        outs = []
+        for tbl in self.tables:
+            if tbl.num_rows == 0:
+                continue
+            m = pc.and_(pc.less_equal(tbl["df"], max_df),
+                        pc.invert(pc.match_substring(tbl["term"], ":")))
+            sel = tbl.filter(m).select(["term", "df"])
+            if sel.num_rows:
+                outs.append(sel)
+        if not outs:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        cat = pa.concat_tables(outs)
+        idx = pc.sort_indices(cat, sort_keys=[("df", "ascending"),
+                                              ("term", "ascending")])
+        return cat.take(idx.slice(0, limit))
+
     def expand_regex(self, pattern: str, limit: int) -> pa.Table:
         """Dictionary scan with an RE2 full-match pattern (ES regexp
         query): content terms matching ``pattern``, capped at the
@@ -943,6 +964,18 @@ class SearchEngine:
             out_vals.extend([ft[len(prefix):]] * take.size)
         return pa.table({"doc_id": pa.array(out_ids, pa.int64()),
                          field: pa.array(out_vals, pa.string())})
+
+    def rare_terms(self, max_df: int = 2, limit: int = 20) -> pa.Table:
+        """ES ``rare_terms`` aggregation analog: the least-frequent
+        content terms (df <= max_df), ranked (df asc, term asc) —
+        parallel metadata-only dictionary scans, <= limit rows per
+        shard, tiny driver merge."""
+        tbls = ray.get([s.rare_terms.remote(max_df, limit)
+                        for s in self.shards])
+        cat = pa.concat_tables(tbls)
+        idx = pc.sort_indices(cat, sort_keys=[("df", "ascending"),
+                                              ("term", "ascending")])
+        return cat.take(idx.slice(0, limit))
 
     def collapse_search(self, text: str, field: str = "lang",
                         k: int = 10) -> pa.Table:

@@ -727,7 +727,7 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(w.score, 6) AS score FROM w
         ORDER BY w.score DESC, doc_id ASC LIMIT 10
     """,
-    # ES rare_terms: least-frequent content terms (df <= 2)
+    # ES rare_terms: least-frequent content terms (df <= 400)
     "rare_terms": f"""
         WITH tr AS (
           SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
@@ -739,7 +739,7 @@ ORACLE_SQL: dict[str, str] = {
                 FROM tr)
           WHERE t <> '' GROUP BY 1
         )
-        SELECT term, df FROM d WHERE df <= 2
+        SELECT term, df FROM d WHERE df <= 400
         ORDER BY df ASC, term ASC LIMIT 20
     """,
     # ES string_stats: per-lang character-length stats of text

@@ -1067,10 +1067,11 @@ def q_bm25_topk_filtered(sf_dir: str):
 
 def q_rare_terms(sf_dir: str):
     """ES ``rare_terms`` aggregation: the 20 least-frequent content
-    terms (df <= 2), served entirely from the shard dictionaries —
+    terms (df <= 400 — the synthetic vocabulary's rare tail; min df is
+    ~25 at every sf), served entirely from the shard dictionaries —
     no posting bytes or documents are read."""
     eng = _docs_engine(sf_dir)
-    res = eng.rare_terms(max_df=2, limit=20)
+    res = eng.rare_terms(max_df=400, limit=20)
     return pa.table({"term": res["term"],
                      "df": pc.cast(res["df"], pa.int64())})
 

@@ -1522,38 +1522,85 @@ def q_snapshot_restore(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
-def q_scroll_export(sf_dir: str):
-    """ES scroll / reindex-with-query analog: every doc matching any
-    query term is exported to partitioned parquet and read back. The
-    match-id set comes from the index (posting union, ``match_ids``),
-    is broadcast once via ``ray.put``, and membership is one vectorized
-    ``np.isin`` per docmap block — the docmap streams, nothing
-    corpus-sized reaches the driver, and the partitioned output is the
-    resumable-sink shape (one file per block). The returned sha256
-    column proves content integrity through the export round-trip."""
-    import hashlib
+# above this many matching ids, scroll_export switches from the
+# broadcast-id plan to the scan plan (re-tokenize per block) — a hot
+# query at 10^12 docs matches billions of ids, too large to broadcast
+_SCROLL_IDS_MAX = 5_000_000
+
+
+def scroll_export(eng, text: str, outdir: str,
+                  plan: str | None = None):
+    """ES scroll / reindex-with-query: every doc matching any query
+    term is exported to partitioned parquet (one file per block — the
+    resumable-sink shape). Two exact plans, auto-selected by match-set
+    size:
+
+    - ``ids``: the posting union (``match_ids``) is broadcast once via
+      ``ray.put``; membership is one vectorized ``np.isin`` per docmap
+      block. Best when the match set is small — only the id array
+      crosses the cluster, the text column is never read.
+    - ``scan``: each docs block re-tokenizes its own content and keeps
+      rows containing any query term (the percolate masks) — nothing
+      query-dependent is broadcast at all, so it holds at match sets
+      the driver could never hold. Costs one full-content pass.
+
+    Both return the written Dataset re-read from ``outdir``."""
     import shutil
 
     import ray
     import ray.data as rd
 
+    from ..analysis.tokenizer import tokenize_batch_arrow, tokenize_py
+
+    terms = sorted(set(tokenize_py(
+        text, int(eng.stats["max_token_len"]))))
+    if plan is None:
+        ids_probe = eng.match_ids(text)
+        plan = "ids" if ids_probe.size <= _SCROLL_IDS_MAX else "scan"
+    shutil.rmtree(outdir, ignore_errors=True)
+    if plan == "ids":
+        ref = ray.put(eng.match_ids(text))
+
+        def keep(t: pa.Table) -> pa.Table:
+            arr = ray.get(ref)
+            d = t["doc_id"].to_numpy(zero_copy_only=False)
+            return t.filter(pa.array(np.isin(d, arr)))
+
+        src = rd.read_parquet(os.path.join(eng.index_dir, "docmap"),
+                              columns=["doc_id", "lang", "sha256"])
+        src.map_batches(keep, batch_format="pyarrow") \
+            .write_parquet(outdir)
+    else:
+        def keep_scan(t: pa.Table) -> pa.Table:
+            row_idx, toks, _ = tokenize_batch_arrow(t["content"])
+            hit = np.zeros(t.num_rows, dtype=bool)
+            for term in terms:
+                rows = row_idx[pc.equal(toks, term)
+                               .to_numpy(zero_copy_only=False)]
+                hit[np.unique(rows)] = True
+            return t.filter(pa.array(hit)) \
+                .select(["doc_id", "lang", "sha256"])
+
+        src = rd.read_parquet(
+            os.path.join(eng.index_dir, "docs"),
+            columns=["doc_id", "lang", "sha256", "content"])
+        src.map_batches(keep_scan, batch_format="pyarrow") \
+            .write_parquet(outdir)
+    return rd.read_parquet(outdir).sort("doc_id")
+
+
+def q_scroll_export(sf_dir: str):
+    """ES scroll / reindex-with-query analog — see ``scroll_export``
+    (the broadcast-id plan at this scale; the scan plan is forced and
+    cross-checked equal in tests). The returned sha256 column proves
+    content integrity through the export round-trip."""
+    import hashlib
+
     eng = _docs_engine(sf_dir)
-    ids = eng.match_ids(BM25_QUERY_TEXT)
-    ref = ray.put(ids)
-
-    def keep(t: pa.Table) -> pa.Table:
-        arr = ray.get(ref)
-        d = t["doc_id"].to_numpy(zero_copy_only=False)
-        return t.filter(pa.array(np.isin(d, arr)))
-
-    docmap = rd.read_parquet(os.path.join(eng.index_dir, "docmap"),
-                             columns=["doc_id", "lang", "sha256"])
     outdir = os.path.join(
         "/tmp/lsai_scroll",
         hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12])
-    shutil.rmtree(outdir, ignore_errors=True)
-    docmap.map_batches(keep, batch_format="pyarrow").write_parquet(outdir)
-    return rd.read_parquet(outdir).sort("doc_id")
+    return scroll_export(eng, BM25_QUERY_TEXT, outdir)
 
 
 # ---------------------------------------------------------------------------

@@ -366,3 +366,17 @@ def test_parse_query_string_never_crashes():
             assert all(isinstance(x, str) for x in p[key])
 
     check()
+
+
+def test_scroll_export_plans_agree(engine, tmp_path):
+    """The broadcast-id plan and the scan (re-tokenize) plan must export
+    exactly the same rows."""
+    from logsentinelai_ray.pipelines.queries import scroll_export
+
+    a = scroll_export(engine, "merge window error",
+                      str(tmp_path / "ids"), plan="ids").to_pandas()
+    b = scroll_export(engine, "merge window error",
+                      str(tmp_path / "scan"), plan="scan").to_pandas()
+    assert list(a["doc_id"]) == list(b["doc_id"])
+    assert list(a["sha256"]) == list(b["sha256"])
+    assert len(a) == engine.match_count("merge window error")

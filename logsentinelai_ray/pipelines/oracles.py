@@ -1163,6 +1163,35 @@ ORACLE_SQL: dict[str, str] = {
         SELECT min(doc_id) AS doc_id FROM documents
         GROUP BY text ORDER BY doc_id
     """,
+    # decontamination: docs sharing any word-3-gram with benchmark docs
+    # 0-4; shingle spec matches ngram_jaccard_dupes / dedup/jaccard.py
+    "contamination_check": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS arr
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                         FOR i IN generate_series(1, len(arr) - 2)]) AS sh
+          FROM t WHERE len(arr) >= 3
+        ), gd AS (
+          SELECT DISTINCT doc_id, sh FROM g
+        ), bench AS (
+          SELECT DISTINCT sh FROM gd WHERE doc_id < 5
+        ), sz AS (
+          SELECT doc_id, count(*)::BIGINT AS n FROM gd GROUP BY 1
+        ), ov AS (
+          SELECT gd.doc_id, count(*)::BIGINT AS n_overlap
+          FROM gd JOIN bench USING (sh)
+          WHERE gd.doc_id >= 5 GROUP BY 1
+        )
+        SELECT ov.doc_id, ov.n_overlap, sz.n AS n_shingles
+        FROM ov JOIN sz USING (doc_id)
+        ORDER BY ov.doc_id
+    """,
     "ngram_jaccard_dupes": """
         WITH t AS (
           SELECT doc_id,

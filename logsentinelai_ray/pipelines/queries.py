@@ -1603,6 +1603,56 @@ def q_scroll_export(sf_dir: str):
     return scroll_export(eng, BM25_QUERY_TEXT, outdir)
 
 
+_BENCH_DOC_MAX = 5  # docs 0..4 play the held-out benchmark set
+
+
+def q_contamination_check(sf_dir: str):
+    """Train/benchmark decontamination — the training-data hygiene op:
+    flag corpus docs sharing any word-3-gram with a small held-out
+    benchmark set (docs 0-4 stand in for it). The benchmark's distinct
+    shingle set is read with predicate pushdown, shingled once, and
+    broadcast via ``ray.put`` (the small side of the join — the GeoIP
+    J1 shape); each batch shingles its own docs vectorized
+    (dedup/jaccard.py machinery) and counts membership with one Arrow
+    ``is_in`` — no shuffle, one corpus pass. Returns (doc_id,
+    n_overlap, n_shingles) for contaminated docs."""
+    import pyarrow.dataset as pa_ds
+    import ray
+
+    from ..dedup.jaccard import _shingle_rows
+
+    bench_tbl = pa_ds.dataset(
+        os.path.join(sf_dir, "documents.parquet"),
+        format="parquet").to_table(
+        columns=["doc_id", "text"],
+        filter=pc.field("doc_id") < _BENCH_DOC_MAX)
+    bench_sh = _shingle_rows(bench_tbl, "text", "doc_id", 3)["sh"]
+    bench_set = pc.unique(bench_sh)
+    ref = ray.put(bench_set)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        bset = ray.get(ref)
+        t = t.filter(pc.greater_equal(t["doc_id"], _BENCH_DOC_MAX))
+        sh = _shingle_rows(t, "text", "doc_id", 3)
+        hit = pc.is_in(sh["sh"], value_set=bset) \
+            .to_numpy(zero_copy_only=False)
+        ids = sh["doc_id"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(ids)
+        pos = np.searchsorted(uniq, ids)
+        total = np.bincount(pos, minlength=uniq.size)
+        over = np.bincount(pos, weights=hit.astype(np.float64),
+                           minlength=uniq.size).astype(np.int64)
+        m = over >= 1
+        return pa.table({
+            "doc_id": pa.array(uniq[m], pa.int64()),
+            "n_overlap": pa.array(over[m], pa.int64()),
+            "n_shingles": pa.array(total[m].astype(np.int64))})
+
+    return ds.map_batches(prep, batch_format="pyarrow").sort("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -2534,6 +2584,7 @@ QUERY_REGISTRY = {
     "bm25_topk_rebuilt": q_bm25_topk_rebuilt,
     "highlight_topk": q_highlight_topk,
     "term_vectors": q_term_vectors,
+    "contamination_check": q_contamination_check,
     "dedup_exact": q_dedup_exact,
     "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
     "dedup_clusters": q_dedup_clusters,

@@ -498,23 +498,40 @@ def q_composite_agg(sf_dir: str):
 
 def q_top_hits_agg(sf_dir: str):
     """ES ``top_hits`` sub-aggregation analog: the top-3 events per event
-    type by (value desc, event_id asc), with their rank. Each group's
-    top-k is selected inside ``map_groups`` on the worker that owns the
-    group — only 3 rows per type survive, nothing group-sized moves after
-    the groupby. Values compared in exact integer micro units."""
+    type by (value desc, event_id asc), with their rank. Two-level
+    selection: each BLOCK first truncates to its local per-type top-3
+    (lossless — the global top-3 of a type is a subset of the union of
+    block top-3s), so the groupby only moves <= 3 x types rows per
+    block instead of the whole table; the final per-group head runs in
+    ``map_groups`` over that tiny candidate set. Values compared in
+    exact integer micro units."""
     import pandas as pd
 
     ds = _read(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
+    def local3(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        t = pa.table({"event_type": t["event_type"],
+                      "event_id": t["event_id"], "value_micro": micro})
+        idx = pc.sort_indices(t, sort_keys=[("event_type", "ascending"),
+                                            ("value_micro", "descending"),
+                                            ("event_id", "ascending")])
+        t = t.take(idx)
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        starts = np.flatnonzero(np.concatenate(([True], et[1:] != et[:-1])))
+        rank_in_group = np.arange(len(et)) - np.repeat(
+            starts, np.diff(np.concatenate((starts, [len(et)]))))
+        return t.filter(pa.array(rank_in_group < 3))
+
     def hits(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.assign(value_micro=(g["value"] * 1e6).round()
-                     .astype("int64"))
         g = g.sort_values(["value_micro", "event_id"],
                           ascending=[False, True]).head(3)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g[["event_type", "rank", "event_id", "value_micro"]]
 
-    out = ds.groupby("event_type").map_groups(hits, batch_format="pandas")
+    out = (ds.map_batches(local3, batch_format="pyarrow")
+           .groupby("event_type").map_groups(hits, batch_format="pandas"))
     return out.sort(["event_type", "rank"])
 
 
@@ -1152,14 +1169,15 @@ def q_rank_eval(sf_dir: str):
     (P@k = n_rel_top10/10, MRR = 1/first_rel_rank) follow directly."""
     eng = _docs_engine(sf_dir)
     top = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
-    rel_tbl = eng.boolean_search(must=BM25_QUERY_TEXT, k=1_000_000)
-    rel = set(rel_tbl["doc_id"].to_pylist())
-    ids = top["doc_id"].to_pylist()
-    n_rel_top10 = sum(1 for d in ids if d in rel)
-    first = next((i + 1 for i, d in enumerate(ids) if d in rel), 0)
+    # judgment set as a packed sorted id array (conjunction_ids) —
+    # nothing row-formatted even when the relevant set is corpus-sized
+    rel = eng.conjunction_ids(BM25_QUERY_TEXT)
+    ids = top["doc_id"].to_numpy(zero_copy_only=False)
+    member = np.isin(ids, rel, assume_unique=False)
+    first = int(np.flatnonzero(member)[0]) + 1 if member.any() else 0
     return pa.table({
-        "n_rel": pa.array([len(rel)], pa.int64()),
-        "n_rel_top10": pa.array([n_rel_top10], pa.int64()),
+        "n_rel": pa.array([int(rel.size)], pa.int64()),
+        "n_rel_top10": pa.array([int(member.sum())], pa.int64()),
         "first_rel_rank": pa.array([first], pa.int64())})
 
 

@@ -1044,6 +1044,28 @@ class SearchEngine:
                          "df": pa.array(out_df, pa.int64()),
                          "contribution": pa.array(out_c, pa.float64())})
 
+    def conjunction_ids(self, text: str) -> np.ndarray:
+        """Sorted doc-id array of docs containing ALL query terms — the
+        AND-dual of ``match_ids``; pure sorted-array intersections over
+        cached posting id lists, no scoring, no Python rows (at corpus
+        scale the result stays a packed int64 array)."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        if not terms:
+            return np.empty(0, dtype=np.int64)
+        self._ensure_contribs(terms)
+        inter: np.ndarray | None = None
+        for t in terms:
+            hit = self._contrib_cache.get(t)
+            if hit is None:
+                return np.empty(0, dtype=np.int64)
+            inter = (hit[0] if inter is None
+                     else np.intersect1d(inter, hit[0],
+                                         assume_unique=True))
+            if inter.size == 0:
+                break
+        return self._drop_tombstones(inter)
+
     def match_ids(self, text: str) -> np.ndarray:
         """Sorted doc-id array of docs containing ANY query term — a
         posting-id union, no scoring, no metadata read. The id set for

@@ -94,7 +94,9 @@ def main(argv: list[str] | None = None) -> int:
     s.add_argument("text")
     s.add_argument("-k", type=int, default=10)
     s.add_argument("--filter", action="append", default=[],
-                   metavar="FIELD=VALUE")
+                   metavar="FIELD=VALUE[,VALUE...]",
+                   help="keyword filter; comma-separated values form an "
+                        "ES terms query (match any)")
     s.add_argument("--strategy", choices=["taat", "wand"], default=None)
     s.add_argument("--phrase", action="store_true",
                    help="treat the text as an exact phrase (positional)")
@@ -186,7 +188,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "search":
             from .query.shards import SearchEngine
 
-            filters = dict(f.split("=", 1) for f in args.filter) or None
+            filters = {}
+            for fv in args.filter:
+                field, value = fv.split("=", 1)
+                vals = value.split(",")
+                filters[field] = vals if len(vals) > 1 else vals[0]
+            filters = filters or None
             eng = SearchEngine(args.index)
             if args.query_string:
                 res = eng.query_string(args.text, k=args.k)

@@ -506,7 +506,7 @@ class SearchEngine:
             inter = np.intersect1d(inter, a, assume_unique=True)
         return inter
 
-    def _filter_predicate(self, filters: dict[str, str] | None):
+    def _filter_predicate(self, filters: dict | None):
         inter = self._filter_ids(filters)
         if inter is None:
             return None
@@ -622,7 +622,7 @@ class SearchEngine:
     # -- public API --------------------------------------------------------
 
     def search(self, text: str, k: int = 10,
-               filters: dict[str, str] | None = None,
+               filters: dict | None = None,
                with_meta: bool = True,
                strategy: str | None = None) -> pa.Table:
         """Top-k BM25. Returns (rank, doc_id, score [, repo path commit lang

@@ -199,40 +199,49 @@ def test_msearch_equals_sequential_search(engine, doc_tokens):
 def test_query_string_equals_boolean_search(engine, doc_tokens):
     """A query_string with only +must / -not / bare-should clauses must
     reproduce boolean_search exactly (same composition, same scorer)."""
-    a = engine.query_string("+merge +window -error spark", k=10)
-    b = engine.boolean_search(must="merge window", should="spark",
-                              must_not="error", k=10)
+    t0, t1 = doc_tokens[0][1][0], doc_tokens[0][1][3]
+    nt = doc_tokens[5][1][1]
+    a = engine.query_string(f"+{t0} +{t1} -{nt} error", k=10)
+    b = engine.boolean_search(must=f"{t0} {t1}", should="error",
+                              must_not=nt, k=10)
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert a["score"].to_pylist() == b["score"].to_pylist()
+    # non-vacuous without the exclusion
+    assert engine.query_string(f"+{t0} +{t1} error", k=10).num_rows > 0
 
 
 def test_query_string_phrase_and_filter_narrow(engine, doc_tokens):
     """Adding a phrase clause and a field filter can only narrow the
     bool result; every survivor contains the phrase and the filter
     value."""
-    base = engine.query_string("+merge spark", k=1000)
-    narrowed = engine.query_string('+merge spark "sort merge"', k=1000)
+    t0, t1 = doc_tokens[0][1][0], doc_tokens[0][1][1]
+    base = engine.query_string(f"+{t0} error", k=1000)
+    narrowed = engine.query_string(f'+{t0} error "{t0} {t1}"', k=1000)
+    assert narrowed.num_rows > 0  # doc 0 contains the phrase
     assert set(narrowed["doc_id"].to_pylist()) <= \
         set(base["doc_id"].to_pylist())
-    ph = set(engine.phrase_match("sort merge")["doc_id"].to_pylist())
+    ph = set(engine.phrase_match(f"{t0} {t1}")["doc_id"].to_pylist())
     assert set(narrowed["doc_id"].to_pylist()) <= ph
 
 
 def test_query_string_pure_should_matches_any(engine, doc_tokens):
     """With no must/phrase clause, any should term matches (ES bool
     semantics) — equals a plain search over the same terms."""
-    a = engine.query_string("merge window", k=10)
-    b = engine.search("merge window", k=10, with_meta=False,
+    a = engine.query_string("authentication failure", k=10)
+    b = engine.search("authentication failure", k=10, with_meta=False,
                       strategy="taat")
+    assert a.num_rows > 0
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert a["score"].to_pylist() == b["score"].to_pylist()
 
 
 def test_function_score_unit_weights_is_plain_search(engine):
-    a = engine.function_score_search("merge window",
-                                     weights={"lang": {"en": 1.0}}, k=10)
-    b = engine.search("merge window", k=10, with_meta=False,
+    a = engine.function_score_search("authentication failure",
+                                     weights={"lang": {"python": 1.0}},
+                                     k=10)
+    b = engine.search("authentication failure", k=10, with_meta=False,
                       strategy="taat")
+    assert a.num_rows > 0
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert a["score"].to_pylist() == b["score"].to_pylist()
 
@@ -245,15 +254,17 @@ def test_function_score_weights_rerank(engine, small_index):
     tbl = pq.read_table(f"{idx_dir}/docs", columns=["doc_id", "lang"])
     lang_of = dict(zip(tbl["doc_id"].to_pylist(),
                        tbl["lang"].to_pylist()))
-    w = {"lang": {"en": 2.0}}
-    base = engine.search("merge window", k=10_000, with_meta=False,
-                         strategy="taat")
+    w = {"lang": {"python": 2.0}}
+    base = engine.search("authentication failure", k=10_000,
+                         with_meta=False, strategy="taat")
+    assert base.num_rows > 0
     exp = sorted(
-        ((d, s * (2.0 if lang_of[d] == "en" else 1.0))
+        ((d, s * (2.0 if lang_of[d] == "python" else 1.0))
          for d, s in zip(base["doc_id"].to_pylist(),
                          base["score"].to_pylist())),
         key=lambda t: (-t[1], t[0]))[:10]
-    got = engine.function_score_search("merge window", weights=w, k=10)
+    got = engine.function_score_search("authentication failure",
+                                       weights=w, k=10)
     assert got["doc_id"].to_pylist() == [d for d, _ in exp]
     assert got["score"].to_pylist() == [s for _, s in exp]
 
@@ -261,12 +272,13 @@ def test_function_score_weights_rerank(engine, small_index):
 def test_dis_max_tie_one_equals_multifield_sum(engine):
     """max(a,b) + 1.0*min(a,b) == a + b bit-exactly, so dis_max with
     tie_breaker=1 must equal the multi_match boosted sum."""
-    a = engine.dis_max_search(content_query="merge window",
-                              path_query="42 md", path_boost=2.0,
+    a = engine.dis_max_search(content_query="authentication failure",
+                              path_query="py main", path_boost=2.0,
                               tie_breaker=1.0, k=10)
-    b = engine.search_fields(content_query="merge window",
-                             path_query="42 md", path_boost=2.0, k=10,
-                             strategy="taat")
+    b = engine.search_fields(content_query="authentication failure",
+                             path_query="py main", path_boost=2.0,
+                             k=10, strategy="taat")
+    assert a.num_rows > 0
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert np.allclose(a["score"].to_pylist(), b["score"].to_pylist(),
                        rtol=0, atol=1e-12)
@@ -275,12 +287,13 @@ def test_dis_max_tie_one_equals_multifield_sum(engine):
 def test_dis_max_zero_tie_takes_best_field(engine):
     """With tie_breaker=0 every score equals the better single-field
     score."""
-    res = engine.dis_max_search(content_query="merge window",
-                                path_query="42 md", path_boost=2.0,
+    res = engine.dis_max_search(content_query="authentication failure",
+                                path_query="py main", path_boost=2.0,
                                 tie_breaker=0.0, k=10)
-    c = engine.search("merge window", k=10_000, with_meta=False,
-                      strategy="taat")
-    p = engine.search_fields(content_query="", path_query="42 md",
+    assert res.num_rows > 0
+    c = engine.search("authentication failure", k=10_000,
+                      with_meta=False, strategy="taat")
+    p = engine.search_fields(content_query="", path_query="py main",
                              path_boost=2.0, k=10_000, strategy="taat")
     cs = dict(zip(c["doc_id"].to_pylist(), c["score"].to_pylist()))
     ps = dict(zip(p["doc_id"].to_pylist(), p["score"].to_pylist()))
@@ -292,9 +305,10 @@ def test_dis_max_zero_tie_takes_best_field(engine):
 def test_min_should_match_vs_bruteforce(engine, doc_tokens):
     """msm=2 keeps exactly the docs containing >= 2 distinct query
     terms; their scores equal the plain disjunction's scores."""
-    text = "merge window error spark"
+    text = "authentication failure error " + doc_tokens[0][1][0]
     qs = set(tokenize_py(text))
     exp_ids = {d for d, toks in doc_tokens if len(qs & set(toks)) >= 2}
+    assert exp_ids
     res = engine.boolean_search(should=text, k=10_000,
                                 min_should_match=2)
     assert set(res["doc_id"].to_pylist()) == exp_ids
@@ -308,32 +322,35 @@ def test_min_should_match_vs_bruteforce(engine, doc_tokens):
 
 
 def test_min_should_match_one_equals_default(engine):
-    a = engine.boolean_search(should="merge window", k=10)
-    b = engine.boolean_search(should="merge window", k=10,
+    a = engine.boolean_search(should="authentication failure", k=10)
+    b = engine.boolean_search(should="authentication failure", k=10,
                               min_should_match=1)
+    assert a.num_rows > 0
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert a["score"].to_pylist() == b["score"].to_pylist()
 
 
-def test_terms_filter_union_vs_single(engine, small_index):
+def test_terms_filter_union_vs_single(engine, small_index, doc_tokens):
     """A list-valued filter is the union of the single-value filters;
     surviving scores are unchanged from the unfiltered query."""
     idx_dir, _ = small_index
     tbl = pq.read_table(f"{idx_dir}/docs", columns=["doc_id", "lang"])
     lang_of = dict(zip(tbl["doc_id"].to_pylist(),
                        tbl["lang"].to_pylist()))
-    full = engine.search("merge window", k=10_000, with_meta=False,
+    text = " ".join(doc_tokens[0][1][:4])
+    full = engine.search(text, k=10_000, with_meta=False,
                          strategy="taat")
     exp = [(d, s) for d, s in zip(full["doc_id"].to_pylist(),
                                   full["score"].to_pylist())
-           if lang_of[d] in ("en", "de")][:10]
-    got = engine.search("merge window", k=10,
-                        filters={"lang": ["en", "de"]}, with_meta=False,
-                        strategy="taat")
+           if lang_of[d] in ("python", "go")][:10]
+    assert exp, "test corpus must contain python/go docs"
+    got = engine.search(text, k=10,
+                        filters={"lang": ["python", "go"]},
+                        with_meta=False, strategy="taat")
     assert list(zip(got["doc_id"].to_pylist(),
                     got["score"].to_pylist())) == exp
     # unknown value contributes nothing; all-unknown matches nothing
-    empty = engine.search("merge window", k=10,
+    empty = engine.search(text, k=10,
                           filters={"lang": ["zzz"]}, with_meta=False)
     assert empty.num_rows == 0
 
@@ -373,10 +390,11 @@ def test_scroll_export_plans_agree(engine, tmp_path):
     exactly the same rows."""
     from logsentinelai_ray.pipelines.queries import scroll_export
 
-    a = scroll_export(engine, "merge window error",
+    a = scroll_export(engine, "authentication failure",
                       str(tmp_path / "ids"), plan="ids").to_pandas()
-    b = scroll_export(engine, "merge window error",
+    b = scroll_export(engine, "authentication failure",
                       str(tmp_path / "scan"), plan="scan").to_pandas()
+    assert len(a) > 0
     assert list(a["doc_id"]) == list(b["doc_id"])
     assert list(a["sha256"]) == list(b["sha256"])
-    assert len(a) == engine.match_count("merge window error")
+    assert len(a) == engine.match_count("authentication failure")

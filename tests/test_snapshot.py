@@ -20,8 +20,8 @@ def test_snapshot_restore_rank_identical(engine, small_index, tmp_path):
 
     restored = SearchEngine(dst, num_shards=2)
     try:
-        a = engine.search("merge window error", k=10, with_meta=False)
-        b = restored.search("merge window error", k=10, with_meta=False)
+        a = engine.search("authentication failure error", k=10, with_meta=False)
+        b = restored.search("authentication failure error", k=10, with_meta=False)
         assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
         assert a["score"].to_pylist() == b["score"].to_pylist()
     finally:
@@ -46,12 +46,12 @@ def test_snapshot_detects_corruption(small_index, tmp_path):
 
 
 def test_explain_sums_to_search_score(engine):
-    text = "merge window error spark"
+    text = "authentication failure error"
     top = engine.search(text, k=3, with_meta=False)
     for i in range(top.num_rows):
         d = top["doc_id"][i].as_py()
         exp = engine.explain(text, d)
-        assert exp.num_rows >= 1
+        assert exp.num_rows >= 2
         # the TAAT accumulator adds contributions in sorted-term order;
         # the same sequential sum must reproduce the score bit-exactly
         total = 0.0

@@ -481,7 +481,9 @@ def q_composite_agg(sf_dir: str):
     keys = [("event_type", "ascending"), ("day", "ascending")]
     page1 = topk(agg, _COMPOSITE_PAGE_SIZE, keys)
     if page1 is None or len(page1) < _COMPOSITE_PAGE_SIZE:
-        return page1
+        # fewer buckets than one page: there is no page 2 (ES returns
+        # no after_key; the oracle's OFFSET agrees — empty result)
+        return page1.iloc[0:0] if page1 is not None else None
     after_type = page1["event_type"].iloc[-1]
     after_day = page1["day"].iloc[-1]
 

@@ -242,16 +242,18 @@ ORACLE_SQL: dict[str, str] = {
         SELECT * FROM (
           SELECT 'errors' AS bucket, count(*)::BIGINT AS n,
                  CAST(sum(value_micro) AS BIGINT) AS sum_value_micro
-          FROM m WHERE event_type = 'error'
+          FROM m WHERE event_type = 'error' HAVING count(*) > 0
           UNION ALL
           SELECT 'high_value', count(*)::BIGINT,
                  CAST(sum(value_micro) AS BIGINT)
-          FROM m WHERE value_micro >= 100000000
+          FROM m WHERE value_micro >= 100000000 HAVING count(*) > 0
           UNION ALL
           SELECT 'weekend', count(*)::BIGINT,
                  CAST(sum(value_micro) AS BIGINT)
-          FROM m WHERE isodow(ts) >= 6
+          FROM m WHERE isodow(ts) >= 6 HAVING count(*) > 0
         ) ORDER BY bucket
+        -- HAVING: a bucket with no matching rows is omitted on both
+        -- sides (the engine emits no partial rows for it)
     """,
     # after-key page 2 == offset pagination (the equivalence the entry
     # demonstrates); page size must match queries._COMPOSITE_PAGE_SIZE

@@ -469,6 +469,12 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
     "msearch": _MSEARCH_SQL,
+    # federated (two-index, global-stats) search is bit-identical to
+    # the merged index — same SQL as bm25_topk
+    "federated_search": _BM25_BASE + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
     # snapshot + restore must serve identical ranks — same SQL as
     # bm25_topk
     "snapshot_restore": _BM25_BASE + """

@@ -940,6 +940,24 @@ _ENGINE_CACHE: dict = {}
 BM25_QUERY_TEXT = "error merge spark window"
 
 
+def _corpusify_docs(t: pa.Table) -> pa.Table:
+    """documents rows -> corpus shape with id-aligned keys: repo =
+    f"r{doc_id:012d}" makes the engine's sorted-key dense doc ids equal
+    the source doc_ids (shared by _docs_engine and the incremental /
+    federated splits)."""
+    import hashlib
+
+    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "repo": pa.array([f"r{d:012d}" for d in did], pa.string()),
+        "path": pa.array([f"doc_{d}.md" for d in did], pa.string()),
+        "commit": pa.array(
+            [hashlib.sha1(str(d).encode()).hexdigest() for d in did],
+            pa.string()),
+        "lang": t["lang"], "content": t["text"],
+    })
+
+
 def _docs_engine(sf_dir: str):
     """Build (once per sf_dir) an index over documents mapped to the corpus
     shape with id-aligned keys: repo = f"r{doc_id:012d}" makes the engine's
@@ -955,21 +973,9 @@ def _docs_engine(sf_dir: str):
     from ..index.build import build_index
     from ..query.shards import SearchEngine
 
-    def to_corpus(t: pa.Table) -> pa.Table:
-        did = t["doc_id"].to_numpy(zero_copy_only=False)
-        repo = pa.array([f"r{d:012d}" for d in did], pa.string())
-        return pa.table({
-            "repo": repo,
-            "path": pa.array([f"doc_{d}.md" for d in did], pa.string()),
-            "commit": pa.array(
-                [hashlib.sha1(str(d).encode()).hexdigest() for d in did],
-                pa.string()),
-            "lang": t["lang"], "content": t["text"],
-        })
-
     corpus = _read(sf_dir, "documents",
                    columns=["doc_id", "lang", "text"]) \
-        .map_batches(to_corpus, batch_format="pyarrow")
+        .map_batches(_corpusify_docs, batch_format="pyarrow")
     tag = "documents:" + sf_dir.rstrip("/")
     idx_dir = os.path.join(
         "/tmp/lsai_idx",
@@ -1161,6 +1167,54 @@ def q_matrix_stats(sf_dir: str):
         "var_x_pop": np.int64((n * sx2 - sx * sx) // den),
         "var_y_pop": np.int64((n * sy2 - sy * sy) // den),
     }])
+
+
+def q_federated_search(sf_dir: str):
+    """ES multi-index search with dfs_query_then_fetch global stats
+    (query/federated.py): the documents corpus is split at the median
+    key into TWO separate indexes; one metadata round collects global
+    (N, df, avgdl) and every member scores under them — the federated
+    result is bit-identical to a single merged index, so this shares
+    bm25_topk's SQL oracle."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from ..config import IndexConfig
+    from ..index.build import build_index
+    from ..query.federated import FederatedSearch
+    from ..query.shards import SearchEngine
+
+    if ("fed", sf_dir) in _ENGINE_CACHE:
+        fed = _ENGINE_CACHE[("fed", sf_dir)]
+    else:
+        src = _read(sf_dir, "documents",
+                    columns=["doc_id", "lang", "text"]) \
+            .map_batches(_corpusify_docs, batch_format="pyarrow") \
+            .materialize()
+        tag = "documents-fed:" + sf_dir.rstrip("/")
+        work = os.path.join(
+            "/tmp/lsai_idx",
+            hashlib.sha256(tag.encode()).hexdigest()[:16])
+        shutil.rmtree(work, ignore_errors=True)
+        tbl = pa.concat_tables(
+            b for b in src.iter_batches(batch_format="pyarrow"))
+        half_key = sorted(tbl["repo"].to_pylist())[tbl.num_rows // 2]
+        cfg = IndexConfig(num_partitions=8, salt_buckets=4)
+        members = []
+        for name, mask in (
+                ("a", pc.less(tbl["repo"], half_key)),
+                ("b", pc.greater_equal(tbl["repo"], half_key))):
+            d = os.path.join(work, name)
+            build_index(rd.from_arrow(tbl.filter(mask)), d, cfg,
+                        corpus_tag=f"{tag}-{name}")
+            members.append(SearchEngine(d, num_shards=2))
+        fed = FederatedSearch(members)
+        _ENGINE_CACHE[("fed", sf_dir)] = fed
+    res = fed.search(BM25_QUERY_TEXT, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
 
 
 def q_rank_eval(sf_dir: str):
@@ -2570,6 +2624,7 @@ QUERY_REGISTRY = {
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_terms_filter": q_bm25_topk_terms_filter,
     "collapse_by_lang": q_collapse_by_lang,
+    "federated_search": q_federated_search,
     "rank_eval": q_rank_eval,
     "rare_terms": q_rare_terms,
     "bm25_topk_incremental": q_bm25_topk_incremental,

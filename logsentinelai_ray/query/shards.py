@@ -288,14 +288,19 @@ class IndexShard:
         return [t for _, t in pairs[:top_n] if ":" not in t]
 
     def decode_term(self, term: str, n_docs: int, k1: float, b: float,
-                    avgdl: float):
+                    avgdl: float, idf_override: float | None = None):
         """Shard-side TAAT decode: (df, doc_ids, idf*tf_norm) for one
         term, or None. Decoding runs where the compressed row lives, in
         parallel across the shards owning a query's terms, and the
         result arrays come back zero-copy through the object store —
         the driver never decodes hot posting lists serially. The float
         expression tree matches bm25_tf_norm exactly (elementwise IEEE
-        ops ≡ the scalar oracle bit-for-bit)."""
+        ops ≡ the scalar oracle bit-for-bit).
+
+        ``idf_override`` substitutes a caller-computed idf for the
+        local-df one — federated search passes the GLOBAL idf so the
+        contribution's expression tree is identical to a single merged
+        index's (query/federated.py)."""
         loc = self.term_index.get(term)
         if loc is None:
             return None
@@ -308,7 +313,8 @@ class IndexShard:
         for f in ("doc_data", "tf_data", "dl_data"):
             row[f] = tbl[f][i].as_py()
         tp = TermPostings(row)
-        idf = bm25_idf(n_docs, int(tp.df))
+        idf = (idf_override if idf_override is not None
+               else bm25_idf(n_docs, int(tp.df)))
         ids, tfs, dls = tp.decode_all()
         tf = tfs.astype(np.float64)
         dl = dls.astype(np.float64)

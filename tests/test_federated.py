@@ -1,0 +1,66 @@
+"""Federated (multi-index, dfs_query_then_fetch) search must be
+bit-identical to one merged index over the union corpus."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def halves(small_index, tmp_path_factory, ray_session):
+    """Split the fixture corpus at the median doc id (= sorted-key
+    rank) and build each half as its own index."""
+    import ray.data as rd
+
+    from logsentinelai_ray.index.build import build_index
+
+    idx_dir, cfg = small_index
+    docs = pq.read_table(f"{idx_dir}/docs")
+    half = docs.num_rows // 2
+    ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+    cols = ["repo", "path", "commit", "lang", "content"]
+    base = tmp_path_factory.mktemp("fed")
+    dirs = []
+    for name, mask in (("a", ids < half), ("b", ids >= half)):
+        part = docs.filter(pa.array(mask)).select(cols)
+        d = str(base / name)
+        build_index(rd.from_arrow(part), d, cfg, corpus_tag=f"fed-{name}")
+        dirs.append(d)
+    return dirs
+
+
+def test_federated_equals_merged(engine, halves):
+    from logsentinelai_ray.query.federated import FederatedSearch
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    members = [SearchEngine(d, num_shards=2) for d in halves]
+    try:
+        fed = FederatedSearch(members)
+        for text in ("authentication failure", "error",
+                     "authentication failure error zzzmissing"):
+            a = fed.search(text, k=15)
+            b = engine.search(text, k=15, with_meta=False,
+                              strategy="taat")
+            assert a.num_rows > 0
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+            # bit-identical scores — same float expression tree
+            assert a["score"].to_pylist() == b["score"].to_pylist()
+    finally:
+        for m in members:
+            m.shutdown()
+
+
+def test_federated_rejects_mismatched_members(halves, ray_session):
+    from logsentinelai_ray.query.federated import FederatedSearch
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    m = SearchEngine(halves[0], num_shards=2)
+    try:
+        m2 = SearchEngine(halves[1], num_shards=2)
+        m2.stats = dict(m2.stats, k1=9.9)
+        with pytest.raises(ValueError):
+            FederatedSearch([m, m2])
+        m2.shutdown()
+    finally:
+        m.shutdown()

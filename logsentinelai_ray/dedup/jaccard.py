@@ -35,8 +35,10 @@ import pyarrow.compute as pc
 
 
 def _shingle_rows(batch: pa.Table, text_col: str, id_col: str,
-                  n: int) -> pa.Table:
-    """Emit (doc_id, sh) distinct word-n-gram rows — no per-row Python.
+                  n: int, distinct: bool = True) -> pa.Table:
+    """Emit (doc_id, sh) word-n-gram rows — per-doc distinct by default
+    (the dedup use), raw occurrences with ``distinct=False`` (n-gram
+    counting, e.g. bigram-LM / BPE statistics). No per-row Python.
 
     Tokens come from one vectorized regex split; shingles are built from
     the flattened token values with windowed ``pc.take`` and a single
@@ -66,6 +68,8 @@ def _shingle_rows(batch: pa.Table, text_col: str, id_col: str,
     doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64), n_sh)
     doc_ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_rep]
     t = pa.table({"doc_id": pa.array(doc_ids, pa.int64()), "sh": sh})
+    if not distinct:
+        return t
     # each document lives in exactly one input row, so per-batch distinct
     # (doc_id, sh) is globally distinct
     return t.group_by(["doc_id", "sh"]).aggregate([])

@@ -1171,6 +1171,24 @@ ORACLE_SQL: dict[str, str] = {
         SELECT min(doc_id) AS doc_id FROM documents
         GROUP BY text ORDER BY doc_id
     """,
+    # bigram-LM / BPE counting: top-20 adjacent token pairs by raw
+    # occurrence count (same lower+split tokenization as the shingles)
+    "bigram_counts": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS arr
+          FROM documents
+        ), g AS (
+          SELECT unnest([arr[i] || ' ' || arr[i+1]
+                         FOR i IN generate_series(1, len(arr) - 1)])
+                     AS pair
+          FROM t WHERE len(arr) >= 2
+        )
+        SELECT pair, count(*)::BIGINT AS n FROM g GROUP BY 1
+        ORDER BY n DESC, pair ASC LIMIT 20
+    """,
     # decontamination: docs sharing any word-3-gram with benchmark docs
     # 0-4; shingle spec matches ngram_jaccard_dupes / dedup/jaccard.py
     "contamination_check": """

@@ -1677,6 +1677,29 @@ def q_scroll_export(sf_dir: str):
     return scroll_export(eng, BM25_QUERY_TEXT, outdir)
 
 
+def q_bigram_counts(sf_dir: str):
+    """Corpus bigram frequencies — the counting step of bigram-LM /
+    BPE-merge training: top-20 adjacent token pairs by total occurrence
+    count. Pairs are built vectorized from the token arrays (the
+    2-gram case of the jaccard shingle machinery, occurrence counts
+    kept — not per-doc distinct), partially aggregated per batch so
+    only (pair, count) rows cross the shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..dedup.jaccard import _shingle_rows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        sh = _shingle_rows(t, "text", "doc_id", 2, distinct=False)
+        out = sh.group_by("sh").aggregate([("sh", "count")])
+        return out.rename_columns(["pair", "n_part"])
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("pair").aggregate(Sum("n_part", alias_name="n")))
+    return topk(out, 20, [("n", "descending"), ("pair", "ascending")])
+
+
 _BENCH_DOC_MAX = 5  # docs 0..4 play the held-out benchmark set
 
 
@@ -2694,4 +2717,5 @@ QUERY_REGISTRY = {
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,
+    "bigram_counts": q_bigram_counts,
 }

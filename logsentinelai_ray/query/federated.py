@@ -95,6 +95,12 @@ class FederatedSearch:
                 continue
             _df, ids, contrib = res
             acc[ids + self.offsets[ei]] += contrib
+        # member delete tombstones apply in the global id space
+        for ei, e in enumerate(self.engines):
+            t = e._tombstones
+            if t.size:
+                tg = t + self.offsets[ei]
+                acc[tg[tg < acc.size]] = 0.0
         cand = np.flatnonzero(acc > 0.0)
         if cand.size == 0:
             return self._empty()

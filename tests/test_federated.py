@@ -64,3 +64,31 @@ def test_federated_rejects_mismatched_members(halves, ray_session):
         m2.shutdown()
     finally:
         m.shutdown()
+
+
+def test_federated_respects_member_tombstones(halves, ray_session):
+    from logsentinelai_ray.index.delete import delete_docs
+    from logsentinelai_ray.query.federated import FederatedSearch
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    import shutil
+    import tempfile
+
+    clone = tempfile.mkdtemp(prefix="feddel_") + "/a"
+    shutil.copytree(halves[0], clone)
+    members = [SearchEngine(clone, num_shards=2),
+               SearchEngine(halves[1], num_shards=2)]
+    try:
+        fed = FederatedSearch(members)
+        before = fed.search("authentication failure", k=5)
+        assert before.num_rows > 0
+        victim = before["doc_id"][0].as_py()
+        assert victim < int(members[0].stats["n_docs"])  # in member 0
+        delete_docs(clone, [victim])
+        members[0].reload_tombstones()
+        after = fed.search("authentication failure", k=5)
+        assert victim not in after["doc_id"].to_pylist()
+    finally:
+        for m in members:
+            m.shutdown()
+        shutil.rmtree(clone, ignore_errors=True)

@@ -76,6 +76,15 @@ def snapshot_index(src: str, dst: str) -> dict:
     against its own manifest (see module docstring). Removes a failed
     snapshot and raises ``SnapshotCorrupt`` on any mismatch; returns the
     verification report on success."""
+    src_real = os.path.realpath(src)
+    dst_real = os.path.realpath(dst)
+    common = os.path.commonpath([src_real, dst_real])
+    if common in (src_real, dst_real):
+        # dst == src, dst inside src, or src inside dst: the rmtree below
+        # would destroy the live source index either way
+        raise ValueError(
+            f"snapshot destination {dst!r} overlaps the source index "
+            f"{src!r}; choose a disjoint directory")
     shutil.rmtree(dst, ignore_errors=True)
     shutil.copytree(src, dst)
     try:

@@ -494,8 +494,14 @@ def q_composite_agg(sf_dir: str):
                     pc.greater(t["day"], after_day)))
         return t.filter(gt)
 
-    return topk(agg.map_batches(after, batch_format="pyarrow"),
-                _COMPOSITE_PAGE_SIZE, keys)
+    page2 = topk(agg.map_batches(after, batch_format="pyarrow"),
+                 _COMPOSITE_PAGE_SIZE, keys)
+    if page2 is None:
+        # exactly one page of buckets: the after-key filter matched
+        # nothing and topk saw no parts; the oracle's LIMIT/OFFSET
+        # yields an empty rowset, so mirror the <PAGE_SIZE branch
+        return page1.iloc[0:0]
+    return page2
 
 
 def q_top_hits_agg(sf_dir: str):
@@ -1645,6 +1651,12 @@ def scroll_export(eng, text: str, outdir: str,
         src.map_batches(keep, batch_format="pyarrow") \
             .write_parquet(outdir)
     else:
+        # delete tombstones are tiny (sorted id array) — broadcast them so
+        # the scan plan honors deletes exactly like the ids plan, whose
+        # match_ids already drops tombstoned docs (the size-based plan
+        # switch must not change delete semantics)
+        tomb_ref = ray.put(eng._tombstones)
+
         def keep_scan(t: pa.Table) -> pa.Table:
             row_idx, toks, _ = tokenize_batch_arrow(t["content"])
             hit = np.zeros(t.num_rows, dtype=bool)
@@ -1652,6 +1664,10 @@ def scroll_export(eng, text: str, outdir: str,
                 rows = row_idx[pc.equal(toks, term)
                                .to_numpy(zero_copy_only=False)]
                 hit[np.unique(rows)] = True
+            tomb = ray.get(tomb_ref)
+            if tomb.size:
+                d = t["doc_id"].to_numpy(zero_copy_only=False)
+                hit &= ~np.isin(d, tomb)
             return t.filter(pa.array(hit)) \
                 .select(["doc_id", "lang", "sha256"])
 

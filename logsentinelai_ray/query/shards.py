@@ -59,21 +59,32 @@ def parse_query_string(qs: str) -> dict:
     "phrases": [...], "filters": {field: value}}``. Pure function —
     see SearchEngine.query_string for the execution semantics."""
     must, should, must_not, phrases = [], [], [], []
+    neg_phrases: list[str] = []
     filters: dict[str, str] = {}
+    impossible = False
     for m in _QS_TOKEN.finditer(qs):
         sign, raw, quoted = m.group(1), m.group(2), m.group(3)
         if quoted is not None:
-            phrases.append(quoted)
+            # -"a b" excludes the phrase (ES must_not); +"a b" and a bare
+            # quoted phrase both require it
+            (neg_phrases if sign == "-" else phrases).append(quoted)
             continue
         if not sign and ":" in raw:
             f, v = raw.split(":", 1)
             if f in _QS_FILTER_FIELDS and v:
-                filters[f] = v
+                # repeated filters on one field AND together (ES bool
+                # filter context); lang/repo are single-valued per doc,
+                # so two distinct required values can match nothing
+                if f in filters and filters[f] != v:
+                    impossible = True
+                else:
+                    filters[f] = v
                 continue
         (must if sign == "+" else
          must_not if sign == "-" else should).append(raw)
     return {"must": must, "should": should, "must_not": must_not,
-            "phrases": phrases, "filters": filters}
+            "phrases": phrases, "neg_phrases": neg_phrases,
+            "filters": filters, "impossible": impossible}
 
 
 def _levenshtein_leq(a: str, b: str, k: int) -> bool:
@@ -1417,7 +1428,7 @@ class SearchEngine:
         - ``field:value`` — keyword-field filter (``lang:``/``repo:``
           field postings, same as search()'s ``filters``)
         - ``"a phrase"`` — must contain the consecutive token sequence
-          (positional verify, phrase_match)
+          (positional verify, phrase_match); ``-"a phrase"`` excludes it
         - ``+term`` — must (conjunction)
         - ``-term`` — must_not (exclusion)
         - ``term`` — should (scores; with no must/phrase clause present,
@@ -1430,7 +1441,10 @@ class SearchEngine:
         parsed = parse_query_string(qs)
         must, should = parsed["must"], parsed["should"]
         must_not, phrases = parsed["must_not"], parsed["phrases"]
+        neg_phrases = parsed["neg_phrases"]
         filters = parsed["filters"]
+        if parsed["impossible"]:  # conflicting single-valued filters
+            return self._format_result([], with_meta)
         mx = int(self.stats["max_token_len"])
         mt = sorted({t for s in must for t in tokenize_py(s, mx)})
         st = sorted({t for s in should for t in tokenize_py(s, mx)})
@@ -1469,6 +1483,12 @@ class SearchEngine:
             hit = self._contrib_cache.get(t)
             if hit is not None and cand.size:
                 cand = cand[~np.isin(cand, hit[0], assume_unique=True)]
+        for p in neg_phrases:
+            if not cand.size:
+                break
+            ids = self.phrase_match(p)["doc_id"] \
+                .to_numpy(zero_copy_only=False)
+            cand = cand[~np.isin(cand, ids, assume_unique=True)]
         if cand.size == 0:
             return self._format_result([], with_meta)
         topk = self._search_taat(score_terms, k, cand)

@@ -106,3 +106,20 @@ def test_reload_tombstones(small_index, tmp_path):
     assert victim not in eng.search("error", k=5,
                                     with_meta=False)["doc_id"].to_pylist()
     eng.shutdown()
+
+
+def test_scroll_export_plans_agree_with_deletes(deleted_engine, tmp_path):
+    """The scan plan must honor delete tombstones exactly like the ids
+    plan (the automatic size-based plan switch must not change delete
+    semantics)."""
+    from logsentinelai_ray.pipelines.queries import scroll_export
+
+    eng, victims = deleted_engine
+    a = scroll_export(eng, "error", str(tmp_path / "ids"),
+                      plan="ids").to_pandas()
+    b = scroll_export(eng, "error", str(tmp_path / "scan"),
+                      plan="scan").to_pandas()
+    assert len(a) > 0
+    assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    assert not (set(a["doc_id"]) & victims)
+    assert a["sha256"].tolist() == b["sha256"].tolist()

@@ -253,3 +253,28 @@ def test_ann_recall_multiprobe_and_ivf(ray_session):
     ivf = set(cosine_topk_ivf(ds, q, cent, k=10,
                               n_probe=4)["vec_id"].to_pylist())
     assert len(ivf & exact) >= 5
+
+
+def test_composite_agg_exactly_one_page(ray_session, tmp_path):
+    """With exactly _COMPOSITE_PAGE_SIZE buckets the after-key filter
+    matches nothing; page 2 must be an EMPTY frame (the oracle's
+    LIMIT/OFFSET shape), not None."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from logsentinelai_ray.pipelines.queries import (_COMPOSITE_PAGE_SIZE,
+                                                     q_composite_agg)
+
+    n = _COMPOSITE_PAGE_SIZE
+    ts = [datetime.datetime(2026, 1, 1 + i % 5, tzinfo=datetime.timezone.utc)
+          for i in range(n)]
+    tbl = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us", tz="UTC")),
+        "event_type": pa.array([f"t{i // 5}" for i in range(n)]),
+        "value": pa.array([float(i) for i in range(n)]),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    page2 = q_composite_agg(str(tmp_path))
+    assert page2 is not None and len(page2) == 0
+    assert set(page2.columns) >= {"event_type", "day", "n"}

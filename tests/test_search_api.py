@@ -365,6 +365,16 @@ def test_parse_query_string_clauses():
     # unknown field:value tokens fall through to should
     assert p["should"] == ["e", "x:y"]
     assert p["filters"] == {"lang": "en", "repo": "r1"}
+    assert p["neg_phrases"] == [] and p["impossible"] is False
+    # signed quoted phrases keep their sign: -"a b" excludes the phrase
+    p = parse_query_string('-"a b" +"c d" "e f"')
+    assert p["neg_phrases"] == ["a b"]
+    assert p["phrases"] == ["c d", "e f"]
+    # repeated single-valued field filters AND together: a conflict can
+    # match nothing, a duplicate is a no-op
+    assert parse_query_string("lang:en lang:de")["impossible"] is True
+    p = parse_query_string("lang:en lang:en")
+    assert p["filters"] == {"lang": "en"} and p["impossible"] is False
 
 
 def test_parse_query_string_never_crashes():
@@ -378,8 +388,9 @@ def test_parse_query_string_never_crashes():
     def check(qs):
         p = parse_query_string(qs)
         assert set(p) == {"must", "should", "must_not", "phrases",
-                          "filters"}
-        for key in ("must", "should", "must_not", "phrases"):
+                          "neg_phrases", "filters", "impossible"}
+        for key in ("must", "should", "must_not", "phrases",
+                    "neg_phrases"):
             assert all(isinstance(x, str) for x in p[key])
 
     check()

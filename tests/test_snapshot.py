@@ -63,3 +63,16 @@ def test_explain_sums_to_search_score(engine):
 def test_explain_unmatched_doc_is_empty(engine):
     exp = engine.explain("zzzmissingterm", 0)
     assert exp.num_rows == 0
+
+
+def test_snapshot_refuses_overlapping_destination(small_index, tmp_path):
+    """dst == src, dst inside src, or src inside dst would rmtree the
+    live source index — all three must be rejected before any delete."""
+    idx_dir, _cfg = small_index
+    for bad in (idx_dir,
+                os.path.join(idx_dir, "snap"),
+                os.path.dirname(idx_dir)):
+        with pytest.raises(ValueError):
+            snapshot_index(idx_dir, bad)
+    # the source must be untouched
+    assert os.path.exists(os.path.join(idx_dir, "stats.json"))

@@ -72,6 +72,28 @@ class TermPostings:
         ids = c - np.repeat(corr, self.block_count)
         return ids, tfs, dls
 
+    def decode_block_range(self, b0: int, b1: int
+                           ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode blocks ``b0..b1`` (inclusive) in three varint calls +
+        one segmented cumsum — the contiguous-run generalization of
+        ``decode_all``. Returns absolute doc ids. This is what makes the
+        vectorized WAND's selective decode as cheap per byte as the TAAT
+        full decode: cost scales with the bytes actually decoded, not
+        with the number of blocks touched."""
+        counts = self.block_count[b0:b1 + 1]
+        gaps = decode_varint(
+            self.doc_data[self.doc_off[b0]:self.doc_off[b1 + 1]])
+        tfs = decode_varint(
+            self.tf_data[self.tf_off[b0]:self.tf_off[b1 + 1]])
+        dls = decode_varint(
+            self.dl_data[self.dl_off[b0]:self.dl_off[b1 + 1]])
+        starts = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        c = np.cumsum(gaps)
+        corr = c[starts] - gaps[starts]
+        ids = c - np.repeat(corr, counts)
+        return ids, tfs, dls
+
     def all_doc_ids(self) -> np.ndarray:
         """Doc ids of the whole posting list (field-filter postings)."""
         return self.decode_all()[0]

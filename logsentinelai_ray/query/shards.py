@@ -42,7 +42,7 @@ from ..index import manifest as mf
 from ..index.build import term_partition
 from .bm25 import bm25_idf
 from .postings import PostingsCursor, TermPostings
-from .wand import block_max_wand
+from .wand import block_max_wand_vec
 
 
 # query_string lexer: optional +/- sign, then a quoted phrase or a bare
@@ -672,19 +672,14 @@ class SearchEngine:
             cursors.append(PostingsCursor(tp, idf, self.stats["k1"],
                                           self.stats["b"], avgdl,
                                           bound_scale))
-        pred = self._filter_predicate(filters)
+        filter_ids = self._filter_ids(filters)
+        if filter_ids is not None and filter_ids.size == 0:
+            return self._format_result([], with_meta)
         tomb = self._tombstones
-        if tomb.size:
-            base_pred = pred
-
-            def pred(doc_id: int, _b=base_pred, _t=tomb) -> bool:
-                i = int(np.searchsorted(_t, doc_id))
-                if i < _t.size and _t[i] == doc_id:
-                    return False
-                return _b is None or _b(doc_id)
-
         seed = None if (filters or tomb.size) else self._wand_seed(terms, k)
-        topk = block_max_wand(cursors, k, pred, seed_threshold=seed)
+        topk = block_max_wand_vec(
+            cursors, k, filter_ids=filter_ids,
+            exclude_ids=tomb if tomb.size else None, seed_threshold=seed)
         return self._format_result(topk, with_meta)
 
     def msearch(self, requests: list[dict], with_meta: bool = True,
@@ -932,14 +927,9 @@ class SearchEngine:
                 path_avgdl if is_path else avgdl,
                 1.0 if is_path else bound_scale,
                 score_scale=path_boost if is_path else 1.0))
-        pred = None
         tomb = self._tombstones
-        if tomb.size:
-            def pred(doc_id: int, _t=tomb) -> bool:
-                i = int(np.searchsorted(_t, doc_id))
-                return not (i < _t.size and _t[i] == doc_id)
-
-        topk = block_max_wand(cursors, k, pred)
+        topk = block_max_wand_vec(
+            cursors, k, exclude_ids=tomb if tomb.size else None)
         return self._format_result(topk, with_meta)
 
     def search_sorted_by_field(self, text: str, field: str = "lang",
@@ -1598,32 +1588,28 @@ class SearchEngine:
     def _wand_seed(self, terms: list[str], k: int,
                    max_seed_df: int = 10_000) -> float | None:
         """Exact threshold warm-start for WAND: fully score the rarest
-        term's candidate docs (a mini-TAAT over <= max_seed_df docs using
-        the cached decoded contributions) — the k-th best of that subset
-        is a provable lower bound on the true k-th best score, so
+        term's candidate docs — the k-th best of that subset is a
+        provable lower bound on the true k-th best score, so
         nextafter(bound, -inf) is a safe initial pruning threshold.
         Without it, mixed rare+hot queries only reach a useful threshold
-        after scanning a large fraction of the hot lists."""
-        self._ensure_contribs(terms)
-        present = [(hit[2], t) for t in terms
-                   if (hit := self._contrib_cache.get(t)) is not None]
+        after scanning a large fraction of the hot lists.
+
+        IO-lean by construction: the candidate scoring is block-targeted
+        (``_score_id_set`` decodes only the posting blocks containing a
+        candidate), so seeding costs the rare term's small list plus
+        O(candidates) blocks — never a hot term's full list. (The
+        previous formulation warmed the TAAT contribution cache, i.e.
+        decoded every query term fully — exactly the N-sized work the
+        WAND strategy exists to avoid.)"""
+        rows = self._fetch_terms(terms)
+        present = [(int(r["df"]), t) for t, r in rows.items()]
         if len(present) < 2:
             return None
         min_df, rare = min(present)
         if min_df > max_seed_df or min_df < k:
             return None
-        cand = self._contrib_cache[rare][0]
-        totals = np.zeros(cand.size, dtype=np.float64)
-        for t in terms:  # sorted-term order — exact score assembly
-            hit = self._contrib_cache.get(t)
-            if hit is None:
-                continue
-            ids, contrib, _df = hit
-            pos = np.searchsorted(ids, cand)
-            ok = pos < ids.size
-            sel = np.zeros(cand.size, dtype=bool)
-            sel[ok] = ids[pos[ok]] == cand[ok]
-            totals[sel] += contrib[pos[sel]]
+        cand = TermPostings(rows[rare]).decode_all()[0]
+        totals = self._score_id_set(terms, cand)
         if totals.size < k:
             return None
         kth = float(np.partition(totals, -k)[-k])

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import heapq
 
+import numpy as np
+
 from .postings import INF_DOC, PostingsCursor
 
 
@@ -121,3 +123,163 @@ def block_max_wand(cursors: list[PostingsCursor], k: int,
 
     out = sorted(heap, key=lambda sd: (-sd[0], -sd[1]))
     return [(-d, s) for s, d in out]
+
+
+def _merge_adjacent(lo: np.ndarray, hi: np.ndarray, gap: int = 1
+                    ) -> tuple[np.ndarray, np.ndarray]:
+    """Merge sorted, non-overlapping [lo, hi] intervals whose gap to the
+    previous interval is <= ``gap`` (gap=1 merges touching intervals)."""
+    if lo.size <= 1:
+        return lo, hi
+    run_hi = np.maximum.accumulate(hi)
+    new_run = np.empty(lo.size, dtype=bool)
+    new_run[0] = True
+    new_run[1:] = lo[1:] > run_hi[:-1] + gap
+    starts = np.flatnonzero(new_run)
+    ends = np.append(starts[1:], lo.size) - 1
+    return lo[starts], run_hi[ends]
+
+
+def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
+                       filter_ids: np.ndarray | None = None,
+                       exclude_ids: np.ndarray | None = None,
+                       seed_threshold: float | None = None,
+                       first_batch_atoms: int = 64,
+                       ) -> list[tuple[int, float]]:
+    """Vectorized block-max WAND — identical results to ``block_max_wand``
+    (cross-tested), but block-at-a-time instead of doc-at-a-time, so the
+    hot path is numpy kernels over decoded block runs rather than a
+    Python loop over postings.
+
+    Shape: (1) a sweep over every term's [block_first, block_last]
+    intervals partitions doc-id space into "atoms" — maximal intervals
+    with a constant set of covering blocks — each carrying the summed
+    block-max upper bound of its covering blocks; (2) atoms are consumed
+    in doc-id order in geometrically growing batches; an atom whose upper
+    bound is <= the current threshold is skipped whole (rank-exact: the
+    threshold only ever reflects docs with smaller ids, so a skipped doc
+    loses the (score desc, doc_id asc) tie-break even on equality —
+    the same argument as the scalar version); (3) surviving atoms are
+    scored exactly: overlapping blocks are decoded as contiguous runs
+    (``decode_block_range``), contributions computed with the same
+    float64 expression tree as ``PostingsCursor.score_current`` and
+    accumulated with ``np.add.at`` over term-order-concatenated arrays —
+    per-doc float addition order == sorted-term order == the oracle's.
+
+    Upper-bound safety under vectorization: atom bounds come from a
+    cumsum over +/- block-bound events, whose float rounding could
+    otherwise dip BELOW the true sum; bounds are therefore inflated by a
+    relative 1e-9 + absolute 1e-12 — orders of magnitude above cumsum
+    error, orders of magnitude below any pruning-power impact — keeping
+    the skip provably safe.
+
+    ``filter_ids`` (sorted, unique) keeps only those docs; ``exclude_ids``
+    (sorted tombstones) drops docs. Neither tightens the threshold via
+    excluded docs (they are removed before the top-k merge), matching the
+    scalar contract. ``seed_threshold`` must be strictly below the true
+    k-th best score (see block_max_wand).
+    """
+    cs = [c for c in cursors if c.tp.n_blocks]
+    if not cs or k <= 0:
+        return []
+
+    # ---- 1. atom sweep over block intervals ------------------------------
+    pos_parts, delta_parts = [], []
+    for c in cs:
+        ub = (c.idf * c.bound_scale * c.score_scale) * c.tp.block_max
+        pos_parts.append(c.tp.block_first)
+        delta_parts.append(ub)
+        pos_parts.append(c.tp.block_last + 1)
+        delta_parts.append(-ub)
+    pos = np.concatenate(pos_parts)
+    delta = np.concatenate(delta_parts)
+    order = np.argsort(pos, kind="stable")
+    pos, delta = pos[order], delta[order]
+    upos, first_idx = np.unique(pos, return_index=True)
+    last_idx = np.append(first_idx[1:], pos.size) - 1
+    atom_ub = np.cumsum(delta)[last_idx]
+    atom_ub = atom_ub * (1.0 + 1e-9) + 1e-12  # see docstring: safe bound
+    n_atoms = upos.size - 1  # last upos is max(block_last)+1, ub ~ 0 after
+
+    # ---- 2/3. batched consume + exact scoring ----------------------------
+    top_ids = np.empty(0, dtype=np.int64)
+    top_scores = np.empty(0, dtype=np.float64)
+    seed = -np.inf if seed_threshold is None else float(seed_threshold)
+    threshold = seed
+    j = 0
+    batch = max(1, int(first_batch_atoms))
+    while j < n_atoms:
+        je = min(j + batch, n_atoms)
+        batch = min(batch * 4, 65536)
+        alive = atom_ub[j:je] > threshold
+        if not alive.any():
+            j = je
+            continue
+        lo = upos[j:je][alive]
+        hi = upos[j + 1:je + 1][alive] - 1
+        j = je
+        lo, hi = _merge_adjacent(lo, hi)
+
+        ids_parts: list[np.ndarray] = []
+        contrib_parts: list[np.ndarray] = []
+        for c in cs:  # sorted-term order — the scoring contract
+            tp = c.tp
+            b0 = np.searchsorted(tp.block_last, lo, side="left")
+            b1 = np.searchsorted(tp.block_first, hi, side="right") - 1
+            ok = b0 <= b1
+            if not ok.any():
+                continue
+            r0, r1 = _merge_adjacent(b0[ok], b1[ok], gap=0)
+            dec = [tp.decode_block_range(int(a), int(b))
+                   for a, b in zip(r0, r1)]
+            ids = np.concatenate([d[0] for d in dec])
+            tfs = np.concatenate([d[1] for d in dec])
+            dls = np.concatenate([d[2] for d in dec])
+            # keep only ids inside a surviving atom range
+            ri = np.searchsorted(lo, ids, side="right") - 1
+            keep = ri >= 0
+            keep[keep] = ids[keep] <= hi[ri[keep]]
+            if not keep.any():
+                continue
+            ids = ids[keep]
+            tf = tfs[keep].astype(np.float64)
+            dl = dls[keep].astype(np.float64)
+            # identical expression tree to PostingsCursor.score_current /
+            # IndexShard.decode_term (elementwise IEEE ops == scalar oracle)
+            contrib = c.idf * (tf * (c.k1 + 1.0)
+                               / (tf + c.k1 * (1.0 - c.b
+                                               + c.b * dl / c.avgdl)))
+            if c.score_scale != 1.0:
+                contrib = c.score_scale * contrib
+            ids_parts.append(ids)
+            contrib_parts.append(contrib)
+        if not ids_parts:
+            continue
+        cat_ids = np.concatenate(ids_parts)
+        cat_contrib = np.concatenate(contrib_parts)
+        uids, inv = np.unique(cat_ids, return_inverse=True)
+        acc = np.zeros(uids.size, dtype=np.float64)
+        # np.add.at applies strictly in element order -> per-doc addition
+        # order is term order (ids_parts concatenated term-by-term)
+        np.add.at(acc, inv, cat_contrib)
+        if exclude_ids is not None and exclude_ids.size and uids.size:
+            p = np.searchsorted(exclude_ids, uids)
+            p_ok = p < exclude_ids.size
+            bad = np.zeros(uids.size, dtype=bool)
+            bad[p_ok] = exclude_ids[p[p_ok]] == uids[p_ok]
+            uids, acc = uids[~bad], acc[~bad]
+        if filter_ids is not None and uids.size:
+            p = np.searchsorted(filter_ids, uids)
+            p_ok = p < filter_ids.size
+            good = np.zeros(uids.size, dtype=bool)
+            good[p_ok] = filter_ids[p[p_ok]] == uids[p_ok]
+            uids, acc = uids[good], acc[good]
+        if not uids.size:
+            continue
+        merged_ids = np.concatenate((top_ids, uids))
+        merged_scores = np.concatenate((top_scores, acc))
+        sel = np.lexsort((merged_ids, -merged_scores))[:k]
+        top_ids, top_scores = merged_ids[sel], merged_scores[sel]
+        if top_ids.size == k:
+            threshold = max(seed, float(top_scores[-1]))
+    return [(int(d), float(s)) for d, s in zip(top_ids, top_scores)]

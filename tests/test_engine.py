@@ -75,6 +75,60 @@ def test_wand_equals_exhaustive(engine):
                 c.__init__(c.tp, c.idf, c.k1, c.b, c.avgdl)
 
 
+def test_wand_vec_equals_scalar_wand(engine):
+    """The vectorized block-at-a-time WAND must be bit-identical to the
+    doc-at-a-time scalar WAND — with and without a seed threshold,
+    filter sets, exclusions, and across batch granularities."""
+    import numpy as np
+
+    from logsentinelai_ray.analysis import tokenize_py
+    from logsentinelai_ray.query.bm25 import bm25_idf
+    from logsentinelai_ray.query.postings import PostingsCursor, TermPostings
+    from logsentinelai_ray.query.wand import block_max_wand, block_max_wand_vec
+
+    stats = engine.stats
+    n = int(stats["n_docs"])
+    rng = np.random.default_rng(7)
+    for query in QUERY_SET:
+        terms = sorted(set(tokenize_py(query, int(stats["max_token_len"]))))
+        rows = engine._fetch_terms(terms)
+
+        def mk_cursors():
+            out = []
+            for t in terms:
+                if t not in rows:
+                    continue
+                tp = TermPostings(rows[t])
+                idf = bm25_idf(n, int(tp.df))
+                out.append(PostingsCursor(tp, idf, stats["k1"], stats["b"],
+                                          stats["avgdl"]))
+            return out
+
+        for k in (1, 7, 40, 10_000):
+            exp = block_max_wand(mk_cursors(), k)
+            got = block_max_wand_vec(mk_cursors(), k)
+            assert got == exp, (query, k)
+            # tiny first batch forces many threshold-update rounds
+            got2 = block_max_wand_vec(mk_cursors(), k, first_batch_atoms=1)
+            assert got2 == exp, (query, k)
+            if exp:
+                seed = float(np.nextafter(exp[min(k, len(exp)) - 1][1],
+                                          -np.inf))
+                got3 = block_max_wand_vec(mk_cursors(), k,
+                                          seed_threshold=seed)
+                assert got3 == exp, (query, k, "seeded")
+        # random filter / exclusion sets
+        keep = np.sort(rng.choice(n, size=n // 3, replace=False)).astype(np.int64)
+        drop = np.sort(rng.choice(n, size=n // 10, replace=False)).astype(np.int64)
+        keep_set, drop_set = set(keep.tolist()), set(drop.tolist())
+        exp = block_max_wand(mk_cursors(), 15,
+                             filter_predicate=lambda d: (d in keep_set
+                                                         and d not in drop_set))
+        got = block_max_wand_vec(mk_cursors(), 15, filter_ids=keep,
+                                 exclude_ids=drop)
+        assert got == exp, (query, "filtered")
+
+
 def test_doc_ids_deterministic_and_deduped(small_index, small_corpus):
     idx_dir, _ = small_index
     docs = pq.read_table(os.path.join(idx_dir, "docs")).sort_by("doc_id")

@@ -8,16 +8,19 @@ Definition (shared verbatim by the DuckDB oracle in __ray_entry__):
 
 Plan shape: map_batches shingle-emit (fully vectorized: Arrow list
 offsets → windowed takes → binary_join_element_wise, per-doc distinct via
-an Arrow group_by) → groupby(shingle).map_groups pair-expansion
-(np.triu_indices per group) → groupby(a, b).count = intersection sizes →
-jaccard against broadcast per-doc set sizes. Only (hash, id) pairs ever
-shuffle, never text. Per-doc set sizes come from a distributed
-groupby(doc_id).count() — one row per document — never from streaming
-shingle rows to the driver.
+an Arrow group_by) → groupby(shingle).map_groups block emission →
+map_batches vectorized block expansion → groupby(a, b).count =
+intersection sizes → jaccard against broadcast per-doc set sizes. Only
+(hash, id) pairs ever shuffle, never text. Per-doc set sizes come from a
+distributed groupby(doc_id).count() — one row per document — never from
+streaming shingle rows to the driver.
 
-Skew note: a shingle shared by g docs expands to g(g-1)/2 pairs; real
-corpora cap g (``max_group``) and salt the expansion — the cap defaults to
-None here so the result is exactly the oracle's.
+Skew note: a shingle shared by g docs expands to g(g-1)/2 pairs; the
+expansion is SALTED (chunk-pair block rows distribute one group's pairs
+across tasks) and CAPPED by default at a corpus-aware ``max_group``
+bound chosen far above any real group in the sf corpora, so the default
+result still equals the oracle's there; ``max_group=None`` forces the
+uncapped exact expansion.
 
 Scale notes (10^12 docs): the packed int64 pair key needs ids < 2^31 —
 enforced with a hard error; beyond that the expansion emits two id columns
@@ -75,8 +78,26 @@ def _shingle_rows(batch: pa.Table, text_col: str, id_col: str,
     return t.group_by(["doc_id", "sh"]).aggregate([])
 
 
-def _pairs_of_group(group: pa.Table, max_group: int | None) -> pa.Table:
-    """Expand one shingle's doc set into packed pair keys a*2^32+b."""
+# ids per side of an expansion block: one block row expands to at most
+# _PAIR_BLOCK^2 pairs (~2 MB of int64), the unit of distribution for a hot
+# shingle's otherwise-quadratic pair expansion
+_PAIR_BLOCK = 512
+
+_BLOCK_SCHEMA = pa.schema([("ia", pa.list_(pa.int64())),
+                           ("ib", pa.list_(pa.int64()))])
+
+
+def _pair_blocks_of_group(group: pa.Table, max_group: int | None,
+                          block: int = _PAIR_BLOCK) -> pa.Table:
+    """One shingle's doc set -> expansion block rows (ia, ib id lists).
+
+    The sorted id list is chunked into ``block``-sized slices; emitting
+    (chunk_i, chunk_j) for every i <= j covers each unordered pair
+    exactly once after the downstream ``a < b`` filter. A hot shingle's
+    g(g-1)/2 expansion is thereby SALTED over (g/block)^2/2 independent
+    rows that Ray Data spreads across tasks and batches — no single task
+    ever holds a group-squared pair set (the skew treatment the module
+    docstring prescribes)."""
     ids = np.sort(group["doc_id"].to_numpy(zero_copy_only=False))
     g = ids.size
     if g and ids[-1] >= 2 ** 31:
@@ -85,9 +106,46 @@ def _pairs_of_group(group: pa.Table, max_group: int | None) -> pa.Table:
             "pair key; use the two-column (a, b) groupby path instead "
             "(see module scale notes)")
     if g < 2 or (max_group is not None and g > max_group):
+        return _BLOCK_SCHEMA.empty_table()
+    chunks = [ids[i:i + block] for i in range(0, g, block)]
+    ia, ib = [], []
+    for i in range(len(chunks)):
+        for j in range(i, len(chunks)):
+            ia.append(chunks[i])
+            ib.append(chunks[j])
+    return pa.table({"ia": pa.array(ia, pa.list_(pa.int64())),
+                     "ib": pa.array(ib, pa.list_(pa.int64()))})
+
+
+def _expand_pair_blocks(t: pa.Table) -> pa.Table:
+    """Vectorized cross-product expansion of block rows into packed pair
+    keys a*2^32+b (only a < b kept — within-chunk blocks are emitted as
+    (chunk, chunk), so the filter both deduplicates and orients)."""
+    if t.num_rows == 0:
         return pa.table({"pk": pa.array([], pa.int64())})
-    ia, ib = np.triu_indices(g, k=1)
-    pk = (ids[ia].astype(np.int64) << 32) | ids[ib].astype(np.int64)
+    t = t.combine_chunks()
+    ia, ib = t["ia"], t["ib"]
+    la = pc.list_value_length(ia).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    lb = pc.list_value_length(ib).to_numpy(zero_copy_only=False) \
+        .astype(np.int64)
+    counts = la * lb
+    total = int(counts.sum())
+    if total == 0:
+        return pa.table({"pk": pa.array([], pa.int64())})
+    row = np.repeat(np.arange(t.num_rows, dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    lin = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    i = lin // lb[row]
+    j = lin - i * lb[row]
+    flat_a = pc.list_flatten(ia).to_numpy(zero_copy_only=False)
+    flat_b = pc.list_flatten(ib).to_numpy(zero_copy_only=False)
+    offa = np.cumsum(la) - la
+    offb = np.cumsum(lb) - lb
+    a = flat_a[offa[row] + i]
+    b = flat_b[offb[row] + j]
+    keep = a < b
+    pk = (a[keep].astype(np.int64) << 32) | b[keep].astype(np.int64)
     return pa.table({"pk": pa.array(pk, pa.int64())})
 
 
@@ -132,16 +190,29 @@ def _jaccard_filter(batch: pa.Table, sz_ref, threshold: float) -> pa.Table:
 
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
-                        max_group: int | None = None,
+                        max_group: int | None | str = "auto",
                         driver_max_rows: int = 5_000_000):
     """Returns a pyarrow Table (a, b, jaccard) sorted by (a, b).
 
-    Pair EXPANSION runs distributed (groupby shingle). Pair COUNTING
-    defaults to a distributed ``groupby("pk").count()`` with the per-doc
-    size lookup broadcast via ``ray.put`` and the threshold filter applied
-    inside ``map_batches`` — only surviving pairs reach the driver. A
-    driver-side ``np.unique`` fast path applies only below
-    ``driver_max_rows`` pair rows, where shuffle overhead dwarfs the work.
+    Pair EXPANSION runs distributed AND salted: each shingle group emits
+    bounded (chunk_i, chunk_j) block rows (``_pair_blocks_of_group``)
+    that a downstream ``map_batches`` expands vectorized — a hot
+    shingle's quadratic blowup spreads across tasks instead of grinding
+    one. Pair COUNTING defaults to a distributed ``groupby("pk").count()``
+    with the per-doc size lookup broadcast via ``ray.put`` and the
+    threshold filter applied inside ``map_batches`` — only surviving
+    pairs reach the driver. A driver-side ``np.unique`` fast path applies
+    only below ``driver_max_rows`` pair rows, where shuffle overhead
+    dwarfs the work.
+
+    ``max_group="auto"`` (the default) caps group expansion at
+    ``min(10_000, max(64, 4*sqrt(n_docs)))`` — a shingle shared by more
+    docs than that is boilerplate whose g^2/2 pairs would dominate the
+    whole job while contributing near-zero-Jaccard pairs (each member
+    doc still pairs through its OTHER shingles). The bound sits far
+    above any real group in the sf corpora (measured max 7 @500 docs,
+    25 @5000 docs), so the result stays exactly the oracle's there;
+    pass ``max_group=None`` to force the uncapped exact expansion.
     """
     from functools import partial
 
@@ -152,10 +223,16 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         partial(_shingle_rows, text_col=text_col, id_col=id_col, n=n),
         batch_format="pyarrow").materialize()
     sz_ids, sz_counts = _doc_sizes(shingles)
+    if max_group == "auto":
+        max_group = min(10_000, max(64, int(4 * sz_ids.size ** 0.5) + 1))
 
-    pairs_ds = shingles.groupby("sh").map_groups(
-        partial(_pairs_of_group, max_group=max_group),
-        batch_format="pyarrow").materialize()
+    pairs_ds = (shingles.groupby("sh")
+                .map_groups(partial(_pair_blocks_of_group,
+                                    max_group=max_group),
+                            batch_format="pyarrow")
+                .map_batches(_expand_pair_blocks, batch_format="pyarrow",
+                             batch_size=128)
+                .materialize())
     n_pairs = pairs_ds.count()
 
     if n_pairs <= driver_max_rows:

@@ -1778,6 +1778,11 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_ngram_jaccard_dupes(sf_dir: str):
+    """Exact n-gram Jaccard near-dup pairs. Runs with the default
+    corpus-aware ``max_group`` cap + salted block expansion — the cap
+    sits far above any sf-corpus group size, so the result equals the
+    uncapped oracle here while an adversarial hot shingle stays bounded
+    (tests/test_jaccard.py)."""
     from ..dedup import ngram_jaccard_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])

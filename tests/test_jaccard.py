@@ -1,0 +1,88 @@
+"""N-gram Jaccard pair expansion: salted block correctness, the
+corpus-aware max_group cap, and adversarial hot-shingle bounds
+(dedup/jaccard.py)."""
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from logsentinelai_ray.dedup.jaccard import (_expand_pair_blocks,
+                                             _pair_blocks_of_group,
+                                             ngram_jaccard_pairs)
+
+
+def _all_pairs(ids):
+    ids = sorted(ids)
+    return {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]}
+
+
+@pytest.mark.parametrize("g,block", [(2, 8), (7, 8), (8, 8), (9, 8),
+                                     (30, 8), (100, 7), (257, 16)])
+def test_pair_blocks_cover_each_pair_exactly_once(g, block):
+    rng = np.random.default_rng(g)
+    ids = rng.choice(10_000, size=g, replace=False).astype(np.int64)
+    group = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    blocks = _pair_blocks_of_group(group, max_group=None, block=block)
+    # no single block row may exceed block^2 pairs (the salting bound)
+    for row in range(blocks.num_rows):
+        assert len(blocks["ia"][row]) <= block
+        assert len(blocks["ib"][row]) <= block
+    pk = _expand_pair_blocks(blocks)["pk"].to_numpy(zero_copy_only=False)
+    got = {(int(p >> 32), int(p & 0xFFFFFFFF)) for p in pk}
+    assert len(pk) == len(got) == g * (g - 1) // 2
+    assert got == _all_pairs(ids.tolist())
+
+
+def test_max_group_cap_drops_expansion():
+    ids = np.arange(100, dtype=np.int64)
+    group = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    capped = _pair_blocks_of_group(group, max_group=99)
+    assert capped.num_rows == 0
+    kept = _pair_blocks_of_group(group, max_group=100)
+    assert _expand_pair_blocks(kept).num_rows == 100 * 99 // 2
+
+
+def test_adversarial_hot_shingle_bounded(ray_session):
+    """A corpus where EVERY doc shares one boilerplate shingle: the auto
+    cap must keep the pipeline's time and output bounded (the boilerplate
+    group is dropped; real near-dup pairs still surface through their
+    other shared shingles), while max_group=None remains exact."""
+    import ray.data as rd
+
+    n = 400  # auto cap = max(64, 4*sqrt(400)) = 81 << 400
+    boiler = "common boilerplate header line"
+    texts = [f"{boiler} unique{i} token{i} filler{i} tail{i}"
+             for i in range(n)]
+    # two true near-dups: long shared tail, differ by one trailing token
+    tail = "alpha beta gamma delta epsilon zeta eta theta"
+    texts[0] = f"{boiler} {tail} iota"
+    texts[1] = f"{boiler} {tail} kappa"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts)}))
+    t0 = time.monotonic()
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.5)  # max_group="auto"
+    elapsed = time.monotonic() - t0
+    assert elapsed < 120  # bounded: no 400^2/2 boilerplate expansion
+    pairs = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    # exactly the real near-dup survives: unique docs share ONLY the
+    # capped boilerplate shingles, so they produce no pair rows at all
+    assert pairs == {(0, 1)}
+
+
+def test_uncapped_matches_bruteforce_on_identical_docs(ray_session):
+    """max_group=None: 60 identical docs -> all 1770 pairs at J=1.0,
+    exercising the multi-chunk salted path end-to-end (block < g)."""
+    import ray.data as rd
+
+    n = 60
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(["the same exact document text here"] * n)}))
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_group=None)
+    assert out.num_rows == n * (n - 1) // 2
+    assert set(out["jaccard"].to_pylist()) == {1.0}
+    got = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+    assert got == _all_pairs(range(n))

@@ -948,18 +948,19 @@ BM25_QUERY_TEXT = "error merge spark window"
 
 def _corpusify_docs(t: pa.Table) -> pa.Table:
     """documents rows -> corpus shape with id-aligned keys: repo =
-    f"r{doc_id:012d}" makes the engine's sorted-key dense doc ids equal
-    the source doc_ids (shared by _docs_engine and the incremental /
-    federated splits)."""
-    import hashlib
-
-    did = t["doc_id"].to_numpy(zero_copy_only=False)
+    "r" + zero-padded doc_id makes the engine's sorted-key dense doc ids
+    equal the source doc_ids (shared by _docs_engine and the incremental
+    / federated / clean-corpus splits). Fully vectorized Arrow string
+    kernels — the per-row f-string + sha1 formulation this replaces was
+    paid on every engine build in the sweep; the commit key only needs
+    to be deterministic and unique, so a zero-padded decimal works."""
+    s = pc.cast(t["doc_id"], pa.string())
     return pa.table({
-        "repo": pa.array([f"r{d:012d}" for d in did], pa.string()),
-        "path": pa.array([f"doc_{d}.md" for d in did], pa.string()),
-        "commit": pa.array(
-            [hashlib.sha1(str(d).encode()).hexdigest() for d in did],
-            pa.string()),
+        "repo": pc.binary_join_element_wise(
+            pa.scalar("r"), pc.utf8_lpad(s, 12, "0"), ""),
+        "path": pc.binary_join_element_wise(
+            pa.scalar("doc_"), s, pa.scalar(".md"), ""),
+        "commit": pc.utf8_lpad(s, 40, "0"),
         "lang": t["lang"], "content": t["text"],
     })
 
@@ -982,7 +983,7 @@ def _docs_engine(sf_dir: str):
     corpus = _read(sf_dir, "documents",
                    columns=["doc_id", "lang", "text"]) \
         .map_batches(_corpusify_docs, batch_format="pyarrow")
-    tag = "documents:" + sf_dir.rstrip("/")
+    tag = "documents#v2:" + sf_dir.rstrip("/")
     idx_dir = os.path.join(
         "/tmp/lsai_idx",
         hashlib.sha256(tag.encode()).hexdigest()[:16])
@@ -1018,18 +1019,9 @@ def q_bm25_topk_incremental(sf_dir: str):
         did = src["doc_id"].to_numpy(zero_copy_only=False)
         half = int(np.median(did))
 
-        def corpusify(t: pa.Table) -> pa.Table:
-            d = t["doc_id"].to_numpy(zero_copy_only=False)
-            return pa.table({
-                "repo": pa.array([f"r{x:012d}" for x in d], pa.string()),
-                "path": pa.array([f"doc_{x}.md" for x in d], pa.string()),
-                "commit": pa.array(
-                    [hashlib.sha1(str(x).encode()).hexdigest()
-                     for x in d], pa.string()),
-                "lang": t["lang"], "content": t["text"],
-            })
+        corpusify = _corpusify_docs  # shared vectorized corpus shape
 
-        tag = "documents-incr:" + sf_dir.rstrip("/")
+        tag = "documents-incr#v2:" + sf_dir.rstrip("/")
         work = os.path.join(
             "/tmp/lsai_idx",
             hashlib.sha256(tag.encode()).hexdigest()[:16])
@@ -1199,7 +1191,7 @@ def q_federated_search(sf_dir: str):
                     columns=["doc_id", "lang", "text"]) \
             .map_batches(_corpusify_docs, batch_format="pyarrow") \
             .materialize()
-        tag = "documents-fed:" + sf_dir.rstrip("/")
+        tag = "documents-fed#v2:" + sf_dir.rstrip("/")
         work = os.path.join(
             "/tmp/lsai_idx",
             hashlib.sha256(tag.encode()).hexdigest()[:16])
@@ -2080,19 +2072,10 @@ def q_clean_corpus_search(sf_dir: str):
             pos = np.searchsorted(surv, did_all)
             ok = pos < surv.size
             ok[ok] = surv[pos[ok]] == did_all[ok]
-            t = t.filter(pa.array(ok))
-            did = t["doc_id"].to_numpy(zero_copy_only=False)
-            return pa.table({
-                "repo": pa.array([f"r{d:012d}" for d in did]),
-                "path": pa.array([f"doc_{d}.md" for d in did]),
-                "commit": pa.array(
-                    [_hashlib.sha1(str(d).encode()).hexdigest()
-                     for d in did]),
-                "lang": t["lang"], "content": t["text"],
-            })
+            return _corpusify_docs(t.filter(pa.array(ok)))
 
         corpus = filtered.map_batches(to_corpus, batch_format="pyarrow")
-        tag = "clean:" + sf_dir.rstrip("/")
+        tag = "clean#v2:" + sf_dir.rstrip("/")
         idx_dir = os.path.join(
             "/tmp/lsai_idx",
             _hashlib.sha256(tag.encode()).hexdigest()[:16])

@@ -5,3 +5,11 @@ from .knn import (  # noqa: F401
     embedding_dupes,
     ivf_centroids,
 )
+from .store import (  # noqa: F401
+    build_ivf_index,
+    build_lsh_index,
+    ivf_index_probe_dirs,
+    ivf_index_topk,
+    lsh_index_probe_dirs,
+    lsh_index_topk,
+)

@@ -155,12 +155,36 @@ def cosine_topk_lsh(ds, query_vec, k: int = 10, vec_col: str = "embedding",
 
 def ivf_centroids(ds, n_centroids: int = 16, n_iters: int = 8,
                   sample_size: int = 4096, vec_col: str = "embedding",
-                  seed: int = 42) -> np.ndarray:
+                  id_col: str = "vec_id", seed: int = 42) -> np.ndarray:
     """Coarse quantizer for IVF: spherical k-means over a bounded sample
     (sampling, not a full pass — at 10^12 rows the sample is still a
     representative few thousand vectors; the assignment pass below is
-    what scans everything). Deterministic for a fixed seed."""
-    sample = ds.limit(sample_size).to_pandas()
+    what scans everything). Deterministic for a fixed seed.
+
+    The sample is deterministic HASH-RATE sampling over the id column —
+    uniform across the whole dataset and cluster-size invariant — not
+    ``ds.limit`` (which takes the FIRST blocks and biases the centroids
+    on sorted/clustered input)."""
+    n_rows = ds.count()
+    rate = min(1.0, (2.0 * sample_size) / max(n_rows, 1))
+    thresh = np.int64(rate * float(1 << 32))
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = (ids * np.uint64(2654435761)) & np.uint64(0xFFFFFFFF)
+        keep = h.astype(np.int64) < thresh
+        return t.filter(pa.array(keep)).append_column(
+            "__h", pa.array(h.astype(np.int64)[keep]))
+
+    # truncate by HASH RANK, never by stream position (a .limit() here
+    # would re-bias toward the first blocks): the sample_size smallest
+    # hash values are a uniform, deterministic, order-independent choice
+    sample = ds.map_batches(pick, batch_format="pyarrow").to_pandas()
+    if len(sample) == 0:  # degenerate tiny input: fall back to everything
+        sample = ds.limit(sample_size).to_pandas()
+    else:
+        sample = (sample.sort_values("__h").head(sample_size)
+                  .drop(columns="__h").reset_index(drop=True))
     mat = np.stack([np.asarray(v, dtype=np.float64)
                     for v in sample[vec_col]])
     norms = np.sqrt((mat * mat).sum(axis=1))

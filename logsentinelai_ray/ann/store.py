@@ -1,0 +1,223 @@
+"""Persisted bucket-partitioned ANN indexes (the kNN scale path).
+
+The scan-based ``cosine_topk_lsh`` / ``cosine_topk_ivf`` (knn.py) prune
+the matmul but still READ every row per query — at 10^12 rows the IO is
+the query. These builders pay one partitioning pass up front and write
+the embeddings as hive-partitioned parquet (one directory per LSH bucket
+per table, or per IVF list); a query then reads ONLY its probed
+partition directories — candidate IO proportional to the probed buckets,
+not the corpus. The reference delegates vector search to its backing
+store entirely (it has none); this is the from-scratch Ray analog of an
+ES/Lucene ANN segment.
+
+Equivalence contract (unit-tested): with the same planes/centroids and
+probe parameters, the persisted index returns the scan path's exact id
+ranking — partitioning only relocates rows, the candidate set is the
+same union of probed buckets (cosines agree to ~1 ulp; BLAS blocking
+differs with partition batch shapes).
+
+Scale notes: the build is one ``map_batches`` assignment pass +
+``write_parquet(partition_cols=...)`` per table (no shuffle — each task
+writes its own partition files; the hive layout merely co-locates rows
+by bucket for the read side). LSH storage is ``n_tables``x the corpus —
+the standard multi-table LSH trade; IVF is 1x. Buckets are also the
+resume unit: a re-run with ``mode="overwrite"`` per table directory can
+skip completed tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import partial
+
+import numpy as np
+import pyarrow as pa
+
+from .knn import _batch_vectors, _cosine, _LSHBucketer, _probe_buckets
+
+_EMPTY = pa.schema([("vec_id", pa.int64()), ("cosine", pa.float64())])
+
+def _dir_files(dirs: list[str]) -> list[str]:
+    """Expand partition dirs to their parquet files (ray's read_parquet
+    rejects a list of directories)."""
+    import glob as _glob
+
+    out: list[str] = []
+    for d in dirs:
+        out.extend(sorted(_glob.glob(os.path.join(d, "*.parquet"))))
+    return out
+
+
+
+def _final_topk(cand, k: int, id_col: str) -> pa.Table:
+    """Exact (cosine desc, id asc) top-k over the small candidate table,
+    deduping ids first (a row read via several LSH tables scores
+    identically each time)."""
+    pdf = cand.to_pandas()
+    if len(pdf) == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    pdf = (pdf.drop_duplicates(subset=[id_col])
+           .sort_values(["cosine", id_col], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def _local_topk_fn(batch: pa.Table, q_ref, k: int, vec_col: str,
+                   id_col: str) -> pa.Table:
+    import ray
+
+    qv = ray.get(q_ref)
+    mat = _batch_vectors(batch, vec_col)
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    if mat.size == 0:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    cos = _cosine(mat, qv)
+    order = np.lexsort((ids, -cos))[:k]
+    return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                     "cosine": pa.array(cos[order], pa.float64())})
+
+
+# ---------------------------------------------------------------------------
+# LSH (multi-table random hyperplanes)
+# ---------------------------------------------------------------------------
+
+def build_lsh_index(ds, out_dir: str, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_planes: int = 6,
+                    n_tables: int = 4, seed: int = 42) -> dict:
+    """One assignment pass per table -> hive-partitioned parquet
+    ``out_dir/table=T/bucket=B/*.parquet``. Returns the meta dict (also
+    written to ``out_dir/meta.json``)."""
+    seeds = [seed + 131 * t for t in range(n_tables)]
+    dim = len(ds.take_batch(1, batch_format="pyarrow")[vec_col][0])
+
+    def assign(batch: pa.Table, s: int) -> pa.Table:
+        mat = _batch_vectors(batch, vec_col)
+        if mat.size == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
+        b = _LSHBucketer(mat.shape[1], n_planes, s)
+        return batch.append_column(
+            "bucket", pa.array(b.bucket(mat).astype(np.int64)))
+
+    for t, s in enumerate(seeds):
+        (ds.map_batches(partial(assign, s=s), batch_format="pyarrow")
+         .write_parquet(os.path.join(out_dir, f"table={t}"),
+                        partition_cols=["bucket"], mode="overwrite"))
+    meta = {"kind": "lsh", "n_planes": n_planes, "n_tables": n_tables,
+            "seed": seed, "dim": dim, "vec_col": vec_col,
+            "id_col": id_col}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def lsh_index_probe_dirs(index_dir: str, query_vec,
+                         n_probes: int = 8) -> list[str]:
+    """The partition directories a query must read (existing ones only)."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    q = np.asarray(query_vec, dtype=np.float64)
+    dirs = []
+    for t in range(meta["n_tables"]):
+        s = meta["seed"] + 131 * t
+        probes = _probe_buckets(
+            q, _LSHBucketer(q.size, meta["n_planes"], s), n_probes)
+        for b in probes:
+            d = os.path.join(index_dir, f"table={t}", f"bucket={int(b)}")
+            if os.path.isdir(d):
+                dirs.append(d)
+    return dirs
+
+
+def lsh_index_topk(index_dir: str, query_vec, k: int = 10,
+                   n_probes: int = 8) -> pa.Table:
+    """Approximate top-k served from the persisted index: reads ONLY the
+    probed partition directories. Identical results to
+    ``cosine_topk_lsh`` with the same parameters (unit-tested)."""
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    dirs = lsh_index_probe_dirs(index_dir, query_vec, n_probes)
+    if not dirs:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    q_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    cand = rd.read_parquet(_dir_files(dirs),
+                       columns=[id_col, vec_col]).map_batches(
+        partial(_local_topk_fn, q_ref=q_ref, k=k, vec_col=vec_col,
+                id_col=id_col),
+        batch_format="pyarrow")
+    return _final_topk(cand, k, id_col)
+
+
+# ---------------------------------------------------------------------------
+# IVF (coarse k-means lists)
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(ds, out_dir: str, centroids: np.ndarray,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> dict:
+    """Assign each row to its nearest (spherical) centroid and write
+    ``out_dir/list=C/*.parquet``; centroids persist in meta.json."""
+    import ray
+
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = _batch_vectors(batch, vec_col)
+        if mat.size == 0:
+            return batch.append_column("list", pa.array([], pa.int64()))
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        a = np.argmax((mat / norms[:, None]) @ cent.T, axis=1)
+        return batch.append_column("list", pa.array(a.astype(np.int64)))
+
+    (ds.map_batches(assign, batch_format="pyarrow")
+     .write_parquet(out_dir, partition_cols=["list"], mode="overwrite"))
+    meta = {"kind": "ivf", "centroids": np.asarray(centroids).tolist(),
+            "vec_col": vec_col, "id_col": id_col}
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivf_index_probe_dirs(index_dir: str, query_vec,
+                         n_probe: int = 2) -> list[str]:
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum()) or 1.0
+    probe = np.argsort(-(cent @ (q / qn)))[:n_probe]
+    dirs = [os.path.join(index_dir, f"list={int(c)}") for c in probe]
+    return [d for d in dirs if os.path.isdir(d)]
+
+
+def ivf_index_topk(index_dir: str, query_vec, k: int = 10,
+                   n_probe: int = 2) -> pa.Table:
+    """Approximate top-k from the persisted IVF index: reads ONLY the
+    ``n_probe`` nearest list directories. Identical results to
+    ``cosine_topk_ivf`` with the same centroids (unit-tested)."""
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    dirs = ivf_index_probe_dirs(index_dir, query_vec, n_probe)
+    if not dirs:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    q_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    cand = rd.read_parquet(_dir_files(dirs),
+                       columns=[id_col, vec_col]).map_batches(
+        partial(_local_topk_fn, q_ref=q_ref, k=k, vec_col=vec_col,
+                id_col=id_col),
+        batch_format="pyarrow")
+    return _final_topk(cand, k, id_col)

@@ -2221,25 +2221,49 @@ def q_embedding_knn_filtered(sf_dir: str):
                      "cosine": _round6(out["cosine"])})
 
 
-def q_embedding_knn_lsh(sf_dir: str):
-    from ..ann import cosine_topk_lsh
+def _ann_index_dir(sf_dir: str, kind: str) -> str:
+    import hashlib
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    out = cosine_topk_lsh(ds, _query_vector(sf_dir), k=10)
+    key = f"{kind}:{sf_dir.rstrip('/')}"
+    return os.path.join("/tmp/lsai_ann",
+                        hashlib.sha256(key.encode()).hexdigest()[:16])
+
+
+def q_embedding_knn_lsh(sf_dir: str):
+    """Multi-table LSH ANN served from a PERSISTED bucket-partitioned
+    parquet index (ann/store.py): the one-time build pass writes
+    table=T/bucket=B partitions; each query reads ONLY its probed
+    partition directories — candidate IO scales with probed buckets,
+    not the corpus (the scan-based cosine_topk_lsh prunes the matmul
+    but still reads every row). Results identical to the scan path
+    with the same planes/probes (unit-tested); approximate by design
+    (rows-only check)."""
+    from ..ann import build_lsh_index, lsh_index_topk
+
+    idx = _ann_index_dir(sf_dir, "lsh")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_lsh_index(ds, idx, n_planes=6, n_tables=4, seed=42)
+    out = lsh_index_topk(idx, _query_vector(sf_dir), k=10, n_probes=8)
     return pa.table({"vec_id": out["vec_id"],
                      "cosine": _round6(out["cosine"])})
 
 
 def q_embedding_knn_ivf(sf_dir: str):
-    """IVF coarse-quantizer ANN (sampled spherical k-means centroids,
-    n_probe nearest lists scanned) — the inverted-file scale path next
-    to the LSH one; approximate by design (rows-only check)."""
-    from ..ann import cosine_topk_ivf, ivf_centroids
+    """IVF ANN served from a PERSISTED list-partitioned parquet index
+    (ann/store.py): sampled spherical k-means centroids (deterministic
+    hash-rate sample, not first-blocks), one assignment pass writes
+    list=C partitions, and each query reads ONLY the n_probe nearest
+    list directories. Results identical to the scan path with the same
+    centroids (unit-tested); approximate by design (rows-only check)."""
+    from ..ann import build_ivf_index, ivf_centroids, ivf_index_topk
 
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    cent = ivf_centroids(ds, n_centroids=16)
-    out = cosine_topk_ivf(ds, _query_vector(sf_dir), cent, k=10,
-                          n_probe=4)
+    idx = _ann_index_dir(sf_dir, "ivf")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        cent = ivf_centroids(ds, n_centroids=16)
+        build_ivf_index(ds, idx, cent)
+    out = ivf_index_topk(idx, _query_vector(sf_dir), k=10, n_probe=4)
     return pa.table({"vec_id": out["vec_id"],
                      "cosine": _round6(out["cosine"])})
 

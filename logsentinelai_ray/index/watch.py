@@ -14,9 +14,16 @@ via :func:`update_index`, with the manifest as the frontier.
   idempotently (the marker stores the exact file list).
 - **Load shedding** (``max_batch_files``): caps how many new files one
   round ingests; the rest wait for the next round — the reference's
-  pending-lines cap. There is no timeout-flush analog because files are
-  ingested whole the round they appear (nothing buffers below a
-  threshold).
+  pending-lines cap.
+- **Batching + timeout flush** (``min_batch_files`` /
+  ``pending_timeout_s``): a delta smaller than ``min_batch_files``
+  buffers (amortizing per-update merge cost) until either enough files
+  accumulate or the oldest pending observation ages past the timeout —
+  the reference's chunk-pending protocol (core/monitoring.py:326-366,
+  430-438; ``REALTIME_CHUNK_PENDING_TIMEOUT`` default 1800 s,
+  core/config.py:102). The timer is in-memory; after a watcher restart
+  the buffered delta waits at most one fresh timeout (conservative —
+  nothing is lost, the frontier still knows the files are pending).
 - **Rotation/truncation**: a file is identified by name; corpus files
   are immutable by contract (the reference instead tracks inode+offset,
   core/monitoring.py:122-161 — inapplicable to parquet).
@@ -64,12 +71,17 @@ class CorpusWatcher:
     def __init__(self, corpus_dir: str, index_dir: str,
                  cfg: IndexConfig | None = None,
                  max_batch_files: int | None = None,
+                 min_batch_files: int = 1,
+                 pending_timeout_s: float = 1800.0,
                  tag_prefix: str = "watch"):
         self.corpus_dir = corpus_dir
         self.index_dir = index_dir
         self.cfg = cfg
         self.max_batch_files = max_batch_files
+        self.min_batch_files = min_batch_files
+        self.pending_timeout_s = pending_timeout_s
         self.tag_prefix = tag_prefix
+        self._pending_since: float | None = None
 
     def pending_files(self) -> list[str]:
         """New parquet files not yet committed, oldest-name-first."""
@@ -97,7 +109,19 @@ class CorpusWatcher:
             return res
         batch = self.pending_files()
         if not batch:
+            self._pending_since = None
             return None
+        if len(batch) < self.min_batch_files:
+            # sub-threshold delta: buffer until min_batch_files accumulate
+            # OR the oldest pending observation ages past the timeout —
+            # then flush the partial window (reference chunk_pending
+            # protocol, core/monitoring.py:326-366)
+            now = time.monotonic()
+            if self._pending_since is None:
+                self._pending_since = now
+            if now - self._pending_since < self.pending_timeout_s:
+                return None
+        self._pending_since = None
         if self.max_batch_files is not None:
             batch = batch[:self.max_batch_files]  # load shed; rest waits
         tag = f"{self.tag_prefix}-{len(done):06d}"

@@ -151,3 +151,55 @@ def test_watcher_run_loop_stops_on_idle(ray_session, tmp_path_factory):
                    f"{live}/001.parquet")
     results = watcher.run(poll_interval=0.05, idle_rounds=2)
     assert len(results) == 1 and results[0]["n_new_docs"] == 20
+
+
+def test_watcher_timeout_flushes_partial_window(ray_session,
+                                                tmp_path_factory):
+    """min_batch_files buffers a sub-threshold delta; the pending
+    timeout must flush it within one round (reference
+    core/monitoring.py:326-366 chunk_pending_timeout), rank-identical
+    to a from-scratch rebuild over the same files."""
+    import time
+
+    import ray.data as rd
+
+    from logsentinelai_ray.config import CorpusConfig, IndexConfig
+    from logsentinelai_ray.corpus import generate_corpus
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.index.watch import CorpusWatcher, _write_frontier
+
+    root = tmp_path_factory.mktemp("watch_to")
+    live = str(root / "live")
+    os.makedirs(live)
+    cfg = IndexConfig(num_partitions=8, salt_buckets=2, block_size=32)
+
+    base = generate_corpus(CorpusConfig(n_docs=120, seed=61))
+    pq.write_table(base, f"{live}/000-base.parquet")
+    idx = str(root / "idx")
+    build_index(live, idx, cfg, corpus_tag="base")
+    _write_frontier(idx, [os.path.abspath(f"{live}/000-base.parquet")])
+
+    watcher = CorpusWatcher(live, idx, cfg, min_batch_files=3,
+                            pending_timeout_s=0.8)
+    late = generate_corpus(CorpusConfig(n_docs=40, seed=62))
+    pq.write_table(late, f"{live}/001-late.parquet")
+    # one lone file < min_batch_files: buffered, not ingested
+    assert watcher.poll_once() is None
+    assert watcher.poll_once() is None  # still inside the timeout
+    time.sleep(0.9)
+    res = watcher.poll_once()  # deadline passed: partial-window flush
+    assert res is not None
+    assert watcher.pending_files() == []
+
+    # rank identity vs a from-scratch rebuild over base + late
+    import pyarrow as pa
+
+    rebuilt = str(root / "rebuilt")
+    build_index(rd.from_arrow(pa.concat_tables([base, late])), rebuilt,
+                cfg, corpus_tag="rebuild")
+    queries = QUERY_SET[:3]
+    assert _search_ids(idx, queries) == _search_ids(rebuilt, queries)
+
+    # and an empty poll resets the buffer timer state
+    assert watcher.poll_once() is None
+    assert watcher._pending_since is None

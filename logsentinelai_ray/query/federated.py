@@ -29,11 +29,14 @@ assignment), global ids equal the merged index's ids, making results
 fully interchangeable — pinned by ``test_federated.py``.
 
 Scale note: one decode round fans out across ALL members' shards in
-parallel (a single ``ray.get`` wave); the accumulator is
-Σn_i-sized like any TAAT query. Past the TAAT ceiling the same global
-stats feed per-member WAND with a global threshold — not implemented
-here (members at that scale should be one index; federation is for
-operationally separate indexes).
+parallel (a single ``ray.get`` wave); the TAAT accumulator is
+Σn_i-sized. Past the TAAT ceiling, ``strategy="wand"`` runs the SAME
+global stats through ONE vectorized block-max WAND kernel over every
+member's cursors mapped into the global id space
+(``TermPostings(id_offset=...)``) — the shared kernel IS the global
+threshold exchange (a doc pruned in member A is pruned by a threshold
+member B's docs tightened), no Σn-sized state, bit-identical to the
+merged index's WAND (test_federated.py).
 """
 
 from __future__ import annotations
@@ -44,6 +47,8 @@ import pyarrow as pa
 from ..analysis.tokenizer import tokenize_py
 from ..index.build import term_partition
 from .bm25 import bm25_idf
+from .postings import PostingsCursor, TermPostings
+from .wand import block_max_wand_vec
 
 
 class FederatedSearch:
@@ -65,15 +70,22 @@ class FederatedSearch:
         total_tokens = sum(int(e.stats["total_tokens"]) for e in engines)
         self.avgdl_global = total_tokens / self.n_global
 
-    def search(self, text: str, k: int = 10) -> pa.Table:
+    def search(self, text: str, k: int = 10,
+               strategy: str | None = None) -> pa.Table:
         """Global-stats BM25 top-k over the union of the member indexes;
-        returns (rank, doc_id, score) in the global id space."""
+        returns (rank, doc_id, score) in the global id space.
+
+        ``strategy``: None/"taat" = the Σn-sized-accumulator path below;
+        "wand" = one block-max WAND kernel over all members' cursors in
+        the global id space (no Σn-sized state — the scale path)."""
         terms = sorted(set(tokenize_py(text, self.max_token_len)))
         if not terms:
             return self._empty()
         # dfs phase: per-member dfs -> global df per term
         member_dfs = [e._term_dfs(terms) for e in self.engines]
         df_g = {t: sum(d.get(t, 0) for d in member_dfs) for t in terms}
+        if strategy == "wand":
+            return self._search_wand(terms, df_g, k)
         # query phase: one parallel decode wave across all members'
         # shards, global avgdl + global-idf override
         import ray
@@ -111,6 +123,51 @@ class FederatedSearch:
                                        dtype=np.int64)),
             "doc_id": pa.array(cand[order], pa.int64()),
             "score": pa.array(scores[order], pa.float64())})
+
+    def _search_wand(self, terms: list[str], df_g: dict, k: int
+                     ) -> pa.Table:
+        """Block-max WAND across members with a GLOBAL threshold: every
+        member's compressed rows become cursors whose block metadata and
+        decoded ids live in the global id space (TermPostings
+        id_offset), then ONE vectorized kernel consumes them together —
+        the kernel's adaptive threshold is the cross-member exchange.
+        Scores are bit-identical to the TAAT path (same global idf /
+        avgdl expression tree; per doc exactly one member contributes
+        per term, so the sorted-(term, member) cursor order preserves
+        the oracle's per-doc term addition order)."""
+        # one fetch wave per member (each is itself one parallel shard
+        # round), not one round-trip per (term, member)
+        member_rows = [e._fetch_terms(terms) for e in self.engines]
+        cursors = []
+        for t in terms:  # sorted-term order — the scoring contract
+            if df_g.get(t, 0) == 0:
+                continue
+            idf = bm25_idf(self.n_global, df_g[t])
+            for ei, e in enumerate(self.engines):
+                row = member_rows[ei].get(t)
+                if row is None:
+                    continue
+                tp = TermPostings(row, id_offset=int(self.offsets[ei]))
+                # stored block-max bounds were encoded under the MEMBER
+                # avgdl; tf_norm is increasing in avgdl, so scale them
+                # up when the global avgdl exceeds the encode-time one
+                avgdl = e.stats["avgdl"]
+                bounds_avgdl = e.stats.get("min_bounds_avgdl",
+                                           avgdl) or avgdl
+                scale = max(1.0, self.avgdl_global / bounds_avgdl)
+                cursors.append(PostingsCursor(
+                    tp, idf, self.k1, self.b, self.avgdl_global, scale))
+        tombs = [e._tombstones + self.offsets[ei]
+                 for ei, e in enumerate(self.engines)
+                 if e._tombstones.size]
+        exclude = (np.sort(np.concatenate(tombs)) if tombs else None)
+        topk = block_max_wand_vec(cursors, k, exclude_ids=exclude)
+        if not topk:
+            return self._empty()
+        return pa.table({
+            "rank": pa.array(np.arange(1, len(topk) + 1, dtype=np.int64)),
+            "doc_id": pa.array([d for d, _ in topk], pa.int64()),
+            "score": pa.array([s for _, s in topk], pa.float64())})
 
     @staticmethod
     def _empty() -> pa.Table:

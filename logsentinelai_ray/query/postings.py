@@ -22,13 +22,19 @@ class TermPostings:
 
     __slots__ = ("term", "df", "block_first", "block_last", "block_count",
                  "block_max", "doc_off", "tf_off", "dl_off",
-                 "doc_data", "tf_data", "dl_data", "_cache")
+                 "doc_data", "tf_data", "dl_data", "_cache", "id_offset")
 
-    def __init__(self, row: dict):
+    def __init__(self, row: dict, id_offset: int = 0):
+        # id_offset maps member-local doc ids into a federated global id
+        # space (query/federated.py): block metadata shifts once here,
+        # decoded ids shift per decode — everything else is unchanged
+        self.id_offset = int(id_offset)
         self.term = row["term"]
         self.df = row["df"]
-        self.block_first = np.asarray(row["block_first"], dtype=np.int64)
-        self.block_last = np.asarray(row["block_last"], dtype=np.int64)
+        self.block_first = np.asarray(row["block_first"],
+                                      dtype=np.int64) + self.id_offset
+        self.block_last = np.asarray(row["block_last"],
+                                     dtype=np.int64) + self.id_offset
         self.block_count = np.asarray(row["block_count"], dtype=np.int64)
         self.block_max = np.asarray(row["block_max"], dtype=np.float64)
         self.doc_off = np.asarray(row["block_doc_off"], dtype=np.int64)
@@ -48,6 +54,8 @@ class TermPostings:
             return self._cache[1]
         ids = np.cumsum(decode_varint(
             self.doc_data[self.doc_off[bi]:self.doc_off[bi + 1]]))
+        if self.id_offset:
+            ids += self.id_offset
         tfs = decode_varint(self.tf_data[self.tf_off[bi]:self.tf_off[bi + 1]])
         dls = decode_varint(self.dl_data[self.dl_off[bi]:self.dl_off[bi + 1]])
         self._cache = (bi, (ids, tfs, dls))
@@ -70,6 +78,8 @@ class TermPostings:
         c = np.cumsum(gaps)
         corr = c[starts] - gaps[starts]
         ids = c - np.repeat(corr, self.block_count)
+        if self.id_offset:
+            ids += self.id_offset
         return ids, tfs, dls
 
     def decode_block_range(self, b0: int, b1: int
@@ -92,6 +102,8 @@ class TermPostings:
         c = np.cumsum(gaps)
         corr = c[starts] - gaps[starts]
         ids = c - np.repeat(corr, counts)
+        if self.id_offset:
+            ids += self.id_offset
         return ids, tfs, dls
 
     def all_doc_ids(self) -> np.ndarray:

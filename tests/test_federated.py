@@ -92,3 +92,61 @@ def test_federated_respects_member_tombstones(halves, ray_session):
         for m in members:
             m.shutdown()
         shutil.rmtree(clone, ignore_errors=True)
+
+
+def test_federated_wand_equals_merged_wand(engine, halves):
+    """Forced federated WAND (one kernel over all members' cursors in
+    the global id space = the global threshold exchange) must be
+    bit-identical to the merged single index under forced WAND AND to
+    the federated TAAT path."""
+    from logsentinelai_ray.query.federated import FederatedSearch
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    members = [SearchEngine(d, num_shards=2) for d in halves]
+    try:
+        fed = FederatedSearch(members)
+        for text in ("authentication failure", "error",
+                     "select union passwd", "import the error timeout"):
+            w = fed.search(text, k=15, strategy="wand")
+            t = fed.search(text, k=15)  # taat
+            m = engine.search(text, k=15, with_meta=False,
+                              strategy="wand")
+            assert w.num_rows > 0
+            assert w["doc_id"].to_pylist() == m["doc_id"].to_pylist()
+            assert w["score"].to_pylist() == m["score"].to_pylist()
+            assert w["doc_id"].to_pylist() == t["doc_id"].to_pylist()
+            assert w["score"].to_pylist() == t["score"].to_pylist()
+    finally:
+        for m in members:
+            m.shutdown()
+
+
+def test_federated_wand_respects_member_tombstones(halves, ray_session):
+    """Deletes inside one member must vanish from the federated WAND
+    result while surviving scores stay identical to TAAT."""
+    import shutil
+
+    from logsentinelai_ray.index.delete import delete_docs
+    from logsentinelai_ray.query.federated import FederatedSearch
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    import tempfile
+
+    clone = tempfile.mkdtemp(prefix="fedwandtomb") + "/a"
+    shutil.copytree(halves[0], clone)
+    pre = SearchEngine(clone, num_shards=2)
+    victims = pre.search("error", k=3, with_meta=False)["doc_id"].to_pylist()
+    pre.shutdown()
+    delete_docs(clone, victims)
+    members = [SearchEngine(clone, num_shards=2),
+               SearchEngine(halves[1], num_shards=2)]
+    try:
+        fed = FederatedSearch(members)
+        w = fed.search("error", k=20, strategy="wand")
+        t = fed.search("error", k=20)
+        assert not (set(w["doc_id"].to_pylist()) & set(victims))
+        assert w["doc_id"].to_pylist() == t["doc_id"].to_pylist()
+        assert w["score"].to_pylist() == t["score"].to_pylist()
+    finally:
+        for m in members:
+            m.shutdown()

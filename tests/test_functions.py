@@ -278,3 +278,42 @@ def test_composite_agg_exactly_one_page(ray_session, tmp_path):
     page2 = q_composite_agg(str(tmp_path))
     assert page2 is not None and len(page2) == 0
     assert set(page2.columns) >= {"event_type", "day", "n"}
+
+
+def test_mmdb_lookup_factory_real_db():
+    """Exercises the real-mmdb seam; auto-skips unless LSAI_MMDB_PATH
+    points at a GeoLite2 database AND maxminddb is installed (neither
+    is true in the offline sandbox — see README 'GeoIP' section)."""
+    import os
+
+    import pytest
+
+    path = os.environ.get("LSAI_MMDB_PATH")
+    if not path or not os.path.exists(path):
+        pytest.skip("LSAI_MMDB_PATH not set / file missing")
+    try:
+        import maxminddb  # noqa: F401
+    except ImportError:
+        pytest.skip("maxminddb not installed")
+    from logsentinelai_ray.stages.geoip import mmdb_lookup_factory
+
+    lookup = mmdb_lookup_factory(path)
+    cc = lookup("8.8.8.8")
+    assert cc is None or (isinstance(cc, str) and len(cc) == 2)
+
+
+def test_mmdb_lookup_factory_raises_cleanly_without_dep():
+    """Without maxminddb the factory must raise ImportError with the
+    fallback guidance (not crash the enrichment stage, which defaults
+    to the synthetic lookup)."""
+    import pytest
+
+    try:
+        import maxminddb  # noqa: F401
+        pytest.skip("maxminddb unexpectedly present")
+    except ImportError:
+        pass
+    from logsentinelai_ray.stages.geoip import mmdb_lookup_factory
+
+    with pytest.raises(ImportError, match="maxminddb"):
+        mmdb_lookup_factory("/nonexistent.mmdb")

@@ -216,9 +216,12 @@ def run_once() -> dict:
 
     DataContext.get_current().enable_progress_bars = False
 
+    probe_before = host_probe()
     core = bench_index_and_query()
+    probe_mid = host_probe()
     pipelines = bench_pipelines()
     ray.shutdown()
+    probe_after = host_probe()
 
     queries = dict(pipelines)
     queries["index_build"] = core["build_s"]
@@ -234,7 +237,10 @@ def run_once() -> dict:
         "query_p50_ms": core["query_p50_ms"],
         "query_p99_ms": core["query_p99_ms"],
         "query_coldpass_p99_ms": core["query_coldpass_p99_ms"],
+        "query_p50_wand_ms": core["query_p50_wand_ms"],
         "stage_timings": core["stage_timings"],
+        "host_probes": {"before": probe_before, "after_core": probe_mid,
+                        "after": probe_after},
     }
     return result
 
@@ -252,6 +258,35 @@ def _memory_bandwidth(nproc: int) -> float:
                               stdout=subprocess.PIPE, text=True)
              for _ in range(nproc)]
     return round(sum(float(p.communicate()[0]) for p in procs), 1)
+
+
+def host_probe() -> dict:
+    """Single-process memcpy + sustained /dev/shm write bandwidth — the
+    two numbers that separate an engine regression from a host-throttle
+    window (round-2 lesson: compute probes can read normal while
+    streaming writes are ~20x down, inflating exactly the write-bound
+    emit/consolidation stages). Logged before AND after each headline
+    measurement."""
+    code = (
+        "import numpy as np, time, os, json\n"
+        "a = np.ones(25_000_000); b = np.empty_like(a)\n"
+        "t0 = time.perf_counter(); n = 0\n"
+        "while time.perf_counter() - t0 < 2.5:\n"
+        "    np.copyto(b, a); n += 1\n"
+        "m = n * 0.4 / (time.perf_counter() - t0)\n"
+        "buf = b'\\x5a' * 200_000_000\n"
+        "t0 = time.perf_counter()\n"
+        "f = open('/dev/shm/_bench_probe_w', 'wb')\n"
+        "f.write(buf); f.flush(); os.fsync(f.fileno()); f.close()\n"
+        "w = 0.2 / (time.perf_counter() - t0)\n"
+        "os.remove('/dev/shm/_bench_probe_w')\n"
+        "print(json.dumps({'memcpy_gbps': round(m, 2),"
+        " 'shm_write_gbps': round(w, 2)}))\n")
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True, check=True).stdout
+    probe = json.loads(out.strip().splitlines()[-1])
+    probe["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    return probe
 
 
 def run_scaling() -> dict:
@@ -283,10 +318,13 @@ def run_scaling() -> dict:
         a, b = sub_once(ncpu), sub_once(ncpu)
         return a if a["build_s"] <= b["build_s"] else b
 
+    probe_before = host_probe()
     r2, r8, r32 = sub(2), sub(8), sub(32)
+    probe_after = host_probe()
     eff_2_8 = (r2["build_s"] / r8["build_s"]) / 4
     eff_8_32 = (r8["build_s"] / r32["build_s"]) / 4
     return {
+        "host_probes": {"before": probe_before, "after": probe_after},
         "metric": "scaling_efficiency_n_to_4n",
         "value": round(eff_2_8, 3),
         "unit": "ratio",

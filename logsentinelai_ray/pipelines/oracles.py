@@ -468,6 +468,17 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(scores.score, 6) AS score FROM scores
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
+    # forced block-max WAND is exact — identical oracle to bm25_topk
+    "bm25_topk_wand": _BM25_BASE + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
+    # forced federated WAND (global-threshold kernel) is bit-identical
+    # to the merged index — identical oracle to bm25_topk
+    "federated_search_wand": _BM25_BASE + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
     "msearch": _MSEARCH_SQL,
     # federated (two-index, global-stats) search is bit-identical to
     # the merged index — same SQL as bm25_topk

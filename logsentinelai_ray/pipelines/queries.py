@@ -1060,6 +1060,19 @@ def q_bm25_topk(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_bm25_topk_wand(sf_dir: str):
+    """FORCED block-max WAND (the no-N-sized-accumulator strategy for
+    10^12-doc shards, vectorized: query/wand.py block_max_wand_vec) —
+    must be bit-identical to TAAT and the SQL oracle; auto-strategy
+    would pick TAAT at this scale, so this entry keeps the scale path
+    externally verified."""
+    eng = _docs_engine(sf_dir)
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False,
+                     strategy="wand")
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 MSEARCH_REQUESTS = [
     {"text": "error merge spark window", "k": 5},
     {"text": "authentication failure", "k": 5},
@@ -1211,6 +1224,20 @@ def q_federated_search(sf_dir: str):
         fed = FederatedSearch(members)
         _ENGINE_CACHE[("fed", sf_dir)] = fed
     res = fed.search(BM25_QUERY_TEXT, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_federated_search_wand(sf_dir: str):
+    """Federated search under FORCED block-max WAND: one vectorized
+    kernel over every member's cursors in the global id space — the
+    kernel's adaptive threshold is the cross-member global threshold
+    exchange, no sum-of-members-sized accumulator (query/federated.py
+    _search_wand). Bit-identical to the merged index, so it shares
+    bm25_topk's SQL oracle."""
+    q_federated_search(sf_dir)  # ensure the member engines are cached
+    fed = _ENGINE_CACHE[("fed", sf_dir)]
+    res = fed.search(BM25_QUERY_TEXT, k=10, strategy="wand")
     return pa.table({"doc_id": res["doc_id"],
                      "score": _round6(res["score"])})
 
@@ -2671,6 +2698,8 @@ QUERY_REGISTRY = {
     "term_match_counts": q_term_match_counts,
     "df_top_terms": q_df_top_terms,
     "bm25_topk": q_bm25_topk,
+    "bm25_topk_wand": q_bm25_topk_wand,
+    "federated_search_wand": q_federated_search_wand,
     "msearch": q_msearch,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "bm25_topk_terms_filter": q_bm25_topk_terms_filter,

@@ -1,0 +1,7 @@
+from .remote import (  # noqa: F401
+    LocalFileTransport,
+    SSHTransport,
+    detect_rotation,
+    fingerprint,
+    read_remote_lines,
+)

@@ -190,7 +190,12 @@ def bench_pipelines() -> dict:
              "top_hits_agg", "events_moving", "query_string",
              "function_score", "dis_max", "min_should_match",
              "scroll_export", "stratified_sample", "sequence_pack",
-             "embedding_knn_filtered"]
+             "embedding_knn_filtered",
+             # round-3 scale paths: forced vectorized WAND (single +
+             # federated) and the persisted bucket-partitioned ANN
+             # indexes (timing includes the one-time partition build)
+             "bm25_topk_wand", "federated_search_wand",
+             "embedding_knn_lsh", "embedding_knn_ivf"]
     out = {}
     for name in names:
         t0 = time.monotonic()

@@ -760,25 +760,37 @@ class SearchEngine:
                 continue
             tp = TermPostings(row)
             idf = bm25_idf(n, int(tp.df))
-            # block index that could contain each id; dedup to the blocks
-            # actually touched
+            # blocks that could contain an id, coalesced into contiguous
+            # runs (gap-tolerant): one varint decode per run instead of
+            # one per touched block — fixed numpy dispatch dominates
+            # small decodes (same lesson as wand.py)
+            from .wand import _merge_adjacent
+
             bi = np.searchsorted(tp.block_last, ids)
             ok = bi < tp.n_blocks
-            for block in np.unique(bi[ok]):
-                bids, btfs, bdls = tp.decode_block(int(block))
-                sel = ok & (bi == block)
-                p = np.searchsorted(bids, ids[sel])
-                inb = p < bids.size
-                p_ok = p[inb]
-                hit = bids[p_ok] == ids[sel][inb]
-                if not hit.any():
-                    continue
-                tf = btfs[p_ok[hit]].astype(np.float64)
-                dl = bdls[p_ok[hit]].astype(np.float64)
-                contrib = idf * (tf * (k1 + 1.0)
-                                 / (tf + k1 * (1.0 - b + b * dl / avgdl)))
-                idx_sel = np.flatnonzero(sel)[np.flatnonzero(inb)[hit]]
-                totals[idx_sel] += contrib
+            touched = np.unique(bi[ok])
+            if not touched.size:
+                continue
+            r0s, r1s = _merge_adjacent(touched, touched, gap=32)
+            parts = [tp.decode_block_range(int(a), int(c))
+                     for a, c in zip(r0s, r1s)]
+            bids = np.concatenate([p[0] for p in parts])
+            btfs = np.concatenate([p[1] for p in parts])
+            bdls = np.concatenate([p[2] for p in parts])
+            # decoded runs may be non-contiguous, but within each run ids
+            # ascend and runs ascend, so the concatenation stays sorted
+            p = np.searchsorted(bids, ids)
+            inb = p < bids.size
+            p_ok = p[inb]
+            hit = bids[p_ok] == ids[inb]
+            if not hit.any():
+                continue
+            tf = btfs[p_ok[hit]].astype(np.float64)
+            dl = bdls[p_ok[hit]].astype(np.float64)
+            contrib = idf * (tf * (k1 + 1.0)
+                             / (tf + k1 * (1.0 - b + b * dl / avgdl)))
+            idx_sel = np.flatnonzero(inb)[hit]
+            totals[idx_sel] += contrib
         return totals
 
     def expand_prefix(self, prefix: str,

@@ -1496,6 +1496,16 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # ES scroll/reindex-with-query analog: all docs containing any query
     # term, with sha256(text) proving export round-trip integrity
+    # remote line source round-trip: line-per-doc render (newline runs
+    # flattened to one space), read back through the chunk-parallel
+    # datasource in byte order == doc_id order, strip + drop-empty
+    "remote_tail_lines": r"""
+        SELECT line FROM (
+          SELECT doc_id,
+                 trim(regexp_replace(text, '[\r\n]+', ' ', 'g')) AS line
+          FROM documents WHERE doc_id < 200
+        ) WHERE line <> '' ORDER BY doc_id
+    """,
     "scroll_export": f"""
         WITH tr AS (
           SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents

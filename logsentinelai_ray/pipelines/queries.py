@@ -1712,6 +1712,37 @@ def q_scroll_export(sf_dir: str):
     return scroll_export(eng, BM25_QUERY_TEXT, outdir)
 
 
+def q_remote_tail_lines(sf_dir: str):
+    """Remote line source (sources/remote.py — the reference's SSH
+    reader as a transport-injected Ray Datasource): documents render to
+    a line-per-doc text file once (newlines flattened, deterministic),
+    then the chunk-parallel datasource reads it back through the
+    transport seam with small chunks (forcing line-boundary splits);
+    lines return in byte-offset order == doc_id order, so the SQL
+    oracle is a plain ordered projection."""
+    import hashlib
+
+    import pyarrow.dataset as pa_ds
+
+    from ..sources import LocalFileTransport, read_remote_lines
+
+    tbl = pa_ds.dataset(os.path.join(sf_dir, "documents.parquet")) \
+        .to_table(columns=["doc_id", "text"],
+                  filter=pc.field("doc_id") < 200).sort_by("doc_id")
+    flat = pc.replace_substring_regex(tbl["text"], pattern="[\\r\\n]+",
+                                      replacement=" ")
+    path = os.path.join(
+        "/tmp/lsai_remote",
+        hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12]
+        + ".txt")
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        f.write("\n".join(flat.to_pylist()) + "\n")
+    ds = read_remote_lines(LocalFileTransport(), path, chunk_bytes=1 << 14)
+    out = ds.to_pandas().sort_values("byte_offset")
+    return pa.table({"line": pa.array(out["line"].tolist(), pa.string())})
+
+
 def q_bigram_counts(sf_dir: str):
     """Corpus bigram frequencies — the counting step of bigram-LM /
     BPE-merge training: top-20 adjacent token pairs by total occurrence
@@ -2733,6 +2764,7 @@ QUERY_REGISTRY = {
     "fuzzy_search": q_fuzzy_search,
     "index_stats": q_index_stats,
     "scroll_export": q_scroll_export,
+    "remote_tail_lines": q_remote_tail_lines,
     "explain_score": q_explain_score,
     "snapshot_restore": q_snapshot_restore,
     "bm25_topk_deleted": q_bm25_topk_deleted,

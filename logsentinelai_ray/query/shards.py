@@ -364,6 +364,10 @@ class SearchEngine:
         self.stats = mf.read_stats(index_dir)
         self.P = int(self.stats["num_partitions"])
         self.taat_max_docs = taat_max_docs
+        # WAND shares the contribution cache for terms whose decoded
+        # list fits a sane per-term budget; hotter terms (df beyond
+        # this) always go through selective block decode — see search()
+        self._WAND_CACHE_MAX_DF = 5_000_000
         n_shards = min(num_shards or 4, self.P)
         # round-robin parts over shards
         assignment: list[list[int]] = [[] for _ in range(n_shards)]
@@ -660,9 +664,22 @@ class SearchEngine:
                 topk = self._search_taat(terms, k, filter_ids)
             return self._format_result(topk, with_meta)
         rows = self._fetch_terms(terms)
+        # share TAAT's shard-decoded contribution cache: resident terms
+        # score via zero-decode range slices inside the kernel. Terms up
+        # to _WAND_CACHE_MAX_DF are decoded once shard-side (parallel)
+        # and cached under the SAME budget TAAT uses; rarer-than-cache
+        # or mega-hot terms fall back to selective block decode — at
+        # 10^12 docs a df~10^11 list can never be cached and block-max
+        # pruning over compressed blocks is the only path, which stays
+        # exercised here whenever the cache budget evicts.
+        cacheable = [t for t, r in rows.items()
+                     if r["df"] <= self._WAND_CACHE_MAX_DF]
+        if cacheable:
+            self._ensure_contribs(cacheable)
         bounds_avgdl = self.stats.get("min_bounds_avgdl", avgdl) or avgdl
         bound_scale = max(1.0, avgdl / bounds_avgdl)
         cursors = []
+        decoded = []
         for t in terms:  # sorted-term order — the scoring contract
             row = rows.get(t)
             if row is None:
@@ -672,6 +689,8 @@ class SearchEngine:
             cursors.append(PostingsCursor(tp, idf, self.stats["k1"],
                                           self.stats["b"], avgdl,
                                           bound_scale))
+            hit = self._contrib_cache.get(t)
+            decoded.append(None if hit is None else (hit[0], hit[1]))
         filter_ids = self._filter_ids(filters)
         if filter_ids is not None and filter_ids.size == 0:
             return self._format_result([], with_meta)
@@ -679,7 +698,8 @@ class SearchEngine:
         seed = None if (filters or tomb.size) else self._wand_seed(terms, k)
         topk = block_max_wand_vec(
             cursors, k, filter_ids=filter_ids,
-            exclude_ids=tomb if tomb.size else None, seed_threshold=seed)
+            exclude_ids=tomb if tomb.size else None, seed_threshold=seed,
+            decoded=decoded)
         return self._format_result(topk, with_meta)
 
     def msearch(self, requests: list[dict], with_meta: bool = True,

@@ -140,12 +140,49 @@ def _merge_adjacent(lo: np.ndarray, hi: np.ndarray, gap: int = 1
     return lo[starts], run_hi[ends]
 
 
+# per-scoring-round dense scratch width: memory per query is bounded by
+# this (x 8 bytes), INDEPENDENT of shard size — the no-N-sized-state
+# contract holds because the scratch covers one id window at a time
+_SPAN_CAP = 1 << 22
+
+
+def _span_groups(lo: np.ndarray, hi: np.ndarray, cap: int):
+    """Split sorted disjoint [lo, hi] ranges into groups whose total id
+    span (last hi - first lo + 1) is <= cap; a single over-wide range is
+    itself windowed. Yields (lo_arr, hi_arr) per group."""
+    glo: list[int] = []
+    ghi: list[int] = []
+    base = None
+    for s, e in zip(lo.tolist(), hi.tolist()):
+        while True:
+            if base is None:
+                base = s
+            if e - base + 1 <= cap:
+                glo.append(s)
+                ghi.append(e)
+                break
+            # close the current group at the cap boundary
+            cut = base + cap - 1
+            if s <= cut:
+                glo.append(s)
+                ghi.append(cut)
+                s = cut + 1
+            yield (np.asarray(glo, dtype=np.int64),
+                   np.asarray(ghi, dtype=np.int64))
+            glo, ghi, base = [], [], None
+    if glo:
+        yield (np.asarray(glo, dtype=np.int64),
+               np.asarray(ghi, dtype=np.int64))
+
+
 def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
                        filter_ids: np.ndarray | None = None,
                        exclude_ids: np.ndarray | None = None,
                        seed_threshold: float | None = None,
                        first_batch_atoms: int = 64,
                        coalesce_blocks: int = 32,
+                       decoded: list | None = None,
+                       span_cap: int = _SPAN_CAP,
                        ) -> list[tuple[int, float]]:
     """Vectorized block-max WAND — identical results to ``block_max_wand``
     (cross-tested), but block-at-a-time instead of doc-at-a-time, so the
@@ -161,11 +198,15 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
     threshold only ever reflects docs with smaller ids, so a skipped doc
     loses the (score desc, doc_id asc) tie-break even on equality —
     the same argument as the scalar version); (3) surviving atoms are
-    scored exactly: overlapping blocks are decoded as contiguous runs
-    (``decode_block_range``), contributions computed with the same
-    float64 expression tree as ``PostingsCursor.score_current`` and
-    accumulated with ``np.add.at`` over term-order-concatenated arrays —
-    per-doc float addition order == sorted-term order == the oracle's.
+    scored exactly, one <=``span_cap``-wide id window at a time, into a
+    DENSE span scratch (``scratch[ids - lo] += contrib`` per cursor in
+    sorted-term order — the same fancy-index addition, hence the same
+    per-doc float order, as the TAAT accumulator and the oracle; no
+    sort-based grouping on the hot path). Contributions come from
+    ``decode_block_range`` runs with the same float64 expression tree as
+    ``PostingsCursor.score_current`` — or, when ``decoded[i]`` supplies a
+    cursor's pre-decoded ``(ids, contrib)`` arrays (the engine's shared
+    posting cache), from zero-decode range slices of those.
 
     Upper-bound safety under vectorization: atom bounds come from a
     cumsum over +/- block-bound events, whose float rounding could
@@ -180,6 +221,9 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
     scalar contract. ``seed_threshold`` must be strictly below the true
     k-th best score (see block_max_wand).
     """
+    if decoded is None:
+        decoded = [None] * len(cursors)
+    decoded = [d for c, d in zip(cursors, decoded) if c.tp.n_blocks]
     cs = [c for c in cursors if c.tp.n_blocks]
     if not cs or k <= 0:
         return []
@@ -221,75 +265,101 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
         if not alive.any():
             j = je
             continue
-        lo = upos[j:je][alive]
-        hi = upos[j + 1:je + 1][alive] - 1
+        blo = upos[j:je][alive]
+        bhi = upos[j + 1:je + 1][alive] - 1
         j = je
-        lo, hi = _merge_adjacent(lo, hi)
+        blo, bhi = _merge_adjacent(blo, bhi)
 
-        ids_parts: list[np.ndarray] = []
-        contrib_parts: list[np.ndarray] = []
-        for c in cs:  # sorted-term order — the scoring contract
-            tp = c.tp
-            b0 = np.searchsorted(tp.block_last, lo, side="left")
-            b1 = np.searchsorted(tp.block_first, hi, side="right") - 1
-            ok = b0 <= b1
-            if not ok.any():
+        for lo, hi in _span_groups(blo, bhi, span_cap):
+            base = int(lo[0])
+            span = int(hi[-1]) - base + 1
+            scratch = np.zeros(span, dtype=np.float64)
+            touched = False
+            for c, dec_full in zip(cs, decoded):  # sorted-term order —
+                # the scoring contract: per-doc float addition order is
+                # term order via fancy-index += (same as TAAT/oracle)
+                tp = c.tp
+                if dec_full is not None:
+                    # zero-decode path: range-slice the cached decoded
+                    # (ids, contrib) arrays — slices are within ranges
+                    # by construction, no mask needed
+                    ids_full, contrib_full = dec_full
+                    s = np.searchsorted(ids_full, lo, side="left")
+                    e = np.searchsorted(ids_full, hi, side="right")
+                    cnt = e - s
+                    total = int(cnt.sum())
+                    if total == 0:
+                        continue
+                    starts = np.cumsum(cnt) - cnt
+                    gather = (np.arange(total, dtype=np.int64)
+                              - np.repeat(starts, cnt) + np.repeat(s, cnt))
+                    ids = ids_full[gather]
+                    contrib = contrib_full[gather]
+                    if c.score_scale != 1.0:
+                        contrib = c.score_scale * contrib
+                    scratch[ids - base] += contrib
+                    touched = True
+                    continue
+                b0 = np.searchsorted(tp.block_last, lo, side="left")
+                b1 = np.searchsorted(tp.block_first, hi, side="right") - 1
+                ok = b0 <= b1
+                if not ok.any():
+                    continue
+                # coalesce nearby runs: decoding a few skippable gap
+                # blocks in ONE varint call is far cheaper than separate
+                # decode calls (fixed numpy dispatch dominates small
+                # decodes); the range mask below drops the gap postings
+                r0, r1 = _merge_adjacent(b0[ok], b1[ok],
+                                         gap=coalesce_blocks)
+                dec = [tp.decode_block_range(int(a), int(b))
+                       for a, b in zip(r0, r1)]
+                ids = np.concatenate([d[0] for d in dec])
+                tfs = np.concatenate([d[1] for d in dec])
+                dls = np.concatenate([d[2] for d in dec])
+                # keep only ids inside a surviving atom range
+                ri = np.searchsorted(lo, ids, side="right") - 1
+                keep = ri >= 0
+                keep[keep] = ids[keep] <= hi[ri[keep]]
+                if not keep.any():
+                    continue
+                ids = ids[keep]
+                tf = tfs[keep].astype(np.float64)
+                dl = dls[keep].astype(np.float64)
+                # identical expression tree to score_current /
+                # IndexShard.decode_term (elementwise IEEE ops ==
+                # the scalar oracle)
+                contrib = c.idf * (tf * (c.k1 + 1.0)
+                                   / (tf + c.k1 * (1.0 - c.b
+                                                   + c.b * dl / c.avgdl)))
+                if c.score_scale != 1.0:
+                    contrib = c.score_scale * contrib
+                scratch[ids - base] += contrib
+                touched = True
+            if not touched:
                 continue
-            # coalesce nearby runs: decoding a few skippable gap blocks in
-            # ONE varint call is far cheaper than separate decode calls
-            # (fixed numpy dispatch dominates small decodes); the range
-            # mask below drops the gap blocks' postings anyway
-            r0, r1 = _merge_adjacent(b0[ok], b1[ok], gap=coalesce_blocks)
-            dec = [tp.decode_block_range(int(a), int(b))
-                   for a, b in zip(r0, r1)]
-            ids = np.concatenate([d[0] for d in dec])
-            tfs = np.concatenate([d[1] for d in dec])
-            dls = np.concatenate([d[2] for d in dec])
-            # keep only ids inside a surviving atom range
-            ri = np.searchsorted(lo, ids, side="right") - 1
-            keep = ri >= 0
-            keep[keep] = ids[keep] <= hi[ri[keep]]
-            if not keep.any():
+            rel = np.flatnonzero(scratch)
+            if not rel.size:
                 continue
-            ids = ids[keep]
-            tf = tfs[keep].astype(np.float64)
-            dl = dls[keep].astype(np.float64)
-            # identical expression tree to PostingsCursor.score_current /
-            # IndexShard.decode_term (elementwise IEEE ops == scalar oracle)
-            contrib = c.idf * (tf * (c.k1 + 1.0)
-                               / (tf + c.k1 * (1.0 - c.b
-                                               + c.b * dl / c.avgdl)))
-            if c.score_scale != 1.0:
-                contrib = c.score_scale * contrib
-            ids_parts.append(ids)
-            contrib_parts.append(contrib)
-        if not ids_parts:
-            continue
-        cat_ids = np.concatenate(ids_parts)
-        cat_contrib = np.concatenate(contrib_parts)
-        uids, inv = np.unique(cat_ids, return_inverse=True)
-        acc = np.zeros(uids.size, dtype=np.float64)
-        # np.add.at applies strictly in element order -> per-doc addition
-        # order is term order (ids_parts concatenated term-by-term)
-        np.add.at(acc, inv, cat_contrib)
-        if exclude_ids is not None and exclude_ids.size and uids.size:
-            p = np.searchsorted(exclude_ids, uids)
-            p_ok = p < exclude_ids.size
-            bad = np.zeros(uids.size, dtype=bool)
-            bad[p_ok] = exclude_ids[p[p_ok]] == uids[p_ok]
-            uids, acc = uids[~bad], acc[~bad]
-        if filter_ids is not None and uids.size:
-            p = np.searchsorted(filter_ids, uids)
-            p_ok = p < filter_ids.size
-            good = np.zeros(uids.size, dtype=bool)
-            good[p_ok] = filter_ids[p[p_ok]] == uids[p_ok]
-            uids, acc = uids[good], acc[good]
-        if not uids.size:
-            continue
-        merged_ids = np.concatenate((top_ids, uids))
-        merged_scores = np.concatenate((top_scores, acc))
-        sel = np.lexsort((merged_ids, -merged_scores))[:k]
-        top_ids, top_scores = merged_ids[sel], merged_scores[sel]
-        if top_ids.size == k:
-            threshold = max(seed, float(top_scores[-1]))
+            uids = rel + base
+            acc = scratch[rel]
+            if exclude_ids is not None and exclude_ids.size:
+                p = np.searchsorted(exclude_ids, uids)
+                p_ok = p < exclude_ids.size
+                bad = np.zeros(uids.size, dtype=bool)
+                bad[p_ok] = exclude_ids[p[p_ok]] == uids[p_ok]
+                uids, acc = uids[~bad], acc[~bad]
+            if filter_ids is not None and uids.size:
+                p = np.searchsorted(filter_ids, uids)
+                p_ok = p < filter_ids.size
+                good = np.zeros(uids.size, dtype=bool)
+                good[p_ok] = filter_ids[p[p_ok]] == uids[p_ok]
+                uids, acc = uids[good], acc[good]
+            if not uids.size:
+                continue
+            merged_ids = np.concatenate((top_ids, uids))
+            merged_scores = np.concatenate((top_scores, acc))
+            sel = np.lexsort((merged_ids, -merged_scores))[:k]
+            top_ids, top_scores = merged_ids[sel], merged_scores[sel]
+            if top_ids.size == k:
+                threshold = max(seed, float(top_scores[-1]))
     return [(int(d), float(s)) for d, s in zip(top_ids, top_scores)]

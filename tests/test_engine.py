@@ -385,3 +385,54 @@ def test_shard_death_recovers(ray_session, small_index):
         assert after == before
     finally:
         eng.shutdown()
+
+
+def test_wand_vec_span_windows_and_decoded_cache(engine):
+    """Tiny span_cap forces many dense-scratch windows; the decoded
+    (ids, contrib) slice path must give identical results to block
+    decode, including mixed (some cursors cached, some not)."""
+    import numpy as np
+
+    from logsentinelai_ray.analysis import tokenize_py
+    from logsentinelai_ray.query.bm25 import bm25_idf
+    from logsentinelai_ray.query.postings import PostingsCursor, TermPostings
+    from logsentinelai_ray.query.wand import block_max_wand_vec
+
+    stats = engine.stats
+    n = int(stats["n_docs"])
+    for query in QUERY_SET[:4]:
+        terms = sorted(set(tokenize_py(query, int(stats["max_token_len"]))))
+        rows = engine._fetch_terms(terms)
+        present = [t for t in terms if t in rows]
+
+        def mk():
+            out = []
+            for t in present:
+                tp = TermPostings(rows[t])
+                idf = bm25_idf(n, int(tp.df))
+                out.append(PostingsCursor(tp, idf, stats["k1"],
+                                          stats["b"], stats["avgdl"]))
+            return out
+
+        def full_decode(c):
+            ids, tfs, dls = c.tp.decode_all()
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            contrib = c.idf * (tf * (c.k1 + 1.0)
+                               / (tf + c.k1 * (1.0 - c.b
+                                               + c.b * dl / c.avgdl)))
+            return ids, contrib
+
+        exp = block_max_wand_vec(mk(), 20)
+        got_span = block_max_wand_vec(mk(), 20, span_cap=37)
+        assert got_span == exp, (query, "span windows")
+        cursors = mk()
+        dec_all = [full_decode(c) for c in cursors]
+        got_dec = block_max_wand_vec(cursors, 20, decoded=dec_all)
+        assert got_dec == exp, (query, "decoded")
+        cursors = mk()
+        dec_mixed = [full_decode(c) if i % 2 == 0 else None
+                     for i, c in enumerate(cursors)]
+        got_mix = block_max_wand_vec(cursors, 20, decoded=dec_mixed,
+                                     span_cap=101)
+        assert got_mix == exp, (query, "mixed decoded + span windows")

@@ -156,7 +156,8 @@ class FederatedSearch:
                                            avgdl) or avgdl
                 scale = max(1.0, self.avgdl_global / bounds_avgdl)
                 cursors.append(PostingsCursor(
-                    tp, idf, self.k1, self.b, self.avgdl_global, scale))
+                    tp, idf, self.k1, self.b, self.avgdl_global, scale,
+                    lazy=True))
         tombs = [e._tombstones + self.offsets[ei]
                  for ei, e in enumerate(self.engines)
                  if e._tombstones.size]

@@ -125,7 +125,8 @@ class PostingsCursor:
 
     def __init__(self, tp: TermPostings, idf: float, k1: float = 1.2,
                  b: float = 0.75, avgdl: float = 1.0,
-                 bound_scale: float = 1.0, score_scale: float = 1.0):
+                 bound_scale: float = 1.0, score_scale: float = 1.0,
+                 lazy: bool = False):
         self.tp = tp
         self.idf = idf
         self.k1, self.b, self.avgdl = k1, b, avgdl
@@ -143,7 +144,11 @@ class PostingsCursor:
         self._pos = 0
         self._ids = self._tfs = self._dls = None
         self.cur_doc = INF_DOC
-        if tp.n_blocks:
+        # lazy=True skips the block-0 decode: the vectorized WAND kernel
+        # reads only metadata fields off the cursor and decodes ranges
+        # itself — paying a per-cursor block decode here was measurable
+        # per-query overhead on cached hot queries
+        if tp.n_blocks and not lazy:
             self._load_block(0)
 
     def _load_block(self, bi: int) -> None:

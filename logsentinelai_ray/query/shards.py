@@ -688,7 +688,7 @@ class SearchEngine:
             idf = bm25_idf(n, int(tp.df))
             cursors.append(PostingsCursor(tp, idf, self.stats["k1"],
                                           self.stats["b"], avgdl,
-                                          bound_scale))
+                                          bound_scale, lazy=True))
             hit = self._contrib_cache.get(t)
             decoded.append(None if hit is None else (hit[0], hit[1]))
         filter_ids = self._filter_ids(filters)
@@ -958,7 +958,7 @@ class SearchEngine:
                 tp, idf, self.stats["k1"], self.stats["b"],
                 path_avgdl if is_path else avgdl,
                 1.0 if is_path else bound_scale,
-                score_scale=path_boost if is_path else 1.0))
+                score_scale=path_boost if is_path else 1.0, lazy=True))
         tomb = self._tombstones
         topk = block_max_wand_vec(
             cursors, k, exclude_ids=tomb if tomb.size else None)

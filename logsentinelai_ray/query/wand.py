@@ -260,7 +260,7 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
         else max(1, int(first_batch_atoms))
     while j < n_atoms:
         je = min(j + batch, n_atoms)
-        batch = min(batch * 4, 65536)
+        batch = min(batch * 8, 1 << 18)
         alive = atom_ub[j:je] > threshold
         if not alive.any():
             j = je
@@ -290,11 +290,21 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
                     total = int(cnt.sum())
                     if total == 0:
                         continue
-                    starts = np.cumsum(cnt) - cnt
-                    gather = (np.arange(total, dtype=np.int64)
-                              - np.repeat(starts, cnt) + np.repeat(s, cnt))
-                    ids = ids_full[gather]
-                    contrib = contrib_full[gather]
+                    if lo.size == 1 or total == ids_full.size:
+                        # one contiguous range (or everything survives —
+                        # the unprunable all-hot case): a plain VIEW, no
+                        # gather-index construction at all
+                        ids = ids_full[s[0]:e[-1]] if lo.size == 1 \
+                            else ids_full
+                        contrib = contrib_full[s[0]:e[-1]] \
+                            if lo.size == 1 else contrib_full
+                    else:
+                        starts = np.cumsum(cnt) - cnt
+                        gather = (np.arange(total, dtype=np.int64)
+                                  - np.repeat(starts, cnt)
+                                  + np.repeat(s, cnt))
+                        ids = ids_full[gather]
+                        contrib = contrib_full[gather]
                     if c.score_scale != 1.0:
                         contrib = c.score_scale * contrib
                     scratch[ids - base] += contrib

@@ -306,12 +306,34 @@ def run_scaling() -> dict:
     reported alongside for transparency.
     """
 
+    def primer_start(n: int = 16) -> list:
+        """nice-19 spinners pinned to the upper cores: this host's
+        idle-frequency governor keeps clocks LOW under light load, so an
+        unprimed 2-cpu leg measures the governor, not the engine
+        (observed: physically impossible >1 efficiencies). The primer
+        holds clocks up at the lowest priority; the measured Ray workers
+        preempt it. Disclosed in the output (primed: true)."""
+        code = "import time\nwhile True:\n    pass\n"
+        return [subprocess.Popen(
+            ["nice", "-n", "19", "taskset", "-c", "16-31",
+             sys.executable, "-c", code]) for _ in range(n)]
+
+    def primer_stop(procs: list) -> None:
+        for p in procs:
+            p.kill()
+        for p in procs:
+            p.wait()
+
     def sub_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_DOCS=str(SCALING_DOCS))
-        out = subprocess.run([sys.executable, __file__, "--core-only"],
-                             env=env, capture_output=True, text=True,
-                             check=True).stdout
+        procs = primer_start()
+        try:
+            out = subprocess.run([sys.executable, __file__, "--core-only"],
+                                 env=env, capture_output=True, text=True,
+                                 check=True).stdout
+        finally:
+            primer_stop(procs)
         os.sync()  # settle page cache/allocator before the next run
         time.sleep(8)
         return json.loads(out.strip().splitlines()[-1])
@@ -328,8 +350,17 @@ def run_scaling() -> dict:
     probe_after = host_probe()
     eff_2_8 = (r2["build_s"] / r8["build_s"]) / 4
     eff_8_32 = (r8["build_s"] / r32["build_s"]) / 4
+    # physically impossible efficiencies (>1 beyond noise) mean a leg ran
+    # inside a host-throttle window — flagged invalid, either direction,
+    # never cherry-picked (round-2 adjudication rule)
+    valid = 0.0 < eff_2_8 <= 1.05
     return {
         "host_probes": {"before": probe_before, "after": probe_after},
+        "primed": True,
+        "valid": valid,
+        "validity_rule": "0 < efficiency <= 1.05; legs run with a nice-19"
+                         " governor primer on the upper cores (see"
+                         " bench.py primer_start docstring)",
         "metric": "scaling_efficiency_n_to_4n",
         "value": round(eff_2_8, 3),
         "unit": "ratio",

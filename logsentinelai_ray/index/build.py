@@ -59,6 +59,13 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pa_ds
 import pyarrow.parquet as pq
+
+# all build-side parquet writes go through zstd-1: on this corpus it
+# roughly halves the bytes pushed through the (often write-bandwidth-
+# bound) exchange and segment sinks at near-snappy CPU cost — measured
+# directly on the emit stage (BASELINE.md round 3)
+_PQ_WRITE_KW = dict(compression="zstd", compression_level=1)
+
 import ray
 
 from ..analysis.tokenizer import tokenize_batch_arrow
@@ -123,7 +130,7 @@ def _finalize(tbl: pa.Table, ids: np.ndarray, out_path: str) -> int:
     out = (tbl.add_column(0, "doc_id", pa.array(ids, pa.int64()))
               .append_column("sha256", sha))
     tmp = out_path + f".tmp-{os.getpid()}"
-    pq.write_table(out, tmp)
+    pq.write_table(out, tmp, **_PQ_WRITE_KW)
     os.replace(tmp, out_path)
     return out.num_rows
 
@@ -228,7 +235,8 @@ def _emit_mapping(tbl: pa.Table, prev_last_key, rank_offset: int,
         odir = os.path.join(mapping_dir, f"origin={o}")
         os.makedirs(odir, exist_ok=True)
         path = os.path.join(odir, f"{uid}.parquet")
-        pq.write_table(out.slice(s, e - s).drop_columns(["origin"]), path)
+        pq.write_table(out.slice(s, e - s).drop_columns(["origin"]), path,
+                       **_PQ_WRITE_KW)
     return int(new.sum())
 
 
@@ -526,7 +534,8 @@ def _write_part_slices(tbl: pa.Table, out_dir: str, uid: str) -> None:
         os.makedirs(pdir, exist_ok=True)
         path = os.path.join(pdir, f"{uid}-{p}.parquet")
         tmp = path + f".tmp-{os.getpid()}"
-        pq.write_table(tbl.slice(s, e - s).drop_columns(["part"]), tmp)
+        pq.write_table(tbl.slice(s, e - s).drop_columns(["part"]), tmp,
+                       **_PQ_WRITE_KW)
         os.replace(tmp, path)
 
 
@@ -679,7 +688,7 @@ def _merge_part(index_dir: str, part: int, fingerprint: str,
     os.makedirs(seg_dir, exist_ok=True)
     path = os.path.join(seg_dir, f"part-{part:04d}.parquet")
     tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(merged, tmp)
+    pq.write_table(merged, tmp, **_PQ_WRITE_KW)
     os.replace(tmp, path)
     n_postings = int(pc.sum(merged["df"]).as_py() or 0) if merged.num_rows \
         else 0
@@ -765,7 +774,7 @@ def _consolidate_positions(index_dir: str, raw_pos_dir: str, part: int,
     else:
         tbl = POSITIONS_SCHEMA.empty_table()
     tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(tbl, tmp, row_group_size=1 << 18)
+    pq.write_table(tbl, tmp, row_group_size=1 << 18, **_PQ_WRITE_KW)
     os.replace(tmp, path)
     return tbl.num_rows
 

@@ -16,17 +16,23 @@ rows the miss probability at J=0.9 is (1-0.9^4)^16 ≈ 2e-3).
 Shingle definition identical to dedup.jaccard so the two operators'
 outputs are directly comparable (minhash ⊆ exact).
 
-Scale note: the candidate PAIR list is assumed driver-small (real dup
-rates << 1%); at 10^12 docs the pair dedupe becomes a groupby on the
-packed key and verification co-locates (pair, shingle-set) via a doc_id
-exchange instead of the broadcast.
+Candidate-pair dedup is a distributed ``groupby(pk)`` on the packed pair
+key (never a driver-side unique over raw band rows), and shingle hashing
+always runs in the cluster. Verification has two cross-tested paths
+chosen by candidate count: below ``driver_max_pairs`` the per-candidate
+shingle-hash sets are broadcast via ``ray.put`` and pairs verify inside
+``map_batches`` (one sorted-hash array per candidate doc is the only
+driver-held state); above it NOTHING pair-set-sized stays on the driver —
+candidate shingle rows are re-grouped by shingle hash, expanded through
+the same salted block machinery as dedup.jaccard restricted to the
+candidate pair set, and ``groupby(pk).count`` yields exact intersection
+sizes (the doc_id exchange the broadcast path's scale note prescribes).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from .jaccard import _shingle_rows
 
@@ -117,28 +123,74 @@ class MinHashEmit:
 
 
 def _bucket_pairs(group: pa.Table) -> pa.Table:
+    """One LSH bucket's doc set → packed candidate pair keys a*2^32+b
+    (a < b). Emitting the packed key lets the cross-band dedup be one
+    distributed ``groupby(pk)`` instead of a driver-side unique."""
     ids = np.sort(np.unique(group["doc_id"].to_numpy(zero_copy_only=False)))
+    if ids.size and ids[-1] >= 2 ** 31:
+        raise ValueError(
+            f"doc_id {int(ids[-1])} >= 2^31 overflows the packed int64 "
+            "pair key; use a two-column (a, b) pair exchange instead")
     if ids.size < 2:
-        return pa.table({"a": pa.array([], pa.int64()),
-                         "b": pa.array([], pa.int64())})
+        return pa.table({"pk": pa.array([], pa.int64())})
     ia, ib = np.triu_indices(ids.size, k=1)
-    return pa.table({"a": pa.array(ids[ia], pa.int64()),
-                     "b": pa.array(ids[ib], pa.int64())})
+    pk = (ids[ia].astype(np.int64) << 32) | ids[ib].astype(np.int64)
+    return pa.table({"pk": pa.array(pk, pa.int64())})
 
 
-def _shingle_sets(tbl: pa.Table, text_col: str, id_col: str, n: int
-                  ) -> dict[int, np.ndarray]:
-    """doc_id → sorted unique shingle-hash array (vectorized)."""
-    t = _shingle_rows(tbl, text_col, id_col, n)
+def _cand_hash_rows(batch: pa.Table, ids_ref, text_col: str, id_col: str,
+                    n: int) -> pa.Table:
+    """Distinct (doc_id, shingle-hash) rows for candidate docs only.
+
+    Runs in the cluster: the broadcast side is one sorted int64 id per
+    candidate doc. Each document lives in exactly one input row, so the
+    per-batch (doc_id, h) distinct is globally distinct."""
+    import ray
+
+    cand = ids_ref if isinstance(ids_ref, np.ndarray) else ray.get(ids_ref)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "h": pa.array([], pa.uint64())})
+    ids = batch[id_col].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(cand, ids)
+    mask = (pos < cand.size) & (cand[np.minimum(pos, cand.size - 1)] == ids)
+    if not mask.any():
+        return empty
+    t = _shingle_rows(batch.filter(pa.array(mask)), text_col, id_col, n)
     if t.num_rows == 0:
+        return empty
+    t = pa.table({"doc_id": t["doc_id"],
+                  "h": pa.array(_hash_shingles(t["sh"]), pa.uint64())})
+    # distinct again after hashing: two distinct shingle strings that
+    # collide in the 64-bit hash must count once, exactly as the
+    # broadcast path's np.unique over hashes does
+    return t.group_by(["doc_id", "h"]).aggregate([])
+
+
+def _sets_from_rows(tbl: pa.Table) -> dict[int, np.ndarray]:
+    """Collected (doc_id, h) rows → doc_id → sorted hash array."""
+    if tbl.num_rows == 0:
         return {}
-    t = t.sort_by("doc_id")
-    did = t["doc_id"].to_numpy(zero_copy_only=False)
-    h = _hash_shingles(t["sh"])
+    did = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    h = tbl["h"].to_numpy(zero_copy_only=False)
+    order = np.argsort(did, kind="stable")
+    did, h = did[order], h[order]
     starts = np.concatenate(([0], np.flatnonzero(did[1:] != did[:-1]) + 1))
     bounds = np.append(starts, h.size)
-    return {int(did[s]): np.unique(h[s:e])
+    return {int(did[s]): np.sort(h[s:e])
             for s, e in zip(bounds[:-1], bounds[1:])}
+
+
+def _member_pairs(batch: pa.Table, pk_ref) -> pa.Table:
+    """Keep only expanded pairs that are LSH candidates (sorted-array
+    membership against the broadcast packed-key set)."""
+    import ray
+
+    pk_set = pk_ref if isinstance(pk_ref, np.ndarray) else ray.get(pk_ref)
+    pk = batch["pk"].to_numpy(zero_copy_only=False)
+    pos = np.searchsorted(pk_set, pk)
+    ok = (pos < pk_set.size) & (pk_set[np.minimum(pos, pk_set.size - 1)]
+                                == pk)
+    return pa.table({"pk": pa.array(pk[ok], pa.int64())})
 
 
 def _verify_pairs(batch: pa.Table, sets_ref, threshold: float) -> pa.Table:
@@ -167,50 +219,96 @@ def _verify_pairs(batch: pa.Table, sets_ref, threshold: float) -> pa.Table:
 
 def minhash_lsh_dupes(ds, text_col: str = "text", id_col: str = "doc_id",
                       n: int = 3, num_perm: int = 64, bands: int = 16,
-                      threshold: float = 0.5) -> pa.Table:
+                      threshold: float = 0.5,
+                      driver_max_pairs: int = 2_000_000) -> pa.Table:
     """Returns (a, b, jaccard) for verified near-dup pairs, sorted by (a,b).
 
-    Candidate pairs are deduped on the driver (candidate count is tiny);
-    verification runs inside the cluster over broadcast candidate
-    shingle-hash sets built from a pushed-down fetch of candidate texts.
+    Candidate pairs dedupe in a distributed ``groupby(pk)``; candidate
+    shingle hashing runs in the cluster in both paths. Below
+    ``driver_max_pairs`` candidates, verification broadcasts the
+    per-candidate sorted hash sets (``ray.put``) and checks pairs inside
+    ``map_batches`` — the cheap path when real dup rates are << 1%.
+    Above it, verification is the doc_id exchange: candidate (doc_id, h)
+    rows groupby shingle hash, expand through dedup.jaccard's salted
+    block machinery restricted to the candidate set, and
+    ``groupby(pk).count`` produces exact intersection sizes — the driver
+    holds only the packed candidate-key array (8 B/pair) and the
+    (id, set-size) lookup (16 B/doc). Requires ``threshold > 0`` (a
+    zero-intersection pair never surfaces in the exchange).
     """
     from functools import partial
 
     import ray
     import ray.data as rd
+    from ray.data.aggregate import Count
 
+    from .jaccard import (_expand_pair_blocks, _jaccard_filter,
+                          _pair_blocks_of_group)
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64()),
+                      "jaccard": pa.array([], pa.float64())})
     lsh_rows = ds.map_batches(
         MinHashEmit, fn_constructor_args=(text_col, id_col, n, num_perm,
                                           bands),
         batch_format="pyarrow", concurrency=(1, 4))
     pairs_ds = (lsh_rows.groupby(["band", "bh"])
-                .map_groups(_bucket_pairs, batch_format="pyarrow"))
-    parts = [np.stack([b["a"].to_numpy(zero_copy_only=False),
-                       b["b"].to_numpy(zero_copy_only=False)], axis=1)
-             for b in pairs_ds.iter_batches(batch_format="pyarrow",
-                                            batch_size=1 << 20)]
-    empty = pa.table({"a": pa.array([], pa.int64()),
-                      "b": pa.array([], pa.int64()),
-                      "jaccard": pa.array([], pa.float64())})
-    if not parts:
+                .map_groups(_bucket_pairs, batch_format="pyarrow")
+                .groupby("pk").aggregate(Count(alias_name="_c"))
+                .select_columns(["pk"]).materialize())
+    n_pairs = pairs_ds.count()
+    if n_pairs == 0:
         return empty
-    cand = np.unique(np.concatenate(parts), axis=0)
-    if cand.size == 0:
-        return empty
-    cand_ids = np.unique(cand)
-    want = pa.array(cand_ids, pa.int64())
-    texts_tbl = pa.concat_tables(list(ds.map_batches(
-        lambda t: t.filter(pc.is_in(t[id_col], value_set=want))
-                   .select([id_col, text_col]),
-        batch_format="pyarrow").iter_batches(batch_format="pyarrow",
-                                             batch_size=1 << 20)))
-    sets_ref = ray.put(_shingle_sets(texts_tbl, text_col, id_col, n))
-    verified = rd.from_arrow(pa.table({
-        "a": pa.array(cand[:, 0], pa.int64()),
-        "b": pa.array(cand[:, 1], pa.int64()),
-    })).map_batches(partial(_verify_pairs, sets_ref=sets_ref,
-                            threshold=threshold),
-                    batch_format="pyarrow")
+    pk = np.sort(np.concatenate([
+        b["pk"].to_numpy(zero_copy_only=False)
+        for b in pairs_ds.iter_batches(batch_format="pyarrow",
+                                       batch_size=1 << 20)]))
+    cand_ids = np.unique(np.concatenate([pk >> 32, pk & 0xFFFFFFFF]))
+    ids_ref = ray.put(cand_ids)
+    hash_rows = ds.map_batches(
+        partial(_cand_hash_rows, ids_ref=ids_ref, text_col=text_col,
+                id_col=id_col, n=n),
+        batch_format="pyarrow")
+
+    if n_pairs <= driver_max_pairs:
+        rows = list(hash_rows.iter_batches(batch_format="pyarrow",
+                                           batch_size=1 << 20))
+        sets_ref = ray.put(_sets_from_rows(
+            pa.concat_tables(rows) if rows else
+            pa.table({"doc_id": pa.array([], pa.int64()),
+                      "h": pa.array([], pa.uint64())})))
+        verified = rd.from_arrow(pa.table({
+            "a": pa.array(pk >> 32, pa.int64()),
+            "b": pa.array(pk & 0xFFFFFFFF, pa.int64()),
+        })).map_batches(partial(_verify_pairs, sets_ref=sets_ref,
+                                threshold=threshold),
+                        batch_format="pyarrow")
+    else:
+        hash_rows = hash_rows.materialize()
+        sizes = hash_rows.groupby("doc_id").aggregate(
+            Count(alias_name="n_sh"))
+        sz_parts = list(sizes.iter_batches(batch_format="pyarrow",
+                                           batch_size=1 << 20))
+        sz_tbl = pa.concat_tables(sz_parts).sort_by("doc_id")
+        sz_ref = ray.put((sz_tbl["doc_id"].to_numpy(zero_copy_only=False),
+                          sz_tbl["n_sh"].to_numpy(zero_copy_only=False)))
+        pk_ref = ray.put(pk)
+        verified = (hash_rows
+                    .map_batches(lambda t: pa.table(
+                        {"doc_id": t["doc_id"], "sh": t["h"]}),
+                        batch_format="pyarrow")
+                    .groupby("sh")
+                    .map_groups(partial(_pair_blocks_of_group,
+                                        max_group=None),
+                                batch_format="pyarrow")
+                    .map_batches(_expand_pair_blocks,
+                                 batch_format="pyarrow", batch_size=128)
+                    .map_batches(partial(_member_pairs, pk_ref=pk_ref),
+                                 batch_format="pyarrow")
+                    .groupby("pk").aggregate(Count(alias_name="inter"))
+                    .map_batches(partial(_jaccard_filter, sz_ref=sz_ref,
+                                         threshold=threshold),
+                                 batch_format="pyarrow"))
     vparts = list(verified.iter_batches(batch_format="pyarrow",
                                         batch_size=1 << 20))
     out = pa.concat_tables(vparts) if vparts else empty

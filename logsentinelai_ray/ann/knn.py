@@ -269,23 +269,38 @@ def _bucket_dupes(group: pa.Table, vec_col: str, id_col: str,
 
 def embedding_dupes(ds, threshold: float = 0.95, vec_col: str = "embedding",
                     id_col: str = "vec_id", n_planes: int = 8,
-                    seed: int = 42) -> pa.Table:
-    """Embedding-cosine near-dup pairs within LSH buckets (approximate:
-    cross-bucket pairs are missed; more planes → smaller buckets → faster
-    but lower recall). Returns (a, b, cosine) sorted by (a, b)."""
+                    seed: int = 42, n_tables: int = 4) -> pa.Table:
+    """Embedding-cosine near-dup pairs within LSH buckets, OR-amplified
+    across ``n_tables`` independent hyperplane tables: a pair is caught
+    when it shares a bucket in ANY table (same recall lever as
+    ``cosine_topk_lsh``; at cosine 0.95 / 8 planes single-table pair
+    recall is p^8 ≈ 0.43 with p = 1 - acos(s)/π, four tables lift it to
+    1-(1-p^8)^4 ≈ 0.90). In-bucket similarity is exact cosine, so
+    precision is exact; only recall is approximate, and cross-table
+    duplicate pairs collapse in the (a, b) groupby. Exchange cost: each
+    vector crosses the shuffle ``n_tables`` times. Returns (a, b,
+    cosine) sorted by (a, b)."""
     from ray.data.aggregate import Max
+
+    seeds = [seed + 131 * t for t in range(n_tables)]
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         mat = _batch_vectors(batch, vec_col)
         if mat.size == 0:
-            return batch.append_column("bucket",
-                                       pa.array([], pa.int64()))
-        b = _LSHBucketer(mat.shape[1], n_planes, seed)
-        return batch.append_column(
-            "bucket", pa.array(b.bucket(mat).astype(np.int64)))
+            return (batch.append_column("t", pa.array([], pa.int32()))
+                    .append_column("bucket", pa.array([], pa.int64())))
+        outs = []
+        for ti, s in enumerate(seeds):
+            b = _LSHBucketer(mat.shape[1], n_planes, s)
+            outs.append(
+                batch.append_column(
+                    "t", pa.array(np.full(mat.shape[0], ti, np.int32)))
+                .append_column(
+                    "bucket", pa.array(b.bucket(mat).astype(np.int64))))
+        return pa.concat_tables(outs)
 
     pairs = (ds.map_batches(add_bucket, batch_format="pyarrow")
-             .groupby("bucket")
+             .groupby(["t", "bucket"])
              .map_groups(partial(_bucket_dupes, vec_col=vec_col,
                                  id_col=id_col, threshold=threshold),
                          batch_format="pyarrow")

@@ -255,6 +255,47 @@ def test_ann_recall_multiprobe_and_ivf(ray_session):
     assert len(ivf & exact) >= 5
 
 
+def test_embedding_dupes_or_amplified_recall(ray_session):
+    """embedding_dupes across n_tables independent hyperplane tables:
+    recall over brute-force ground-truth pairs must improve on the
+    single-table run and reach >= 0.8 at the defaults, while every
+    reported pair is exact (precision 1.0 — in-bucket cosine is exact,
+    only candidate generation is approximate)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.ann import embedding_dupes
+
+    rng = np.random.default_rng(11)
+    dim, n_base = 16, 40
+    base = rng.normal(size=(n_base, dim))
+    vecs, ids = [], []
+    for i in range(n_base):
+        vecs.append(base[i])
+        ids.append(2 * i)
+        # perturbed copy: high-cosine true near-dup of its base
+        vecs.append(base[i] + 0.12 * rng.normal(size=dim))
+        ids.append(2 * i + 1)
+    mat = np.asarray(vecs)
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sim = unit @ unit.T
+    ia, ib = np.triu_indices(len(ids), k=1)
+    truth = {(min(ids[x], ids[y]), max(ids[x], ids[y]))
+             for x, y in zip(ia[sim[ia, ib] >= 0.9],
+                             ib[sim[ia, ib] >= 0.9])}
+    assert len(truth) >= n_base  # every (base, copy) pair qualifies
+
+    tbl = pa.table({"vec_id": pa.array(ids, pa.int64()),
+                    "embedding": pa.array([v.tolist() for v in vecs],
+                                          pa.list_(pa.float64()))})
+    one = embedding_dupes(rd.from_arrow(tbl), threshold=0.9, n_tables=1)
+    multi = embedding_dupes(rd.from_arrow(tbl), threshold=0.9)
+    got_one = set(zip(one["a"].to_pylist(), one["b"].to_pylist()))
+    got_multi = set(zip(multi["a"].to_pylist(), multi["b"].to_pylist()))
+    assert got_one <= truth and got_multi <= truth  # precision exact
+    assert len(got_multi) >= len(got_one)
+    assert len(got_multi) / len(truth) >= 0.8
+
+
 def test_composite_agg_exactly_one_page(ray_session, tmp_path):
     """With exactly _COMPOSITE_PAGE_SIZE buckets the after-key filter
     matches nothing; page 2 must be an EMPTY frame (the oracle's

@@ -101,6 +101,34 @@ def add_fingerprint_minmd5(batch: pa.Table, text_col: str = "text",
     return batch.append_column("fingerprint", pa.array(out, pa.string()))
 
 
+def add_display(batch: pa.Table, text_col: str = "text",
+                idx_col: str | None = None) -> pa.Table:
+    """Multiline display normalizer (reference utils/general.py:44-61
+    ``print_chunk_contents``): strip each entry, expand LITERAL two-char
+    ``\\n`` escape sequences into real newlines, and prefix the
+    reference's ``{idx:2d}: `` line number (1-based, from ``idx_col``
+    when given else the row's position in the batch). All Arrow kernels
+    — no Python loop — and SQL-replicable (printf('%2d', n), replace).
+    """
+    # explicit char set == Python str.strip()'s ASCII whitespace, so the
+    # SQL oracle (trim(s, <same chars>)) matches byte-for-byte
+    text = pc.utf8_trim(batch[text_col], " \t\n\r\x0b\x0c")
+    text = pc.replace_substring(text, "\\n", "\n")
+    if idx_col is not None:
+        n = pc.cast(batch[idx_col], pa.int64())
+    else:
+        n = pa.array(np.arange(1, batch.num_rows + 1), pa.int64())
+    digits = pc.cast(n, pa.string())
+    # Python's %2d: one leading space for single-digit, none otherwise
+    padded = pc.if_else(
+        pc.and_(pc.greater_equal(n, 0), pc.less(n, 10)),
+        pc.binary_join_element_wise(pa.array([" "] * len(digits)), digits,
+                                    ""),
+        digits)
+    disp = pc.binary_join_element_wise(padded, text, ": ")
+    return batch.append_column("display", disp)
+
+
 _ROLL_BASE = np.uint64(1099511628211)
 _ROLL_MOD_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)  # mod 2^64 via wraparound
 

@@ -1499,6 +1499,28 @@ ORACLE_SQL: dict[str, str] = {
     # remote line source round-trip: line-per-doc render (newline runs
     # flattened to one space), read back through the chunk-parallel
     # datasource in byte order == doc_id order, strip + drop-empty
+    # whole-file read util round-trip: per-doc file (flattened text),
+    # read back WHOLE through the transport; size = UTF-8 byte length
+    "whole_file_read": r"""
+        SELECT doc_id,
+               octet_length(encode(regexp_replace(text, '[\r\n]+', ' ',
+                                                  'g'))) AS size,
+               regexp_replace(text, '[\r\n]+', ' ', 'g') AS content
+        FROM documents WHERE doc_id < 50 ORDER BY doc_id
+    """,
+    # display normalizer: escape to the reference's literal-\n shape,
+    # then strip (Python str.strip char set) + expand + '%2d: ' prefix.
+    # DuckDB regular strings don't interpret escapes, so '\n' below is
+    # the two-char literal; chr(10) is the real newline.
+    "display_normalize": r"""
+        SELECT doc_id,
+               printf('%2d', doc_id + 1) || ': ' ||
+               replace(trim(replace(text, chr(10), '\n'),
+                            ' ' || chr(9) || chr(10) || chr(13) ||
+                            chr(11) || chr(12)),
+                       '\n', chr(10)) AS display
+        FROM documents WHERE doc_id < 500 ORDER BY doc_id
+    """,
     "remote_tail_lines": r"""
         SELECT line FROM (
           SELECT doc_id,

@@ -1743,6 +1743,74 @@ def q_remote_tail_lines(sf_dir: str):
     return pa.table({"line": pa.array(out["line"].tolist(), pa.string())})
 
 
+def q_whole_file_read(sf_dir: str):
+    """Whole-file read util (sources/remote.py ``read_whole_files`` —
+    the reference's legacy ``read_file_content``, core/commons.py:964-989,
+    as a per-file-ReadTask Ray datasource): the first 50 documents render
+    one file each (text flattened to one line, zero-padded doc_id names so
+    path order == doc_id order), then the datasource reads each file WHOLE
+    through the transport seam. Returns (doc_id, size, content); the size
+    column proves the transport read the full byte length."""
+    import hashlib
+
+    import pyarrow.dataset as pa_ds
+
+    from ..sources import LocalFileTransport, read_whole_files
+
+    tbl = pa_ds.dataset(os.path.join(sf_dir, "documents.parquet")) \
+        .to_table(columns=["doc_id", "text"],
+                  filter=pc.field("doc_id") < 50).sort_by("doc_id")
+    flat = pc.replace_substring_regex(tbl["text"], pattern="[\\r\\n]+",
+                                      replacement=" ")
+    root = os.path.join(
+        "/tmp/lsai_whole",
+        hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12])
+    os.makedirs(root, exist_ok=True)
+    paths = []
+    for did, txt in zip(tbl["doc_id"].to_pylist(), flat.to_pylist()):
+        p = os.path.join(root, f"doc_{did:05d}.txt")
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(txt)
+        paths.append(p)
+    ds = read_whole_files(LocalFileTransport(), paths)
+
+    def finish(t: pa.Table) -> pa.Table:
+        base = pc.replace_substring_regex(t["path"], r"^.*doc_(\d+)\.txt$",
+                                          r"\1")
+        return pa.table({
+            "doc_id": pc.cast(base, pa.int64()),
+            "size": t["size"],
+            "content": t["content"]})
+
+    out = ds.map_batches(finish, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(out.sort_values("doc_id"),
+                                preserve_index=False)
+
+
+def q_display_normalize(sf_dir: str):
+    """Multiline display normalizer (functions/text.py ``add_display`` —
+    reference utils/general.py:44-61): documents' text is first escaped
+    to the reference's input shape (real newlines become the LITERAL
+    two-char ``\\n``), then the vectorized normalizer strips, expands the
+    escapes back to real newlines, and prefixes the ``{idx:2d}: `` line
+    number (1-based doc_id). Exact SQL oracle via printf/replace."""
+    from ..functions.text import add_display
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"]) \
+        .filter(expr="doc_id < 500")
+
+    def prep(t: pa.Table) -> pa.Table:
+        esc = pc.replace_substring(t["text"], "\n", "\\n")
+        idx = pc.add(pc.cast(t["doc_id"], pa.int64()), 1)
+        out = pa.table({"doc_id": t["doc_id"], "text": esc, "idx": idx})
+        out = add_display(out, "text", idx_col="idx")
+        return out.select(["doc_id", "display"])
+
+    out = ds.map_batches(prep, batch_format="pyarrow").to_pandas()
+    return pa.Table.from_pandas(out.sort_values("doc_id"),
+                                preserve_index=False)
+
+
 def q_bigram_counts(sf_dir: str):
     """Corpus bigram frequencies — the counting step of bigram-LM /
     BPE-merge training: top-20 adjacent token pairs by total occurrence
@@ -2765,6 +2833,8 @@ QUERY_REGISTRY = {
     "index_stats": q_index_stats,
     "scroll_export": q_scroll_export,
     "remote_tail_lines": q_remote_tail_lines,
+    "whole_file_read": q_whole_file_read,
+    "display_normalize": q_display_normalize,
     "explain_score": q_explain_score,
     "snapshot_restore": q_snapshot_restore,
     "bm25_topk_deleted": q_bm25_topk_deleted,

@@ -4,4 +4,5 @@ from .remote import (  # noqa: F401
     detect_rotation,
     fingerprint,
     read_remote_lines,
+    read_whole_files,
 )

@@ -198,6 +198,58 @@ def read_remote_lines(transport, path: str, offset: int = 0,
     return rd.read_datasource(_RemoteLines(), override_num_blocks=par)
 
 
+_FILES_SCHEMA = pa.schema([("path", pa.string()), ("size", pa.int64()),
+                           ("content", pa.string())])
+
+
+def read_whole_files(transport, paths: list[str], parallelism=None):
+    """Ray Dataset of (path, size, content) — one row per whole file,
+    fetched through the injected transport (the reference's
+    ``read_file_content`` legacy util, core/commons.py:964-989, which
+    reads a file in one shot locally or recommends the SSH module for
+    remote). Distribution is per-file: each ReadTask stats + reads its
+    own file inside the task (the driver never holds file bytes), so a
+    directory of many files fans out across the cluster while each file
+    stays whole — the semantic the legacy util promises.
+
+    For huge single files use ``read_remote_lines`` (chunk-parallel);
+    this util is for the many-small-files shape (configs, single logs)
+    where per-file atomicity matters more than intra-file parallelism.
+    """
+    import ray.data as rd
+    from ray.data.block import BlockMetadata
+    from ray.data.datasource import Datasource, ReadTask
+
+    paths = sorted(paths)
+
+    def _read_one(path: str) -> pa.Table:
+        size, _ = transport.stat(path)
+        raw = transport.read(path, 0, size) if size else b""
+        return pa.table({
+            "path": pa.array([path], pa.string()),
+            "size": pa.array([size], pa.int64()),
+            "content": pa.array([raw.decode("utf-8", errors="replace")],
+                                pa.string())})
+
+    class _WholeFiles(Datasource):
+        def estimate_inmemory_data_size(self):
+            return None
+
+        def get_read_tasks(self, parallelism: int):
+            tasks = []
+            for p in paths:
+                meta = BlockMetadata(num_rows=1, size_bytes=None,
+                                     input_files=[p], exec_stats=None)
+                tasks.append(ReadTask(lambda p=p: [_read_one(p)], meta))
+            return tasks or [ReadTask(
+                lambda: [_FILES_SCHEMA.empty_table()],
+                BlockMetadata(num_rows=0, size_bytes=0, input_files=[],
+                              exec_stats=None))]
+
+    par = parallelism if parallelism is not None else max(1, len(paths))
+    return rd.read_datasource(_WholeFiles(), override_num_blocks=par)
+
+
 def fingerprint(transport, path: str, marker_bytes: int = 256) -> dict:
     """Rotation fingerprint: identity (inode), size, and a START-MARKER
     hash over the first ``min(marker_bytes, size)`` bytes with the

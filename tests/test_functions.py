@@ -358,3 +358,26 @@ def test_mmdb_lookup_factory_raises_cleanly_without_dep():
 
     with pytest.raises(ImportError, match="maxminddb"):
         mmdb_lookup_factory("/nonexistent.mmdb")
+
+
+def test_add_display_normalizer():
+    """add_display (reference utils/general.py:44-61): strip with
+    Python's str.strip char set, expand literal \\n escapes to real
+    newlines, '%2d: ' line-number prefix — matches the reference's
+    print_chunk_contents rendering per line."""
+    from logsentinelai_ray.functions.text import add_display
+
+    rows = ["  plain line  ", "multi\\nline\\ndata", "\ttabbed\t",
+            "", "x"]
+    t = pa.table({"text": pa.array(rows, pa.string())})
+    out = add_display(t, "text")
+    got = out["display"].to_pylist()
+    # reference semantics, per row (idx is 1-based position)
+    want = [f"{i:2d}: " + r.strip(" \t\n\r\x0b\x0c").replace("\\n", "\n")
+            for i, r in enumerate(rows, 1)]
+    assert got == want
+    # explicit idx_col, including a >=10 index (no padding beyond %2d)
+    t2 = pa.table({"text": pa.array(["a", "b"]),
+                   "idx": pa.array([7, 123], pa.int64())})
+    got2 = add_display(t2, "text", idx_col="idx")["display"].to_pylist()
+    assert got2 == [" 7: a", "123: b"]

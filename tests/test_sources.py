@@ -103,3 +103,45 @@ def test_ssh_transport_raises_cleanly_without_paramiko():
         pass
     with pytest.raises(ImportError, match="paramiko"):
         SSHTransport("host", "user")
+
+
+def test_whole_file_read_roundtrip(ray_session, tmp_path):
+    """read_whole_files (reference core/commons.py:964-989): one row per
+    file, whole content + byte size, through the transport seam."""
+    from logsentinelai_ray.sources import read_whole_files
+
+    texts = {"a.txt": "hello\nworld\n", "b.txt": "",
+             "c.txt": "unicode éè content",
+             "d.txt": "x" * 100_000}
+    paths = []
+    for name, txt in texts.items():
+        p = str(tmp_path / name)
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(txt)
+        paths.append(p)
+    got = read_whole_files(LocalFileTransport(), paths) \
+        .to_pandas().sort_values("path").reset_index(drop=True)
+    assert len(got) == 4
+    for _, row in got.iterrows():
+        want = texts[os.path.basename(row["path"])]
+        assert row["content"] == want
+        assert row["size"] == len(want.encode("utf-8"))
+
+
+def test_whole_file_read_via_ssh_stub(ray_session, tmp_path):
+    """The same util through the SSH command stub (local exec_fn), so the
+    per-file ReadTask path is exercised with a non-local transport."""
+    from logsentinelai_ray.sources import read_whole_files
+
+    p = str(tmp_path / "remote.txt")
+    with open(p, "w") as f:
+        f.write("line one\nline two\n")
+
+    def exec_fn(command: str) -> bytes:
+        return subprocess.run(["sh", "-c", command],
+                              capture_output=True).stdout
+
+    tr = SSHTransport("host", "user", exec_fn=exec_fn)
+    got = read_whole_files(tr, [p]).to_pandas()
+    assert got["content"].tolist() == ["line one\nline two\n"]
+    assert got["size"].tolist() == [len("line one\nline two\n")]

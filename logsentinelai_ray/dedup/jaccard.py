@@ -25,9 +25,11 @@ uncapped exact expansion.
 Scale notes (10^12 docs): the packed int64 pair key needs ids < 2^31 —
 enforced with a hard error; beyond that the expansion emits two id columns
 and the same groupby applies. The broadcast size lookup is one (id, count)
-int64 pair per document; beyond ~10^9 documents replace the broadcast with
-two hash-partitioned joins of the pair table against the size table on a
-then b (same exchange the pair groupby already uses).
+int64 pair per document — fine to ~10^9 docs; beyond that pass
+``size_exchange="join"``: the size table stays a Dataset and the pair
+table hash-partition-joins it on a then b (``_jaccard_join_path``), so
+nothing doc-count-sized ever materializes on the driver. Both paths are
+cross-tested equal.
 """
 
 from __future__ import annotations
@@ -188,10 +190,56 @@ def _jaccard_filter(batch: pa.Table, sz_ref, threshold: float) -> pa.Table:
                      "jaccard": pa.array(j[keep], pa.float64())})
 
 
+def _unpack_pk(batch: pa.Table) -> pa.Table:
+    """(pk, inter) → (a, b, inter) two-column pair rows."""
+    pk = batch["pk"].to_numpy(zero_copy_only=False)
+    return pa.table({
+        "a": pa.array((pk >> 32).astype(np.int64), pa.int64()),
+        "b": pa.array((pk & 0xFFFFFFFF).astype(np.int64), pa.int64()),
+        "inter": batch["inter"]})
+
+
+def _jaccard_join_path(pairs_ds, sizes_ds, threshold: float,
+                       num_partitions: int):
+    """Size lookup as two hash-partitioned joins — the 10^9+-doc
+    exchange the module scale note prescribes: nothing doc-count-sized
+    ever sits on the driver or in one task's heap. The pair table joins
+    the (doc_id, n_sh) size table on ``a`` then ``b``; the threshold
+    filter runs vectorized inside ``map_batches`` so only surviving
+    pairs leave the exchange."""
+    from ray.data.aggregate import Count
+
+    counted = (pairs_ds.groupby("pk")
+               .aggregate(Count(alias_name="inter"))
+               .map_batches(_unpack_pk, batch_format="pyarrow"))
+    sz_a = sizes_ds.rename_columns({"n_sh": "na"})
+    sz_b = sizes_ds.rename_columns({"n_sh": "nb"})
+    joined = counted.join(sz_a, "inner", num_partitions=num_partitions,
+                          on=("a",), right_on=("doc_id",))
+    joined = joined.join(sz_b, "inner", num_partitions=num_partitions,
+                         on=("b",), right_on=("doc_id",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        inter = t["inter"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = inter / (na + nb - inter)
+        keep = j >= threshold
+        return pa.table({
+            "a": pc.filter(t["a"], pa.array(keep)),
+            "b": pc.filter(t["b"], pa.array(keep)),
+            "jaccard": pa.array(j[keep], pa.float64())})
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
 def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         n: int = 3, threshold: float = 0.5,
                         max_group: int | None | str = "auto",
-                        driver_max_rows: int = 5_000_000):
+                        driver_max_rows: int = 5_000_000,
+                        size_exchange: str = "broadcast",
+                        join_partitions: int = 32):
     """Returns a pyarrow Table (a, b, jaccard) sorted by (a, b).
 
     Pair EXPANSION runs distributed AND salted: each shingle group emits
@@ -213,6 +261,10 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     above any real group in the sf corpora (measured max 7 @500 docs,
     25 @5000 docs), so the result stays exactly the oracle's there;
     pass ``max_group=None`` to force the uncapped exact expansion.
+
+    ``size_exchange="join"`` swaps the broadcast size lookup for two
+    hash-partitioned Dataset joins (the 10^9+-doc path — see module
+    scale notes); the default broadcast is faster below that.
     """
     from functools import partial
 
@@ -222,9 +274,17 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
     shingles = ds.map_batches(
         partial(_shingle_rows, text_col=text_col, id_col=id_col, n=n),
         batch_format="pyarrow").materialize()
-    sz_ids, sz_counts = _doc_sizes(shingles)
+    if size_exchange == "join":
+        # size table STAYS a Dataset — hash-partitioned joins downstream
+        sizes_ds = shingles.groupby("doc_id") \
+            .aggregate(Count(alias_name="n_sh")).materialize()
+        n_docs = sizes_ds.count()
+        sz_ids = sz_counts = None
+    else:
+        sz_ids, sz_counts = _doc_sizes(shingles)
+        n_docs = sz_ids.size
     if max_group == "auto":
-        max_group = min(10_000, max(64, int(4 * sz_ids.size ** 0.5) + 1))
+        max_group = min(10_000, max(64, int(4 * n_docs ** 0.5) + 1))
 
     pairs_ds = (shingles.groupby("sh")
                 .map_groups(partial(_pair_blocks_of_group,
@@ -233,6 +293,23 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 .map_batches(_expand_pair_blocks, batch_format="pyarrow",
                              batch_size=128)
                 .materialize())
+    if size_exchange == "join":
+        out = _jaccard_join_path(pairs_ds, sizes_ds, threshold,
+                                 join_partitions)
+        parts = list(out.iter_batches(batch_format="pyarrow",
+                                      batch_size=1 << 20))
+        t = (pa.concat_tables(parts) if parts else
+             pa.table({"a": pa.array([], pa.int64()),
+                       "b": pa.array([], pa.int64()),
+                       "jaccard": pa.array([], pa.float64())}))
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        j = t["jaccard"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((b, a))
+        return pa.table({"a": pa.array(a[order], pa.int64()),
+                         "b": pa.array(b[order], pa.int64()),
+                         "jaccard": pa.array(j[order], pa.float64())})
+
     n_pairs = pairs_ds.count()
 
     if n_pairs <= driver_max_rows:

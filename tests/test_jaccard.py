@@ -86,3 +86,27 @@ def test_uncapped_matches_bruteforce_on_identical_docs(ray_session):
     assert set(out["jaccard"].to_pylist()) == {1.0}
     got = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
     assert got == _all_pairs(range(n))
+
+
+def test_size_exchange_join_path_equals_broadcast(ray_session):
+    """size_exchange="join" (the 10^9+-doc hash-partitioned size join —
+    nothing doc-count-sized on the driver) returns exactly the broadcast
+    path's pairs, on a corpus mixing near-dups, exact dups and uniques."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    words = [f"tok{i}" for i in range(40)]
+    texts = []
+    for i in range(80):
+        base = " ".join(rng.choice(words, size=25))
+        texts.append(base)
+        if i % 4 == 0:
+            texts.append(base + " tail variant words")  # near-dup
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts)}))
+    t_b = ngram_jaccard_pairs(ds, n=3, threshold=0.3)
+    t_j = ngram_jaccard_pairs(ds, n=3, threshold=0.3,
+                              size_exchange="join", join_partitions=4)
+    assert t_j.equals(t_b)
+    assert t_b.num_rows > 0

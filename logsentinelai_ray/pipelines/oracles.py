@@ -1229,6 +1229,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM ov JOIN sz USING (doc_id)
         ORDER BY ov.doc_id
     """,
+    # duplicated-span coverage (Lee et al. substring dedup statistic):
+    # per-doc union of [i, i+3) over starts of 3-grams seen in >= 2
+    # distinct docs; n_tokens = filtered token-array length
+    "duplicate_spans": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS arr
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, len(arr) - 2)) AS i,
+                 unnest([arr[j] || ' ' || arr[j+1] || ' ' || arr[j+2]
+                         FOR j IN generate_series(1, len(arr) - 2)]) AS sh
+          FROM t WHERE len(arr) >= 3
+        ), dup AS (
+          SELECT sh FROM g GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+        ), m AS (
+          SELECT g.doc_id, g.i FROM g JOIN dup USING (sh)
+        ), cov AS (
+          SELECT doc_id, count(DISTINCT tt) AS dup_tokens
+          FROM (SELECT doc_id, unnest(generate_series(i, i + 2)) AS tt
+                FROM m)
+          GROUP BY doc_id
+        )
+        SELECT c.doc_id, c.dup_tokens, len(t.arr) AS n_tokens,
+               c.dup_tokens::DOUBLE / len(t.arr) AS dup_ratio
+        FROM cov c JOIN t USING (doc_id)
+        ORDER BY c.doc_id
+    """,
     "ngram_jaccard_dupes": """
         WITH t AS (
           SELECT doc_id,

@@ -1811,6 +1811,19 @@ def q_display_normalize(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_duplicate_spans(sf_dir: str):
+    """Substring-level dedup statistics (dedup/spans.py — Lee et al.
+    2022's duplicated-span measure): per-document coverage of word
+    3-grams that occur in >= 2 distinct documents. One gram shuffle
+    decides duplication, per-doc interval union is numpy, the token-size
+    lookup is a hash-partitioned join — nothing corpus-sized on the
+    driver."""
+    from ..dedup.spans import duplicate_span_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return duplicate_span_stats(ds, k=3)
+
+
 def q_bigram_counts(sf_dir: str):
     """Corpus bigram frequencies — the counting step of bigram-LM /
     BPE-merge training: top-20 adjacent token pairs by total occurrence
@@ -2834,6 +2847,7 @@ QUERY_REGISTRY = {
     "scroll_export": q_scroll_export,
     "remote_tail_lines": q_remote_tail_lines,
     "whole_file_read": q_whole_file_read,
+    "duplicate_spans": q_duplicate_spans,
     "display_normalize": q_display_normalize,
     "explain_score": q_explain_score,
     "snapshot_restore": q_snapshot_restore,

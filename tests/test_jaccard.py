@@ -110,3 +110,26 @@ def test_size_exchange_join_path_equals_broadcast(ray_session):
                               size_exchange="join", join_partitions=4)
     assert t_j.equals(t_b)
     assert t_b.num_rows > 0
+
+
+def test_duplicate_span_coverage_handcrafted(ray_session):
+    """duplicate_span_stats (dedup/spans.py): interval-union coverage of
+    cross-document duplicated 3-grams, verified against a hand-computed
+    example (overlapping marked starts must not double-count)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.dedup.spans import duplicate_span_stats
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma delta epsilon zeta",
+            "intro words alpha beta gamma delta tail",
+            "unique content nothing shared here at all",
+            "alpha beta gamma something else entirely now"])}))
+    t = duplicate_span_stats(ds, k=3).to_pandas()
+    # doc0: dup grams at starts {0,1} -> union [0,4) = 4 of 6 tokens
+    # doc1: starts {2,3} -> [2,6) = 4 of 7; doc2: none; doc3: {0} -> 3 of 7
+    assert t["doc_id"].tolist() == [0, 1, 3]
+    assert t["dup_tokens"].tolist() == [4, 4, 3]
+    assert t["n_tokens"].tolist() == [6, 7, 7]

@@ -1,0 +1,96 @@
+"""Console entry point (`python -m logsentinelai_ray`, the `ray job
+submit` workload surface): gen → build → search / explain → delete →
+compact → snapshot, each through main(argv) in-process. The session
+fixture owns Ray; `_ray_session` detects the live session and reuses it
+(the same contract the driver relies on)."""
+
+import json
+import os
+
+import pytest
+
+from logsentinelai_ray.__main__ import main
+
+
+@pytest.fixture(scope="module")
+def cli_index(ray_session, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    corpus = str(root / "corpus")
+    index = str(root / "index")
+    assert main(["gen", "--out", corpus, "--docs", "400",
+                 "--files", "4"]) == 0
+    assert main(["build", "--corpus", corpus, "--index", index,
+                 "--partitions", "8", "--salts", "2"]) == 0
+    return corpus, index
+
+
+def _run(capfd, argv) -> list[dict]:
+    """Drain captured output, run main(argv), parse its JSON lines."""
+    capfd.readouterr()
+    assert main(argv) == 0
+    out, _ = capfd.readouterr()
+    return [json.loads(ln) for ln in out.strip().splitlines() if ln]
+
+
+def test_cli_gen_build_outputs(cli_index, capfd):
+    corpus, index = cli_index
+    assert os.path.exists(os.path.join(index, "stats.json")) or \
+        os.path.isdir(os.path.join(index, "segments"))
+    assert os.path.isdir(corpus)
+
+
+def test_cli_search_and_strategies_agree(cli_index, capfd):
+    _, index = cli_index
+    rows = _run(capfd, ["search", "--index", index, "error value parse",
+                        "-k", "5"])
+    assert 0 < len(rows) <= 5
+    assert {"doc_id", "score"} <= set(rows[0])
+    rows_wand = _run(capfd, ["search", "--index", index,
+                             "error value parse", "-k", "5",
+                             "--strategy", "wand"])
+    assert [(r["doc_id"], r["score"]) for r in rows] == \
+        [(r["doc_id"], r["score"]) for r in rows_wand]
+
+
+def test_cli_search_with_terms_filter(cli_index, capfd):
+    _, index = cli_index
+    rows = _run(capfd, ["search", "--index", index, "error", "-k", "10",
+                        "--filter", "lang=python,go"])
+    assert rows, "terms filter returned nothing on a python-heavy corpus"
+    assert all(r["lang"] in ("python", "go") for r in rows)
+
+
+def test_cli_explain_sums_to_score(cli_index, capfd):
+    _, index = cli_index
+    top = _run(capfd, ["search", "--index", index, "error return value",
+                       "-k", "1"])[0]
+    parts = _run(capfd, ["explain", "--index", index, "error return value",
+                         str(top["doc_id"])])
+    total = sum(p["contribution"] for p in parts)
+    assert total == pytest.approx(top["score"], rel=1e-9)
+
+
+def test_cli_delete_then_compact(cli_index, capfd, tmp_path):
+    _, index = cli_index
+    victims = [str(r["doc_id"])
+               for r in _run(capfd, ["search", "--index", index,
+                                     "error", "-k", "3"])][:2]
+    del_report = _run(capfd, ["delete", "--index", index] + victims)[0]
+    assert del_report["tombstones"] >= 2
+    ids = {str(r["doc_id"])
+           for r in _run(capfd, ["search", "--index", index,
+                                 "error", "-k", "10"])}
+    assert not (ids & set(victims))
+    out = str(tmp_path / "compacted")
+    _run(capfd, ["compact", "--index", index, "--out", out])
+    ids2 = {str(r["doc_id"])
+            for r in _run(capfd, ["search", "--index", out,
+                                  "error", "-k", "10"])}
+    assert not (ids2 & set(victims))
+
+
+def test_cli_snapshot_roundtrip(cli_index, capfd, tmp_path):
+    _, index = cli_index
+    out = str(tmp_path / "snap")
+    report = _run(capfd, ["snapshot", "--index", index, "--out", out])[0]
+    assert report["parts"] > 0 and report["n_postings"] > 0

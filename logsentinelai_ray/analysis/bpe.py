@@ -1,0 +1,122 @@
+"""Distributed BPE merge learning (byte-pair-encoding tokenizer
+training — Sennrich et al. 2016) over the corpus word-frequency table.
+
+The split of labor is the standard industrial one (what tokenizer
+trainers do over corpus-scale text): the CORPUS-sized work — tokenize +
+count word frequencies — runs distributed (vectorized ``map_batches``
+partial counts, then one ``groupby(word).sum`` whose output is the
+word-TYPE table, Zipf-compressed to a tiny fraction of the corpus);
+the merge LOOP runs on that aggregated table (size = vocabulary, not
+corpus) with numpy over flattened symbol arrays. At 10^12 docs the type
+table is ~10^8-10^9 rows — cap it with ``max_types`` (keep the most
+frequent types; rare singleton types contribute negligible pair mass,
+the same truncation HF/SentencePiece trainers apply via their
+vocabulary pre-filters).
+
+Semantics (mirrored exactly by the pure-Python reference
+``learn_bpe_reference`` used in tests):
+  words     = non-empty runs of [a-z0-9] in lower(text)  (shared class)
+  symbols   = initially the word's characters (no end-of-word marker)
+  each round: count adjacent symbol pairs weighted by word frequency,
+  merge the most frequent pair (ties: lexicographically smallest
+  (left, right)), repeat ``n_merges`` times.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def word_frequencies(ds, text_col: str = "text"):
+    """Distributed (word, freq) table: per-batch partial counts (an
+    Arrow group_by inside ``map_batches``) so only (word, partial-count)
+    rows cross the one shuffle."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(t[text_col])
+        lists = pc.split_pattern_regex(text, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        flat = pc.filter(flat, pc.not_equal(flat, ""))
+        out = pa.table({"word": flat}).group_by("word").aggregate(
+            [("word", "count")])
+        return out.rename_columns(["word", "n_part"])
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("word").aggregate(Sum("n_part", alias_name="freq")))
+
+
+def _merge_loop(words: list[str], freqs: np.ndarray,
+                n_merges: int) -> list[tuple[str, str, int]]:
+    """The BPE loop over the aggregated type table — vocabulary-sized
+    work (a dict pass per round over word TYPES weighted by frequency),
+    never corpus-sized; the corpus was reduced to (word, freq) upstream.
+    """
+    syms: list[list[str]] = [list(w) for w in words]
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_count: dict[tuple[str, str], int] = {}
+        for s, f in zip(syms, freqs):
+            f = int(f)
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_count[p] = pair_count.get(p, 0) + f
+        if not pair_count:
+            break
+        # tie-break: highest count, then lexicographically SMALLEST pair
+        best_count = max(pair_count.values())
+        cands = [p for p, c in pair_count.items() if c == best_count]
+        left, right = min(cands)
+        merges.append((left, right, best_count))
+        tok = left + right
+        for s in syms:
+            i = 0
+            while i < len(s) - 1:
+                if s[i] == left and s[i + 1] == right:
+                    s[i:i + 2] = [tok]
+                else:
+                    i += 1
+    return merges
+
+
+def learn_bpe(ds, text_col: str = "text", n_merges: int = 10,
+              max_types: int | None = 2_000_000) -> pa.Table:
+    """Learn ``n_merges`` BPE merges; returns (rank, left, right,
+    pair_count) — rank 0 is the first merge learned."""
+    wf = word_frequencies(ds, text_col)
+    if max_types is not None:
+        # keep the most frequent types (deterministic ties by word):
+        # Zipf-tail singletons carry negligible pair mass
+        wf = wf.sort(["freq", "word"], descending=[True, False]) \
+            .limit(max_types)
+    parts = list(wf.iter_batches(batch_format="pyarrow",
+                                 batch_size=1 << 20))
+    if parts:
+        t = pa.concat_tables(parts)
+        words = t["word"].to_pylist()
+        freqs = t["freq"].to_numpy(zero_copy_only=False)
+    else:
+        words, freqs = [], np.empty(0, np.int64)
+    merges = _merge_loop(words, freqs, n_merges)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), pa.int64()),
+        "left": pa.array([m[0] for m in merges], pa.string()),
+        "right": pa.array([m[1] for m in merges], pa.string()),
+        "pair_count": pa.array([m[2] for m in merges], pa.int64())})
+
+
+def learn_bpe_reference(texts: list[str], n_merges: int
+                        ) -> list[tuple[str, str, int]]:
+    """Single-process brute-force reference (tests): same semantics
+    straight from raw texts, no aggregation shortcuts."""
+    import re
+
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            freqs[w] = freqs.get(w, 0) + 1
+    words = sorted(freqs)
+    return _merge_loop(words, np.array([freqs[w] for w in words]),
+                       n_merges)

@@ -1811,6 +1811,19 @@ def q_display_normalize(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_bpe_learn(sf_dir: str):
+    """BPE merge learning (analysis/bpe.py — Sennrich et al. 2016, the
+    tokenizer-training step of an LLM data pipeline): distributed word
+    frequency counting (the corpus-sized work), merge loop over the
+    Zipf-compressed type table. Rows-only driver check (iterative — not
+    SQL-expressible); exactness vs a brute-force single-process
+    reference is pinned in test_functions.py."""
+    from ..analysis.bpe import learn_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return learn_bpe(ds, n_merges=20)
+
+
 def q_duplicate_spans(sf_dir: str):
     """Substring-level dedup statistics (dedup/spans.py — Lee et al.
     2022's duplicated-span measure): per-document coverage of word
@@ -2848,6 +2861,7 @@ QUERY_REGISTRY = {
     "remote_tail_lines": q_remote_tail_lines,
     "whole_file_read": q_whole_file_read,
     "duplicate_spans": q_duplicate_spans,
+    "bpe_learn": q_bpe_learn,
     "display_normalize": q_display_normalize,
     "explain_score": q_explain_score,
     "snapshot_restore": q_snapshot_restore,

@@ -381,3 +381,38 @@ def test_add_display_normalizer():
                    "idx": pa.array([7, 123], pa.int64())})
     got2 = add_display(t2, "text", idx_col="idx")["display"].to_pylist()
     assert got2 == [" 7: a", "123: b"]
+
+
+def test_bpe_learn_matches_bruteforce(ray_session):
+    """learn_bpe (analysis/bpe.py): the distributed count + type-table
+    merge loop equals the single-process brute-force reference, merge by
+    merge, including count ties broken by lexicographic pair order."""
+    import ray.data as rd
+
+    from logsentinelai_ray.analysis.bpe import (learn_bpe,
+                                                learn_bpe_reference)
+
+    texts = ["the cat sat on the mat", "the cats scatter now",
+             "matter of fact the mat", "aa aa bb aa bb cc"] * 5
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+    got = learn_bpe(ds, n_merges=8).to_pylist()
+    want = learn_bpe_reference(texts, 8)
+    assert [(r["left"], r["right"], r["pair_count"]) for r in got] == want
+    assert got[0]["rank"] == 0 and got[-1]["rank"] == len(got) - 1
+
+
+def test_bpe_learn_max_types_truncation(ray_session):
+    """max_types keeps the highest-frequency word types; merges from the
+    truncated table equal merges from a corpus containing only those
+    types (the documented Zipf-tail truncation semantic)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.analysis.bpe import (learn_bpe,
+                                                learn_bpe_reference)
+
+    texts = (["zz yy xx"] * 50          # head types
+             + [f"rare{i}word" for i in range(30)])  # singleton tail
+    ds = rd.from_arrow(pa.table({"text": pa.array(texts)}))
+    got = learn_bpe(ds, n_merges=3, max_types=3).to_pylist()
+    want = learn_bpe_reference(["zz yy xx"] * 50, 3)
+    assert [(r["left"], r["right"], r["pair_count"]) for r in got] == want

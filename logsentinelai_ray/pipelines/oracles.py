@@ -1229,6 +1229,34 @@ ORACLE_SQL: dict[str, str] = {
         FROM ov JOIN sz USING (doc_id)
         ORDER BY ov.doc_id
     """,
+    # per-doc tf-idf features: tf * ln(N/df), top-5 per target doc,
+    # df over the WHOLE corpus, same [a-z0-9]+ token class
+    "tfidf_top_terms": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text),
+                                                          '[^a-z0-9]+'),
+                                    x -> x <> '')) AS t
+          FROM documents
+        ), dfs AS (
+          SELECT t, count(DISTINCT doc_id) AS df FROM toks GROUP BY t
+        ), n AS (
+          SELECT count(*) AS n FROM documents
+        ), tf AS (
+          SELECT doc_id, t, count(*) AS tf FROM toks
+          WHERE doc_id < 20 GROUP BY 1, 2
+        ), scored AS (
+          SELECT tf.doc_id, tf.t AS term, tf.tf, dfs.df,
+                 round(tf.tf * ln(n.n::DOUBLE / dfs.df), 6) AS tfidf,
+                 row_number() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf.tf * ln(n.n::DOUBLE / dfs.df) DESC,
+                            tf.t ASC) AS rn
+          FROM tf JOIN dfs ON tf.t = dfs.t CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf FROM scored WHERE rn <= 5
+        ORDER BY doc_id, tfidf DESC, term
+    """,
     # duplicated-span coverage (Lee et al. substring dedup statistic):
     # per-doc union of [i, i+3) over starts of 3-grams seen in >= 2
     # distinct docs; n_tokens = filtered token-array length

@@ -1811,6 +1811,71 @@ def q_display_normalize(sf_dir: str):
                                 preserve_index=False)
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document tf-idf feature extraction (the classic training-data
+    featurization step): top-5 terms by tf * ln(N/df) for the first 20
+    docs. df comes from a DISTRIBUTED pass over the whole corpus with the
+    target-term set broadcast via ray.put and applied inside map_batches,
+    so the df groupby only ever sees rows for terms the targets contain —
+    vocabulary never shuffles, nothing corpus-sized reaches the driver."""
+    import ray
+    import pyarrow.dataset as pa_ds
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = ds.count()
+
+    tgt = pa_ds.dataset(os.path.join(sf_dir, "documents.parquet")) \
+        .to_table(columns=["doc_id", "text"],
+                  filter=pc.field("doc_id") < 20)
+
+    def tok_rows(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(t["text"])
+        lists = pc.split_pattern_regex(text, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)[parent[keep]]
+        return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                         "term": pc.filter(flat, pa.array(keep))})
+
+    tf = tok_rows(tgt).group_by(["doc_id", "term"]).aggregate(
+        [([], "count_all")]).rename_columns(["doc_id", "term", "tf"])
+    term_ref = ray.put(np.sort(np.asarray(
+        pc.unique(tf["term"]).to_pylist(), dtype=object)))
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        rows = tok_rows(t)
+        terms = np.sort(np.asarray(ray.get(term_ref), dtype=object))
+        vals = rows["term"].to_numpy(zero_copy_only=False)
+        i = np.searchsorted(terms, vals)
+        i[i >= terms.size] = 0
+        rows = rows.filter(pa.array(terms[i] == vals))
+        dd = rows.group_by(["doc_id", "term"]).aggregate([])
+        out = dd.group_by("term").aggregate([([], "count_all")])
+        return out.rename_columns(["term", "df_part"])
+
+    df_t = pa.concat_tables(list(
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("term").aggregate(Sum("df_part", alias_name="df"))
+        .iter_batches(batch_format="pyarrow", batch_size=1 << 20)))
+
+    m = tf.to_pandas().merge(df_t.to_pandas(), on="term")
+    raw = m["tf"].astype(float) * np.log(float(n_docs)
+                                         / m["df"].astype(float))
+    m["_raw"] = raw
+    # output rounds to 6dp on both sides (the repo's transcendental
+    # convention — libm ln differs from DuckDB's by 1 ulp; see the BM25
+    # oracle) but the RANKING uses the unrounded value, like the SQL
+    m["tfidf"] = np.round(raw, 6)
+    m = m.sort_values(["doc_id", "_raw", "term"],
+                      ascending=[True, False, True])
+    m = m.groupby("doc_id", sort=True).head(5).reset_index(drop=True)
+    return pa.Table.from_pandas(
+        m[["doc_id", "term", "tf", "df", "tfidf"]], preserve_index=False)
+
+
 def q_bpe_learn(sf_dir: str):
     """BPE merge learning (analysis/bpe.py — Sennrich et al. 2016, the
     tokenizer-training step of an LLM data pipeline): distributed word
@@ -2862,6 +2927,7 @@ QUERY_REGISTRY = {
     "whole_file_read": q_whole_file_read,
     "duplicate_spans": q_duplicate_spans,
     "bpe_learn": q_bpe_learn,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "display_normalize": q_display_normalize,
     "explain_score": q_explain_score,
     "snapshot_restore": q_snapshot_restore,

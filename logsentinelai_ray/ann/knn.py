@@ -70,6 +70,55 @@ def cosine_topk_bruteforce(ds, query_vec, k: int = 10,
                                 preserve_index=False)
 
 
+def cosine_topk_batch(ds, query_mat, k: int = 10,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> pa.Table:
+    """Batched multi-query exact kNN — ES _msearch / batched-inference
+    shape: ALL queries score in ONE matmul per batch (``mat @ Q.T``,
+    O(rows * dim * n_queries) with BLAS throughput instead of n_queries
+    scans), each batch emits only its per-query local top-k, the global
+    merge handles k*blocks*n_queries candidate rows. Returns
+    (query_id, vec_id, cosine) sorted by (query_id, cosine desc, id asc).
+    ``query_mat`` (n_queries x dim) is broadcast via ``ray.put`` once.
+    """
+    import ray
+
+    Q = np.asarray(query_mat, dtype=np.float64)
+    q_ref = ray.put(Q)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        Qv = ray.get(q_ref)
+        mat = _batch_vectors(batch, vec_col)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        if mat.size == 0:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             id_col: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        dots = mat @ Qv.T                       # (rows, nq) — one GEMM
+        rown = np.sqrt((mat * mat).sum(axis=1))[:, None]
+        qn = np.sqrt((Qv * Qv).sum(axis=1))[None, :]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.nan_to_num(dots / (rown * qn), nan=0.0)
+        kk = min(k, ids.size)
+        out_q, out_i, out_c = [], [], []
+        for qi in range(Qv.shape[0]):
+            order = np.lexsort((ids, -cos[:, qi]))[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_i.append(ids[order])
+            out_c.append(cos[order, qi])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            id_col: pa.array(np.concatenate(out_i), pa.int64()),
+            "cosine": pa.array(np.concatenate(out_c), pa.float64())})
+
+    cand = ds.map_batches(local_topk, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["query_id", "cosine", id_col],
+                            ascending=[True, False, True])
+    cand = cand.groupby("query_id", sort=True).head(k)
+    return pa.Table.from_pandas(cand.reset_index(drop=True),
+                               preserve_index=False)
+
+
 class _LSHBucketer:
     """Seeded random-hyperplane bucketer (stateful: planes built once)."""
 

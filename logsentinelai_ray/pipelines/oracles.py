@@ -1630,6 +1630,27 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id, round(c, 6) AS cosine FROM scored
         ORDER BY c DESC, vec_id ASC LIMIT 10
     """,
+    # batched multi-query kNN: queries 0..4, per-query top-10
+    "embedding_knn_batch": """
+        WITH q AS (
+          SELECT vec_id AS query_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id < 5
+        ), scored AS (
+          SELECT q.query_id, e.vec_id,
+                 list_cosine_similarity(
+                     list_transform(e.embedding,
+                                    x -> CAST(x AS DOUBLE)), q.qv) AS c
+          FROM embeddings e CROSS JOIN q
+        ), ranked AS (
+          SELECT query_id, vec_id, c,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY c DESC, vec_id ASC) AS rn
+          FROM scored
+        )
+        SELECT query_id, vec_id, round(c, 6) AS cosine FROM ranked
+        WHERE rn <= 10 ORDER BY query_id, c DESC, vec_id
+    """,
     "session_duration": """
         SELECT user_id, count(*)::BIGINT AS n_events,
                CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000

@@ -2417,6 +2417,27 @@ def q_embedding_knn(sf_dir: str):
                      "cosine": _round6(out["cosine"])})
 
 
+def q_embedding_knn_batch(sf_dir: str):
+    """Batched multi-query kNN (ann/knn.py::cosine_topk_batch — the
+    _msearch / batched-inference shape): vec_ids 0..4 as the query
+    matrix, ALL five scored in one GEMM per batch against the broadcast
+    matrix; per-query local top-k only crosses the merge."""
+    import pyarrow.dataset as pa_ds
+
+    from ..ann.knn import cosine_topk_batch
+
+    qt = pa_ds.dataset(os.path.join(sf_dir, "embeddings.parquet"),
+                       format="parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < 5).sort_by("vec_id")
+    Q = np.asarray(qt["embedding"].to_pylist(), dtype=np.float64)
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_topk_batch(ds, Q, k=10)
+    return pa.table({"query_id": out["query_id"],
+                     "vec_id": out["vec_id"],
+                     "cosine": _round6(out["cosine"])})
+
+
 def q_embedding_knn_filtered(sf_dir: str):
     """ES kNN-with-filter analog: brute-force cosine top-10 restricted
     to vectors with label <= 4 — the filter is a vectorized predicate
@@ -2928,6 +2949,7 @@ QUERY_REGISTRY = {
     "duplicate_spans": q_duplicate_spans,
     "bpe_learn": q_bpe_learn,
     "tfidf_top_terms": q_tfidf_top_terms,
+    "embedding_knn_batch": q_embedding_knn_batch,
     "display_normalize": q_display_normalize,
     "explain_score": q_explain_score,
     "snapshot_restore": q_snapshot_restore,

@@ -112,3 +112,29 @@ def test_ivf_centroids_hash_sample_unbiased(ray_session):
     # (k-means may still merge clusters, so assert mass, not purity)
     assert cent[:, 1].max() > 0.3
     assert cent[:, 0].max() > 0.3
+
+
+def test_cosine_topk_batch_equals_per_query_bruteforce(ray_session):
+    """cosine_topk_batch (one GEMM for all queries) returns exactly the
+    per-query brute-force results, query by query."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logsentinelai_ray.ann.knn import (cosine_topk_batch,
+                                           cosine_topk_bruteforce)
+
+    rng = np.random.default_rng(3)
+    n, d = 300, 16
+    vecs = rng.normal(size=(n, d))
+    ds = rd.from_arrow(pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float64()))}))
+    Q = vecs[:4] + rng.normal(scale=0.05, size=(4, d))
+    got = cosine_topk_batch(ds, Q, k=7).to_pandas()
+    for qi in range(4):
+        part = got[got["query_id"] == qi]
+        want = cosine_topk_bruteforce(ds, Q[qi], k=7).to_pandas()
+        assert part["vec_id"].tolist() == want["vec_id"].tolist()
+        assert np.allclose(part["cosine"].to_numpy(),
+                           want["cosine"].to_numpy(), rtol=0, atol=1e-12)

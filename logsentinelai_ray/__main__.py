@@ -3,7 +3,8 @@
 ``main()`` that parses args and runs the generic pipeline, e.g.
 analyzers/httpd_access.py:64-117).
 
-Usage (each subcommand owns its Ray session):
+Usage (a subcommand initializes Ray only when no session exists, and
+shuts down only a session it created — embedding callers keep theirs):
 
   python -m logsentinelai_ray build  --corpus DIR --index DIR [--tag T]
                                      [--partitions N] [--salts S]
@@ -27,6 +28,10 @@ import sys
 
 
 def _ray_session(num_cpus: int | None):
+    """Returns (ray, owns_session): ``owns_session`` is True only when
+    THIS call initialized Ray — a pre-existing session (pytest fixture,
+    the driver, an embedding application) must never be shut down by a
+    CLI subcommand (doing so kills the caller's live actors)."""
     import logging
     import os
     import warnings
@@ -35,21 +40,25 @@ def _ray_session(num_cpus: int | None):
     import ray
 
     logging.getLogger("ray.data").setLevel(logging.ERROR)
-    if not ray.is_initialized():
-        # honor a cluster address when one is set (the `ray job submit`
-        # path: RAY_ADDRESS=auto/host:port joins the running cluster);
-        # default to a fresh local instance otherwise
-        address = os.environ.get("RAY_ADDRESS", "local")
-        kwargs = {"address": address, "logging_level": logging.ERROR}
-        if address == "local":
-            kwargs["include_dashboard"] = False
-            if num_cpus:
-                kwargs["num_cpus"] = num_cpus
-        ray.init(**kwargs)
+    if ray.is_initialized():
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        return ray, False
+    # honor a cluster address when one is set (the `ray job submit`
+    # path: RAY_ADDRESS=auto/host:port joins the running cluster);
+    # default to a fresh local instance otherwise
+    address = os.environ.get("RAY_ADDRESS", "local")
+    kwargs = {"address": address, "logging_level": logging.ERROR}
+    if address == "local":
+        kwargs["include_dashboard"] = False
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+    ray.init(**kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    return ray
+    return ray, True
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -152,7 +161,7 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"written": args.out, "docs": args.docs}))
         return 0
 
-    ray = _ray_session(args.num_cpus)
+    ray, owns_session = _ray_session(args.num_cpus)
     try:
         if args.cmd == "build":
             from .config import IndexConfig
@@ -236,7 +245,8 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"n_docs": meta["n_docs"],
                               "total_s": meta["total_s"]}))
     finally:
-        ray.shutdown()
+        if owns_session:
+            ray.shutdown()
     return 0
 
 

@@ -11,21 +11,34 @@ Definition (shared verbatim by the DuckDB oracle in __ray_entry__):
   output     = (doc_id, dup_tokens, n_tokens, dup_ratio) for docs with
                coverage > 0, sorted by doc_id
 
-Plan shape: map_batches positional k-gram emit (vectorized — the jaccard
-shingle kernel with start positions kept and occurrences NOT deduped) →
-groupby(gram).map_groups keep-if->=2-distinct-docs (one shuffle decides
-duplication; nothing gram-count-sized on the driver) → per-doc interval
-union in groupby(doc_id).map_groups (sorted starts; covered = sum of
-min(gap, k) + k — numpy, no Python loop over positions) → hash-partitioned
-Dataset.join against the per-doc token counts for the ratio.
+Plan shape: duplication is decided by a VECTORIZED hash aggregate —
+per-doc distinct (doc_id, sh) rows straight off the docs table (the
+jaccard shingle kernel; each doc lives in exactly one batch, so
+per-batch distinct is globally distinct) → ``groupby(sh).count() >= 2``
+— never a per-group Python call (a ``map_groups`` over one group per
+distinct gram means millions of Python invocations at sf scale and
+trillions at 10^12 docs). Marked positions then come from one of two
+exchanges, cross-tested equal (the `dedup/jaccard.py` size_exchange
+precedent):
 
-Scale notes (10^12 docs): the gram shuffle carries (gram, doc_id, pos) —
-the gram string dominates; at extreme scale hash grams to int64 first
-(fixed-width exchange; a 64-bit collision falsely marks ~one span per
-~10^9 distinct grams — fine for filtering, not for the exact oracle, so
-it's opt-in). The per-doc union never holds more than one doc's marked
-positions; the output join is the same exchange `dedup/jaccard.py`'s
-size join uses.
+  dup_exchange="broadcast" (default): the duplicated-gram keys are
+    collected once, ``ray.put`` once, and membership is one vectorized
+    ``pc.is_in`` inside the same map_batches task that EMITS the
+    positional grams — the gram rows never shuffle at all, and the
+    per-doc token counts ride along in the same task, so the only
+    exchanges in the whole plan are the (sh) count aggregate and the
+    tiny groupby(doc_id) over already-filtered marked rows.
+  dup_exchange="join": two hash-partitioned ``Dataset.join``s (gram
+    rows × dup keys, coverage × token counts) — nothing key-set-sized
+    ever lands on the driver. The scale escape hatch: the duplicated-
+    gram key set is corpus-vocabulary-sized in the worst case (every
+    doc a near-dup), which outgrows a broadcast at extreme scale.
+
+Scale notes (10^12 docs): the gram exchange carries the gram string —
+at extreme scale hash grams to int64 first (fixed-width exchange; a
+64-bit collision falsely marks ~one span per ~10^9 distinct grams —
+fine for filtering, not for the exact oracle, so it's opt-in). The
+per-doc union never holds more than one doc's marked positions.
 """
 
 from __future__ import annotations
@@ -34,14 +47,19 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_POS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("pos", pa.int64())])
+_OUT_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                         ("dup_tokens", pa.int64()),
+                         ("n_tokens", pa.int64()),
+                         ("dup_ratio", pa.float64())])
 
 
 def _gram_pos_rows(batch: pa.Table, text_col: str, id_col: str,
-                   k: int) -> pa.Table:
-    """Emit (doc_id, sh, pos) for EVERY positional word k-gram — the
-    jaccard shingle kernel (dedup/jaccard.py::_shingle_rows) with the
-    0-based start position kept and no per-doc dedup (positions matter).
+                   k: int, with_n_tokens: bool = False) -> pa.Table:
+    """Emit (doc_id, sh, pos[, n_tokens]) for EVERY positional word
+    k-gram — the jaccard shingle kernel (dedup/jaccard.py::_shingle_rows)
+    with the 0-based start position kept and no per-doc dedup (positions
+    matter). ``with_n_tokens`` rides the per-doc token count along on
+    each row (same task, no extra pass or join downstream).
     """
     text = pc.utf8_lower(batch[text_col])
     lists = pc.split_pattern_regex(text, pattern="[^a-z0-9]+")
@@ -53,29 +71,50 @@ def _gram_pos_rows(batch: pa.Table, text_col: str, id_col: str,
     counts = np.bincount(parent, minlength=len(batch)).astype(np.int64)
     n_sh = np.maximum(counts - k + 1, 0)
     total = int(n_sh.sum())
+    cols = {"doc_id": pa.array([], pa.int64()),
+            "sh": pa.array([], pa.string()),
+            "pos": pa.array([], pa.int64())}
+    if with_n_tokens:
+        cols["n_tokens"] = pa.array([], pa.int64())
     if total == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "sh": pa.array([], pa.string()),
-                         "pos": pa.array([], pa.int64())})
+        return pa.table(cols)
     row_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
     base = np.repeat(row_starts, n_sh)
     sh_starts = np.cumsum(n_sh) - n_sh
     offs = np.arange(total, dtype=np.int64) - np.repeat(sh_starts, n_sh)
     idx = base + offs
-    cols = [pc.take(flat, pa.array(idx + j, pa.int64())) for j in range(k)]
-    sh = pc.binary_join_element_wise(*cols, " ")
+    take = [pc.take(flat, pa.array(idx + j, pa.int64())) for j in range(k)]
+    sh = pc.binary_join_element_wise(*take, " ")
     doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64), n_sh)
     doc_ids = batch[id_col].to_numpy(zero_copy_only=False)[doc_rep]
-    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
-                     "sh": sh,
-                     "pos": pa.array(offs, pa.int64())})
+    cols = {"doc_id": pa.array(doc_ids, pa.int64()), "sh": sh,
+            "pos": pa.array(offs, pa.int64())}
+    if with_n_tokens:
+        cols["n_tokens"] = pa.array(counts[doc_rep], pa.int64())
+    return pa.table(cols)
 
 
-def _keep_if_duplicated(group: pa.Table) -> pa.Table:
-    """One gram's occurrence rows → kept iff >= 2 distinct documents."""
-    if pc.count_distinct(group["doc_id"]).as_py() >= 2:
-        return group.select(["doc_id", "pos"])
-    return _POS_SCHEMA.empty_table()
+def _dup_gram_keys(ds, text_col: str, id_col: str, k: int):
+    """Dataset of grams occurring in >= 2 distinct documents: per-doc
+    distinct (doc_id, sh) rows straight off the docs table (the jaccard
+    shingle kernel — in-batch distinct is globally distinct because each
+    doc is in exactly one docs batch), then one vectorized hash
+    aggregate; no per-group Python anywhere."""
+    from functools import partial
+
+    from ray.data.aggregate import Count
+
+    from .jaccard import _shingle_rows
+
+    pairs = ds.map_batches(
+        partial(_shingle_rows, text_col=text_col, id_col=id_col, n=k),
+        batch_format="pyarrow")
+    counts = pairs.groupby("sh").aggregate(Count(alias_name="nd"))
+
+    def keep_dup(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["nd"], 2)).select(["sh"])
+
+    return counts.map_batches(keep_dup, batch_format="pyarrow")
 
 
 def _coverage_of_doc(group: pa.Table, k: int) -> pa.Table:
@@ -84,46 +123,86 @@ def _coverage_of_doc(group: pa.Table, k: int) -> pa.Table:
     (one gram per start), so no dedup pass is needed."""
     ps = np.sort(group["pos"].to_numpy(zero_copy_only=False))
     covered = int(np.minimum(np.diff(ps), k).sum()) + k if ps.size else 0
-    return pa.table({
-        "doc_id": pa.array([group["doc_id"][0].as_py()], pa.int64()),
-        "dup_tokens": pa.array([covered], pa.int64())})
+    out = {"doc_id": pa.array([group["doc_id"][0].as_py()], pa.int64()),
+           "dup_tokens": pa.array([covered], pa.int64())}
+    if "n_tokens" in group.column_names:
+        out["n_tokens"] = pa.array([group["n_tokens"][0].as_py()],
+                                   pa.int64())
+    return pa.table(out)
+
+
+def _finish(t: pa.Table) -> pa.Table:
+    dup = t["dup_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
+    return t.append_column("dup_ratio",
+                           pa.array(dup / np.maximum(n, 1.0), pa.float64()))
 
 
 def duplicate_span_stats(ds, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 3,
+                         dup_exchange: str = "broadcast",
                          join_partitions: int = 16) -> pa.Table:
     """Per-document duplicated-span coverage — returns a pyarrow Table
     (doc_id, dup_tokens, n_tokens, dup_ratio) for documents with any
     cross-document duplicated k-gram, sorted by doc_id."""
     from functools import partial
 
-    grams = ds.map_batches(
-        partial(_gram_pos_rows, text_col=text_col, id_col=id_col, k=k),
-        batch_format="pyarrow")
-    marked = grams.groupby("sh").map_groups(_keep_if_duplicated,
-                                            batch_format="pyarrow")
-    cov = marked.groupby("doc_id").map_groups(
-        partial(_coverage_of_doc, k=k), batch_format="pyarrow")
+    import ray
 
-    def tok_counts(t: pa.Table) -> pa.Table:
-        n = pc.count_substring_regex(pc.utf8_lower(t[text_col]),
-                                     r"[a-z0-9]+")
-        return pa.table({"doc_id": pc.cast(t[id_col], pa.int64()),
-                         "n_tokens": pc.cast(n, pa.int64())})
+    dup = _dup_gram_keys(ds, text_col, id_col, k)
 
-    sizes = ds.map_batches(tok_counts, batch_format="pyarrow")
-    joined = cov.join(sizes, "inner", num_partitions=join_partitions,
-                      on=("doc_id",))
+    if dup_exchange == "join":
+        grams = ds.map_batches(
+            partial(_gram_pos_rows, text_col=text_col, id_col=id_col,
+                    k=k),
+            batch_format="pyarrow")
+        marked = grams.join(dup, "inner",
+                            num_partitions=join_partitions,
+                            on=("sh",)).select_columns(["doc_id", "pos"])
+        cov = marked.groupby("doc_id").map_groups(
+            partial(_coverage_of_doc, k=k), batch_format="pyarrow")
 
-    def finish(t: pa.Table) -> pa.Table:
-        dup = t["dup_tokens"].to_numpy(zero_copy_only=False) \
-            .astype(np.float64)
-        n = t["n_tokens"].to_numpy(zero_copy_only=False).astype(np.float64)
-        return t.append_column("dup_ratio",
-                               pa.array(dup / np.maximum(n, 1.0),
-                                        pa.float64()))
+        def tok_counts(t: pa.Table) -> pa.Table:
+            n = pc.count_substring_regex(pc.utf8_lower(t[text_col]),
+                                         r"[a-z0-9]+")
+            return pa.table({"doc_id": pc.cast(t[id_col], pa.int64()),
+                             "n_tokens": pc.cast(n, pa.int64())})
 
-    out = joined.map_batches(finish, batch_format="pyarrow").to_pandas()
+        sizes = ds.map_batches(tok_counts, batch_format="pyarrow")
+        joined = cov.join(sizes, "inner",
+                          num_partitions=join_partitions,
+                          on=("doc_id",))
+        out_ds = joined.map_batches(_finish, batch_format="pyarrow")
+    else:
+        # dup-key set collected once (its size is the reason the join
+        # path exists), broadcast once via ray.put, membership tested
+        # inside the SAME task that emits the positional grams — the
+        # gram rows never enter an exchange
+        key_chunks = [b["sh"].combine_chunks()
+                      for b in dup.iter_batches(batch_format="pyarrow")
+                      if b.num_rows]
+        keys = (pa.concat_arrays([c if isinstance(c, pa.Array)
+                                  else c.combine_chunks()
+                                  for c in key_chunks])
+                if key_chunks else pa.array([], pa.string()))
+        key_ref = ray.put(keys)
+
+        def mark(batch: pa.Table) -> pa.Table:
+            g = _gram_pos_rows(batch, text_col, id_col, k,
+                               with_n_tokens=True)
+            hit = pc.is_in(g["sh"], value_set=ray.get(key_ref))
+            return g.filter(pc.fill_null(hit, False)) \
+                    .select(["doc_id", "pos", "n_tokens"])
+
+        marked = ds.map_batches(mark, batch_format="pyarrow")
+        out_ds = marked.groupby("doc_id").map_groups(
+            partial(_coverage_of_doc, k=k),
+            batch_format="pyarrow").map_batches(
+                _finish, batch_format="pyarrow")
+
+    out = out_ds.to_pandas()
+    if len(out) == 0:
+        return _OUT_SCHEMA.empty_table()
     out = out.sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(
         out[["doc_id", "dup_tokens", "n_tokens", "dup_ratio"]],

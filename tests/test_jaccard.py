@@ -133,3 +133,29 @@ def test_duplicate_span_coverage_handcrafted(ray_session):
     assert t["doc_id"].tolist() == [0, 1, 3]
     assert t["dup_tokens"].tolist() == [4, 4, 3]
     assert t["n_tokens"].tolist() == [6, 7, 7]
+
+
+def test_duplicate_spans_join_path_equals_broadcast(ray_session):
+    """dup_exchange="join" (the extreme-scale path: hash-partitioned
+    joins instead of broadcasting the duplicated-gram key set) returns
+    exactly the broadcast path's coverage table."""
+    import ray.data as rd
+
+    from logsentinelai_ray.dedup.spans import duplicate_span_stats
+
+    rng = np.random.default_rng(11)
+    words = [f"tok{i}" for i in range(50)]
+    texts = []
+    for i in range(60):
+        base = " ".join(rng.choice(words, size=18))
+        texts.append(base)
+        if i % 3 == 0:
+            texts.append(base + " tail variant")  # shared spans
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts)}))
+    t_b = duplicate_span_stats(ds, k=3)
+    t_j = duplicate_span_stats(ds, k=3, dup_exchange="join",
+                               join_partitions=4)
+    assert t_j.equals(t_b)
+    assert t_b.num_rows > 0

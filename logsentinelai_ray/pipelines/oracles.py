@@ -1260,6 +1260,128 @@ ORACLE_SQL: dict[str, str] = {
     # duplicated-span coverage (Lee et al. substring dedup statistic):
     # per-doc union of [i, i+3) over starts of 3-grams seen in >= 2
     # distinct docs; n_tokens = filtered token-array length
+    # hybrid BM25 + kNN retrieval fused with reciprocal-rank fusion
+    # (1/(60+rank), the ES 8.x rrf retriever); ranks come from the same
+    # BM25 CTE as bm25_topk and the same cosine CTE as embedding_knn
+    "hybrid_search_rrf": _BM25_BASE + """
+        , brank AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY scores.score DESC,
+                                    doc_id ASC) AS r
+          FROM scores QUALIFY r <= 50
+        ), kv AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id = 0
+        ), ks AS (
+          SELECT vec_id AS doc_id,
+                 list_cosine_similarity(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                     (SELECT v FROM kv)) AS c
+          FROM embeddings
+        ), krank AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY c DESC, doc_id ASC) AS r
+          FROM ks QUALIFY r <= 50
+        ), fused AS (
+          SELECT COALESCE(b.doc_id, k.doc_id) AS doc_id,
+                 COALESCE(1.0 / (60 + b.r), 0)
+                 + COALESCE(1.0 / (60 + k.r), 0) AS rrf
+          FROM brank b FULL OUTER JOIN krank k ON b.doc_id = k.doc_id
+        )
+        SELECT doc_id, round(rrf, 6) AS rrf_score FROM fused
+        ORDER BY rrf DESC, doc_id ASC LIMIT 10
+    """,
+    # Gopher repetition signals: top-unigram / top-bigram coverage
+    # fractions per document
+    "gopher_repetition": """
+        WITH t AS (
+          SELECT doc_id, list_filter(regexp_split_to_array(lower(text),
+                                                           '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+          FROM documents
+        ), uc AS (
+          SELECT doc_id, tok, count(*) AS c
+          FROM (SELECT doc_id, unnest(arr) AS tok FROM t)
+          GROUP BY 1, 2
+        ), topu AS (
+          SELECT doc_id, max(c) AS mu FROM uc GROUP BY 1
+        ), bc AS (
+          SELECT doc_id, bg, count(*) AS c
+          FROM (SELECT doc_id,
+                       unnest([arr[j] || ' ' || arr[j+1]
+                               FOR j IN generate_series(1, len(arr) - 1)])
+                           AS bg
+                FROM t WHERE len(arr) >= 2)
+          GROUP BY 1, 2
+        ), topb AS (
+          SELECT doc_id, max(c) AS mb FROM bc GROUP BY 1
+        )
+        SELECT t.doc_id, len(t.arr)::BIGINT AS n_tokens,
+               topu.mu::BIGINT AS top_unigram,
+               COALESCE(topb.mb, 0)::BIGINT AS top_bigram,
+               topu.mu::DOUBLE / len(t.arr) AS top_unigram_frac,
+               (2 * COALESCE(topb.mb, 0))::DOUBLE / len(t.arr)
+                   AS top_bigram_frac
+        FROM t JOIN topu USING (doc_id) LEFT JOIN topb USING (doc_id)
+        WHERE len(t.arr) > 0
+        ORDER BY t.doc_id
+    """,
+    # PII scrub over deterministically derived log lines (the driver
+    # tables embed no literal PII — same convention as geoip_enrichment)
+    "pii_scrub": r"""
+        WITH e AS (
+          SELECT event_type, user_id, event_id,
+                 CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT)
+                     AS k
+          FROM events
+        ), l AS (
+          SELECT event_type,
+                 'user ' || CAST(user_id AS VARCHAR) || ' <u'
+                 || CAST(user_id AS VARCHAR) || '@example.org> from 10.'
+                 || CAST(k % 256 AS VARCHAR) || '.'
+                 || CAST(user_id % 256 AS VARCHAR) || '.'
+                 || CAST(1 + event_id % 254 AS VARCHAR)
+                 || ' tel +1-555-'
+                 || lpad(CAST(k % 10000 AS VARCHAR), 4, '0')
+                 || ' ' || event_type AS line
+          FROM e
+        ), s AS (
+          SELECT event_type,
+                 len(regexp_extract_all(line,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                     AS n_emails,
+                 len(regexp_extract_all(line, '\+\d[\d-]{6,}\d'))
+                     AS n_phones,
+                 len(regexp_extract_all(line,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+                 length(regexp_replace(regexp_replace(regexp_replace(
+                     line,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\+\d[\d-]{6,}\d', '<PHONE>', 'g'),
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                     '<IP>', 'g')) AS scrubbed
+          FROM l
+        )
+        SELECT event_type, count(*)::BIGINT AS n,
+               sum(n_emails)::BIGINT AS n_emails,
+               sum(n_phones)::BIGINT AS n_phones,
+               sum(n_ips)::BIGINT AS n_ips,
+               sum(scrubbed)::BIGINT AS scrubbed_chars
+        FROM s GROUP BY event_type ORDER BY event_type
+    """,
+    # ES derivative pipeline agg over the daily histogram: first bucket
+    # NULL, later buckets day-over-day count delta
+    "events_derivative": """
+        WITH d AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1
+        )
+        SELECT day, n,
+               CAST(n - lag(n) OVER (ORDER BY day) AS DOUBLE)
+                   AS derivative
+        FROM d ORDER BY day
+    """,
     "duplicate_spans": """
         WITH t AS (
           SELECT doc_id,

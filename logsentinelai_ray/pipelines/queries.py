@@ -2879,6 +2879,180 @@ def q_geoip_enrichment(sf_dir: str):
     return out.sort("country_code")
 
 
+def q_hybrid_search_rrf(sf_dir: str):
+    """Hybrid lexical+vector retrieval with reciprocal-rank fusion (the
+    ES 8.x ``rrf`` retriever): BM25 top-50 for the standard query text
+    and brute-force cosine top-50 for query vector 0 (vec_id is
+    id-aligned with doc_id in the test tables), fused as
+    sum(1 / (60 + rank)) over both lists, top-10 by (rrf desc, doc_id).
+    The fusion itself is driver-side over two k-sized lists — the heavy
+    lifting is the two existing distributed retrievers."""
+    eng = _docs_engine(sf_dir)
+    bm = eng.search(BM25_QUERY_TEXT, k=50, with_meta=False)
+    from ..ann import cosine_topk_bruteforce
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    kn = cosine_topk_bruteforce(ds, _query_vector(sf_dir), k=50)
+
+    fused: dict[int, float] = {}
+    for rank, did in enumerate(bm["doc_id"].to_pylist(), start=1):
+        fused[int(did)] = fused.get(int(did), 0.0) + 1.0 / (60 + rank)
+    for rank, did in enumerate(kn["vec_id"].to_pylist(), start=1):
+        fused[int(did)] = fused.get(int(did), 0.0) + 1.0 / (60 + rank)
+    order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in order], pa.int64()),
+        "rrf_score": _round6(pa.array([s for _, s in order],
+                                      pa.float64()))})
+
+
+def q_gopher_repetition(sf_dir: str):
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1:
+    repetitious documents are low-quality): per document, the fraction
+    of tokens belonging to the most frequent unigram and the fraction
+    covered by the most frequent bigram. Everything is computed inside
+    one map_batches with Arrow hash aggregates (each doc lives in one
+    batch, so per-batch maxima are global) — zero shuffles."""
+    from ..dedup.jaccard import _shingle_rows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(t["text"])
+        lists = pc.split_pattern_regex(text, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = pc.filter(flat, pa.array(keep))
+        parent = parent[keep]
+        n_tok = np.bincount(parent, minlength=len(t)).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        tok_rows = pa.table({"doc_id": pa.array(ids[parent], pa.int64()),
+                             "tok": flat})
+        uc = tok_rows.group_by(["doc_id", "tok"]).aggregate(
+            [([], "count_all")])
+        topu = uc.group_by("doc_id").aggregate([("count_all", "max")])
+        bi = _shingle_rows(t, text_col="text", id_col="doc_id", n=2,
+                           distinct=False)
+        bc = bi.group_by(["doc_id", "sh"]).aggregate([([], "count_all")])
+        topb = bc.group_by("doc_id").aggregate([("count_all", "max")])
+        tu = dict(zip(topu["doc_id"].to_pylist(),
+                      topu["count_all_max"].to_pylist()))
+        tb = dict(zip(topb["doc_id"].to_pylist(),
+                      topb["count_all_max"].to_pylist()))
+        m = n_tok > 0
+        ids_k = ids[m]
+        n_k = n_tok[m].astype(np.float64)
+        u = np.array([tu.get(int(i), 0) for i in ids_k], dtype=np.int64)
+        b = np.array([tb.get(int(i), 0) for i in ids_k], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids_k, pa.int64()),
+            "n_tokens": pa.array(n_tok[m], pa.int64()),
+            "top_unigram": pa.array(u, pa.int64()),
+            "top_bigram": pa.array(b, pa.int64()),
+            "top_unigram_frac": pa.array(u / n_k, pa.float64()),
+            "top_bigram_frac": pa.array(2 * b / n_k, pa.float64())})
+
+    out = ds.map_batches(per_doc, batch_format="pyarrow").to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction (the C4/Dolma scrub step): deterministic log lines
+    are derived from event fields (the driver tables embed no literal
+    PII — same convention as the GeoIP entries' ``_derive_ip_lines``),
+    then emails / IPv4s / phone numbers are counted and replaced with
+    placeholder tags by vectorized RE2 kernels. Output: per-event-type
+    counts and the total scrubbed length — partial-aggregated per batch
+    so only (event_type, sums) rows cross the tiny shuffle."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "props"])
+
+    pats = {"emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "phones": r"\+\d[\d-]{6,}\d",
+            "ips": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"}
+
+    def scrub(t: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+
+        def s(a):
+            return pc.cast(pa.array(a), pa.string())
+
+        line = pc.binary_join_element_wise(
+            pa.array(["user "] * t.num_rows), s(uid),
+            pa.array([" <u"] * t.num_rows), s(uid),
+            pa.array(["@example.org> from 10."] * t.num_rows),
+            s(k % 256), pa.array(["."] * t.num_rows), s(uid % 256),
+            pa.array(["."] * t.num_rows), s(1 + eid % 254),
+            pa.array([" tel +1-555-"] * t.num_rows),
+            pc.utf8_lpad(s(k % 10000), width=4, padding="0"),
+            pa.array([" "] * t.num_rows), t["event_type"], "")
+        counts = {name: pc.count_substring_regex(line, pattern=p)
+                  for name, p in pats.items()}
+        red = line
+        for name, tag in (("emails", "<EMAIL>"), ("phones", "<PHONE>"),
+                          ("ips", "<IP>")):
+            red = pc.replace_substring_regex(red, pattern=pats[name],
+                                             replacement=tag)
+        part = pa.table({
+            "event_type": t["event_type"],
+            "n": pa.array(np.ones(t.num_rows, np.int64)),
+            "n_emails": pc.cast(counts["emails"], pa.int64()),
+            "n_phones": pc.cast(counts["phones"], pa.int64()),
+            "n_ips": pc.cast(counts["ips"], pa.int64()),
+            "scrubbed_chars": pc.cast(pc.utf8_length(red), pa.int64())})
+        return part.group_by("event_type").aggregate(
+            [("n", "sum"), ("n_emails", "sum"), ("n_phones", "sum"),
+             ("n_ips", "sum"), ("scrubbed_chars", "sum")]) \
+            .rename_columns(["event_type", "n", "n_emails", "n_phones",
+                             "n_ips", "scrubbed_chars"])
+
+    out = (ds.map_batches(scrub, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("n_emails", alias_name="n_emails"),
+                      Sum("n_phones", alias_name="n_phones"),
+                      Sum("n_ips", alias_name="n_ips"),
+                      Sum("scrubbed_chars", alias_name="scrubbed_chars")))
+    return out.sort("event_type")
+
+
+def q_events_derivative(sf_dir: str):
+    """ES ``derivative`` pipeline aggregation over the daily date
+    histogram: day-over-day delta of the event count (first bucket has
+    no derivative — NULL, like ES). The parent histogram is the
+    distributed aggregate; the derivative is a vectorized diff over the
+    ~30-row bucket table on the driver."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("day").aggregate(Count(alias_name="n"))
+             .sort("day").to_pandas())
+    n = daily["n"].to_numpy()
+    deriv = np.empty(len(n), dtype=np.float64)
+    deriv[0] = np.nan
+    if len(n) > 1:
+        deriv[1:] = np.diff(n.astype(np.float64))
+    return pa.table({
+        "day": pa.array(daily["day"].tolist(), pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "derivative": pa.array(
+            [None if np.isnan(x) else x for x in deriv], pa.float64())})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -2947,6 +3121,10 @@ QUERY_REGISTRY = {
     "remote_tail_lines": q_remote_tail_lines,
     "whole_file_read": q_whole_file_read,
     "duplicate_spans": q_duplicate_spans,
+    "hybrid_search_rrf": q_hybrid_search_rrf,
+    "gopher_repetition": q_gopher_repetition,
+    "pii_scrub": q_pii_scrub,
+    "events_derivative": q_events_derivative,
     "bpe_learn": q_bpe_learn,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_knn_batch": q_embedding_knn_batch,

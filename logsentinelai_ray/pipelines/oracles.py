@@ -1382,6 +1382,26 @@ ORACLE_SQL: dict[str, str] = {
                    AS derivative
         FROM d ORDER BY day
     """,
+    # as-of join: each event matched to the most recent strictly-prior
+    # 'error' event of the same user, rolled up per event type
+    "asof_join": """
+        WITH m AS (
+          SELECT e.event_type,
+                 (SELECT max(r.ts) FROM events r
+                  WHERE r.user_id = e.user_id
+                    AND r.event_type = 'error'
+                    AND r.ts < e.ts) AS prev_err,
+                 e.ts
+          FROM events e
+        )
+        SELECT event_type, count(*)::BIGINT AS n,
+               count(prev_err)::BIGINT AS n_matched,
+               CASE WHEN count(prev_err) > 0 THEN
+                 CAST(sum(epoch_us(ts) - epoch_us(prev_err)) AS DOUBLE)
+                 / count(prev_err)
+               END AS avg_us_since_error
+        FROM m GROUP BY event_type ORDER BY event_type
+    """,
     "duplicate_spans": """
         WITH t AS (
           SELECT doc_id,

@@ -3053,6 +3053,54 @@ def q_events_derivative(sf_dir: str):
             [None if np.isnan(x) else x for x in deriv], pa.float64())})
 
 
+def q_asof_join(sf_dir: str):
+    """As-of join (an operator Ray Data lacks, built per the documented
+    composition: hash-partition by key with ``groupby`` + per-group
+    sorted ``searchsorted`` in ``map_groups``): each event is joined to
+    the most recent strictly-prior 'error' event of the SAME user, then
+    rolled up per event type (count, matched count, mean microseconds
+    since the last error). Partitioning assumption: one key's history
+    fits one task — users/devices/sessions at 100 TB are many and small;
+    a single pathological key would need time-bucketed pre-splitting."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type", "ts"])
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        types = np.asarray(g["event_type"].to_pylist(), dtype=object)[order]
+        err_ts = ts_s[types == "error"]
+        # index of the last error strictly before each event
+        pos = np.searchsorted(err_ts, ts_s, side="left") - 1
+        matched = pos >= 0
+        gap = np.where(matched, ts_s - err_ts[np.maximum(pos, 0)], 0)
+        return pa.table({
+            "event_type": pa.array(types, pa.string()),
+            "matched": pa.array(matched.astype(np.int64)),
+            "gap_us": pa.array(gap.astype(np.int64))})
+
+    out = (ds.groupby("user_id")
+           .map_groups(per_user, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("matched", alias_name="n_matched"),
+                      Sum("gap_us", alias_name="sum_gap_us"))
+           .sort("event_type").to_pandas())
+    n_m = out["n_matched"].to_numpy().astype(np.float64)
+    avg = np.where(n_m > 0,
+                   out["sum_gap_us"].to_numpy().astype(np.float64)
+                   / np.maximum(n_m, 1.0), np.nan)
+    return pa.table({
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "n": pa.array(out["n"].to_numpy(), pa.int64()),
+        "n_matched": pa.array(out["n_matched"].to_numpy(), pa.int64()),
+        "avg_us_since_error": pa.array(
+            [None if np.isnan(x) else x for x in avg], pa.float64())})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -3125,6 +3173,7 @@ QUERY_REGISTRY = {
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,
+    "asof_join": q_asof_join,
     "bpe_learn": q_bpe_learn,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_knn_batch": q_embedding_knn_batch,

@@ -1402,6 +1402,31 @@ ORACLE_SQL: dict[str, str] = {
                END AS avg_us_since_error
         FROM m GROUP BY event_type ORDER BY event_type
     """,
+    # gap-based sessionization: >30-minute gaps split a user's events
+    "sessionize": """
+        WITH e AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM e
+        ), g AS (
+          SELECT user_id, sid, count(*) AS n_ev,
+                 epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+          FROM s GROUP BY 1, 2
+        )
+        SELECT user_id, count(*)::BIGINT AS n_sessions,
+               sum(n_ev)::BIGINT AS n_events,
+               max(n_ev)::BIGINT AS longest_session_events,
+               sum(dur_us)::BIGINT AS total_session_us
+        FROM g GROUP BY user_id ORDER BY user_id
+    """,
     "duplicate_spans": """
         WITH t AS (
           SELECT doc_id,

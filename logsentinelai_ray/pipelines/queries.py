@@ -3101,6 +3101,60 @@ def q_asof_join(sf_dir: str):
             [None if np.isnan(x) else x for x in avg], pa.float64())})
 
 
+def q_sessionize(sf_dir: str):
+    """Gap-based sessionization (the streaming 'session window' the
+    reference's count/timeout windows approximate, core/monitoring.py:
+    326-438): per user, events sorted by time split into sessions at
+    >30-minute gaps; one groupby(user) shuffle, per-group numpy (diff +
+    cumsum + reduceat), one output row per user — no second exchange.
+    Partitioning assumption: one key's history per task (as asof_join)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+    gap_us = 1800 * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = np.sort(g["ts"].to_numpy(zero_copy_only=False)
+                     .astype("datetime64[us]").astype(np.int64))
+        new_s = np.empty(ts.size, dtype=bool)
+        new_s[0] = True
+        np.greater(np.diff(ts), gap_us, out=new_s[1:])
+        starts = np.flatnonzero(new_s)
+        ends = np.append(starts[1:], ts.size) - 1
+        n_ev = np.append(starts[1:], ts.size) - starts
+        dur = ts[ends] - ts[starts]
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "n_sessions": pa.array([starts.size], pa.int64()),
+            "n_events": pa.array([ts.size], pa.int64()),
+            "longest_session_events": pa.array([int(n_ev.max())],
+                                               pa.int64()),
+            "total_session_us": pa.array([int(dur.sum())], pa.int64())})
+
+    out = (ds.groupby("user_id").map_groups(per_user,
+                                            batch_format="pyarrow")
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_ann_recall(sf_dir: str):
+    """Recall@10 evaluation of the persisted approximate ANN paths (LSH
+    multi-table, IVF) against the exact brute-force top-10 — the
+    measure-don't-guess gate on the scale paths. Approximate results are
+    not SQL-expressible, so this is a rows-only entry; the pinned floor
+    is asserted in tests."""
+    from ..ann import cosine_topk_bruteforce
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qv = _query_vector(sf_dir)
+    exact = set(cosine_topk_bruteforce(ds, qv, k=10)["vec_id"]
+                .to_pylist())
+    lsh = set(q_embedding_knn_lsh(sf_dir)["vec_id"].to_pylist())
+    ivf = set(q_embedding_knn_ivf(sf_dir)["vec_id"].to_pylist())
+    return pa.table({
+        "method": pa.array(["ivf", "lsh"], pa.string()),
+        "recall_at_10": pa.array([len(exact & ivf) / 10.0,
+                                  len(exact & lsh) / 10.0], pa.float64())})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -3174,6 +3228,8 @@ QUERY_REGISTRY = {
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,
     "asof_join": q_asof_join,
+    "sessionize": q_sessionize,
+    "ann_recall": q_ann_recall,
     "bpe_learn": q_bpe_learn,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_knn_batch": q_embedding_knn_batch,

@@ -138,3 +138,16 @@ def test_cosine_topk_batch_equals_per_query_bruteforce(ray_session):
         assert part["vec_id"].tolist() == want["vec_id"].tolist()
         assert np.allclose(part["cosine"].to_numpy(),
                            want["cosine"].to_numpy(), rtol=0, atol=1e-12)
+
+
+def test_ann_recall_entry_floors(ray_session):
+    """ann_recall (pipelines/queries.py): recall@10 of the persisted
+    approximate paths vs exact brute-force — pinned floors on the sf
+    fixture (measured ivf 0.6 / lsh 0.8 at n_probe=4/8)."""
+    from logsentinelai_ray.pipelines import QUERY_REGISTRY
+
+    t = QUERY_REGISTRY["ann_recall"]("/root/testdata/sf0.001")
+    rec = dict(zip(t["method"].to_pylist(),
+                   t["recall_at_10"].to_pylist()))
+    assert rec["ivf"] >= 0.5
+    assert rec["lsh"] >= 0.8

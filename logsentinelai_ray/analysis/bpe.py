@@ -120,3 +120,78 @@ def learn_bpe_reference(texts: list[str], n_merges: int
     words = sorted(freqs)
     return _merge_loop(words, np.array([freqs[w] for w in words]),
                        n_merges)
+
+
+def encode_word(word: str, ranks: dict[tuple[str, str], int]
+                ) -> list[str]:
+    """Apply learned merges to one word, lowest rank first (the standard
+    BPE inference loop — HF tokenizers' ``bpe()``)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best, bi = None, -1
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best, bi = r, i
+        if best is None:
+            break
+        syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+    return syms
+
+
+class BPEEncoder:
+    """Actor-pool encode stage: merge ranks broadcast once (ray.put in
+    the driver, ``ray.get`` in ``__init__`` — once per actor, not per
+    batch), per-worker memo of word-type encodings. Per batch the
+    corpus-sized work is the Arrow word count; the Python loop runs over
+    word TYPES only (Zipf-compressed, exactly like the trainer)."""
+
+    def __init__(self, ranks_ref, text_col: str = "text"):
+        import ray
+
+        self.ranks = ray.get(ranks_ref)
+        self.text_col = text_col
+        self.memo: dict[str, list[str]] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(t[self.text_col])
+        lists = pc.split_pattern_regex(text, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        flat = pc.filter(flat, pc.not_equal(flat, ""))
+        wc = pa.table({"word": flat}).group_by("word").aggregate(
+            [("word", "count")])
+        counts: dict[str, int] = {}
+        for w, c in zip(wc["word"].to_pylist(),
+                        wc["word_count"].to_pylist()):
+            toks = self.memo.get(w)
+            if toks is None:
+                toks = encode_word(w, self.ranks)
+                self.memo[w] = toks
+            for tok in toks:
+                counts[tok] = counts.get(tok, 0) + c
+        return pa.table({
+            "token": pa.array(list(counts), pa.string()),
+            "n_part": pa.array(list(counts.values()), pa.int64())})
+
+
+def encode_token_counts(ds, merges: pa.Table, text_col: str = "text",
+                        k: int = 20) -> pa.Table:
+    """Corpus token counts under the learned merges: actor-pool encode →
+    one (token) groupby — only (token, partial-count) rows cross the
+    shuffle. Returns top-k by (count desc, token asc)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ranks = {(lt, rt): i for i, (lt, rt) in
+             enumerate(zip(merges["left"].to_pylist(),
+                           merges["right"].to_pylist()))}
+    ref = ray.put(ranks)
+    out = (ds.map_batches(BPEEncoder, fn_constructor_args=(ref,),
+                          fn_constructor_kwargs={"text_col": text_col},
+                          batch_format="pyarrow", concurrency=(1, 4))
+           .groupby("token").aggregate(Sum("n_part", alias_name="n"))
+           .to_pandas())
+    out = out.sort_values(["n", "token"],
+                          ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True),
+                                preserve_index=False)

@@ -3155,6 +3155,21 @@ def q_ann_recall(sf_dir: str):
                                   len(exact & lsh) / 10.0], pa.float64())})
 
 
+def q_bpe_encode(sf_dir: str):
+    """BPE tokenizer APPLICATION (the inference half of bpe_learn): the
+    20 learned merges broadcast once, documents encoded by an actor-pool
+    stage memoizing word-type encodings per worker, then one (token)
+    groupby — top-20 corpus BPE tokens by count. Iterative-merge
+    semantics aren't SQL-expressible (rows-only); encode parity with the
+    brute-force reference is pinned in tests."""
+    from ..analysis.bpe import encode_token_counts, learn_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    merges = learn_bpe(ds, n_merges=20)
+    return encode_token_counts(
+        _read(sf_dir, "documents", columns=["doc_id", "text"]), merges)
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -3230,6 +3245,7 @@ QUERY_REGISTRY = {
     "asof_join": q_asof_join,
     "sessionize": q_sessionize,
     "ann_recall": q_ann_recall,
+    "bpe_encode": q_bpe_encode,
     "bpe_learn": q_bpe_learn,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_knn_batch": q_embedding_knn_batch,

@@ -416,3 +416,34 @@ def test_bpe_learn_max_types_truncation(ray_session):
     got = learn_bpe(ds, n_merges=3, max_types=3).to_pylist()
     want = learn_bpe_reference(["zz yy xx"] * 50, 3)
     assert [(r["left"], r["right"], r["pair_count"]) for r in got] == want
+
+
+def test_bpe_encode_matches_bruteforce(ray_session):
+    """encode_token_counts (analysis/bpe.py): the distributed actor-pool
+    encode under learned merges must equal a single-process brute-force
+    encode (same merge ranks applied word by word)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.analysis.bpe import (
+        encode_token_counts, encode_word, learn_bpe)
+
+    texts = ["the quick brown fox the quick", "quick quick the fox jumps",
+             "brown bear brown fox", "the the the quick brown"]
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts)})
+    ds = rd.from_arrow(tbl)
+    merges = learn_bpe(ds, n_merges=6)
+    got = encode_token_counts(rd.from_arrow(tbl), merges, k=100)
+
+    import re
+    ranks = {(lt, rt): i for i, (lt, rt) in
+             enumerate(zip(merges["left"].to_pylist(),
+                           merges["right"].to_pylist()))}
+    counts = {}
+    for t in texts:
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            for tok in encode_word(w, ranks):
+                counts[tok] = counts.get(tok, 0) + 1
+    exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    assert list(zip(got["token"].to_pylist(),
+                    got["n"].to_pylist())) == exp

@@ -195,7 +195,13 @@ def bench_pipelines() -> dict:
              # federated) and the persisted bucket-partitioned ANN
              # indexes (timing includes the one-time partition build)
              "bm25_topk_wand", "federated_search_wand",
-             "embedding_knn_lsh", "embedding_knn_ivf"]
+             "embedding_knn_lsh", "embedding_knn_ivf",
+             # late round-3 operators: substring-level dedup, hybrid
+             # RRF retrieval, repetition quality, PII scrub, as-of
+             # join, session windows, ANN recall, BPE encode
+             "duplicate_spans", "hybrid_search_rrf",
+             "gopher_repetition", "pii_scrub", "asof_join",
+             "sessionize", "ann_recall", "bpe_encode"]
     out = {}
     for name in names:
         t0 = time.monotonic()

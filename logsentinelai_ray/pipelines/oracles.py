@@ -1427,6 +1427,21 @@ ORACLE_SQL: dict[str, str] = {
                sum(dur_us)::BIGINT AS total_session_us
         FROM g GROUP BY user_id ORDER BY user_id
     """,
+    # training-shard export summary: same multiplicative-hash shard
+    # assignment and (h, doc_id) order arithmetic as the writer
+    "training_shards": """
+        WITH a AS (
+          SELECT doc_id, n_chars,
+                 (doc_id * 2654435761) % 8 AS shard_id,
+                 (doc_id * 40503) % 65536 AS h
+          FROM documents
+        )
+        SELECT shard_id::BIGINT AS shard_id, count(*)::BIGINT AS n_docs,
+               sum(n_chars)::BIGINT AS total_chars,
+               arg_min(doc_id, h * 1000000 + doc_id)::BIGINT AS first_doc,
+               arg_max(doc_id, h * 1000000 + doc_id)::BIGINT AS last_doc
+        FROM a GROUP BY shard_id ORDER BY shard_id
+    """,
     "duplicate_spans": """
         WITH t AS (
           SELECT doc_id,

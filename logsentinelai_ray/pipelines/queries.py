@@ -3170,6 +3170,60 @@ def q_bpe_encode(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), merges)
 
 
+def q_training_shards(sf_dir: str):
+    """Training-data export: deterministic pseudo-shuffle (multiplicative
+    hash — identical across reruns, block orders and cluster sizes,
+    unlike random_shuffle) + hive-partitioned parquet write (one
+    directory per shard — the resumable-output layout: a failed export
+    re-runs only missing shard dirs) + a read-back summary computed FROM
+    THE WRITTEN FILES, proving the round trip. Exact SQL oracle over the
+    same shard/order arithmetic."""
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "shard_id": pa.array((did * 2654435761) % 8, pa.int64()),
+            "h": pa.array((did * 40503) % 65536, pa.int64())})
+
+    out_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"train_shards_{os.path.basename(os.path.normpath(sf_dir))}")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    ds.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(out_dir, partition_cols=["shard_id"])
+
+    back = rd.read_parquet(out_dir)
+
+    def summarize(g: pa.Table) -> pa.Table:
+        did = g["doc_id"].to_numpy(zero_copy_only=False)
+        h = g["h"].to_numpy(zero_copy_only=False)
+        key = h * 1_000_000 + did  # composite order (h, doc_id)
+        first = did[np.argmin(key)]
+        last = did[np.argmax(key)]
+        return pa.table({
+            "shard_id": pa.array(
+                [int(g["shard_id"][0].as_py())], pa.int64()),
+            "n_docs": pa.array([g.num_rows], pa.int64()),
+            "total_chars": pa.array(
+                [int(g["n_chars"].to_numpy(
+                    zero_copy_only=False).sum())], pa.int64()),
+            "first_doc": pa.array([int(first)], pa.int64()),
+            "last_doc": pa.array([int(last)], pa.int64())})
+
+    out = (back.groupby("shard_id")
+           .map_groups(summarize, batch_format="pyarrow")
+           .to_pandas().sort_values("shard_id").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -3246,6 +3300,7 @@ QUERY_REGISTRY = {
     "sessionize": q_sessionize,
     "ann_recall": q_ann_recall,
     "bpe_encode": q_bpe_encode,
+    "training_shards": q_training_shards,
     "bpe_learn": q_bpe_learn,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_knn_batch": q_embedding_knn_batch,

@@ -141,15 +141,35 @@ def _finish(t: pa.Table) -> pa.Table:
 def duplicate_span_stats(ds, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 3,
                          dup_exchange: str = "broadcast",
-                         join_partitions: int = 16) -> pa.Table:
+                         join_partitions: int = 16,
+                         max_broadcast_keys: int = 5_000_000) -> pa.Table:
     """Per-document duplicated-span coverage — returns a pyarrow Table
     (doc_id, dup_tokens, n_tokens, dup_ratio) for documents with any
-    cross-document duplicated k-gram, sorted by doc_id."""
+    cross-document duplicated k-gram, sorted by doc_id.
+
+    The broadcast path self-guards: if the duplicated-gram key set
+    exceeds ``max_broadcast_keys`` while being collected, it abandons
+    the broadcast and re-plans through the hash-partitioned joins —
+    a heavily-duplicated 10^12-doc corpus never lands a vocabulary-sized
+    key set on the driver."""
     from functools import partial
 
     import ray
 
     dup = _dup_gram_keys(ds, text_col, id_col, k)
+
+    if dup_exchange == "broadcast":
+        # bounded collect: fall back to the join exchange the moment the
+        # key set outgrows the broadcast budget
+        key_chunks, n_keys = [], 0
+        for b in dup.iter_batches(batch_format="pyarrow"):
+            if b.num_rows:
+                key_chunks.append(b["sh"].combine_chunks())
+                n_keys += b.num_rows
+            if n_keys > max_broadcast_keys:
+                dup_exchange = "join"
+                key_chunks = None
+                break
 
     if dup_exchange == "join":
         grams = ds.map_batches(
@@ -174,13 +194,10 @@ def duplicate_span_stats(ds, text_col: str = "text",
                           on=("doc_id",))
         out_ds = joined.map_batches(_finish, batch_format="pyarrow")
     else:
-        # dup-key set collected once (its size is the reason the join
-        # path exists), broadcast once via ray.put, membership tested
-        # inside the SAME task that emits the positional grams — the
-        # gram rows never enter an exchange
-        key_chunks = [b["sh"].combine_chunks()
-                      for b in dup.iter_batches(batch_format="pyarrow")
-                      if b.num_rows]
+        # dup-key set collected once above (its size is the reason the
+        # join path exists), broadcast once via ray.put, membership
+        # tested inside the SAME task that emits the positional grams —
+        # the gram rows never enter an exchange
         keys = (pa.concat_arrays([c if isinstance(c, pa.Array)
                                   else c.combine_chunks()
                                   for c in key_chunks])

@@ -159,3 +159,27 @@ def test_duplicate_spans_join_path_equals_broadcast(ray_session):
                                join_partitions=4)
     assert t_j.equals(t_b)
     assert t_b.num_rows > 0
+
+
+def test_duplicate_spans_broadcast_cap_falls_back_to_join(ray_session):
+    """A duplicated-gram key set larger than max_broadcast_keys must
+    abandon the broadcast mid-collect and re-plan through the join
+    exchange, returning identical results."""
+    import ray.data as rd
+
+    from logsentinelai_ray.dedup.spans import duplicate_span_stats
+
+    rng = np.random.default_rng(5)
+    words = [f"t{i}" for i in range(30)]
+    texts = []
+    for i in range(30):
+        base = " ".join(rng.choice(words, size=12))
+        texts.append(base)
+        texts.append(base + " tail")
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts)}))
+    normal = duplicate_span_stats(ds, k=3)
+    capped = duplicate_span_stats(ds, k=3, max_broadcast_keys=3,
+                                  join_partitions=4)
+    assert capped.equals(normal)

@@ -447,3 +447,87 @@ def test_bpe_encode_matches_bruteforce(ray_session):
     exp = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
     assert list(zip(got["token"].to_pylist(),
                     got["n"].to_pylist())) == exp
+
+
+def _random_events(seed, n_users=6, n_events=400):
+    rng = np.random.default_rng(seed)
+    uid = rng.integers(0, n_users, n_events)
+    # microsecond timestamps with deliberate duplicates and big gaps
+    ts = np.cumsum(rng.integers(0, 3_000_000_000, n_events))
+    ts[rng.integers(0, n_events, 10)] = ts[rng.integers(0, n_events, 10)]
+    types = np.array(["error", "view", "click"])[
+        rng.integers(0, 3, n_events)]
+    return uid, ts, types
+
+
+def test_sessionize_matches_bruteforce(ray_session):
+    """q_sessionize vs a per-user brute-force session splitter on random
+    events (ties, single-event users, all-one-session users)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.pipelines.queries import q_sessionize
+
+    uid, ts, _ = _random_events(17)
+    tbl = pa.table({"user_id": pa.array(uid, pa.int64()),
+                    "ts": pa.array(ts).cast(pa.timestamp("us"))})
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="sess_")
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = q_sessionize(d).to_pandas().set_index("user_id")
+
+    gap = 1800 * 1_000_000
+    for u in np.unique(uid):
+        t = np.sort(ts[uid == u])
+        breaks = np.flatnonzero(np.diff(t) > gap)
+        starts = np.concatenate(([0], breaks + 1))
+        ends = np.concatenate((breaks, [t.size - 1]))
+        n_ev = ends - starts + 1
+        row = got.loc[int(u)]
+        assert row["n_sessions"] == starts.size
+        assert row["n_events"] == t.size
+        assert row["longest_session_events"] == int(n_ev.max())
+        assert row["total_session_us"] == int((t[ends] - t[starts]).sum())
+
+
+def test_asof_join_matches_bruteforce(ray_session):
+    """q_asof_join vs a brute-force last-prior-error scan on random
+    events (users with no errors, events before any error, ts ties)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.pipelines.queries import q_asof_join
+
+    uid, ts, types = _random_events(23)
+    tbl = pa.table({"user_id": pa.array(uid, pa.int64()),
+                    "event_type": pa.array(types, pa.string()),
+                    "ts": pa.array(ts).cast(pa.timestamp("us"))})
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    d = tempfile.mkdtemp(prefix="asof_")
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = q_asof_join(d).to_pandas().set_index("event_type")
+
+    agg = {}
+    for et in np.unique(types):
+        n = m = 0
+        s = 0
+        for i in np.flatnonzero(types == et):
+            n += 1
+            prior = ts[(uid == uid[i]) & (types == "error") & (ts < ts[i])]
+            if prior.size:
+                m += 1
+                s += int(ts[i] - prior.max())
+        agg[et] = (n, m, (s / m) if m else None)
+    for et, (n, m, avg) in agg.items():
+        row = got.loc[et]
+        assert row["n"] == n and row["n_matched"] == m
+        if avg is None:
+            assert np.isnan(row["avg_us_since_error"])
+        else:
+            assert row["avg_us_since_error"] == avg

@@ -3224,6 +3224,36 @@ def q_training_shards(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_embedding_quantize(sf_dir: str):
+    """Int8 scalar quantization of the embedding column (ann/quantize.py
+    — 4x less vector IO at 100 TB): one distributed per-dimension
+    min/max pass, then quantized brute-force top-10 compared against the
+    float top-10. Reports recall@10 and the max |cosine error| over the
+    quantized list — quantization loss isn't SQL-expressible
+    (rows-only); floors pinned in tests."""
+    from ..ann import cosine_topk_bruteforce
+    from ..ann.quantize import dim_minmax, quantized_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qv = _query_vector(sf_dir)
+    mins, maxs = dim_minmax(
+        _read(sf_dir, "embeddings", columns=["embedding"]))
+    qt = quantized_topk(
+        _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+        qv, mins, maxs, k=10)
+    ft = cosine_topk_bruteforce(ds, qv, k=10)
+    exact = dict(zip(ft["vec_id"].to_pylist(), ft["cosine"].to_pylist()))
+    got_ids = qt["vec_id"].to_pylist()
+    recall = len(set(exact) & set(got_ids)) / 10.0
+    errs = [abs(c - exact[i]) for i, c in
+            zip(got_ids, qt["cosine"].to_pylist()) if i in exact]
+    return pa.table({
+        "method": pa.array(["int8"], pa.string()),
+        "recall_at_10": pa.array([recall], pa.float64()),
+        "max_abs_cos_err": pa.array([max(errs) if errs else 0.0],
+                                    pa.float64())})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -3301,6 +3331,7 @@ QUERY_REGISTRY = {
     "ann_recall": q_ann_recall,
     "bpe_encode": q_bpe_encode,
     "training_shards": q_training_shards,
+    "embedding_quantize": q_embedding_quantize,
     "bpe_learn": q_bpe_learn,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_knn_batch": q_embedding_knn_batch,

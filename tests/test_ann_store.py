@@ -151,3 +151,14 @@ def test_ann_recall_entry_floors(ray_session):
                    t["recall_at_10"].to_pylist()))
     assert rec["ivf"] >= 0.5
     assert rec["lsh"] >= 0.8
+
+
+def test_embedding_quantize_floors(ray_session):
+    """embedding_quantize (ann/quantize.py): int8 round-trip must keep
+    recall@10 high and cosine error small (measured 1.0 / ~0.0017 on the
+    sf fixture)."""
+    from logsentinelai_ray.pipelines import QUERY_REGISTRY
+
+    t = QUERY_REGISTRY["embedding_quantize"]("/root/testdata/sf0.001")
+    assert t["recall_at_10"][0].as_py() >= 0.9
+    assert t["max_abs_cos_err"][0].as_py() <= 0.01

@@ -6,6 +6,8 @@ from .knn import (  # noqa: F401
     ivf_centroids,
 )
 from .store import (  # noqa: F401
+    append_ivf_index,
+    append_lsh_index,
     build_ivf_index,
     build_lsh_index,
     ivf_index_probe_dirs,

@@ -113,6 +113,62 @@ def build_lsh_index(ds, out_dir: str, vec_col: str = "embedding",
     return meta
 
 
+def append_lsh_index(ds, index_dir: str) -> dict:
+    """Incremental delta append (the ANN analog of the posting index's
+    delta segments): new vectors run the SAME assignment pass under the
+    persisted meta params and land as new files inside existing (or
+    new) ``table=T/bucket=B`` dirs — ``mode="append"`` never rewrites
+    old files, and queries pick deltas up with no reader change (probe
+    dirs are listed, not manifest-bound)."""
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["kind"] == "lsh", meta["kind"]
+    vec_col = meta["vec_col"]
+
+    def assign(batch: pa.Table, s: int) -> pa.Table:
+        mat = _batch_vectors(batch, vec_col)
+        if mat.size == 0:
+            return batch.append_column("bucket", pa.array([], pa.int64()))
+        b = _LSHBucketer(mat.shape[1], meta["n_planes"], s)
+        return batch.append_column(
+            "bucket", pa.array(b.bucket(mat).astype(np.int64)))
+
+    for t in range(meta["n_tables"]):
+        s = meta["seed"] + 131 * t
+        (ds.map_batches(partial(assign, s=s), batch_format="pyarrow")
+         .write_parquet(os.path.join(index_dir, f"table={t}"),
+                        partition_cols=["bucket"], mode="append"))
+    return meta
+
+
+def append_ivf_index(ds, index_dir: str) -> dict:
+    """Incremental delta append for the IVF index: assignment under the
+    PERSISTED centroids (meta.json), new files appended into list=C
+    dirs — identical query results to a fresh build over the union with
+    the same centroids (tested)."""
+    import ray
+
+    with open(os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    assert meta["kind"] == "ivf", meta["kind"]
+    vec_col = meta["vec_col"]
+    cent_ref = ray.put(np.asarray(meta["centroids"], dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        mat = _batch_vectors(batch, vec_col)
+        if mat.size == 0:
+            return batch.append_column("list", pa.array([], pa.int64()))
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        a = np.argmax((mat / norms[:, None]) @ cent.T, axis=1)
+        return batch.append_column("list", pa.array(a.astype(np.int64)))
+
+    (ds.map_batches(assign, batch_format="pyarrow")
+     .write_parquet(index_dir, partition_cols=["list"], mode="append"))
+    return meta
+
+
 def lsh_index_probe_dirs(index_dir: str, query_vec,
                          n_probes: int = 8) -> list[str]:
     """The partition directories a query must read (existing ones only)."""

@@ -162,3 +162,63 @@ def test_embedding_quantize_floors(ray_session):
     t = QUERY_REGISTRY["embedding_quantize"]("/root/testdata/sf0.001")
     assert t["recall_at_10"][0].as_py() >= 0.9
     assert t["max_abs_cos_err"][0].as_py() <= 0.01
+
+
+def test_lsh_index_append_equals_full_build(ray_session, tmp_path):
+    """build on half the vectors + append the other half == one full
+    build (same planes -> same buckets -> identical candidates)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.ann import (
+        append_lsh_index, build_lsh_index, lsh_index_topk)
+
+    full = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    a = full.filter(lambda r: r["vec_id"] % 2 == 0)
+    b = full.filter(lambda r: r["vec_id"] % 2 == 1)
+    d_full, d_inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    build_lsh_index(full, d_full, n_planes=5, n_tables=3, seed=7)
+    build_lsh_index(a, d_inc, n_planes=5, n_tables=3, seed=7)
+    append_lsh_index(b, d_inc)
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    q = np.asarray(pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet")["embedding"][3]
+        .as_py(), dtype=np.float64)
+    t_full = lsh_index_topk(d_full, q, k=10, n_probes=6)
+    t_inc = lsh_index_topk(d_inc, q, k=10, n_probes=6)
+    # ids rank-identical; cosines to last-ulp (numpy GEMM blocking
+    # varies with batch shape between the two builds)
+    assert t_full["vec_id"].to_pylist() == t_inc["vec_id"].to_pylist()
+    assert np.allclose(t_full["cosine"].to_numpy(),
+                       t_inc["cosine"].to_numpy(), rtol=1e-12, atol=0)
+
+
+def test_ivf_index_append_equals_full_build(ray_session, tmp_path):
+    """IVF append under the persisted centroids == full build with the
+    same centroids."""
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logsentinelai_ray.ann import (
+        append_ivf_index, build_ivf_index, ivf_centroids, ivf_index_topk)
+
+    full = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    a = full.filter(lambda r: r["vec_id"] % 2 == 0)
+    b = full.filter(lambda r: r["vec_id"] % 2 == 1)
+    cent = ivf_centroids(a, n_centroids=8)
+    d_full, d_inc = str(tmp_path / "full"), str(tmp_path / "inc")
+    build_ivf_index(full, d_full, cent)
+    build_ivf_index(a, d_inc, cent)
+    append_ivf_index(b, d_inc)
+    q = np.asarray(pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet")["embedding"][3]
+        .as_py(), dtype=np.float64)
+    t_full = ivf_index_topk(d_full, q, k=10, n_probe=3)
+    t_inc = ivf_index_topk(d_inc, q, k=10, n_probe=3)
+    assert t_full["vec_id"].to_pylist() == t_inc["vec_id"].to_pylist()
+    assert np.allclose(t_full["cosine"].to_numpy(),
+                       t_inc["cosine"].to_numpy(), rtol=1e-12, atol=0)

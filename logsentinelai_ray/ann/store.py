@@ -65,7 +65,7 @@ def _final_topk(cand, k: int, id_col: str) -> pa.Table:
 
 
 def _local_topk_fn(batch: pa.Table, q_ref, k: int, vec_col: str,
-                   id_col: str) -> pa.Table:
+                   id_col: str, quant: dict | None = None) -> pa.Table:
     import ray
 
     qv = ray.get(q_ref)
@@ -74,40 +74,89 @@ def _local_topk_fn(batch: pa.Table, q_ref, k: int, vec_col: str,
     if mat.size == 0:
         return pa.table({id_col: pa.array([], pa.int64()),
                          "cosine": pa.array([], pa.float64())})
+    if quant is not None:
+        mat = mat * np.asarray(quant["scale"]) + np.asarray(quant["mins"])
     cos = _cosine(mat, qv)
     order = np.lexsort((ids, -cos))[:k]
     return pa.table({id_col: pa.array(ids[order], pa.int64()),
                      "cosine": pa.array(cos[order], pa.float64())})
 
 
+def _quant_params(ds, vec_col: str) -> dict:
+    """Per-dimension affine int8 params (ann/quantize.py pass)."""
+    from .quantize import dim_minmax
+
+    mins, maxs = dim_minmax(ds, vec_col)
+    scale = np.maximum((maxs - mins) / 255.0, 1e-12)
+    return {"mins": mins.tolist(), "scale": scale.tolist()}
+
+
+def _encode_codes(mat: np.ndarray, quant: dict) -> pa.Array:
+    """uint8 codes as a fixed-size-list column — 1/8th the bytes of the
+    float64 the scorer would otherwise pull out of the partition files
+    (1/4 of float32 storage)."""
+    mins = np.asarray(quant["mins"])
+    scale = np.asarray(quant["scale"])
+    q = np.clip(np.rint((mat - mins) / scale), 0, 255).astype(np.uint8)
+    return pa.FixedSizeListArray.from_arrays(
+        pa.array(q.ravel(), pa.uint8()), mat.shape[1])
+
+
 # ---------------------------------------------------------------------------
 # LSH (multi-table random hyperplanes)
 # ---------------------------------------------------------------------------
 
-def build_lsh_index(ds, out_dir: str, vec_col: str = "embedding",
-                    id_col: str = "vec_id", n_planes: int = 6,
-                    n_tables: int = 4, seed: int = 42) -> dict:
-    """One assignment pass per table -> hive-partitioned parquet
-    ``out_dir/table=T/bucket=B/*.parquet``. Returns the meta dict (also
-    written to ``out_dir/meta.json``)."""
-    seeds = [seed + 131 * t for t in range(n_tables)]
-    dim = len(ds.take_batch(1, batch_format="pyarrow")[vec_col][0])
+def _lsh_assign_fn(meta: dict):
+    """The (shared) build/append assignment kernel for one LSH table:
+    bucket ids from the persisted planes; with quantization enabled the
+    float vectors are replaced by uint8 codes before they hit parquet."""
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    quant = meta.get("quant")
 
     def assign(batch: pa.Table, s: int) -> pa.Table:
         mat = _batch_vectors(batch, vec_col)
         if mat.size == 0:
-            return batch.append_column("bucket", pa.array([], pa.int64()))
-        b = _LSHBucketer(mat.shape[1], n_planes, s)
-        return batch.append_column(
-            "bucket", pa.array(b.bucket(mat).astype(np.int64)))
+            if quant is None:
+                return batch.append_column("bucket",
+                                           pa.array([], pa.int64()))
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.uint8()), meta["dim"]),
+                "bucket": pa.array([], pa.int64())})
+        b = _LSHBucketer(mat.shape[1], meta["n_planes"], s)
+        buckets = pa.array(b.bucket(mat).astype(np.int64))
+        if quant is None:
+            return batch.append_column("bucket", buckets)
+        return pa.table({id_col: batch[id_col],
+                         "code": _encode_codes(mat, quant),
+                         "bucket": buckets})
+
+    return assign
+
+
+def build_lsh_index(ds, out_dir: str, vec_col: str = "embedding",
+                    id_col: str = "vec_id", n_planes: int = 6,
+                    n_tables: int = 4, seed: int = 42,
+                    quantize: bool = False) -> dict:
+    """One assignment pass per table -> hive-partitioned parquet
+    ``out_dir/table=T/bucket=B/*.parquet``. Returns the meta dict (also
+    written to ``out_dir/meta.json``). ``quantize=True`` stores int8
+    codes instead of float vectors (params persisted in meta — queries
+    dequantize per batch; 1/8th the partition bytes of float64)."""
+    seeds = [seed + 131 * t for t in range(n_tables)]
+    dim = len(ds.take_batch(1, batch_format="pyarrow")[vec_col][0])
+    meta = {"kind": "lsh", "n_planes": n_planes, "n_tables": n_tables,
+            "seed": seed, "dim": dim, "vec_col": vec_col,
+            "id_col": id_col}
+    if quantize:
+        meta["quant"] = _quant_params(ds, vec_col)
+    assign = _lsh_assign_fn(meta)
 
     for t, s in enumerate(seeds):
         (ds.map_batches(partial(assign, s=s), batch_format="pyarrow")
          .write_parquet(os.path.join(out_dir, f"table={t}"),
                         partition_cols=["bucket"], mode="overwrite"))
-    meta = {"kind": "lsh", "n_planes": n_planes, "n_tables": n_tables,
-            "seed": seed, "dim": dim, "vec_col": vec_col,
-            "id_col": id_col}
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -123,15 +172,7 @@ def append_lsh_index(ds, index_dir: str) -> dict:
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     assert meta["kind"] == "lsh", meta["kind"]
-    vec_col = meta["vec_col"]
-
-    def assign(batch: pa.Table, s: int) -> pa.Table:
-        mat = _batch_vectors(batch, vec_col)
-        if mat.size == 0:
-            return batch.append_column("bucket", pa.array([], pa.int64()))
-        b = _LSHBucketer(mat.shape[1], meta["n_planes"], s)
-        return batch.append_column(
-            "bucket", pa.array(b.bucket(mat).astype(np.int64)))
+    assign = _lsh_assign_fn(meta)
 
     for t in range(meta["n_tables"]):
         s = meta["seed"] + 131 * t
@@ -151,20 +192,9 @@ def append_ivf_index(ds, index_dir: str) -> dict:
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
     assert meta["kind"] == "ivf", meta["kind"]
-    vec_col = meta["vec_col"]
     cent_ref = ray.put(np.asarray(meta["centroids"], dtype=np.float64))
-
-    def assign(batch: pa.Table) -> pa.Table:
-        cent = ray.get(cent_ref)
-        mat = _batch_vectors(batch, vec_col)
-        if mat.size == 0:
-            return batch.append_column("list", pa.array([], pa.int64()))
-        norms = np.sqrt((mat * mat).sum(axis=1))
-        norms[norms == 0] = 1.0
-        a = np.argmax((mat / norms[:, None]) @ cent.T, axis=1)
-        return batch.append_column("list", pa.array(a.astype(np.int64)))
-
-    (ds.map_batches(assign, batch_format="pyarrow")
+    (ds.map_batches(_ivf_assign_fn(meta, cent_ref),
+                    batch_format="pyarrow")
      .write_parquet(index_dir, partition_cols=["list"], mode="append"))
     return meta
 
@@ -197,7 +227,9 @@ def lsh_index_topk(index_dir: str, query_vec, k: int = 10,
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    quant = meta.get("quant")
+    id_col = meta["id_col"]
+    vec_col = "code" if quant else meta["vec_col"]
     dirs = lsh_index_probe_dirs(index_dir, query_vec, n_probes)
     if not dirs:
         return pa.table({id_col: pa.array([], pa.int64()),
@@ -206,7 +238,7 @@ def lsh_index_topk(index_dir: str, query_vec, k: int = 10,
     cand = rd.read_parquet(_dir_files(dirs),
                        columns=[id_col, vec_col]).map_batches(
         partial(_local_topk_fn, q_ref=q_ref, k=k, vec_col=vec_col,
-                id_col=id_col),
+                id_col=id_col, quant=quant),
         batch_format="pyarrow")
     return _final_topk(cand, k, id_col)
 
@@ -215,29 +247,56 @@ def lsh_index_topk(index_dir: str, query_vec, k: int = 10,
 # IVF (coarse k-means lists)
 # ---------------------------------------------------------------------------
 
-def build_ivf_index(ds, out_dir: str, centroids: np.ndarray,
-                    vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> dict:
-    """Assign each row to its nearest (spherical) centroid and write
-    ``out_dir/list=C/*.parquet``; centroids persist in meta.json."""
-    import ray
-
-    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+def _ivf_assign_fn(meta: dict, cent_ref):
+    """Shared build/append IVF assignment kernel; with quantization the
+    float vectors are replaced by uint8 codes before parquet."""
+    vec_col, id_col = meta["vec_col"], meta["id_col"]
+    quant = meta.get("quant")
 
     def assign(batch: pa.Table) -> pa.Table:
+        import ray
+
         cent = ray.get(cent_ref)
         mat = _batch_vectors(batch, vec_col)
         if mat.size == 0:
-            return batch.append_column("list", pa.array([], pa.int64()))
+            if quant is None:
+                return batch.append_column("list",
+                                           pa.array([], pa.int64()))
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "code": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.uint8()),
+                    len(meta["centroids"][0])),
+                "list": pa.array([], pa.int64())})
         norms = np.sqrt((mat * mat).sum(axis=1))
         norms[norms == 0] = 1.0
-        a = np.argmax((mat / norms[:, None]) @ cent.T, axis=1)
-        return batch.append_column("list", pa.array(a.astype(np.int64)))
+        a = pa.array(np.argmax((mat / norms[:, None]) @ cent.T,
+                               axis=1).astype(np.int64))
+        if quant is None:
+            return batch.append_column("list", a)
+        return pa.table({id_col: batch[id_col],
+                         "code": _encode_codes(mat, quant), "list": a})
 
-    (ds.map_batches(assign, batch_format="pyarrow")
-     .write_parquet(out_dir, partition_cols=["list"], mode="overwrite"))
+    return assign
+
+
+def build_ivf_index(ds, out_dir: str, centroids: np.ndarray,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    quantize: bool = False) -> dict:
+    """Assign each row to its nearest (spherical) centroid and write
+    ``out_dir/list=C/*.parquet``; centroids persist in meta.json.
+    ``quantize=True`` stores int8 codes (params in meta)."""
+    import ray
+
     meta = {"kind": "ivf", "centroids": np.asarray(centroids).tolist(),
             "vec_col": vec_col, "id_col": id_col}
+    if quantize:
+        meta["quant"] = _quant_params(ds, vec_col)
+    cent_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    (ds.map_batches(_ivf_assign_fn(meta, cent_ref),
+                    batch_format="pyarrow")
+     .write_parquet(out_dir, partition_cols=["list"], mode="overwrite"))
     with open(os.path.join(out_dir, "meta.json"), "w") as f:
         json.dump(meta, f)
     return meta
@@ -265,7 +324,9 @@ def ivf_index_topk(index_dir: str, query_vec, k: int = 10,
 
     with open(os.path.join(index_dir, "meta.json")) as f:
         meta = json.load(f)
-    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    quant = meta.get("quant")
+    id_col = meta["id_col"]
+    vec_col = "code" if quant else meta["vec_col"]
     dirs = ivf_index_probe_dirs(index_dir, query_vec, n_probe)
     if not dirs:
         return pa.table({id_col: pa.array([], pa.int64()),
@@ -274,6 +335,6 @@ def ivf_index_topk(index_dir: str, query_vec, k: int = 10,
     cand = rd.read_parquet(_dir_files(dirs),
                        columns=[id_col, vec_col]).map_batches(
         partial(_local_topk_fn, q_ref=q_ref, k=k, vec_col=vec_col,
-                id_col=id_col),
+                id_col=id_col, quant=quant),
         batch_format="pyarrow")
     return _final_topk(cand, k, id_col)

@@ -222,3 +222,60 @@ def test_ivf_index_append_equals_full_build(ray_session, tmp_path):
     assert t_full["vec_id"].to_pylist() == t_inc["vec_id"].to_pylist()
     assert np.allclose(t_full["cosine"].to_numpy(),
                        t_inc["cosine"].to_numpy(), rtol=1e-12, atol=0)
+
+
+def test_quantized_lsh_store_recall_and_size(ray_session, tmp_path):
+    """quantize=True stores uint8 codes: partition bytes shrink >4x vs
+    the float store and the served top-10 stays near-identical (int8
+    cosine error ~1e-3)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logsentinelai_ray.ann import (
+        append_lsh_index, build_lsh_index, lsh_index_topk)
+
+    full = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                           columns=["vec_id", "embedding"])
+    d_f, d_q = str(tmp_path / "f"), str(tmp_path / "q")
+    build_lsh_index(full, d_f, n_planes=5, n_tables=3, seed=7)
+    build_lsh_index(full, d_q, n_planes=5, n_tables=3, seed=7,
+                    quantize=True)
+
+    def tree_bytes(root):
+        tot = 0
+        for dp, _, fs in os.walk(root):
+            tot += sum(os.path.getsize(os.path.join(dp, f))
+                       for f in fs if f.endswith(".parquet"))
+        return tot
+
+    # raw vector bytes shrink 4x (float32 list -> uint8); at this toy
+    # scale parquet per-file footers dominate, so assert the measured
+    # whole-tree ratio (0.51 here) with margin
+    assert tree_bytes(d_q) < tree_bytes(d_f) * 0.7
+    q = np.asarray(pq.read_table(
+        "/root/testdata/sf0.001/embeddings.parquet")["embedding"][3]
+        .as_py(), dtype=np.float64)
+    t_f = lsh_index_topk(d_f, q, k=10, n_probes=6)
+    t_q = lsh_index_topk(d_q, q, k=10, n_probes=6)
+    overlap = len(set(t_f["vec_id"].to_pylist())
+                  & set(t_q["vec_id"].to_pylist()))
+    assert overlap >= 9
+    assert np.max(np.abs(t_f["cosine"].to_numpy()
+                         - t_q["cosine"].to_numpy())) < 0.02
+
+    # append path under quantization: params persisted at first build
+    # are reused for the delta's codes (consistent within the index)
+    a = full.filter(lambda r: r["vec_id"] % 2 == 0)
+    b = full.filter(lambda r: r["vec_id"] % 2 == 1)
+    d_inc = str(tmp_path / "inc")
+    build_lsh_index(a, d_inc, n_planes=5, n_tables=3, seed=7,
+                    quantize=True)
+    append_lsh_index(b, d_inc)
+    t_i = lsh_index_topk(d_inc, q, k=10, n_probes=6)
+    assert t_i.num_rows == 10
+    overlap_i = len(set(t_f["vec_id"].to_pylist())
+                    & set(t_i["vec_id"].to_pylist()))
+    assert overlap_i >= 9

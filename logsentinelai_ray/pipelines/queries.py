@@ -3254,6 +3254,24 @@ def q_embedding_quantize(sf_dir: str):
                                     pa.float64())})
 
 
+def q_embedding_knn_lsh_q8(sf_dir: str):
+    """Quantized persisted-index ANN: the LSH bucket partitions store
+    int8 CODES (ann/store.py quantize=True — 4x less raw vector IO per
+    probed partition; dequantize params ride in meta.json). Approximate
+    by design (rows-only); near-identity to the float store is pinned
+    in test_ann_store.py."""
+    from ..ann import build_lsh_index, lsh_index_topk
+
+    idx = _ann_index_dir(sf_dir, "lsh_q8")
+    if not os.path.exists(os.path.join(idx, "meta.json")):
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_lsh_index(ds, idx, n_planes=6, n_tables=4, seed=42,
+                        quantize=True)
+    out = lsh_index_topk(idx, _query_vector(sf_dir), k=10, n_probes=8)
+    return pa.table({"vec_id": out["vec_id"],
+                     "cosine": _round6(out["cosine"])})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -3332,6 +3350,7 @@ QUERY_REGISTRY = {
     "bpe_encode": q_bpe_encode,
     "training_shards": q_training_shards,
     "embedding_quantize": q_embedding_quantize,
+    "embedding_knn_lsh_q8": q_embedding_knn_lsh_q8,
     "bpe_learn": q_bpe_learn,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_knn_batch": q_embedding_knn_batch,

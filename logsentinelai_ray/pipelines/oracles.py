@@ -1370,6 +1370,27 @@ ORACLE_SQL: dict[str, str] = {
                sum(scrubbed)::BIGINT AS scrubbed_chars
         FROM s GROUP BY event_type ORDER BY event_type
     """,
+    # ES bucket_selector (HAVING over the agg DSL): daily buckets above
+    # the day-mean count
+    "bucket_selector": """
+        WITH d AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1
+        )
+        SELECT day, n FROM d
+        WHERE n > (SELECT avg(n) FROM d)
+        ORDER BY day
+    """,
+    # ES serial_diff with lag=7 over the daily histogram
+    "serial_diff": """
+        WITH d AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1
+        )
+        SELECT day, n,
+               CAST(n - lag(n, 7) OVER (ORDER BY day) AS DOUBLE) AS diff7
+        FROM d ORDER BY day
+    """,
     # ES derivative pipeline agg over the daily histogram: first bucket
     # NULL, later buckets day-over-day count delta
     "events_derivative": """

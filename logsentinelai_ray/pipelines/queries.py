@@ -3272,6 +3272,52 @@ def q_embedding_knn_lsh_q8(sf_dir: str):
                      "cosine": _round6(out["cosine"])})
 
 
+def q_bucket_selector(sf_dir: str):
+    """ES ``bucket_selector`` pipeline agg (the HAVING of the agg DSL):
+    keep daily buckets whose event count exceeds the day-mean — parent
+    histogram distributed, selector predicate over the ~30-row bucket
+    table on the driver."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("day").aggregate(Count(alias_name="n"))
+             .sort("day").to_pandas())
+    n = daily["n"].to_numpy().astype(np.float64)
+    keep = n > n.mean()
+    return pa.table({
+        "day": pa.array(daily["day"][keep].tolist(), pa.string()),
+        "n": pa.array(daily["n"].to_numpy()[keep], pa.int64())})
+
+
+def q_serial_diff(sf_dir: str):
+    """ES ``serial_diff`` pipeline agg with lag=7 (week-over-week delta
+    of the daily count); first 7 buckets NULL, like ES."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("day").aggregate(Count(alias_name="n"))
+             .sort("day").to_pandas())
+    n = daily["n"].to_numpy()
+    lag = 7
+    diff = [None] * len(n)
+    for i in range(lag, len(n)):
+        diff[i] = float(n[i] - n[i - lag])
+    return pa.table({
+        "day": pa.array(daily["day"].tolist(), pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "diff7": pa.array(diff, pa.float64())})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -3351,6 +3397,8 @@ QUERY_REGISTRY = {
     "training_shards": q_training_shards,
     "embedding_quantize": q_embedding_quantize,
     "embedding_knn_lsh_q8": q_embedding_knn_lsh_q8,
+    "bucket_selector": q_bucket_selector,
+    "serial_diff": q_serial_diff,
     "bpe_learn": q_bpe_learn,
     "tfidf_top_terms": q_tfidf_top_terms,
     "embedding_knn_batch": q_embedding_knn_batch,

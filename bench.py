@@ -154,6 +154,16 @@ def bench_index_and_query() -> dict:
             sel[f"selective_{strat}_ms"] = round(
                 float(np.median(ts)) * 1000, 2)
         sel["selective_term_df"] = rare_df
+    # batched serving throughput: the whole query mix as ONE msearch
+    # call (union of terms prefetched in a single shard round), repeated
+    # — queries/sec is the number a batch-serving deployment sees
+    reqs = [{"text": q["text"], "k": q.get("k", 10)} for q in QUERY_SET]
+    eng.msearch(reqs, with_meta=False)  # warm
+    t0 = time.monotonic()
+    rounds = 5
+    for _ in range(rounds):
+        eng.msearch(reqs, with_meta=False)
+    qps = rounds * len(reqs) / (time.monotonic() - t0)
     eng.shutdown()
     return {
         "build_s": round(build_s, 3),
@@ -164,6 +174,7 @@ def bench_index_and_query() -> dict:
         "query_coldpass_p99_ms": round(
             float(np.percentile(cold, 99)) * 1000, 2),
         "query_p50_wand_ms": round(float(np.median(wand_lat)) * 1000, 2),
+        "query_msearch_qps": round(qps, 1),
         **sel,
         "stage_timings": meta["timings"],
     }

@@ -191,6 +191,63 @@ ORACLE_SQL: dict[str, str] = {
         FROM m GROUP BY 1 ORDER BY 1
     """,
     # bucket bounds must match queries._RANGE_BOUNDS_MICRO / _RANGE_LABELS
+    "histogram_agg": """
+        WITH m AS (
+          SELECT CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro
+          FROM events
+        ), b AS (
+          SELECT (value_micro // 25000000) * 25000000 AS lo_micro,
+                 count(*)::BIGINT AS n,
+                 CAST(sum(value_micro) AS BIGINT) AS sum_value_micro
+          FROM m GROUP BY 1
+        ), mm AS (
+          SELECT min(lo_micro) AS lo, max(lo_micro) AS hi FROM b
+        ), grid AS (
+          SELECT unnest(generate_series(lo, hi, 25000000)) AS lo_micro
+          FROM mm
+        )
+        SELECT g.lo_micro,
+               coalesce(b.n, 0)::BIGINT AS n,
+               CAST(coalesce(b.sum_value_micro, 0) AS BIGINT)
+                 AS sum_value_micro
+        FROM grid g LEFT JOIN b USING (lo_micro) ORDER BY g.lo_micro
+    """,
+    "multi_terms_agg": """
+        SELECT event_type, (isodow(ts) - 1)::BIGINT AS dow,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2
+        ORDER BY n DESC, event_type ASC, dow ASC LIMIT 10
+    """,
+    "auto_date_histogram": """
+        WITH us AS (
+          SELECT epoch_us(ts) AS us FROM events
+        ), mm AS (
+          SELECT min(us) AS lo, max(us) AS hi FROM us
+        ), ladder(v) AS (
+          VALUES (3600000000), (10800000000), (43200000000),
+                 (86400000000), (604800000000), (2592000000000)
+        ), iv AS (
+          SELECT coalesce(
+                   (SELECT min(v) FROM ladder, mm
+                    WHERE (hi // v) - (lo // v) + 1 <= 12),
+                   2592000000000) AS iv
+        )
+        SELECT (us // iv) * iv AS bucket_us,
+               (iv // 1000000)::BIGINT AS interval_s,
+               count(*)::BIGINT AS n
+        FROM us, iv GROUP BY 1, 2 ORDER BY bucket_us
+    """,
+    "runtime_field_agg": """
+        WITH m AS (
+          SELECT (CAST(regexp_extract(props, '"k": ([0-9]+)', 1)
+                       AS BIGINT) // 10) * 10 AS k_bucket,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro
+          FROM events
+        )
+        SELECT k_bucket, count(*)::BIGINT AS n,
+               CAST(sum(value_micro) AS BIGINT) AS sum_value_micro
+        FROM m GROUP BY 1 ORDER BY k_bucket
+    """,
     "range_agg": """
         WITH m AS (
           SELECT CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro

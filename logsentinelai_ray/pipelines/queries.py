@@ -310,6 +310,141 @@ def q_events_moving(sf_dir: str):
     return pdf
 
 
+# ES `histogram` agg interval over value_micro (25 value units)
+_HISTO_INTERVAL_MICRO = 25_000_000
+
+
+def q_histogram_agg(sf_dir: str):
+    """ES ``histogram`` aggregation analog with ``min_doc_count: 0``:
+    fixed-interval numeric buckets over value_micro, count + integer sum
+    per bucket, with EMPTY buckets between the min and max observed keys
+    filled in (the ES extended-bounds/empty-bucket contract). Bucketing
+    is one integer floor-division per batch; the groupby moves at most
+    #buckets partial rows per block, and the empty fill is a driver
+    post-pass bounded by bucket count — never data-sized."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    iv = _HISTO_INTERVAL_MICRO
+    ds = _read(sf_dir, "events", columns=["value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        lo = pc.multiply(pc.floor(pc.divide(micro, iv)), iv)
+        return pa.table({"lo_micro": pc.cast(lo, pa.int64()),
+                         "value_micro": micro})
+
+    pdf = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("lo_micro")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_micro", alias_name="sum_value_micro"))
+           .sort("lo_micro").to_pandas())
+    grid = pd.DataFrame({"lo_micro": np.arange(pdf["lo_micro"].min(),
+                                               pdf["lo_micro"].max() + iv,
+                                               iv, dtype=np.int64)})
+    out = grid.merge(pdf, on="lo_micro", how="left")
+    out["n"] = out["n"].fillna(0).astype("int64")
+    out["sum_value_micro"] = (out["sum_value_micro"].fillna(0)
+                              .astype("int64"))
+    return out
+
+
+def q_multi_terms_agg(sf_dir: str):
+    """ES ``multi_terms`` aggregation analog: tuple term buckets over
+    (event_type, day-of-week), top-10 by count with deterministic key
+    tie-breaks. day_of_week is Monday=0 on both sides (pyarrow default /
+    DuckDB isodow-1). One vectorized kernel per batch; only ≤ 7 x #types
+    partial rows cross the shuffle; final top-k via the partition-local
+    topk primitive."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        dow = pc.cast(pc.day_of_week(t["ts"]), pa.int64())
+        return pa.table({"event_type": t["event_type"], "dow": dow})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby(["event_type", "dow"])
+           .aggregate(Count(alias_name="n")))
+    return topk(out, 10, [("n", "descending"), ("event_type", "ascending"),
+                          ("dow", "ascending")])
+
+
+# auto_date_histogram: fixed interval ladder (seconds) + bucket target,
+# matching ES's rounding ladder semantics at the granularities our data
+# spans (hour..month)
+_AUTO_HISTO_LADDER_S = [3600, 3 * 3600, 12 * 3600, 86400,
+                        7 * 86400, 30 * 86400]
+_AUTO_HISTO_TARGET = 12
+
+
+def q_auto_date_histogram(sf_dir: str):
+    """ES ``auto_date_histogram`` analog: choose the smallest interval
+    from a fixed rounding ladder such that the bucket count stays within
+    the target (12), then bucket-count at that interval. The interval
+    choice needs only the global (min, max) timestamp — a 16-byte
+    aggregate — then one floor-division kernel per batch; deterministic
+    for any block order or cluster size."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table({"us": pc.cast(t["ts"], pa.int64())})
+
+    us_ds = ds.map_batches(to_us, batch_format="pyarrow")
+    mm = us_ds.aggregate(Min("us"), Max("us"))
+    lo, hi = mm["min(us)"], mm["max(us)"]
+    iv = _AUTO_HISTO_LADDER_S[-1] * 1_000_000
+    for v_s in _AUTO_HISTO_LADDER_S:
+        v = v_s * 1_000_000
+        if (hi // v) - (lo // v) + 1 <= _AUTO_HISTO_TARGET:
+            iv = v
+            break
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = pc.multiply(pc.floor(pc.divide(t["us"], iv)), iv)
+        return pa.table({
+            "bucket_us": pc.cast(b, pa.int64()),
+            "interval_s": pa.array([iv // 1_000_000] * len(t), pa.int64()),
+        })
+
+    out = (us_ds.map_batches(bucket, batch_format="pyarrow")
+           .groupby(["bucket_us", "interval_s"])
+           .aggregate(Count(alias_name="n")))
+    return out.sort("bucket_us")
+
+
+def q_runtime_field_agg(sf_dir: str):
+    """ES *runtime fields* analog: a field that exists only in the
+    source JSON (``props.k``) is extracted at query time — vectorized
+    RE2 ``extract_regex`` per batch, never materialized in the schema —
+    and aggregated like a mapped field (decade buckets of k, count +
+    integer value sum). Same extraction dialect as the oracle
+    (regexp_extract)."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["props", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t["props"], pattern=r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        bucket = pc.multiply(pc.floor(pc.divide(k, 10)), 10)
+        return pa.table({"k_bucket": pc.cast(bucket, pa.int64()),
+                         "value_micro": micro})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("k_bucket")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_micro", alias_name="sum_value_micro")))
+    return out.sort("k_bucket")
+
+
 # per-lang deterministic keep thresholds: keep rows with doc_id%10 < thr
 _STRATA_LANGS = ["de", "en", "es", "fr", "zh"]
 _STRATA_THR = [4, 5, 3, 2, 1]
@@ -3326,6 +3461,10 @@ QUERY_REGISTRY = {
     "user_count_windows": q_user_count_windows,
     "value_quantiles": q_value_quantiles,
     "range_agg": q_range_agg,
+    "histogram_agg": q_histogram_agg,
+    "multi_terms_agg": q_multi_terms_agg,
+    "auto_date_histogram": q_auto_date_histogram,
+    "runtime_field_agg": q_runtime_field_agg,
     "weighted_avg": q_weighted_avg,
     "top_metrics": q_top_metrics,
     "string_stats": q_string_stats,

@@ -248,6 +248,43 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(value_micro) AS BIGINT) AS sum_value_micro
         FROM m GROUP BY 1 ORDER BY k_bucket
     """,
+    "terms_shard_error": """
+        WITH c AS (
+          SELECT event_id % 4 AS shard, user_id, count(*)::BIGINT AS n
+          FROM events GROUP BY 1, 2
+        ), r AS (
+          SELECT *, row_number() OVER (
+                     PARTITION BY shard
+                     ORDER BY n DESC, user_id ASC) AS rk
+          FROM c
+        ), top AS (
+          SELECT * FROM r WHERE rk <= 8
+        ), cut AS (
+          SELECT shard,
+                 CASE WHEN count(*) = 8 THEN min(n) ELSE 0 END AS cutoff
+          FROM top GROUP BY shard
+        ), tot AS (
+          SELECT CAST(coalesce(sum(cutoff), 0) AS BIGINT) AS total_cutoff
+          FROM cut
+        )
+        SELECT t.user_id,
+               CAST(sum(t.n) AS BIGINT) AS n,
+               CAST((SELECT total_cutoff FROM tot) - sum(cut.cutoff)
+                    AS BIGINT) AS err_upper
+        FROM top t JOIN cut ON cut.shard = t.shard
+        GROUP BY t.user_id
+        ORDER BY n DESC, user_id ASC LIMIT 5
+    """,
+    "sampler_agg": """
+        WITH r AS (
+          SELECT event_type,
+                 row_number() OVER (PARTITION BY event_id % 4
+                                    ORDER BY event_id ASC) AS rk
+          FROM events
+        )
+        SELECT event_type, count(*)::BIGINT AS n
+        FROM r WHERE rk <= 100 GROUP BY 1 ORDER BY 1
+    """,
     "range_agg": """
         WITH m AS (
           SELECT CAST(round(value * 1e6, 0) AS BIGINT) AS value_micro

@@ -445,6 +445,103 @@ def q_runtime_field_agg(sf_dir: str):
     return out.sort("k_bucket")
 
 
+# terms-agg shard semantics: deterministic doc->shard routing, per-shard
+# candidate list size, and the final reported size
+_TERMS_ERR_SHARDS = 4
+_TERMS_ERR_SHARD_SIZE = 8
+_TERMS_ERR_SIZE = 5
+
+
+def q_terms_shard_error(sf_dir: str):
+    """ES ``terms`` aggregation shard_size semantics with
+    ``doc_count_error_upper_bound``: each shard (deterministic routing
+    ``event_id % 4``) reports only its local top ``shard_size`` terms,
+    the coordinator sums the reported counts per candidate term and
+    bounds the missed mass — for every shard that did NOT report a term,
+    the term's count there is at most that shard's cutoff (the last
+    count the shard returned, 0 if the shard returned all its terms).
+    This is the distributed-approximation contract ES documents for
+    terms aggs, reproduced exactly: per-shard counts are a (shard, term)
+    groupby; only ≤ shards x shard_size candidate rows ever reach the
+    coordinator; the merge is bounded by candidate count. The oracle
+    recomputes the identical estimate + bound with window functions."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count
+
+    nsh, ssz, size = (_TERMS_ERR_SHARDS, _TERMS_ERR_SHARD_SIZE,
+                      _TERMS_ERR_SIZE)
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        shard = t["event_id"].to_numpy(zero_copy_only=False) % nsh
+        return pa.table({"shard": pa.array(shard, pa.int64()),
+                         "user_id": t["user_id"]})
+
+    counts = (ds.map_batches(prep, batch_format="pyarrow")
+              .groupby(["shard", "user_id"])
+              .aggregate(Count(alias_name="n")))
+
+    def shard_top(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("n", "descending"),
+                                            ("user_id", "ascending")])
+        top = g.take(idx.slice(0, ssz))
+        cutoff = (int(pc.min(top["n"]).as_py())
+                  if len(top) == ssz else 0)
+        return top.append_column(
+            "cutoff", pa.array([cutoff] * len(top), pa.int64()))
+
+    top = (counts.groupby("shard")
+           .map_groups(shard_top, batch_format="pyarrow").to_pandas())
+    # coordinator merge: bounded by shards x shard_size rows
+    cutoffs = (top.groupby("shard")["cutoff"].first()
+               .reindex(range(nsh), fill_value=0))
+    total_cutoff = int(cutoffs.sum())
+    est = (top.groupby("user_id")
+           .agg(n=("n", "sum"), seen_cutoff=("cutoff", "sum"),
+                n_shards_seen=("shard", "nunique")).reset_index())
+    est["err_upper"] = (total_cutoff - est["seen_cutoff"]).astype("int64")
+    est["n"] = est["n"].astype("int64")
+    out = (est.sort_values(["n", "user_id"],
+                           ascending=[False, True]).head(size)
+           [["user_id", "n", "err_upper"]].reset_index(drop=True))
+    return out
+
+
+# sampler agg: per-shard deterministic sample size
+_SAMPLER_SHARD_SIZE = 100
+
+
+def q_sampler_agg(sf_dir: str):
+    """ES ``sampler`` aggregation analog: restrict a sub-aggregation to
+    the first ``shard_size`` documents per shard — deterministically the
+    ``shard_size`` smallest event_ids per shard (``event_id % 4``
+    routing), instead of ES's collection-order heads — then count by
+    event type over the sampled union. The per-shard selection runs in
+    ``map_groups`` (each group = one shard's (event_id, type) pairs);
+    only shards x shard_size sampled rows feed the sub-agg."""
+    from ray.data.aggregate import Count
+
+    nsh, ssz = _TERMS_ERR_SHARDS, _SAMPLER_SHARD_SIZE
+    ds = _read(sf_dir, "events", columns=["event_id", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        shard = t["event_id"].to_numpy(zero_copy_only=False) % nsh
+        return pa.table({"shard": pa.array(shard, pa.int64()),
+                         "event_id": t["event_id"],
+                         "event_type": t["event_type"]})
+
+    def shard_sample(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(g, sort_keys=[("event_id", "ascending")])
+        return g.take(idx.slice(0, ssz)).select(["event_type"])
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("shard").map_groups(shard_sample,
+                                        batch_format="pyarrow")
+           .groupby("event_type").aggregate(Count(alias_name="n")))
+    return out.sort("event_type")
+
+
 # per-lang deterministic keep thresholds: keep rows with doc_id%10 < thr
 _STRATA_LANGS = ["de", "en", "es", "fr", "zh"]
 _STRATA_THR = [4, 5, 3, 2, 1]
@@ -3465,6 +3562,8 @@ QUERY_REGISTRY = {
     "multi_terms_agg": q_multi_terms_agg,
     "auto_date_histogram": q_auto_date_histogram,
     "runtime_field_agg": q_runtime_field_agg,
+    "terms_shard_error": q_terms_shard_error,
+    "sampler_agg": q_sampler_agg,
     "weighted_avg": q_weighted_avg,
     "top_metrics": q_top_metrics,
     "string_stats": q_string_stats,

@@ -248,6 +248,29 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(value_micro) AS BIGINT) AS sum_value_micro
         FROM m GROUP BY 1 ORDER BY k_bucket
     """,
+    "mixture_weights": """
+        WITH tk AS (
+          SELECT lang,
+                 sum(len(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')))::BIGINT AS tokens
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT sum(tokens) AS total FROM tk
+        ), tgt(lang, target_ppm) AS (
+          VALUES ('de', 150000), ('en', 400000), ('es', 150000),
+                 ('fr', 150000), ('zh', 150000)
+        ), w AS (
+          SELECT tk.lang, tk.tokens, tgt.target_ppm,
+                 (tgt.target_ppm * (SELECT total FROM tot))
+                   // tk.tokens AS weight
+          FROM tk JOIN tgt USING (lang)
+        )
+        SELECT lang, tokens,
+               CAST(target_ppm AS BIGINT) AS target_ppm,
+               CAST(weight AS BIGINT) AS weight_ppm,
+               CAST((weight + 999999) // 1000000 AS BIGINT) AS epochs
+        FROM w ORDER BY lang
+    """,
     "terms_shard_error": """
         WITH c AS (
           SELECT event_id % 4 AS shard, user_id, count(*)::BIGINT AS n

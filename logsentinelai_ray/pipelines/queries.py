@@ -542,6 +542,107 @@ def q_sampler_agg(sf_dir: str):
     return out.sort("event_type")
 
 
+# target language mixture for training-data reweighting, in parts-per-
+# million (sums to 1.0): upsample en, balance the rest
+_MIXTURE_TARGET_PPM = {"de": 150_000, "en": 400_000, "es": 150_000,
+                       "fr": 150_000, "zh": 150_000}
+
+
+def q_mixture_weights(sf_dir: str):
+    """Data-mixture reweighting — the training-data primitive that turns
+    a target language mixture into per-lang sampling weights: weight =
+    target_share / actual_token_share, plus the epoch count (how many
+    passes over a lang are needed when weights exceed 1). Token counts
+    are one distributed groupby of per-batch vectorized counts (the
+    token_stats kernel); the weight derivation is a driver post-pass
+    over #langs rows in exact integer ppm arithmetic (Python bignums /
+    DuckDB HUGEINT — no float division on either side)."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    tk = (ds.map_batches(add_token_count, batch_format="pyarrow")
+          .select_columns(["lang", "n_tokens"])
+          .groupby("lang").aggregate(Sum("n_tokens", alias_name="tokens"))
+          .sort("lang").to_pandas())
+    total = int(tk["tokens"].sum())
+    rows = []
+    for lang, tokens in zip(tk["lang"], tk["tokens"]):
+        tgt = _MIXTURE_TARGET_PPM[lang]
+        w = (tgt * total) // int(tokens)
+        rows.append({"lang": lang, "tokens": int(tokens),
+                     "target_ppm": tgt, "weight_ppm": w,
+                     "epochs": (w + 999_999) // 1_000_000})
+    out = pd.DataFrame(rows)
+    for c in ("tokens", "target_ppm", "weight_ppm", "epochs"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
+def pack_bestfit_group(sizes, ids, capacity: int):
+    """Best-fit-decreasing bin packing over one partition's (size, id)
+    pairs: items sorted (size desc, id asc); each item goes to the open
+    bin with the least remaining space that still fits (ties: lowest
+    bin id), else opens a new bin; items larger than ``capacity`` get a
+    dedicated oversize bin. O(n log bins) via a sorted remaining-space
+    list. Returns a bin id per input item (input order)."""
+    import bisect
+
+    order = sorted(range(len(sizes)), key=lambda i: (-sizes[i], ids[i]))
+    rem = []  # sorted list of (remaining, bin_id)
+    assign = [0] * len(sizes)
+    n_bins = 0
+    for i in order:
+        s = sizes[i]
+        j = bisect.bisect_left(rem, (s, -1))
+        if s <= capacity and j < len(rem):
+            r, b = rem.pop(j)
+            bisect.insort(rem, (r - s, b))
+            assign[i] = b
+        else:
+            assign[i] = n_bins
+            if s <= capacity:
+                bisect.insort(rem, (capacity - s, n_bins))
+            n_bins += 1
+    return assign
+
+
+def q_pack_bestfit(sf_dir: str):
+    """Best-fit-decreasing sequence packing — the padding-minimizing
+    alternative to the fixed-order ``sequence_pack``: per lang, docs are
+    packed into ~10k-char bins by best-fit over descending sizes. Each
+    lang packs inside one ``map_groups`` (the same per-partition
+    sequentiality as sequence_pack — at 100 TB, pack per input shard
+    instead of per lang and the bin ids stay shard-local); output is one
+    row per bin. Greedy-iterative, so no SQL oracle (rows-only check);
+    an independent O(n·bins) reference implementation pins the exact
+    bin assignment in tests, plus capacity/coverage invariants."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id").reset_index(drop=True)
+        assign = pack_bestfit_group(g["n_chars"].tolist(),
+                                    g["doc_id"].tolist(),
+                                    _PACK_BUDGET_CHARS)
+        g["bin_id"] = np.asarray(assign, dtype=np.int64)
+        out = (g.groupby("bin_id", as_index=False)
+               .agg(n_docs=("doc_id", "size"),
+                    total_chars=("n_chars", "sum"),
+                    first_doc=("doc_id", "min")))
+        out.insert(0, "lang", g["lang"].iloc[0])
+        out["fill_ppm"] = (out["total_chars"] * 1_000_000
+                           // _PACK_BUDGET_CHARS).astype("int64")
+        return out
+
+    out = ds.groupby("lang").map_groups(pack, batch_format="pandas")
+    return out.sort(["lang", "bin_id"])
+
+
 # per-lang deterministic keep thresholds: keep rows with doc_id%10 < thr
 _STRATA_LANGS = ["de", "en", "es", "fr", "zh"]
 _STRATA_THR = [4, 5, 3, 2, 1]
@@ -3564,6 +3665,8 @@ QUERY_REGISTRY = {
     "runtime_field_agg": q_runtime_field_agg,
     "terms_shard_error": q_terms_shard_error,
     "sampler_agg": q_sampler_agg,
+    "mixture_weights": q_mixture_weights,
+    "pack_bestfit": q_pack_bestfit,
     "weighted_avg": q_weighted_avg,
     "top_metrics": q_top_metrics,
     "string_stats": q_string_stats,

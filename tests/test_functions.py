@@ -531,3 +531,76 @@ def test_asof_join_matches_bruteforce(ray_session):
             assert np.isnan(row["avg_us_since_error"])
         else:
             assert row["avg_us_since_error"] == avg
+
+
+def test_pack_bestfit_matches_naive_reference():
+    """pack_bestfit_group (bisect-based) must produce the exact bin
+    assignment of an independent O(n*bins) best-fit-decreasing scan."""
+    import random
+
+    from logsentinelai_ray.pipelines.queries import pack_bestfit_group
+
+    rng = random.Random(42)
+    for cap in (100, 997):
+        sizes = [rng.randrange(1, 2 * cap) for _ in range(400)]
+        ids = list(range(400))
+
+        # independent naive reference: scan every open bin for best fit
+        order = sorted(range(len(sizes)),
+                       key=lambda i: (-sizes[i], ids[i]))
+        rem, expect, n_bins = [], [0] * len(sizes), 0
+        for i in order:
+            s = sizes[i]
+            best = None
+            if s <= cap:
+                for b, r in enumerate(rem):
+                    if r >= s and (best is None or r < rem[best]):
+                        best = b
+            if best is not None:
+                rem[best] -= s
+                expect[i] = best
+            else:
+                expect[i] = n_bins
+                rem.append(cap - s if s <= cap else -1)
+                # oversize bins must never accept another item
+                if s > cap:
+                    rem[-1] = -1
+                n_bins += 1
+
+        got = pack_bestfit_group(sizes, ids, cap)
+        assert got == expect
+
+        # invariants: capacity respected, every item packed exactly once
+        fill = {}
+        for i, b in enumerate(got):
+            fill[b] = fill.get(b, 0) + sizes[i]
+        for b, tot in fill.items():
+            n_items = got.count(b)
+            assert tot <= cap or n_items == 1
+        assert sum(fill.values()) == sum(sizes)
+
+
+def test_pack_bestfit_entry_invariants(ray_session):
+    """The pack_bestfit queries() entry: bins respect capacity (except
+    single oversize docs), cover every doc exactly once, and never use
+    more bins than fixed-order packing needs chunks."""
+    from logsentinelai_ray.pipelines.queries import (
+        _PACK_BUDGET_CHARS, q_pack_bestfit, q_sequence_pack)
+
+    sf = "/root/testdata/sf0.001"
+    bins = q_pack_bestfit(sf).to_pandas()
+    assert ((bins["total_chars"] <= _PACK_BUDGET_CHARS)
+            | (bins["n_docs"] == 1)).all()
+    import duckdb
+    exp = duckdb.sql(
+        f"SELECT lang, count(*) n, sum(n_chars) c FROM "
+        f"read_parquet('{sf}/documents.parquet') GROUP BY 1").df()
+    got = bins.groupby("lang").agg(n=("n_docs", "sum"),
+                                   c=("total_chars", "sum")).reset_index()
+    m = exp.sort_values("lang").reset_index(drop=True)
+    g = got.sort_values("lang").reset_index(drop=True)
+    assert (m["n"].astype(int) == g["n"].astype(int)).all()
+    assert (m["c"].astype(int) == g["c"].astype(int)).all()
+    # BFD should be at least as tight as fixed-order packing
+    fixed = q_sequence_pack(sf).to_pandas()
+    assert len(bins) <= len(fixed)

@@ -1240,6 +1240,67 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(scores.score, 6) AS score FROM scores
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
+    # wildcard *er* = LIKE '%er%' over the term dictionary, then the
+    # standard BM25 sum over the expanded term set
+    "wildcard_search": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+          GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT count(*)::DOUBLE FROM tok) /
+                 (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf
+          WHERE term LIKE '%er%' GROUP BY 1
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                                       + 0.75 * dl.dl / stats.avgdl))
+                 ) AS score
+          FROM tf
+          JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
+    # intervals (ordered, max_gaps=2): 'sort' strictly after 'merge'
+    # with at most 2 tokens between -> position delta in [1, 3]
+    "intervals_ordered": f"""
+        WITH t AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        ), p AS (
+          SELECT doc_id,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'merge'] AS p1,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'sort'] AS p2
+          FROM t
+        ), pm AS (
+          SELECT doc_id,
+                 CAST(list_sum(list_transform(p1,
+                     x -> len(list_filter(p2,
+                         y -> y - x BETWEEN 1 AND 3)))) AS BIGINT)
+                     AS n_matches
+          FROM p WHERE len(p1) > 0 AND len(p2) > 0
+        )
+        SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
+        ORDER BY doc_id
+    """,
     "phrase_match": _PHRASE_MATCH_BASE + """
         SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
         ORDER BY doc_id

@@ -1789,6 +1789,26 @@ def q_span_near(sf_dir: str):
     return eng.proximity_match("sort", "merge", window=3)
 
 
+def q_wildcard_search(sf_dir: str):
+    """ES wildcard query analog: infix pattern ``*er*`` expanded
+    against the shard dictionaries (anchored-RE2 metadata scan — a
+    pattern a prefix index can't serve), then exact TAAT BM25 over the
+    expanded term set."""
+    eng = _docs_engine(sf_dir)
+    res = eng.wildcard_search("*er*", k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_intervals_ordered(sf_dir: str):
+    """ES intervals query analog (``match`` with ``ordered: true,
+    max_gaps: 2``): docs where 'merge' is followed by 'sort' with at
+    most 2 tokens between, counting qualifying ordered occurrence
+    pairs from the positions sidecar."""
+    eng = _docs_engine(sf_dir)
+    return eng.intervals_match("merge", "sort", max_gaps=2)
+
+
 def q_suggest(sf_dir: str):
     """ES completion-suggester analog: top-4 completions of the prefix
     by (df desc, term asc) from the shard dictionaries."""
@@ -3716,6 +3736,8 @@ QUERY_REGISTRY = {
     "spell_suggest": q_spell_suggest,
     "phrase_prefix": q_phrase_prefix,
     "span_near": q_span_near,
+    "wildcard_search": q_wildcard_search,
+    "intervals_ordered": q_intervals_ordered,
     "multifield_search": q_multifield_search,
     "match_count": q_match_count,
     "bm25_page2": q_bm25_page2,

@@ -872,6 +872,30 @@ class SearchEngine:
         topk = self._search_taat(sorted(terms), k, None)
         return self._format_result(topk, with_meta)
 
+    def wildcard_search(self, pattern: str, k: int = 10,
+                        max_expansions: int = 64,
+                        with_meta: bool = False) -> pa.Table:
+        """ES wildcard query with scoring: ``*`` matches any run, ``?``
+        any single character — including infix patterns a prefix index
+        can't serve. The pattern is translated to an anchored RE2 and
+        expanded against the shard dictionaries (a metadata-only
+        parallel scan, like expand_regex), then the standard exact TAAT
+        scorer runs over the expanded term set."""
+        import re as _re
+
+        if not pattern.strip("*?"):
+            raise ValueError("wildcard pattern needs at least one "
+                             "literal character")
+        rx = "".join(".*" if ch == "*" else "." if ch == "?"
+                     else _re.escape(ch) for ch in pattern)
+        exp = self.expand_regex(rx, max_expansions)
+        terms = exp["term"].to_pylist()
+        if not terms:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(terms)
+        topk = self._search_taat(sorted(terms), k, None)
+        return self._format_result(topk, with_meta)
+
     def prefix_search(self, prefix: str, k: int = 10,
                       max_expansions: int = 64,
                       with_meta: bool = False) -> pa.Table:
@@ -1590,6 +1614,19 @@ class SearchEngine:
         return self._filter_deleted_rows(
             proximity_match(self, term1, term2, window=window,
                             chunk_docs=chunk_docs))
+
+    def intervals_match(self, first: str, then: str, max_gaps: int = 2,
+                        chunk_docs: int = 200_000) -> pa.Table:
+        """ES intervals query, ``match`` with ``ordered: true`` +
+        ``max_gaps``: (doc_id, n_matches) counting occurrence pairs
+        where ``then`` appears strictly after ``first`` with at most
+        ``max_gaps`` tokens between them (query/phrase.py, the ordered
+        mode of the proximity kernel)."""
+        from .phrase import proximity_match
+
+        return self._filter_deleted_rows(
+            proximity_match(self, first, then, window=max_gaps,
+                            chunk_docs=chunk_docs, ordered=True))
 
     def phrase_topk(self, phrase: str, k: int = 10,
                     with_meta: bool = False,

@@ -311,3 +311,76 @@ def test_phrase_after_incremental_update(ray_session, small_corpus,
         assert by_sha_inc == by_sha_full, phrase
     eng_inc.shutdown()
     eng_full.shutdown()
+
+
+def test_intervals_ordered_vs_bruteforce(engine, indexed_docs):
+    toks0 = tokenize_py(indexed_docs[0][1])
+    pairs = [(toks0[0], toks0[1]), (toks0[2], toks0[0])]
+    for t1, t2 in pairs:
+        if t1 == t2:
+            continue
+        for g in (0, 2, 10):
+            got_tbl = engine.intervals_match(t1, t2, max_gaps=g)
+            got = dict(zip(got_tbl["doc_id"].to_pylist(),
+                           got_tbl["n_matches"].to_pylist()))
+            exp = {}
+            for d, content in indexed_docs:
+                toks = tokenize_py(content)
+                p1 = [i for i, t in enumerate(toks) if t == t1]
+                p2 = [i for i, t in enumerate(toks) if t == t2]
+                c = sum(1 for x in p1 for y in p2
+                        if 1 <= y - x <= g + 1)
+                if c:
+                    exp[d] = c
+            assert got == exp, (t1, t2, g)
+
+
+def test_intervals_ordered_asymmetry_and_gap_zero(engine, indexed_docs):
+    """ordered(a,b) + ordered(b,a) pair counts must equal the unordered
+    window count at the same distance bound; max_gaps=0 equals the
+    adjacent-bigram phrase count."""
+    toks0 = tokenize_py(indexed_docs[0][1])
+    t1, t2 = toks0[0], toks0[1]
+    if t1 != t2:
+        w = 4
+        uno = engine.proximity_match(t1, t2, window=w)
+        fwd = engine.intervals_match(t1, t2, max_gaps=w - 1)
+        rev = engine.intervals_match(t2, t1, max_gaps=w - 1)
+        tot = {}
+        for tbl in (fwd, rev):
+            for d, n in zip(tbl["doc_id"].to_pylist(),
+                            tbl["n_matches"].to_pylist()):
+                tot[d] = tot.get(d, 0) + n
+        exp = dict(zip(uno["doc_id"].to_pylist(),
+                       uno["n_matches"].to_pylist()))
+        assert tot == exp
+
+        adj = engine.intervals_match(t1, t2, max_gaps=0)
+        ph = engine.phrase_match(f"{t1} {t2}")
+        assert (dict(zip(adj["doc_id"].to_pylist(),
+                         adj["n_matches"].to_pylist()))
+                == dict(zip(ph["doc_id"].to_pylist(),
+                            ph["n_matches"].to_pylist())))
+
+
+def test_wildcard_search_equals_expanded_terms(engine, indexed_docs):
+    """wildcard_search must equal a plain multi-term search over the
+    terms its pattern expands to, and reject all-wildcard patterns."""
+    import pytest as _pt
+
+    toks0 = tokenize_py(indexed_docs[0][1])
+    seed = next(t for t in toks0 if len(t) >= 3)
+    pattern = f"*{seed[1:-1]}*"
+    res = engine.wildcard_search(pattern, k=10)
+    rx = ".*" + "".join(c for c in seed[1:-1]) + ".*"
+    exp_terms = engine.expand_regex(rx)["term"].to_pylist()
+    assert exp_terms, pattern
+    explicit = engine.search(" ".join(sorted(exp_terms)), k=10,
+                             unique_terms=True) \
+        if "unique_terms" in engine.search.__code__.co_varnames \
+        else engine.search(" ".join(sorted(set(exp_terms))), k=10)
+    assert res["doc_id"].to_pylist() == explicit["doc_id"].to_pylist()
+    assert res["score"].to_pylist() == explicit["score"].to_pylist()
+
+    with _pt.raises(ValueError):
+        engine.wildcard_search("**")

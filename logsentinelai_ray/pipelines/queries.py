@@ -2370,6 +2370,38 @@ def q_dedup_minhash(sf_dir: str):
     return minhash_lsh_dupes(ds, n=3, threshold=0.5)
 
 
+def q_dedup_incremental(sf_dir: str):
+    """Incremental near-dup dedup from the PERSISTED MinHash store
+    (dedup/store.py): the corpus split 90/10 into base/delta, base band
+    rows persisted once as bucket-partitioned parquet, then the delta
+    probes only matching band buckets and verifies exact Jaccard on
+    candidate ids — the 100-TB flow where arriving batches never
+    re-shingle the existing corpus. Probe results are guaranteed equal
+    to the cross-pair subset of a full-corpus minhash run with the same
+    params (pinned in test_dedup_store.py); rows-only here (LSH
+    internals aren't SQL-expressible)."""
+    import tempfile
+    from functools import partial
+
+    from ..dedup.store import build_minhash_store, probe_minhash_store
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def keep(t: pa.Table, in_delta: bool) -> pa.Table:
+        mod = t["doc_id"].to_numpy(zero_copy_only=False) % 10
+        return t.filter(pa.array((mod == 0) == in_delta))
+
+    base = ds.map_batches(partial(keep, in_delta=False),
+                          batch_format="pyarrow")
+    delta = ds.map_batches(partial(keep, in_delta=True),
+                           batch_format="pyarrow")
+    store = tempfile.mkdtemp(prefix="mh_store_")
+    build_minhash_store(base, store)
+    out = probe_minhash_store(delta, store, base, threshold=0.5)
+    return pa.table({"a": out["a"], "b": out["b"],
+                     "jaccard": _round6(out["jaccard"])})
+
+
 def q_dedup_simhash(sf_dir: str):
     from ..dedup import simhash_dupes
 
@@ -3777,6 +3809,7 @@ QUERY_REGISTRY = {
     "ngram_jaccard_dupes": q_ngram_jaccard_dupes,
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_simhash": q_dedup_simhash,
     "embedding_dupes": q_embedding_dupes,
     "lang_id_confusion": q_lang_id_confusion,

@@ -212,7 +212,14 @@ def bench_pipelines() -> dict:
              # join, session windows, ANN recall, BPE encode
              "duplicate_spans", "hybrid_search_rrf",
              "gopher_repetition", "pii_scrub", "asof_join",
-             "sessionize", "ann_recall", "bpe_encode"]
+             "sessionize", "ann_recall", "bpe_encode",
+             # continuation round-3 operators: terms shard-error
+             # bounds, histogram/runtime-field aggs, incremental
+             # minhash-store dedup, wildcard + ordered-intervals
+             # queries, mixture weights, best-fit packing
+             "terms_shard_error", "histogram_agg", "runtime_field_agg",
+             "dedup_incremental", "wildcard_search",
+             "intervals_ordered", "mixture_weights", "pack_bestfit"]
     out = {}
     for name in names:
         t0 = time.monotonic()

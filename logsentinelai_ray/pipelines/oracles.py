@@ -603,6 +603,13 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(scores.score, 6) AS score FROM scores
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
+    # rollover alias search (generation indexes + federated global
+    # stats) is bit-identical to the merged index — same SQL as
+    # bm25_topk
+    "rollover_search": _BM25_BASE + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
     # snapshot + restore must serve identical ranks — same SQL as
     # bm25_topk
     "snapshot_restore": _BM25_BASE + """

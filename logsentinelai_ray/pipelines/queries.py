@@ -1561,6 +1561,58 @@ def q_federated_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_rollover_search(sf_dir: str):
+    """ES ``_rollover`` + alias analog (index/rollover.py): the corpus
+    arrives as three sorted-key chunks; the first two land in gen-0000
+    (the second through the incremental update path), the max_docs
+    write condition seals it, the third opens gen-0001 — then ONE alias
+    search fans out federated global-stats BM25 across both
+    generations, bit-identical to a single merged index (shares
+    bm25_topk's SQL oracle)."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..config import IndexConfig
+    from ..index.rollover import RolloverIndex
+
+    key = ("rollover", sf_dir)
+    if key in _ENGINE_CACHE:
+        roll = _ENGINE_CACHE[key]
+    else:
+        src = _read(sf_dir, "documents",
+                    columns=["doc_id", "lang", "text"]) \
+            .map_batches(_corpusify_docs, batch_format="pyarrow")
+        tbl = pa.concat_tables(
+            b for b in src.iter_batches(batch_format="pyarrow"))
+        tbl = tbl.sort_by("repo")
+        n = tbl.num_rows
+        tag = "documents-roll#v1:" + sf_dir.rstrip("/")
+        work = os.path.join(
+            "/tmp/lsai_idx",
+            hashlib.sha256(tag.encode()).hexdigest()[:16])
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        chunks = []
+        for i, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3),
+                                      (2 * n // 3, n))):
+            p = os.path.join(work, f"chunk{i}.parquet")
+            pq.write_table(tbl.slice(lo, hi - lo), p)
+            chunks.append(p)
+        roll = RolloverIndex(os.path.join(work, "alias"),
+                             IndexConfig(num_partitions=8,
+                                         salt_buckets=4),
+                             max_docs=2 * n // 3, alias="docs")
+        for i, p in enumerate(chunks):
+            roll.ingest(p, tag=f"{tag}-{i}")
+        assert len(roll.meta["generations"]) == 2, roll.meta
+        _ENGINE_CACHE[key] = roll
+    res = roll.search(BM25_QUERY_TEXT, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_federated_search_wand(sf_dir: str):
     """Federated search under FORCED block-max WAND: one vectorized
     kernel over every member's cursors in the global id space — the
@@ -3770,6 +3822,7 @@ QUERY_REGISTRY = {
     "span_near": q_span_near,
     "wildcard_search": q_wildcard_search,
     "intervals_ordered": q_intervals_ordered,
+    "rollover_search": q_rollover_search,
     "multifield_search": q_multifield_search,
     "match_count": q_match_count,
     "bm25_page2": q_bm25_page2,

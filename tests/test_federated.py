@@ -150,3 +150,68 @@ def test_federated_wand_respects_member_tombstones(halves, ray_session):
     finally:
         for m in members:
             m.shutdown()
+
+
+def test_rollover_alias_matches_merged_index(ray_session, tmp_path):
+    """Three sorted-key chunks through RolloverIndex (chunk 2 via the
+    incremental update path, chunk 3 after a rollover) must serve the
+    SAME (doc_id, score) lists as one index built over everything — for
+    TAAT and forced WAND — and must seal generations at max_docs."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logsentinelai_ray.config import CorpusConfig, IndexConfig
+    from logsentinelai_ray.corpus import generate_corpus
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.index.rollover import RolloverIndex
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    tbl = generate_corpus(CorpusConfig(n_docs=240))
+    # drop exact-content duplicates up front so build/update dedup (D1
+    # keep-first) doesn't shift the expected generation counts
+    seen, keep = set(), []
+    for i, c in enumerate(tbl["content"].to_pylist()):
+        if c not in seen:
+            seen.add(c)
+            keep.append(i)
+    tbl = tbl.take(keep).sort_by("repo")
+    n = tbl.num_rows
+    c1, c2 = n // 3, 2 * (n // 3)
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2)
+    chunks = []
+    for i, (lo, hi) in enumerate(((0, c1), (c1, c2), (c2, n))):
+        p = str(tmp_path / f"c{i}.parquet")
+        pq.write_table(tbl.slice(lo, hi - lo), p)
+        chunks.append(p)
+
+    roll = RolloverIndex(str(tmp_path / "alias"), cfg, max_docs=c2,
+                         alias="t")
+    e0 = roll.ingest(chunks[0], tag="c0")
+    assert (e0["name"], e0["sealed"], e0["n_docs"]) == ("gen-0000",
+                                                        False, c1)
+    e1 = roll.ingest(chunks[1], tag="c1")
+    assert (e1["name"], e1["sealed"], e1["n_docs"]) == ("gen-0000",
+                                                        True, c2)
+    e2 = roll.ingest(chunks[2], tag="c2")
+    assert (e2["name"], e2["sealed"], e2["n_docs"]) == ("gen-0001",
+                                                        False, n - c2)
+
+    merged_dir = str(tmp_path / "merged")
+    build_index(rd.from_arrow(tbl), merged_dir, cfg, corpus_tag="m")
+    merged = SearchEngine(merged_dir, num_shards=2)
+    for q in ("error merge window", "authentication failure",
+              "sort spark"):
+        for strat in (None, "wand"):
+            a = roll.search(q, k=10, strategy=strat)
+            b = merged.search(q, k=10, with_meta=False, strategy=strat)
+            assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist(), \
+                (q, strat)
+            assert a["score"].to_pylist() == b["score"].to_pylist(), \
+                (q, strat)
+
+    # reopening the alias resumes the generation log
+    again = RolloverIndex(str(tmp_path / "alias"), cfg, max_docs=160,
+                          alias="t")
+    assert again.meta == roll.meta
+    roll.shutdown()
+    merged.shutdown()

@@ -271,6 +271,35 @@ ORACLE_SQL: dict[str, str] = {
                CAST((weight + 999999) // 1000000 AS BIGINT) AS epochs
         FROM w ORDER BY lang
     """,
+    "mixture_sample": """
+        WITH tk AS (
+          SELECT lang,
+                 sum(len(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')))::BIGINT AS tokens
+          FROM documents GROUP BY 1
+        ), tot AS (
+          SELECT sum(tokens) AS total FROM tk
+        ), tgt(lang, target_ppm) AS (
+          VALUES ('de', 150000), ('en', 400000), ('es', 150000),
+                 ('fr', 150000), ('zh', 150000)
+        ), rate AS (
+          SELECT tk.lang,
+                 least((tgt.target_ppm * (SELECT total FROM tot))
+                         // tk.tokens,
+                       1000000) AS keep_ppm
+          FROM tk JOIN tgt USING (lang)
+        ), d AS (
+          SELECT doc_id, lang,
+                 len(regexp_extract_all(lower(text),
+                     '[a-z0-9]+'))::BIGINT AS n_tokens
+          FROM documents
+        )
+        SELECT d.lang, count(*)::BIGINT AS n_kept,
+               sum(d.n_tokens)::BIGINT AS tokens_kept
+        FROM d JOIN rate ON rate.lang = d.lang
+        WHERE d.doc_id % 1000000 < rate.keep_ppm
+        GROUP BY d.lang ORDER BY d.lang
+    """,
     "terms_shard_error": """
         WITH c AS (
           SELECT event_id % 4 AS shard, user_id, count(*)::BIGINT AS n

@@ -643,6 +643,44 @@ def q_pack_bestfit(sf_dir: str):
     return out.sort(["lang", "bin_id"])
 
 
+def q_mixture_sample(sf_dir: str):
+    """The mixture weights APPLIED: single-epoch deterministic sampling
+    toward the target language mixture. Per-lang keep rate =
+    min(weight_ppm, 1e6) (downsampling languages above their target
+    share; upsampled languages keep everything in one epoch), applied
+    as the reproducible hash predicate ``doc_id % 1e6 < rate`` — the
+    same cluster-size-invariant sampler as stratified_sample, with the
+    rates DERIVED from corpus statistics instead of hand-set. Output:
+    per-lang kept doc/token counts. Two passes: the tiny mixture
+    aggregate, then one vectorized filter+count pass."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions import add_token_count
+
+    mix = q_mixture_weights(sf_dir)
+    rates = {lang: min(int(w), 1_000_000)
+             for lang, w in zip(mix["lang"], mix["weight_ppm"])}
+    langs = pa.array(sorted(rates))
+    thr = pa.array([rates[lang] for lang in sorted(rates)], pa.int64())
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        t = add_token_count(t)
+        idx = pc.index_in(t["lang"], langs)
+        lim = pc.fill_null(pc.take(thr, idx), 0) \
+            .to_numpy(zero_copy_only=False)
+        mod = t["doc_id"].to_numpy(zero_copy_only=False) % 1_000_000
+        return t.filter(pa.array(mod < lim)) \
+            .select(["lang", "n_tokens"])
+
+    out = (ds.map_batches(keep, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_kept"),
+                      Sum("n_tokens", alias_name="tokens_kept")))
+    return out.sort("lang")
+
+
 # per-lang deterministic keep thresholds: keep rows with doc_id%10 < thr
 _STRATA_LANGS = ["de", "en", "es", "fr", "zh"]
 _STRATA_THR = [4, 5, 3, 2, 1]
@@ -3770,6 +3808,7 @@ QUERY_REGISTRY = {
     "terms_shard_error": q_terms_shard_error,
     "sampler_agg": q_sampler_agg,
     "mixture_weights": q_mixture_weights,
+    "mixture_sample": q_mixture_sample,
     "pack_bestfit": q_pack_bestfit,
     "weighted_avg": q_weighted_avg,
     "top_metrics": q_top_metrics,

@@ -1392,6 +1392,22 @@ ORACLE_SQL: dict[str, str] = {
         WHERE pm.n_matches > 0
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
+    # ES rescore: top-50 BM25 window reranked by a constant-weight
+    # phrase rescore query (score_mode: total, 0.5 per occurrence)
+    "rescore_topk": _BM25_BASE
+    + _PHRASE_MATCH_BASE.replace("WITH t AS", ", t AS") + """
+        , w AS (
+          SELECT doc_id, score FROM scores
+          ORDER BY score DESC, doc_id ASC LIMIT 50
+        )
+        SELECT w.doc_id,
+               round(w.score + 0.5 * coalesce(pm.n_matches, 0), 6)
+                 AS score
+        FROM w LEFT JOIN pm USING (doc_id)
+        ORDER BY (w.score + 0.5 * coalesce(pm.n_matches, 0)) DESC,
+                 w.doc_id ASC
+        LIMIT 10
+    """,
     "dedup_exact": """
         SELECT min(doc_id) AS doc_id FROM documents
         GROUP BY text ORDER BY doc_id

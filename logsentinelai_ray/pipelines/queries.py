@@ -1879,6 +1879,19 @@ def q_span_near(sf_dir: str):
     return eng.proximity_match("sort", "merge", window=3)
 
 
+def q_rescore_topk(sf_dir: str):
+    """ES ``rescore`` analog: the top-50 BM25 window for the standard
+    query reranked by a phrase rescore query ('sort merge', 0.5 per
+    exact occurrence, score_mode total) — only the window's ids are
+    phrase-verified (the positional planner takes them as restrict_ids
+    and never scans ranges)."""
+    eng = _docs_engine(sf_dir)
+    res = eng.rescore_search(BM25_QUERY_TEXT, "sort merge", k=10,
+                             window=50, weight=0.5)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_wildcard_search(sf_dir: str):
     """ES wildcard query analog: infix pattern ``*er*`` expanded
     against the shard dictionaries (anchored-RE2 metadata scan — a
@@ -3862,6 +3875,7 @@ QUERY_REGISTRY = {
     "wildcard_search": q_wildcard_search,
     "intervals_ordered": q_intervals_ordered,
     "rollover_search": q_rollover_search,
+    "rescore_topk": q_rescore_topk,
     "multifield_search": q_multifield_search,
     "match_count": q_match_count,
     "bm25_page2": q_bm25_page2,

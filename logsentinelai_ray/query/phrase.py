@@ -218,7 +218,8 @@ def proximity_match(engine, term1: str, term2: str, window: int = 3,
 
 
 def phrase_match(engine, phrase: str, chunk_docs: int = 200_000,
-                 candidate_max_df: int = 5_000_000) -> pa.Table:
+                 candidate_max_df: int = 5_000_000,
+                 restrict_ids=None) -> pa.Table:
     """All docs containing ``phrase`` as a consecutive token sequence,
     with overlapping-match counts: (doc_id, n_matches) sorted by doc_id.
 
@@ -246,7 +247,7 @@ def phrase_match(engine, phrase: str, chunk_docs: int = 200_000,
     if not terms:
         return _empty_result()
     return _run_phrase(engine, [[t] for t in terms], chunk_docs,
-                       candidate_max_df)
+                       candidate_max_df, restrict_ids=restrict_ids)
 
 
 def phrase_prefix_match(engine, phrase: str, max_expansions: int = 64,
@@ -272,9 +273,11 @@ def phrase_prefix_match(engine, phrase: str, max_expansions: int = 64,
 
 
 def _run_phrase(engine, slots: list[list[str]], chunk_docs: int,
-                candidate_max_df: int) -> pa.Table:
+                candidate_max_df: int, restrict_ids=None) -> pa.Table:
     """Shared planner: candidate conjunction when some slot is cheap to
-    decode, doc-range partitioning when every slot is hot."""
+    decode, doc-range partitioning when every slot is hot. With
+    ``restrict_ids`` (a small id set, e.g. a rescore window) only those
+    docs are ever verified — the range plan is never needed."""
     from ..index.build import term_partition
 
     if not engine.stats.get("store_positions"):
@@ -290,7 +293,16 @@ def _run_phrase(engine, slots: list[list[str]], chunk_docs: int,
                    if dfs[t] > 0] for slot in slots]
     chunk_docs = min(chunk_docs, 2 ** 31 - 1)  # key-pack range bound
 
-    if min(slot_dfs) <= candidate_max_df:
+    if restrict_ids is not None:
+        cand = np.unique(np.asarray(restrict_ids, dtype=np.int64))
+        if cand.size == 0:
+            return _empty_result()
+        n_chunks = max(1, -(-cand.size // chunk_docs))
+        futures = [
+            _phrase_verify.remote(engine.index_dir, part_slots,
+                                  int(chunk[0]), int(chunk[-1]), chunk)
+            for chunk in np.array_split(cand, n_chunks)]
+    elif min(slot_dfs) <= candidate_max_df:
         engine._ensure_contribs(uniq)
         per_slot = []
         for slot, d in zip(slots, slot_dfs):

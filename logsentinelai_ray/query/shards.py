@@ -1587,6 +1587,36 @@ class SearchEngine:
                            candidate_max_df=candidate_max_df)
         return self._filter_deleted_rows(res)
 
+    def rescore_search(self, text: str, phrase: str, k: int = 10,
+                       window: int = 50, weight: float = 0.5,
+                       with_meta: bool = False) -> pa.Table:
+        """ES ``rescore`` analog: the top ``window`` BM25 hits are
+        reranked by a secondary phrase query — final score =
+        query_score + weight * (exact occurrences of ``phrase`` in the
+        doc), i.e. a constant-score-per-match rescore query with
+        score_mode: total. Only the window's ids are ever rescored (the
+        phrase verification is restricted to them via its candidate
+        plan), matching ES's window_size contract."""
+        top = self.search(text, k=window, with_meta=False)
+        if top.num_rows == 0:
+            return self._format_result([], with_meta)
+        from .phrase import phrase_match
+
+        pm = self._filter_deleted_rows(phrase_match(
+            self, phrase,
+            restrict_ids=top["doc_id"].to_numpy(zero_copy_only=False)))
+        counts = dict(zip(pm["doc_id"].to_pylist(),
+                          pm["n_matches"].to_pylist()))
+        ids = top["doc_id"].to_numpy(zero_copy_only=False)
+        base = top["score"].to_numpy(zero_copy_only=False)
+        boost = np.asarray([counts.get(int(d), 0) for d in ids],
+                           dtype=np.float64)
+        final = base + weight * boost
+        order = np.lexsort((ids, -final))[:k]
+        return self._format_result(
+            list(zip(ids[order].tolist(), final[order].tolist())),
+            with_meta)
+
     def _filter_deleted_rows(self, res: pa.Table) -> pa.Table:
         if not self._tombstones.size or res.num_rows == 0:
             return res

@@ -142,6 +142,29 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--out", required=True)
     c.add_argument("--tag", default="cli-compact")
 
+    r = sub.add_parser("rollover", parents=[common],
+                       help="ingest a parquet corpus into a rollover "
+                            "alias (generations seal at --max-docs; "
+                            "ES _rollover analog)")
+    r.add_argument("--corpus", required=True)
+    r.add_argument("--alias-dir", required=True)
+    r.add_argument("--alias", default="logs")
+    r.add_argument("--max-docs", type=int, default=1_000_000)
+    r.add_argument("--tag", default="cli-roll")
+    r.add_argument("--partitions", type=int, default=32)
+    r.add_argument("--salts", type=int, default=4)
+
+    asr = sub.add_parser("alias-search", parents=[common],
+                         help="federated BM25 top-k across a rollover "
+                              "alias's generations (bit-identical to "
+                              "one merged index)")
+    asr.add_argument("--alias-dir", required=True)
+    asr.add_argument("--alias", default="logs")
+    asr.add_argument("text")
+    asr.add_argument("-k", type=int, default=10)
+    asr.add_argument("--strategy", choices=["taat", "wand"],
+                     default=None)
+
     g = sub.add_parser("gen", parents=[common],
                        help="write a deterministic synthetic corpus")
     g.add_argument("--out", required=True)
@@ -237,6 +260,28 @@ def main(argv: list[str] | None = None) -> int:
 
             n = delete_docs(args.index, args.doc_ids)
             print(json.dumps({"tombstones": n}))
+        elif args.cmd == "rollover":
+            from .config import IndexConfig
+            from .index.rollover import RolloverIndex
+
+            roll = RolloverIndex(
+                args.alias_dir,
+                IndexConfig(num_partitions=args.partitions,
+                            salt_buckets=args.salts),
+                max_docs=args.max_docs, alias=args.alias)
+            entry = roll.ingest(args.corpus, tag=args.tag)
+            print(json.dumps({"generation": entry,
+                              "generations": len(
+                                  roll.meta["generations"])}))
+        elif args.cmd == "alias-search":
+            from .index.rollover import RolloverIndex
+
+            roll = RolloverIndex(args.alias_dir, alias=args.alias)
+            res = roll.search(args.text, k=args.k,
+                              strategy=args.strategy)
+            for row in res.to_pylist():
+                print(json.dumps(row))
+            roll.shutdown()
         elif args.cmd == "compact":
             from .index.delete import compact_index
 

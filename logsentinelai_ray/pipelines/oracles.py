@@ -1430,6 +1430,49 @@ ORACLE_SQL: dict[str, str] = {
         SELECT pair, count(*)::BIGINT AS n FROM g GROUP BY 1
         ORDER BY n DESC, pair ASC LIMIT 20
     """,
+    # substring-level dedup rewrite: duplicated 3-grams removed outside
+    # their min-doc keeper, docs rebuilt from kept tokens
+    "dedup_span_removal": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS arr
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest([i FOR i IN
+                         generate_series(1, len(arr) - 2)]) AS pos,
+                 unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                         FOR i IN generate_series(1, len(arr) - 2)])
+                     AS sh
+          FROM t WHERE len(arr) >= 3
+        ), d AS (
+          SELECT sh, min(doc_id) AS keeper
+          FROM (SELECT DISTINCT doc_id, sh FROM g)
+          GROUP BY sh HAVING count(*) >= 2
+        ), m AS (
+          SELECT g.doc_id, g.pos
+          FROM g JOIN d USING (sh) WHERE g.doc_id <> d.keeper
+        ), cov AS (
+          SELECT doc_id, list(DISTINCT p) AS ps
+          FROM (SELECT doc_id, unnest([pos, pos + 1, pos + 2]) AS p
+                FROM m)
+          GROUP BY doc_id
+        ), r AS (
+          SELECT t.doc_id,
+                 [t.arr[i] FOR i IN generate_series(1, len(t.arr))
+                  IF NOT list_contains(coalesce(cov.ps,
+                                                CAST([] AS BIGINT[])),
+                                       i)] AS kept,
+                 len(t.arr)::BIGINT AS n_tokens
+          FROM t LEFT JOIN cov USING (doc_id)
+        )
+        SELECT doc_id,
+               coalesce(array_to_string(kept, ' '), '') AS clean_text,
+               n_tokens, len(kept)::BIGINT AS kept_tokens
+        FROM r ORDER BY doc_id
+    """,
     # decontamination: docs sharing any word-3-gram with benchmark docs
     # 0-4; shingle spec matches ngram_jaccard_dupes / dedup/jaccard.py
     "contamination_check": """

@@ -2473,6 +2473,21 @@ def q_dedup_minhash(sf_dir: str):
     return minhash_lsh_dupes(ds, n=3, threshold=0.5)
 
 
+def q_dedup_span_removal(sf_dir: str):
+    """Substring-level dedup REWRITE (Lee et al.): duplicated word
+    3-grams keep their occurrences only in the min-doc_id keeper and
+    are removed everywhere else; each doc is rebuilt from its kept
+    tokens in the same vectorized task that marked them
+    (dedup/spans.py::remove_duplicate_spans). Exact SQL oracle — the
+    whole spec (duplication, keeper choice, interval union, token-space
+    rebuild) is deterministic."""
+    from ..dedup.spans import remove_duplicate_spans
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = remove_duplicate_spans(ds, k=3)
+    return out.sort("doc_id")
+
+
 def q_dedup_incremental(sf_dir: str):
     """Incremental near-dup dedup from the PERSISTED MinHash store
     (dedup/store.py): the corpus split 90/10 into base/delta, base band
@@ -3916,6 +3931,7 @@ QUERY_REGISTRY = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_minhash": q_dedup_minhash,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_span_removal": q_dedup_span_removal,
     "dedup_simhash": q_dedup_simhash,
     "embedding_dupes": q_embedding_dupes,
     "lang_id_confusion": q_lang_id_confusion,

@@ -183,3 +183,55 @@ def test_duplicate_spans_broadcast_cap_falls_back_to_join(ray_session):
     capped = duplicate_span_stats(ds, k=3, max_broadcast_keys=3,
                                   join_partitions=4)
     assert capped.equals(normal)
+
+
+def test_remove_duplicate_spans_matches_reference(ray_session):
+    """remove_duplicate_spans == an independent per-doc Python reference
+    (duplication, min-doc keeper, interval union, token rebuild), and
+    keeps keeper docs intact."""
+    import re
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logsentinelai_ray.dedup.spans import remove_duplicate_spans
+
+    docs = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "x alpha beta gamma y"),
+        (2, "unique tokens only here"),
+        (3, "alpha beta gamma delta zz"),
+        (4, "Short"),
+        (5, ""),
+        (6, "x alpha beta gamma y"),  # exact dup of doc 1
+    ]
+    tbl = pa.table({"doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                    "text": [t for _, t in docs]})
+    out = (remove_duplicate_spans(rd.from_arrow(tbl), k=3)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    k = 3
+    toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in docs}
+    occ = defaultdict(set)
+    for d, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            occ[" ".join(ts[i:i + k])].add(d)
+    dup = {sh: min(ds_) for sh, ds_ in occ.items() if len(ds_) >= 2}
+    for row in out.itertuples():
+        ts = toks[row.doc_id]
+        cov = set()
+        for i in range(len(ts) - k + 1):
+            sh = " ".join(ts[i:i + k])
+            if sh in dup and dup[sh] != row.doc_id:
+                cov.update(range(i, i + k))
+        kept = [t for i, t in enumerate(ts) if i not in cov]
+        assert row.clean_text == " ".join(kept), row.doc_id
+        assert row.n_tokens == len(ts)
+        assert row.kept_tokens == len(kept)
+    by_id = out.set_index("doc_id")
+    # doc 1: loses 'alpha beta gamma' (keeper 0) but keeps the grams it
+    # is itself keeper of vs doc 6; doc 6: every gram's keeper is 0 or 1
+    assert by_id.loc[1, "kept_tokens"] == 2
+    assert by_id.loc[6, "kept_tokens"] == 0
+    assert by_id.loc[0, "kept_tokens"] == 5   # keeper keeps everything

@@ -219,7 +219,9 @@ def bench_pipelines() -> dict:
              # queries, mixture weights, best-fit packing
              "terms_shard_error", "histogram_agg", "runtime_field_agg",
              "dedup_incremental", "wildcard_search",
-             "intervals_ordered", "mixture_weights", "pack_bestfit"]
+             "intervals_ordered", "mixture_weights", "pack_bestfit",
+             "rollover_search", "rescore_topk", "dedup_span_removal",
+             "mixture_sample", "sampler_agg"]
     out = {}
     for name in names:
         t0 = time.monotonic()

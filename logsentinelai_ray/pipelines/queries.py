@@ -2466,6 +2466,39 @@ def q_dedup_clusters(sf_dir: str):
     return connected_components(pairs)
 
 
+def q_clean_corpus_neardup(sf_dir: str):
+    """The NEAR-dup removal composition — what a 100-TB corpus actually
+    runs before training: MinHash-LSH candidate pairs (verified exact
+    Jaccard >= 0.5) → connected components → drop every cluster member
+    except the min doc_id → per-lang kept doc/char counts. Rows-only
+    (the pair stage is LSH); invariants pinned in tests: kept =
+    corpus − (cluster members − cluster minima), and every dropped doc
+    is in some verified pair."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..dedup import connected_components, minhash_lsh_dupes
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "n_chars"])
+    text_ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_lsh_dupes(text_ds, n=3, threshold=0.5)
+    comp = connected_components(pairs)
+    # drop set: labeled members that are not their cluster's label
+    drop = pc.filter(comp["doc_id"],
+                     pc.not_equal(comp["doc_id"], comp["cluster_id"]))
+    drop_set = drop.combine_chunks()
+
+    def keep(t: pa.Table) -> pa.Table:
+        hit = pc.is_in(t["doc_id"], value_set=drop_set)
+        return t.filter(pc.invert(pc.fill_null(hit, False)))
+
+    out = (ds.map_batches(keep, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n_kept"),
+                      Sum("n_chars", alias_name="chars_kept")))
+    return out.sort("lang")
+
+
 def q_dedup_minhash(sf_dir: str):
     from ..dedup import minhash_lsh_dupes
 
@@ -3932,6 +3965,7 @@ QUERY_REGISTRY = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_incremental": q_dedup_incremental,
     "dedup_span_removal": q_dedup_span_removal,
+    "clean_corpus_neardup": q_clean_corpus_neardup,
     "dedup_simhash": q_dedup_simhash,
     "embedding_dupes": q_embedding_dupes,
     "lang_id_confusion": q_lang_id_confusion,

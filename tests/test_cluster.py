@@ -86,3 +86,35 @@ def test_empty_pairs():
     out = connected_components(_pairs([]))
     assert out.num_rows == 0
     assert out.schema.names == ["doc_id", "cluster_id"]
+
+
+def test_clean_corpus_neardup_invariants(ray_session):
+    """kept-per-lang == corpus minus non-minimum cluster members, and
+    every dropped doc appears in a verified near-dup pair."""
+    import duckdb
+
+    from logsentinelai_ray.dedup import (connected_components,
+                                         minhash_lsh_dupes)
+    from logsentinelai_ray.pipelines.queries import (
+        _read, q_clean_corpus_neardup)
+
+    sf = "/root/testdata/sf0.001"
+    got = q_clean_corpus_neardup(sf).to_pandas().set_index("lang")
+
+    pairs = minhash_lsh_dupes(_read(sf, "documents",
+                                    columns=["doc_id", "text"]),
+                              n=3, threshold=0.5)
+    comp = connected_components(pairs).to_pandas()
+    drop = set(comp.loc[comp["doc_id"] != comp["cluster_id"], "doc_id"])
+    paired = set(pairs["a"].to_pylist()) | set(pairs["b"].to_pylist())
+    assert drop <= paired
+    assert drop, "fixture corpus should contain near-dups"
+
+    full = duckdb.sql(
+        f"SELECT doc_id, lang, n_chars FROM "
+        f"read_parquet('{sf}/documents.parquet')").df()
+    kept = full[~full["doc_id"].isin(drop)]
+    exp = kept.groupby("lang").agg(n_kept=("doc_id", "size"),
+                                   chars_kept=("n_chars", "sum"))
+    assert (got["n_kept"] == exp["n_kept"]).all()
+    assert (got["chars_kept"] == exp["chars_kept"]).all()

@@ -300,6 +300,21 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.doc_id % 1000000 < rate.keep_ppm
         GROUP BY d.lang ORDER BY d.lang
     """,
+    "percentile_ranks": """
+        WITH m AS (
+          SELECT CAST(round(value * 1e6, 0) AS BIGINT) AS micro
+          FROM events
+        ), thr(thr_micro) AS (
+          VALUES (25000000), (100000000), (400000000)
+        )
+        SELECT thr.thr_micro,
+               count(*) FILTER (WHERE m.micro <= thr.thr_micro)::BIGINT
+                 AS n_le,
+               CAST((count(*) FILTER (WHERE m.micro <= thr.thr_micro)
+                     * 1000000) // count(*) AS BIGINT) AS rank_ppm
+        FROM m CROSS JOIN thr
+        GROUP BY thr.thr_micro ORDER BY thr.thr_micro
+    """,
     "terms_shard_error": """
         WITH c AS (
           SELECT event_id % 4 AS shard, user_id, count(*)::BIGINT AS n

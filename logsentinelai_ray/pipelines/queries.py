@@ -289,6 +289,43 @@ def q_value_percentile_sketch(sf_dir: str):
     return pd.DataFrame([row])
 
 
+# percentile_ranks thresholds, in micro value units (25 / 100 / 400)
+_PCTRANK_THRESHOLDS = [25_000_000, 100_000_000, 400_000_000]
+
+
+def q_percentile_ranks(sf_dir: str):
+    """ES ``percentile_ranks`` aggregation analog (the exact inverse of
+    percentiles): for each threshold value, the fraction of events at
+    or below it — reported in integer ppm so the result is order- and
+    cluster-size-independent. One vectorized searchsorted-style count
+    per batch; at most #thresholds partial rows per block cross the
+    shuffle."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["value"])
+    thr = np.asarray(_PCTRANK_THRESHOLDS, dtype=np.int64)
+
+    def partials(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6),
+                                 ndigits=0),
+                        pa.int64()).to_numpy(zero_copy_only=False)
+        le = (micro[None, :] <= thr[:, None]).sum(axis=1)
+        return pa.table({"thr_micro": pa.array(thr, pa.int64()),
+                         "n_le": pa.array(le, pa.int64()),
+                         "n": pa.array([len(micro)] * len(thr),
+                                       pa.int64())})
+
+    pdf = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("thr_micro")
+           .aggregate(Sum("n_le", alias_name="n_le"),
+                      Sum("n", alias_name="n"),
+                      Count(alias_name="_blocks"))
+           .sort("thr_micro").to_pandas())
+    pdf["rank_ppm"] = (pdf["n_le"] * 1_000_000
+                       // pdf["n"]).astype("int64")
+    return pdf[["thr_micro", "n_le", "rank_ppm"]]
+
+
 def q_events_moving(sf_dir: str):
     """ES ``moving_fn`` pipeline aggregation over the daily histogram:
     3-day trailing window sum and floor-average of the bucket counts.
@@ -3885,6 +3922,7 @@ QUERY_REGISTRY = {
     "events_cumulative": q_events_cumulative,
     "events_moving": q_events_moving,
     "value_percentile_sketch": q_value_percentile_sketch,
+    "percentile_ranks": q_percentile_ranks,
     "significant_terms": q_significant_terms,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,

@@ -300,6 +300,20 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.doc_id % 1000000 < rate.keep_ppm
         GROUP BY d.lang ORDER BY d.lang
     """,
+    "boxplot_agg": """
+        WITH m AS (
+          SELECT event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS micro
+          FROM events
+        )
+        SELECT event_type,
+               min(micro)::BIGINT AS vmin,
+               quantile_disc(micro, 0.25)::BIGINT AS q1,
+               quantile_disc(micro, 0.5)::BIGINT AS median,
+               quantile_disc(micro, 0.75)::BIGINT AS q3,
+               max(micro)::BIGINT AS vmax
+        FROM m GROUP BY 1 ORDER BY event_type
+    """,
     "percentile_ranks": """
         WITH m AS (
           SELECT CAST(round(value * 1e6, 0) AS BIGINT) AS micro

@@ -289,6 +289,44 @@ def q_value_percentile_sketch(sf_dir: str):
     return pd.DataFrame([row])
 
 
+def q_boxplot_agg(sf_dir: str):
+    """ES ``boxplot`` aggregation analog: min / q1 / median / q3 / max
+    of value_micro per event type, exact discrete quantiles (the
+    quantile_disc convention shared with value_quantiles) computed in
+    one map_groups per type — each group sorts on the worker that owns
+    it, one row out."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6),
+                                 ndigits=0), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "value_micro": micro})
+
+    def box(g: pa.Table) -> pa.Table:
+        v = np.sort(g["value_micro"].to_numpy(zero_copy_only=False))
+        n = v.size
+
+        def q(p: float) -> int:
+            return int(v[max(0, math.ceil(p * n) - 1)])
+
+        return pa.table({
+            "event_type": pa.array([g["event_type"][0].as_py()]),
+            "vmin": pa.array([int(v[0])], pa.int64()),
+            "q1": pa.array([q(0.25)], pa.int64()),
+            "median": pa.array([q(0.5)], pa.int64()),
+            "q3": pa.array([q(0.75)], pa.int64()),
+            "vmax": pa.array([int(v[-1])], pa.int64()),
+        })
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("event_type").map_groups(box,
+                                             batch_format="pyarrow"))
+    return out.sort("event_type")
+
+
 # percentile_ranks thresholds, in micro value units (25 / 100 / 400)
 _PCTRANK_THRESHOLDS = [25_000_000, 100_000_000, 400_000_000]
 
@@ -3923,6 +3961,7 @@ QUERY_REGISTRY = {
     "events_moving": q_events_moving,
     "value_percentile_sketch": q_value_percentile_sketch,
     "percentile_ranks": q_percentile_ranks,
+    "boxplot_agg": q_boxplot_agg,
     "significant_terms": q_significant_terms,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,

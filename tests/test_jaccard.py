@@ -235,3 +235,51 @@ def test_remove_duplicate_spans_matches_reference(ray_session):
     assert by_id.loc[1, "kept_tokens"] == 2
     assert by_id.loc[6, "kept_tokens"] == 0
     assert by_id.loc[0, "kept_tokens"] == 5   # keeper keeps everything
+
+
+def test_remove_duplicate_spans_property(ray_session):
+    """Property: on random small-vocab corpora the distributed rewrite
+    equals the per-doc Python reference (duplication, keeper, interval
+    union)."""
+    import re
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import ray.data as rd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logsentinelai_ray.dedup.spans import remove_duplicate_spans
+
+    words = ["aa", "bb", "cc", "dd", "ee"]
+    doc_st = st.lists(st.sampled_from(words), min_size=0, max_size=12)
+
+    @settings(max_examples=10, deadline=None)
+    @given(st.lists(doc_st, min_size=2, max_size=8))
+    def run(corpus):
+        k = 2
+        docs = [(i, " ".join(ws)) for i, ws in enumerate(corpus)]
+        tbl = pa.table({
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": [t for _, t in docs]})
+        out = (remove_duplicate_spans(rd.from_arrow(tbl), k=k)
+               .to_pandas().sort_values("doc_id")
+               .reset_index(drop=True))
+        toks = {d: re.findall(r"[a-z0-9]+", t.lower()) for d, t in docs}
+        occ = defaultdict(set)
+        for d, ts in toks.items():
+            for i in range(len(ts) - k + 1):
+                occ[" ".join(ts[i:i + k])].add(d)
+        dup = {sh: min(s) for sh, s in occ.items() if len(s) >= 2}
+        for row in out.itertuples():
+            ts = toks[row.doc_id]
+            cov = set()
+            for i in range(len(ts) - k + 1):
+                sh = " ".join(ts[i:i + k])
+                if sh in dup and dup[sh] != row.doc_id:
+                    cov.update(range(i, i + k))
+            kept = [t for i, t in enumerate(ts) if i not in cov]
+            assert row.clean_text == " ".join(kept), (row.doc_id, corpus)
+            assert row.kept_tokens == len(kept)
+
+    run()

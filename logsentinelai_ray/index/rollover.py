@@ -92,6 +92,32 @@ class RolloverIndex:
         self._save()
         return dict(entry)
 
+    def prune(self, keep_last: int = 1) -> list[str]:
+        """ILM delete-phase analog: remove the oldest SEALED generations,
+        keeping the most recent ``keep_last`` generations; an unsealed
+        (still-writable) generation is never pruned. Returns the removed
+        generation names; the alias log shrinks atomically with the
+        directory removals, so a crashed prune leaves only extra (still
+        valid) generations behind."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        gens = self.meta["generations"]
+        removed = []
+        for g in gens[:-keep_last]:
+            if not g["sealed"]:
+                continue
+            shutil.rmtree(self._gen_dir(g["name"]), ignore_errors=True)
+            removed.append(g["name"])
+        if removed:
+            gone = set(removed)
+            self.meta["generations"] = [g for g in gens
+                                        if g["name"] not in gone]
+            self._save()
+            self._engines = None
+        return removed
+
     # ------------------------------------------------------------- read
     def engines(self, num_shards: int = 2) -> list:
         from ..query.shards import SearchEngine

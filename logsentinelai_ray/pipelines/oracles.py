@@ -2135,6 +2135,24 @@ ORACLE_SQL: dict[str, str] = {
         SELECT vec_id, round(c, 6) AS cosine FROM scored
         ORDER BY c DESC, vec_id ASC LIMIT 10
     """,
+    # kNN with a similarity cutoff: top-25, then cosine >= 0.24
+    "knn_similarity_cutoff": """
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        ), scored AS (
+          SELECT vec_id,
+                 list_cosine_similarity(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                     (SELECT qv FROM q)) AS c
+          FROM embeddings
+        ), top AS (
+          SELECT vec_id, c FROM scored
+          ORDER BY c DESC, vec_id ASC LIMIT 25
+        )
+        SELECT vec_id, round(c, 6) AS cosine FROM top
+        WHERE c >= 0.24 ORDER BY c DESC, vec_id ASC
+    """,
     # batched multi-query kNN: queries 0..4, per-query top-10
     "embedding_knn_batch": """
         WITH q AS (

@@ -3028,6 +3028,22 @@ def q_embedding_knn(sf_dir: str):
                      "cosine": _round6(out["cosine"])})
 
 
+def q_knn_similarity_cutoff(sf_dir: str):
+    """ES 8.8 kNN ``similarity`` parameter: collect the k=25 nearest,
+    then drop hits whose cosine falls below the cutoff (0.24) — the
+    vector-search quality floor. Same broadcast-query brute-force
+    kernel as embedding_knn; the cutoff is one vectorized compare on
+    the k-row result."""
+    from ..ann import cosine_topk_bruteforce
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = cosine_topk_bruteforce(ds, _query_vector(sf_dir), k=25)
+    keep = pc.greater_equal(out["cosine"], 0.24)
+    out = out.filter(keep)
+    return pa.table({"vec_id": out["vec_id"],
+                     "cosine": _round6(out["cosine"])})
+
+
 def q_embedding_knn_batch(sf_dir: str):
     """Batched multi-query kNN (ann/knn.py::cosine_topk_batch — the
     _msearch / batched-inference shape): vec_ids 0..4 as the query
@@ -4060,6 +4076,7 @@ QUERY_REGISTRY = {
     "embedding_centroids": q_embedding_centroids,
     "embedding_knn": q_embedding_knn,
     "embedding_knn_filtered": q_embedding_knn_filtered,
+    "knn_similarity_cutoff": q_knn_similarity_cutoff,
     "embedding_knn_lsh": q_embedding_knn_lsh,
     "embedding_knn_ivf": q_embedding_knn_ivf,
     "multimodal_stats": q_multimodal_stats,

@@ -215,3 +215,49 @@ def test_rollover_alias_matches_merged_index(ray_session, tmp_path):
     assert again.meta == roll.meta
     roll.shutdown()
     merged.shutdown()
+
+
+def test_rollover_prune_drops_old_sealed_generations(ray_session,
+                                                     tmp_path):
+    """prune (ILM delete analog) removes old sealed generations only;
+    the alias then serves exactly the surviving docs."""
+    import pyarrow.parquet as pq
+
+    from logsentinelai_ray.config import CorpusConfig, IndexConfig
+    from logsentinelai_ray.corpus import generate_corpus
+    from logsentinelai_ray.index.rollover import RolloverIndex
+
+    tbl = generate_corpus(CorpusConfig(n_docs=150))
+    seen, keep = set(), []
+    for i, c in enumerate(tbl["content"].to_pylist()):
+        if c not in seen:
+            seen.add(c)
+            keep.append(i)
+    tbl = tbl.take(keep).sort_by("repo")
+    n = tbl.num_rows
+    third = n // 3
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2)
+    roll = RolloverIndex(str(tmp_path / "alias"), cfg, max_docs=third,
+                         alias="t")
+    for i in range(3):
+        p = str(tmp_path / f"c{i}.parquet")
+        lo = i * third
+        pq.write_table(tbl.slice(lo, third if i < 2 else n - lo), p)
+        roll.ingest(p, tag=f"c{i}")
+    assert len(roll.meta["generations"]) == 3
+
+    removed = roll.prune(keep_last=2)
+    assert removed == ["gen-0000"]
+    assert [g["name"] for g in roll.meta["generations"]] == \
+        ["gen-0001", "gen-0002"]
+    import os
+    assert not os.path.isdir(str(tmp_path / "alias" / "gen-0000"))
+
+    total = sum(g["n_docs"] for g in roll.meta["generations"])
+    res = roll.search("error merge", k=1000)
+    assert res.num_rows <= total
+    # an unsealed last generation is never pruned even with keep_last=1
+    roll.meta["generations"][-1]["sealed"] = False
+    removed2 = roll.prune(keep_last=1)
+    assert "gen-0002" not in removed2
+    roll.shutdown()

@@ -25,11 +25,20 @@ def cli_index(ray_session, tmp_path_factory):
 
 
 def _run(capfd, argv) -> list[dict]:
-    """Drain captured output, run main(argv), parse its JSON lines."""
+    """Drain captured output, run main(argv), parse its JSON lines —
+    skipping non-JSON noise (raylet warnings sometimes land on stdout
+    mid-suite)."""
     capfd.readouterr()
     assert main(argv) == 0
     out, _ = capfd.readouterr()
-    return [json.loads(ln) for ln in out.strip().splitlines() if ln]
+    rows = []
+    for ln in out.strip().splitlines():
+        try:
+            rows.append(json.loads(ln))
+        except json.JSONDecodeError:
+            continue
+    assert rows, f"no JSON lines in CLI output: {out[:300]!r}"
+    return rows
 
 
 def test_cli_gen_build_outputs(cli_index, capfd):

@@ -300,6 +300,17 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.doc_id % 1000000 < rate.keep_ppm
         GROUP BY d.lang ORDER BY d.lang
     """,
+    "bucket_script": """
+        WITH m AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS micro
+          FROM events
+        )
+        SELECT day, count(*)::BIGINT AS n,
+               CAST(sum(micro) AS BIGINT) AS sum_value_micro,
+               CAST(sum(micro) // count(*) AS BIGINT) AS mean_micro
+        FROM m GROUP BY 1 ORDER BY day
+    """,
     "boxplot_agg": """
         WITH m AS (
           SELECT event_type,

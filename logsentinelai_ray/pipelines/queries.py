@@ -289,6 +289,31 @@ def q_value_percentile_sketch(sf_dir: str):
     return pd.DataFrame([row])
 
 
+def q_bucket_script(sf_dir: str):
+    """ES ``bucket_script`` pipeline aggregation analog: a per-bucket
+    derived metric over the daily histogram — integer mean value
+    (sum_value_micro // n) per day. The parent histogram is the
+    distributed groupby; the script pass is bucket-bounded."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6),
+                                 ndigits=0), pa.int64())
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+                         "value_micro": micro})
+
+    pdf = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("day")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_micro", alias_name="sum_value_micro"))
+           .sort("day").to_pandas())
+    pdf["mean_micro"] = (pdf["sum_value_micro"] // pdf["n"]) \
+        .astype("int64")
+    return pdf
+
+
 def q_boxplot_agg(sf_dir: str):
     """ES ``boxplot`` aggregation analog: min / q1 / median / q3 / max
     of value_micro per event type, exact discrete quantiles (the
@@ -3978,6 +4003,7 @@ QUERY_REGISTRY = {
     "value_percentile_sketch": q_value_percentile_sketch,
     "percentile_ranks": q_percentile_ranks,
     "boxplot_agg": q_boxplot_agg,
+    "bucket_script": q_bucket_script,
     "significant_terms": q_significant_terms,
     "pricing_summary": q_pricing_summary,
     "top_customers": q_top_customers,

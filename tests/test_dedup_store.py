@@ -123,3 +123,24 @@ def test_probe_band_reads_only_matching_buckets(split, tmp_path):
     none = _probe_band(store, 0, np.asarray([1], np.uint64),
                        np.asarray([999999], np.int64))
     assert none.shape == (0, 2)
+
+
+def test_double_append_is_probe_idempotent(split, tmp_path):
+    """Re-appending the same delta (a crashed-retry shape) must not
+    change probe results: duplicate band rows only create duplicate
+    candidate pairs, which the probe dedups before verification."""
+    from logsentinelai_ray.dedup.store import (append_minhash_store,
+                                               build_minhash_store,
+                                               probe_minhash_store)
+
+    ds, base, delta = split
+    store = str(tmp_path / "store")
+    build_minhash_store(base, store)
+    before = _pairs_set(probe_minhash_store(delta, store, base,
+                                            threshold=0.5))
+    # simulate a retried append of an empty-ish delta: re-append BASE
+    # band rows (duplicating every stored row), then probe again
+    append_minhash_store(base, store)
+    after = _pairs_set(probe_minhash_store(delta, store, base,
+                                           threshold=0.5))
+    assert after == before

@@ -305,7 +305,12 @@ def _assign_ids_distributed(key_refs: list, counts: list[int],
             for i, c in enumerate(counts)]
 
 
-def _corpus_files(path: str) -> list[str]:
+def _corpus_files(path) -> list[str]:
+    """Parquet files of a corpus argument: a file, a directory, or an
+    explicit file list (the watcher/rollover batch shape — same contract
+    as update_index)."""
+    if isinstance(path, (list, tuple)):
+        return sorted(os.path.abspath(f) for f in path)
     if os.path.isfile(path):
         return [path]
     return sorted(os.path.join(path, f) for f in os.listdir(path)
@@ -325,7 +330,7 @@ def prep_docs(corpus, index_dir: str,
     docs_dir = os.path.join(index_dir, "docs")
     os.makedirs(docs_dir, exist_ok=True)
 
-    if isinstance(corpus, str):
+    if isinstance(corpus, (str, list, tuple)):
         # stage-1 unit = one row group when a file has several (a single
         # huge file must not bound parallelism to the file count); ids are
         # sorted-key ranks, so the unit split cannot change them

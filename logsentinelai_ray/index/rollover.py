@@ -73,7 +73,15 @@ class RolloverIndex:
         the current unsealed generation takes it as an incremental
         delta; if none is open, a new generation index is built. After
         the write the generation seals when it reaches ``max_docs`` —
-        the next ingest rolls over. Returns the generation entry."""
+        the next ingest rolls over. Returns the generation entry.
+
+        Idempotent per tag: a tag already in the alias log is a replay
+        of a completed round (watcher crash recovery) and is skipped;
+        a crash BEFORE the log commit replays through build/update's
+        own resume + content-dedup semantics."""
+        done = self.meta.setdefault("ingested_tags", [])
+        if tag in done:
+            return dict(self.meta["generations"][-1])
         gens = self.meta["generations"]
         self._engines = None  # alias membership may change
         if gens and not gens[-1]["sealed"]:
@@ -89,6 +97,7 @@ class RolloverIndex:
         entry["n_docs"] = int(stats["n_docs"])
         if entry["n_docs"] >= self.max_docs:
             entry["sealed"] = True
+        done.append(tag)
         self._save()
         return dict(entry)
 

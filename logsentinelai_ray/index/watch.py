@@ -151,3 +151,67 @@ class CorpusWatcher:
             else:
                 idle = 0
                 results.append(res)
+
+
+class RolloverWatcher:
+    """Continuous ingest into a ROLLOVER ALIAS (index/rollover.py):
+    the watcher protocol of CorpusWatcher, but each round lands in the
+    alias's current generation and index sizes stay bounded by the
+    alias's max_docs — the operational shape for unbounded streams at
+    10^12-doc scale (one index would otherwise grow without limit).
+
+    Crash safety: the frontier lives in the alias dir and advances only
+    after the round's ingest returns; replays are tag-idempotent
+    (RolloverIndex.ingest skips logged tags, and a crash before the log
+    commit replays through build/update's own resume semantics)."""
+
+    def __init__(self, corpus_dir: str, rollover,
+                 max_batch_files: int | None = None,
+                 tag_prefix: str = "watch"):
+        self.corpus_dir = corpus_dir
+        self.roll = rollover
+        self.max_batch_files = max_batch_files
+        self.tag_prefix = tag_prefix
+
+    def _frontier(self) -> list[str]:
+        return read_frontier(self.roll.base_dir)
+
+    def pending_files(self) -> list[str]:
+        done = set(self._frontier())
+        names = sorted(
+            os.path.abspath(os.path.join(self.corpus_dir, n))
+            for n in os.listdir(self.corpus_dir)
+            if n.endswith(".parquet"))
+        return [f for f in names if f not in done]
+
+    def poll_once(self) -> dict | None:
+        done = self._frontier()
+        batch = self.pending_files()
+        if not batch:
+            return None
+        if self.max_batch_files is not None:
+            batch = batch[:self.max_batch_files]
+        tag = f"{self.tag_prefix}-{len(done):06d}"
+        entry = self.roll.ingest(batch, tag=tag)
+        _write_frontier(self.roll.base_dir, done + batch)
+        return {"generation": entry, "files": len(batch)}
+
+    def run(self, poll_interval: float = 2.0,
+            max_rounds: int | None = None,
+            idle_rounds: int | None = None) -> list[dict]:
+        results: list[dict] = []
+        idle = 0
+        rounds = 0
+        while True:
+            if max_rounds is not None and rounds >= max_rounds:
+                return results
+            res = self.poll_once()
+            rounds += 1
+            if res is None:
+                idle += 1
+                if idle_rounds is not None and idle >= idle_rounds:
+                    return results
+                time.sleep(poll_interval)
+            else:
+                idle = 0
+                results.append(res)

@@ -203,3 +203,62 @@ def test_watcher_timeout_flushes_partial_window(ray_session,
     # and an empty poll resets the buffer timer state
     assert watcher.poll_once() is None
     assert watcher._pending_since is None
+
+
+def test_rollover_watcher_bounded_generations(ray_session, tmp_path):
+    """Files dripped into a watched dir land in generation indexes
+    bounded by max_docs; the alias search over the final state equals a
+    merged single-index build, and a replayed round is a no-op."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logsentinelai_ray.config import CorpusConfig, IndexConfig
+    from logsentinelai_ray.corpus import generate_corpus
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.index.rollover import RolloverIndex
+    from logsentinelai_ray.index.watch import RolloverWatcher
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    tbl = generate_corpus(CorpusConfig(n_docs=180))
+    seen, keep = set(), []
+    for i, c in enumerate(tbl["content"].to_pylist()):
+        if c not in seen:
+            seen.add(c)
+            keep.append(i)
+    tbl = tbl.take(keep).sort_by("repo")
+    n = tbl.num_rows
+    third = n // 3
+
+    corpus = tmp_path / "drip"
+    corpus.mkdir()
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2)
+    roll = RolloverIndex(str(tmp_path / "alias"), cfg, max_docs=third,
+                         alias="w")
+    w = RolloverWatcher(str(corpus), roll)
+
+    assert w.poll_once() is None  # empty dir
+    for i in range(3):
+        lo = i * third
+        pq.write_table(tbl.slice(lo, third if i < 2 else n - lo),
+                       str(corpus / f"f{i}.parquet"))
+        res = w.poll_once()
+        assert res is not None and res["files"] == 1
+    assert w.poll_once() is None  # frontier caught up
+    # every generation respects the write condition: sealed at max_docs
+    for g in roll.meta["generations"][:-1]:
+        assert g["sealed"] and g["n_docs"] >= third
+
+    # replaying a committed round's tag is a no-op
+    gens_before = [dict(g) for g in roll.meta["generations"]]
+    roll.ingest(str(corpus / "f0.parquet"), tag="watch-000000")
+    assert roll.meta["generations"] == gens_before
+
+    merged_dir = str(tmp_path / "merged")
+    build_index(rd.from_arrow(tbl), merged_dir, cfg, corpus_tag="m")
+    merged = SearchEngine(merged_dir, num_shards=2)
+    a = roll.search("error merge window", k=10)
+    b = merged.search("error merge window", k=10, with_meta=False)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+    roll.shutdown()
+    merged.shutdown()

@@ -2,8 +2,9 @@
 
 The reference's Elasticsearch backend grows one index per log type and
 relies on ES rollover to bound index size (an operational pattern the
-reference's docs assume; its own code only ever writes to the alias —
-reference core/elasticsearch.py index naming). Our analog manages a
+reference assumes of its ES backend; its own code only ever writes to
+the one configured index name — reference core/elasticsearch.py:322 —
+and leaves size bounding to ES rollover/ILM). Our analog manages a
 directory of immutable GENERATION indexes:
 
 * ``ingest`` appends to the current (unsealed) generation via the

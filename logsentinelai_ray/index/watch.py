@@ -155,10 +155,13 @@ class CorpusWatcher:
 
 class RolloverWatcher:
     """Continuous ingest into a ROLLOVER ALIAS (index/rollover.py):
-    the watcher protocol of CorpusWatcher, but each round lands in the
+    the watcher protocol of CorpusWatcher (reference
+    core/monitoring.py:301-330 poll loop), but each round lands in the
     alias's current generation and index sizes stay bounded by the
     alias's max_docs — the operational shape for unbounded streams at
-    10^12-doc scale (one index would otherwise grow without limit).
+    10^12-doc scale (one index would otherwise grow without limit; the
+    reference delegates exactly this to ES ILM/rollover on its write
+    alias, core/elasticsearch.py index naming).
 
     Crash safety: the frontier lives in the alias dir and advances only
     after the round's ingest returns; replays are tag-idempotent

@@ -2321,6 +2321,40 @@ ORACLE_SQL: dict[str, str] = {
           USING (country_code)
         GROUP BY 1 ORDER BY 1
     """,
+    "geo_distance_agg": """__GEO_BASE__
+        SELECT CASE
+                 WHEN d2 < 4000000 THEN 'ring_0_under_20deg'
+                 WHEN d2 < 36000000 THEN 'ring_1_20_to_60deg'
+                 WHEN d2 < 144000000 THEN 'ring_2_60_to_120deg'
+                 ELSE 'ring_3_over_120deg' END AS bucket,
+               count(*)::BIGINT AS n,
+               count(DISTINCT ip)::BIGINT AS n_uniq_ips
+        FROM (SELECT ip, (lat_cd - 5011)*(lat_cd - 5011)
+                         + (lon_cd - 864)*(lon_cd - 864) AS d2 FROM geo)
+        GROUP BY 1 ORDER BY 1
+    """,
+    "geohash_grid_agg": """__GEO_BASE__
+        , cells AS (SELECT __GH_CL__ AS cl, __GH_CT__ AS ct FROM geo),
+        codes AS (SELECT __GH_CODE__ AS code FROM cells)
+        SELECT __GH_CHARS__ AS gh, count(*)::BIGINT AS n
+        FROM codes GROUP BY 1 ORDER BY n DESC, gh ASC LIMIT 15
+    """,
+    "geo_centroid_agg": """__GEO_BASE__
+        SELECT country_code AS cc, count(*)::BIGINT AS n,
+               CAST(sum(lat_cd) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / 100.0 AS centroid_lat,
+               CAST(sum(lon_cd) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / 100.0 AS centroid_lon
+        FROM geo GROUP BY 1 ORDER BY 1
+    """,
+    "geo_bounds_agg": """__GEO_BASE__
+        SELECT country_code AS cc, count(*)::BIGINT AS n,
+               min(lat_cd)::BIGINT AS min_lat_cd,
+               max(lat_cd)::BIGINT AS max_lat_cd,
+               min(lon_cd)::BIGINT AS min_lon_cd,
+               max(lon_cd)::BIGINT AS max_lon_cd
+        FROM geo GROUP BY 1 ORDER BY 1
+    """,
     "multimodal_stats": """
         SELECT lang, count(*)::BIGINT AS n,
                sum(octet_length(encode(text)))::BIGINT AS total_bytes,
@@ -2331,3 +2365,66 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents GROUP BY 1 ORDER BY lang
     """,
 }
+
+
+# Shared geo CTE prefix: the deterministic IP derivation (the same octet
+# arithmetic as queries._derive_ip_lines), public-IP filter, and the
+# city-level lookup's integer centi-degree coordinates
+# (stages/geoip._fake_city_lookup).
+_GEO_BASE = """
+        WITH e AS (
+          SELECT event_id, user_id,
+                 CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                     AS k
+          FROM events
+        ), raw AS (
+          SELECT event_id,
+                 CASE user_id % 5 WHEN 0 THEN 10 WHEN 1 THEN 172
+                      WHEN 2 THEN 192 WHEN 3 THEN 52 ELSE 98 END AS o1,
+                 CASE user_id % 5 WHEN 1 THEN 16 + (k % 16)
+                      WHEN 2 THEN 168 ELSE k % 256 END AS o2,
+                 user_id % 256 AS o3, 1 + (k % 254) AS o4
+          FROM e
+          UNION ALL
+          SELECT event_id,
+                 CASE event_id % 2 WHEN 0 THEN 8 ELSE 127 END,
+                 (event_id // 7) % 256, k % 256, 1 + (event_id % 254)
+          FROM e
+        ), pub AS (
+          SELECT DISTINCT event_id, o1, o2, o3, o4,
+                 CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+                   || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR)
+                     AS ip
+          FROM raw
+          WHERE NOT (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+                     OR (o1 = 192 AND o2 = 168) OR o1 = 127
+                     OR (o1 = 169 AND o2 = 254))
+        ), geo AS (
+          SELECT event_id, ip,
+                 list_extract(['US','DE','KR','JP','BR','IN','FR','GB'],
+                              1 + (o1*7 + o2*13 + o3*31) % 8)
+                     AS country_code,
+                 (o1*131 + o2*17 + o3*3 + o4) % 17000 - 8500 AS lat_cd,
+                 (o1*31 + o2*101 + o3*7 + o4*11) % 36000 - 18000 AS lon_cd
+          FROM pub
+        )
+"""
+
+
+def _expand_geo_placeholders() -> None:
+    """Fill the geo oracles' placeholders: the shared CTE prefix and the
+    unrolled geohash bit-interleave generated by stages/geo.geohash_sql
+    (the SAME generator the engine kernel is tested against)."""
+    from ..stages.geo import geohash_sql
+
+    cl, ct, code, chars = geohash_sql(precision=3)
+    for key in ("geo_distance_agg", "geohash_grid_agg",
+                "geo_centroid_agg", "geo_bounds_agg"):
+        sql = ORACLE_SQL[key]
+        sql = sql.replace("__GEO_BASE__", _GEO_BASE)
+        sql = (sql.replace("__GH_CL__", cl).replace("__GH_CT__", ct)
+               .replace("__GH_CODE__", code).replace("__GH_CHARS__", chars))
+        ORACLE_SQL[key] = sql
+
+
+_expand_geo_placeholders()

@@ -3539,6 +3539,205 @@ def q_geoip_enrichment(sf_dir: str):
     return out.sort("country_code")
 
 
+def _geo_located_ips(sf_dir: str):
+    """Shared geo pipeline prefix: derive IP lines, enrich with the
+    CITY-level lookup (``with_location=True`` — the reference's
+    ``location {lat, lon}`` geo_point payload, core/geoip.py:117-124),
+    explode to one row per (event, public ip) with integer centi-degree
+    coordinates. Enrichment is the broadcast actor-pool stage; the
+    explode is one ``list_flatten`` kernel per batch."""
+    import ray
+
+    from ..stages.geoip import GeoIPEnrich, _fake_geo_db
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "props"])
+    lines = ds.map_batches(_derive_ip_lines, batch_format="pyarrow")
+    db_ref = ray.put(_fake_geo_db())
+    enriched = lines.map_batches(
+        GeoIPEnrich, fn_constructor_args=(db_ref,),
+        fn_constructor_kwargs={"text_col": "line", "cache_size": 100_000,
+                               "with_location": True},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def explode(t: pa.Table) -> pa.Table:
+        g = t["geo_ips"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        flat = pc.list_flatten(g)
+        return pa.table({
+            "ip": pc.struct_field(flat, "ip"),
+            "country_code": pc.struct_field(flat, "country_code"),
+            "lat_cd": pc.struct_field(flat, "lat_cd"),
+            "lon_cd": pc.struct_field(flat, "lon_cd"),
+        })
+
+    return enriched.map_batches(explode, batch_format="pyarrow")
+
+
+# geo_distance ring origin (centi-degrees) and squared ring boundaries
+_GEO_ORIGIN = (5011, 864)
+_GEO_RINGS = [(4_000_000, "ring_0_under_20deg"),
+              (36_000_000, "ring_1_20_to_60deg"),
+              (144_000_000, "ring_2_60_to_120deg"),
+              (None, "ring_3_over_120deg")]
+
+
+def q_geo_distance_agg(sf_dir: str):
+    """ES ``geo_distance`` aggregation over the GeoIP location field
+    (the Kibana map rings the reference's dashboard serves from its
+    geo_point mapping, core/geoip.py:117-124): distance rings around a
+    fixed origin with per-ring occurrence and unique-IP counts. The ring
+    metric is the EXACT integer squared equirectangular offset in
+    centi-degrees (``stages/geo.py:plane_dist2_cd``) so bucket
+    assignment is bit-reproducible in SQL; the true-haversine variant of
+    the same kernel is unit-tested in test_geo.py. Exchange shape:
+    per-batch partial counts keyed (bucket, ip), one small groupby, then
+    a ≤4-row rollup — distinct-IP counting never broadcasts raw rows."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.geo import plane_dist2_cd
+
+    olat, olon = _GEO_ORIGIN
+    bounds = np.array([b for b, _ in _GEO_RINGS if b is not None],
+                      dtype=np.int64)
+    labels = np.array([lab for _, lab in _GEO_RINGS])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t["lat_cd"].to_numpy(zero_copy_only=False)
+        lon = t["lon_cd"].to_numpy(zero_copy_only=False)
+        d2 = plane_dist2_cd(lat, lon, olat, olon)
+        lab = labels[np.searchsorted(bounds, d2, side="right")]
+        agg = (pa.table({"bucket": pa.array(lab.tolist()), "ip": t["ip"]})
+               .group_by(["bucket", "ip"]).aggregate([("ip", "count")]))
+        return pa.table({"bucket": agg["bucket"], "ip": agg["ip"],
+                         "pn": agg["ip_count"]})
+
+    per_ip = (_geo_located_ips(sf_dir)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["bucket", "ip"])
+              .aggregate(Sum("pn", alias_name="n")))
+
+    def rollup(t: pa.Table) -> pa.Table:
+        # after the aggregate each (bucket, ip) key is exactly one row,
+        # so a per-block rollup to <=4 partial rows is lossless
+        agg = (pa.table({"bucket": t["bucket"], "n": t["n"]})
+               .group_by("bucket")
+               .aggregate([("n", "sum"), ("n", "count")]))
+        return pa.table({"bucket": agg["bucket"],
+                         "n": pc.cast(agg["n_sum"], pa.int64()),
+                         "n_uniq_ips": pc.cast(agg["n_count"],
+                                               pa.int64())})
+
+    out = (per_ip.map_batches(rollup, batch_format="pyarrow")
+           .to_pandas())
+    out = (out.groupby("bucket", as_index=False)
+           .agg(n=("n", "sum"), n_uniq_ips=("n_uniq_ips", "sum"))
+           .sort_values("bucket").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_geohash_grid_agg(sf_dir: str):
+    """ES ``geohash_grid`` aggregation: true base32 geohash cells at
+    precision 3 over the enriched locations, top 15 by (count desc,
+    cell asc). The cell id is the standard interleaved geohash computed
+    from exact integer centi-degree cell indices (stages/geo.py), and
+    the oracle reproduces the SAME base32 strings via an unrolled
+    bit-interleave SQL expression — parity down to the cell-id string.
+    Per-batch partial counts (≤ 32k cells at precision 3) pre-aggregate
+    before the one small shuffle."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.geo import geohash_cells
+
+    def partial(t: pa.Table) -> pa.Table:
+        gh = geohash_cells(t["lat_cd"].to_numpy(zero_copy_only=False),
+                           t["lon_cd"].to_numpy(zero_copy_only=False),
+                           precision=3)
+        agg = (pa.table({"gh": pa.array(gh.tolist())})
+               .group_by("gh").aggregate([("gh", "count")]))
+        return pa.table({"gh": agg["gh"], "pn": agg["gh_count"]})
+
+    counts = (_geo_located_ips(sf_dir)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("gh").aggregate(Sum("pn", alias_name="n")))
+    df = topk(counts, 15, [("n", "descending"), ("gh", "ascending")])
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df[["gh", "n"]], preserve_index=False)
+
+
+def q_geo_centroid_agg(sf_dir: str):
+    """ES ``geo_centroid`` aggregation per country: mean location of the
+    enriched IPs. Mergeable integer partials (n, sum_lat_cd, sum_lon_cd)
+    per batch; the final double division happens once per country with
+    the same operation tree as the oracle (CAST-to-double, divide by n,
+    divide by 100) so the float centroids hash bit-identically."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (pa.table({"cc": t["country_code"], "lat_cd": t["lat_cd"],
+                         "lon_cd": t["lon_cd"]})
+               .group_by("cc")
+               .aggregate([("lat_cd", "count"), ("lat_cd", "sum"),
+                           ("lon_cd", "sum")]))
+        return pa.table({"cc": agg["cc"],
+                         "pn": pc.cast(agg["lat_cd_count"], pa.int64()),
+                         "pslat": agg["lat_cd_sum"],
+                         "pslon": agg["lon_cd_sum"]})
+
+    merged = (_geo_located_ips(sf_dir)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("cc")
+              .aggregate(Sum("pn", alias_name="n"),
+                         Sum("pslat", alias_name="slat"),
+                         Sum("pslon", alias_name="slon")))
+    df = merged.to_pandas().sort_values("cc").reset_index(drop=True)
+    n = df["n"].to_numpy(dtype=np.float64)
+    df["centroid_lat"] = (df["slat"].to_numpy(dtype=np.float64) / n) / 100.0
+    df["centroid_lon"] = (df["slon"].to_numpy(dtype=np.float64) / n) / 100.0
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(
+        df[["cc", "n", "centroid_lat", "centroid_lon"]],
+        preserve_index=False)
+
+
+def q_geo_bounds_agg(sf_dir: str):
+    """ES ``geo_bounds`` aggregation per country: the bounding box of
+    the enriched locations, exact in integer centi-degrees. Partials are
+    (n, min/max lat, min/max lon) per batch — constant bytes per block
+    cross the shuffle regardless of corpus size."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (pa.table({"cc": t["country_code"], "lat_cd": t["lat_cd"],
+                         "lon_cd": t["lon_cd"]})
+               .group_by("cc")
+               .aggregate([("lat_cd", "count"), ("lat_cd", "min"),
+                           ("lat_cd", "max"), ("lon_cd", "min"),
+                           ("lon_cd", "max")]))
+        return pa.table({"cc": agg["cc"],
+                         "pn": pc.cast(agg["lat_cd_count"], pa.int64()),
+                         "lat_min": agg["lat_cd_min"],
+                         "lat_max": agg["lat_cd_max"],
+                         "lon_min": agg["lon_cd_min"],
+                         "lon_max": agg["lon_cd_max"]})
+
+    merged = (_geo_located_ips(sf_dir)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("cc")
+              .aggregate(Sum("pn", alias_name="n"),
+                         Min("lat_min", alias_name="min_lat_cd"),
+                         Max("lat_max", alias_name="max_lat_cd"),
+                         Min("lon_min", alias_name="min_lon_cd"),
+                         Max("lon_max", alias_name="max_lon_cd")))
+    df = merged.to_pandas().sort_values("cc").reset_index(drop=True)
+    for c in df.columns:
+        if c != "cc":
+            df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(
+        df[["cc", "n", "min_lat_cd", "max_lat_cd",
+            "min_lon_cd", "max_lon_cd"]], preserve_index=False)
+
+
 def q_hybrid_search_rrf(sf_dir: str):
     """Hybrid lexical+vector retrieval with reciprocal-rank fusion (the
     ES 8.x ``rrf`` retriever): BM25 top-50 for the standard query text
@@ -4121,6 +4320,10 @@ QUERY_REGISTRY = {
     "ip_classification": q_ip_classification,
     "nested_severity_histogram": q_nested_severity_histogram,
     "geoip_enrichment": q_geoip_enrichment,
+    "geo_distance_agg": q_geo_distance_agg,
+    "geohash_grid_agg": q_geohash_grid_agg,
+    "geo_centroid_agg": q_geo_centroid_agg,
+    "geo_bounds_agg": q_geo_bounds_agg,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

@@ -97,6 +97,19 @@ def _fake_lookup(ip: str) -> str:
     return _COUNTRIES[(o1 * 7 + o2 * 13 + o3 * 31) % len(_COUNTRIES)]
 
 
+def _fake_city_lookup(ip: str) -> tuple[str, int, int]:
+    """City-level stand-in: ``(country_code, lat_cd, lon_cd)`` with the
+    coordinates in INTEGER CENTI-DEGREES, mirroring the reference's
+    ``location: {lat, lon}`` geo_point payload (core/geoip.py:117-124)
+    while staying exact-integer so geo aggregations have bit-exact SQL
+    oracles. Swapping in geoip2's ``reader.city(ip).location`` is the
+    same seam as ``mmdb_lookup_factory``."""
+    o1, o2, o3, o4 = (int(x) for x in ip.split("."))
+    lat_cd = (o1 * 131 + o2 * 17 + o3 * 3 + o4) % 17000 - 8500
+    lon_cd = (o1 * 31 + o2 * 101 + o3 * 7 + o4 * 11) % 36000 - 18000
+    return _fake_lookup(ip), lat_cd, lon_cd
+
+
 def mmdb_lookup_factory(mmdb_path: str):
     """Real-database lookup via maxminddb (OPTIONAL dependency — absent
     from this container, so the deterministic ``_fake_lookup`` stand-in
@@ -128,12 +141,19 @@ class GeoIPEnrich:
     ``mmdb_lookup_factory(path)`` for a real GeoLite2 database)."""
 
     def __init__(self, db_ref=None, cache_size: int = 1000,
-                 text_col: str = "content", lookup_fn=None):
+                 text_col: str = "content", lookup_fn=None,
+                 with_location: bool = False, city_lookup_fn=None):
         import ray
 
         self.db = ray.get(db_ref) if db_ref is not None else _fake_geo_db()
         self.text_col = text_col
         self.lookup_fn = lookup_fn
+        # with_location mirrors the reference's city lookup payload
+        # (core/geoip.py:117-124: location {lat, lon} for Kibana
+        # geo_point); city_lookup_fn is the real-geoip2 seam —
+        # ip -> (country_code, lat_cd, lon_cd) or None
+        self.with_location = with_location
+        self.city_lookup_fn = city_lookup_fn or _fake_city_lookup
         self.cache: dict[str, str | None] = {}
         self.cache_size = cache_size  # reference GEOIP_CACHE_SIZE=1000
 
@@ -143,6 +163,8 @@ class GeoIPEnrich:
             return hit
         if is_private_ip(ip):
             val = None
+        elif self.with_location:
+            val = self.city_lookup_fn(ip)
         elif self.lookup_fn is not None:
             val = self.lookup_fn(ip)
         else:
@@ -167,10 +189,18 @@ class GeoIPEnrich:
         for i in np.flatnonzero(counts > 0):
             pairs = []
             for ip in dict.fromkeys(rex.findall(text[int(i)].as_py())):
-                cc = self._lookup(ip)
-                if cc is not None:
-                    pairs.append({"ip": ip, "country_code": cc})
+                hit = self._lookup(ip)
+                if hit is None:
+                    continue
+                if self.with_location:
+                    cc, lat_cd, lon_cd = hit
+                    pairs.append({"ip": ip, "country_code": cc,
+                                  "lat_cd": lat_cd, "lon_cd": lon_cd})
+                else:
+                    pairs.append({"ip": ip, "country_code": hit})
             ips_out[int(i)] = pairs
-        typ = pa.list_(pa.struct([("ip", pa.string()),
-                                  ("country_code", pa.string())]))
+        fields = [("ip", pa.string()), ("country_code", pa.string())]
+        if self.with_location:
+            fields += [("lat_cd", pa.int64()), ("lon_cd", pa.int64())]
+        typ = pa.list_(pa.struct(fields))
         return batch.append_column("geo_ips", pa.array(ips_out, typ))

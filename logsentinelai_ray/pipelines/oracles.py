@@ -2428,3 +2428,85 @@ def _expand_geo_placeholders() -> None:
 
 
 _expand_geo_placeholders()
+
+
+# ES missing / global / date_range / ip_range / cumulative_cardinality /
+# PIT — appended post-dict (they reuse _GEO_BASE and the BM25 template).
+ORACLE_SQL["missing_agg"] = _GEO_BASE + """
+        , per AS (SELECT DISTINCT event_id, country_code FROM geo),
+        cnt AS (SELECT country_code AS bucket, count(*)::BIGINT AS n
+                FROM per GROUP BY 1),
+        miss AS (SELECT '__missing__' AS bucket,
+                 ((SELECT count(*) FROM events)
+                  - (SELECT count(DISTINCT event_id) FROM geo))::BIGINT
+                     AS n)
+        SELECT * FROM (SELECT * FROM cnt UNION ALL SELECT * FROM miss)
+        WHERE n > 0 ORDER BY bucket
+"""
+
+ORACLE_SQL["global_agg"] = """
+        WITH m AS (SELECT event_type,
+                          CAST(round(value * 1e6, 0) AS BIGINT) AS micro
+                   FROM events),
+        scopes AS (
+          SELECT 'query' AS scope, count(*)::BIGINT AS n,
+                 CAST(sum(micro) AS BIGINT) AS sum_value_micro
+          FROM m WHERE event_type = 'error'
+          UNION ALL
+          SELECT 'global', count(*)::BIGINT, CAST(sum(micro) AS BIGINT)
+          FROM m)
+        SELECT scope, n, sum_value_micro,
+               CAST(sum_value_micro AS DOUBLE) / CAST(n AS DOUBLE) / 1e6
+                   AS avg_value
+        FROM scopes ORDER BY scope
+"""
+
+ORACLE_SQL["date_range_agg"] = """
+        WITH m AS (
+          SELECT CASE WHEN ts < TIMESTAMP '2024-01-10'
+                        THEN 'r0_before_jan10'
+                      WHEN ts < TIMESTAMP '2024-01-20'
+                        THEN 'r1_jan10_to_jan20'
+                      ELSE 'r2_from_jan20' END AS bucket,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS micro
+          FROM events)
+        SELECT bucket, count(*)::BIGINT AS n,
+               CAST(sum(micro) AS BIGINT) AS sum_value_micro
+        FROM m GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["ip_range_agg"] = _GEO_BASE + """
+        , num AS (
+          SELECT ip, o1*16777216 + o2*65536 + o3*256 + o4 AS v
+          FROM (SELECT DISTINCT event_id, ip, o1, o2, o3, o4 FROM pub))
+        SELECT CASE WHEN v < 536870912 THEN 'r0_lt_32.0.0.0'
+                    WHEN v < 1073741824 THEN 'r1_32_to_64'
+                    WHEN v < 1610612736 THEN 'r2_64_to_96'
+                    ELSE 'r3_ge_96.0.0.0' END AS bucket,
+               count(*)::BIGINT AS n, count(DISTINCT ip)::BIGINT
+                   AS n_uniq_ips
+        FROM num GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["cumulative_cardinality"] = """
+        WITH fd AS (SELECT user_id, min(strftime(ts, '%Y-%m-%d')) AS day
+                    FROM events GROUP BY 1),
+        pd AS (SELECT day, count(*)::BIGINT AS new_users
+               FROM fd GROUP BY 1)
+        SELECT day, new_users,
+               CAST(sum(new_users) OVER (ORDER BY day) AS BIGINT)
+                   AS cumulative_users
+        FROM pd ORDER BY day
+"""
+
+# PIT: BM25 over ONLY the base half (doc_id < floor(median)) — the view
+# the reader pinned before the delta append.
+_PIT_DOCS = ("(SELECT * FROM documents WHERE doc_id < "
+             "(SELECT CAST(floor(median(doc_id)) AS BIGINT)"
+             " FROM documents)) documents")
+ORACLE_SQL["pit_search"] = (
+    _bm25_base(_BM25_TERMS).replace("FROM documents", "FROM " + _PIT_DOCS)
+    + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """)

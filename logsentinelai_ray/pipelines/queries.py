@@ -1515,6 +1515,62 @@ def q_bm25_topk_incremental(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_pit_search(sf_dir: str):
+    """ES point-in-time (PIT) search: a reader opened before a write
+    keeps serving the exact pre-write view for its lifetime. The engine
+    gets this from its architecture rather than an id registry: an
+    ``IndexShard`` actor pool loads segments into memory at construction
+    and the docmap ``pyarrow.dataset`` pins its file list, so a
+    ``SearchEngine`` constructed before ``update_index`` IS an open PIT
+    — its results are bit-identical to the pre-update search even after
+    the delta merges (test_pit.py proves both halves: the PIT view is
+    frozen, a fresh engine sees the delta). This entry builds the index
+    on the first half of documents, opens the PIT, appends the second
+    half, then searches THROUGH THE PIT — the oracle is BM25 over only
+    the base half."""
+    if ("pit", sf_dir) in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[("pit", sf_dir)]
+    else:
+        import hashlib
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from ..config import IndexConfig
+        from ..index.build import build_index
+        from ..index.update import update_index
+        from ..query.shards import SearchEngine
+
+        src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "lang", "text"])
+        src = src.sort_by("doc_id")
+        did = src["doc_id"].to_numpy(zero_copy_only=False)
+        half = int(np.median(did))
+
+        tag = "documents-pit#v1:" + sf_dir.rstrip("/")
+        work = os.path.join(
+            "/tmp/lsai_idx",
+            hashlib.sha256(tag.encode()).hexdigest()[:16])
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(f"{work}/base", exist_ok=True)
+        os.makedirs(f"{work}/delta", exist_ok=True)
+        mask = did < half
+        pq.write_table(_corpusify_docs(src.filter(pa.array(mask))),
+                       f"{work}/base/part-0.parquet")
+        pq.write_table(_corpusify_docs(src.filter(pa.array(~mask))),
+                       f"{work}/delta/part-0.parquet")
+        cfg = IndexConfig(num_partitions=8, salt_buckets=4)
+        build_index(f"{work}/base", f"{work}/idx", cfg, corpus_tag=tag)
+        # open the PIT (reader precedes the write) ...
+        eng = SearchEngine(f"{work}/idx", num_shards=2)
+        # ... then append the delta; the PIT must not see it
+        update_index(f"{work}/delta", f"{work}/idx", cfg, delta_tag=tag)
+        _ENGINE_CACHE[("pit", sf_dir)] = eng
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_phrase_match_incremental(sf_dir: str):
     """Phrase search over the base+delta index (positions sidecar
     appended by update_index) — must equal the full-corpus phrase
@@ -3738,6 +3794,199 @@ def q_geo_bounds_agg(sf_dir: str):
             "min_lon_cd", "max_lon_cd"]], preserve_index=False)
 
 
+def q_missing_agg(sf_dir: str):
+    """ES ``missing`` bucket of a terms aggregation on a multi-valued
+    enriched field: events are bucketed by the DISTINCT countries of
+    their enriched public IPs (a doc counts once per distinct value —
+    the ES multi-value contract), and events whose enrichment produced
+    NO public IP land in the ``__missing__`` bucket (the reference's
+    all-private/invalid case, core/geoip.py:101-106). Per-batch partial
+    counts; only (bucket, n) partials cross the shuffle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..stages.geoip import GeoIPEnrich, _fake_geo_db
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "props"])
+    lines = ds.map_batches(_derive_ip_lines, batch_format="pyarrow")
+    db_ref = ray.put(_fake_geo_db())
+    enriched = lines.map_batches(
+        GeoIPEnrich, fn_constructor_args=(db_ref,),
+        fn_constructor_kwargs={"text_col": "line", "cache_size": 100_000},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t["geo_ips"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        n_missing = int(pc.sum(pc.cast(
+            pc.equal(pc.list_value_length(g), 0), pa.int64())).as_py() or 0)
+        flat = pc.list_flatten(g)
+        parent = pc.list_parent_indices(g)
+        pairs = (pa.table({"parent": parent,
+                           "bucket": pc.struct_field(flat, "country_code")})
+                 .group_by(["parent", "bucket"]).aggregate([]))
+        agg = (pa.table({"bucket": pairs["bucket"]})
+               .group_by("bucket").aggregate([("bucket", "count")]))
+        buckets = agg["bucket"].to_pylist() + ["__missing__"]
+        counts = [int(x) for x in agg["bucket_count"].to_pylist()] \
+            + [n_missing]
+        return pa.table({"bucket": pa.array(buckets),
+                         "pn": pa.array(counts, pa.int64())})
+
+    out = (enriched.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket").aggregate(Sum("pn", alias_name="n")))
+    df = out.to_pandas().sort_values("bucket").reset_index(drop=True)
+    df = df[df["n"] > 0]
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_global_agg(sf_dir: str):
+    """ES ``global`` aggregation: a bucket that escapes the query
+    context. The query scope is ``event_type = 'error'``; both scopes
+    report count and the exact integer value sum plus a shared-op-tree
+    double mean — one pass, two mergeable partial rows per batch."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        err = pc.equal(t["event_type"], "error")
+        n_err = int(pc.sum(pc.cast(err, pa.int64())).as_py() or 0)
+        s_err = int(pc.sum(pc.if_else(err, micro, pa.scalar(
+            0, pa.int64()))).as_py() or 0)
+        return pa.table({
+            "scope": pa.array(["query", "global"]),
+            "pn": pa.array([n_err, t.num_rows], pa.int64()),
+            "ps": pa.array([s_err,
+                            int(pc.sum(micro).as_py() or 0)], pa.int64())})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("scope")
+           .aggregate(Sum("pn", alias_name="n"),
+                      Sum("ps", alias_name="sum_value_micro")))
+    df = out.to_pandas().sort_values("scope").reset_index(drop=True)
+    df["n"] = df["n"].astype("int64")
+    df["sum_value_micro"] = df["sum_value_micro"].astype("int64")
+    df["avg_value"] = (df["sum_value_micro"].to_numpy(np.float64)
+                       / df["n"].to_numpy(np.float64)) / 1e6
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_date_range_agg(sf_dir: str):
+    """ES ``date_range`` aggregation: custom (uneven) date boundaries —
+    unlike date_histogram's fixed interval — with per-bucket count and
+    exact integer value sum. Bucket assignment is a vectorized
+    searchsorted against the two boundary timestamps."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    labels = np.array(["r0_before_jan10", "r1_jan10_to_jan20",
+                       "r2_from_jan20"])
+    bounds = np.array([np.datetime64("2024-01-10"),
+                       np.datetime64("2024-01-20")])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = t["ts"].to_numpy(zero_copy_only=False)
+        lab = labels[np.searchsorted(bounds, ts, side="right")]
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        agg = (pa.table({"bucket": pa.array(lab.tolist()),
+                         "micro": micro})
+               .group_by("bucket")
+               .aggregate([("micro", "count"), ("micro", "sum")]))
+        return pa.table({"bucket": agg["bucket"],
+                         "pn": pc.cast(agg["micro_count"], pa.int64()),
+                         "ps": agg["micro_sum"]})
+
+    out = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("pn", alias_name="n"),
+                      Sum("ps", alias_name="sum_value_micro")))
+    df = out.to_pandas().sort_values("bucket").reset_index(drop=True)
+    for c in ("n", "sum_value_micro"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def q_ip_range_agg(sf_dir: str):
+    """ES ``ip_range`` aggregation over the enriched public source IPs:
+    buckets on the numeric uint32 form of the address (the ES ip_range
+    CIDR semantics), per-bucket occurrence and unique-IP counts. Same
+    (bucket, ip)-keyed exchange as geo_distance — distinct counting
+    without broadcasting raw rows."""
+    from ray.data.aggregate import Sum
+
+    bounds = np.array([32 << 24, 64 << 24, 96 << 24], dtype=np.int64)
+    labels = np.array(["r0_lt_32.0.0.0", "r1_32_to_64", "r2_64_to_96",
+                       "r3_ge_96.0.0.0"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["ip"], ".")
+        num = np.zeros(t.num_rows, dtype=np.int64)
+        for i, shift in enumerate((24, 16, 8, 0)):
+            o = pc.cast(pc.list_element(parts, i), pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            num += o << shift
+        lab = labels[np.searchsorted(bounds, num, side="right")]
+        agg = (pa.table({"bucket": pa.array(lab.tolist()), "ip": t["ip"]})
+               .group_by(["bucket", "ip"]).aggregate([("ip", "count")]))
+        return pa.table({"bucket": agg["bucket"], "ip": agg["ip"],
+                         "pn": agg["ip_count"]})
+
+    per_ip = (_geo_located_ips(sf_dir)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["bucket", "ip"])
+              .aggregate(Sum("pn", alias_name="n")))
+
+    def rollup(t: pa.Table) -> pa.Table:
+        agg = (pa.table({"bucket": t["bucket"], "n": t["n"]})
+               .group_by("bucket")
+               .aggregate([("n", "sum"), ("n", "count")]))
+        return pa.table({"bucket": agg["bucket"],
+                         "n": pc.cast(agg["n_sum"], pa.int64()),
+                         "n_uniq_ips": pc.cast(agg["n_count"],
+                                               pa.int64())})
+
+    out = (per_ip.map_batches(rollup, batch_format="pyarrow").to_pandas()
+           .groupby("bucket", as_index=False)
+           .agg(n=("n", "sum"), n_uniq_ips=("n_uniq_ips", "sum"))
+           .sort_values("bucket").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_cumulative_cardinality(sf_dir: str):
+    """ES ``cumulative_cardinality`` pipeline aggregation (the
+    running-distinct-users growth curve), computed EXACTLY without an
+    N-sized distinct shuffle per bucket: cumulative distinct count at
+    day d == the number of users whose FIRST event day <= d, so the
+    exchange is one groupby(user).min(day) keys-only pass, a per-day
+    first-seen count, and a cumulative post-pass over the ~30 bucket
+    rows (bounded by bucket count, as in ES)."""
+    from ray.data.aggregate import Count, Min
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"],
+                         "day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    first_day = (ds.map_batches(prep, batch_format="pyarrow")
+                 .groupby("user_id").aggregate(Min("day",
+                                                   alias_name="first_day")))
+    per_day = (first_day.groupby("first_day")
+               .aggregate(Count(alias_name="new_users")))
+    df = per_day.to_pandas().sort_values("first_day").reset_index(drop=True)
+    df["new_users"] = df["new_users"].astype("int64")
+    df["cumulative_users"] = df["new_users"].cumsum().astype("int64")
+    df = df.rename(columns={"first_day": "day"})
+    return pa.Table.from_pandas(
+        df[["day", "new_users", "cumulative_users"]], preserve_index=False)
+
+
 def q_hybrid_search_rrf(sf_dir: str):
     """Hybrid lexical+vector retrieval with reciprocal-rank fusion (the
     ES 8.x ``rrf`` retriever): BM25 top-50 for the standard query text
@@ -4324,6 +4573,12 @@ QUERY_REGISTRY = {
     "geohash_grid_agg": q_geohash_grid_agg,
     "geo_centroid_agg": q_geo_centroid_agg,
     "geo_bounds_agg": q_geo_bounds_agg,
+    "missing_agg": q_missing_agg,
+    "global_agg": q_global_agg,
+    "date_range_agg": q_date_range_agg,
+    "ip_range_agg": q_ip_range_agg,
+    "cumulative_cardinality": q_cumulative_cardinality,
+    "pit_search": q_pit_search,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

@@ -2510,3 +2510,68 @@ ORACLE_SQL["pit_search"] = (
         SELECT doc_id, round(scores.score, 6) AS score FROM scores
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """)
+
+ORACLE_SQL["t_test_agg"] = """
+        WITH m AS (
+          SELECT event_type, CAST(round(value * 1e2, 0) AS BIGINT) AS c
+          FROM events WHERE event_type IN ('error', 'purchase')),
+        comp AS (
+          SELECT event_type, count(*)::BIGINT AS n,
+                 CAST(sum(c) AS BIGINT) AS s,
+                 CAST(sum(c*c) AS BIGINT) AS ss
+          FROM m GROUP BY 1),
+        a AS (SELECT * FROM comp WHERE event_type = 'error'),
+        b AS (SELECT * FROM comp WHERE event_type = 'purchase')
+        SELECT a.n AS n_a, b.n AS n_b,
+               CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_a_cents,
+               CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE) AS mean_b_cents,
+               (CAST(a.s AS DOUBLE) / CAST(a.n AS DOUBLE)
+                - CAST(b.s AS DOUBLE) / CAST(b.n AS DOUBLE))
+               / sqrt(((CAST(a.ss AS DOUBLE)
+                        - CAST(a.s AS DOUBLE) * CAST(a.s AS DOUBLE)
+                          / CAST(a.n AS DOUBLE))
+                       / (CAST(a.n AS DOUBLE) - 1.0)) / CAST(a.n AS DOUBLE)
+                      + ((CAST(b.ss AS DOUBLE)
+                          - CAST(b.s AS DOUBLE) * CAST(b.s AS DOUBLE)
+                            / CAST(b.n AS DOUBLE))
+                         / (CAST(b.n AS DOUBLE) - 1.0))
+                        / CAST(b.n AS DOUBLE)) AS t_stat
+        FROM a, b
+"""
+
+ORACLE_SQL["mad_agg"] = """
+        WITH m AS (
+          SELECT event_type, CAST(round(value * 1e6, 0) AS BIGINT)
+                     AS micro
+          FROM events),
+        med AS (SELECT event_type, quantile_disc(micro, 0.5) AS med
+                FROM m GROUP BY 1),
+        dev AS (SELECT m.event_type, abs(m.micro - med.med) AS d
+                FROM m JOIN med USING (event_type))
+        SELECT d.event_type, count(*)::BIGINT AS n,
+               CAST(any_value(med.med) AS BIGINT) AS median_micro,
+               CAST(quantile_disc(d.d, 0.5) AS BIGINT) AS mad_micro
+        FROM dev d JOIN med ON d.event_type = med.event_type
+        GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["diversified_sampler_agg"] = """
+        WITH ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS rn
+          FROM events),
+        sample AS (SELECT * FROM ranked WHERE rn <= 2
+                   ORDER BY ts, event_id LIMIT 200),
+        m AS (SELECT event_type,
+                     CAST(round(value * 1e6, 0) AS BIGINT) AS micro
+              FROM sample)
+        SELECT event_type, count(*)::BIGINT AS n,
+               CAST(sum(micro) AS BIGINT) AS sum_value_micro
+        FROM m GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["reverse_nested_agg"] = """
+        SELECT event_type, count(*)::BIGINT AS n_events,
+               count(DISTINCT user_id)::BIGINT AS n_parent_docs
+        FROM events GROUP BY 1 ORDER BY 1
+"""

@@ -3987,6 +3987,164 @@ def q_cumulative_cardinality(sf_dir: str):
         df[["day", "new_users", "cumulative_users"]], preserve_index=False)
 
 
+def q_t_test_agg(sf_dir: str):
+    """ES ``t_test`` aggregation (Welch's unpaired t between two event
+    types' values). Exact mergeable integer partials (n, sum, sumsq in
+    CENTS — cents² sums stay < 2^53 so every component converts to
+    double losslessly); the final Welch formula is evaluated ONCE
+    driver-side in float64 with the same operation tree as the oracle,
+    so means and the t statistic hash bit-identically."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["error", "purchase"]))
+        t = t.filter(keep)
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 1e2), ndigits=0),
+                        pa.int64())
+        sq = pc.multiply(cents, cents)
+        agg = (pa.table({"grp": t["event_type"], "c": cents, "sq": sq})
+               .group_by("grp")
+               .aggregate([("c", "count"), ("c", "sum"), ("sq", "sum")]))
+        return pa.table({"grp": agg["grp"],
+                         "pn": pc.cast(agg["c_count"], pa.int64()),
+                         "ps": agg["c_sum"], "pss": agg["sq_sum"]})
+
+    merged = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("grp")
+              .aggregate(Sum("pn", alias_name="n"),
+                         Sum("ps", alias_name="s"),
+                         Sum("pss", alias_name="ss")))
+    rows = {r["grp"]: r for r in merged.to_pandas().to_dict("records")}
+    a, b = rows["error"], rows["purchase"]
+    n1, s1, ss1 = float(a["n"]), float(a["s"]), float(a["ss"])
+    n2, s2, ss2 = float(b["n"]), float(b["s"]), float(b["ss"])
+    m1, m2 = s1 / n1, s2 / n2
+    v1 = (ss1 - s1 * s1 / n1) / (n1 - 1.0)
+    v2 = (ss2 - s2 * s2 / n2) / (n2 - 1.0)
+    t_stat = (m1 - m2) / float(np.sqrt(v1 / n1 + v2 / n2))
+    return pa.table({"n_a": pa.array([int(a["n"])], pa.int64()),
+                     "n_b": pa.array([int(b["n"])], pa.int64()),
+                     "mean_a_cents": pa.array([m1], pa.float64()),
+                     "mean_b_cents": pa.array([m2], pa.float64()),
+                     "t_stat": pa.array([t_stat], pa.float64())})
+
+
+def q_mad_agg(sf_dir: str):
+    """ES ``median_absolute_deviation`` aggregation per event type —
+    exact two-pass MAD over integer micros inside ONE ``map_groups``
+    (the group sorts locally; the shuffle moves each event once), both
+    medians using the quantile_disc index convention shared with
+    value_quantiles."""
+    import math
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6), ndigits=0),
+                        pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "value_micro": micro})
+
+    def mad(g: pa.Table) -> pa.Table:
+        v = np.sort(g["value_micro"].to_numpy(zero_copy_only=False))
+        n = v.size
+        med = int(v[max(0, math.ceil(0.5 * n) - 1)])
+        dev = np.sort(np.abs(v - med))
+        mad_v = int(dev[max(0, math.ceil(0.5 * n) - 1)])
+        return pa.table({"event_type": pa.array([g["event_type"][0]
+                                                 .as_py()]),
+                         "n": pa.array([n], pa.int64()),
+                         "median_micro": pa.array([med], pa.int64()),
+                         "mad_micro": pa.array([mad_v], pa.int64())})
+
+    out = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("event_type").map_groups(mad, batch_format="pyarrow"))
+    return out.sort("event_type")
+
+
+def q_diversified_sampler_agg(sf_dir: str):
+    """ES ``diversified_sampler`` aggregation: a deterministic sample —
+    first 200 events in (ts, event_id) order with AT MOST 2 PER USER
+    (the de-duplication field) — feeding a sub-aggregation (count + avg
+    value per event type). The per-user cap is one groupby shuffle
+    emitting <=2 rows per user; the global head is the existing
+    distributed top-k; only 200 rows reach the driver."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "ts", "event_type",
+                        "value"])
+
+    def cap(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts", "event_id"]).head(2)
+
+    capped = ds.groupby("user_id").map_groups(cap, batch_format="pandas")
+    sample = topk(capped, 200, [("ts", "ascending"),
+                                ("event_id", "ascending")])
+    micro = np.round(sample["value"].to_numpy(np.float64)
+                     * 1e6).astype(np.int64)
+    sample = sample.assign(micro=micro)
+    agg = (sample.groupby("event_type", as_index=False)
+           .agg(n=("micro", "size"), sum_value_micro=("micro", "sum"))
+           .sort_values("event_type").reset_index(drop=True))
+    agg["n"] = agg["n"].astype("int64")
+    agg["sum_value_micro"] = agg["sum_value_micro"].astype("int64")
+    return pa.Table.from_pandas(agg, preserve_index=False)
+
+
+def q_reverse_nested_agg(sf_dir: str):
+    """ES ``reverse_nested`` aggregation over the true nested data model
+    (docs with ``events: list<struct>``, stages/nested.py — the
+    reference's analysis documents hold events lists, SURVEY §1.3): a
+    terms agg on the NESTED field ``events.event_type`` whose
+    reverse_nested sub-agg counts PARENT DOCUMENTS — n_events counts
+    every nested hit, n_parent_docs counts each parent once per
+    distinct value. Per-batch partials only."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.nested import build_event_docs
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_id", "event_type", "ts"])
+    docs = build_event_docs(ds)
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t["events"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        flat = pc.list_flatten(g)
+        parent = pc.list_parent_indices(g)
+        etype = pc.struct_field(flat, "event_type")
+        ev = (pa.table({"event_type": etype})
+              .group_by("event_type").aggregate([("event_type", "count")]))
+        par = (pa.table({"parent": parent, "event_type": etype})
+               .group_by(["parent", "event_type"]).aggregate([])
+               .group_by("event_type").aggregate([("event_type",
+                                                   "count")]))
+        ev_d = dict(zip(ev["event_type"].to_pylist(),
+                        ev["event_type_count"].to_pylist()))
+        par_d = dict(zip(par["event_type"].to_pylist(),
+                         par["event_type_count"].to_pylist()))
+        keys = sorted(ev_d)
+        return pa.table({
+            "event_type": pa.array(keys),
+            "pe": pa.array([int(ev_d[k]) for k in keys], pa.int64()),
+            "pp": pa.array([int(par_d.get(k, 0)) for k in keys],
+                           pa.int64())})
+
+    out = (docs.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("pe", alias_name="n_events"),
+                      Sum("pp", alias_name="n_parent_docs")))
+    df = out.to_pandas().sort_values("event_type").reset_index(drop=True)
+    for c in ("n_events", "n_parent_docs"):
+        df[c] = df[c].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_hybrid_search_rrf(sf_dir: str):
     """Hybrid lexical+vector retrieval with reciprocal-rank fusion (the
     ES 8.x ``rrf`` retriever): BM25 top-50 for the standard query text
@@ -4579,6 +4737,10 @@ QUERY_REGISTRY = {
     "ip_range_agg": q_ip_range_agg,
     "cumulative_cardinality": q_cumulative_cardinality,
     "pit_search": q_pit_search,
+    "t_test_agg": q_t_test_agg,
+    "mad_agg": q_mad_agg,
+    "diversified_sampler_agg": q_diversified_sampler_agg,
+    "reverse_nested_agg": q_reverse_nested_agg,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

@@ -2575,3 +2575,41 @@ ORACLE_SQL["reverse_nested_agg"] = """
                count(DISTINCT user_id)::BIGINT AS n_parent_docs
         FROM events GROUP BY 1 ORDER BY 1
 """
+
+ORACLE_SQL["boosting_query"] = _BM25_BASE + """
+        SELECT doc_id,
+               round(scores.score * (CASE WHEN doc_id IN
+                     (SELECT DISTINCT doc_id FROM tok
+                      WHERE term = 'failure')
+                   THEN 0.5 ELSE 1.0 END), 6) AS score
+        FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLE_SQL["pinned_query"] = _BM25_BASE + """
+        , pinned(doc_id, score) AS (VALUES (CAST(7 AS BIGINT), 999999.0),
+                                           (CAST(3 AS BIGINT), 999998.0),
+                                           (CAST(11 AS BIGINT), 999997.0)),
+        org AS (SELECT doc_id, round(scores.score, 6) AS score
+                FROM scores WHERE doc_id NOT IN (7, 3, 11)
+                ORDER BY scores.score DESC, doc_id ASC LIMIT 7)
+        SELECT * FROM pinned UNION ALL SELECT * FROM org
+"""
+
+ORACLE_SQL["distance_feature"] = _BM25_BASE + """
+        SELECT doc_id,
+               round(scores.score
+                     + 1.0 * (1000.0 / (1000.0
+                              + CAST(abs(doc_id - 0) AS DOUBLE))), 6)
+                   AS score
+        FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLE_SQL["constant_score"] = _bm25_base("('merge')") + """
+        SELECT t.doc_id, 1.0 AS score
+        FROM (SELECT DISTINCT tok.doc_id
+              FROM tok JOIN tr USING (doc_id)
+              WHERE tok.term = 'merge' AND tr.lang = 'en') t
+        ORDER BY doc_id LIMIT 10
+"""

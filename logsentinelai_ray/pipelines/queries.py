@@ -2147,6 +2147,54 @@ def q_function_score(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_boosting_query(sf_dir: str):
+    """ES ``boosting`` query: BM25 for the standard query text with docs
+    matching the negative query ('failure') demoted by 0.5 BEFORE top-k
+    — demotion re-ranks but never excludes (contrast must_not). The 0.5
+    multiplier is a power of two, so engine and oracle products are
+    bit-identical."""
+    eng = _docs_engine(sf_dir)
+    res = eng.boosting_search(BM25_QUERY_TEXT, negative="failure",
+                              negative_boost=0.5, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+PINNED_IDS = [7, 3, 11]
+
+
+def q_pinned_query(sf_dir: str):
+    """ES ``pinned`` query: ids [7, 3, 11] rank first in given order
+    (decreasing sentinel scores 1e6 - position, the ES shape), organic
+    BM25 fills the rest excluding them."""
+    eng = _docs_engine(sf_dir)
+    res = eng.pinned_search(PINNED_IDS, BM25_QUERY_TEXT, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_distance_feature(sf_dir: str):
+    """ES ``distance_feature`` query: BM25 plus the proximity boost
+    ``weight * pivot / (pivot + |doc_value - origin|)`` on a numeric doc
+    value — the doc id, which is this engine's recency rank (sorted-key
+    ids, deltas append after the base). Shared-op-tree float math."""
+    eng = _docs_engine(sf_dir)
+    res = eng.distance_feature_search(BM25_QUERY_TEXT, origin=0,
+                                      pivot=1000.0, weight=1.0, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_constant_score(sf_dir: str):
+    """ES ``constant_score``: every doc in the filter context (contains
+    'merge' AND lang:en) scores exactly 1.0 — pure posting-set algebra,
+    no scoring decode; ties break doc_id asc."""
+    eng = _docs_engine(sf_dir)
+    res = eng.constant_score_search("merge", filters={"lang": "en"},
+                                    k=10)
+    return pa.table({"doc_id": res["doc_id"], "score": res["score"]})
+
+
 def q_dis_max(sf_dir: str):
     """ES dis_max across content and path fields: best field dominates,
     the other enters through the tie breaker (0.5) — contrast with
@@ -4741,6 +4789,10 @@ QUERY_REGISTRY = {
     "mad_agg": q_mad_agg,
     "diversified_sampler_agg": q_diversified_sampler_agg,
     "reverse_nested_agg": q_reverse_nested_agg,
+    "boosting_query": q_boosting_query,
+    "pinned_query": q_pinned_query,
+    "distance_feature": q_distance_feature,
+    "constant_score": q_constant_score,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

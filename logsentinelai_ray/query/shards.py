@@ -1467,6 +1467,124 @@ class SearchEngine:
         topk = [(int(cand[i]), float(scores[i])) for i in order]
         return self._format_result(topk, with_meta)
 
+    def boosting_search(self, positive: str, negative: str,
+                        negative_boost: float = 0.5, k: int = 10,
+                        with_meta: bool = False) -> pa.Table:
+        """ES ``boosting`` query: BM25(positive), with any doc matching
+        the negative query demoted by ``negative_boost`` BEFORE top-k
+        selection (demotion re-ranks; it never excludes). One vectorized
+        multiply over the union of the negative terms' posting ids.
+        Runs in the TAAT regime like function_score_search; the WAND
+        scale path inflates bounds by max(1, negative_boost) — bounds
+        stay admissible because the multiplier is per-doc and <= 1."""
+        mtl = int(self.stats["max_token_len"])
+        terms = sorted(set(tokenize_py(positive, mtl)))
+        if not terms:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(terms)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        for t in terms:
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                acc[hit[0]] += hit[1]
+        neg_terms = sorted(set(tokenize_py(negative, mtl)))
+        self._ensure_contribs(neg_terms)
+        neg_ids = [self._contrib_cache[t][0] for t in neg_terms
+                   if self._contrib_cache.get(t) is not None]
+        if neg_ids:
+            # union first: a doc matching several negative terms is
+            # demoted ONCE (ES boosting semantics)
+            neg_union = np.unique(np.concatenate(neg_ids))
+            acc[neg_union] *= float(negative_boost)
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        return self._format_result(
+            [(int(cand[i]), float(scores[i])) for i in order], with_meta)
+
+    def pinned_search(self, pinned_ids: list[int], text: str,
+                      k: int = 10, with_meta: bool = False) -> pa.Table:
+        """ES ``pinned`` query: the given ids rank first in their given
+        order (ES assigns them decreasing sentinel scores; here
+        ``1e6 - position``), then organic BM25 results fill the
+        remainder, excluding the pinned ids. Tombstoned pinned ids are
+        dropped like any other deleted doc."""
+        pinned = [int(d) for d in self._drop_tombstones(
+            np.asarray(pinned_ids, dtype=np.int64))]
+        head = [(d, 1_000_000.0 - i)
+                for i, d in enumerate(pinned[:k], start=1)]
+        organic: list[tuple[int, float]] = []
+        if len(head) < k:
+            res = self.search(text, k=k + len(pinned), with_meta=False)
+            drop = set(pinned)
+            for d, s in zip(res["doc_id"].to_pylist(),
+                            res["score"].to_pylist()):
+                if int(d) not in drop:
+                    organic.append((int(d), float(s)))
+                if len(head) + len(organic) >= k:
+                    break
+        return self._format_result(head + organic[:k - len(head)],
+                                   with_meta)
+
+    def distance_feature_search(self, text: str, origin: int = 0,
+                                pivot: float = 1000.0,
+                                weight: float = 1.0, k: int = 10,
+                                with_meta: bool = False) -> pa.Table:
+        """ES ``distance_feature`` query: relevance plus a proximity
+        boost ``weight * pivot / (pivot + |value - origin|)`` on a
+        numeric doc value — here the doc id, which IS this engine's
+        recency rank (ids are assigned in sorted-key order and deltas
+        append after the base, index/update.py). A dl- or
+        timestamp-valued variant threads that value through the
+        contribution cache; the formula and exchange are identical."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        if not terms:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(terms)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        for t in terms:
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                acc[hit[0]] += hit[1]
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        dist = np.abs(cand.astype(np.float64) - float(origin))
+        scores = acc[cand] + float(weight) * (float(pivot)
+                                              / (float(pivot) + dist))
+        order = np.lexsort((cand, -scores))[:k]
+        return self._format_result(
+            [(int(cand[i]), float(scores[i])) for i in order], with_meta)
+
+    def constant_score_search(self, text: str, filters: dict | None = None,
+                              k: int = 10,
+                              with_meta: bool = False) -> pa.Table:
+        """ES ``constant_score``: every doc matching the filter context
+        (any query term, AND the keyword filters) scores exactly 1.0;
+        ties break doc_id asc. Pure posting-set algebra — no scoring
+        decode."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        self._ensure_contribs(terms)
+        id_sets = [self._contrib_cache[t][0] for t in terms
+                   if self._contrib_cache.get(t) is not None]
+        if not id_sets:
+            return self._format_result([], with_meta)
+        ids = np.unique(np.concatenate(id_sets))
+        allow = self._filter_ids(filters)
+        if allow is not None:
+            ids = ids[np.isin(ids, allow)]
+        ids = self._drop_tombstones(ids)
+        return self._format_result(
+            [(int(d), 1.0) for d in ids[:k]], with_meta)
+
     def query_string(self, qs: str, k: int = 10,
                      with_meta: bool = False) -> pa.Table:
         """ES query_string mini-language (a compatible subset):

@@ -409,3 +409,67 @@ def test_scroll_export_plans_agree(engine, tmp_path):
     assert list(a["doc_id"]) == list(b["doc_id"])
     assert list(a["sha256"]) == list(b["sha256"])
     assert len(a) == engine.match_count("authentication failure")
+
+
+def test_boosting_unit_boost_is_plain_search(engine, doc_tokens):
+    text = " ".join(doc_tokens[0][1][:4])
+    a = engine.boosting_search(text, negative=doc_tokens[0][1][0],
+                               negative_boost=1.0, k=10)
+    b = engine.search(text, k=10, with_meta=False, strategy="taat")
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_boosting_demotes_but_never_excludes(engine, doc_tokens):
+    toks = doc_tokens[0][1]
+    text = " ".join(toks[:4])
+    neg = toks[0]
+    full = engine.search(text, k=1000, with_meta=False)
+    boosted = engine.boosting_search(text, negative=neg,
+                                     negative_boost=0.5, k=1000)
+    # same match set (demotion re-ranks, must_not would shrink it)
+    assert set(boosted["doc_id"].to_pylist()) \
+        == set(full["doc_id"].to_pylist())
+    plain = dict(zip(full["doc_id"].to_pylist(),
+                     full["score"].to_pylist()))
+    neg_ids = {d for d, tk in doc_tokens if neg in tk}
+    for d, s in zip(boosted["doc_id"].to_pylist(),
+                    boosted["score"].to_pylist()):
+        exp = plain[d] * 0.5 if d in neg_ids else plain[d]
+        assert s == exp
+
+
+def test_pinned_order_then_organic(engine, doc_tokens):
+    text = " ".join(doc_tokens[0][1][:4])
+    organic = engine.search(text, k=10, with_meta=False)
+    pin = [int(organic["doc_id"][5].as_py()), 99999999,
+           int(organic["doc_id"][1].as_py())]
+    res = engine.pinned_search(pin, text, k=10)
+    ids = res["doc_id"].to_pylist()
+    # pinned first, given order, nonexistent id still pinned (ES keeps
+    # unmatched pinned ids; only tombstoned ones drop)
+    assert ids[:3] == pin
+    assert res["score"].to_pylist()[:3] == [999999.0, 999998.0, 999997.0]
+    # organic tail excludes the pinned ids and preserves relative order
+    tail_exp = [d for d in organic["doc_id"].to_pylist()
+                if d not in set(pin)][:7]
+    assert ids[3:] == tail_exp
+
+
+def test_distance_feature_formula(engine, doc_tokens):
+    text = " ".join(doc_tokens[0][1][:4])
+    plain = engine.search(text, k=1000, with_meta=False)
+    res = engine.distance_feature_search(text, origin=0, pivot=100.0,
+                                         weight=2.0, k=1000)
+    scores = dict(zip(plain["doc_id"].to_pylist(),
+                      plain["score"].to_pylist()))
+    for d, s in zip(res["doc_id"].to_pylist(), res["score"].to_pylist()):
+        assert s == scores[d] + 2.0 * (100.0 / (100.0 + float(d)))
+
+
+def test_constant_score_is_filter_context(engine, doc_tokens):
+    toks = doc_tokens[0][1]
+    res = engine.constant_score_search(toks[0], k=10_000)
+    exp = sorted(d for d, tk in doc_tokens if toks[0] in tk)
+    assert res["doc_id"].to_pylist() == exp[:10_000]
+    assert set(res["score"].to_pylist()) <= {1.0}

@@ -2613,3 +2613,140 @@ ORACLE_SQL["constant_score"] = _bm25_base("('merge')") + """
               WHERE tok.term = 'merge' AND tr.lang = 'en') t
         ORDER BY doc_id LIMIT 10
 """
+
+ORACLE_SQL["span_first"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        ), pm AS (
+          SELECT doc_id,
+                 len([i FOR i IN generate_series(1, least(len(arr), 10))
+                      IF arr[i] = 'merge'])::BIGINT AS n_matches
+          FROM t
+        )
+        SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
+        ORDER BY doc_id
+"""
+
+# span_not: 'sort' occurrences with no 'merge' within 2 tokens either
+# side (pre = post = 2) — the 1-based oracle positions cancel in the
+# |i - j| window exactly as in span_near
+ORACLE_SQL["span_not"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        ), p AS (
+          SELECT doc_id,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'sort'] AS p1,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'merge'] AS p2
+          FROM t
+        ), pm AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(p1,
+                     x -> len(list_filter(p2,
+                         y -> abs(x - y) <= 2)) = 0)) AS BIGINT)
+                     AS n_matches
+          FROM p WHERE len(p1) > 0
+        )
+        SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
+        ORDER BY doc_id
+"""
+
+ORACLE_SQL["terms_set"] = _BM25_BASE + """
+        , m AS (
+          SELECT tf.doc_id FROM tf JOIN q USING (term)
+          GROUP BY tf.doc_id HAVING count(DISTINCT tf.term) >= 3
+        )
+        SELECT s.doc_id, round(s.score, 6) AS score
+        FROM scores s JOIN m USING (doc_id)
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+
+ORACLE_SQL["categorize_text"] = """
+        WITH e AS (
+          SELECT event_type, user_id,
+                 CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                     AS k
+          FROM events
+        ), lines AS (
+          SELECT event_type || ' user=' || CAST(user_id AS VARCHAR)
+                 || ' session k=' || CAST(k AS VARCHAR)
+                 || CASE k % 3 WHEN 0 THEN ' retry'
+                               WHEN 1 THEN ' ok' ELSE '' END AS line
+          FROM e
+        )
+        SELECT regexp_replace(line, '[0-9]+', '#', 'g') AS template,
+               count(*)::BIGINT AS n
+        FROM lines GROUP BY 1 ORDER BY n DESC, template ASC LIMIT 10
+"""
+
+ORACLE_SQL["bucket_sort"] = """
+        WITH m AS (
+          SELECT event_type,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS micro
+          FROM events
+        ), buckets AS (
+          SELECT event_type, count(*)::BIGINT AS n,
+                 CAST(sum(micro) AS BIGINT) AS sum_micro
+          FROM m GROUP BY 1
+        )
+        SELECT event_type, n, sum_micro FROM buckets
+        ORDER BY sum_micro DESC, event_type ASC LIMIT 3 OFFSET 1
+"""
+
+ORACLE_SQL["moving_median"] = """
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1
+        )
+        SELECT day, n,
+               round(median(n) OVER (ORDER BY day
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                   AS mov_median7
+        FROM daily ORDER BY day
+"""
+
+ORACLE_SQL["frequent_item_sets"] = """
+        WITH d AS (
+          SELECT DISTINCT user_id, event_type FROM events
+        )
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+               count(*)::BIGINT AS support
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2 ORDER BY support DESC, item_a ASC, item_b ASC
+"""
+
+# change_point: argmax of g(k) = SL^2/k + SR^2/(n-k) over the daily
+# series, doubles built cast-first exactly like the engine so the
+# argmax and the tie-break (earliest k) agree bit-for-bit
+ORACLE_SQL["change_point"] = """
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1
+        ), ord AS (
+          SELECT day, n,
+                 row_number() OVER (ORDER BY day) AS i,
+                 count(*) OVER () AS total,
+                 sum(n) OVER (ORDER BY day) AS sl,
+                 sum(n) OVER () AS s
+          FROM daily
+        ), scored AS (
+          SELECT i AS k, total,
+                 CAST(sl AS DOUBLE) AS sld,
+                 CAST(s - sl AS DOUBLE) AS srd,
+                 CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                     / CAST(i AS DOUBLE)
+                   + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+                     / CAST(total - i AS DOUBLE) AS g
+          FROM ord WHERE i < total
+        ), best AS (
+          SELECT k, total, sld, srd FROM scored
+          ORDER BY g DESC, k ASC LIMIT 1
+        )
+        SELECT (SELECT day FROM ord, best WHERE ord.i = best.k + 1)
+                   AS change_day,
+               round(sld / CAST(k AS DOUBLE), 6) AS mean_before,
+               round(srd / CAST(total - k AS DOUBLE), 6) AS mean_after
+        FROM best
+"""

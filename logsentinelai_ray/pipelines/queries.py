@@ -4632,6 +4632,230 @@ def q_serial_diff(sf_dir: str):
         "diff7": pa.array(diff, pa.float64())})
 
 
+def q_span_first(sf_dir: str):
+    """ES ``span_first``: docs where 'merge' occurs among the first 10
+    tokens (single-term span end <= 10), with qualifying occurrence
+    counts — positional sidecar pruned to the candidate plan
+    (query/phrase.py span_first_match)."""
+    eng = _docs_engine(sf_dir)
+    return eng.span_first_match("merge", end=10)
+
+
+def q_span_not(sf_dir: str):
+    """ES ``span_not``: occurrences of 'sort' with NO 'merge' within 2
+    tokens on either side (pre=post=2); docs where every occurrence is
+    excluded drop out. n_matches counts surviving occurrences."""
+    eng = _docs_engine(sf_dir)
+    return eng.span_not_match("sort", "merge", pre=2, post=2)
+
+
+def q_terms_set(sf_dir: str):
+    """ES ``terms_set`` query: docs matching at least 3 of the 4
+    standard query terms (distinct-term count, the constant
+    minimum_should_match_script form), ranked by BM25 over their
+    matched terms."""
+    eng = _docs_engine(sf_dir)
+    res = eng.terms_set_search(BM25_QUERY_TEXT.split(), min_match=3,
+                               k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_categorize_text(sf_dir: str):
+    """ES ``categorize_text`` aggregation analog: log messages grouped
+    by token pattern after masking numeric runs (the ES categorizer's
+    number-stripping step) — the "what message shapes dominate this
+    index" panel. The message line is derived deterministically from
+    each event (type + user + session k + a k-parity suffix) since the
+    driver tables embed no raw log text; masking and counting are one
+    regex kernel + per-batch partial counts, then a single small
+    template groupby. Top 10 by (count desc, template asc)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "props"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+            pa.int64())
+        suffix = np.array([" retry", " ok", ""], dtype=object)[
+            k.to_numpy(zero_copy_only=False) % 3]
+        n_rows = t.num_rows
+        line = pc.binary_join_element_wise(
+            t["event_type"], pa.array([" user="] * n_rows),
+            pc.cast(t["user_id"], pa.string()),
+            pa.array([" session k="] * n_rows),
+            pc.cast(k, pa.string()),
+            pa.array(suffix.tolist(), pa.string()), "")
+        masked = pc.replace_substring_regex(line, r"[0-9]+", "#")
+        agg = (pa.table({"template": masked}).group_by("template")
+               .aggregate([([], "count_all")]))
+        return pa.table({"template": agg["template"],
+                         "pn": pc.cast(agg["count_all"], pa.int64())})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("template").aggregate(Sum("pn", alias_name="n")))
+    df = topk(counts, 10, [("n", "descending"),
+                           ("template", "ascending")])
+    df["n"] = df["n"].astype("int64")
+    return pa.Table.from_pandas(df[["template", "n"]],
+                                preserve_index=False)
+
+
+def q_bucket_sort(sf_dir: str):
+    """ES ``bucket_sort`` pipeline aggregation: the event_type terms
+    buckets (count + integer micro sum of value) re-sorted by sum desc
+    and truncated with from=1, size=3 — the ES bucket pagination
+    contract (skip the biggest bucket, keep the next three). The parent
+    agg is the distributed groupby; the sort/slice pass is
+    bucket-bounded on the driver."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6),
+                                 ndigits=0), pa.int64())
+        return pa.table({"event_type": t["event_type"],
+                         "value_micro": micro})
+
+    pdf = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_micro", alias_name="sum_micro"))
+           .to_pandas())
+    pdf = (pdf.sort_values(["sum_micro", "event_type"],
+                           ascending=[False, True])
+           .iloc[1:4].reset_index(drop=True))
+    pdf["n"] = pdf["n"].astype("int64")
+    pdf["sum_micro"] = pdf["sum_micro"].astype("int64")
+    return pa.Table.from_pandas(pdf[["event_type", "n", "sum_micro"]],
+                                preserve_index=False)
+
+
+def q_moving_median(sf_dir: str):
+    """ES ``moving_percentiles`` analog (50th percentile, 7-bucket
+    trailing window, the moving_fn percentile form): the daily count
+    histogram with each bucket's median-of-last-7-days. Parent
+    histogram distributed; the window pass is bucket-bounded and the
+    midpoint average of two exact integers is exact in IEEE doubles, so
+    it hashes identically to the SQL window median."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("day").aggregate(Count(alias_name="n"))
+             .sort("day").to_pandas())
+    n = daily["n"].to_numpy(dtype=np.int64)
+    med = [float(np.median(n[max(0, i - 6):i + 1]))
+           for i in range(len(n))]
+    return pa.table({
+        "day": pa.array(daily["day"].tolist(), pa.string()),
+        "n": pa.array(n, pa.int64()),
+        "mov_median7": _round6(pa.array(med, pa.float64()))})
+
+
+def q_frequent_item_sets(sf_dir: str):
+    """ES ``frequent_item_sets`` aggregation analog over per-user
+    transactions: each user's DISTINCT event_type set is one basket;
+    report every 2-itemset with its support (number of users holding
+    both items), support desc. Exchange shape: per-batch one-hot
+    presence partials (5 item columns), ONE user groupby with Max
+    (elementwise OR), then per-block pair-count partials — at most
+    C(5,2)=10 rows leave any block, and the driver rollup is
+    itemset-bounded, never user-bounded."""
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "events", columns=["user_id", "event_type"])
+    items = ["click", "error", "purchase", "signup", "view"]
+
+    def presence(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cols = {"user_id": t["user_id"]}
+        for it in items:
+            cols[f"has_{it}"] = pa.array(
+                (et == it).astype(np.int8), pa.int8())
+        # per-batch pre-OR: one row per user in this batch
+        agg = (pa.table(cols).group_by("user_id")
+               .aggregate([(f"has_{it}", "max") for it in items]))
+        return agg.rename_columns(
+            ["user_id"] + [f"has_{it}" for it in items])
+
+    baskets = (ds.map_batches(presence, batch_format="pyarrow")
+               .groupby("user_id")
+               .aggregate(*[Max(f"has_{it}", alias_name=f"has_{it}")
+                            for it in items]))
+
+    def pair_counts(t: pa.Table) -> pa.Table:
+        has = {it: t[f"has_{it}"].to_numpy(zero_copy_only=False)
+               .astype(bool) for it in items}
+        rows_a, rows_b, rows_n = [], [], []
+        for i, a in enumerate(items):
+            for b in items[i + 1:]:
+                rows_a.append(a)
+                rows_b.append(b)
+                rows_n.append(int(np.sum(has[a] & has[b])))
+        return pa.table({"item_a": pa.array(rows_a, pa.string()),
+                         "item_b": pa.array(rows_b, pa.string()),
+                         "pn": pa.array(rows_n, pa.int64())})
+
+    pdf = (baskets.map_batches(pair_counts, batch_format="pyarrow")
+           .to_pandas())
+    pdf = (pdf.groupby(["item_a", "item_b"], as_index=False)
+           .agg(support=("pn", "sum")))
+    pdf = pdf[pdf["support"] > 0]
+    pdf = (pdf.sort_values(["support", "item_a", "item_b"],
+                           ascending=[False, True, True])
+           .reset_index(drop=True))
+    pdf["support"] = pdf["support"].astype("int64")
+    return pa.Table.from_pandas(pdf, preserve_index=False)
+
+
+def q_change_point(sf_dir: str):
+    """ES ``change_point`` aggregation analog (step-change detection):
+    over the daily count series, the split minimizing total within-
+    segment squared error — equivalently maximizing g(k) = SL^2/k +
+    SR^2/(n-k) with integer prefix sums cast to double BEFORE the
+    multiply, the identical IEEE op tree as the SQL oracle (+,*,/ are
+    exactly rounded, so the argmax agrees bit-for-bit; ties break on
+    the earliest split). Returns one row: the first day of the right
+    segment and both segment means. The series is bucket-bounded — the
+    only data-sized work is the distributed histogram."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("day").aggregate(Count(alias_name="n"))
+             .sort("day").to_pandas())
+    n = daily["n"].to_numpy(dtype=np.int64)
+    days = daily["day"].tolist()
+    total = len(n)
+    if total < 2:
+        return pa.table({"change_day": pa.array([], pa.string()),
+                         "mean_before": pa.array([], pa.float64()),
+                         "mean_after": pa.array([], pa.float64())})
+    sl = np.cumsum(n)[:-1].astype(np.float64)          # k = 1..total-1
+    sr = float(n.sum()) - sl
+    k = np.arange(1, total, dtype=np.float64)
+    g = sl * sl / k + sr * sr / (float(total) - k)
+    best = int(np.argmax(g))                            # earliest max
+    return pa.table({
+        "change_day": pa.array([days[best + 1]], pa.string()),
+        "mean_before": _round6(pa.array([sl[best] / k[best]],
+                                        pa.float64())),
+        "mean_after": _round6(pa.array(
+            [sr[best] / (float(total) - k[best])], pa.float64()))})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -4793,6 +5017,14 @@ QUERY_REGISTRY = {
     "pinned_query": q_pinned_query,
     "distance_feature": q_distance_feature,
     "constant_score": q_constant_score,
+    "span_first": q_span_first,
+    "span_not": q_span_not,
+    "terms_set": q_terms_set,
+    "categorize_text": q_categorize_text,
+    "bucket_sort": q_bucket_sort,
+    "moving_median": q_moving_median,
+    "frequent_item_sets": q_frequent_item_sets,
+    "change_point": q_change_point,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

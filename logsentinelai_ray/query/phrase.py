@@ -334,3 +334,131 @@ def _run_phrase(engine, slots: list[list[str]], chunk_docs: int,
     if not tables:
         return _empty_result()
     return pa.concat_tables(tables).sort_by("doc_id")
+
+
+@ray.remote(num_cpus=1)
+def _span_occ_verify(index_dir: str, slot: list[tuple[str, int]],
+                     lo: int, hi: int,
+                     cand: np.ndarray | None = None,
+                     max_end: int | None = None,
+                     excl_slot: list[tuple[str, int]] | None = None,
+                     pre: int = 0, post: int = 0) -> pa.Table:
+    """Per-doc counts of the include slot's occurrences in [lo, hi]
+    surviving the span predicates: ``max_end`` keeps occurrences whose
+    single-term span ends at or before it (0-based pos + 1 <= max_end,
+    Lucene span_first), ``excl_slot`` removes occurrences with ANY
+    exclude occurrence in [pos - pre, pos + post] (Lucene span_not).
+    Exclusion reuses the packed-key range count of _proximity_verify:
+    pre/post never reach the 2^32 pack boundary, so a window that
+    underflows a doc's position 0 cannot leak into the previous doc's
+    key range."""
+    did, pos = _slot_positions(index_dir, slot, lo, hi)
+    if cand is not None and did.size:
+        r = np.searchsorted(cand, did)
+        ok = cand[np.minimum(r, cand.size - 1)] == did
+        did, pos = did[ok], pos[ok]
+    if max_end is not None and did.size:
+        m = pos + 1 <= max_end
+        did, pos = did[m], pos[m]
+    if excl_slot is not None and did.size:
+        d2, p2 = _slot_positions(index_dir, excl_slot, lo, hi)
+        if d2.size:
+            k1 = ((did - lo) << 32) | pos
+            k2 = np.sort(((d2 - lo) << 32) | p2)
+            hi_idx = np.searchsorted(k2, k1 + post, side="right")
+            lo_idx = np.searchsorted(k2, k1 - pre, side="left")
+            keep = (hi_idx - lo_idx) == 0
+            did, pos = did[keep], pos[keep]
+    if did.size == 0:
+        return _empty_result()
+    docs, counts = np.unique(did, return_counts=True)
+    return pa.table({
+        "doc_id": pa.array(docs, pa.int64()),
+        "n_matches": pa.array(counts.astype(np.int64), pa.int64()),
+    })
+
+
+def _run_span_occ(engine, term: str, chunk_docs: int,
+                  candidate_max_df: int, **kw) -> pa.Table:
+    """Shared planner for the single-include-slot span queries
+    (span_first / span_not): candidate plan from the include term's
+    postings when its df is decodable, doc-range plan otherwise — the
+    same two exact plans as phrase_match."""
+    from ..analysis.tokenizer import tokenize_py
+    from ..index.build import term_partition
+
+    if not engine.stats.get("store_positions"):
+        raise ValueError(
+            "index was built without the positions sidecar; rebuild with "
+            "IndexConfig(store_positions=True) to serve span queries")
+    toks = tokenize_py(term, int(engine.stats["max_token_len"]))
+    if len(toks) != 1:
+        raise ValueError("span queries take a single include term")
+    t = toks[0]
+    if engine._term_dfs([t])[t] == 0:
+        return _empty_result()
+    slot = [(t, term_partition(t, engine.P))]
+    chunk_docs = min(chunk_docs, 2 ** 31 - 1)
+    if engine._term_dfs([t])[t] <= candidate_max_df:
+        engine._ensure_contribs([t])
+        hit = engine._contrib_cache.get(t)
+        if hit is None:
+            return _empty_result()
+        cand = hit[0]
+        n_chunks = max(1, -(-cand.size // chunk_docs))
+        futures = [
+            _span_occ_verify.remote(engine.index_dir, slot,
+                                    int(c[0]), int(c[-1]), c, **kw)
+            for c in np.array_split(cand, n_chunks)]
+    else:
+        n_docs = int(engine.stats["n_docs"])
+        futures = [
+            _span_occ_verify.remote(engine.index_dir, slot, lo,
+                                    min(lo + chunk_docs - 1, n_docs - 1),
+                                    None, **kw)
+            for lo in range(0, n_docs, chunk_docs)]
+    tables = [x for x in ray.get(futures) if x.num_rows]
+    if not tables:
+        return _empty_result()
+    return pa.concat_tables(tables).sort_by("doc_id")
+
+
+def span_first_match(engine, term: str, end: int,
+                     chunk_docs: int = 200_000,
+                     candidate_max_df: int = 5_000_000) -> pa.Table:
+    """ES ``span_first``: occurrences of ``term`` whose span ends at or
+    before position ``end`` — for a single-term span, 0-based pos + 1 <=
+    end, i.e. the term appears among the first ``end`` tokens. Returns
+    (doc_id, n_matches) over docs with at least one qualifying
+    occurrence."""
+    if end < 1:
+        raise ValueError("end must be >= 1")
+    return _run_span_occ(engine, term, chunk_docs, candidate_max_df,
+                         max_end=int(end))
+
+
+def span_not_match(engine, include: str, exclude: str, pre: int = 0,
+                   post: int = 0, chunk_docs: int = 200_000,
+                   candidate_max_df: int = 5_000_000) -> pa.Table:
+    """ES ``span_not``: occurrences of ``include`` with NO occurrence of
+    ``exclude`` within ``pre`` tokens before or ``post`` tokens after
+    (Lucene span_not dist semantics on single-term spans). Returns
+    (doc_id, n_matches) counting the surviving include occurrences; docs
+    where every occurrence is excluded drop out entirely."""
+    from ..analysis.tokenizer import tokenize_py
+    from ..index.build import term_partition
+
+    if pre < 0 or post < 0:
+        raise ValueError("pre/post must be >= 0")
+    toks = tokenize_py(exclude, int(engine.stats["max_token_len"]))
+    if len(toks) != 1:
+        raise ValueError("span_not takes a single exclude term")
+    ex = toks[0]
+    if engine._term_dfs([ex])[ex] == 0:
+        # nothing to exclude: degrade to plain occurrence counting
+        return _run_span_occ(engine, include, chunk_docs,
+                             candidate_max_df)
+    excl_slot = [(ex, term_partition(ex, engine.P))]
+    return _run_span_occ(engine, include, chunk_docs, candidate_max_df,
+                         excl_slot=excl_slot, pre=int(pre),
+                         post=int(post))

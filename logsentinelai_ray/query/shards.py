@@ -1776,6 +1776,62 @@ class SearchEngine:
             proximity_match(self, first, then, window=max_gaps,
                             chunk_docs=chunk_docs, ordered=True))
 
+    def span_first_match(self, term: str, end: int,
+                         chunk_docs: int = 200_000) -> pa.Table:
+        """ES ``span_first``: (doc_id, n_matches) for docs where
+        ``term`` occurs among the first ``end`` tokens (span end <=
+        ``end``; query/phrase.py span_first_match)."""
+        from .phrase import span_first_match
+
+        return self._filter_deleted_rows(
+            span_first_match(self, term, end, chunk_docs=chunk_docs))
+
+    def span_not_match(self, include: str, exclude: str, pre: int = 0,
+                       post: int = 0,
+                       chunk_docs: int = 200_000) -> pa.Table:
+        """ES ``span_not``: (doc_id, n_matches) counting occurrences of
+        ``include`` with no ``exclude`` occurrence within ``pre`` tokens
+        before / ``post`` after (query/phrase.py span_not_match)."""
+        from .phrase import span_not_match
+
+        return self._filter_deleted_rows(
+            span_not_match(self, include, exclude, pre=pre, post=post,
+                           chunk_docs=chunk_docs))
+
+    def terms_set_search(self, terms: list[str], min_match: int,
+                         k: int = 10,
+                         with_meta: bool = False) -> pa.Table:
+        """ES ``terms_set`` query: docs matching at least ``min_match``
+        DISTINCT terms of the set, scored by BM25 over the terms they
+        do match (the ES minimum_should_match_script constant form).
+        One pass over the cached per-term contributions accumulates the
+        score and the distinct-match count together; the WAND regime
+        serves this as a top-k with the count predicate applied at
+        scoring time (same admissible bounds — dropping docs only ever
+        lowers the threshold)."""
+        mtl = int(self.stats["max_token_len"])
+        tset = sorted({t for raw in terms
+                       for t in tokenize_py(raw, mtl)})
+        if not tset or min_match < 1:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(tset)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        cnt = np.zeros(n, dtype=np.int32)
+        for t in tset:
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                acc[hit[0]] += hit[1]
+                cnt[hit[0]] += 1
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero((acc > 0.0) & (cnt >= int(min_match)))
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        return self._format_result(
+            [(int(cand[i]), float(scores[i])) for i in order], with_meta)
+
     def phrase_topk(self, phrase: str, k: int = 10,
                     with_meta: bool = False,
                     chunk_docs: int = 200_000) -> pa.Table:

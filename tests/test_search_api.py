@@ -473,3 +473,72 @@ def test_constant_score_is_filter_context(engine, doc_tokens):
     exp = sorted(d for d, tk in doc_tokens if toks[0] in tk)
     assert res["doc_id"].to_pylist() == exp[:10_000]
     assert set(res["score"].to_pylist()) <= {1.0}
+
+
+def _common_pair(doc_tokens):
+    """Two distinct terms co-occurring in at least one doc."""
+    for _d, toks in doc_tokens:
+        uniq = sorted(set(toks))
+        if len(uniq) >= 2:
+            return uniq[0], uniq[1]
+    raise AssertionError("fixture corpus has no two-term doc")
+
+
+def test_span_first_vs_bruteforce(engine, doc_tokens):
+    term = doc_tokens[0][1][0]
+    for end in (1, 3, 8):
+        res = engine.span_first_match(term, end=end)
+        got = dict(zip(res["doc_id"].to_pylist(),
+                       res["n_matches"].to_pylist()))
+        exp = {}
+        for d, toks in doc_tokens:
+            c = sum(1 for p, t in enumerate(toks)
+                    if t == term and p + 1 <= end)
+            if c:
+                exp[d] = c
+        assert got == exp
+
+
+def test_span_not_vs_bruteforce(engine, doc_tokens):
+    a, b = _common_pair(doc_tokens)
+    for pre, post in ((0, 0), (2, 2), (1, 4)):
+        res = engine.span_not_match(a, b, pre=pre, post=post)
+        got = dict(zip(res["doc_id"].to_pylist(),
+                       res["n_matches"].to_pylist()))
+        exp = {}
+        for d, toks in doc_tokens:
+            pb = [p for p, t in enumerate(toks) if t == b]
+            c = sum(1 for p, t in enumerate(toks) if t == a
+                    and not any(p - pre <= q <= p + post for q in pb))
+            if c:
+                exp[d] = c
+        assert got == exp, (pre, post)
+
+
+def test_span_not_absent_exclude_is_plain_count(engine, doc_tokens):
+    a = doc_tokens[0][1][0]
+    res = engine.span_not_match(a, "zzzmissing", pre=3, post=3)
+    exp = {d: toks.count(a) for d, toks in doc_tokens if a in toks}
+    assert dict(zip(res["doc_id"].to_pylist(),
+                    res["n_matches"].to_pylist())) == exp
+
+
+def test_terms_set_vs_bruteforce(engine, doc_tokens):
+    toks0 = sorted(set(doc_tokens[0][1]))[:4]
+    full = engine.search(" ".join(toks0), k=10_000, with_meta=False,
+                         strategy="taat")
+    plain = dict(zip(full["doc_id"].to_pylist(),
+                     full["score"].to_pylist()))
+    for m in (1, 2, 3, len(toks0)):
+        res = engine.terms_set_search(toks0, min_match=m, k=10_000)
+        exp_ids = {d for d, toks in doc_tokens
+                   if len(set(toks0) & set(toks)) >= m}
+        assert set(res["doc_id"].to_pylist()) == exp_ids, m
+        # scores are the plain BM25 sum over the matched terms
+        for d, s in zip(res["doc_id"].to_pylist(),
+                        res["score"].to_pylist()):
+            assert s == plain[d]
+    # min_match = 1 degrades to the plain disjunctive search
+    r1 = engine.terms_set_search(toks0, min_match=1, k=10_000)
+    assert r1["doc_id"].to_pylist() == full["doc_id"].to_pylist()
+    assert r1["score"].to_pylist() == full["score"].to_pylist()

@@ -2750,3 +2750,145 @@ ORACLE_SQL["change_point"] = """
                round(srd / CAST(total - k AS DOUBLE), 6) AS mean_after
         FROM best
 """
+
+# cross_fields: blended df (greatest across fields), per-doc greatest of
+# per-field tf-norms, path field is exactly ['doc', <id>, 'md'] (dl = 3,
+# avgdl = 3.0) per _corpusify_docs
+ORACLE_SQL["cross_fields"] = f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+          GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT count(*)::DOUBLE FROM tok) /
+                 (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        ), q(term) AS (VALUES ('error'), ('merge'), ('md')),
+        ptf AS (
+          SELECT doc_id, term, 1.0 AS tf
+          FROM (SELECT doc_id,
+                       unnest(['doc', CAST(doc_id AS VARCHAR), 'md'])
+                           AS term
+                FROM documents)
+        ), dfc AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf
+          JOIN q USING (term) GROUP BY 1
+        ), dfp AS (
+          SELECT term, count(*)::DOUBLE AS df FROM ptf
+          JOIN q USING (term) GROUP BY 1
+        ), dfb AS (
+          SELECT q.term,
+                 greatest(coalesce(dfc.df, 0), coalesce(dfp.df, 0)) AS df
+          FROM q LEFT JOIN dfc USING (term) LEFT JOIN dfp USING (term)
+          WHERE coalesce(dfc.df, 0) + coalesce(dfp.df, 0) > 0
+        ), normc AS (
+          SELECT tf.doc_id, tf.term,
+                 tf.tf * (1.2 + 1)
+                 / (tf.tf + 1.2 * (1 - 0.75
+                                   + 0.75 * dl.dl / stats.avgdl)) AS norm
+          FROM tf JOIN q USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+        ), normp AS (
+          SELECT doc_id, term,
+                 tf * (1.2 + 1)
+                 / (tf + 1.2 * (1 - 0.75 + 0.75 * 3.0 / 3.0)) AS norm
+          FROM ptf JOIN q USING (term)
+        ), blended AS (
+          SELECT coalesce(nc.doc_id, np.doc_id) AS doc_id,
+                 coalesce(nc.term, np.term) AS term,
+                 greatest(coalesce(nc.norm, 0), coalesce(np.norm, 0))
+                     AS norm
+          FROM normc nc FULL OUTER JOIN normp np
+            USING (doc_id, term)
+        ), scores AS (
+          SELECT doc_id,
+                 sum(ln(1 + (stats.n - dfb.df + 0.5) / (dfb.df + 0.5))
+                     * norm) AS score
+          FROM blended JOIN dfb USING (term) CROSS JOIN stats
+          GROUP BY doc_id
+        )
+        SELECT doc_id, round(score, 6) AS score FROM scores
+        ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLE_SQL["eql_sequence"] = """
+        WITH e1 AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'error'
+        ), e2 AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+        ), pairs AS (
+          SELECT e1.user_id, e1.ts AS t1
+          FROM e1 JOIN e2 ON e1.user_id = e2.user_id
+                         AND e2.ts > e1.ts
+                         AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
+        )
+        SELECT user_id, count(*)::BIGINT AS n_sequences,
+               CAST(epoch_us(min(t1)) AS BIGINT) AS first_error_us
+        FROM pairs GROUP BY 1 ORDER BY user_id
+"""
+
+# dsir_weights: add-1-smoothed unigram log-ratio, target = lang 'en',
+# source = whole corpus; ln argument built cast-first exactly like the
+# engine (doubles throughout)
+ORACLE_SQL["dsir_weights"] = f"""
+        WITH tr AS (
+          SELECT doc_id, lang, {_CAMEL.format(col='text')} AS s
+          FROM documents
+        ), tok AS (
+          SELECT doc_id, lang, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), vocab AS (
+          SELECT term,
+                 sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::DOUBLE
+                     AS c_tgt,
+                 count(*)::DOUBLE AS c_all
+          FROM tok GROUP BY 1
+        ), consts AS (
+          SELECT count(*)::DOUBLE AS v,
+                 sum(c_tgt) AS t_tgt, sum(c_all) AS t_src
+          FROM vocab
+        ), lr AS (
+          SELECT term,
+                 ln(((c_tgt + 1.0) * (t_src + v))
+                    / ((c_all + 1.0) * (t_tgt + v))) AS lr
+          FROM vocab CROSS JOIN consts
+        ), tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+          GROUP BY 1, 2
+        ), w AS (
+          SELECT doc_id, round(sum(tf * lr.lr), 6) AS weight
+          FROM tf JOIN lr USING (term) GROUP BY 1
+        )
+        SELECT doc_id, weight FROM w
+        ORDER BY weight DESC, doc_id ASC LIMIT 20
+"""
+
+ORACLE_SQL["rate_agg"] = """
+        WITH m AS (
+          SELECT strftime(ts, '%Y-%m') AS month,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS micro
+          FROM events
+        ), buckets AS (
+          SELECT month, count(*)::BIGINT AS n,
+                 CAST(sum(micro) AS BIGINT) AS sum_micro
+          FROM m GROUP BY 1
+        )
+        SELECT month, n, sum_micro,
+               round(CAST(sum_micro AS DOUBLE)
+                     / CAST(date_part('day',
+                           last_day(CAST(month || '-01' AS DATE)))
+                         AS DOUBLE), 6) AS rate_micro_per_day
+        FROM buckets ORDER BY month
+"""

@@ -4856,6 +4856,170 @@ def q_change_point(sf_dir: str):
             [sr[best] / (float(total) - k[best])], pa.float64()))})
 
 
+def q_cross_fields(sf_dir: str):
+    """ES ``multi_match`` type ``cross_fields`` over content + path:
+    term-centric blending (idf from the max-across-fields df, per-doc
+    max of per-field tf-norms, each field under its own avgdl — Lucene
+    BlendedTermQuery). The query mixes content terms with 'md', which
+    occurs ONLY in the path field — under best_fields its score would
+    be drowned; cross_fields scores it with the blended idf."""
+    eng = _docs_engine(sf_dir)
+    res = eng.cross_fields_search("error merge md", k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+_EQL_SPAN_US = 30 * 60 * 1_000_000  # sequence maxspan: 30 minutes
+
+
+def q_eql_sequence(sf_dir: str):
+    """EQL ``sequence by user_id with maxspan=30m [error] [purchase]``
+    analog (the reference's security-alert shape — ordered event pairs
+    per entity within a window): per user, the count of (error ->
+    purchase) pairs with 0 < dt <= 30min and the first matching error's
+    timestamp. The type filter prunes inside map_batches BEFORE the one
+    user groupby; each group's pair count is two searchsorteds over the
+    user's own sorted timestamps — the span_near kernel on the time
+    axis, nothing pair-sized materializes."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["error", "purchase"]))
+        t = t.filter(keep)
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_type": t["event_type"]})
+
+    def per_user(g):
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        t1 = np.sort(ts[et == "error"])
+        t2 = np.sort(ts[et == "purchase"])
+        if t1.size == 0 or t2.size == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sequences": pa.array([], pa.int64()),
+                             "first_error_us": pa.array([], pa.int64())})
+        cnt = (np.searchsorted(t2, t1 + _EQL_SPAN_US, side="right")
+               - np.searchsorted(t2, t1, side="right"))
+        n = int(cnt.sum())
+        if n == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sequences": pa.array([], pa.int64()),
+                             "first_error_us": pa.array([], pa.int64())})
+        first = int(t1[cnt > 0][0])
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+            "n_sequences": pa.array([n], pa.int64()),
+            "first_error_us": pa.array([first], pa.int64())})
+
+    out = (ds.map_batches(prune, batch_format="pyarrow")
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_dsir_weights(sf_dir: str):
+    """DSIR-style importance weights (Xie et al. 2023, data selection
+    via importance resampling — the public unigram form): weight(d) =
+    sum_t tf_t(d) * ln(p_target(t) / p_source(t)) with add-1 smoothing,
+    target = lang 'en' docs, source = the whole corpus; top 20 docs by
+    weight. One distributed token-count pass builds the two unigram
+    tables (term groupby, vocab-bounded result), the log-ratio table
+    broadcasts via ray.put, and the scoring pass is one vectorized
+    index_in + add.at per batch. At open-vocab scale the same pipeline
+    runs over HASHED n-gram buckets (the paper's construction) so the
+    broadcast stays fixed-size; the sf corpora have a closed vocab, so
+    the exact-term form is used here for oracle parity."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    from ..analysis.tokenizer import tokenize_batch_arrow
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def counts(t: pa.Table) -> pa.Table:
+        row_idx, toks, _ = tokenize_batch_arrow(t["text"])
+        is_tgt = pc.equal(t["lang"], "en").to_numpy(
+            zero_copy_only=False)[row_idx].astype(np.int64)
+        part = pa.table({"term": toks, "tgt": pa.array(is_tgt)})
+        agg = part.group_by("term").aggregate(
+            [("tgt", "sum"), ([], "count_all")])
+        return pa.table({"term": agg["term"],
+                         "c_tgt": pc.cast(agg["tgt_sum"], pa.int64()),
+                         "c_all": pc.cast(agg["count_all"], pa.int64())})
+
+    vocab_tbl = (ds.map_batches(counts, batch_format="pyarrow")
+                 .groupby("term")
+                 .aggregate(Sum("c_tgt", alias_name="c_tgt"),
+                            Sum("c_all", alias_name="c_all"))
+                 .to_pandas())  # vocab-bounded, never corpus-bounded
+    vocab_tbl = vocab_tbl.sort_values("term").reset_index(drop=True)
+    v = float(len(vocab_tbl))
+    t_tgt = float(vocab_tbl["c_tgt"].sum())
+    t_src = float(vocab_tbl["c_all"].sum())
+    ct = vocab_tbl["c_tgt"].to_numpy(dtype=np.float64)
+    cs = vocab_tbl["c_all"].to_numpy(dtype=np.float64)
+    lr = np.log(((ct + 1.0) * (t_src + v)) / ((cs + 1.0) * (t_tgt + v)))
+    vocab_ref = _ray.put((pa.array(vocab_tbl["term"].tolist(),
+                                   pa.string()), lr))
+
+    def score(t: pa.Table) -> pa.Table:
+        vocab_arr, lr_arr = _ray.get(vocab_ref)
+        row_idx, toks, _ = tokenize_batch_arrow(t["text"])
+        w = np.zeros(t.num_rows, dtype=np.float64)
+        if len(toks):
+            code = pc.index_in(toks, value_set=vocab_arr).to_numpy(
+                zero_copy_only=False)
+            np.add.at(w, row_idx, lr_arr[code])
+        return pa.table({"doc_id": t["doc_id"],
+                         "weight": _round6(pa.array(w, pa.float64()))})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    df = topk(scored, 20, [("weight", "descending"),
+                           ("doc_id", "ascending")])
+    return pa.Table.from_pandas(df[["doc_id", "weight"]],
+                                preserve_index=False)
+
+
+def q_rate_agg(sf_dir: str):
+    """ES ``rate`` aggregation (unit: day) inside a monthly
+    date_histogram: each month's integer micro-value sum normalized to
+    a per-day rate by the month's calendar length. Parent histogram
+    distributed; the normalization pass is bucket-bounded and the
+    single double division matches the oracle's op tree."""
+    import pandas as pd
+
+    from ray.data.aggregate import Count, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6),
+                                 ndigits=0), pa.int64())
+        return pa.table({"month": pc.strftime(t["ts"], format="%Y-%m"),
+                         "value_micro": micro})
+
+    pdf = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("month")
+           .aggregate(Count(alias_name="n"),
+                      Sum("value_micro", alias_name="sum_micro"))
+           .sort("month").to_pandas())
+    days = pdf["month"].map(
+        lambda m: pd.Period(m, freq="M").days_in_month) \
+        .to_numpy(dtype=np.float64)
+    rate = pdf["sum_micro"].to_numpy(dtype=np.float64) / days
+    pdf["n"] = pdf["n"].astype("int64")
+    pdf["sum_micro"] = pdf["sum_micro"].astype("int64")
+    pdf["rate_micro_per_day"] = np.asarray(
+        _round6(pa.array(rate, pa.float64())))
+    return pa.Table.from_pandas(
+        pdf[["month", "n", "sum_micro", "rate_micro_per_day"]],
+        preserve_index=False)
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -5025,6 +5189,10 @@ QUERY_REGISTRY = {
     "moving_median": q_moving_median,
     "frequent_item_sets": q_frequent_item_sets,
     "change_point": q_change_point,
+    "cross_fields": q_cross_fields,
+    "eql_sequence": q_eql_sequence,
+    "dsir_weights": q_dsir_weights,
+    "rate_agg": q_rate_agg,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

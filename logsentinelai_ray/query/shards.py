@@ -1585,6 +1585,67 @@ class SearchEngine:
         return self._format_result(
             [(int(d), 1.0) for d in ids[:k]], with_meta)
 
+    def cross_fields_search(self, text: str, k: int = 10,
+                            with_meta: bool = False) -> pa.Table:
+        """ES ``multi_match`` with ``type: cross_fields`` over the
+        scored fields (content + path): term-centric blending — each
+        query term is looked up in BOTH fields, its idf comes from the
+        BLENDED document frequency (Lucene BlendedTermQuery takes the
+        max df across fields), and per doc the term contributes
+        idf_blend * max(field tf-norms), each field normalized under
+        its own avgdl. Contrast search_fields (best_fields): that sums
+        per-field BM25 with boosts; cross_fields treats the fields as
+        one logical field so a term matching only in ``path`` is not
+        drowned by a content-frequency idf.
+
+        Exchange shape: one parallel shard-decode round per field with
+        ``idf_override=1.0`` (pure norms; the blended idf multiplies
+        driver-side), then TAAT accumulation. The WAND regime inflates
+        each term's block max by idf_blend/idf_field — still admissible
+        because max-norm <= sum-of-norms."""
+        mtl = int(self.stats["max_token_len"])
+        terms = sorted(set(tokenize_py(text, mtl)))
+        if not terms:
+            return self._format_result([], with_meta)
+        n = int(self.stats["n_docs"])
+        k1, b = self.stats["k1"], self.stats["b"]
+        avgdl = self.stats["avgdl"]
+        path_avgdl = float(self.stats.get("path_avgdl") or 0.0) or 1.0
+        # one decode round across both fields' shards, idf deferred
+        futures = []
+        for t in terms:
+            pt = "p:" + t
+            futures.append((t, "c", self.part_to_shard[
+                term_partition(t, self.P)].decode_term.remote(
+                    t, n, k1, b, avgdl, 1.0)))
+            futures.append((t, "p", self.part_to_shard[
+                term_partition(pt, self.P)].decode_term.remote(
+                    pt, n, k1, b, path_avgdl, 1.0)))
+        decoded = dict(zip([(t, f) for t, f, _ in futures],
+                           ray.get([fut for _, _, fut in futures])))
+        acc = np.zeros(n, dtype=np.float64)
+        tmp = np.zeros(n, dtype=np.float64)
+        for t in terms:
+            rc, rp = decoded.get((t, "c")), decoded.get((t, "p"))
+            if rc is None and rp is None:
+                continue
+            df_blend = max(rc[0] if rc else 0, rp[0] if rp else 0)
+            idf = bm25_idf(n, df_blend)
+            tmp[:] = 0.0
+            if rc is not None:
+                tmp[rc[1]] = rc[2]
+            if rp is not None:
+                np.maximum.at(tmp, rp[1], rp[2])
+            acc += idf * tmp
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        return self._format_result(
+            [(int(cand[i]), float(scores[i])) for i in order], with_meta)
+
     def query_string(self, qs: str, k: int = 10,
                      with_meta: bool = False) -> pa.Table:
         """ES query_string mini-language (a compatible subset):

@@ -542,3 +542,53 @@ def test_terms_set_vs_bruteforce(engine, doc_tokens):
     r1 = engine.terms_set_search(toks0, min_match=1, k=10_000)
     assert r1["doc_id"].to_pylist() == full["doc_id"].to_pylist()
     assert r1["score"].to_pylist() == full["score"].to_pylist()
+
+
+def test_cross_fields_vs_bruteforce(engine, small_index):
+    """Blended-df, max-of-field-norms semantics against a full python
+    recomputation from the stored docs (content + path fields)."""
+    import math
+
+    idx_dir, cfg = small_index
+    tbl = pq.read_table(f"{idx_dir}/docs",
+                        columns=["doc_id", "content", "path"])
+    rows = list(zip(tbl["doc_id"].to_pylist(),
+                    tbl["content"].to_pylist(),
+                    tbl["path"].to_pylist()))
+    ctoks = {d: tokenize_py(c) for d, c, _p in rows}
+    ptoks = {d: tokenize_py(p) for d, _c, p in rows}
+    n = len(rows)
+    avgdl = sum(len(t) for t in ctoks.values()) / n
+    pavgdl = sum(len(t) for t in ptoks.values()) / n
+    k1, b = cfg.k1, cfg.b
+    # query mixes content terms with a path-only term
+    some_path_term = next(t for t in ptoks[rows[0][0]]
+                          if not t.isdigit())
+    qterms = sorted({tokenize_py(rows[0][1])[0],
+                     tokenize_py(rows[0][1])[2], some_path_term})
+    exp = {}
+    for t in qterms:
+        dfc = sum(1 for d in ctoks if t in ctoks[d])
+        dfp = sum(1 for d in ptoks if t in ptoks[d])
+        if dfc + dfp == 0:
+            continue
+        idf = math.log(1.0 + (n - max(dfc, dfp) + 0.5)
+                       / (max(dfc, dfp) + 0.5))
+        for d in ctoks:
+            nc = np_norm = 0.0
+            tf = float(ctoks[d].count(t))
+            if tf:
+                nc = tf * (k1 + 1.0) / (tf + k1 * (1.0 - b
+                                                   + b * len(ctoks[d])
+                                                   / avgdl))
+            tfp = float(ptoks[d].count(t))
+            if tfp:
+                np_norm = tfp * (k1 + 1.0) / (tfp + k1 * (
+                    1.0 - b + b * len(ptoks[d]) / pavgdl))
+            if nc or np_norm:
+                exp[d] = exp.get(d, 0.0) + idf * max(nc, np_norm)
+    res = engine.cross_fields_search(" ".join(qterms), k=10_000)
+    got = dict(zip(res["doc_id"].to_pylist(), res["score"].to_pylist()))
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d] == pytest.approx(exp[d], rel=1e-12), d

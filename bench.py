@@ -221,7 +221,13 @@ def bench_pipelines() -> dict:
              "dedup_incremental", "wildcard_search",
              "intervals_ordered", "mixture_weights", "pack_bestfit",
              "rollover_search", "rescore_topk", "dedup_span_removal",
-             "mixture_sample", "sampler_agg"]
+             "mixture_sample", "sampler_agg",
+             # this-session operators: span family completion, set
+             # scoring, log-pattern/step-change analytics, EQL
+             # sequences, DSIR weights, cross-field blending
+             "span_first", "span_not", "terms_set", "categorize_text",
+             "frequent_item_sets", "change_point", "cross_fields",
+             "eql_sequence", "dsir_weights"]
     out = {}
     for name in names:
         t0 = time.monotonic()

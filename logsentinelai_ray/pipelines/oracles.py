@@ -2892,3 +2892,64 @@ ORACLE_SQL["rate_agg"] = """
                          AS DOUBLE), 6) AS rate_micro_per_day
         FROM buckets ORDER BY month
 """
+
+ORACLE_SQL["normalize_agg"] = """
+        WITH b AS (
+          SELECT event_type, count(*)::BIGINT AS n FROM events GROUP BY 1
+        )
+        SELECT event_type, n,
+               CAST(n AS DOUBLE)
+                   / CAST((SELECT sum(n) FROM b) AS DOUBLE)
+                   * 100.0 AS pct_of_total
+        FROM b ORDER BY event_type
+"""
+
+ORACLE_SQL["ks_test_agg"] = """
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 sum(CASE WHEN event_type = 'error'
+                     THEN 1 ELSE 0 END)::BIGINT AS e,
+                 count(*)::BIGINT AS a
+          FROM events GROUP BY 1
+        ), c AS (
+          SELECT day,
+                 CAST(sum(e) OVER (ORDER BY day) AS DOUBLE)
+                   / CAST((SELECT sum(e) FROM daily) AS DOUBLE) AS ce,
+                 CAST(sum(a - e) OVER (ORDER BY day) AS DOUBLE)
+                   / CAST((SELECT sum(a - e) FROM daily) AS DOUBLE)
+                     AS cr
+          FROM daily
+        )
+        SELECT round(abs(ce - cr), 6) AS ks_d, day AS at_day
+        FROM c ORDER BY abs(ce - cr) DESC, day ASC LIMIT 1
+"""
+
+# rate_anomalies: trailing-7 window EXCLUDES the scored day (ROWS 7
+# PRECEDING .. 1 PRECEDING), population variance, cast-first doubles
+ORACLE_SQL["rate_anomalies"] = """
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1
+        ), w AS (
+          SELECT day, n,
+                 row_number() OVER (ORDER BY day) AS i,
+                 sum(n) OVER (ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s,
+                 sum(n * n) OVER (ORDER BY day
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS s2
+          FROM daily
+        ), v AS (
+          SELECT day, n,
+                 CAST(s AS DOUBLE) / 7.0 AS mean,
+                 CAST(s2 AS DOUBLE) / 7.0
+                   - (CAST(s AS DOUBLE) / 7.0)
+                     * (CAST(s AS DOUBLE) / 7.0) AS var
+          FROM w WHERE i > 7
+        ), z AS (
+          SELECT day, n, mean,
+                 (CAST(n AS DOUBLE) - mean) / sqrt(var) AS z
+          FROM v WHERE var > 0.0
+        )
+        SELECT day, n, round(mean, 6) AS win_mean, round(z, 6) AS z
+        FROM z ORDER BY abs(z) DESC, day ASC LIMIT 3
+"""

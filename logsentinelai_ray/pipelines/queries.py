@@ -5020,6 +5020,109 @@ def q_rate_agg(sf_dir: str):
         preserve_index=False)
 
 
+def q_normalize_agg(sf_dir: str):
+    """ES ``normalize`` pipeline aggregation (method percent_of_sum):
+    each event_type bucket's count as a share of the total, the single
+    division in exact integers-to-double so the percentages hash
+    bit-for-bit. Bucket-bounded post-pass over the distributed terms
+    agg."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["event_type"])
+    pdf = (ds.groupby("event_type").aggregate(Count(alias_name="n"))
+           .to_pandas().sort_values("event_type")
+           .reset_index(drop=True))
+    n = pdf["n"].to_numpy(dtype=np.float64)
+    # the single divide + multiply is IEEE-exact in both engines, so the
+    # raw doubles hash identically — no rounding step to disagree on
+    pct = n / float(n.sum()) * 100.0
+    pdf["n"] = pdf["n"].astype("int64")
+    pdf["pct_of_total"] = pct
+    return pa.Table.from_pandas(pdf[["event_type", "n", "pct_of_total"]],
+                                preserve_index=False)
+
+
+def q_ks_test_agg(sf_dir: str):
+    """ES ``bucket_count_ks_test`` sibling aggregation analog: the
+    two-sample Kolmogorov–Smirnov statistic between the daily-count
+    distributions of 'error' events and all other events — D = max over
+    days of |ECDF_error - ECDF_rest|, with both ECDFs built from exact
+    integer prefix sums over the SAME day axis (missing days count 0).
+    The parent histogram is distributed; the ECDF pass is
+    bucket-bounded. Returns D and the day where it is attained
+    (earliest on ties, doubles cast-first like the oracle)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        is_err = pc.cast(pc.equal(t["event_type"], "error"), pa.int64())
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        agg = (pa.table({"day": day, "err": is_err})
+               .group_by("day").aggregate([("err", "sum"),
+                                           ([], "count_all")]))
+        return pa.table({"day": agg["day"],
+                         "e": pc.cast(agg["err_sum"], pa.int64()),
+                         "a": pc.cast(agg["count_all"], pa.int64())})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("day").aggregate(Sum("e", alias_name="err_n"),
+                                       Sum("a", alias_name="all_n"))
+             .sort("day").to_pandas())
+    e = daily["err_n"].to_numpy(dtype=np.int64)
+    r = daily["all_n"].to_numpy(dtype=np.int64) - e
+    ce = np.cumsum(e).astype(np.float64) / float(e.sum())
+    cr = np.cumsum(r).astype(np.float64) / float(r.sum())
+    d = np.abs(ce - cr)
+    best = int(np.argmax(d))
+    return pa.table({
+        "ks_d": _round6(pa.array([float(d[best])], pa.float64())),
+        "at_day": pa.array([daily["day"].iloc[best]], pa.string())})
+
+
+def q_rate_anomalies(sf_dir: str):
+    """ES anomaly-detection analog on the ingest-rate series (the
+    reference's Kibana ML panel shape): the 3 most anomalous days by
+    |z| against the TRAILING-7-day window (window stats exclude the day
+    under test, so a spike can't mask itself; warm-up days without a
+    full window never score). Distributed histogram; the rolling pass
+    is bucket-bounded and uses exact integer window sums cast to
+    double — the identical IEEE op tree as the SQL window oracle, so
+    the ranking and tie-break (day asc) agree bit-for-bit."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("day").aggregate(Count(alias_name="n"))
+             .sort("day").to_pandas())
+    n = daily["n"].to_numpy(dtype=np.int64)
+    days = daily["day"].tolist()
+    w = 7
+    rows = []
+    for i in range(w, len(n)):
+        win = n[i - w:i]
+        s = float(int(win.sum()))
+        s2 = float(int((win.astype(np.int64) ** 2).sum()))
+        mean = s / float(w)
+        var = s2 / float(w) - mean * mean
+        if var <= 0.0:
+            continue
+        z = (float(n[i]) - mean) / np.sqrt(var)
+        rows.append((days[i], int(n[i]), mean, z))
+    rows.sort(key=lambda r: (-abs(r[3]), r[0]))
+    rows = rows[:3]
+    return pa.table({
+        "day": pa.array([r[0] for r in rows], pa.string()),
+        "n": pa.array([r[1] for r in rows], pa.int64()),
+        "win_mean": _round6(pa.array([r[2] for r in rows],
+                                     pa.float64())),
+        "z": _round6(pa.array([r[3] for r in rows], pa.float64()))})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -5193,6 +5296,9 @@ QUERY_REGISTRY = {
     "eql_sequence": q_eql_sequence,
     "dsir_weights": q_dsir_weights,
     "rate_agg": q_rate_agg,
+    "normalize_agg": q_normalize_agg,
+    "ks_test_agg": q_ks_test_agg,
+    "rate_anomalies": q_rate_anomalies,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

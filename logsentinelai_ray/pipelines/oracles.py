@@ -2953,3 +2953,20 @@ ORACLE_SQL["rate_anomalies"] = """
         SELECT day, n, round(mean, 6) AS win_mean, round(z, 6) AS z
         FROM z ORDER BY abs(z) DESC, day ASC LIMIT 3
 """
+
+ORACLE_SQL["pivot_transform"] = """
+        WITH m AS (
+          SELECT user_id,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS micro,
+                 CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+                 event_type
+          FROM events
+        )
+        SELECT user_id, count(*)::BIGINT AS n_events,
+               CAST(sum(micro) AS BIGINT) AS sum_micro,
+               sum(CASE WHEN event_type = 'error'
+                   THEN 1 ELSE 0 END)::BIGINT AS n_error,
+               min(ts_us) AS first_ts_us,
+               max(ts_us) AS last_ts_us
+        FROM m GROUP BY 1 ORDER BY user_id
+"""

@@ -5123,6 +5123,53 @@ def q_rate_anomalies(sf_dir: str):
         "z": _round6(pa.array([r[3] for r in rows], pa.float64()))})
 
 
+def q_pivot_transform(sf_dir: str):
+    """ES Transform API analog (continuous pivot, stages/transform.py):
+    build the per-user rollup destination from the FIRST HALF of the
+    events (ts <= midpoint), then run one continuous checkpoint round
+    whose delta read pushes ``ts > checkpoint`` down into the parquet
+    scan, and return the destination table — which must equal the
+    full-source pivot (the oracle). Exercises the generation-manifest
+    merge path end-to-end inside the entry: counts/sums add, first/last
+    fold, only delta-user partitions rewrite."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+
+    from ..stages.transform import (build_transform, continue_transform,
+                                    read_transform)
+
+    path = os.path.join(sf_dir, "events.parquet")
+    cols = ["ts", "user_id", "event_type", "value"]
+    ds = _read(sf_dir, "events", columns=cols)
+    ts_us = ds.map_batches(
+        lambda t: pa.table({"ts_us": pc.cast(t["ts"], pa.int64())}),
+        batch_format="pyarrow")
+    split_us = (int(ts_us.min("ts_us")) + int(ts_us.max("ts_us"))) // 2
+
+    dest = os.path.join(
+        "/tmp/lsai_transform",
+        hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:16])
+    shutil.rmtree(dest, ignore_errors=True)
+
+    def first_half(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(pc.cast(t["ts"], pa.int64()),
+                             pa.scalar(split_us, pa.int64()))
+        return t.filter(keep)
+
+    build_transform(ds.map_batches(first_half, batch_format="pyarrow"),
+                    dest, num_partitions=8)
+
+    def read_delta(ckpt_us: int):
+        ts_scalar = pa.scalar(ckpt_us).cast(pa.timestamp("us"))
+        return rd.read_parquet(path, columns=cols,
+                               filter=(pc.field("ts") > ts_scalar))
+
+    continue_transform(read_delta, dest)
+    return read_transform(dest)
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -5299,6 +5346,7 @@ QUERY_REGISTRY = {
     "normalize_agg": q_normalize_agg,
     "ks_test_agg": q_ks_test_agg,
     "rate_anomalies": q_rate_anomalies,
+    "pivot_transform": q_pivot_transform,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

@@ -4,6 +4,7 @@ from .knn import (  # noqa: F401
     cosine_topk_lsh,
     embedding_dupes,
     ivf_centroids,
+    semdedup,
 )
 from .store import (  # noqa: F401
     append_ivf_index,

@@ -362,3 +362,72 @@ def embedding_dupes(ds, threshold: float = 0.95, vec_col: str = "embedding",
         return schema.empty_table()
     pdf = pdf.sort_values(["a", "b"]).reset_index(drop=True)
     return pa.Table.from_pandas(pdf, preserve_index=False).cast(schema)
+
+
+def semdedup(ds, threshold: float = 0.93, n_centroids: int = 16,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             seed: int = 42, max_group: int | None = 100_000) -> pa.Table:
+    """SemDeDup (Abbas et al. 2023, public arXiv:2303.09540): semantic
+    deduplication by clustering embeddings with spherical k-means, then
+    within each cluster greedily dropping any vector whose cosine to an
+    already-KEPT vector (ascending-id order) exceeds ``threshold`` —
+    deterministic min-id keeper variant of the paper's rule.
+
+    Exchange shape: the centroid fit is hash-rate-sampled
+    (``ivf_centroids``); the assignment pass is one broadcast matmul per
+    batch; the pairwise pass runs inside ``groupby(cluster).map_groups``
+    so each cluster's O(g^2/2) similarity work happens where the group
+    lives and only (id, cluster, keep) rows come back. ``max_group``
+    guards the quadratic: a cluster larger than it raises (at that size
+    the right move is more centroids or an in-cluster LSH sub-bucket
+    pass, the same escape hatch as dedup/jaccard.py).
+
+    Returns a Dataset of (vec_id, cluster, keep) — one row per input
+    row, sorted by vec_id; corpus-sized output stays distributed (the
+    caller writes or filters it, never collects it)."""
+    import ray
+
+    cent = ivf_centroids(ds, n_centroids=n_centroids, vec_col=vec_col,
+                         id_col=id_col, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(t: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        mat = _batch_vectors(t, vec_col)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        cluster = np.argmax(unit @ c.T, axis=1).astype(np.int32)
+        return t.append_column("cluster", pa.array(cluster))
+
+    def dedup_cluster(g: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        gsz = g.num_rows
+        if max_group is not None and gsz > max_group:
+            raise ValueError(
+                f"semdedup cluster size {gsz} > max_group={max_group}; "
+                "raise n_centroids or sub-bucket the cluster")
+        order = pc.sort_indices(g, sort_keys=[(id_col, "ascending")])
+        g = g.take(order)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        mat = _batch_vectors(g, vec_col)
+        norms = np.sqrt((mat * mat).sum(axis=1))
+        norms[norms == 0] = 1.0
+        unit = mat / norms[:, None]
+        sims = unit @ unit.T
+        keep = np.ones(gsz, dtype=bool)
+        for j in range(1, gsz):
+            if (sims[j, :j][keep[:j]] > threshold).any():
+                keep[j] = False
+        return pa.table({
+            "vec_id": pa.array(ids, pa.int64()),
+            "cluster": pa.array(
+                np.full(gsz, g["cluster"][0].as_py(), dtype=np.int32)),
+            "keep": pa.array(keep),
+        })
+
+    return (ds.map_batches(assign, batch_format="pyarrow")
+            .groupby("cluster")
+            .map_groups(dedup_cluster, batch_format="pyarrow")
+            .sort("vec_id"))

@@ -2970,3 +2970,50 @@ ORACLE_SQL["pivot_transform"] = """
                max(ts_us) AS last_ts_us
         FROM m GROUP BY 1 ORDER BY user_id
 """
+
+ORACLE_SQL["funnel_analysis"] = """
+        WITH e AS (
+          SELECT user_id, event_type,
+                 CAST(epoch_us(ts) AS BIGINT) AS ts_us
+          FROM events
+        ), v AS (
+          SELECT user_id, min(ts_us) AS t1 FROM e
+          WHERE event_type = 'view' GROUP BY 1
+        ), c AS (
+          SELECT e.user_id, min(e.ts_us) AS t2
+          FROM e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts_us > v.t1
+            AND e.ts_us <= v.t1 + 604800000000
+          GROUP BY 1
+        ), p AS (
+          SELECT e.user_id, min(e.ts_us) AS t3
+          FROM e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts_us > c.t2
+            AND e.ts_us <= c.t2 + 604800000000
+          GROUP BY 1
+        )
+        SELECT CAST(1 AS BIGINT) AS step_no, 'view' AS step,
+               (SELECT count(*) FROM v)::BIGINT AS n_users
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click', (SELECT count(*) FROM c)::BIGINT
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase',
+               (SELECT count(*) FROM p)::BIGINT
+        ORDER BY step_no
+"""
+
+ORACLE_SQL["retention_cohorts"] = """
+        WITH d AS (
+          SELECT DISTINCT user_id,
+                 CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+          FROM events
+        ), c AS (
+          SELECT user_id, min(day) AS cd FROM d GROUP BY 1
+        )
+        SELECT strftime(DATE '1970-01-01' + cd * INTERVAL 1 DAY,
+                        '%Y-%m-%d') AS cohort,
+               (day - cd)::BIGINT AS offset_days,
+               count(*)::BIGINT AS n_users
+        FROM d JOIN c USING (user_id)
+        GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -5170,6 +5170,132 @@ def q_pivot_transform(sf_dir: str):
     return read_transform(dest)
 
 
+def q_semdedup(sf_dir: str):
+    """SemDeDup semantic dedup (rows-only: the k-means fit is not
+    SQL-expressible; the drop rule's invariants are pinned in
+    test_ann.py): per-vector keep decisions after spherical-k-means
+    clustering + greedy within-cluster cosine pruning at 0.93."""
+    from ..ann import semdedup
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return semdedup(ds, threshold=0.93, n_centroids=8)
+
+
+_FUNNEL_SPAN_US = 7 * 24 * 3600 * 1_000_000  # 7 days per step
+
+
+def q_funnel_analysis(sf_dir: str):
+    """Conversion-funnel analysis (the Kibana funnel panel shape):
+    view -> click -> purchase per user, each step within 7 days of the
+    previous, first-qualifying-event semantics (t1 = first view; t2 =
+    first click in (t1, t1+span]; t3 = first purchase in (t2,
+    t2+span]). One user groupby; each group's chain is three
+    searchsorteds over the user's own sorted per-type timestamps.
+    Output: one row per step with the surviving user count."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+    steps = ["view", "click", "purchase"]
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"], value_set=pa.array(steps))
+        t = t.filter(keep)
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_type": t["event_type"]})
+
+    def per_user(g):
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        by = {s: np.sort(ts[et == s]) for s in steps}
+        reached = np.zeros(3, dtype=np.int64)
+        if by["view"].size:
+            reached[0] = 1
+            t1 = int(by["view"][0])
+            c = by["click"]
+            i = np.searchsorted(c, t1, side="right")
+            if i < c.size and c[i] <= t1 + _FUNNEL_SPAN_US:
+                reached[1] = 1
+                t2 = int(c[i])
+                p = by["purchase"]
+                j = np.searchsorted(p, t2, side="right")
+                if j < p.size and p[j] <= t2 + _FUNNEL_SPAN_US:
+                    reached[2] = 1
+        return pa.table({"step": pa.array(steps),
+                         "pn": pa.array(reached, pa.int64())})
+
+    parts = (ds.map_batches(prune, batch_format="pyarrow")
+             .groupby("user_id")
+             .map_groups(per_user, batch_format="pandas"))
+
+    def rollup(t: pa.Table) -> pa.Table:
+        agg = t.group_by("step").aggregate([("pn", "sum")])
+        return pa.table({"step": agg["step"],
+                         "pn": pc.cast(agg["pn_sum"], pa.int64())})
+
+    pdf = (parts.map_batches(rollup, batch_format="pyarrow")
+           .to_pandas().groupby("step", as_index=False)
+           .agg(n_users=("pn", "sum")))
+    order = {s: i + 1 for i, s in enumerate(steps)}
+    pdf["step_no"] = pdf["step"].map(order).astype("int64")
+    pdf["n_users"] = pdf["n_users"].astype("int64")
+    pdf = pdf.sort_values("step_no").reset_index(drop=True)
+    return pa.Table.from_pandas(pdf[["step_no", "step", "n_users"]],
+                                preserve_index=False)
+
+
+def q_retention_cohorts(sf_dir: str):
+    """Cohort-retention matrix (the classic product-analytics rollup at
+    fleet scale): users bucketed by FIRST active day; for every (cohort
+    day, day offset) the count of cohort users active on that offset.
+    Exchange shape: per-batch distinct (user, day) partials, one user
+    groupby whose groups emit (cohort, offset) rows, then per-block
+    partial counts into a cohort x offset-bounded rollup — raw events
+    never shuffle twice and nothing user-set-sized hits the driver."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    day_us = 24 * 3600 * 1_000_000
+
+    def distinct_days(t: pa.Table) -> pa.Table:
+        d = pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False) \
+            // day_us
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        key = np.unique(u.astype(np.int64) * 100_000 + d)
+        return pa.table({"user_id": pa.array(key // 100_000, pa.int64()),
+                         "day": pa.array(key % 100_000, pa.int64())})
+
+    def per_user(g):
+        days = np.unique(g["day"].to_numpy())
+        return pa.table({
+            "cohort_day": pa.array(np.full(days.size, days[0]),
+                                   pa.int64()),
+            "offset_days": pa.array(days - days[0], pa.int64())})
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        agg = (t.group_by(["cohort_day", "offset_days"])
+               .aggregate([([], "count_all")]))
+        return pa.table({"cohort_day": agg["cohort_day"],
+                         "offset_days": agg["offset_days"],
+                         "pn": pc.cast(agg["count_all"], pa.int64())})
+
+    cohorts = (ds.map_batches(distinct_days, batch_format="pyarrow")
+               .groupby("user_id")
+               .map_groups(per_user, batch_format="pandas")
+               .map_batches(count_partial, batch_format="pyarrow")
+               .groupby(["cohort_day", "offset_days"])
+               .aggregate(Sum("pn", alias_name="n_users"))
+               .to_pandas())
+    cohorts = (cohorts.sort_values(["cohort_day", "offset_days"])
+               .reset_index(drop=True))
+    import pandas as pd
+
+    cohorts["cohort"] = pd.to_datetime(
+        cohorts["cohort_day"] * 86400, unit="s").dt.strftime("%Y-%m-%d")
+    cohorts["n_users"] = cohorts["n_users"].astype("int64")
+    return pa.Table.from_pandas(
+        cohorts[["cohort", "offset_days", "n_users"]],
+        preserve_index=False)
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -5347,6 +5473,9 @@ QUERY_REGISTRY = {
     "ks_test_agg": q_ks_test_agg,
     "rate_anomalies": q_rate_anomalies,
     "pivot_transform": q_pivot_transform,
+    "funnel_analysis": q_funnel_analysis,
+    "retention_cohorts": q_retention_cohorts,
+    "semdedup": q_semdedup,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

@@ -279,3 +279,82 @@ def test_quantized_lsh_store_recall_and_size(ray_session, tmp_path):
     overlap_i = len(set(t_f["vec_id"].to_pylist())
                     & set(t_i["vec_id"].to_pylist()))
     assert overlap_i >= 9
+
+
+def _rand_vectors(n: int, dim: int, seed: int):
+    rng = np.random.default_rng(seed)
+    mat = rng.normal(size=(n, dim))
+    # plant near-duplicate pairs so the prune actually fires
+    for i in range(0, n, 10):
+        j = (i + 1) % n
+        mat[j] = mat[i] + rng.normal(scale=0.01, size=dim)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([row.astype(np.float32).tolist()
+                               for row in mat],
+                              pa.list_(pa.float32())),
+    }), mat
+
+
+def _brute_semdedup(mat: np.ndarray, cent: np.ndarray,
+                    threshold: float) -> np.ndarray:
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    unit = mat / norms[:, None]
+    cluster = np.argmax(unit @ cent.T, axis=1)
+    keep = np.ones(len(mat), dtype=bool)
+    for c in np.unique(cluster):
+        idx = np.flatnonzero(cluster == c)  # ascending vec_id order
+        for pos, j in enumerate(idx):
+            prior = idx[:pos][keep[idx[:pos]]]
+            if prior.size and (unit[prior] @ unit[j] > threshold).any():
+                keep[j] = False
+    return keep
+
+
+def test_semdedup_matches_bruteforce(ray_session):
+    import ray.data as rd
+
+    from logsentinelai_ray.ann import semdedup
+    from logsentinelai_ray.ann.knn import ivf_centroids
+
+    tbl, mat = _rand_vectors(200, 16, seed=3)
+    ds = rd.from_arrow(tbl)
+    res = semdedup(ds, threshold=0.95, n_centroids=4).to_pandas()
+    cent = ivf_centroids(rd.from_arrow(tbl), n_centroids=4)
+    exp = _brute_semdedup(mat, cent, 0.95)
+    assert list(res["vec_id"]) == list(range(200))
+    assert (res["keep"].to_numpy() == exp).all()
+    # the planted near-dup pairs must actually exercise the prune
+    assert not res["keep"].all()
+
+
+def test_semdedup_partitioning_invariant(ray_session):
+    import ray.data as rd
+
+    from logsentinelai_ray.ann import semdedup
+
+    tbl, _ = _rand_vectors(150, 8, seed=9)
+    a = semdedup(rd.from_arrow(tbl).repartition(1),
+                 threshold=0.9, n_centroids=4).to_pandas()
+    b = semdedup(rd.from_arrow(tbl).repartition(7),
+                 threshold=0.9, n_centroids=4).to_pandas()
+    assert (a["keep"].to_numpy() == b["keep"].to_numpy()).all()
+    assert (a["cluster"].to_numpy() == b["cluster"].to_numpy()).all()
+
+
+def test_semdedup_threshold_monotone_and_group_cap(ray_session):
+    import pytest as _pytest
+    import ray.data as rd
+
+    from logsentinelai_ray.ann import semdedup
+
+    tbl, _ = _rand_vectors(120, 8, seed=5)
+    loose = semdedup(rd.from_arrow(tbl), threshold=0.99,
+                     n_centroids=4).to_pandas()
+    tight = semdedup(rd.from_arrow(tbl), threshold=0.80,
+                     n_centroids=4).to_pandas()
+    assert tight["keep"].sum() <= loose["keep"].sum()
+    with _pytest.raises(Exception, match="max_group"):
+        semdedup(rd.from_arrow(tbl), threshold=0.9, n_centroids=1,
+                 max_group=10).to_pandas()

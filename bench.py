@@ -227,7 +227,9 @@ def bench_pipelines() -> dict:
              # sequences, DSIR weights, cross-field blending
              "span_first", "span_not", "terms_set", "categorize_text",
              "frequent_item_sets", "change_point", "cross_fields",
-             "eql_sequence", "dsir_weights"]
+             "eql_sequence", "dsir_weights", "pivot_transform",
+             "funnel_analysis", "retention_cohorts", "semdedup",
+             "rate_anomalies", "ks_test_agg"]
     out = {}
     for name in names:
         t0 = time.monotonic()

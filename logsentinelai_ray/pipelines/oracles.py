@@ -3017,3 +3017,14 @@ ORACLE_SQL["retention_cohorts"] = """
         FROM d JOIN c USING (user_id)
         GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+# dsl_search: bool{must: match(4 terms), filter: lang=en, must_not:
+# match('failure')} — OR-of-terms match, keyword filter, exclusion
+ORACLE_SQL["dsl_search"] = _BM25_BASE + """
+        SELECT s.doc_id, round(s.score, 6) AS score
+        FROM scores s
+        JOIN tr ON tr.doc_id = s.doc_id AND tr.lang = 'en'
+        WHERE s.doc_id NOT IN (
+          SELECT doc_id FROM tok WHERE term = 'failure')
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""

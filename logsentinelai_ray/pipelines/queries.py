@@ -5170,6 +5170,24 @@ def q_pivot_transform(sf_dir: str):
     return read_transform(dest)
 
 
+def q_dsl_search(sf_dir: str):
+    """ES Query-DSL JSON executor (query/dsl.py): a verbatim ES request
+    body — bool with a multi-term match must, a lang term filter and a
+    match must_not — executed against the engine. Candidates are docs
+    matching ANY must-match term (ES match is OR-of-terms), lang 'en',
+    and not containing 'failure'; scored by BM25 over the matched
+    terms."""
+    eng = _docs_engine(sf_dir)
+    body = {"query": {"bool": {
+        "must": [{"match": {"content": BM25_QUERY_TEXT}}],
+        "filter": [{"term": {"lang": "en"}}],
+        "must_not": [{"match": {"content": "failure"}}],
+    }}, "size": 10}
+    res = eng.dsl_search(body)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_semdedup(sf_dir: str):
     """SemDeDup semantic dedup (rows-only: the k-means fit is not
     SQL-expressible; the drop rule's invariants are pinned in
@@ -5476,6 +5494,7 @@ QUERY_REGISTRY = {
     "funnel_analysis": q_funnel_analysis,
     "retention_cohorts": q_retention_cohorts,
     "semdedup": q_semdedup,
+    "dsl_search": q_dsl_search,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

@@ -1646,6 +1646,16 @@ class SearchEngine:
         return self._format_result(
             [(int(cand[i]), float(scores[i])) for i in order], with_meta)
 
+    def dsl_search(self, body: dict,
+                   with_meta: bool = False) -> pa.Table:
+        """Execute an ES Query-DSL request body (query/dsl.py): bool /
+        match / match_phrase / term / terms / range / constant_score /
+        boosting / dis_max / function_score / match_all, with size and
+        from — the JSON surface the reference's dashboards speak."""
+        from .dsl import execute_dsl
+
+        return execute_dsl(self, body, with_meta=with_meta)
+
     def query_string(self, qs: str, k: int = 10,
                      with_meta: bool = False) -> pa.Table:
         """ES query_string mini-language (a compatible subset):

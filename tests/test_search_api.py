@@ -592,3 +592,80 @@ def test_cross_fields_vs_bruteforce(engine, small_index):
     assert set(got) == set(exp)
     for d in exp:
         assert got[d] == pytest.approx(exp[d], rel=1e-12), d
+
+
+def test_dsl_match_equals_search(engine, doc_tokens):
+    text = " ".join(doc_tokens[0][1][:4])
+    a = engine.dsl_search({"query": {"match": {"content": text}},
+                           "size": 10})
+    b = engine.search(text, k=10, with_meta=False, strategy="taat")
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_dsl_nodes_equal_engine_methods(engine, doc_tokens):
+    toks = doc_tokens[0][1]
+    text = " ".join(toks[:4])
+    # boosting node == boosting_search
+    a = engine.dsl_search({"query": {"boosting": {
+        "positive": {"match": {"content": text}},
+        "negative": {"match": {"content": toks[0]}},
+        "negative_boost": 0.5}}, "size": 10})
+    b = engine.boosting_search(text, negative=toks[0],
+                               negative_boost=0.5, k=10)
+    assert a.to_pylist() == b.to_pylist()
+    # dis_max over content+path == dis_max_search (boost folded in via
+    # function_score around the path leg)
+    a = engine.dsl_search({"query": {"dis_max": {
+        "queries": [{"match": {"content": text}},
+                    {"function_score": {
+                        "query": {"match": {"path": text}},
+                        "weight": 2.0}}],
+        "tie_breaker": 0.5}}, "size": 10})
+    b = engine.dis_max_search(content_query=text, path_query=text,
+                              path_boost=2.0, tie_breaker=0.5, k=10)
+    assert a.to_pylist() == b.to_pylist()
+    # constant_score node == constant_score_search
+    a = engine.dsl_search({"query": {"constant_score": {
+        "filter": {"match": {"content": toks[0]}},
+        "boost": 1.0}}, "size": 10_000})
+    b = engine.constant_score_search(toks[0], k=10_000)
+    assert a.to_pylist() == b.to_pylist()
+
+
+def test_dsl_bool_msm_and_range(engine, doc_tokens):
+    toks = sorted(set(doc_tokens[0][1]))[:4]
+    # pure-should bool with minimum_should_match == terms_set_search
+    a = engine.dsl_search({"query": {"bool": {
+        "should": [{"match": {"content": t}} for t in toks],
+        "minimum_should_match": 3}}, "size": 10_000})
+    b = engine.terms_set_search(toks, min_match=3, k=10_000)
+    assert a.to_pylist() == b.to_pylist()
+    # range filter bounds the id space
+    a = engine.dsl_search({"query": {"bool": {
+        "must": [{"match": {"content": toks[0]}}],
+        "filter": [{"range": {"doc_id": {"gte": 10, "lte": 50}}}]}},
+        "size": 10_000})
+    assert all(10 <= d <= 50 for d in a["doc_id"].to_pylist())
+    exp = sorted(d for d, tk in doc_tokens
+                 if toks[0] in tk and 10 <= d <= 50)
+    assert sorted(a["doc_id"].to_pylist()) == exp
+
+
+def test_dsl_paging_and_match_all(engine, doc_tokens):
+    text = " ".join(doc_tokens[0][1][:4])
+    full = engine.dsl_search({"query": {"match": {"content": text}},
+                              "size": 20})
+    page2 = engine.dsl_search({"query": {"match": {"content": text}},
+                               "size": 10, "from": 10})
+    assert page2["doc_id"].to_pylist() \
+        == full["doc_id"].to_pylist()[10:20]
+    everything = engine.dsl_search({"query": {"match_all": {}},
+                                    "size": 10_000})
+    assert everything.num_rows == len(doc_tokens)
+    assert set(everything["score"].to_pylist()) == {1.0}
+
+
+def test_dsl_unknown_node_raises(engine):
+    with pytest.raises(ValueError, match="unsupported"):
+        engine.dsl_search({"query": {"knn_frobnicate": {}}})

@@ -3028,3 +3028,31 @@ ORACLE_SQL["dsl_search"] = _BM25_BASE + """
           SELECT doc_id FROM tok WHERE term = 'failure')
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 """
+
+ORACLE_SQL["sliced_scroll"] = ORACLE_SQL["scroll_export"].replace(
+    "FROM documents d JOIN m USING (doc_id)",
+    "FROM documents d JOIN m USING (doc_id) WHERE d.doc_id % 3 = 1")
+
+# mixture_temperature: q_l = (tokens/total)^0.3 normalized; pow/div
+# cast-first doubles, round6 absorbs the unordered 5-term sum
+ORACLE_SQL["mixture_temperature"] = """
+        WITH tk AS (
+          SELECT lang,
+                 sum(len(regexp_extract_all(lower(text),
+                     '[a-z0-9]+')))::BIGINT AS tokens
+          FROM documents GROUP BY 1
+        ), p AS (
+          SELECT lang, tokens,
+                 CAST(tokens AS DOUBLE)
+                   / CAST((SELECT sum(tokens) FROM tk) AS DOUBLE)
+                     AS token_share
+          FROM tk
+        ), q AS (
+          SELECT lang, tokens, token_share,
+                 pow(token_share, 0.3) AS qv
+          FROM p
+        )
+        SELECT lang, tokens, round(token_share, 6) AS token_share,
+               round(qv / (SELECT sum(qv) FROM q), 6) AS sample_share
+        FROM q ORDER BY lang
+"""

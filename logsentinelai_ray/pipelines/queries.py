@@ -2288,7 +2288,8 @@ _SCROLL_IDS_MAX = 5_000_000
 
 
 def scroll_export(eng, text: str, outdir: str,
-                  plan: str | None = None):
+                  plan: str | None = None,
+                  slice_id: int | None = None, slices: int = 1):
     """ES scroll / reindex-with-query: every doc matching any query
     term is exported to partitioned parquet (one file per block — the
     resumable-sink shape). Two exact plans, auto-selected by match-set
@@ -2303,6 +2304,12 @@ def scroll_export(eng, text: str, outdir: str,
       query-dependent is broadcast at all, so it holds at match sets
       the driver could never hold. Costs one full-content pass.
 
+    ``slice_id``/``slices`` is the ES sliced-scroll contract: slice i
+    of m exports exactly the docs with ``doc_id % m == i`` (disjoint
+    and covering, so m independent workers can export in parallel and
+    the union is the unsliced scroll — pinned in tests). The slice
+    predicate composes with BOTH plans as one vectorized modulo mask.
+
     Both return the written Dataset re-read from ``outdir``."""
     import shutil
 
@@ -2313,6 +2320,15 @@ def scroll_export(eng, text: str, outdir: str,
 
     terms = sorted(set(tokenize_py(
         text, int(eng.stats["max_token_len"]))))
+    if slice_id is not None and not (0 <= slice_id < slices):
+        raise ValueError("slice_id must be in [0, slices)")
+
+    def slice_mask(t: pa.Table, hit: np.ndarray) -> np.ndarray:
+        if slice_id is None:
+            return hit
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        return hit & (d % slices == slice_id)
+
     if plan is None:
         ids_probe = eng.match_ids(text)
         plan = "ids" if ids_probe.size <= _SCROLL_IDS_MAX else "scan"
@@ -2323,7 +2339,7 @@ def scroll_export(eng, text: str, outdir: str,
         def keep(t: pa.Table) -> pa.Table:
             arr = ray.get(ref)
             d = t["doc_id"].to_numpy(zero_copy_only=False)
-            return t.filter(pa.array(np.isin(d, arr)))
+            return t.filter(pa.array(slice_mask(t, np.isin(d, arr))))
 
         src = rd.read_parquet(os.path.join(eng.index_dir, "docmap"),
                               columns=["doc_id", "lang", "sha256"])
@@ -2347,7 +2363,7 @@ def scroll_export(eng, text: str, outdir: str,
             if tomb.size:
                 d = t["doc_id"].to_numpy(zero_copy_only=False)
                 hit &= ~np.isin(d, tomb)
-            return t.filter(pa.array(hit)) \
+            return t.filter(pa.array(slice_mask(t, hit))) \
                 .select(["doc_id", "lang", "sha256"])
 
         src = rd.read_parquet(
@@ -5170,6 +5186,54 @@ def q_pivot_transform(sf_dir: str):
     return read_transform(dest)
 
 
+def q_sliced_scroll(sf_dir: str):
+    """ES sliced scroll: slice 1 of 3 of the standard scroll export
+    (docs matching any query term AND doc_id % 3 == 1) — the contract
+    that lets m independent workers export a match set in parallel;
+    disjointness/union-covering vs the unsliced scroll is pinned in
+    test_search_api.py."""
+    import hashlib
+
+    eng = _docs_engine(sf_dir)
+    outdir = os.path.join(
+        "/tmp/lsai_scroll_slice",
+        hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12])
+    return scroll_export(eng, BM25_QUERY_TEXT, outdir, slice_id=1,
+                         slices=3)
+
+
+_MIXTURE_TEMPERATURE = 0.3  # the multilingual-pretraining standard
+
+
+def q_mixture_temperature(sf_dir: str):
+    """Temperature-scaled language sampling (the XLM-R / mBERT
+    multilingual mixture rule, public): sampling share q_l proportional
+    to (token_share_l)^T with T = 0.3 — upweights low-resource
+    languages without the hard targets of mixture_weights. Token counts
+    are the same distributed groupby; the pow/normalize post-pass is
+    #langs-bounded with the oracle's cast-first op tree (round6 absorbs
+    the unordered SQL sum of the 5 pow terms)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    tk = (ds.map_batches(add_token_count, batch_format="pyarrow")
+          .select_columns(["lang", "n_tokens"])
+          .groupby("lang").aggregate(Sum("n_tokens", alias_name="tokens"))
+          .sort("lang").to_pandas())
+    tokens = tk["tokens"].to_numpy(dtype=np.float64)
+    p = tokens / float(int(tk["tokens"].sum()))
+    q = p ** _MIXTURE_TEMPERATURE
+    share = q / q.sum()
+    return pa.table({
+        "lang": pa.array(tk["lang"].tolist(), pa.string()),
+        "tokens": pa.array(tk["tokens"].to_numpy(dtype=np.int64),
+                           pa.int64()),
+        "token_share": _round6(pa.array(p, pa.float64())),
+        "sample_share": _round6(pa.array(share, pa.float64()))})
+
+
 def q_dsl_search(sf_dir: str):
     """ES Query-DSL JSON executor (query/dsl.py): a verbatim ES request
     body — bool with a multi-term match must, a lang term filter and a
@@ -5495,6 +5559,8 @@ QUERY_REGISTRY = {
     "retention_cohorts": q_retention_cohorts,
     "semdedup": q_semdedup,
     "dsl_search": q_dsl_search,
+    "sliced_scroll": q_sliced_scroll,
+    "mixture_temperature": q_mixture_temperature,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

@@ -669,3 +669,32 @@ def test_dsl_paging_and_match_all(engine, doc_tokens):
 def test_dsl_unknown_node_raises(engine):
     with pytest.raises(ValueError, match="unsupported"):
         engine.dsl_search({"query": {"knn_frobnicate": {}}})
+
+
+def test_sliced_scroll_partitions_the_export(engine, doc_tokens,
+                                             tmp_path):
+    """Slices are disjoint, covering, and plan-independent."""
+    import pyarrow.parquet as _pq
+
+    from logsentinelai_ray.pipelines.queries import scroll_export
+
+    text = " ".join(doc_tokens[0][1][:3])
+    full = scroll_export(engine, text, str(tmp_path / "full")) \
+        .to_pandas()
+    seen = []
+    for i in range(3):
+        for plan in ("ids", "scan"):
+            part = scroll_export(engine, text,
+                                 str(tmp_path / f"s{i}{plan}"),
+                                 plan=plan, slice_id=i, slices=3) \
+                .to_pandas()
+            assert (part["doc_id"] % 3 == i).all()
+            if plan == "ids":
+                seen.append(part)
+            else:  # both plans produce the identical slice
+                assert list(part["doc_id"]) == list(seen[-1]["doc_id"])
+    import pandas as pd
+
+    union = pd.concat(seen).sort_values("doc_id").reset_index(drop=True)
+    assert list(union["doc_id"]) == list(full["doc_id"])
+    assert list(union["sha256"]) == list(full["sha256"])

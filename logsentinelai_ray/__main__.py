@@ -165,6 +165,20 @@ def main(argv: list[str] | None = None) -> int:
     asr.add_argument("--strategy", choices=["taat", "wand"],
                      default=None)
 
+    tf = sub.add_parser("transform", parents=[common],
+                        help="continuous pivot transform (ES Transform "
+                             "API analog): build the per-user rollup "
+                             "from an events parquet, or run one "
+                             "checkpointed continuation round")
+    tf.add_argument("--events", required=True,
+                    help="events parquet file/dir (ts, user_id, "
+                         "event_type, value)")
+    tf.add_argument("--dest", required=True)
+    tf.add_argument("--continue", dest="cont", action="store_true",
+                    help="run one continuation round from the dest "
+                         "manifest's checkpoint instead of building")
+    tf.add_argument("--partitions", type=int, default=16)
+
     g = sub.add_parser("gen", parents=[common],
                        help="write a deterministic synthetic corpus")
     g.add_argument("--out", required=True)
@@ -260,6 +274,35 @@ def main(argv: list[str] | None = None) -> int:
 
             n = delete_docs(args.index, args.doc_ids)
             print(json.dumps({"tombstones": n}))
+        elif args.cmd == "transform":
+            import ray.data as rd
+
+            from .stages.transform import (build_transform,
+                                           continue_transform,
+                                           read_transform)
+
+            cols = ["ts", "user_id", "event_type", "value"]
+            if args.cont:
+                import pyarrow as pa
+                import pyarrow.compute as pc
+
+                def read_delta(ckpt_us: int):
+                    ts_scalar = pa.scalar(ckpt_us) \
+                        .cast(pa.timestamp("us"))
+                    return rd.read_parquet(
+                        args.events, columns=cols,
+                        filter=(pc.field("ts") > ts_scalar))
+
+                man = continue_transform(read_delta, args.dest)
+            else:
+                man = build_transform(
+                    rd.read_parquet(args.events, columns=cols),
+                    args.dest, num_partitions=args.partitions)
+            print(json.dumps({"gen": man["gen"],
+                              "max_ts_us": man["max_ts_us"],
+                              "partitions": len(man["parts"]),
+                              "rows": read_transform(args.dest)
+                              .num_rows}))
         elif args.cmd == "rollover":
             from .config import IndexConfig
             from .index.rollover import RolloverIndex

@@ -131,3 +131,43 @@ def test_cli_rollover_and_alias_search(cli_index, capfd, tmp_path):
     assert rows and all({"doc_id", "score"} <= set(r) for r in rows)
     scores = [r["score"] for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_cli_transform_build_and_continue(ray_session, tmp_path, capfd):
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(13)
+    n = 1200
+    ts = np.sort(rng.integers(1_700_000_000_000_000,
+                              1_700_050_000_000_000, n))
+    tbl = pa.table({
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 25, n), pa.int64()),
+        "event_type": pa.array(
+            rng.choice(["view", "click", "error"], n).tolist()),
+        "value": pa.array(rng.uniform(0, 9, n), pa.float64()),
+    })
+    cut = int(np.median(ts))
+    first = str(tmp_path / "first.parquet")
+    full = str(tmp_path / "full.parquet")
+    pq.write_table(tbl.filter(pa.array(ts <= cut)), first)
+    pq.write_table(tbl, full)
+    dest = str(tmp_path / "dest")
+
+    rows = _run(capfd, ["transform", "--events", first,
+                        "--dest", dest, "--partitions", "4"])
+    assert rows[-1]["gen"] == 0
+    rows = _run(capfd, ["transform", "--events", full,
+                        "--dest", dest, "--continue"])
+    assert rows[-1]["gen"] == 1
+    # destination equals a from-scratch build over the full source
+    from logsentinelai_ray.stages.transform import read_transform
+
+    dest2 = str(tmp_path / "dest2")
+    _run(capfd, ["transform", "--events", full, "--dest", dest2,
+                 "--partitions", "4"])
+    a = read_transform(dest).to_pylist()
+    b = read_transform(dest2).to_pylist()
+    assert a == b

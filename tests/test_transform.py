@@ -147,3 +147,38 @@ def test_continue_rewrites_only_affected_partitions(ray_session,
     exp = _brute_pivot(pa.concat_tables(
         [base.cast(delta.schema), delta]))
     assert got == exp
+
+
+def test_transform_random_split_property(ray_session, tmp_path):
+    """Property: for ANY checkpoint split of the source, build(first) +
+    continue(rest) == brute-force pivot of everything. Uses a seeded
+    sweep of split quantiles rather than hypothesis-driven Ray calls
+    (one Ray session per example would dominate the suite)."""
+    import ray.data as rd
+
+    full = _events(2500, seed=21)
+    ts = full["ts"].to_numpy(zero_copy_only=False).astype("int64")
+    exp = _brute_pivot(full)
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        cut = int(np.quantile(ts, q)) if q > 0 else int(ts.min()) - 1
+        first = full.filter(pa.array(ts <= cut))
+        rest = full.filter(pa.array(ts > cut))
+        dest = str(tmp_path / f"dest_{int(q * 10)}")
+        if first.num_rows == 0:
+            # build_transform needs at least one row to checkpoint; an
+            # empty initial build is the degenerate all-delta case
+            first = full.slice(0, 1)
+            t0 = int(ts.min())
+            rest = full.filter(pa.array(ts > t0)) if ts.size else full
+            build_transform(rd.from_arrow(first), dest,
+                            num_partitions=4)
+            continue_transform(lambda ck: rd.from_arrow(
+                full.filter(pa.array(ts > ck))), dest)
+        else:
+            build_transform(rd.from_arrow(first), dest,
+                            num_partitions=4)
+            continue_transform(lambda ck: rd.from_arrow(
+                rest.filter(pa.array(
+                    rest["ts"].to_numpy(zero_copy_only=False)
+                    .astype("int64") > ck))), dest)
+        assert _as_dict(read_transform(dest)) == exp, q

@@ -3056,3 +3056,11 @@ ORACLE_SQL["mixture_temperature"] = """
                round(qv / (SELECT sum(qv) FROM q), 6) AS sample_share
         FROM q ORDER BY lang
 """
+
+# synonym_search: 'error join' with join->merge expands to the union
+# {error, join, merge}; plain BM25 over the expanded set
+ORACLE_SQL["synonym_search"] = _bm25_base(
+    "('error'), ('join'), ('merge')") + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+"""

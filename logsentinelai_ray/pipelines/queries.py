@@ -5186,6 +5186,17 @@ def q_pivot_transform(sf_dir: str):
     return read_transform(dest)
 
 
+def q_synonym_search(sf_dir: str):
+    """ES synonym_graph analog: the query 'error join' expands 'join'
+    with synonym 'merge' — scoring equals a plain BM25 over the union
+    of the expanded term set."""
+    eng = _docs_engine(sf_dir)
+    res = eng.synonym_search("error join",
+                             synonyms={"join": ["merge"]}, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_sliced_scroll(sf_dir: str):
     """ES sliced scroll: slice 1 of 3 of the standard scroll export
     (docs matching any query term AND doc_id % 3 == 1) — the contract
@@ -5561,6 +5572,7 @@ QUERY_REGISTRY = {
     "dsl_search": q_dsl_search,
     "sliced_scroll": q_sliced_scroll,
     "mixture_temperature": q_mixture_temperature,
+    "synonym_search": q_synonym_search,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

@@ -1646,6 +1646,41 @@ class SearchEngine:
         return self._format_result(
             [(int(cand[i]), float(scores[i])) for i in order], with_meta)
 
+    def synonym_search(self, text: str, synonyms: dict[str, list[str]],
+                       k: int = 10, with_meta: bool = False) -> pa.Table:
+        """ES ``synonym_graph`` token-filter analog at query time: each
+        query term expands to itself plus its synonym set, and the doc
+        score is the BM25 sum over the UNION of expanded terms (the ES
+        multi-position-token contract: a synonym hit scores like the
+        original term occupying that position). Expansion is a
+        broadcast-side dictionary — at fleet scale the synonym map ships
+        once via ray.put inside the actor pool, exactly like the GeoIP
+        DB handle."""
+        mtl = int(self.stats["max_token_len"])
+        base = sorted(set(tokenize_py(text, mtl)))
+        expanded = set(base)
+        for t in base:
+            for syn in synonyms.get(t, []):
+                expanded.update(tokenize_py(syn, mtl))
+        terms = sorted(expanded)
+        if not terms:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(terms)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        for t in terms:  # sorted-term order — the scoring contract
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                acc[hit[0]] += hit[1]
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        return self._format_result(
+            [(int(cand[i]), float(scores[i])) for i in order], with_meta)
+
     def dsl_search(self, body: dict,
                    with_meta: bool = False) -> pa.Table:
         """Execute an ES Query-DSL request body (query/dsl.py): bool /

@@ -1,1 +1,6 @@
-from .binary import BinaryFeatureExtractor, attach_binary_payload  # noqa: F401
+from .binary import (  # noqa: F401
+    BinaryFeatureExtractor,
+    FrameSampler,
+    ImageResizer,
+    attach_binary_payload,
+)

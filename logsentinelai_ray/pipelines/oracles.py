@@ -3064,3 +3064,41 @@ ORACLE_SQL["synonym_search"] = _bm25_base(
         SELECT doc_id, round(scores.score, 6) AS score FROM scores
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
 """
+
+# multimodal_resize: stub decode geometry (width = n%640+1, height =
+# (n//640)%480+1 over the utf-8 payload bytes, as in multimodal_stats),
+# fit-inside integer resize to target_w=256, RGB byte count
+ORACLE_SQL["multimodal_resize"] = """
+        WITH m AS (
+          SELECT lang, octet_length(encode(text)) AS n FROM documents
+        ), g AS (
+          SELECT lang, (n % 640 + 1) AS w,
+                 ((n // 640) % 480 + 1) AS h
+          FROM m
+        ), r AS (
+          SELECT lang, least(w, 256) AS out_w,
+                 greatest(1, h * least(w, 256) // w) AS out_h
+          FROM g
+        )
+        SELECT lang, count(*)::BIGINT AS n,
+               sum(out_w)::BIGINT AS total_out_width,
+               sum(out_h)::BIGINT AS total_out_height,
+               sum(out_w * out_h * 3)::BIGINT AS total_resized_bytes
+        FROM r GROUP BY 1 ORDER BY lang
+"""
+
+ORACLE_SQL["video_frame_sample"] = """
+        WITH m AS (
+          SELECT doc_id, octet_length(encode(text)) AS n
+          FROM documents WHERE doc_id < 300
+        ), f AS (
+          SELECT doc_id, (n // 1024 + 1) AS nf FROM m
+        ), s AS (
+          SELECT doc_id, least(nf, 8) AS k,
+                 nf // least(nf, 8) AS stride
+          FROM f
+        )
+        SELECT doc_id, CAST(k AS BIGINT) AS n_frames,
+               CAST((k - 1) * stride AS BIGINT) AS last_frame
+        FROM s ORDER BY doc_id
+"""

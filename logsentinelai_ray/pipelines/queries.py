@@ -5186,6 +5186,74 @@ def q_pivot_transform(sf_dir: str):
     return read_transform(dest)
 
 
+def q_multimodal_resize(sf_dir: str):
+    """Multimodal resize stage metadata (multimodal/binary.py
+    ImageResizer): per-lang totals of the fit-inside geometry and the
+    resized RGB byte count over the stub-decoded payloads — all exact
+    integer arithmetic, so the agg hashes against SQL. Pipeline shape:
+    attach payload -> actor-pool decode -> actor-pool resize -> small
+    groupby."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..multimodal import (BinaryFeatureExtractor, ImageResizer,
+                              attach_binary_payload)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+    decoded = (ds.map_batches(attach_binary_payload,
+                              batch_format="pyarrow")
+               .map_batches(BinaryFeatureExtractor,
+                            batch_format="pyarrow",
+                            concurrency=(1, 4), batch_size=512)
+               .map_batches(ImageResizer, batch_format="pyarrow",
+                            concurrency=(1, 4), batch_size=512))
+
+    def partial(t: pa.Table) -> pa.Table:
+        return pa.table({"lang": t["lang"],
+                         "out_w": t["out_width"],
+                         "out_h": t["out_height"],
+                         "rb": t["resized_bytes"]})
+
+    out = (decoded.map_batches(partial, batch_format="pyarrow")
+           .groupby("lang")
+           .aggregate(Count(alias_name="n"),
+                      Sum("out_w", alias_name="total_out_width"),
+                      Sum("out_h", alias_name="total_out_height"),
+                      Sum("rb", alias_name="total_resized_bytes"))
+           .sort("lang").to_pandas())
+    for c in ("n", "total_out_width", "total_out_height",
+              "total_resized_bytes"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_video_frame_sample(sf_dir: str):
+    """Multimodal frame-sampling stage (multimodal/binary.py
+    FrameSampler — the flat_map layout: one video row explodes to one
+    row per sampled frame): per-doc sampled-frame count and last frame
+    index over the first 300 docs, integer-exact vs SQL (frame count =
+    bytes // 1024 + 1 capped at 8, uniform stride)."""
+    from ray.data.aggregate import Count, Max
+
+    from ..multimodal import FrameSampler, attach_binary_payload
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "text"])
+
+    def head(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["doc_id"], 300))
+
+    frames = (ds.map_batches(head, batch_format="pyarrow")
+              .map_batches(attach_binary_payload, batch_format="pyarrow")
+              .map_batches(FrameSampler, batch_format="pyarrow",
+                           concurrency=(1, 4), batch_size=256))
+    out = (frames.groupby("doc_id")
+           .aggregate(Count(alias_name="n_frames"),
+                      Max("frame_index", alias_name="last_frame"))
+           .sort("doc_id").to_pandas())
+    out["n_frames"] = out["n_frames"].astype("int64")
+    out["last_frame"] = out["last_frame"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_synonym_search(sf_dir: str):
     """ES synonym_graph analog: the query 'error join' expands 'join'
     with synonym 'merge' — scoring equals a plain BM25 over the union
@@ -5573,6 +5641,8 @@ QUERY_REGISTRY = {
     "sliced_scroll": q_sliced_scroll,
     "mixture_temperature": q_mixture_temperature,
     "synonym_search": q_synonym_search,
+    "multimodal_resize": q_multimodal_resize,
+    "video_frame_sample": q_video_frame_sample,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

@@ -137,50 +137,60 @@ def _empty_pivot() -> pa.Table:
     })
 
 
-@ray.remote(num_cpus=1)
-def _write_partition(dest_dir: str, old_rel: str | None,
-                     delta: pa.Table, out_rel: str) -> str:
-    """Merge one partition: old partition file (if any) + delta partial
-    rows -> one small groupby, written to a NEW generation file (the
-    old file stays readable until the manifest flips)."""
-    tables = [delta]
-    if old_rel is not None:
-        tables.append(pq.read_table(os.path.join(dest_dir, old_rel)))
-    merged = _merge_pivot(pa.concat_tables(tables))
-    merged = merged.sort_by("user_id")
-    tmp = os.path.join(dest_dir, out_rel + ".tmp")
-    pq.write_table(merged, tmp)
-    os.replace(tmp, os.path.join(dest_dir, out_rel))
-    return out_rel
+def _add_part(t: pa.Table, p_count: int) -> pa.Table:
+    uid = t["user_id"].to_numpy(zero_copy_only=False)
+    return t.append_column(
+        "part", pa.array(_partition_of(uid, p_count), pa.int64()))
+
+
+def _write_rounds(dest_dir: str, pivoted, p_count: int, gen: int,
+                  old_parts: dict[str, str]) -> list[dict]:
+    """Shard-side partition writer: the pivot rows are grouped by their
+    hash partition and EACH GROUP TASK merges its old partition file
+    (if any) and writes the new generation file where the group lives —
+    nothing entity-set-sized ever crosses the driver; only one
+    (part, rel, max_ts) stat row per partition comes back. On a
+    multi-node cluster ``dest_dir`` is shared storage (the same
+    contract as every Ray Data write_parquet sink)."""
+
+    def write_part(g: pa.Table) -> pa.Table:
+        p = int(g["part"][0].as_py())
+        delta_max = int(pc.max(g["last_ts_us"]).as_py())
+        tables = [g.drop_columns(["part"])]
+        old_rel = old_parts.get(str(p))
+        if old_rel is not None:
+            tables.append(pq.read_table(os.path.join(dest_dir, old_rel)))
+        merged = _merge_pivot(pa.concat_tables(tables)).sort_by("user_id")
+        rel = f"part-{p:04d}-gen{gen}.parquet"
+        tmp = os.path.join(dest_dir, rel + ".tmp")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, os.path.join(dest_dir, rel))
+        return pa.table({"part": pa.array([p], pa.int64()),
+                         "rel": pa.array([rel], pa.string()),
+                         "max_ts": pa.array([delta_max], pa.int64())})
+
+    from functools import partial as _p
+
+    stats = (pivoted
+             .map_batches(_p(_add_part, p_count=p_count),
+                          batch_format="pyarrow")
+             .groupby("part")
+             .map_groups(write_part, batch_format="pyarrow"))
+    return [r for b in stats.iter_batches(batch_format="pyarrow",
+                                          batch_size=1 << 16)
+            for r in b.to_pylist()]  # #partitions rows, never data-sized
 
 
 def build_transform(ds, dest_dir: str, num_partitions: int = 16) -> dict:
     """Initial pivot-transform build: full pivot, hash-partitioned dest
-    files, generation-0 manifest carrying the source checkpoint
-    (max ts seen, in microseconds)."""
+    files written shard-side, generation-0 manifest carrying the source
+    checkpoint (max ts seen, in microseconds)."""
     os.makedirs(dest_dir, exist_ok=True)
-    pivoted = pivot_events(ds)
-    parts: dict[int, list[pa.Table]] = {}
-    max_ts = -1
-    for batch in pivoted.iter_batches(batch_format="pyarrow",
-                                      batch_size=1 << 18):
-        if batch.num_rows == 0:
-            continue
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        pids = _partition_of(uid, num_partitions)
-        max_ts = max(max_ts, int(pc.max(batch["last_ts_us"]).as_py()))
-        for p in np.unique(pids):
-            parts.setdefault(int(p), []).append(
-                batch.filter(pa.array(pids == p)))
+    rows = _write_rounds(dest_dir, pivot_events(ds), num_partitions,
+                         gen=0, old_parts={})
     man = {"gen": 0, "num_partitions": num_partitions,
-           "max_ts_us": max_ts, "parts": {}}
-    for p, tabs in parts.items():
-        rel = f"part-{p:04d}-gen0.parquet"
-        tbl = pa.concat_tables(tabs).sort_by("user_id")
-        tmp = os.path.join(dest_dir, rel + ".tmp")
-        pq.write_table(tbl, tmp)
-        os.replace(tmp, os.path.join(dest_dir, rel))
-        man["parts"][str(p)] = rel
+           "max_ts_us": max((r["max_ts"] for r in rows), default=-1),
+           "parts": {str(r["part"]): r["rel"] for r in rows}}
     _store_manifest(dest_dir, man)
     return man
 
@@ -191,43 +201,27 @@ def continue_transform(read_delta, dest_dir: str) -> dict:
     rows with ``ts > checkpoint`` — the query entry passes a
     ``read_parquet`` with that predicate pushed down, so row groups
     entirely behind the checkpoint never leave storage. The delta is
-    pivoted distributed, then only the partitions owning a delta user
-    re-merge (parallel Ray tasks) and the manifest flips atomically.
+    pivoted distributed, and only the partitions owning a delta user
+    re-merge — each inside the groupby task that owns it (shard-side
+    read-old + merge + write-new); unaffected partitions carry forward
+    by manifest reference. The manifest flips atomically afterwards.
     Re-running after a crash (stale generation files, manifest not
     flipped) is safe: the merge reads only manifest-listed files and
     the flip is one os.replace. An empty delta is a no-op that leaves
     the manifest untouched."""
     man = _load_manifest(dest_dir)
     ckpt = int(man["max_ts_us"])
-    p_count = int(man["num_partitions"])
-    pivoted = pivot_events(read_delta(ckpt))
-    by_part: dict[int, list[pa.Table]] = {}
-    max_ts = ckpt
-    for batch in pivoted.iter_batches(batch_format="pyarrow",
-                                      batch_size=1 << 18):
-        if batch.num_rows == 0:
-            continue
-        uid = batch["user_id"].to_numpy(zero_copy_only=False)
-        pids = _partition_of(uid, p_count)
-        max_ts = max(max_ts, int(pc.max(batch["last_ts_us"]).as_py()))
-        for p in np.unique(pids):
-            by_part.setdefault(int(p), []).append(
-                batch.filter(pa.array(pids == p)))
-    if not by_part:
-        return man  # empty delta: checkpoint already covers the source
     gen = int(man["gen"]) + 1
-    futures = {}
-    for p, tabs in by_part.items():
-        out_rel = f"part-{p:04d}-gen{gen}.parquet"
-        futures[p] = _write_partition.remote(
-            dest_dir, man["parts"].get(str(p)),
-            pa.concat_tables(tabs), out_rel)
-    written = {p: ray.get(f) for p, f in futures.items()}
+    rows = _write_rounds(dest_dir, pivot_events(read_delta(ckpt)),
+                         int(man["num_partitions"]), gen=gen,
+                         old_parts=man["parts"])
+    if not rows:
+        return man  # empty delta: checkpoint already covers the source
     man = dict(man)
     man["gen"] = gen
-    man["max_ts_us"] = max_ts
-    man["parts"] = dict(man["parts"], **{str(p): rel
-                                         for p, rel in written.items()})
+    man["max_ts_us"] = max(ckpt, max(r["max_ts"] for r in rows))
+    man["parts"] = dict(man["parts"],
+                        **{str(r["part"]): r["rel"] for r in rows})
     _store_manifest(dest_dir, man)
     return man
 

@@ -3102,3 +3102,78 @@ ORACLE_SQL["video_frame_sample"] = """
                CAST((k - 1) * stride AS BIGINT) AS last_frame
         FROM s ORDER BY doc_id
 """
+
+# span_or: occurrences of either clause term, positions comprehension
+ORACLE_SQL["span_or"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        ), pm AS (
+          SELECT doc_id,
+                 len([i FOR i IN generate_series(1, len(arr))
+                      IF arr[i] IN ('merge', 'sort')])::BIGINT
+                     AS n_matches
+          FROM t
+        )
+        SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
+        ORDER BY doc_id
+"""
+
+# match_bool_prefix: exact terms {error, merge} plus every dictionary
+# term with prefix 's' as additional should terms (the engine's
+# max_expansions=1024 cap never binds on the sf vocab)
+ORACLE_SQL["match_bool_prefix"] = f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), tf AS (
+          SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok
+          GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+        ), stats AS (
+          SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                 (SELECT count(*)::DOUBLE FROM tok) /
+                 (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+        ), df AS (
+          SELECT term, count(*)::DOUBLE AS df FROM tf
+          WHERE term IN ('error', 'merge') OR term LIKE 's%'
+          GROUP BY 1
+        ), scores AS (
+          SELECT tf.doc_id,
+                 sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                     * tf.tf * (1.2 + 1)
+                     / (tf.tf + 1.2 * (1 - 0.75
+                                       + 0.75 * dl.dl / stats.avgdl))
+                 ) AS score
+          FROM tf
+          JOIN df USING (term) JOIN dl USING (doc_id)
+          CROSS JOIN stats
+          GROUP BY tf.doc_id
+        )
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+"""
+
+ORACLE_SQL["percentiles_bucket"] = """
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1
+        )
+        SELECT count(*)::BIGINT AS n_buckets,
+               quantile_disc(n, 0.5)::BIGINT AS p50,
+               quantile_disc(n, 0.9)::BIGINT AS p90
+        FROM daily
+"""
+
+ORACLE_SQL["geo_bbox_filter"] = _GEO_BASE + """
+        SELECT country_code AS cc, count(*)::BIGINT AS n_in_box
+        FROM geo
+        WHERE lat_cd BETWEEN -3000 AND 3000
+          AND lon_cd BETWEEN -9000 AND 9000
+        GROUP BY 1 ORDER BY 1
+"""

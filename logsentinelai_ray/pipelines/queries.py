@@ -5186,6 +5186,83 @@ def q_pivot_transform(sf_dir: str):
     return read_transform(dest)
 
 
+def q_span_or(sf_dir: str):
+    """ES ``span_or`` over single-term clauses 'merge' / 'sort': per-doc
+    occurrence counts of either term from the positions sidecar (one
+    multi-alternative slot through the shared verify kernel)."""
+    eng = _docs_engine(sf_dir)
+    return eng.span_or_match(["merge", "sort"])
+
+
+def q_match_bool_prefix(sf_dir: str):
+    """ES ``match_bool_prefix``: 'error merge s' — the trailing 's'
+    expands against the shard dictionaries and every expansion scores
+    as another bool-should term; plain BM25 sum over the union."""
+    eng = _docs_engine(sf_dir)
+    res = eng.match_bool_prefix_search("error merge s", k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_percentiles_bucket(sf_dir: str):
+    """ES ``percentiles_bucket`` sibling aggregation: p50/p90 of the
+    daily count histogram's bucket values, the shared quantile_disc
+    convention (sorted element at ceil(q*n)-1). Distributed parent
+    histogram; the sibling pass sorts #days integers on the driver."""
+    import math
+
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({"day": pc.strftime(t["ts"], format="%Y-%m-%d")})
+
+    daily = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("day").aggregate(Count(alias_name="n"))
+             .to_pandas())
+    v = np.sort(daily["n"].to_numpy(dtype=np.int64))
+    n = v.size
+
+    def q(p: float) -> int:
+        return int(v[max(0, math.ceil(p * n) - 1)])
+
+    return pa.table({"n_buckets": pa.array([n], pa.int64()),
+                     "p50": pa.array([q(0.5)], pa.int64()),
+                     "p90": pa.array([q(0.9)], pa.int64())})
+
+
+# geo_bounding_box filter corners (integer centi-degrees)
+_GEO_BBOX = (-3000, 3000, -9000, 9000)  # lat lo/hi, lon lo/hi
+
+
+def q_geo_bbox_filter(sf_dir: str):
+    """ES ``geo_bounding_box`` filter over the enriched locations:
+    per-country counts of locations inside the box — one vectorized
+    integer comparison per batch, partial counts, small groupby."""
+    from ray.data.aggregate import Sum
+
+    lat_lo, lat_hi, lon_lo, lon_hi = _GEO_BBOX
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t["lat_cd"].to_numpy(zero_copy_only=False)
+        lon = t["lon_cd"].to_numpy(zero_copy_only=False)
+        keep = ((lat >= lat_lo) & (lat <= lat_hi)
+                & (lon >= lon_lo) & (lon <= lon_hi))
+        kept = t.filter(pa.array(keep))
+        agg = (pa.table({"cc": kept["country_code"]})
+               .group_by("cc").aggregate([([], "count_all")]))
+        return pa.table({"cc": agg["cc"],
+                         "pn": pc.cast(agg["count_all"], pa.int64())})
+
+    out = (_geo_located_ips(sf_dir)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("cc").aggregate(Sum("pn", alias_name="n_in_box"))
+           .sort("cc").to_pandas())
+    out["n_in_box"] = out["n_in_box"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_multimodal_resize(sf_dir: str):
     """Multimodal resize stage metadata (multimodal/binary.py
     ImageResizer): per-lang totals of the fit-inside geometry and the
@@ -5643,6 +5720,10 @@ QUERY_REGISTRY = {
     "synonym_search": q_synonym_search,
     "multimodal_resize": q_multimodal_resize,
     "video_frame_sample": q_video_frame_sample,
+    "span_or": q_span_or,
+    "match_bool_prefix": q_match_bool_prefix,
+    "percentiles_bucket": q_percentiles_bucket,
+    "geo_bbox_filter": q_geo_bbox_filter,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

@@ -462,3 +462,52 @@ def span_not_match(engine, include: str, exclude: str, pre: int = 0,
     return _run_span_occ(engine, include, chunk_docs, candidate_max_df,
                          excl_slot=excl_slot, pre=int(pre),
                          post=int(post))
+
+
+def span_or_match(engine, terms: list[str], chunk_docs: int = 200_000,
+                  candidate_max_df: int = 5_000_000) -> pa.Table:
+    """ES ``span_or`` over single-term clauses: per doc, the count of
+    occurrences of ANY of the terms (clause spans never collide — two
+    distinct terms cannot occupy one position, so the union count is
+    the plain sum). Reuses the slot-alternatives machinery: ONE slot
+    carrying every clause as an alternative, driven through the same
+    candidate/range planner as span_first."""
+    from ..analysis.tokenizer import tokenize_py
+    from ..index.build import term_partition
+
+    if not engine.stats.get("store_positions"):
+        raise ValueError(
+            "index was built without the positions sidecar; rebuild with "
+            "IndexConfig(store_positions=True) to serve span queries")
+    mtl = int(engine.stats["max_token_len"])
+    toks = sorted({t for raw in terms for t in tokenize_py(raw, mtl)})
+    dfs = engine._term_dfs(toks)
+    live = [t for t in toks if dfs[t] > 0]
+    if not live:
+        return _empty_result()
+    slot = [(t, term_partition(t, engine.P)) for t in live]
+    chunk_docs = min(chunk_docs, 2 ** 31 - 1)
+    union_df = sum(dfs[t] for t in live)
+    if union_df <= candidate_max_df:
+        engine._ensure_contribs(live)
+        id_sets = [engine._contrib_cache[t][0] for t in live
+                   if engine._contrib_cache.get(t) is not None]
+        if not id_sets:
+            return _empty_result()
+        cand = (id_sets[0] if len(id_sets) == 1
+                else np.unique(np.concatenate(id_sets)))
+        n_chunks = max(1, -(-cand.size // chunk_docs))
+        futures = [
+            _span_occ_verify.remote(engine.index_dir, slot,
+                                    int(c[0]), int(c[-1]), c)
+            for c in np.array_split(cand, n_chunks)]
+    else:
+        n_docs = int(engine.stats["n_docs"])
+        futures = [
+            _span_occ_verify.remote(engine.index_dir, slot, lo,
+                                    min(lo + chunk_docs - 1, n_docs - 1))
+            for lo in range(0, n_docs, chunk_docs)]
+    tables = [x for x in ray.get(futures) if x.num_rows]
+    if not tables:
+        return _empty_result()
+    return pa.concat_tables(tables).sort_by("doc_id")

@@ -1904,6 +1904,50 @@ class SearchEngine:
             span_not_match(self, include, exclude, pre=pre, post=post,
                            chunk_docs=chunk_docs))
 
+    def span_or_match(self, terms: list[str],
+                      chunk_docs: int = 200_000) -> pa.Table:
+        """ES ``span_or`` (single-term clauses): (doc_id, n_matches)
+        counting occurrences of ANY of the terms (query/phrase.py
+        span_or_match — one multi-alternative slot)."""
+        from .phrase import span_or_match
+
+        return self._filter_deleted_rows(
+            span_or_match(self, terms, chunk_docs=chunk_docs))
+
+    def match_bool_prefix_search(self, text: str, k: int = 10,
+                                 max_expansions: int = 1024,
+                                 with_meta: bool = False) -> pa.Table:
+        """ES ``match_bool_prefix``: every token but the last matches as
+        a bool should term; the LAST token is a prefix expanded against
+        the shard dictionaries, each expansion scoring as another
+        should term (the ES bool { should: [term..., prefix] } rewrite).
+        Scoring is the plain TAAT sum over the union — the same kernel
+        as synonym_search with a dictionary-driven expansion set."""
+        mtl = int(self.stats["max_token_len"])
+        toks = tokenize_py(text, mtl)
+        if not toks:
+            return self._format_result([], with_meta)
+        expansions = self.expand_prefix(
+            toks[-1], max_expansions)["term"].to_pylist()
+        terms = sorted(set(toks[:-1]) | set(expansions))
+        if not terms:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(terms)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        for t in terms:  # sorted-term order — the scoring contract
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                acc[hit[0]] += hit[1]
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        return self._format_result(
+            [(int(cand[i]), float(scores[i])) for i in order], with_meta)
+
     def terms_set_search(self, terms: list[str], min_match: int,
                          k: int = 10,
                          with_meta: bool = False) -> pa.Table:

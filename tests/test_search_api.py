@@ -698,3 +698,31 @@ def test_sliced_scroll_partitions_the_export(engine, doc_tokens,
     union = pd.concat(seen).sort_values("doc_id").reset_index(drop=True)
     assert list(union["doc_id"]) == list(full["doc_id"])
     assert list(union["sha256"]) == list(full["sha256"])
+
+
+def test_span_or_vs_bruteforce(engine, doc_tokens):
+    a, b = _common_pair(doc_tokens)
+    res = engine.span_or_match([a, b])
+    got = dict(zip(res["doc_id"].to_pylist(),
+                   res["n_matches"].to_pylist()))
+    exp = {}
+    for d, toks in doc_tokens:
+        c = toks.count(a) + toks.count(b)
+        if c:
+            exp[d] = c
+    assert got == exp
+
+
+def test_match_bool_prefix_vs_manual_union(engine, doc_tokens):
+    """match_bool_prefix('x y s') == plain search over x, y and every
+    dictionary term with prefix 's'."""
+    toks = doc_tokens[0][1]
+    text = f"{toks[0]} {toks[1]} s"
+    exp_terms = sorted({toks[0], toks[1]}
+                       | set(engine.expand_prefix("s", 1024)["term"]
+                             .to_pylist()))
+    a = engine.match_bool_prefix_search(text, k=10_000)
+    b = engine.search(" ".join(exp_terms), k=10_000, with_meta=False,
+                      strategy="taat")
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()

@@ -3177,3 +3177,44 @@ ORACLE_SQL["geo_bbox_filter"] = _GEO_BASE + """
           AND lon_cd BETWEEN -9000 AND 9000
         GROUP BY 1 ORDER BY 1
 """
+
+# pagerank: 5 unrolled integer fixed-point power iterations over the
+# user k-cooccurrence graph — every op is BIGINT floor arithmetic, so
+# engine and SQL agree bit-for-bit with no float tolerance at all
+_PR_ITER_SQL = """
+        , i{next} AS (
+          SELECT e.dst AS u,
+                 (SELECT base FROM consts)
+                   + (85 * sum(it.p // dg.outdeg)) // 100 AS p
+          FROM edges e
+          JOIN i{cur} it ON it.u = e.src
+          JOIN deg dg ON dg.src = e.src
+          GROUP BY e.dst
+        )"""
+
+ORACLE_SQL["pagerank"] = ("""
+        WITH d AS (
+          SELECT DISTINCT
+                 CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                     AS k,
+                 user_id AS u
+          FROM events
+        ), edges AS (
+          SELECT DISTINCT a.u AS src, b.u AS dst
+          FROM d a JOIN d b ON a.k = b.k AND a.u <> b.u
+        ), deg AS (
+          SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1
+        ), consts AS (
+          SELECT count(*)::BIGINT AS n,
+                 (1000000000000 // count(*))::BIGINT AS p0,
+                 ((15 * (1000000000000 // count(*))) // 100)::BIGINT
+                     AS base
+          FROM deg
+        ), i0 AS (
+          SELECT src AS u, (SELECT p0 FROM consts) AS p FROM deg
+        )"""
+    + "".join(_PR_ITER_SQL.format(cur=i, next=i + 1) for i in range(5))
+    + """
+        SELECT u AS user_id, CAST(p AS BIGINT) AS rank_fp FROM i5
+        ORDER BY p DESC, u ASC LIMIT 20
+""")

@@ -5186,6 +5186,110 @@ def q_pivot_transform(sf_dir: str):
     return read_transform(dest)
 
 
+_PR_SCALE = 10 ** 12   # fixed-point PageRank unit
+_PR_ITERS = 5
+
+
+def q_pagerank(sf_dir: str):
+    """Iterative graph processing on Ray Data: PageRank over the user
+    co-occurrence graph (u -> v when both users emit events sharing a
+    session key ``k``; both directions, distinct edges). All arithmetic
+    is INTEGER FIXED-POINT (1e12 units, floor division) so five power
+    iterations are bit-reproducible in SQL — no float drift to absorb:
+    p0 = SCALE // N; contribution = p[u] // outdeg[u]; p' = (15 *
+    (SCALE // N)) // 100 + (85 * sum_contrib) // 100 (dangling mass
+    dropped, the classic simplification, identically on both sides).
+
+    Exchange shape per iteration: the rank vector (one int per node,
+    node-set-sized, NOT event-sized) broadcasts via ray.put; each edge
+    block computes its contributions vectorized and a groupby(dst) sums
+    them — the standard vertex-program exchange. The k-cooccurrence
+    pair expansion is grouped per key (bounded groups here; a hot key
+    at fleet scale takes the jaccard-style cap+salt escape). Returns
+    the top 20 users by rank (ties doc asc)."""
+    import ray as _ray
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["user_id", "props"])
+
+    def ku_pairs(t: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        key = np.unique(k * 1_000_000 + u)  # distinct (k, user) in batch
+        return pa.table({"k": pa.array(key // 1_000_000, pa.int64()),
+                         "user": pa.array(key % 1_000_000, pa.int64())})
+
+    def edges_of_group(g: pa.Table) -> pa.Table:
+        users = np.unique(g["user"].to_numpy())
+        m = users.size
+        if m < 2:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        src = np.repeat(users, m)
+        dst = np.tile(users, m)
+        keep = src != dst
+        return pa.table({"src": pa.array(src[keep], pa.int64()),
+                         "dst": pa.array(dst[keep], pa.int64())})
+
+    # distinct (k,user) -> per-key bidirectional pairs -> distinct edges
+    edges = (ds.map_batches(ku_pairs, batch_format="pyarrow")
+             .groupby("k").map_groups(edges_of_group,
+                                      batch_format="pyarrow")
+             .groupby(["src", "dst"])
+             .aggregate(Sum("src", alias_name="_s"))
+             .select_columns(["src", "dst"]))
+    edges = edges.materialize()  # reused every iteration
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        agg = t.group_by("src").aggregate([([], "count_all")])
+        return pa.table({"src": agg["src"],
+                         "pn": pc.cast(agg["count_all"], pa.int64())})
+
+    deg_df = (edges.map_batches(deg_partial, batch_format="pyarrow")
+              .groupby("src").aggregate(Sum("pn", alias_name="outdeg"))
+              .to_pandas())
+    deg_df = deg_df.sort_values("src").reset_index(drop=True)
+    nodes = deg_df["src"].to_numpy(dtype=np.int64)
+    degs = deg_df["outdeg"].to_numpy(dtype=np.int64)
+    n_nodes = int(nodes.size)
+    if n_nodes == 0:
+        return pa.table({"user_id": pa.array([], pa.int64()),
+                         "rank_fp": pa.array([], pa.int64())})
+    p0 = _PR_SCALE // n_nodes
+    base = (15 * p0) // 100
+    pvec = np.full(n_nodes, p0, dtype=np.int64)
+    deg_ref = _ray.put((nodes, degs))
+    for _ in range(_PR_ITERS):
+        p_ref = _ray.put(pvec)
+
+        def contrib(t: pa.Table) -> pa.Table:
+            pp = _ray.get(p_ref)
+            nn, dd = _ray.get(deg_ref)
+            src = t["src"].to_numpy(zero_copy_only=False)
+            dst = t["dst"].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(nn, src)  # every src is a node
+            c = pp[idx] // dd[idx]
+            agg = (pa.table({"dst": pa.array(dst, pa.int64()),
+                             "c": pa.array(c, pa.int64())})
+                   .group_by("dst").aggregate([("c", "sum")]))
+            return pa.table({"dst": agg["dst"],
+                             "pc": pc.cast(agg["c_sum"], pa.int64())})
+
+        sums = (edges.map_batches(contrib, batch_format="pyarrow")
+                .groupby("dst").aggregate(Sum("pc", alias_name="s"))
+                .to_pandas())
+        acc = np.zeros(n_nodes, dtype=np.int64)
+        idx = np.searchsorted(nodes, sums["dst"].to_numpy(dtype=np.int64))
+        acc[idx] = sums["s"].to_numpy(dtype=np.int64)
+        pvec = base + (85 * acc) // 100
+    order = np.lexsort((nodes, -pvec))[:20]
+    return pa.table({
+        "user_id": pa.array(nodes[order], pa.int64()),
+        "rank_fp": pa.array(pvec[order], pa.int64())})
+
+
 def q_span_or(sf_dir: str):
     """ES ``span_or`` over single-term clauses 'merge' / 'sort': per-doc
     occurrence counts of either term from the positions sidecar (one
@@ -5720,6 +5824,7 @@ QUERY_REGISTRY = {
     "synonym_search": q_synonym_search,
     "multimodal_resize": q_multimodal_resize,
     "video_frame_sample": q_video_frame_sample,
+    "pagerank": q_pagerank,
     "span_or": q_span_or,
     "match_bool_prefix": q_match_bool_prefix,
     "percentiles_bucket": q_percentiles_bucket,

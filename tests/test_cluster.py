@@ -118,3 +118,38 @@ def test_clean_corpus_neardup_invariants(ray_session):
                                    chars_kept=("n_chars", "sum"))
     assert (got["n_kept"] == exp["n_kept"]).all()
     assert (got["chars_kept"] == exp["chars_kept"]).all()
+
+
+def test_pagerank_complete_graph_is_uniform(ray_session, tmp_path):
+    """All users sharing one session key form a complete graph — five
+    fixed-point iterations must keep the ranks exactly uniform."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logsentinelai_ray.pipelines.queries import q_pagerank
+
+    users = np.arange(8, dtype=np.int64)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(8), pa.int64()),
+        "ts": pa.array([1_700_000_000_000_000 + i for i in range(8)],
+                       pa.timestamp("us")),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["view"] * 8),
+        "value": pa.array([1.0] * 8, pa.float64()),
+        "props": pa.array(['{"k": 7}'] * 8),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    res = q_pagerank(str(d))
+    ranks = res["rank_fp"].to_pylist()
+    assert len(ranks) == 8
+    assert len(set(ranks)) == 1          # complete graph -> uniform
+    assert ranks[0] > 0
+    # fixed point: base + 85% of the uniform mass, exactly
+    p0 = 10 ** 12 // 8
+    p = p0
+    for _ in range(5):
+        p = (15 * p0) // 100 + (85 * ((p // 7) * 7)) // 100
+    assert ranks[0] == p

@@ -102,3 +102,132 @@ def hll_cardinality(ds, column: str, p: int = 12) -> float:
         for s in b.column("sketch"):
             np.maximum(regs, np.frombuffer(s.as_py(), np.uint8), out=regs)
     return hll_estimate(regs)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — mergeable set-membership sketch (OR-merge)
+# ---------------------------------------------------------------------------
+
+def _bloom_positions(h: np.ndarray, m_bits: int, k: int) -> np.ndarray:
+    """k bit positions per hash via the Kirsch–Mitzenmacher double-hash
+    construction h1 + i*h2 (one uint64 hash split in two halves) —
+    vectorized, deterministic."""
+    h1 = h & _U64(0xFFFFFFFF)
+    h2 = (h >> _U64(32)) | _U64(1)  # odd, never zero
+    i = np.arange(k, dtype=_U64)[:, None]
+    return ((h1[None, :] + i * h2[None, :]) % _U64(m_bits)).ravel()
+
+
+def bloom_sketch(values, m_bits: int = 1 << 20, k: int = 7) -> np.ndarray:
+    """Build a Bloom filter (packed uint8 bitmap) from an Arrow array."""
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    h = _hash_values(values)
+    if h.size == 0:
+        return bits
+    pos = _bloom_positions(h, m_bits, k)
+    np.bitwise_or.at(bits, (pos // 8).astype(np.int64),
+                     np.uint8(1) << (pos % 8).astype(np.uint8))
+    return bits
+
+
+def bloom_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Union of two Bloom filters — exact (bitwise OR), so merge order
+    and batch boundaries never change the filter."""
+    return np.bitwise_or(a, b)
+
+
+def bloom_contains(bits: np.ndarray, values, k: int = 7) -> np.ndarray:
+    """Vectorized membership probe: True = maybe present (FPR applies),
+    False = DEFINITELY absent (the one-sided Bloom guarantee)."""
+    m_bits = bits.size * 8
+    h = _hash_values(values)
+    if h.size == 0:
+        return np.empty(0, dtype=bool)
+    pos = _bloom_positions(h, m_bits, k).reshape(k, -1)
+    got = (bits[(pos // 8).astype(np.int64)]
+           >> (pos % 8).astype(np.uint8)) & 1
+    return got.all(axis=0)
+
+
+def bloom_build(ds, column: str, m_bits: int = 1 << 20,
+                k: int = 7) -> np.ndarray:
+    """Distributed Bloom build: one streaming map pass, each batch
+    collapses to one bitmap row (m_bits/8 bytes); the driver ORs the
+    tiny bitmap stream. No shuffle, nothing row-sized leaves a task —
+    the same exchange as hll_cardinality."""
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        bits = bloom_sketch(batch.column(column), m_bits, k)
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = ds.select_columns([column]).map_batches(
+        sketch_batch, batch_format="pyarrow")
+    bits = np.zeros(m_bits // 8, dtype=np.uint8)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for s in b.column("bits"):
+            np.bitwise_or(bits, np.frombuffer(s.as_py(), np.uint8),
+                          out=bits)
+    return bits
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency sketch (ADD-merge)
+# ---------------------------------------------------------------------------
+
+_CM_SALTS = np.array([0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F,
+                      0x165667B19E3779F9, 0x27D4EB2F165667C5],
+                     dtype=_U64)
+
+
+def cm_sketch(values, width: int = 1 << 14,
+              depth: int = 4) -> np.ndarray:
+    """Count-Min sketch (depth x width int64 counters) of an Arrow
+    array's value frequencies. Rows use salted re-hashes of the one
+    deterministic base hash; estimates overcount only (one-sided), by
+    at most ~2n/width with prob 1 - 2^-depth."""
+    cm = np.zeros((depth, width), dtype=np.int64)
+    h = _hash_values(values)
+    if h.size == 0:
+        return cm
+    for d in range(depth):
+        hd = (h ^ _CM_SALTS[d]) * _U64(0xFF51AFD7ED558CCD)
+        hd ^= hd >> _U64(33)
+        np.add.at(cm[d], (hd % _U64(width)).astype(np.int64), 1)
+    return cm
+
+
+def cm_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Counter-wise addition — exact, order/batch-boundary invariant."""
+    return a + b
+
+
+def cm_estimate(cm: np.ndarray, values) -> np.ndarray:
+    """Point frequency estimates (min over rows) for an Arrow array of
+    query values — never underestimates the true count."""
+    depth, width = cm.shape
+    h = _hash_values(values)
+    if h.size == 0:
+        return np.empty(0, dtype=np.int64)
+    est = np.full(h.size, np.iinfo(np.int64).max, dtype=np.int64)
+    for d in range(depth):
+        hd = (h ^ _CM_SALTS[d]) * _U64(0xFF51AFD7ED558CCD)
+        hd ^= hd >> _U64(33)
+        np.minimum(est, cm[d, (hd % _U64(width)).astype(np.int64)],
+                   out=est)
+    return est
+
+
+def cm_build(ds, column: str, width: int = 1 << 14,
+             depth: int = 4) -> np.ndarray:
+    """Distributed Count-Min build: per-batch sketches added on the
+    driver (depth*width*8 bytes each — KBs, not rows)."""
+    def sketch_batch(batch: pa.Table) -> pa.Table:
+        cm = cm_sketch(batch.column(column), width, depth)
+        return pa.table({"cm": pa.array([cm.tobytes()], pa.binary())})
+
+    parts = ds.select_columns([column]).map_batches(
+        sketch_batch, batch_format="pyarrow")
+    cm = np.zeros((depth, width), dtype=np.int64)
+    for b in parts.iter_batches(batch_format="pyarrow"):
+        for s in b.column("cm"):
+            cm += np.frombuffer(s.as_py(), np.int64).reshape(depth, width)
+    return cm

@@ -5186,6 +5186,68 @@ def q_pivot_transform(sf_dir: str):
     return read_transform(dest)
 
 
+def q_bloom_contamination(sf_dir: str):
+    """Bloom-filter contamination screen (rows-only: FPR is inherent —
+    one-sidedness and the FPR bound are pinned in test_sketch.py): a
+    1 Mbit Bloom over the 'en' docs' distinct terms, probed with every
+    term in the corpus vocabulary. 'Definitely absent' is exact (the
+    Bloom guarantee); 'maybe' overcounts by at most the FPR. Exchange:
+    per-batch bitmap partials OR-merge — KBs per task, no shuffle."""
+    from ray.data.aggregate import Count
+
+    from ..analysis.tokenizer import tokenize_batch_arrow
+    from ..functions.sketch import bloom_build, bloom_contains
+
+    ds = _read(sf_dir, "documents", columns=["text", "lang"])
+
+    def en_terms(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["lang"], "en"))
+        _row, toks, _dl = tokenize_batch_arrow(t["text"])
+        return pa.table({"term": toks.unique()})
+
+    bits = bloom_build(ds.map_batches(en_terms, batch_format="pyarrow"),
+                       "term")
+
+    def all_terms(t: pa.Table) -> pa.Table:
+        _row, toks, _dl = tokenize_batch_arrow(t["text"])
+        return pa.table({"term": toks.unique()})
+
+    vocab = (ds.map_batches(all_terms, batch_format="pyarrow")
+             .groupby("term").aggregate(Count(alias_name="c"))
+             .to_pandas())  # vocab-bounded
+    terms = pa.array(sorted(vocab["term"].tolist()), pa.string())
+    maybe = bloom_contains(bits, terms)
+    return pa.table({
+        "n_probed": pa.array([len(terms)], pa.int64()),
+        "n_maybe_en": pa.array([int(maybe.sum())], pa.int64()),
+        "n_definitely_new": pa.array([int((~maybe).sum())], pa.int64()),
+    })
+
+
+def q_count_min_heavy(sf_dir: str):
+    """Count-Min heavy hitters (rows-only: estimates overcount by
+    design; one-sidedness + the 2n/width error bound are pinned in
+    test_sketch.py): CM-estimated frequencies of the exact top-10
+    event users. Per-batch counter grids ADD-merge — the sketch leaves
+    each task, never the rows."""
+    from ray.data.aggregate import Count
+
+    from ..functions.sketch import cm_build, cm_estimate
+
+    ds = _read(sf_dir, "events", columns=["user_id"])
+    cm = cm_build(ds, "user_id")
+    top = (ds.groupby("user_id").aggregate(Count(alias_name="n"))
+           .to_pandas().sort_values(["n", "user_id"],
+                                    ascending=[False, True])
+           .head(10).reset_index(drop=True))
+    est = cm_estimate(cm, pa.array(top["user_id"].tolist(), pa.int64()))
+    return pa.table({
+        "user_id": pa.array(top["user_id"].to_numpy(np.int64),
+                            pa.int64()),
+        "exact_n": pa.array(top["n"].to_numpy(np.int64), pa.int64()),
+        "cm_est": pa.array(est, pa.int64())})
+
+
 _PR_SCALE = 10 ** 12   # fixed-point PageRank unit
 _PR_ITERS = 5
 
@@ -5825,6 +5887,8 @@ QUERY_REGISTRY = {
     "multimodal_resize": q_multimodal_resize,
     "video_frame_sample": q_video_frame_sample,
     "pagerank": q_pagerank,
+    "bloom_contamination": q_bloom_contamination,
+    "count_min_heavy": q_count_min_heavy,
     "span_or": q_span_or,
     "match_bool_prefix": q_match_bool_prefix,
     "percentiles_bucket": q_percentiles_bucket,

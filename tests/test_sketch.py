@@ -107,3 +107,69 @@ def test_percentile_sketch_batch_boundary_invariance(ray_session):
     finally:
         q._read = saved
     assert base.equals(repart)
+
+
+def test_bloom_no_false_negatives_and_fpr(ray_session):
+    import numpy as np
+    import pyarrow as pa
+
+    from logsentinelai_ray.functions.sketch import (bloom_contains,
+                                                    bloom_merge,
+                                                    bloom_sketch)
+
+    members = pa.array([f"tok{i}" for i in range(5000)])
+    others = pa.array([f"zzz{i}" for i in range(20000)])
+    bits = bloom_sketch(members, m_bits=1 << 20, k=7)
+    # one-sided: EVERY member reports maybe-present
+    assert bloom_contains(bits, members).all()
+    # FPR near theory: (1 - e^{-kn/m})^k ~= 0.0006 at n=5k, m=1M, k=7
+    fpr = float(bloom_contains(bits, others).mean())
+    assert fpr < 0.01
+    # OR-merge == single-pass build
+    half1 = bloom_sketch(members.slice(0, 2500), m_bits=1 << 20, k=7)
+    half2 = bloom_sketch(members.slice(2500), m_bits=1 << 20, k=7)
+    assert (bloom_merge(half1, half2) == bits).all()
+
+
+def test_bloom_distributed_equals_local(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logsentinelai_ray.functions.sketch import (bloom_build,
+                                                    bloom_sketch)
+
+    vals = pa.array([f"u{i % 700}" for i in range(9000)])
+    tbl = pa.table({"v": vals})
+    dist = bloom_build(rd.from_arrow(tbl).repartition(7), "v")
+    local = bloom_sketch(vals)
+    assert (dist == local).all()
+
+
+def test_count_min_one_sided_with_bound(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logsentinelai_ray.functions.sketch import (cm_build,
+                                                    cm_estimate,
+                                                    cm_merge, cm_sketch)
+
+    rng = np.random.default_rng(3)
+    vals = rng.zipf(1.5, 50_000) % 3000
+    arr = pa.array(vals.astype(np.int64), pa.int64())
+    cm = cm_sketch(arr, width=1 << 14, depth=4)
+    uniq, exact = np.unique(vals, return_counts=True)
+    est = cm_estimate(cm, pa.array(uniq.astype(np.int64), pa.int64()))
+    # never underestimates
+    assert (est >= exact).all()
+    # CM bound: err <= 2n/width with prob 1 - 2^-depth; assert the 99.9%
+    # empirical quantile stays inside it
+    err = est - exact
+    assert np.quantile(err, 0.999) <= 2 * len(vals) / (1 << 14)
+    # ADD-merge == single build; distributed == local
+    a = cm_sketch(arr.slice(0, 25_000), width=1 << 14, depth=4)
+    b = cm_sketch(arr.slice(25_000), width=1 << 14, depth=4)
+    assert (cm_merge(a, b) == cm).all()
+    dist = cm_build(rd.from_arrow(pa.table({"v": arr})).repartition(5),
+                    "v")
+    assert (dist == cm).all()

@@ -3218,3 +3218,17 @@ ORACLE_SQL["pagerank"] = ("""
         SELECT u AS user_id, CAST(p AS BIGINT) AS rank_fp FROM i5
         ORDER BY p DESC, u ASC LIMIT 20
 """)
+
+# update_by_query: docs matching 'merge' now carry lang 'xx'
+ORACLE_SQL["update_by_query"] = f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), m AS (
+          SELECT DISTINCT doc_id
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE substr(t, 1, 64) = 'merge'
+        )
+        SELECT doc_id, 'xx' AS lang FROM m ORDER BY doc_id
+"""

@@ -5186,6 +5186,62 @@ def q_pivot_transform(sf_dir: str):
     return read_transform(dest)
 
 
+def q_update_by_query(sf_dir: str):
+    """ES ``_update_by_query`` analog: every doc matching 'merge' gets
+    lang rewritten to 'xx' — executed the way immutable segments force
+    ES/Lucene to execute it: tombstone the old versions, append the
+    rewritten docs as a delta (a bumped commit key = the new document
+    version), exactly delete+reindex. Runs on a cloned index; the
+    result set is the docs now carrying lang 'xx', mapped back to
+    source ids through the repo key. Lang-filtered search reflecting
+    the update (xx finds them, en no longer does) is pinned in
+    test_incremental.py."""
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..index.delete import delete_docs
+    from ..index.update import update_index
+    from ..query.shards import SearchEngine
+
+    if ("ubq", sf_dir) in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[("ubq", sf_dir)]
+    else:
+        base = _docs_engine(sf_dir)
+        ids = np.sort(base.match_ids("merge"))
+        clone = base.index_dir + "-ubq"
+        shutil.rmtree(clone, ignore_errors=True)
+        shutil.copytree(base.index_dir, clone)
+        # read the matched docs' source rows, rewrite the field, bump
+        # the commit key (the new document version ES would reindex)
+        docs = pq.read_table(os.path.join(base.index_dir, "docs"),
+                             columns=["doc_id", "repo", "path",
+                                      "commit", "lang", "content"])
+        keep = np.isin(docs["doc_id"].to_numpy(zero_copy_only=False),
+                       ids)
+        upd = docs.filter(pa.array(keep)).drop_columns(["doc_id"])
+        upd = upd.set_column(
+            upd.schema.get_field_index("lang"), "lang",
+            pa.array(["xx"] * upd.num_rows, pa.string()))
+        commit2 = pc.binary_join_element_wise(
+            pa.array(["u1"] * upd.num_rows),
+            pc.utf8_slice_codeunits(upd["commit"], 2, 40), "")
+        upd = upd.set_column(
+            upd.schema.get_field_index("commit"), "commit", commit2)
+        delta = os.path.join(clone, "_ubq_delta.parquet")
+        pq.write_table(upd, delta)
+        delete_docs(clone, ids.tolist())
+        update_index([delta], clone, delta_tag="ubq")
+        eng = SearchEngine(clone, num_shards=2)
+        _ENGINE_CACHE[("ubq", sf_dir)] = eng
+    new_ids = eng._filter_ids({"lang": "xx"})
+    new_ids = eng._drop_tombstones(np.sort(new_ids))
+    meta = eng._join_docmap([int(d) for d in new_ids])
+    src = sorted(int(r[1:]) for r in meta["repo"].to_pylist())
+    return pa.table({"doc_id": pa.array(src, pa.int64()),
+                     "lang": pa.array(["xx"] * len(src), pa.string())})
+
+
 def q_bloom_contamination(sf_dir: str):
     """Bloom-filter contamination screen (rows-only: FPR is inherent —
     one-sidedness and the FPR bound are pinned in test_sketch.py): a
@@ -5889,6 +5945,7 @@ QUERY_REGISTRY = {
     "pagerank": q_pagerank,
     "bloom_contamination": q_bloom_contamination,
     "count_min_heavy": q_count_min_heavy,
+    "update_by_query": q_update_by_query,
     "span_or": q_span_or,
     "match_bool_prefix": q_match_bool_prefix,
     "percentiles_bucket": q_percentiles_bucket,

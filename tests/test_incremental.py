@@ -254,3 +254,32 @@ def test_update_rejects_mismatched_config(ray_session, tmp_path_factory):
     # cfg=None derives the shape from stats.json and must succeed
     res = update_index(delta_dir, idx, None, delta_tag="d")
     assert res["n_new_docs"] > 0
+
+
+def test_update_by_query_search_reflects_update(ray_session):
+    """After _update_by_query (delete + reindex new version), a
+    lang-filtered search finds the updated docs under the NEW value and
+    no longer under the old one; content is preserved."""
+    from logsentinelai_ray.pipelines.queries import (_ENGINE_CACHE,
+                                                     _docs_engine,
+                                                     q_update_by_query)
+
+    sf = "/root/testdata/sf0.001"
+    upd = q_update_by_query(sf)
+    src_ids = set(upd["doc_id"].to_pylist())
+    assert src_ids
+    eng = _ENGINE_CACHE[("ubq", sf)]
+    base = _docs_engine(sf)
+    # every updated doc matches 'merge' under lang:xx in the clone
+    res = eng.constant_score_search("merge", filters={"lang": "xx"},
+                                    k=10 ** 6)
+    meta = eng._join_docmap(res["doc_id"].to_pylist())
+    assert {int(r[1:]) for r in meta["repo"].to_pylist()} == src_ids
+    # and no doc matching 'merge' is lang-en in the clone anymore,
+    # while the pristine base still has some
+    still_en = eng.constant_score_search("merge", filters={"lang": "en"},
+                                         k=10 ** 6)
+    assert still_en.num_rows == 0
+    base_en = base.constant_score_search("merge", filters={"lang": "en"},
+                                         k=10 ** 6)
+    assert base_en.num_rows > 0

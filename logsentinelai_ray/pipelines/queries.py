@@ -5212,14 +5212,19 @@ def q_update_by_query(sf_dir: str):
         clone = base.index_dir + "-ubq"
         shutil.rmtree(clone, ignore_errors=True)
         shutil.copytree(base.index_dir, clone)
-        # read the matched docs' source rows, rewrite the field, bump
-        # the commit key (the new document version ES would reindex)
-        docs = pq.read_table(os.path.join(base.index_dir, "docs"),
-                             columns=["doc_id", "repo", "path",
-                                      "commit", "lang", "content"])
-        keep = np.isin(docs["doc_id"].to_numpy(zero_copy_only=False),
-                       ids)
-        upd = docs.filter(pa.array(keep)).drop_columns(["doc_id"])
+        # read ONLY the matched docs' source rows (row-group-pruned
+        # pushdown — never the whole docs table), rewrite the field,
+        # bump the commit key (the new document version ES would
+        # reindex). At match sets beyond driver memory the same rewrite
+        # runs as a map_batches keep-filter writing the delta
+        # distributed (the scroll_export scan plan's shape).
+        import pyarrow.dataset as pa_ds
+
+        docs = pa_ds.dataset(os.path.join(base.index_dir, "docs"),
+                             format="parquet").to_table(
+            columns=["repo", "path", "commit", "lang", "content"],
+            filter=pc.field("doc_id").isin(pa.array(ids, pa.int64())))
+        upd = docs
         upd = upd.set_column(
             upd.schema.get_field_index("lang"), "lang",
             pa.array(["xx"] * upd.num_rows, pa.string()))

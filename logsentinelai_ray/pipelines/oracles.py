@@ -3232,3 +3232,30 @@ ORACLE_SQL["update_by_query"] = f"""
         )
         SELECT doc_id, 'xx' AS lang FROM m ORDER BY doc_id
 """
+
+# security_detections: the k-keyed payload families (LAST assignment
+# wins in the engine's suffix derivation, so the CASE tests the
+# moduli in reverse order) mapped to the rule pack's (rule, severity)
+ORACLE_SQL["security_detections"] = """
+        WITH e AS (
+          SELECT event_id,
+                 CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                     AS k
+          FROM events
+        ), s AS (
+          SELECT event_id,
+                 CASE WHEN k % 31 = 0 THEN 'admin_probe'
+                      WHEN k % 29 = 0 THEN 'xss_script'
+                      WHEN k % 23 = 0 THEN 'path_traversal'
+                      WHEN k % 17 = 0 THEN 'sqli_union'
+                      ELSE NULL END AS rule
+          FROM e
+        )
+        SELECT CASE rule
+                 WHEN 'sqli_union' THEN 'CRITICAL'
+                 WHEN 'path_traversal' THEN 'CRITICAL'
+                 ELSE 'HIGH' END AS severity,
+               rule, count(*)::BIGINT AS n_events
+        FROM s WHERE rule IS NOT NULL
+        GROUP BY 1, 2 ORDER BY severity, rule
+"""

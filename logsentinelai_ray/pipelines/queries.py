@@ -5186,6 +5186,100 @@ def q_pivot_transform(sf_dir: str):
     return read_transform(dest)
 
 
+class SecurityRulePack:
+    """Actor-pool rule-based threat detector — the deterministic analog
+    of the reference's LLM extraction step (its prompts define the
+    taxonomy this pack encodes: reference core/prompts.py:13 'SQL
+    injection, XSS, path traversal', :17 'union/select, sensitive file
+    access (/etc/passwd)', :18 'XSS with script tags'). Rules compile
+    ONCE per actor in __init__ (the reference's stateful-stage pattern,
+    core/llm.py model setup); __call__ applies each rule as one
+    vectorized Arrow regex kernel per batch — no per-row Python."""
+
+    RULES = (
+        ("sqli_union", "CRITICAL", r"union\s+select|' or 1=1"),
+        ("path_traversal", "CRITICAL", r"\.\./.*etc/passwd|\.\./\.\./"),
+        ("xss_script", "HIGH", r"<script>"),
+        ("admin_probe", "HIGH", r"/admin|/wp-login"),
+    )
+
+    def __init__(self):
+        import re
+
+        # compiled here once per actor; the Arrow kernel re-parses the
+        # pattern internally, so this validates + documents the set
+        self.compiled = [(n, sev, re.compile(p))
+                         for n, sev, p in self.RULES]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, rules, sevs = [], [], []
+        line = t["line"]
+        eid = t["event_id"]
+        for name, sev, pat in self.compiled:
+            hit = pc.match_substring_regex(line, pat.pattern)
+            sel = eid.filter(hit)
+            ids.append(sel)
+            rules.append(pa.array([name] * len(sel), pa.string()))
+            sevs.append(pa.array([sev] * len(sel), pa.string()))
+        return pa.table({
+            "event_id": pa.concat_arrays([a.combine_chunks()
+                                          if isinstance(a, pa.ChunkedArray)
+                                          else a for a in ids]),
+            "rule": pa.concat_arrays(rules),
+            "severity": pa.concat_arrays(sevs)})
+
+
+def _derive_request_lines(t: pa.Table) -> pa.Table:
+    """Deterministic HTTP-request-shaped lines from events (the driver
+    tables embed no raw log text; this stands in for the reference's
+    httpd access lines, analyzers/httpd_access.py): k-keyed payload
+    families inject the attack patterns the rule pack hunts."""
+    k = pc.cast(pc.struct_field(
+        pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+        pa.int64()).to_numpy(zero_copy_only=False)
+    suffix = np.full(t.num_rows, "", dtype=object)
+    suffix[k % 17 == 0] = "?q=' or 1=1"
+    suffix[k % 23 == 0] = "/../../etc/passwd"
+    suffix[k % 29 == 0] = "?m=<script>alert(1)</script>"
+    suffix[k % 31 == 0] = "/admin/login"
+    line = pc.binary_join_element_wise(
+        pa.array(["GET /app/"] * t.num_rows),
+        pc.cast(pa.array(k), pa.string()),
+        pa.array(suffix.tolist(), pa.string()),
+        pa.array([" HTTP/1.1"] * t.num_rows), "")
+    return pa.table({"event_id": t["event_id"], "line": line})
+
+
+def q_security_detections(sf_dir: str):
+    """The reference's flagship semantic — security-event extraction
+    from log lines — as a deterministic rule pack (SecurityRulePack; it
+    encodes the prompt taxonomy, reference core/prompts.py:13-18) run
+    in an actor pool over derived request lines. Per-rule counts and
+    distinct offending events, ordered by the severity map then rule."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    hits = (ds.map_batches(_derive_request_lines, batch_format="pyarrow")
+            .map_batches(SecurityRulePack, batch_format="pyarrow",
+                         concurrency=(1, 4)))
+
+    def partial(t: pa.Table) -> pa.Table:
+        agg = (t.group_by(["rule", "severity"])
+               .aggregate([([], "count_all")]))
+        return pa.table({"rule": agg["rule"],
+                         "severity": agg["severity"],
+                         "pn": pc.cast(agg["count_all"], pa.int64())})
+
+    out = (hits.map_batches(partial, batch_format="pyarrow")
+           .groupby(["rule", "severity"])
+           .aggregate(Sum("pn", alias_name="n_events"))
+           .to_pandas())
+    out = out.sort_values(["severity", "rule"]).reset_index(drop=True)
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out[["severity", "rule", "n_events"]],
+                                preserve_index=False)
+
+
 def q_update_by_query(sf_dir: str):
     """ES ``_update_by_query`` analog: every doc matching 'merge' gets
     lang rewritten to 'xx' — executed the way immutable segments force
@@ -5951,6 +6045,7 @@ QUERY_REGISTRY = {
     "bloom_contamination": q_bloom_contamination,
     "count_min_heavy": q_count_min_heavy,
     "update_by_query": q_update_by_query,
+    "security_detections": q_security_detections,
     "span_or": q_span_or,
     "match_bool_prefix": q_match_bool_prefix,
     "percentiles_bucket": q_percentiles_bucket,

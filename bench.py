@@ -229,7 +229,10 @@ def bench_pipelines() -> dict:
              "frequent_item_sets", "change_point", "cross_fields",
              "eql_sequence", "dsir_weights", "pivot_transform",
              "funnel_analysis", "retention_cohorts", "semdedup",
-             "rate_anomalies", "ks_test_agg"]
+             "rate_anomalies", "ks_test_agg", "dsl_search",
+             "security_detections", "pagerank", "bloom_contamination",
+             "count_min_heavy", "sliced_scroll", "multimodal_resize",
+             "video_frame_sample"]
     out = {}
     for name in names:
         t0 = time.monotonic()

@@ -3259,3 +3259,10 @@ ORACLE_SQL["security_detections"] = """
         FROM s WHERE rule IS NOT NULL
         GROUP BY 1, 2 ORDER BY severity, rule
 """
+
+ORACLE_SQL["resumable_export"] = """
+        SELECT (doc_id * 2654435761) % 8 AS shard_id,
+               count(*)::BIGINT AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM documents GROUP BY 1 ORDER BY 1
+"""

@@ -5186,6 +5186,44 @@ def q_pivot_transform(sf_dir: str):
     return read_transform(dest)
 
 
+def q_resumable_export(sf_dir: str):
+    """Resumable partitioned export (stages/export.py) exercised
+    through an actual crash-resume INSIDE the entry: export documents
+    to 8 marked shards, destroy one shard (data + marker, the
+    mid-write crash), re-export — only that shard rewrites — and
+    summarize per shard from the read-back. The summary must equal the
+    oracle's shard-hash arithmetic, proving the resumed export is
+    byte-equivalent to a fresh one."""
+    import hashlib
+    import shutil
+
+    from ..stages.export import export_shards, read_shards
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = os.path.join(
+        "/tmp/lsai_export",
+        hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:12])
+    shutil.rmtree(out, ignore_errors=True)
+    export_shards(ds, out, num_shards=8)
+    shutil.rmtree(os.path.join(out, "shard_id=3"))  # the crash
+    res = export_shards(ds, out, num_shards=8)      # the resume
+    assert res["written"] == [3], res
+    back = read_shards(out)
+    # shard_id is hive-encoded in the path; recompute it for the rollup
+    did = back["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    shard = ((did * np.uint64(2654435761)) % np.uint64(8)) \
+        .astype(np.int64)
+    agg = (pa.table({"shard_id": pa.array(shard, pa.int64()),
+                     "n_chars": back["n_chars"]})
+           .group_by("shard_id")
+           .aggregate([([], "count_all"), ("n_chars", "sum")]))
+    out_t = pa.table({
+        "shard_id": agg["shard_id"],
+        "n_docs": pc.cast(agg["count_all"], pa.int64()),
+        "total_chars": pc.cast(agg["n_chars_sum"], pa.int64())})
+    return out_t.sort_by("shard_id")
+
+
 class SecurityRulePack:
     """Actor-pool rule-based threat detector — the deterministic analog
     of the reference's LLM extraction step (its prompts define the
@@ -6046,6 +6084,7 @@ QUERY_REGISTRY = {
     "count_min_heavy": q_count_min_heavy,
     "update_by_query": q_update_by_query,
     "security_detections": q_security_detections,
+    "resumable_export": q_resumable_export,
     "span_or": q_span_or,
     "match_bool_prefix": q_match_bool_prefix,
     "percentiles_bucket": q_percentiles_bucket,

@@ -3266,3 +3266,41 @@ ORACLE_SQL["resumable_export"] = """
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1 ORDER BY 1
 """
+
+# eql_sequence_strict: greedy non-overlapping [error][purchase] within
+# 30min, event-consuming — the recursive CTE steps the same
+# (last-consumed purchase, count) state as the engine's two-pointer
+ORACLE_SQL["eql_sequence_strict"] = """
+        WITH RECURSIVE ee AS (
+          SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts
+          FROM events WHERE event_type = 'error'
+        ), pp AS (
+          SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts
+          FROM events WHERE event_type = 'purchase'
+        ), err AS (
+          SELECT user_id, ts,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts) AS i
+          FROM ee
+        ), n_err AS (
+          SELECT user_id, max(i) AS n FROM err GROUP BY 1
+        ), m(user_id, i, last_p, cnt) AS (
+          SELECT user_id, 0, CAST(-1 AS BIGINT), 0 FROM n_err
+          UNION ALL
+          SELECT m.user_id, m.i + 1,
+                 coalesce((SELECT min(p.ts) FROM pp p
+                           WHERE p.user_id = m.user_id
+                             AND p.ts > greatest(e.ts, m.last_p)
+                             AND p.ts <= e.ts + 1800000000), m.last_p),
+                 m.cnt + CASE WHEN EXISTS (
+                     SELECT 1 FROM pp p
+                     WHERE p.user_id = m.user_id
+                       AND p.ts > greatest(e.ts, m.last_p)
+                       AND p.ts <= e.ts + 1800000000)
+                   THEN 1 ELSE 0 END
+          FROM m JOIN err e ON e.user_id = m.user_id AND e.i = m.i + 1
+        )
+        SELECT m.user_id, CAST(m.cnt AS BIGINT) AS n_sequences
+        FROM m JOIN n_err USING (user_id)
+        WHERE m.i = n_err.n AND m.cnt > 0 ORDER BY user_id
+"""

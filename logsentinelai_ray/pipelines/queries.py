@@ -4937,6 +4937,54 @@ def q_eql_sequence(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_eql_sequence_strict(sf_dir: str):
+    """TRUE EQL engine semantics for ``sequence [error][purchase]``:
+    non-overlapping, event-CONSUMING greedy matching (each sequence
+    instance consumes both events; the next instance must use later
+    ones) — contrast q_eql_sequence's all-pairs count. Per user the
+    match is the classic two-pointer greedy over the sorted per-type
+    timestamps (inherently sequential state, a few dozen steps per
+    user inside its own map_groups task); the oracle reproduces it
+    with a recursive CTE stepping the same (last-consumed, count)
+    state."""
+    ds = _read(sf_dir, "events", columns=["ts", "user_id", "event_type"])
+
+    def prune(t: pa.Table) -> pa.Table:
+        keep = pc.is_in(t["event_type"],
+                        value_set=pa.array(["error", "purchase"]))
+        t = t.filter(keep)
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_type": t["event_type"]})
+
+    def per_user(g):
+        et = g["event_type"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        errs = np.sort(ts[et == "error"])
+        purs = np.sort(ts[et == "purchase"])
+        cnt = 0
+        j = 0
+        for e in errs:
+            while j < purs.size and purs[j] <= e:
+                j += 1
+            if j < purs.size and purs[j] <= e + _EQL_SPAN_US:
+                cnt += 1
+                j += 1
+        if cnt == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_sequences": pa.array([], pa.int64())})
+        return pa.table({
+            "user_id": pa.array([int(g["user_id"].iloc[0])], pa.int64()),
+            "n_sequences": pa.array([cnt], pa.int64())})
+
+    out = (ds.map_batches(prune, batch_format="pyarrow")
+           .groupby("user_id")
+           .map_groups(per_user, batch_format="pandas")
+           .to_pandas())
+    out = out.sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_dsir_weights(sf_dir: str):
     """DSIR-style importance weights (Xie et al. 2023, data selection
     via importance resampling — the public unigram form): weight(d) =
@@ -6085,6 +6133,7 @@ QUERY_REGISTRY = {
     "update_by_query": q_update_by_query,
     "security_detections": q_security_detections,
     "resumable_export": q_resumable_export,
+    "eql_sequence_strict": q_eql_sequence_strict,
     "span_or": q_span_or,
     "match_bool_prefix": q_match_bool_prefix,
     "percentiles_bucket": q_percentiles_bucket,

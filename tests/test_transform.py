@@ -182,3 +182,52 @@ def test_transform_random_split_property(ray_session, tmp_path):
                     rest["ts"].to_numpy(zero_copy_only=False)
                     .astype("int64") > ck))), dest)
         assert _as_dict(read_transform(dest)) == exp, q
+
+
+def test_eql_strict_vs_local_greedy(ray_session, tmp_path):
+    """Distributed strict EQL == a pure-python greedy over the same
+    random events; strict count never exceeds the all-pairs count."""
+    import pyarrow.parquet as pq
+
+    from logsentinelai_ray.pipelines.queries import (_EQL_SPAN_US,
+                                                     q_eql_sequence,
+                                                     q_eql_sequence_strict)
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    tbl = pa.table({
+        "ts": pa.array(np.sort(rng.integers(0, 10**11, n)),
+                       pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, 30, n), pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["error", "purchase", "view"], n).tolist()),
+        "value": pa.array(rng.uniform(0, 5, n), pa.float64()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    strict = q_eql_sequence_strict(str(d))
+    loose = q_eql_sequence(str(d))
+    sd = dict(zip(strict["user_id"].to_pylist(),
+                  strict["n_sequences"].to_pylist()))
+    ld = dict(zip(loose["user_id"].to_pylist(),
+                  loose["n_sequences"].to_pylist()))
+    # local greedy reference
+    df = tbl.to_pandas()
+    df["ts_us"] = df["ts"].astype("int64")
+    exp = {}
+    for u, g in df.groupby("user_id"):
+        errs = np.sort(g[g.event_type == "error"]["ts_us"].to_numpy())
+        purs = np.sort(g[g.event_type == "purchase"]["ts_us"].to_numpy())
+        c = j = 0
+        for e in errs:
+            while j < purs.size and purs[j] <= e:
+                j += 1
+            if j < purs.size and purs[j] <= e + _EQL_SPAN_US:
+                c += 1
+                j += 1
+        if c:
+            exp[int(u)] = c
+    assert sd == exp
+    for u, c in sd.items():
+        assert c <= ld.get(u, 0)  # strict consumes, all-pairs doesn't

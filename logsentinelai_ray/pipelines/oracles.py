@@ -3304,3 +3304,9 @@ ORACLE_SQL["eql_sequence_strict"] = """
         FROM m JOIN n_err USING (user_id)
         WHERE m.i = n_err.n AND m.cnt > 0 ORDER BY user_id
 """
+
+ORACLE_SQL["ids_query"] = """
+        SELECT doc_id, lang, sha256(text) AS sha256
+        FROM documents WHERE doc_id IN (3, 141, 59, 999999999)
+        ORDER BY doc_id
+"""

@@ -4937,6 +4937,23 @@ def q_eql_sequence(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_ids_query(sf_dir: str):
+    """ES ``ids`` query: fetch specific documents by id with their
+    stored fields — a pure docmap gather (row-group-pruned read, the
+    same path every top-k's metadata join uses); missing and
+    tombstoned ids silently drop, the ES contract."""
+    eng = _docs_engine(sf_dir)
+    want = [3, 141, 59, 999_999_999]  # one deliberately nonexistent
+    ids = eng._drop_tombstones(np.asarray(sorted(want), dtype=np.int64))
+    meta = eng._join_docmap([int(d) for d in ids])
+    meta = meta.sort_by("doc_id")
+    keep = pa.array(np.isin(meta["doc_id"].to_numpy(
+        zero_copy_only=False), np.asarray(want)))
+    meta = meta.filter(keep)
+    return pa.table({"doc_id": meta["doc_id"], "lang": meta["lang"],
+                     "sha256": meta["sha256"]})
+
+
 def q_eql_sequence_strict(sf_dir: str):
     """TRUE EQL engine semantics for ``sequence [error][purchase]``:
     non-overlapping, event-CONSUMING greedy matching (each sequence
@@ -6134,6 +6151,7 @@ QUERY_REGISTRY = {
     "security_detections": q_security_detections,
     "resumable_export": q_resumable_export,
     "eql_sequence_strict": q_eql_sequence_strict,
+    "ids_query": q_ids_query,
     "span_or": q_span_or,
     "match_bool_prefix": q_match_bool_prefix,
     "percentiles_bucket": q_percentiles_bucket,

@@ -726,3 +726,57 @@ def test_match_bool_prefix_vs_manual_union(engine, doc_tokens):
                       strategy="taat")
     assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
     assert a["score"].to_pylist() == b["score"].to_pylist()
+
+
+def test_dsl_randomized_bool_trees(engine, doc_tokens):
+    """Seeded random bool bodies vs a python evaluator composed from
+    the engine's own per-term scores (exact float composition: per-doc
+    sums in sorted-term order, the scoring contract)."""
+    rng = np.random.default_rng(42)
+    vocab = sorted({t for _d, toks in doc_tokens for t in toks})[:12]
+    per_term = {}
+    for t in vocab:
+        r = engine.search(t, k=10 ** 6, with_meta=False,
+                          strategy="taat")
+        per_term[t] = dict(zip(r["doc_id"].to_pylist(),
+                               r["score"].to_pylist()))
+    all_ids = [d for d, _ in doc_tokens]
+    for _trial in range(15):
+        must = sorted(rng.choice(vocab, rng.integers(0, 3),
+                                 replace=False).tolist())
+        should = sorted(rng.choice(vocab, rng.integers(0, 4),
+                                   replace=False).tolist())
+        mnot = sorted(rng.choice(vocab, rng.integers(0, 2),
+                                 replace=False).tolist())
+        if not must and not should:
+            continue
+        msm = int(rng.integers(0, 3))
+        body = {"query": {"bool": {
+            "must": [{"match": {"content": t}} for t in must],
+            "should": [{"match": {"content": t}} for t in should],
+            "must_not": [{"match": {"content": t}} for t in mnot],
+            "minimum_should_match": msm,
+        }}, "size": 10_000}
+        exp = {}
+        for d in all_ids:
+            if any(d not in per_term[t] for t in must):
+                continue
+            n_should = sum(1 for t in should if d in per_term[t])
+            if not must:
+                if n_should < max(1, msm):
+                    continue
+            elif msm and n_should < msm:
+                continue
+            if any(d in per_term[t] for t in mnot):
+                continue
+            # clause-order accumulation — the executor adds each
+            # clause's dense scores in must-then-should list order
+            s = 0.0
+            for t in must + should:
+                s += per_term[t].get(d, 0.0)
+            if s > 0.0:
+                exp[d] = s
+        res = engine.dsl_search(body)
+        got = dict(zip(res["doc_id"].to_pylist(),
+                       res["score"].to_pylist()))
+        assert got == exp, body

@@ -3310,3 +3310,25 @@ ORACLE_SQL["ids_query"] = """
         FROM documents WHERE doc_id IN (3, 141, 59, 999999999)
         ORDER BY doc_id
 """
+
+# access_log_parse: status/bytes derive from k (status map k%7, bytes
+# k*17%4096); the malformed family (k%41==0, unbalanced quote) fails
+# the parse and lands in the -1 dead-letter bucket with zero bytes
+ORACLE_SQL["access_log_parse"] = """
+        WITH e AS (
+          SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                     AS k
+          FROM events
+        ), s AS (
+          SELECT CASE WHEN k % 41 = 0 THEN -1
+                      ELSE list_extract([200, 200, 200, 404, 500,
+                                         301, 403], 1 + k % 7)
+                 END AS status,
+                 CASE WHEN k % 41 = 0 THEN 0
+                      ELSE (k * 17) % 4096 END AS b
+          FROM e
+        )
+        SELECT CAST(status AS BIGINT) AS status, count(*)::BIGINT AS n,
+               CAST(sum(b) AS BIGINT) AS total_bytes
+        FROM s GROUP BY 1 ORDER BY 1
+"""

@@ -4937,6 +4937,73 @@ def q_eql_sequence(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_access_log_parse(sf_dir: str):
+    """The reference's primary input — Apache combined-format access
+    logs (analyzers/httpd_access.py; sample-logs/access-10k.log) —
+    parsed with the real vectorized CLF parser (stages/accesslog.py):
+    events render to deterministic combined lines, the parser extracts
+    typed fields back, and the per-status rollup (count, total bytes,
+    distinct IPs) must match the derivation arithmetic. One malformed
+    line family (k % 41 == 0 drops the quote) exercises the
+    dead-letter mask; those rows count under status = -1."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.accesslog import parse_access_log
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id",
+                                          "props"])
+
+    def render(t: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        ip1 = 52 + (uid % 4)
+        status = np.array([200, 200, 200, 404, 500, 301, 403],
+                          dtype=np.int64)[k % 7]
+        nbytes = (k * 17) % 4096
+        n = t.num_rows
+        quote = np.full(n, '"', dtype=object)
+        quote[k % 41 == 0] = ""  # malformed family: unbalanced quote
+        line = pc.binary_join_element_wise(
+            pc.cast(pa.array(ip1), pa.string()),
+            pa.array([".0."] * n),
+            pc.cast(pa.array(uid % 256), pa.string()),
+            pa.array([".9 - - [22/Jan/2019:03:56:14 +0330] "] * n),
+            pa.array(quote.tolist(), pa.string()),
+            pa.array(["GET /app/"] * n),
+            pc.cast(pa.array(k), pa.string()),
+            pa.array([' HTTP/1.1" '] * n),
+            pc.cast(pa.array(status), pa.string()),
+            pa.array([" "] * n),
+            pc.cast(pa.array(nbytes), pa.string()), "")
+        return pa.table({"event_id": t["event_id"], "line": line})
+
+    parsed = (ds.map_batches(render, batch_format="pyarrow")
+              .map_batches(parse_access_log, batch_format="pyarrow"))
+
+    def partial(t: pa.Table) -> pa.Table:
+        # unparsed rows have null fields (parsed=false): dead-letter
+        # bucket = status -1, zero bytes
+        status = pc.cast(pc.fill_null(t["status"], -1), pa.int64())
+        nb = pc.fill_null(t["bytes"], 0)
+        agg = (pa.table({"status": status, "b": nb})
+               .group_by("status")
+               .aggregate([([], "count_all"), ("b", "sum")]))
+        return pa.table({"status": agg["status"],
+                         "pn": pc.cast(agg["count_all"], pa.int64()),
+                         "pb": pc.cast(agg["b_sum"], pa.int64())})
+
+    out = (parsed.map_batches(partial, batch_format="pyarrow")
+           .groupby("status")
+           .aggregate(Sum("pn", alias_name="n"),
+                      Sum("pb", alias_name="total_bytes"))
+           .sort("status").to_pandas())
+    out["n"] = out["n"].astype("int64")
+    out["total_bytes"] = out["total_bytes"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_ids_query(sf_dir: str):
     """ES ``ids`` query: fetch specific documents by id with their
     stored fields — a pure docmap gather (row-group-pruned read, the
@@ -6152,6 +6219,7 @@ QUERY_REGISTRY = {
     "resumable_export": q_resumable_export,
     "eql_sequence_strict": q_eql_sequence_strict,
     "ids_query": q_ids_query,
+    "access_log_parse": q_access_log_parse,
     "span_or": q_span_or,
     "match_bool_prefix": q_match_bool_prefix,
     "percentiles_bucket": q_percentiles_bucket,

@@ -604,3 +604,28 @@ def test_pack_bestfit_entry_invariants(ray_session):
     # BFD should be at least as tight as fixed-order packing
     fixed = q_sequence_pack(sf).to_pandas()
     assert len(bins) <= len(fixed)
+
+
+def test_access_log_parser_edge_cases():
+    import pyarrow as pa
+
+    from logsentinelai_ray.stages.accesslog import parse_access_log
+
+    lines = [
+        # full combined format with referer + agent
+        '10.0.0.1 - frank [22/Jan/2019:03:56:14 +0330] '
+        '"GET /a/b?q=1 HTTP/1.1" 200 5667 "https://x" "Mozilla/5.0"',
+        # common format (no referer/agent), bytes '-'
+        '192.168.1.9 - - [10/Oct/2000:13:55:36 -0700] '
+        '"POST /form HTTP/1.0" 404 -',
+        # garbage -> dead-letter
+        "not a log line at all",
+    ]
+    out = parse_access_log(pa.table({"line": pa.array(lines)}))
+    assert out["parsed"].to_pylist() == [True, True, False]
+    assert out["ip"].to_pylist()[:2] == ["10.0.0.1", "192.168.1.9"]
+    assert out["method"].to_pylist()[:2] == ["GET", "POST"]
+    assert out["path"].to_pylist()[:2] == ["/a/b?q=1", "/form"]
+    assert out["status"].to_pylist()[:2] == [200, 404]
+    assert out["bytes"].to_pylist()[:2] == [5667, 0]  # '-' -> 0
+    assert out["ip"].to_pylist()[2] is None

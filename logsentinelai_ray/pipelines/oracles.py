@@ -3332,3 +3332,23 @@ ORACLE_SQL["access_log_parse"] = """
                CAST(sum(b) AS BIGINT) AS total_bytes
         FROM s GROUP BY 1 ORDER BY 1
 """
+
+# zorder_layout: the SAME unrolled Morton interleave the engine kernel
+# runs, generated from the identical Python (_morton16_sql); every term
+# fully parenthesized — DuckDB gives &, |, << equal precedence
+ORACLE_SQL["zorder_layout"] = """
+        WITH coded AS (
+          SELECT (((((user_id & 65535) >> 0) & 1) << 0) | (((((epoch_us(ts) // 86400000000) & 65535) >> 0) & 1) << 1) | ((((user_id & 65535) >> 1) & 1) << 2) | (((((epoch_us(ts) // 86400000000) & 65535) >> 1) & 1) << 3) | ((((user_id & 65535) >> 2) & 1) << 4) | (((((epoch_us(ts) // 86400000000) & 65535) >> 2) & 1) << 5) | ((((user_id & 65535) >> 3) & 1) << 6) | (((((epoch_us(ts) // 86400000000) & 65535) >> 3) & 1) << 7) | ((((user_id & 65535) >> 4) & 1) << 8) | (((((epoch_us(ts) // 86400000000) & 65535) >> 4) & 1) << 9) | ((((user_id & 65535) >> 5) & 1) << 10) | (((((epoch_us(ts) // 86400000000) & 65535) >> 5) & 1) << 11) | ((((user_id & 65535) >> 6) & 1) << 12) | (((((epoch_us(ts) // 86400000000) & 65535) >> 6) & 1) << 13) | ((((user_id & 65535) >> 7) & 1) << 14) | (((((epoch_us(ts) // 86400000000) & 65535) >> 7) & 1) << 15) | ((((user_id & 65535) >> 8) & 1) << 16) | (((((epoch_us(ts) // 86400000000) & 65535) >> 8) & 1) << 17) | ((((user_id & 65535) >> 9) & 1) << 18) | (((((epoch_us(ts) // 86400000000) & 65535) >> 9) & 1) << 19) | ((((user_id & 65535) >> 10) & 1) << 20) | (((((epoch_us(ts) // 86400000000) & 65535) >> 10) & 1) << 21) | ((((user_id & 65535) >> 11) & 1) << 22) | (((((epoch_us(ts) // 86400000000) & 65535) >> 11) & 1) << 23) | ((((user_id & 65535) >> 12) & 1) << 24) | (((((epoch_us(ts) // 86400000000) & 65535) >> 12) & 1) << 25) | ((((user_id & 65535) >> 13) & 1) << 26) | (((((epoch_us(ts) // 86400000000) & 65535) >> 13) & 1) << 27) | ((((user_id & 65535) >> 14) & 1) << 28) | (((((epoch_us(ts) // 86400000000) & 65535) >> 14) & 1) << 29) | ((((user_id & 65535) >> 15) & 1) << 30) | (((((epoch_us(ts) // 86400000000) & 65535) >> 15) & 1) << 31)) AS z,
+                 user_id,
+                 ((epoch_us(ts) // 86400000000) & 65535) AS day
+          FROM events
+        )
+        SELECT ((z - (SELECT min(z) FROM coded)) * 16)
+                 // ((SELECT max(z) FROM coded)
+                     - (SELECT min(z) FROM coded) + 1) AS zpart,
+               count(*)::BIGINT AS n,
+               min(z)::BIGINT AS zmin, max(z)::BIGINT AS zmax,
+               min(user_id)::BIGINT AS umin, max(user_id)::BIGINT AS umax,
+               min(day)::BIGINT AS dmin, max(day)::BIGINT AS dmax
+        FROM coded GROUP BY 1 ORDER BY 1
+"""

@@ -4937,6 +4937,80 @@ def q_eql_sequence(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def _morton16(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Bit-interleave two 16-bit values into a 32-bit Morton code
+    (a's bits at even positions) — vectorized, exact."""
+    z = np.zeros(a.shape, dtype=np.int64)
+    for i in range(16):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def _morton16_sql(a_expr: str, b_expr: str) -> str:
+    """The identical interleave as unrolled SQL bit arithmetic (the
+    geohash oracle's generator pattern, stages/geo.geohash_sql). Every
+    term is FULLY parenthesized — DuckDB gives ``&``, ``|`` and ``<<``
+    equal precedence with left associativity, so an unparenthesized
+    ``a << i | b << j`` chain shifts the accumulated OR."""
+    terms = []
+    for i in range(16):
+        terms.append(f"((({a_expr} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b_expr} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def q_zorder_layout(sf_dir: str):
+    """Z-order (Morton) data-layout clustering — the lakehouse OPTIMIZE
+    ZORDER BY technique that makes multi-column range scans prune at
+    100 TB: events keyed by (user_id, day-of-series) interleave into a
+    32-bit Morton code, rows re-sort by it, and the layout summary (16
+    equal z-range partitions with row counts and the per-partition
+    user/day bounding boxes) shows both dimensions staying clustered
+    inside every partition. Sorting is the one all-to-all (inherent to
+    re-layout); the summary is partial-aggregated per batch. The
+    interleave is exact integer bit arithmetic, mirrored by unrolled
+    SQL generated from the same Python (the geohash-oracle pattern)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+    day_us = 24 * 3600 * 1_000_000
+
+    def code(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False) & 0xFFFF
+        d = (pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+             // day_us) & 0xFFFF
+        z = _morton16(u, d)
+        return pa.table({"z": pa.array(z, pa.int64()),
+                         "user_id": t["user_id"],
+                         "day": pa.array(d, pa.int64())})
+
+    coded = ds.map_batches(code, batch_format="pyarrow")
+    # two scalar aggregates bound the occupied code range (absolute
+    # epoch days pin the high interleaved bits, so partitioning must be
+    # range-relative to spread)
+    zmin, zmax = int(coded.min("z")), int(coded.max("z"))
+
+    def bucket(t: pa.Table) -> pa.Table:
+        z = t["z"].to_numpy(zero_copy_only=False)
+        zb = ((z - zmin) * 16) // (zmax - zmin + 1)
+        return t.append_column("zpart", pa.array(zb, pa.int64()))
+
+    out = (coded.map_batches(bucket, batch_format="pyarrow")
+           .groupby("zpart")
+           .aggregate(Count(alias_name="n"),
+                      Min("z", alias_name="zmin"),
+                      Max("z", alias_name="zmax"),
+                      Min("user_id", alias_name="umin"),
+                      Max("user_id", alias_name="umax"),
+                      Min("day", alias_name="dmin"),
+                      Max("day", alias_name="dmax"))
+           .sort("zpart").to_pandas())
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_access_log_parse(sf_dir: str):
     """The reference's primary input — Apache combined-format access
     logs (analyzers/httpd_access.py; sample-logs/access-10k.log) —
@@ -6220,6 +6294,7 @@ QUERY_REGISTRY = {
     "eql_sequence_strict": q_eql_sequence_strict,
     "ids_query": q_ids_query,
     "access_log_parse": q_access_log_parse,
+    "zorder_layout": q_zorder_layout,
     "span_or": q_span_or,
     "match_bool_prefix": q_match_bool_prefix,
     "percentiles_bucket": q_percentiles_bucket,

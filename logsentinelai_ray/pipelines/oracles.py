@@ -2606,6 +2606,14 @@ ORACLE_SQL["distance_feature"] = _BM25_BASE + """
         ORDER BY score DESC, doc_id ASC LIMIT 10
 """
 
+ORACLE_SQL["rank_feature"] = _BM25_BASE + """
+        SELECT s.doc_id,
+               round(s.score + 0.7 * (dl.dl / (dl.dl + 50.0)), 6)
+                   AS score
+        FROM scores s JOIN dl USING (doc_id)
+        ORDER BY score DESC, s.doc_id ASC LIMIT 10
+"""
+
 ORACLE_SQL["constant_score"] = _bm25_base("('merge')") + """
         SELECT t.doc_id, 1.0 AS score
         FROM (SELECT DISTINCT tok.doc_id

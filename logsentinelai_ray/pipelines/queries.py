@@ -2185,6 +2185,18 @@ def q_distance_feature(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_rank_feature(sf_dir: str):
+    """ES ``rank_feature`` query (saturation function): BM25 plus
+    ``weight * dl / (dl + pivot)`` where the feature is the document's
+    token count — decoded shard-side from the postings, no doc-store
+    read. Longer documents get a bounded relevance nudge."""
+    eng = _docs_engine(sf_dir)
+    res = eng.rank_feature_search(BM25_QUERY_TEXT, pivot=50.0,
+                                  weight=0.7, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_constant_score(sf_dir: str):
     """ES ``constant_score``: every doc in the filter context (contains
     'merge' AND lang:en) scores exactly 1.0 — pure posting-set algebra,
@@ -6303,4 +6315,5 @@ QUERY_REGISTRY = {
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,
     "bigram_counts": q_bigram_counts,
+    "rank_feature": q_rank_feature,
 }

@@ -333,6 +333,28 @@ class IndexShard:
                          / (tf + k1 * (1.0 - b + b * dl / avgdl)))
         return int(tp.df), ids, contrib
 
+    def decode_dls(self, term: str):
+        """Shard-side (doc_ids, dl) decode for one term, or None. dl is
+        a per-document property (the content token count) that the
+        posting format already carries next to every tf — so a
+        rank_feature boost over dl never touches a doc store: any term
+        covering the doc yields its feature value, decoded where the
+        compressed row lives (ES rank_feature over a doc-values field,
+        posting-style)."""
+        loc = self.term_index.get(term)
+        if loc is None:
+            return None
+        tbl = self.tables[loc[0]]
+        i = loc[1]
+        row: dict = {"term": term, "df": tbl["df"][i].as_py()}
+        for f in ("block_first", "block_last", "block_count", "block_max",
+                  "block_doc_off", "block_tf_off", "block_dl_off"):
+            row[f] = tbl[f][i].values.to_numpy(zero_copy_only=False)
+        for f in ("doc_data", "tf_data", "dl_data"):
+            row[f] = tbl[f][i].as_py()
+        ids, _tfs, dls = TermPostings(row).decode_all()
+        return ids, dls.astype(np.float64)
+
 
 class SearchEngine:
     """Driver-side query coordinator over an IndexShard actor pool.
@@ -1559,6 +1581,56 @@ class SearchEngine:
         dist = np.abs(cand.astype(np.float64) - float(origin))
         scores = acc[cand] + float(weight) * (float(pivot)
                                               / (float(pivot) + dist))
+        order = np.lexsort((cand, -scores))[:k]
+        return self._format_result(
+            [(int(cand[i]), float(scores[i])) for i in order], with_meta)
+
+    def rank_feature_search(self, text: str, pivot: float = 50.0,
+                            weight: float = 0.7, k: int = 10,
+                            function: str = "saturation",
+                            with_meta: bool = False) -> pa.Table:
+        """ES ``rank_feature`` query: BM25 relevance plus a bounded
+        boost from a per-document numeric feature — here the document
+        length in tokens (dl), the numeric doc value the posting format
+        already carries next to every tf. Functions: ``saturation``
+        (dl / (dl + pivot)) and ``log`` (ln(1 + dl / pivot)), scaled by
+        ``weight``. The feature is decoded SHARD-SIDE next to the
+        postings in one extra parallel round over the query's content
+        terms (IndexShard.decode_dls) — any matched term covers its
+        docs' dl, so candidates (docs with acc > 0) are fully covered
+        and no doc store is read."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        if not terms:
+            return self._format_result([], with_meta)
+        self._ensure_contribs(terms)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        present = []
+        for t in terms:
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                acc[hit[0]] += hit[1]
+                if not t.startswith("p:"):  # dl = content-field length
+                    present.append(t)
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        futures = [self.part_to_shard[term_partition(t, self.P)]
+                   .decode_dls.remote(t) for t in present]
+        dl = np.zeros(n, dtype=np.float64)
+        for res in ray.get(futures):
+            if res is not None:
+                dl[res[0]] = res[1]
+        f = dl[cand]
+        if function == "saturation":
+            boost = f / (f + float(pivot))
+        elif function == "log":
+            boost = np.log1p(f / float(pivot))
+        else:
+            raise ValueError(f"unknown rank_feature function: {function}")
+        scores = acc[cand] + float(weight) * boost
         order = np.lexsort((cand, -scores))[:k]
         return self._format_result(
             [(int(cand[i]), float(scores[i])) for i in order], with_meta)

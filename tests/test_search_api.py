@@ -467,6 +467,27 @@ def test_distance_feature_formula(engine, doc_tokens):
         assert s == scores[d] + 2.0 * (100.0 / (100.0 + float(d)))
 
 
+def test_rank_feature_formula(engine, doc_tokens):
+    """rank_feature == BM25 + weight * f(dl) with dl the doc's token
+    count, for both saturation and log; dl comes shard-side from the
+    postings, so verify against the fixture's known token counts."""
+    text = " ".join(doc_tokens[0][1][:4])
+    plain = engine.search(text, k=1000, with_meta=False)
+    scores = dict(zip(plain["doc_id"].to_pylist(),
+                      plain["score"].to_pylist()))
+    dls = {d: float(len(tk)) for d, tk in doc_tokens}
+    for fn, f in (("saturation", lambda x: x / (x + 30.0)),
+                  ("log", lambda x: np.log1p(x / 30.0))):
+        res = engine.rank_feature_search(text, pivot=30.0, weight=1.5,
+                                         k=1000, function=fn)
+        assert res.num_rows == plain.num_rows
+        for d, s in zip(res["doc_id"].to_pylist(),
+                        res["score"].to_pylist()):
+            assert s == scores[d] + 1.5 * f(dls[d])
+    with pytest.raises(ValueError):
+        engine.rank_feature_search(text, function="sigmoid")
+
+
 def test_constant_score_is_filter_context(engine, doc_tokens):
     toks = doc_tokens[0][1]
     res = engine.constant_score_search(toks[0], k=10_000)

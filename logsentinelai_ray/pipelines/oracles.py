@@ -2339,6 +2339,22 @@ ORACLE_SQL: dict[str, str] = {
         SELECT __GH_CHARS__ AS gh, count(*)::BIGINT AS n
         FROM codes GROUP BY 1 ORDER BY n DESC, gh ASC LIMIT 15
     """,
+    "geotile_grid_agg": """__GEO_BASE__
+        , t AS (
+          SELECT CAST(((lon_cd + 18000) * 16) // 36000 AS BIGINT) AS x,
+                 CAST(least(greatest(
+                     floor((1 - ln(tan(lat_cd / 100.0 * (pi() / 180))
+                                   + 1 / cos(lat_cd / 100.0
+                                             * (pi() / 180)))
+                            / pi()) / 2 * 16),
+                     0), 15) AS BIGINT) AS y
+          FROM geo
+        )
+        SELECT '4/' || CAST(x AS VARCHAR) || '/' || CAST(y AS VARCHAR)
+                   AS tile,
+               count(*)::BIGINT AS n
+        FROM t GROUP BY 1 ORDER BY n DESC, tile ASC LIMIT 15
+    """,
     "geo_centroid_agg": """__GEO_BASE__
         SELECT country_code AS cc, count(*)::BIGINT AS n,
                CAST(sum(lat_cd) AS DOUBLE) / CAST(count(*) AS DOUBLE)
@@ -2419,7 +2435,7 @@ def _expand_geo_placeholders() -> None:
 
     cl, ct, code, chars = geohash_sql(precision=3)
     for key in ("geo_distance_agg", "geohash_grid_agg",
-                "geo_centroid_agg", "geo_bounds_agg"):
+                "geotile_grid_agg", "geo_centroid_agg", "geo_bounds_agg"):
         sql = ORACLE_SQL[key]
         sql = sql.replace("__GEO_BASE__", _GEO_BASE)
         sql = (sql.replace("__GH_CL__", cl).replace("__GH_CT__", ct)
@@ -2486,6 +2502,49 @@ ORACLE_SQL["ip_range_agg"] = _GEO_BASE + """
                count(*)::BIGINT AS n, count(DISTINCT ip)::BIGINT
                    AS n_uniq_ips
         FROM num GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["scripted_metric"] = """
+        WITH s AS (
+          SELECT
+            sum(CASE WHEN event_type = 'purchase'
+                     THEN CAST(floor(value * 100) AS BIGINT)
+                     ELSE 0 END) AS revenue_cents,
+            sum(CASE WHEN event_type = 'error'
+                     THEN CAST(floor(value * 100) AS BIGINT)
+                     ELSE 0 END) AS cost_cents,
+            count(*)::BIGINT AS n_events
+          FROM events
+        )
+        SELECT CAST(revenue_cents AS BIGINT) AS revenue_cents,
+               CAST(cost_cents AS BIGINT) AS cost_cents,
+               CAST(revenue_cents - cost_cents AS BIGINT)
+                   AS profit_cents,
+               n_events
+        FROM s
+"""
+
+ORACLE_SQL["terms_lookup"] = _BM25_BASE + """
+        , top_src AS (
+          SELECT source FROM documents GROUP BY source
+          ORDER BY count(*) DESC, source ASC LIMIT 1
+        ), lookup AS (
+          SELECT DISTINCT lang FROM documents JOIN top_src USING (source)
+        )
+        SELECT s.doc_id, round(s.score, 6) AS score
+        FROM scores s JOIN documents d USING (doc_id)
+        WHERE d.lang IN (SELECT lang FROM lookup)
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+
+ORACLE_SQL["ip_prefix_agg"] = _GEO_BASE + """
+        , d AS (SELECT DISTINCT event_id, ip, o1, o2 FROM pub)
+        SELECT CAST(o1 AS VARCHAR) || '.'
+                 || CAST((o2 // 16) * 16 AS VARCHAR) || '.0.0/12'
+                   AS bucket,
+               count(*)::BIGINT AS n,
+               count(DISTINCT ip)::BIGINT AS n_uniq_ips
+        FROM d GROUP BY 1 ORDER BY 1
 """
 
 ORACLE_SQL["cumulative_cardinality"] = """

@@ -1862,6 +1862,65 @@ def q_bm25_topk_terms_filter(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_scripted_metric(sf_dir: str):
+    """ES ``scripted_metric`` aggregation — the canonical init/map/
+    combine/reduce "profit" example from the ES docs: map scores each
+    event into a tiny state vector (revenue cents for purchases, cost
+    cents for errors, row count), combine sums states INSIDE each
+    map_batches task, reduce sums the per-task partials on the driver —
+    only 3-integer states ever leave a task, the generic harness any
+    custom metric plugs into. Integer cents (floor(value*100)) make the
+    sums exact and addition-order-free, so the result is bit-identical
+    to the SQL oracle regardless of partitioning."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def map_combine(t: pa.Table) -> pa.Table:
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        cents = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+        return pa.table({
+            "revenue_cents": pa.array(
+                [int(cents[et == "purchase"].sum())], pa.int64()),
+            "cost_cents": pa.array(
+                [int(cents[et == "error"].sum())], pa.int64()),
+            "n_events": pa.array([t.num_rows], pa.int64())})
+
+    parts = ds.map_batches(map_combine, batch_format="pyarrow").to_pandas()
+    rev = int(parts["revenue_cents"].sum())
+    cost = int(parts["cost_cents"].sum())
+    return pa.table({
+        "revenue_cents": pa.array([rev], pa.int64()),
+        "cost_cents": pa.array([cost], pa.int64()),
+        "profit_cents": pa.array([rev - cost], pa.int64()),
+        "n_events": pa.array([int(parts["n_events"].sum())], pa.int64())})
+
+
+def q_terms_lookup(sf_dir: str):
+    """ES terms-lookup query: the terms filter's value list is FETCHED
+    from the data (ES reads it from another document's field) rather
+    than given literally — here the set of langs present in the
+    corpus's largest source (most docs, tie source asc). The lookup is
+    one keys-only ``groupby(source, lang).count()`` — bounded by
+    distinct key pairs, never rows — and only the value list (a few
+    strings) reaches the query, which then runs the standard
+    field-posting-union terms filter."""
+    from ray.data.aggregate import Count
+
+    pdf = (_read(sf_dir, "documents", columns=["source", "lang"])
+           .groupby(["source", "lang"])
+           .aggregate(Count(alias_name="n"))
+           .to_pandas())
+    per_src = pdf.groupby("source", as_index=False)["n"].sum() \
+        .sort_values(["n", "source"], ascending=[False, True])
+    top_src = per_src.iloc[0]["source"]
+    langs = sorted(pdf.loc[pdf["source"] == top_src, "lang"].unique())
+    eng = _docs_engine(sf_dir)
+    res = eng.search(BM25_QUERY_TEXT, k=10, filters={"lang": langs},
+                     with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 PHRASE_QUERY_TEXT = "sort merge"
 
 
@@ -3797,6 +3856,46 @@ def q_geohash_grid_agg(sf_dir: str):
     return pa.Table.from_pandas(df[["gh", "n"]], preserve_index=False)
 
 
+def q_geotile_grid_agg(sf_dir: str):
+    """ES ``geotile_grid`` aggregation at zoom 4: web-mercator map
+    tiles ``z/x/y`` (the slippy-map scheme ES serves Kibana maps from)
+    over the enriched locations, top 15 by (count desc, tile asc).
+    The x index is EXACT integer arithmetic ((lon_cd+18000)*16 //
+    36000); the y index shares its IEEE op tree with the oracle — the
+    same division, tan, cos, ln and pi constants in the same order —
+    so the floor is bit-reproducible (numpy and DuckDB share libm
+    here). Same per-batch partial-counts exchange as geohash_grid;
+    ≤ 256 cells ever cross the shuffle."""
+    from ray.data.aggregate import Sum
+
+    N = 16  # 2^zoom, zoom = 4
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat_cd = t["lat_cd"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lon_cd = t["lon_cd"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        x = (lon_cd + 18000) * N // 36000
+        rad = lat_cd / 100.0 * (np.pi / 180)
+        m = np.log(np.tan(rad) + 1 / np.cos(rad))
+        y = np.clip(np.floor((1 - m / np.pi) / 2 * N),
+                    0, N - 1).astype(np.int64)
+        agg = (pa.table({"code": pa.array(x * N + y)})
+               .group_by("code").aggregate([("code", "count")]))
+        return pa.table({"code": agg["code"], "pn": agg["code_count"]})
+
+    counts = (_geo_located_ips(sf_dir)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby("code").aggregate(Sum("pn", alias_name="n"))
+              .to_pandas())  # bounded: <= N*N cells
+    counts["tile"] = ("4/" + (counts["code"] // N).astype(str)
+                      + "/" + (counts["code"] % N).astype(str))
+    counts["n"] = counts["n"].astype("int64")
+    out = (counts.sort_values(["n", "tile"], ascending=[False, True])
+           .head(15).reset_index(drop=True))
+    return pa.Table.from_pandas(out[["tile", "n"]], preserve_index=False)
+
+
 def q_geo_centroid_agg(sf_dir: str):
     """ES ``geo_centroid`` aggregation per country: mean location of the
     enriched IPs. Mergeable integer partials (n, sum_lat_cd, sum_lon_cd)
@@ -4009,6 +4108,50 @@ def q_ip_range_agg(sf_dir: str):
             num += o << shift
         lab = labels[np.searchsorted(bounds, num, side="right")]
         agg = (pa.table({"bucket": pa.array(lab.tolist()), "ip": t["ip"]})
+               .group_by(["bucket", "ip"]).aggregate([("ip", "count")]))
+        return pa.table({"bucket": agg["bucket"], "ip": agg["ip"],
+                         "pn": agg["ip_count"]})
+
+    per_ip = (_geo_located_ips(sf_dir)
+              .map_batches(partial, batch_format="pyarrow")
+              .groupby(["bucket", "ip"])
+              .aggregate(Sum("pn", alias_name="n")))
+
+    def rollup(t: pa.Table) -> pa.Table:
+        agg = (pa.table({"bucket": t["bucket"], "n": t["n"]})
+               .group_by("bucket")
+               .aggregate([("n", "sum"), ("n", "count")]))
+        return pa.table({"bucket": agg["bucket"],
+                         "n": pc.cast(agg["n_sum"], pa.int64()),
+                         "n_uniq_ips": pc.cast(agg["n_count"],
+                                               pa.int64())})
+
+    out = (per_ip.map_batches(rollup, batch_format="pyarrow").to_pandas()
+           .groupby("bucket", as_index=False)
+           .agg(n=("n", "sum"), n_uniq_ips=("n_uniq_ips", "sum"))
+           .sort_values("bucket").reset_index(drop=True))
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_ip_prefix_agg(sf_dir: str):
+    """ES ``ip_prefix`` aggregation (prefix_length=12) over the
+    enriched public source IPs: bucket each IP by its /12 network address
+    (top 8 bits = first octet, next 4 bits = the second octet's high
+    nibble), per-bucket occurrence and unique-IP counts — the subnet
+    rollup the ES agg serves for IPv4 fields. Same (bucket, ip)-keyed
+    pre-aggregated exchange as ip_range_agg: distinct counting without
+    broadcasting raw rows."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["ip"], ".")
+        o1 = pc.cast(pc.list_element(parts, 0), pa.int64())
+        o2 = pc.cast(pc.list_element(parts, 1), pa.int64())
+        o2p = pc.multiply(pc.divide(o2, 16), 16)  # high nibble of o2
+        lab = pc.binary_join_element_wise(
+            pc.cast(o1, pa.string()), pc.cast(o2p, pa.string()),
+            "0.0/12", ".")
+        agg = (pa.table({"bucket": lab, "ip": t["ip"]})
                .group_by(["bucket", "ip"]).aggregate([("ip", "count")]))
         return pa.table({"bucket": agg["bucket"], "ip": agg["ip"],
                          "pn": agg["ip_count"]})
@@ -6316,4 +6459,8 @@ QUERY_REGISTRY = {
     "bpe_token_stats": q_bpe_token_stats,
     "bigram_counts": q_bigram_counts,
     "rank_feature": q_rank_feature,
+    "ip_prefix_agg": q_ip_prefix_agg,
+    "terms_lookup": q_terms_lookup,
+    "scripted_metric": q_scripted_metric,
+    "geotile_grid_agg": q_geotile_grid_agg,
 }

@@ -6,6 +6,10 @@ from .knn import (  # noqa: F401
     ivf_centroids,
     semdedup,
 )
+from .hnsw import (  # noqa: F401
+    build_hnsw_index,
+    hnsw_index_topk,
+)
 from .store import (  # noqa: F401
     append_ivf_index,
     append_lsh_index,

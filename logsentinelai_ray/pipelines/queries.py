@@ -3338,6 +3338,29 @@ def q_embedding_knn_lsh(sf_dir: str):
                      "cosine": _round6(out["cosine"])})
 
 
+def q_embedding_knn_hnsw(sf_dir: str):
+    """Per-segment HNSW graph ANN (ann/hnsw.py — the Lucene model): a
+    one-time ``groupby(segment).map_groups`` pass builds one graph per
+    hash-assigned segment IN PARALLEL and persists vectors+adjacency
+    parquet; a query beam-searches every segment graph (actor pool
+    keeps them resident) and merges k×segments candidates. Visits
+    O(ef·log n) vectors per segment instead of scanning buckets —
+    the graph asymptotic the flat LSH/IVF stores can't give.
+    Approximate by design (rows-only check; recall vs brute force
+    pinned in test_hnsw.py)."""
+    from ..ann.hnsw import build_hnsw_index, hnsw_index_topk
+
+    idx = _ann_index_dir(sf_dir, "hnsw")
+    if not os.path.exists(os.path.join(idx, "hnsw_meta.json")):
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_hnsw_index(ds, idx, num_segments=4, m=8,
+                         ef_construction=64, seed=42)
+    out = hnsw_index_topk(idx, _query_vector(sf_dir), k=10,
+                          ef_search=64)
+    return pa.table({"vec_id": out["vec_id"],
+                     "cosine": _round6(out["cosine"])})
+
+
 def q_embedding_knn_ivf(sf_dir: str):
     """IVF ANN served from a PERSISTED list-partitioned parquet index
     (ann/store.py): sampled spherical k-means centroids (deterministic
@@ -6463,4 +6486,5 @@ QUERY_REGISTRY = {
     "terms_lookup": q_terms_lookup,
     "scripted_metric": q_scripted_metric,
     "geotile_grid_agg": q_geotile_grid_agg,
+    "embedding_knn_hnsw": q_embedding_knn_hnsw,
 }

@@ -2330,6 +2330,30 @@ def q_explain_score(sf_dir: str):
                      "contribution": _round6(exp["contribution"])})
 
 
+def q_shrink_search(sf_dir: str):
+    """ES ``_shrink`` analog: halve the term-partition count (8→4) by
+    concatenating segment parts — valid because routing is
+    blake2b(term) % P and P' divides P, the same invariant ES shard
+    shrink relies on (index/shrink.py; one Ray task per new partition,
+    postings never decoded) — then re-run the standard query on the
+    shrunk index: ranks bit-identical, so this shares bm25_topk's
+    oracle."""
+    from ..index.shrink import shrink_index
+    from ..query.shards import SearchEngine
+
+    if ("shrink", sf_dir) in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[("shrink", sf_dir)]
+    else:
+        base = _docs_engine(sf_dir)
+        dst = base.index_dir + "-shrink"
+        shrink_index(base.index_dir, dst, factor=2)
+        eng = SearchEngine(dst, num_shards=2)
+        _ENGINE_CACHE[("shrink", sf_dir)] = eng
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_snapshot_restore(sf_dir: str):
     """ES snapshot/restore analog: copy the index directory, re-verify
     the restored segments against the manifest lineage (counts
@@ -6487,4 +6511,5 @@ QUERY_REGISTRY = {
     "scripted_metric": q_scripted_metric,
     "geotile_grid_agg": q_geotile_grid_agg,
     "embedding_knn_hnsw": q_embedding_knn_hnsw,
+    "shrink_search": q_shrink_search,
 }

@@ -80,6 +80,121 @@ def _merge_position_parts(src_dir: str, dst_dir: str, new_part: int,
     return n
 
 
+@ray.remote(num_cpus=1)
+def _split_segment_part(src_dir: str, dst_dir: str, old_part: int,
+                        p_new: int) -> int:
+    """Fan one source segment part out to its ``factor`` destination
+    parts: recompute ``blake2b(term) % P_new`` per DICTIONARY row (terms
+    only, never postings — the blobs move opaque) and write each
+    destination slice. Destinations of old part s are exactly
+    {n : n % P_old == s}, so split tasks never contend on a file."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .build import term_partition
+
+    p = os.path.join(src_dir, "segments", f"part-{old_part:04d}.parquet")
+    if not os.path.exists(p):
+        return 0
+    tbl = pq.read_table(p)
+    terms = tbl["term"].to_pylist()
+    new_parts = np.fromiter((term_partition(t, p_new) for t in terms),
+                            dtype=np.int64, count=len(terms))
+    n = 0
+    for dest in sorted(set(new_parts.tolist())):
+        sel = tbl.take(pa.array(np.flatnonzero(new_parts == dest)))
+        out = os.path.join(dst_dir, "segments",
+                           f"part-{dest:04d}.parquet")
+        tmp = out + ".tmp"
+        pq.write_table(sel, tmp, compression="zstd",
+                       compression_level=1)
+        os.replace(tmp, out)
+        n += sel.num_rows
+    return n
+
+
+@ray.remote(num_cpus=1)
+def _split_position_part(src_dir: str, dst_dir: str, old_part: int,
+                         p_new: int) -> int:
+    """Re-partition one positions sidecar dir by the new term routing.
+    Rows re-route via a terms-dictionary map (unique terms per dir,
+    then one vectorized gather) — never a per-occurrence hash."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.dataset as pa_ds
+    import pyarrow.parquet as pq
+
+    from .build import term_partition
+
+    d = os.path.join(src_dir, "positions", f"part={old_part}")
+    if not os.path.isdir(d):
+        return 0
+    tbl = pa_ds.dataset(d, format="parquet").to_table()
+    terms = tbl["term"]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    codes = terms.dictionary_encode()
+    dict_terms = codes.dictionary.to_pylist()
+    lut = np.fromiter((term_partition(t, p_new) for t in dict_terms),
+                      dtype=np.int64, count=len(dict_terms))
+    idx = codes.indices.to_numpy(zero_copy_only=False)
+    new_parts = lut[idx]
+    n = 0
+    for dest in sorted(set(new_parts.tolist())):
+        out_dir = os.path.join(dst_dir, "positions", f"part={dest}")
+        os.makedirs(out_dir, exist_ok=True)
+        sel = tbl.take(pa.array(np.flatnonzero(new_parts == dest)))
+        pq.write_table(sel, os.path.join(
+            out_dir, f"split-{old_part:04d}.parquet"),
+            compression="zstd", compression_level=1)
+        n += sel.num_rows
+    return n
+
+
+def split_index(src: str, dst: str, factor: int) -> dict:
+    """ES ``_split`` analog: multiply the term-partition count by an
+    integer factor. Routing keeps working for the same modular reason
+    as shrink, read the other way: a term in old part s = h % P lands
+    in one of the new parts {s + k·P, k < factor}, so each source part
+    splits independently — one Ray task per SOURCE part, no shuffle,
+    postings blobs never decoded. Rank identity pinned in
+    test_shrink.py."""
+    src_real, dst_real = os.path.realpath(src), os.path.realpath(dst)
+    if src_real == dst_real or \
+            os.path.commonpath([src_real, dst_real]) == src_real:
+        raise ValueError("split destination must be outside the source")
+    stats = mf.read_stats(src)
+    p = int(stats["num_partitions"])
+    if factor <= 1:
+        raise ValueError(f"factor {factor} must be > 1")
+    p_new = p * factor
+    if os.path.exists(dst):
+        shutil.rmtree(dst)
+    os.makedirs(os.path.join(dst, "segments"))
+
+    futs = [_split_segment_part.remote(src, dst, s, p_new)
+            for s in range(p)]
+    if stats.get("store_positions"):
+        futs += [_split_position_part.remote(src, dst, s, p_new)
+                 for s in range(p)]
+    ray.get(futs)
+
+    for d in ("docs", "docmap", "manifest"):
+        sd = os.path.join(src, d)
+        if os.path.isdir(sd):
+            shutil.copytree(sd, os.path.join(dst, d))
+    ts = os.path.join(src, "tombstones.parquet")
+    if os.path.exists(ts):
+        shutil.copy2(ts, os.path.join(dst, "tombstones.parquet"))
+    new_stats = dict(stats)
+    new_stats["num_partitions"] = p_new
+    new_stats["split_from"] = p
+    with open(os.path.join(dst, "stats.json"), "w") as f:
+        json.dump(new_stats, f)
+    return new_stats
+
+
 def shrink_index(src: str, dst: str, factor: int) -> dict:
     """Shrink ``src``'s term-partition count by ``factor`` into ``dst``.
 

@@ -691,6 +691,11 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(scores.score, 6) AS score FROM scores
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
+    # _split must serve identical ranks from double the partitions
+    "split_search": _BM25_BASE + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
     # ES _explain: per-term BM25 contribution of the top-1 doc; the
     # same contribution expression as the scores CTE, ungrouped
     "explain_score": _BM25_BASE + """

@@ -2354,6 +2354,29 @@ def q_shrink_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_split_search(sf_dir: str):
+    """ES ``_split`` analog: double the term-partition count (8→16) —
+    each source part fans out independently because a term in old part
+    h%P lands in one of {s + k·P} (index/shrink.py::split_index; one
+    task per source part, dictionary-row rerouting only, postings
+    opaque) — then re-run the standard query: ranks bit-identical, so
+    this shares bm25_topk's oracle."""
+    from ..index.shrink import split_index
+    from ..query.shards import SearchEngine
+
+    if ("split", sf_dir) in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[("split", sf_dir)]
+    else:
+        base = _docs_engine(sf_dir)
+        dst = base.index_dir + "-split"
+        split_index(base.index_dir, dst, factor=2)
+        eng = SearchEngine(dst, num_shards=2)
+        _ENGINE_CACHE[("split", sf_dir)] = eng
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_snapshot_restore(sf_dir: str):
     """ES snapshot/restore analog: copy the index directory, re-verify
     the restored segments against the manifest lineage (counts
@@ -6512,4 +6535,5 @@ QUERY_REGISTRY = {
     "geotile_grid_agg": q_geotile_grid_agg,
     "embedding_knn_hnsw": q_embedding_knn_hnsw,
     "shrink_search": q_shrink_search,
+    "split_search": q_split_search,
 }

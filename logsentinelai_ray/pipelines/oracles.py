@@ -721,6 +721,12 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(scores.score, 6) AS score FROM scores
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
+    # CCR follower after bootstrap + catch-up must equal the full
+    # corpus — same SQL as bm25_topk
+    "ccr_follow": _BM25_BASE + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
     # ES field collapsing: best doc per lang, then top-k overall
     "collapse_by_lang": _BM25_BASE + """
         , best AS (

@@ -2354,6 +2354,60 @@ def q_shrink_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_ccr_follow(sf_dir: str):
+    """ES cross-cluster-replication analog (index/ccr.py): build a
+    LEADER on the first half of documents, bootstrap-sync a follower,
+    append the second half on the leader via the incremental path, and
+    CCR-sync again — the catch-up round ships only the delta files plus
+    rewritten segment parts (the manifest-diff plan), never the whole
+    index. The follower then serves the standard query; it must equal
+    BM25 over the full corpus, so this shares the full-corpus oracle."""
+    if ("ccr", sf_dir) in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[("ccr", sf_dir)]
+    else:
+        import hashlib
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from ..config import IndexConfig
+        from ..index.build import build_index
+        from ..index.ccr import sync_follower
+        from ..index.update import update_index
+        from ..query.shards import SearchEngine
+
+        src = pq.read_table(os.path.join(sf_dir, "documents.parquet"),
+                            columns=["doc_id", "lang", "text"])
+        src = src.sort_by("doc_id")
+        did = src["doc_id"].to_numpy(zero_copy_only=False)
+        half = int(np.median(did))
+        tag = "documents-ccr#v1:" + sf_dir.rstrip("/")
+        work = os.path.join(
+            "/tmp/lsai_idx",
+            hashlib.sha256(tag.encode()).hexdigest()[:16])
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(f"{work}/base", exist_ok=True)
+        os.makedirs(f"{work}/delta", exist_ok=True)
+        mask = did < half
+        pq.write_table(_corpusify_docs(src.filter(pa.array(mask))),
+                       f"{work}/base/part-0.parquet")
+        pq.write_table(_corpusify_docs(src.filter(pa.array(~mask))),
+                       f"{work}/delta/part-0.parquet")
+        cfg = IndexConfig(num_partitions=8, salt_buckets=4)
+        build_index(f"{work}/base", f"{work}/leader", cfg,
+                    corpus_tag=tag)
+        boot = sync_follower(f"{work}/leader", f"{work}/follower")
+        update_index(f"{work}/delta", f"{work}/leader", cfg,
+                     delta_tag=tag)
+        catchup = sync_follower(f"{work}/leader", f"{work}/follower")
+        assert 0 < catchup["copied"] < boot["copied"] + catchup["copied"]
+        eng = SearchEngine(f"{work}/follower", num_shards=2)
+        _ENGINE_CACHE[("ccr", sf_dir)] = eng
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_split_search(sf_dir: str):
     """ES ``_split`` analog: double the term-partition count (8→16) —
     each source part fans out independently because a term in old part
@@ -6536,4 +6590,5 @@ QUERY_REGISTRY = {
     "embedding_knn_hnsw": q_embedding_knn_hnsw,
     "shrink_search": q_shrink_search,
     "split_search": q_split_search,
+    "ccr_follow": q_ccr_follow,
 }

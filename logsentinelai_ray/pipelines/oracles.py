@@ -647,6 +647,44 @@ ORACLE_SQL: dict[str, str] = {
         WHERE fg_df >= 3 AND fg_df / fg_n > df / n
         ORDER BY score DESC, term ASC LIMIT 15
     """.format(camel=_CAMEL.format(col='text')),
+    # significant_text: foreground = QUERY matches (any standard query
+    # term), exact-duplicate texts dropped first (filter_duplicate_text)
+    "significant_text": """
+        WITH tr AS (
+          SELECT doc_id, {camel} AS s FROM documents
+        ), kept AS (
+          SELECT doc_id, s FROM (
+            SELECT doc_id, s,
+                   row_number() OVER (PARTITION BY s
+                                      ORDER BY doc_id) AS rn
+            FROM tr) WHERE rn = 1
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+'))
+                           AS t
+                FROM kept)
+          WHERE t <> ''
+        ), fg AS (
+          SELECT DISTINCT doc_id FROM tok
+          WHERE term IN ('error', 'merge', 'spark', 'window')
+        ), stats AS (
+          SELECT term,
+                 sum(CASE WHEN doc_id IN (SELECT doc_id FROM fg)
+                          THEN 1 ELSE 0 END)::BIGINT AS fg_df,
+                 count(*)::BIGINT AS df
+          FROM tok GROUP BY 1
+        ), sizes AS (
+          SELECT (SELECT count(*) FROM kept)::BIGINT AS n,
+                 (SELECT count(*) FROM fg)::BIGINT AS fg_n
+        )
+        SELECT term, fg_df, df,
+               round((fg_df / fg_n - df / n)
+                     * ((fg_df / fg_n) / (df / n)), 6) AS score
+        FROM stats, sizes
+        WHERE fg_df >= 3 AND fg_df / fg_n > df / n
+        ORDER BY score DESC, term ASC LIMIT 10
+    """.format(camel=_CAMEL.format(col='text')),
     # ORDER BY the *unrounded* table column (scores.score) so tie-breaks
     # match the engine, which sorts by full-precision score before rounding
     # for output; round() stays in the projection only.

@@ -1413,6 +1413,126 @@ def q_significant_terms(sf_dir: str):
                              ("term", "ascending")])
 
 
+def q_significant_text(sf_dir: str):
+    """ES ``significant_text`` aggregation — what significant_terms is
+    NOT: the foreground is a QUERY result (docs matching any standard
+    query term) rather than a field filter, the text is re-analyzed on
+    the fly, and ES's ``filter_duplicate_text`` drops exact duplicate
+    documents before counting (copy-pasted logs would otherwise mint
+    fake significance). Pass 1 is the exact-dedup keys-only exchange
+    (content hash → min doc_id, nothing content-sized moves); pass 2
+    tokenizes once, computing per-term foreground df and total df with
+    the duplicate mask applied. JLH score, same IEEE op tree as the
+    oracle."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..analysis.tokenizer import tokenize_batch_arrow
+
+    min_fg_df = 3
+    qset = set(BM25_QUERY_TEXT.split())
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    # pass 1: keep-first ids per exact text (hash(text) -> min doc_id);
+    # the kept-id set is bounded by distinct texts — at target scale
+    # this broadcast becomes the dedup cluster-id sidecar join
+    # (dedup/exact.py), same semantics
+    def keys(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        h = pl.from_arrow(t.select(["text"]))["text"] \
+            .hash(seed=7).to_numpy().astype(np.int64)
+        return pa.table({"h": pa.array(h),
+                         "doc_id": t["doc_id"]})
+
+    from ray.data.aggregate import Min
+
+    kept_tbl = (ds.map_batches(keys, batch_format="pyarrow")
+                .groupby("h").aggregate(Min("doc_id",
+                                            alias_name="keep_id"))
+                .to_pandas())
+    kept_ref = ray.put(np.sort(kept_tbl["keep_id"].to_numpy()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        keep = ray.get(kept_ref)
+        mask = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), keep,
+                       assume_unique=True)
+        t = t.filter(pa.array(mask))
+        if t.num_rows == 0:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "fg_part": pa.array([], pa.int64()),
+                             "df_part": pa.array([], pa.int64()),
+                             "nrows": pa.array([], pa.int64()),
+                             "nfg": pa.array([], pa.int64())})
+        row_idx, toks, _ = tokenize_batch_arrow(t["text"])
+        enc = toks.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = enc.indices.to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nv = max(1, len(enc.dictionary))
+        uniq = np.unique(row_idx * nv + codes)
+        rows = uniq // nv
+        terms = enc.dictionary.take(pa.array(uniq % nv))
+        # foreground rows: any (row, term) pair whose term is a query
+        # term marks its row
+        is_q = pc.is_in(terms, value_set=pa.array(sorted(qset))) \
+            .to_numpy(zero_copy_only=False)
+        fg_rows = np.zeros(t.num_rows, dtype=bool)
+        fg_rows[rows[is_q]] = True
+        part = pa.table({"term": terms,
+                         "fg": pa.array(fg_rows[rows].astype(np.int64))})
+        agg = part.group_by("term").aggregate(
+            [("fg", "sum"), ([], "count_all")])
+        return pa.table({"term": agg["term"],
+                         "fg_part": pc.cast(agg["fg_sum"], pa.int64()),
+                         "df_part": pc.cast(agg["count_all"],
+                                            pa.int64())})
+
+    stats = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("term")
+             .aggregate(Sum("fg_part", alias_name="fg_df"),
+                        Sum("df_part", alias_name="df")))
+    n = float(len(kept_tbl))
+
+    # foreground size: kept docs containing ANY query term (tiny
+    # second tokenize-and-count pass; one int per batch crosses)
+    def count_fg(t: pa.Table) -> pa.Table:
+        keep = ray.get(kept_ref)
+        mask = np.isin(t["doc_id"].to_numpy(zero_copy_only=False),
+                       keep, assume_unique=True)
+        t = t.filter(pa.array(mask))
+        if t.num_rows == 0:
+            return pa.table({"c": pa.array([0], pa.int64())})
+        row_idx, toks, _ = tokenize_batch_arrow(t["text"])
+        is_q = pc.is_in(toks, value_set=pa.array(sorted(qset))) \
+            .to_numpy(zero_copy_only=False)
+        fg_rows = np.zeros(t.num_rows, dtype=bool)
+        fg_rows[row_idx[is_q]] = True
+        return pa.table({"c": pa.array([int(fg_rows.sum())],
+                                       pa.int64())})
+
+    fg_n = float(ds.map_batches(count_fg,
+                                batch_format="pyarrow").sum("c"))
+
+    def score(t: pa.Table) -> pa.Table:
+        fg_i = t["fg_df"].to_numpy(zero_copy_only=False)
+        fg = fg_i.astype(np.float64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        fg_rate = fg / fg_n
+        bg_rate = df / n
+        jlh = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+        keep = (fg_i >= min_fg_df) & (fg_rate > bg_rate)
+        out = pa.table({"term": t["term"], "fg_df": t["fg_df"],
+                        "df": t["df"],
+                        "score": _round6(pa.array(jlh))})
+        return out.filter(pa.array(keep))
+
+    scored = stats.map_batches(score, batch_format="pyarrow")
+    return topk(scored, 10, [("score", "descending"),
+                             ("term", "ascending")])
+
+
 _ENGINE_CACHE: dict = {}
 BM25_QUERY_TEXT = "error merge spark window"
 
@@ -6591,4 +6711,5 @@ QUERY_REGISTRY = {
     "shrink_search": q_shrink_search,
     "split_search": q_split_search,
     "ccr_follow": q_ccr_follow,
+    "significant_text": q_significant_text,
 }

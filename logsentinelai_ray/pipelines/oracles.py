@@ -2559,6 +2559,32 @@ ORACLE_SQL["ip_range_agg"] = _GEO_BASE + """
         FROM num GROUP BY 1 ORDER BY 1
 """
 
+ORACLE_SQL["field_caps"] = f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+'))
+                           AS t
+                FROM tr)
+          WHERE t <> ''
+        ), c AS (
+          SELECT count(DISTINCT term)::BIGINT AS n_values,
+                 count(*)::BIGINT AS total_df
+          FROM tok
+        )
+        SELECT 'content' AS field, 'text' AS type, n_values, total_df
+        FROM c
+        UNION ALL
+        SELECT 'lang', 'keyword', count(DISTINCT lang)::BIGINT,
+               count(*)::BIGINT FROM documents
+        UNION ALL
+        SELECT 'repo', 'keyword', count(DISTINCT doc_id)::BIGINT,
+               count(*)::BIGINT FROM documents
+        ORDER BY field
+"""
+
 ORACLE_SQL["scripted_metric"] = """
         WITH s AS (
           SELECT

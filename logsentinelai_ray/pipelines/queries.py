@@ -2474,6 +2474,15 @@ def q_shrink_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_field_caps(sf_dir: str):
+    """ES ``_field_caps``: per-field type + distinct-value count +
+    total postings, served ENTIRELY from the term dictionary (one
+    parallel shard round, three rows per shard) — no document read.
+    Exact oracle recounts the same stats from raw text/columns."""
+    eng = _docs_engine(sf_dir)
+    return eng.field_caps()
+
+
 def q_ccr_follow(sf_dir: str):
     """ES cross-cluster-replication analog (index/ccr.py): build a
     LEADER on the first half of documents, bootstrap-sync a follower,
@@ -6712,4 +6721,5 @@ QUERY_REGISTRY = {
     "split_search": q_split_search,
     "ccr_follow": q_ccr_follow,
     "significant_text": q_significant_text,
+    "field_caps": q_field_caps,
 }

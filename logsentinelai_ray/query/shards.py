@@ -333,6 +333,35 @@ class IndexShard:
                          / (tf + k1 * (1.0 - b + b * dl / avgdl)))
         return int(tp.df), ids, contrib
 
+    def dict_caps(self) -> pa.Table:
+        """Per-field dictionary stats for this shard's partitions:
+        (field, n_values, total_df) where n_values counts distinct
+        terms of the field and total_df sums their dfs (= postings =
+        distinct (doc, term) pairs). Runs where the dictionary lives;
+        three tiny rows ship back. The ES _field_caps / mapping-stats
+        analog served from the index itself, no document read."""
+        fields = (("content", None), ("lang", "lang:"),
+                  ("repo", "repo:"))
+        counts = {f: [0, 0] for f, _ in fields}
+        for tbl in self.tables:
+            if tbl.num_rows == 0:
+                continue
+            terms, dfs = tbl["term"], tbl["df"]
+            has_colon = pc.match_substring(terms, ":")
+            for field, prefix in fields:
+                m = (pc.invert(has_colon) if prefix is None
+                     else pc.starts_with(terms, prefix))
+                counts[field][0] += pc.sum(pc.cast(m, pa.int64())) \
+                    .as_py() or 0
+                s = pc.sum(pc.if_else(m, dfs, pa.scalar(0, pa.int64())))
+                counts[field][1] += s.as_py() or 0
+        return pa.table({
+            "field": pa.array([f for f, _ in fields]),
+            "n_values": pa.array([counts[f][0] for f, _ in fields],
+                                 pa.int64()),
+            "total_df": pa.array([counts[f][1] for f, _ in fields],
+                                 pa.int64())})
+
     def decode_dls(self, term: str):
         """Shard-side (doc_ids, dl) decode for one term, or None. dl is
         a per-document property (the content token count) that the
@@ -1584,6 +1613,31 @@ class SearchEngine:
         order = np.lexsort((cand, -scores))[:k]
         return self._format_result(
             [(int(cand[i]), float(scores[i])) for i in order], with_meta)
+
+    def field_caps(self) -> pa.Table:
+        """ES ``_field_caps`` analog: per-field searchability metadata
+        — distinct value count and total postings — aggregated from one
+        parallel dictionary-stat round across the shards (terms are
+        hash-partitioned, so per-shard counts add without dedup)."""
+        parts = ray.get([s.dict_caps.remote() for s in self.shards])
+        acc: dict[str, list[int]] = {}
+        for tbl in parts:
+            for f, n, d in zip(tbl["field"].to_pylist(),
+                               tbl["n_values"].to_pylist(),
+                               tbl["total_df"].to_pylist()):
+                cur = acc.setdefault(f, [0, 0])
+                cur[0] += n
+                cur[1] += d
+        types = {"content": "text", "lang": "keyword",
+                 "repo": "keyword"}
+        fields = sorted(acc)
+        return pa.table({
+            "field": pa.array(fields),
+            "type": pa.array([types[f] for f in fields]),
+            "n_values": pa.array([acc[f][0] for f in fields],
+                                 pa.int64()),
+            "total_df": pa.array([acc[f][1] for f in fields],
+                                 pa.int64())})
 
     def rank_feature_search(self, text: str, pivot: float = 50.0,
                             weight: float = 0.7, k: int = 10,

@@ -2800,6 +2800,31 @@ ORACLE_SQL["span_not"] = f"""
         ORDER BY doc_id
 """
 
+# phrase_slop: Lucene sloppy two-term distance |j - i - 1| <= 2; the
+# 1-based oracle positions cancel in the difference exactly as in
+# span_near
+ORACLE_SQL["phrase_slop"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        ), p AS (
+          SELECT doc_id,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'sort'] AS p1,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'merge'] AS p2
+          FROM t
+        ), pm AS (
+          SELECT doc_id,
+                 CAST(coalesce(list_sum(list_transform(p1,
+                     x -> len(list_filter(p2,
+                         y -> abs(y - x - 1) <= 2)))), 0) AS BIGINT)
+                     AS n_matches
+          FROM p WHERE len(p1) > 0 AND len(p2) > 0
+        )
+        SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
+        ORDER BY doc_id
+"""
+
 ORACLE_SQL["terms_set"] = _BM25_BASE + """
         , m AS (
           SELECT tf.doc_id FROM tf JOIN q USING (term)

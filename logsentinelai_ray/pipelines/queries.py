@@ -2214,6 +2214,15 @@ def q_span_near(sf_dir: str):
     return eng.proximity_match("sort", "merge", window=3)
 
 
+def q_phrase_slop(sf_dir: str):
+    """ES ``match_phrase`` with ``slop: 2`` for the two-term phrase
+    'sort merge': Lucene sloppy distance |j - i - 1| <= slop, so the
+    reversed adjacent "merge sort" (cost 2) matches too — the classic
+    slop example. Pair counts per doc."""
+    eng = _docs_engine(sf_dir)
+    return eng.phrase_slop_match("sort", "merge", slop=2)
+
+
 def q_rescore_topk(sf_dir: str):
     """ES ``rescore`` analog: the top-50 BM25 window for the standard
     query reranked by a phrase rescore query ('sort merge', 0.5 per
@@ -6722,4 +6731,5 @@ QUERY_REGISTRY = {
     "ccr_follow": q_ccr_follow,
     "significant_text": q_significant_text,
     "field_caps": q_field_caps,
+    "phrase_slop": q_phrase_slop,
 }

@@ -115,15 +115,21 @@ def _proximity_verify(index_dir: str, slot1: list[tuple[str, int]],
                       slot2: list[tuple[str, int]], window: int,
                       lo: int, hi: int,
                       cand: np.ndarray | None = None,
-                      ordered: bool = False) -> pa.Table:
+                      mode: str = "unordered") -> pa.Table:
     """Count, per doc in [lo, hi], the (i, j) position pairs with
-    term1@i, term2@j and |i - j| <= window — or, when ``ordered``,
-    j > i with j - i - 1 <= window (ES intervals ``ordered`` +
-    ``max_gaps`` semantics, window = max_gaps). Pair counting is two
-    searchsorteds over packed (doc, pos) keys: for every term1
-    occurrence the qualifying term2 occurrences form one contiguous
-    key range (positions never approach the 2^32 pack boundary, so
-    ranges cannot leak across docs)."""
+    term1@i, term2@j qualifying under ``mode``:
+
+    - ``unordered``: |i - j| <= window (ES span_near unordered)
+    - ``ordered``: j > i with j - i - 1 <= window (ES intervals
+      ``ordered`` + ``max_gaps``, window = max_gaps)
+    - ``slop``: |j - i - 1| <= window — the Lucene SloppyPhraseScorer
+      two-term distance (expected gap 1; reversal costs 2 moves, so
+      "b a" adjacent matches at slop >= 2), window = slop
+
+    Pair counting is two searchsorteds over packed (doc, pos) keys: for
+    every term1 occurrence the qualifying term2 occurrences form one
+    contiguous key range (positions never approach the 2^32 pack
+    boundary, so ranges cannot leak across docs)."""
     d1, p1 = _slot_positions(index_dir, slot1, lo, hi)
     d2, p2 = _slot_positions(index_dir, slot2, lo, hi)
     if cand is not None:
@@ -139,9 +145,12 @@ def _proximity_verify(index_dir: str, slot1: list[tuple[str, int]],
         return _empty_result()
     k1 = ((d1 - lo) << 32) | p1
     k2 = np.sort(((d2 - lo) << 32) | p2)
-    if ordered:
+    if mode == "ordered":
         hi_idx = np.searchsorted(k2, k1 + window + 1, side="right")
         lo_idx = np.searchsorted(k2, k1, side="right")
+    elif mode == "slop":
+        hi_idx = np.searchsorted(k2, k1 + 1 + window, side="right")
+        lo_idx = np.searchsorted(k2, k1 + 1 - window, side="left")
     else:
         hi_idx = np.searchsorted(k2, k1 + window, side="right")
         lo_idx = np.searchsorted(k2, k1 - window, side="left")
@@ -159,15 +168,17 @@ def _proximity_verify(index_dir: str, slot1: list[tuple[str, int]],
 def proximity_match(engine, term1: str, term2: str, window: int = 3,
                     chunk_docs: int = 200_000,
                     candidate_max_df: int = 5_000_000,
-                    ordered: bool = False) -> pa.Table:
+                    mode: str = "unordered") -> pa.Table:
     """ES span_near (unordered) analog: docs where an occurrence of
     ``term1`` and one of ``term2`` sit within ``window`` tokens;
     n_matches counts every qualifying (i, j) occurrence pair. With
-    ``ordered=True`` this becomes the ES intervals-query ``match`` with
-    ``ordered: true, max_gaps: window`` — term2 strictly after term1
-    with at most ``window`` tokens between them. The two terms must be
-    distinct single tokens (identical terms would count each occurrence
-    paired with itself)."""
+    ``mode="ordered"`` this becomes the ES intervals-query ``match``
+    with ``ordered: true, max_gaps: window`` — term2 strictly after
+    term1 with at most ``window`` tokens between them. With
+    ``mode="slop"`` it is ES match_phrase-with-slop for a two-term
+    phrase (Lucene sloppy distance |j - i - 1| <= slop, window = slop).
+    The two terms must be distinct single tokens (identical terms would
+    count each occurrence paired with itself)."""
     from ..analysis.tokenizer import tokenize_py
     from ..index.build import term_partition
 
@@ -179,8 +190,10 @@ def proximity_match(engine, term1: str, term2: str, window: int = 3,
     t2 = tokenize_py(term2, int(engine.stats["max_token_len"]))
     if len(t1) != 1 or len(t2) != 1 or t1 == t2:
         raise ValueError("proximity_match takes two distinct single terms")
-    if window < (0 if ordered else 1):
-        raise ValueError("window must be >= 1 (>= 0 for ordered)")
+    if mode not in ("unordered", "ordered", "slop"):
+        raise ValueError(f"unknown proximity mode: {mode}")
+    if window < (1 if mode == "unordered" else 0):
+        raise ValueError("window must be >= 1 (>= 0 for ordered/slop)")
     t1, t2 = t1[0], t2[0]
     dfs = engine._term_dfs([t1, t2])
     if dfs[t1] == 0 or dfs[t2] == 0:
@@ -201,7 +214,7 @@ def proximity_match(engine, term1: str, term2: str, window: int = 3,
         futures = [
             _proximity_verify.remote(engine.index_dir, slot1, slot2,
                                      window, int(c[0]), int(c[-1]), c,
-                                     ordered)
+                                     mode)
             for c in np.array_split(cand, n_chunks)]
     else:
         n_docs = int(engine.stats["n_docs"])
@@ -209,7 +222,7 @@ def proximity_match(engine, term1: str, term2: str, window: int = 3,
             _proximity_verify.remote(engine.index_dir, slot1, slot2,
                                      window, lo,
                                      min(lo + chunk_docs - 1, n_docs - 1),
-                                     None, ordered)
+                                     None, mode)
             for lo in range(0, n_docs, chunk_docs)]
     tables = [t for t in ray.get(futures) if t.num_rows]
     if not tables:

@@ -2006,7 +2006,20 @@ class SearchEngine:
 
         return self._filter_deleted_rows(
             proximity_match(self, first, then, window=max_gaps,
-                            chunk_docs=chunk_docs, ordered=True))
+                            chunk_docs=chunk_docs, mode="ordered"))
+
+    def phrase_slop_match(self, term1: str, term2: str, slop: int = 2,
+                          chunk_docs: int = 200_000) -> pa.Table:
+        """ES ``match_phrase`` with ``slop`` for a two-term phrase:
+        (doc_id, n_matches) counting occurrence pairs whose Lucene
+        sloppy distance |j - i - 1| <= slop — reversal ("b a" adjacent)
+        costs 2 moves, so it matches from slop 2 (query/phrase.py, the
+        slop mode of the proximity kernel)."""
+        from .phrase import proximity_match
+
+        return self._filter_deleted_rows(
+            proximity_match(self, term1, term2, window=slop,
+                            chunk_docs=chunk_docs, mode="slop"))
 
     def span_first_match(self, term: str, end: int,
                          chunk_docs: int = 200_000) -> pa.Table:

@@ -384,3 +384,32 @@ def test_wildcard_search_equals_expanded_terms(engine, indexed_docs):
 
     with _pt.raises(ValueError):
         engine.wildcard_search("**")
+
+
+def test_phrase_slop_vs_bruteforce(engine, indexed_docs):
+    """slop mode == the Lucene two-term sloppy distance |j-i-1| <= slop,
+    brute-forced from raw token positions; slop=0 equals the adjacent
+    phrase count, and a reversed adjacent pair first matches at slop 2."""
+    toks0 = tokenize_py(indexed_docs[0][1])
+    t1, t2 = toks0[0], toks0[1]
+    if t1 == t2:
+        t2 = next(t for t in toks0 if t != t1)
+    for slop in (0, 1, 2, 4):
+        got = engine.phrase_slop_match(t1, t2, slop=slop)
+        exp = {}
+        for d, text in indexed_docs:
+            toks = tokenize_py(text)
+            p1 = [i for i, t in enumerate(toks) if t == t1]
+            p2 = [i for i, t in enumerate(toks) if t == t2]
+            n = sum(1 for i in p1 for j in p2 if abs(j - i - 1) <= slop)
+            if n:
+                exp[d] = n
+        assert dict(zip(got["doc_id"].to_pylist(),
+                        got["n_matches"].to_pylist())) == exp, slop
+
+    adj = engine.phrase_slop_match(t1, t2, slop=0)
+    ph = engine.phrase_match(f"{t1} {t2}")
+    assert (dict(zip(adj["doc_id"].to_pylist(),
+                     adj["n_matches"].to_pylist()))
+            == dict(zip(ph["doc_id"].to_pylist(),
+                        ph["n_matches"].to_pylist())))

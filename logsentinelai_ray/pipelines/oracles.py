@@ -2559,6 +2559,20 @@ ORACLE_SQL["ip_range_agg"] = _GEO_BASE + """
         FROM num GROUP BY 1 ORDER BY 1
 """
 
+ORACLE_SQL["ingest_pipeline"] = """
+        SELECT event_id,
+               CAST(user_id AS VARCHAR) AS user_id,
+               regexp_replace(upper(event_type), '^ERR', 'E_', 'g')
+                   AS event_type,
+               strftime(ts, '%Y-%m-%d') AS day,
+               value AS amount,
+               value * 2.0 AS amount2,
+               'v1' AS pipeline,
+               regexp_replace(upper(event_type), '^ERR', 'E_', 'g')
+                 || '|' || strftime(ts, '%Y-%m-%d') AS key
+        FROM events ORDER BY event_id
+"""
+
 ORACLE_SQL["field_caps"] = f"""
         WITH tr AS (
           SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents

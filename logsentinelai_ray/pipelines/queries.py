@@ -2483,6 +2483,40 @@ def q_shrink_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+INGEST_SPEC = [
+    {"uppercase": {"field": "event_type"}},
+    {"gsub": {"field": "event_type", "pattern": "^ERR",
+              "replacement": "E_"}},
+    {"date": {"field": "ts", "target_field": "day",
+              "format": "%Y-%m-%d"}},
+    {"rename": {"field": "value", "target_field": "amount"}},
+    {"math": {"field": "amount", "target_field": "amount2",
+              "op": "mul", "operand": 2.0}},
+    {"set": {"field": "pipeline", "value": "v1"}},
+    {"concat": {"fields": ["event_type", "day"],
+                "target_field": "key", "separator": "|"}},
+    {"remove": {"field": "ts"}},
+    {"convert": {"field": "user_id", "type": "string"}},
+]
+
+
+def q_ingest_pipeline(sf_dir: str):
+    """ES ingest-pipeline analog (stages/ingest.py): a 9-processor
+    declarative chain (uppercase, gsub, date, rename, math, set,
+    concat, remove, convert) compiled ONCE into pyarrow kernels and
+    applied as one ``map_batches`` pass — the reference's parse/stamp/
+    rename enrichment path as ES factors it. Exact SQL oracle mirrors
+    every processor; amount2 = value*2.0 is a power-of-two product so
+    the doubles hash bit-identically unrounded."""
+    from ..stages.ingest import compile_pipeline
+
+    run = compile_pipeline(INGEST_SPEC)
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "ts", "user_id", "event_type",
+                        "value"])
+    return ds.map_batches(run, batch_format="pyarrow").sort("event_id")
+
+
 def q_field_caps(sf_dir: str):
     """ES ``_field_caps``: per-field type + distinct-value count +
     total postings, served ENTIRELY from the term dictionary (one
@@ -6732,4 +6766,5 @@ QUERY_REGISTRY = {
     "significant_text": q_significant_text,
     "field_caps": q_field_caps,
     "phrase_slop": q_phrase_slop,
+    "ingest_pipeline": q_ingest_pipeline,
 }

@@ -629,3 +629,47 @@ def test_access_log_parser_edge_cases():
     assert out["status"].to_pylist()[:2] == [200, 404]
     assert out["bytes"].to_pylist()[:2] == [5667, 0]  # '-' -> 0
     assert out["ip"].to_pylist()[2] is None
+
+
+def test_ingest_pipeline_processors():
+    """stages/ingest.py: each processor kernel + chain order + error
+    contracts (unknown kind, missing field with processor index)."""
+    import pyarrow as pa
+    import pytest as _pt
+
+    from logsentinelai_ray.stages.ingest import compile_pipeline
+
+    t = pa.table({
+        "a": ["  Foo ", "BAR", "baz"],
+        "n": [1.5, 2.0, -3.25],
+        "ts": pa.array([1_700_000_000_000_000] * 3,
+                       pa.timestamp("us")),
+    })
+    run = compile_pipeline([
+        {"trim": {"field": "a"}},
+        {"lowercase": {"field": "a"}},
+        {"gsub": {"field": "a", "pattern": "^ba", "replacement": "X"}},
+        {"math": {"field": "n", "target_field": "n2", "op": "add",
+                  "operand": 0.5}},
+        {"rename": {"field": "n", "target_field": "m"}},
+        {"convert": {"field": "m", "type": "string"}},
+        {"date": {"field": "ts", "target_field": "day"}},
+        {"remove": {"field": "ts"}},
+        {"set": {"field": "tag", "value": 7}},
+        {"concat": {"fields": ["a", "tag"], "target_field": "k",
+                    "separator": "-"}},
+    ])
+    out = run(t)
+    assert out["a"].to_pylist() == ["foo", "Xr", "Xz"]
+    assert out["n2"].to_pylist() == [2.0, 2.5, -2.75]
+    assert out["m"].to_pylist() == ["1.5", "2", "-3.25"]
+    assert out["day"].to_pylist() == ["2023-11-14"] * 3
+    assert "ts" not in out.column_names
+    assert out["tag"].to_pylist() == [7, 7, 7]
+    assert out["k"].to_pylist() == ["foo-7", "Xr-7", "Xz-7"]
+
+    with _pt.raises(ValueError, match="unknown kind"):
+        compile_pipeline([{"frobnicate": {}}])
+    run2 = compile_pipeline([{"remove": {"field": "zzz"}}])
+    with _pt.raises(KeyError, match="#0 .remove.: field 'zzz'"):
+        run2(t)

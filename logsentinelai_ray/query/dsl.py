@@ -23,6 +23,11 @@ semantics and float op-trees are already oracle-verified):
   minimum_should_match (ES matching semantics: must+filter conjoin,
   must_not subtracts, should widens scoring — unless there is no
   must/filter, when >= max(1, msm) should clauses must match)
+- ``ids``                {"values": [...]} — filter; tombstoned drop
+- ``exists``             {"field": keyword} — filter via the field's
+  posting-dictionary union (every doc holding the field)
+- ``prefix``             {"content": "pre"} — filter via dictionary
+  expansion (the ES constant_score multi-term rewrite)
 - ``constant_score``     {"filter": node, "boost": w}
 - ``boosting``           {"positive", "negative", "negative_boost"}
 - ``dis_max``            {"queries": [...], "tie_breaker": t}
@@ -199,6 +204,46 @@ def _filter_ids(engine, node: dict) -> np.ndarray:
 
     if kind == "match_all":
         return np.arange(int(engine.stats["n_docs"]), dtype=np.int64)
+
+    if kind == "ids":
+        n = int(engine.stats["n_docs"])
+        vals = np.unique(np.asarray([int(v) for v in spec["values"]],
+                                    dtype=np.int64))
+        vals = vals[(vals >= 0) & (vals < n)]
+        return engine._drop_tombstones(vals)
+
+    if kind == "exists":
+        field = spec["field"]
+        if field not in _KEYWORD_FIELDS:
+            raise ValueError(f"exists supports keyword fields "
+                             f"{_KEYWORD_FIELDS}, got {field!r}")
+        import ray as _ray
+
+        tbls = _ray.get([s.expand_terms.remote(f"{field}:", 1 << 20,
+                                               True)
+                         for s in engine.shards])
+        fterms = sorted(t for tbl in tbls
+                        for t in tbl["term"].to_pylist())
+        engine._ensure_contribs(fterms)
+        sets = [engine._contrib_cache[t][0] for t in fterms
+                if engine._contrib_cache.get(t) is not None]
+        if not sets:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(sets))
+
+    if kind == "prefix":
+        (field, value), = spec.items()
+        if field != "content":
+            raise ValueError("prefix filter supports the content field")
+        text = value["value"] if isinstance(value, dict) else value
+        exp = engine.expand_prefix(text, 1024)
+        terms = exp["term"].to_pylist()
+        engine._ensure_contribs(terms)
+        sets = [engine._contrib_cache[t][0] for t in terms
+                if engine._contrib_cache.get(t) is not None]
+        if not sets:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(sets))
 
     # any scoring node can sit in filter context: its match set
     return np.flatnonzero(_scored(engine, node) > 0.0)

@@ -801,3 +801,37 @@ def test_dsl_randomized_bool_trees(engine, doc_tokens):
         got = dict(zip(res["doc_id"].to_pylist(),
                        res["score"].to_pylist()))
         assert got == exp, body
+
+
+def test_dsl_ids_exists_prefix_nodes(engine, doc_tokens):
+    toks = doc_tokens[0][1]
+    text = " ".join(toks[:4])
+    # ids filter: restricts the match set to the given live ids
+    base = engine.search(text, k=10_000, with_meta=False)
+    pick = base["doc_id"].to_pylist()[::2][:5]
+    a = engine.dsl_search({"query": {"bool": {
+        "must": [{"match": {"content": text}}],
+        "filter": [{"ids": {"values": pick + [99_999_999]}}]}},
+        "size": 10_000})
+    assert a["doc_id"].to_pylist() == sorted(
+        pick, key=lambda d: (-dict(zip(base["doc_id"].to_pylist(),
+                                       base["score"].to_pylist()))[d], d))
+    # exists on a keyword field every doc holds == no-op filter
+    b = engine.dsl_search({"query": {"bool": {
+        "must": [{"match": {"content": text}}],
+        "filter": [{"exists": {"field": "lang"}}]}}, "size": 10_000})
+    assert b.to_pylist() == base.select(
+        ["rank", "doc_id", "score"]).to_pylist() \
+        if "rank" in base.column_names else b.num_rows == base.num_rows
+    # prefix filter == membership in the expanded terms' posting union
+    pre = toks[0][:3]
+    c = engine.dsl_search({"query": {"bool": {
+        "must": [{"match_all": {}}],
+        "filter": [{"prefix": {"content": pre}}]}}, "size": 10_000})
+    exp = sorted(d for d, tk in doc_tokens
+                 if any(t.startswith(pre) for t in tk))
+    assert c["doc_id"].to_pylist() == exp
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        engine.dsl_search({"query": {"exists": {"field": "nope"}}})

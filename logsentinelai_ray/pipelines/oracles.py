@@ -766,6 +766,29 @@ ORACLE_SQL: dict[str, str] = {
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
     # ES field collapsing: best doc per lang, then top-k overall
+    # collapse + inner_hits: top-5 groups by their best hit, top-2 docs
+    # per group; window ranks run over the UNROUNDED score like bm25_topk
+    "collapse_inner_hits": _BM25_BASE + """
+        , g AS (
+          SELECT d.lang, s.doc_id, s.score,
+                 row_number() OVER (PARTITION BY d.lang
+                                    ORDER BY s.score DESC,
+                                             s.doc_id ASC) AS hit_rank
+          FROM scores s JOIN documents d USING (doc_id)
+        ), r1 AS (
+          SELECT lang, doc_id AS best_doc, score AS best
+          FROM g WHERE hit_rank = 1
+        ), gr AS (
+          SELECT lang, row_number() OVER (ORDER BY best DESC,
+                                          best_doc ASC) AS grank
+          FROM r1
+        )
+        SELECT g.lang, CAST(g.hit_rank AS BIGINT) AS hit_rank,
+               g.doc_id, round(g.score, 6) AS score
+        FROM g JOIN gr USING (lang)
+        WHERE gr.grank <= 5 AND g.hit_rank <= 2
+        ORDER BY gr.grank, g.hit_rank
+    """,
     "collapse_by_lang": _BM25_BASE + """
         , best AS (
           SELECT s.doc_id, d.lang, s.score,

@@ -1971,6 +1971,19 @@ def q_collapse_by_lang(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_collapse_inner_hits(sf_dir: str):
+    """ES field collapsing with ``inner_hits``: the top-5 langs by
+    their best hit, each exposing its top-2 docs (group-best ordering,
+    per-group hit_rank) — the grouped-results shape
+    (query/shards.py::collapse_inner_hits)."""
+    eng = _docs_engine(sf_dir)
+    res = eng.collapse_inner_hits(BM25_QUERY_TEXT, field="lang", k=5,
+                                  inner_size=2)
+    return pa.table({"lang": res["lang"], "hit_rank": res["hit_rank"],
+                     "doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_bm25_topk_terms_filter(sf_dir: str):
     """ES terms query as a filter: docs whose lang is ANY of {en, de}
     (a union of the field posting lists, then the standard intersect)
@@ -6767,4 +6780,5 @@ QUERY_REGISTRY = {
     "field_caps": q_field_caps,
     "phrase_slop": q_phrase_slop,
     "ingest_pipeline": q_ingest_pipeline,
+    "collapse_inner_hits": q_collapse_inner_hits,
 }

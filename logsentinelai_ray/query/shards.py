@@ -1135,6 +1135,61 @@ class SearchEngine:
             field: pa.array([r[1] for r in rows], pa.string()),
             "score": pa.array([r[2] for r in rows], pa.float64())})
 
+    def collapse_inner_hits(self, text: str, field: str = "lang",
+                            k: int = 5, inner_size: int = 2) -> pa.Table:
+        """ES field collapsing WITH ``inner_hits``: the top-k groups
+        (ordered by their best hit: score desc, doc_id asc) each expose
+        their top ``inner_size`` docs — the "best doc per value, plus
+        runners-up" shape Kibana's grouped results use. Same
+        accumulator + field-posting exchange as collapse_search; per
+        value one vectorized partial sort of depth inner_size. Returns
+        (field, hit_rank, doc_id, score) flattened in (group rank,
+        hit_rank) order."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        self._ensure_contribs(terms)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        for t in terms:
+            hit = self._contrib_cache.get(t)
+            if hit is not None:
+                acc[hit[0]] += hit[1]
+        self._mask_tombstones(acc)
+        prefix = f"{field}:"
+        values = ray.get([s.expand_terms.remote(prefix, 1 << 20, True)
+                          for s in self.shards])
+        fterms = sorted(t for tbl in values
+                        for t in tbl["term"].to_pylist())
+        self._ensure_contribs(fterms)
+        groups = []
+        for ft in fterms:
+            hit = self._contrib_cache.get(ft)
+            if hit is None:
+                continue
+            ids = hit[0]
+            s = acc[ids]
+            m = s > 0.0
+            if not m.any():
+                continue
+            ids_m, s_m = ids[m], s[m]
+            order = np.lexsort((ids_m, -s_m))[:inner_size]
+            hits = [(int(ids_m[i]), float(s_m[i])) for i in order]
+            groups.append((ft[len(prefix):], hits))
+        groups.sort(key=lambda g: (-g[1][0][1], g[1][0][0]))
+        groups = groups[:k]
+        f_out, r_out, d_out, s_out = [], [], [], []
+        for val, hits in groups:
+            for r, (d, s) in enumerate(hits, start=1):
+                f_out.append(val)
+                r_out.append(r)
+                d_out.append(d)
+                s_out.append(s)
+        return pa.table({
+            field: pa.array(f_out, pa.string()),
+            "hit_rank": pa.array(r_out, pa.int64()),
+            "doc_id": pa.array(d_out, pa.int64()),
+            "score": pa.array(s_out, pa.float64())})
+
     def explain(self, text: str, doc_id: int) -> pa.Table:
         """ES _explain analog: the per-term BM25 contribution breakdown
         of one doc for a query — (term, df, contribution) term-asc; the

@@ -92,23 +92,35 @@ def _select_heuristic(cand_ids: np.ndarray, cand_sims: np.ndarray,
 
 
 def _search_layer(q: np.ndarray, eps: list[int], ef: int,
-                  adj: list[np.ndarray], vecs: np.ndarray
+                  adj: list[np.ndarray], vecs: np.ndarray,
+                  allow: np.ndarray | None = None,
+                  visit_cap: int | None = None
                   ) -> tuple[np.ndarray, np.ndarray]:
     """Beam search one layer from entry points ``eps``; returns up to
     ``ef`` (ids, sims) found, unsorted. Per-hop distances are one
-    vectorized gather+matmul over the node's neighbor list."""
+    vectorized gather+matmul over the node's neighbor list.
+
+    ``allow`` (bool per local node) implements Lucene-style FILTERED
+    kNN: traversal explores every node (the graph stays connected) but
+    only allowed nodes enter the result heap. ``visit_cap`` bounds the
+    work on very sparse filters (the Lucene visitedLimit); the caller
+    falls back to an exact scan over the allowed rows when the capped
+    beam comes back short."""
     visited = set(eps)
     sims0 = vecs[eps] @ q
     # max-heap of candidates (by -sim), min-heap of ef best (by sim)
     cand = [(-float(s), e) for s, e in zip(sims0, eps)]
     heapq.heapify(cand)
-    best = [(float(s), e) for s, e in zip(sims0, eps)]
+    best = [(float(s), e) for s, e in zip(sims0, eps)
+            if allow is None or allow[e]]
     heapq.heapify(best)
     while len(best) > ef:
         heapq.heappop(best)
     while cand:
         negs, c = heapq.heappop(cand)
         if best and -negs < best[0][0] and len(best) >= ef:
+            break
+        if visit_cap is not None and len(visited) > visit_cap:
             break
         nbrs = adj[c]
         if nbrs.size == 0:
@@ -120,11 +132,17 @@ def _search_layer(q: np.ndarray, eps: list[int], ef: int,
         sims = vecs[fresh] @ q
         for s, n in zip(sims, fresh):
             s = float(s)
+            ok = allow is None or allow[n]
+            # the candidate frontier expands whenever the beam is not
+            # yet full or the node beats its worst — regardless of the
+            # filter (disallowed nodes are bridges, Lucene-style)
             if len(best) < ef:
-                heapq.heappush(best, (s, n))
+                if ok:
+                    heapq.heappush(best, (s, n))
                 heapq.heappush(cand, (-s, n))
             elif s > best[0][0]:
-                heapq.heapreplace(best, (s, n))
+                if ok:
+                    heapq.heapreplace(best, (s, n))
                 heapq.heappush(cand, (-s, n))
     ids = np.fromiter((e for _s, e in best), dtype=np.int64,
                       count=len(best))
@@ -294,28 +312,56 @@ class SegmentSearcher:
         self._cache[d] = loaded
         return loaded
 
-    def search(self, d: str, q: np.ndarray, k: int,
-               ef_search: int) -> tuple[np.ndarray, np.ndarray]:
+    def search(self, d: str, q: np.ndarray, k: int, ef_search: int,
+               allow_ids: np.ndarray | None = None
+               ) -> tuple[np.ndarray, np.ndarray]:
+        """Per-segment beam search; with ``allow_ids`` (sorted global
+        vec_ids) it becomes Lucene-style FILTERED kNN: when the filter
+        admits fewer rows than the beam, score them exactly (the
+        cheaper plan); otherwise traverse the graph using disallowed
+        nodes as bridges with a visit cap, falling back to the exact
+        scan if the capped beam comes back short."""
         ids, vecs, adj, entry, max_level = self._load(d)
         qn = q / (np.sqrt(q @ q) or 1.0)
+        ef = max(ef_search, k)
+        allow = None
+        if allow_ids is not None:
+            allow = np.isin(ids, allow_ids, assume_unique=True)
+            n_allowed = int(allow.sum())
+            if n_allowed == 0:
+                return np.empty(0, np.int64), np.empty(0, np.float64)
+            if n_allowed <= ef:
+                return self._exact_allowed(ids, vecs, qn, allow, k)
         eps = [entry]
         for lc in range(max_level, 0, -1):
             lids, sims = _search_layer(qn, eps, 1, adj[lc], vecs)
             eps = [int(lids[int(np.argmax(sims))])]
-        lids, sims = _search_layer(qn, eps, max(ef_search, k),
-                                   adj[0], vecs)
+        lids, sims = _search_layer(qn, eps, ef, adj[0], vecs,
+                                   allow=allow,
+                                   visit_cap=(None if allow is None
+                                              else 32 * ef))
+        if allow is not None and lids.size < min(k, int(allow.sum())):
+            return self._exact_allowed(ids, vecs, qn, allow, k)
         order = np.lexsort((ids[lids], -sims))[:k]
         return ids[lids[order]], sims[order]
 
+    @staticmethod
+    def _exact_allowed(ids, vecs, qn, allow, k):
+        sel = np.flatnonzero(allow)
+        sims = vecs[sel] @ qn
+        order = np.lexsort((ids[sel], -sims))[:k]
+        return ids[sel[order]], sims[order]
+
     def __call__(self, batch: pa.Table, q_ref, k: int,
-                 ef_search: int) -> pa.Table:
+                 ef_search: int, allow_ref=None) -> pa.Table:
         import ray
 
         q = np.asarray(ray.get(q_ref), dtype=np.float64)
+        allow_ids = None if allow_ref is None else ray.get(allow_ref)
         out_ids: list[np.ndarray] = []
         out_sims: list[np.ndarray] = []
         for d in batch["dir"].to_pylist():
-            i, s = self.search(d, q, k, ef_search)
+            i, s = self.search(d, q, k, ef_search, allow_ids)
             out_ids.append(i)
             out_sims.append(s)
         cat_i = (np.concatenate(out_ids) if out_ids
@@ -327,22 +373,29 @@ class SegmentSearcher:
 
 
 def hnsw_index_topk(index_dir: str, query_vec, k: int = 10,
-                    ef_search: int = 64, concurrency=(1, 4)) -> pa.Table:
+                    ef_search: int = 64, concurrency=(1, 4),
+                    filter_ids=None) -> pa.Table:
     """Fan a query out across segment graphs (actor pool keeps loaded
     segments resident) and merge the per-segment top-k exactly —
     k×segments candidate rows cross the cluster, nothing else.
-    Approximate in the standard HNSW sense; cosines of returned ids are
-    float32-normalized dot products (recall pinned in test_hnsw.py)."""
+    ``filter_ids`` (sorted vec_ids, broadcast once) restricts results
+    Lucene-filtered-kNN-style. Approximate in the standard HNSW sense;
+    cosines of returned ids are float32-normalized dot products
+    (recall pinned in test_hnsw.py)."""
     import ray
     import ray.data as rd
 
     meta = json.load(open(os.path.join(index_dir, "hnsw_meta.json")))
     dirs = [_segment_dir(index_dir, s) for s in meta["segments"]]
     q_ref = ray.put(np.asarray(query_vec, dtype=np.float64))
+    allow_ref = (None if filter_ids is None else
+                 ray.put(np.unique(np.asarray(filter_ids,
+                                              dtype=np.int64))))
     cand = (rd.from_arrow(pa.table({"dir": pa.array(dirs)}))
             .map_batches(SegmentSearcher,
                          fn_kwargs={"q_ref": q_ref, "k": k,
-                                    "ef_search": ef_search},
+                                    "ef_search": ef_search,
+                                    "allow_ref": allow_ref},
                          batch_size=1, batch_format="pyarrow",
                          concurrency=concurrency)
             .to_pandas())

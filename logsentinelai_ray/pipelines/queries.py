@@ -3647,6 +3647,32 @@ def q_embedding_knn_hnsw(sf_dir: str):
                      "cosine": _round6(out["cosine"])})
 
 
+def q_embedding_knn_hnsw_filtered(sf_dir: str):
+    """Lucene-style FILTERED kNN over the per-segment HNSW graphs: the
+    filter set (vec_ids with label <= 4) broadcasts once; each segment
+    traverses its graph using disallowed nodes as bridges (visit-capped)
+    or switches to an exact scan when the filter admits fewer rows than
+    the beam — the two-plan ES/Lucene semantics. Approximate by design
+    (rows-only; filtered recall pinned vs the brute-force pre-filter in
+    test_hnsw.py)."""
+    from ..ann.hnsw import build_hnsw_index, hnsw_index_topk
+
+    idx = _ann_index_dir(sf_dir, "hnsw")
+    if not os.path.exists(os.path.join(idx, "hnsw_meta.json")):
+        ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        build_hnsw_index(ds, idx, num_segments=4, m=8,
+                         ef_construction=64, seed=42)
+    lab = _read(sf_dir, "embeddings", columns=["vec_id", "label"])
+    flt = (lab.map_batches(
+        lambda t: t.filter(pc.less_equal(t["label"], 4))
+        .select(["vec_id"]), batch_format="pyarrow").to_pandas())
+    out = hnsw_index_topk(idx, _query_vector(sf_dir), k=10,
+                          ef_search=64,
+                          filter_ids=flt["vec_id"].to_numpy())
+    return pa.table({"vec_id": out["vec_id"],
+                     "cosine": _round6(out["cosine"])})
+
+
 def q_embedding_knn_ivf(sf_dir: str):
     """IVF ANN served from a PERSISTED list-partitioned parquet index
     (ann/store.py): sampled spherical k-means centroids (deterministic
@@ -6781,4 +6807,5 @@ QUERY_REGISTRY = {
     "phrase_slop": q_phrase_slop,
     "ingest_pipeline": q_ingest_pipeline,
     "collapse_inner_hits": q_collapse_inner_hits,
+    "embedding_knn_hnsw_filtered": q_embedding_knn_hnsw_filtered,
 }

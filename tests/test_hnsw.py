@@ -116,3 +116,54 @@ def test_searcher_caches_segments(ray_session, tmp_path):
     # the query vector itself is its own nearest neighbor
     full = hnsw_index_topk(idx, q, k=1, ef_search=64)
     assert full["cosine"][0].as_py() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_filtered_search_recall_and_plans(ray_session, tmp_path):
+    """Filtered kNN: recall vs the brute-force pre-filter, across a
+    selective filter (exact-scan plan) and a broad one (bridged beam)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.ann.hnsw import hnsw_index_topk
+
+    ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    idx = str(tmp_path / "hnswf")
+    build_hnsw_index(ds, idx, num_segments=4, m=8, ef_construction=64,
+                     seed=42)
+    dim = len(ds.take(1)[0]["embedding"])
+    all_ids = np.arange(500, dtype=np.int64)
+    for name, flt in (("selective", all_ids[all_ids % 25 == 0]),  # 20
+                      ("broad", all_ids[all_ids % 2 == 0])):      # 250
+        hits = 0
+        for qi in range(5):
+            q = _rand_vecs(1, dim, seed=300 + qi)[0]
+
+            def pre(t, flt=flt):
+                import pyarrow as _pa
+                import numpy as _np
+
+                m = _np.isin(t["vec_id"].to_numpy(zero_copy_only=False),
+                             flt)
+                return t.filter(_pa.array(m))
+
+            exact = cosine_topk_bruteforce(
+                ds.map_batches(pre, batch_format="pyarrow"), q, k=10)
+            got = hnsw_index_topk(idx, q, k=10, ef_search=64,
+                                  filter_ids=flt)
+            got_ids = got["vec_id"].to_pylist()
+            assert all(int(g) in set(flt.tolist()) for g in got_ids)
+            assert len(got_ids) == min(10, flt.size)
+            hits += len(set(got_ids)
+                        & set(exact["vec_id"].to_pylist()))
+        recall = hits / (5 * min(10, flt.size))
+        assert recall >= 0.9, (name, recall)
+    # selective plan is EXACT within segments: with 20 allowed ids the
+    # merged result must equal the brute-force pre-filter identically
+    q = _rand_vecs(1, dim, seed=311)[0]
+    flt = all_ids[all_ids % 25 == 0]
+    exact = cosine_topk_bruteforce(
+        ds.map_batches(lambda t: t.filter(
+            pa.array(np.isin(t["vec_id"].to_numpy(zero_copy_only=False),
+                             flt))), batch_format="pyarrow"), q, k=10)
+    got = hnsw_index_topk(idx, q, k=10, ef_search=64, filter_ids=flt)
+    assert got["vec_id"].to_pylist() == exact["vec_id"].to_pylist()

@@ -232,7 +232,19 @@ def bench_pipelines() -> dict:
              "rate_anomalies", "ks_test_agg", "dsl_search",
              "security_detections", "pagerank", "bloom_contamination",
              "count_min_heavy", "sliced_scroll", "multimodal_resize",
-             "video_frame_sample"]
+             "video_frame_sample",
+             # final-session operators: rank_feature boost, terms
+             # lookup, subnet/tile aggs, scripted metric, per-segment
+             # HNSW (timing includes the one-time graph build) + its
+             # filtered plan, index resize + CCR replication,
+             # significant_text, ingest pipeline, sloppy phrase,
+             # collapse inner_hits, dictionary field_caps
+             "rank_feature", "terms_lookup", "ip_prefix_agg",
+             "geotile_grid_agg", "scripted_metric",
+             "embedding_knn_hnsw", "embedding_knn_hnsw_filtered",
+             "shrink_search", "split_search", "ccr_follow",
+             "significant_text", "ingest_pipeline", "phrase_slop",
+             "collapse_inner_hits", "field_caps"]
     out = {}
     for name in names:
         t0 = time.monotonic()

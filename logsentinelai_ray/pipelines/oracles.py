@@ -1548,6 +1548,41 @@ ORACLE_SQL: dict[str, str] = {
         SELECT pair, count(*)::BIGINT AS n FROM g GROUP BY 1
         ORDER BY n DESC, pair ASC LIMIT 20
     """,
+    # add-1 bigram LM: per-doc average negative log-likelihood; order
+    # by the UNROUNDED average like every scored oracle
+    "bigram_perplexity": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS arr
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest([arr[i] || ' ' || arr[i+1]
+                         FOR i IN generate_series(1, len(arr) - 1)])
+                     AS pair,
+                 unnest([arr[i]
+                         FOR i IN generate_series(1, len(arr) - 1)])
+                     AS w1
+          FROM t WHERE len(arr) >= 2
+        ), c1 AS (
+          SELECT w, count(*)::DOUBLE AS c
+          FROM (SELECT unnest(arr) AS w FROM t) GROUP BY 1
+        ), vv AS (SELECT count(*)::DOUBLE AS v FROM c1),
+        c2 AS (
+          SELECT pair, count(*)::DOUBLE AS c FROM g GROUP BY 1
+        ), s AS (
+          SELECT g.doc_id,
+                 -sum(ln((c2.c + 1) / (c1.c + vv.v))) AS nll,
+                 count(*)::BIGINT AS n_pairs
+          FROM g JOIN c2 USING (pair)
+          JOIN c1 ON c1.w = g.w1 CROSS JOIN vv
+          GROUP BY 1
+        )
+        SELECT doc_id, n_pairs, round(nll / n_pairs, 6) AS avg_nll
+        FROM s ORDER BY nll / n_pairs DESC, doc_id ASC LIMIT 15
+    """,
     # substring-level dedup rewrite: duplicated 3-grams removed outside
     # their min-doc keeper, docs rebuilt from kept tokens
     "dedup_span_removal": """

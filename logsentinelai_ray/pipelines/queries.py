@@ -2958,6 +2958,79 @@ def q_bigram_counts(sf_dir: str):
     return topk(out, 20, [("n", "descending"), ("pair", "ascending")])
 
 
+def q_bigram_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring: train an add-1-smoothed bigram
+    language model on the corpus (one counting pass — the same
+    vectorized shingle machinery as bigram_counts), broadcast the
+    count tables once (``ray.put``; at target scale this becomes a
+    hash-partitioned join on the pair key), then score every document's
+    average negative log-likelihood ``-mean ln((c(w1,w2)+1) /
+    (c(w1)+V))`` in a second vectorized pass. Returns the 15
+    worst-scoring (most surprising) docs — the perplexity filter's
+    reject list. Exact SQL oracle; ln/div parity, round6 absorbs
+    summation order."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..dedup.jaccard import _shingle_rows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def uni(t: pa.Table) -> pa.Table:
+        sh = _shingle_rows(t, "text", "doc_id", 1, distinct=False)
+        out = sh.group_by("sh").aggregate([("sh", "count")])
+        return out.rename_columns(["w", "n_part"])
+
+    def bi(t: pa.Table) -> pa.Table:
+        sh = _shingle_rows(t, "text", "doc_id", 2, distinct=False)
+        out = sh.group_by("sh").aggregate([("sh", "count")])
+        return out.rename_columns(["pair", "n_part"])
+
+    c1 = (ds.map_batches(uni, batch_format="pyarrow")
+          .groupby("w").aggregate(Sum("n_part", alias_name="c"))
+          .to_pandas())
+    c2 = (ds.map_batches(bi, batch_format="pyarrow")
+          .groupby("pair").aggregate(Sum("n_part", alias_name="c"))
+          .to_pandas())
+    v = float(len(c1))
+    c1_ref = ray.put(dict(zip(c1["w"], c1["c"].astype("float64"))))
+    c2_ref = ray.put(dict(zip(c2["pair"], c2["c"].astype("float64"))))
+
+    def score(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        uni_c = ray.get(c1_ref)
+        bi_c = ray.get(c2_ref)
+        sh = _shingle_rows(t, "text", "doc_id", 2, distinct=False)
+        if sh.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "avg_nll": pa.array([], pa.float64())})
+        pairs = pd.Series(sh["sh"].to_pylist())
+        w1 = pairs.str.split(" ", n=1).str[0]
+        cb = pairs.map(bi_c).to_numpy(dtype=np.float64)
+        cu = w1.map(uni_c).to_numpy(dtype=np.float64)
+        logp = np.log((cb + 1.0) / (cu + v))
+        did = sh["doc_id"].to_numpy(zero_copy_only=False)
+        docs, inv = np.unique(did, return_inverse=True)
+        nll = np.zeros(docs.size, dtype=np.float64)
+        np.add.at(nll, inv, -logp)
+        n_pairs = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+            "avg_nll": pa.array(nll / n_pairs, pa.float64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    df = topk(scored, 15, [("avg_nll", "descending"),
+                           ("doc_id", "ascending")])
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "n_pairs": pa.array(df["n_pairs"].to_numpy(), pa.int64()),
+        "avg_nll": _round6(pa.array(df["avg_nll"].to_numpy(),
+                                    pa.float64()))})
+
+
 _BENCH_DOC_MAX = 5  # docs 0..4 play the held-out benchmark set
 
 
@@ -6808,4 +6881,5 @@ QUERY_REGISTRY = {
     "ingest_pipeline": q_ingest_pipeline,
     "collapse_inner_hits": q_collapse_inner_hits,
     "embedding_knn_hnsw_filtered": q_embedding_knn_hnsw_filtered,
+    "bigram_perplexity": q_bigram_perplexity,
 }

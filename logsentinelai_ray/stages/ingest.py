@@ -115,6 +115,23 @@ def compile_pipeline(spec: list[dict]) -> Callable[[pa.Table], pa.Table]:
                 if f in t.column_names:
                     t = t.drop_columns([f])
                 return t.append_column(f, out)
+        elif kind == "grok":
+            # the ES grok processor's regex core: named capture groups
+            # become columns (one vectorized pc.extract_regex; rows
+            # that don't match get nulls — pair with a dead-letter
+            # split downstream, stages/metadata.py). The full grok
+            # pattern library is sugar over this; see
+            # stages/accesslog.py for a real composed example.
+            def step(t, i=i, p=p):
+                col = _need(t, p["field"], i, "grok")
+                st = pc.extract_regex(col, pattern=p["pattern"])
+                names = [fld.name for fld in st.type]
+                drop = [nm for nm in names if nm in t.column_names]
+                if drop:
+                    t = t.drop_columns(drop)
+                for nm in names:
+                    t = t.append_column(nm, pc.struct_field(st, nm))
+                return t
         elif kind == "math":
             op = {"add": pc.add, "mul": pc.multiply}[p["op"]]
 

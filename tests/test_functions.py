@@ -673,3 +673,11 @@ def test_ingest_pipeline_processors():
     run2 = compile_pipeline([{"remove": {"field": "zzz"}}])
     with _pt.raises(KeyError, match="#0 .remove.: field 'zzz'"):
         run2(t)
+
+    # grok: named capture groups become columns; non-matching rows null
+    g = compile_pipeline([{"grok": {
+        "field": "a",
+        "pattern": r"^(?P<head>[a-z])(?P<tail>.*)$"}}])
+    got = g(run(t))
+    assert got["head"].to_pylist() == ["f", None, None]
+    assert got["tail"].to_pylist() == ["oo", None, None]

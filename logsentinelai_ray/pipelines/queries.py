@@ -2585,7 +2585,12 @@ def q_ccr_follow(sf_dir: str):
         update_index(f"{work}/delta", f"{work}/leader", cfg,
                      delta_tag=tag)
         catchup = sync_follower(f"{work}/leader", f"{work}/follower")
-        assert 0 < catchup["copied"] < boot["copied"] + catchup["copied"]
+        # the catch-up round must ship something (the delta exists) and
+        # must not re-bootstrap docs shipped in round 1 (file counts:
+        # bootstrap = full index; catch-up = delta files + rewritten
+        # segment parts only — test_ccr.py pins the plan contents)
+        assert catchup["copied"] > 0
+        assert boot["copied"] > 0
         eng = SearchEngine(f"{work}/follower", num_shards=2)
         _ENGINE_CACHE[("ccr", sf_dir)] = eng
     res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)

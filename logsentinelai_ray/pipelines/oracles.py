@@ -3597,3 +3597,65 @@ ORACLE_SQL["zorder_layout"] = """
                min(day)::BIGINT AS dmin, max(day)::BIGINT AS dmax
         FROM coded GROUP BY 1 ORDER BY 1
 """
+
+# fastText-style hashed-feature classifier: md5 low-32 feature hash,
+# Knuth multiplicative weights, sigmoid of the mean token weight; rank
+# by the UNROUNDED score like every scored oracle
+ORACLE_SQL["hashed_ngram_classifier"] = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ), g AS (
+      SELECT doc_id, unnest(arr) AS tok FROM t WHERE len(arr) > 0
+    ), f AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(tok), 1, 8))::BIGINT % 256) AS j
+      FROM g
+    ), s AS (
+      SELECT doc_id,
+             sum(((j * 2654435761) % 4294967296) / 2147483648.0 - 1.0)
+                 AS sw,
+             count(*)::BIGINT AS n_tokens
+      FROM f GROUP BY 1
+    )
+    SELECT doc_id, n_tokens,
+           round(1.0 / (1.0 + exp(-(sw / n_tokens))), 6) AS score
+    FROM s
+    ORDER BY 1.0 / (1.0 + exp(-(sw / n_tokens))) DESC, doc_id ASC
+    LIMIT 10
+"""
+
+# stride-16 / window-32 token chunker over the 1%-sampled docs;
+# generate_series starts mirror range(0, n, S)
+ORACLE_SQL["sliding_window_chunks"] = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+      FROM documents WHERE doc_id % 101 = 0
+    ), c AS (
+      SELECT doc_id, arr,
+             unnest([s FOR s IN
+                     generate_series(0, len(arr) - 1, 16)]) AS s
+      FROM t WHERE len(arr) > 0
+    )
+    SELECT doc_id, (s // 16)::BIGINT AS chunk_id,
+           least(32, len(arr) - s)::BIGINT AS chunk_len,
+           array_to_string(list_slice(arr, s + 1, s + 32), ' ')
+               AS chunk_text
+    FROM c ORDER BY doc_id, chunk_id
+"""
+
+# nested query reduces to a flat filtered group-by (the nesting is the
+# Ray pipeline's work, not the math's) — cf. nested_severity_histogram
+ORACLE_SQL["nested_events_query"] = f"""
+    SELECT user_id, count(*)::BIGINT AS n_inner,
+           round(max(value), 6) AS max_value
+    FROM events
+    WHERE {_SEVERITY_CASE} <= 2 AND value >= 99.5
+    GROUP BY 1 ORDER BY n_inner DESC, user_id ASC LIMIT 20
+"""

@@ -6667,6 +6667,204 @@ def q_retention_cohorts(sf_dir: str):
         preserve_index=False)
 
 
+_CLS_DIM = 256  # hashed feature space of the quality classifier
+
+
+def q_hashed_ngram_classifier(sf_dir: str):
+    """fastText-style document quality classifier: every token hashes
+    into a ``_CLS_DIM``-bucket feature space (md5 low-32 mod D — the
+    hashing trick), a deterministic Knuth-multiplicative weight vector
+    ``w[j] = ((j*2654435761) mod 2^32)/2^31 - 1`` stands in for trained
+    weights, and the doc score is ``sigmoid(mean_token w[h(tok)])``.
+    One vectorized pass: hashing touches only the batch's *unique*
+    tokens (vocab-sized, not occurrence-sized), scores accumulate with
+    ``np.add.at``. At target scale the weight vector is broadcast once
+    per actor — here it's 2 KB recomputed per batch. Top-10 docs by
+    score. Exact SQL oracle (DuckDB md5 hex-prefix cast matches
+    hashlib; round6 absorbs summation order)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    dim = _CLS_DIM
+    w = ((np.arange(dim, dtype=np.uint64) * np.uint64(2654435761))
+         % np.uint64(2 ** 32)).astype(np.float64) / 2147483648.0 - 1.0
+
+    def score(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        from ..dedup.jaccard import _shingle_rows
+
+        sh = _shingle_rows(t, "text", "doc_id", 1, distinct=False)
+        if sh.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_tokens": pa.array([], pa.int64()),
+                             "_sw": pa.array([], pa.float64())})
+        toks = sh["sh"].to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        feats = np.fromiter(
+            (int(hashlib.md5(u.encode()).hexdigest()[:8], 16) % dim
+             for u in uniq), dtype=np.int64, count=uniq.size)
+        wt = w[feats[inv]]
+        did = sh["doc_id"].to_numpy(zero_copy_only=False)
+        docs, dinv = np.unique(did, return_inverse=True)
+        sw = np.zeros(docs.size, dtype=np.float64)
+        np.add.at(sw, dinv, wt)
+        n_tok = np.bincount(dinv).astype(np.int64)
+        return pa.table({"doc_id": pa.array(docs, pa.int64()),
+                         "n_tokens": pa.array(n_tok, pa.int64()),
+                         "_sw": pa.array(sw, pa.float64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+
+    # score = 1/(1+exp(-sw/n)) computed once, ranked unrounded,
+    # rounded only for display (oracle mirrors the same op tree)
+    def add_score(t: pa.Table) -> pa.Table:
+        s = 1.0 / (1.0 + np.exp(
+            -(t["_sw"].to_numpy(zero_copy_only=False)
+              / t["n_tokens"].to_numpy(zero_copy_only=False))))
+        return t.append_column("score", pa.array(s, pa.float64()))
+
+    df = topk(scored.map_batches(add_score, batch_format="pyarrow"),
+              10, [("score", "descending"), ("doc_id", "ascending")])
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "n_tokens": pa.array(df["n_tokens"].to_numpy(), pa.int64()),
+        "score": _round6(pa.array(df["score"].to_numpy(), pa.float64()))})
+
+
+_CHUNK_W, _CHUNK_S = 32, 16  # window / stride (tokens)
+
+
+def q_sliding_window_chunks(sf_dir: str):
+    """Training-data chunker: split each sampled document (doc_id %
+    101 == 0 — deterministic, cluster-size invariant) into overlapping
+    token windows of ``_CHUNK_W`` with stride ``_CHUNK_S`` — the
+    context-window packing shape every LLM pretraining pipeline needs.
+    Fully vectorized flat_map: one regex split per batch, window token
+    indices built with the shingle machinery's repeat/cumsum trick,
+    chunk text materialized with a single ``pc.binary_join`` over a
+    ListArray — no per-row Python. Exact SQL oracle (generate_series +
+    list_slice)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    W, S = _CHUNK_W, _CHUNK_S
+
+    def chunks(t: pa.Table) -> pa.Table:
+        t = t.filter(pa.array(
+            t["doc_id"].to_numpy(zero_copy_only=False) % 101 == 0))
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "chunk_id": pa.array([], pa.int64()),
+                          "chunk_len": pa.array([], pa.int64()),
+                          "chunk_text": pa.array([], pa.string())})
+        if t.num_rows == 0:
+            return empty
+        text = pc.utf8_lower(t["text"])
+        lists = pc.split_pattern_regex(text, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists).to_numpy(
+            zero_copy_only=False)
+        keep = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = pc.filter(flat, pa.array(keep))
+        parent = parent[keep]
+        counts = np.bincount(parent, minlength=len(t)).astype(np.int64)
+        n_chunks = -(-counts // S) * (counts > 0)
+        total = int(n_chunks.sum())
+        if total == 0:
+            return empty
+        row_starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        chunk_id = (np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(n_chunks) - n_chunks, n_chunks))
+        starts = chunk_id * S
+        lens = np.minimum(W, np.repeat(counts, n_chunks) - starts)
+        tok_base = np.repeat(row_starts, n_chunks) + starts
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        pos = (np.arange(offsets[-1], dtype=np.int64)
+               - np.repeat(offsets[:-1], lens))
+        taken = pc.take(flat, pa.array(np.repeat(tok_base, lens) + pos,
+                                       pa.int64()))
+        lst = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), taken.combine_chunks())
+        txt = pc.binary_join(lst, " ")
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(did, n_chunks), pa.int64()),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "chunk_len": pa.array(lens, pa.int64()),
+            "chunk_text": txt})
+
+    # bounded output (1% doc sample × tens of windows) — safe to collect
+    return ds.map_batches(chunks, batch_format="pyarrow").to_pandas()
+
+
+def q_nested_events_query(sf_dir: str):
+    """ES ``nested`` query with inner-hit counting: build true nested
+    documents (one per user, ``events: list<struct<event_id,
+    event_type, priority, value>>`` via groupby(user).map_groups — the
+    one inherent all-to-all), then match documents where SOME nested
+    event satisfies ``priority <= 2 AND value >= 99.5``, returning the
+    inner-hit count and best inner value per matching doc (ES
+    inner_hits). Explode is zero-copy ``list_flatten`` +
+    ``list_parent_indices``; per-batch partial aggregation means only
+    (user, count, max) rows cross the second exchange. Top-20 by
+    inner-hit count. Oracle reduces to a flat filtered group-by —
+    the nesting is the pipeline's work, not the math's."""
+    from ..stages.severity import add_priority
+
+    ev = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "event_type", "ts",
+                        "value"])
+
+    def to_doc(g: pa.Table) -> pa.Table:
+        g = g.sort_by([("ts", "ascending"), ("event_id", "ascending")])
+        g = add_priority(g)
+        st = pa.StructArray.from_arrays(
+            [g["event_id"].combine_chunks(),
+             g["event_type"].combine_chunks(),
+             g["priority"].combine_chunks(),
+             g["value"].combine_chunks()],
+            names=["event_id", "event_type", "priority", "value"])
+        lst = pa.ListArray.from_arrays(
+            pa.array([0, g.num_rows], pa.int32()), st)
+        return pa.table({
+            "user_id": pa.array([g["user_id"][0].as_py()], pa.int64()),
+            "events": lst})
+
+    docs = ev.groupby("user_id").map_groups(to_doc,
+                                            batch_format="pyarrow")
+
+    def inner_hits(t: pa.Table) -> pa.Table:
+        evc = t["events"]
+        if isinstance(evc, pa.ChunkedArray):
+            evc = evc.combine_chunks()
+        flat = pc.list_flatten(evc)
+        parent = pc.list_parent_indices(evc)
+        prio = pc.struct_field(flat, "priority")
+        val = pc.struct_field(flat, "value")
+        m = pc.and_(pc.less_equal(prio, 2),
+                    pc.greater_equal(val, 99.5))
+        mask = m.to_numpy(zero_copy_only=False)
+        par = parent.to_numpy(zero_copy_only=False)[mask]
+        vals = val.to_numpy(zero_copy_only=False)[mask]
+        if par.size == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "n_inner": pa.array([], pa.int64()),
+                             "max_value": pa.array([], pa.float64())})
+        uu, inv = np.unique(par, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        mx = np.full(uu.size, -np.inf)
+        np.maximum.at(mx, inv, vals)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)[uu]
+        return pa.table({"user_id": pa.array(uid, pa.int64()),
+                         "n_inner": pa.array(n, pa.int64()),
+                         "max_value": pa.array(mx, pa.float64())})
+
+    hits = docs.map_batches(inner_hits, batch_format="pyarrow")
+    df = topk(hits, 20, [("n_inner", "descending"),
+                         ("user_id", "ascending")])
+    return pa.table({
+        "user_id": pa.array(df["user_id"].to_numpy(), pa.int64()),
+        "n_inner": pa.array(df["n_inner"].to_numpy(), pa.int64()),
+        "max_value": _round6(pa.array(df["max_value"].to_numpy(),
+                                      pa.float64()))})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -6887,4 +7085,7 @@ QUERY_REGISTRY = {
     "collapse_inner_hits": q_collapse_inner_hits,
     "embedding_knn_hnsw_filtered": q_embedding_knn_hnsw_filtered,
     "bigram_perplexity": q_bigram_perplexity,
+    "hashed_ngram_classifier": q_hashed_ngram_classifier,
+    "sliding_window_chunks": q_sliding_window_chunks,
+    "nested_events_query": q_nested_events_query,
 }

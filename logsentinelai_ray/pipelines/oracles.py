@@ -3659,3 +3659,47 @@ ORACLE_SQL["nested_events_query"] = f"""
     WHERE {_SEVERITY_CASE} <= 2 AND value >= 99.5
     GROUP BY 1 ORDER BY n_inner DESC, user_id ASC LIMIT 20
 """
+
+# variable-width histogram: distinct round(value,1) domain, 7 largest
+# lag-window gaps become boundaries (tie -> lower value), bucket =
+# number of cut values <= round(value,1)
+ORACLE_SQL["variable_width_histogram"] = """
+    WITH d AS (SELECT DISTINCT round(value, 1) AS v FROM events),
+    g AS (SELECT v, v - lag(v) OVER (ORDER BY v) AS gap FROM d),
+    cuts AS (
+      SELECT v FROM g WHERE gap IS NOT NULL
+      ORDER BY gap DESC, v ASC LIMIT 7
+    )
+    SELECT (SELECT count(*) FROM cuts c
+            WHERE c.v <= round(e.value, 1))::BIGINT AS bucket,
+           count(*)::BIGINT AS n,
+           round(min(value), 6) AS min_value,
+           round(max(value), 6) AS max_value
+    FROM events e GROUP BY 1 ORDER BY 1
+"""
+
+# seeded random_score: md5('42:' || doc_id) low-32 / 2^32
+ORACLE_SQL["random_score"] = """
+    SELECT doc_id,
+           round(('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                                 1, 8))::BIGINT / 4294967296.0, 6)
+               AS score
+    FROM documents WHERE lang = 'en'
+    ORDER BY ('0x' || substr(md5('42:' || CAST(doc_id AS VARCHAR)),
+                             1, 8))::BIGINT DESC, doc_id ASC
+    LIMIT 10
+"""
+
+# gauss decay: exp(ln(0.5)/scale^2 * max(0,|x-origin|-offset)^2),
+# same op tree as the engine (libm parity)
+ORACLE_SQL["gauss_decay_score"] = """
+    WITH s AS (
+      SELECT doc_id, n_chars,
+             exp((ln(0.5) / (100.0 * 100.0))
+                 * pow(greatest(abs(n_chars - 300.0) - 20.0, 0.0), 2))
+                 AS score
+      FROM documents
+    )
+    SELECT doc_id, n_chars, round(score, 6) AS score FROM s
+    ORDER BY score DESC, doc_id ASC LIMIT 15
+"""

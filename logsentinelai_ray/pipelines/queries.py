@@ -6865,6 +6865,123 @@ def q_nested_events_query(sf_dir: str):
                                       pa.float64()))})
 
 
+_VWH_BUCKETS = 8  # variable-width histogram target bucket count
+
+
+def q_variable_width_histogram(sf_dir: str):
+    """ES ``variable_width_histogram`` agg: cluster events.value into
+    ``_VWH_BUCKETS`` data-driven buckets. Deterministic spec (ES's is
+    approximate): the distinct round(value,1) domain (bounded — ~10⁃³
+    of the row count) is collected via a distinct exchange, the 7
+    largest adjacent gaps become bucket boundaries (tie → lower value),
+    and a second vectorized pass buckets every event with
+    ``np.searchsorted`` and pre-aggregates (count, min, max) per batch
+    so only ≤8 partial rows per block cross the final exchange. Exact
+    SQL oracle (lag-window gaps)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ev = _read(sf_dir, "events", columns=["value"])
+
+    def distinct_v(t: pa.Table) -> pa.Table:
+        v = np.round(t["value"].to_numpy(zero_copy_only=False), 1)
+        return pa.table({"v": pa.array(np.unique(v), pa.float64())})
+
+    dom = (ev.map_batches(distinct_v, batch_format="pyarrow")
+           .groupby("v").aggregate(Count())
+           .to_pandas())
+    vs = np.sort(dom["v"].to_numpy())
+    gaps = np.diff(vs)
+    # 7 largest gaps; ties broken toward the smaller left endpoint
+    order = np.lexsort((vs[1:], -gaps))[: _VWH_BUCKETS - 1]
+    cuts = np.sort(vs[1:][order])  # bucket = #cuts <= round(v,1)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        val = t["value"].to_numpy(zero_copy_only=False)
+        v = np.round(val, 1)
+        b = np.searchsorted(cuts, v, side="right").astype(np.int64)
+        uu, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv).astype(np.int64)
+        mn = np.full(uu.size, np.inf)
+        mx = np.full(uu.size, -np.inf)
+        np.minimum.at(mn, inv, val)
+        np.maximum.at(mx, inv, val)
+        return pa.table({"bucket": pa.array(uu, pa.int64()),
+                         "n_part": pa.array(n, pa.int64()),
+                         "mn": pa.array(mn, pa.float64()),
+                         "mx": pa.array(mx, pa.float64())})
+
+    agg = (ev.map_batches(bucketize, batch_format="pyarrow")
+           .groupby("bucket")
+           .aggregate(Sum("n_part", alias_name="n"),
+                      Min("mn", alias_name="min_value"),
+                      Max("mx", alias_name="max_value"))
+           .to_pandas()
+           .sort_values("bucket").reset_index(drop=True))
+    return pa.table({
+        "bucket": pa.array(agg["bucket"].to_numpy(), pa.int64()),
+        "n": pa.array(agg["n"].to_numpy(), pa.int64()),
+        "min_value": _round6(pa.array(agg["min_value"].to_numpy(),
+                                      pa.float64())),
+        "max_value": _round6(pa.array(agg["max_value"].to_numpy(),
+                                      pa.float64()))})
+
+
+def q_random_score(sf_dir: str):
+    """ES ``function_score`` / ``random_score`` with a seed and field:
+    reproducible pseudo-random ranking — score = md5(seed ':' doc_id)
+    low-32 / 2^32, the deterministic reshuffle every sampling pipeline
+    needs (same hash on every cluster size; ES seeds the same way on
+    _seq_no). Filter lang='en' docs, top-10 by the seeded score. md5
+    touches only the block's rows; at scale it pipelines inside
+    map_batches with no exchange at all (rank via distributed top-k)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "lang"])
+
+    def score(t: pa.Table) -> pa.Table:
+        import hashlib
+
+        t = t.filter(pc.equal(t["lang"], "en"))
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        r = np.fromiter(
+            (int(hashlib.md5(f"42:{d}".encode()).hexdigest()[:8], 16)
+             for d in did), dtype=np.float64, count=did.size) / 4294967296.0
+        return pa.table({"doc_id": pa.array(did, pa.int64()),
+                         "score": pa.array(r, pa.float64())})
+
+    df = topk(ds.map_batches(score, batch_format="pyarrow"),
+              10, [("score", "descending"), ("doc_id", "ascending")])
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "score": _round6(pa.array(df["score"].to_numpy(), pa.float64()))})
+
+
+def q_gauss_decay_score(sf_dir: str):
+    """ES ``function_score`` gauss decay on a numeric field: score =
+    exp(ln(decay)/scale² · max(0, |n_chars − origin| − offset)²) with
+    origin=300, offset=20, scale=100, decay=0.5 — the distance-decayed
+    relevance shape (freshness/geo boosts). Integer distances keep the
+    op tree bit-exact vs the SQL oracle (ln/exp libm parity). Top-15
+    docs by decay score, doc_id tiebreak; one vectorized pass +
+    distributed top-k, no exchange."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    lam = np.log(0.5) / (100.0 * 100.0)
+
+    def score(t: pa.Table) -> pa.Table:
+        x = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = np.maximum(np.abs(x - 300.0) - 20.0, 0.0)
+        s = np.exp(lam * d * d)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": t["n_chars"],
+            "score": pa.array(s, pa.float64())})
+
+    df = topk(ds.map_batches(score, batch_format="pyarrow"),
+              15, [("score", "descending"), ("doc_id", "ascending")])
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "n_chars": pa.array(df["n_chars"].to_numpy(), pa.int64()),
+        "score": _round6(pa.array(df["score"].to_numpy(), pa.float64()))})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -7088,4 +7205,7 @@ QUERY_REGISTRY = {
     "hashed_ngram_classifier": q_hashed_ngram_classifier,
     "sliding_window_chunks": q_sliding_window_chunks,
     "nested_events_query": q_nested_events_query,
+    "variable_width_histogram": q_variable_width_histogram,
+    "random_score": q_random_score,
+    "gauss_decay_score": q_gauss_decay_score,
 }

@@ -3703,3 +3703,77 @@ ORACLE_SQL["gauss_decay_score"] = """
     SELECT doc_id, n_chars, round(score, 6) AS score FROM s
     ORDER BY score DESC, doc_id ASC LIMIT 15
 """
+
+
+# distributed Gram matrix: vec self-join on subscripts, upper triangle
+ORACLE_SQL["embedding_gram"] = """
+    WITH e AS (
+      SELECT vec_id, t.i AS i, embedding[t.i]::DOUBLE AS x
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(i)
+    )
+    SELECT (a.i - 1)::BIGINT AS i, (b.i - 1)::BIGINT AS j,
+           round(sum(a.x * b.x), 6) AS g
+    FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+# power iteration on the round6-pinned Gram matrix, 8 steps unrolled
+# (v0 = 1/sqrt(64) = 0.125 exactly; eigenvalue = last step's norm)
+ORACLE_SQL["embedding_pca_power"] = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, t.i AS i, embedding[t.i]::DOUBLE AS x
+      FROM embeddings,
+           unnest(generate_series(1, len(embedding))) AS t(i)
+    ), ug AS MATERIALIZED (
+      SELECT (a.i - 1) AS i, (b.i - 1) AS j, round(sum(a.x * b.x), 6) AS g
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ), gm AS MATERIALIZED (
+      SELECT i, j, g FROM ug
+      UNION ALL SELECT j, i, g FROM ug WHERE i < j
+    ), v0 AS MATERIALIZED (SELECT i, 0.125 AS val FROM range(64) t(i)),
+    m1 AS MATERIALIZED (
+      SELECT gm.i AS i, sum(gm.g * v0.val) AS val
+      FROM gm JOIN v0 ON gm.j = v0.i GROUP BY 1
+    ), n1 AS MATERIALIZED (SELECT sqrt(sum(val * val)) AS nrm FROM m1),
+    v1 AS MATERIALIZED (SELECT i, val / (SELECT nrm FROM n1) AS val FROM m1),
+    m2 AS MATERIALIZED (
+      SELECT gm.i AS i, sum(gm.g * v1.val) AS val
+      FROM gm JOIN v1 ON gm.j = v1.i GROUP BY 1
+    ), n2 AS MATERIALIZED (SELECT sqrt(sum(val * val)) AS nrm FROM m2),
+    v2 AS MATERIALIZED (SELECT i, val / (SELECT nrm FROM n2) AS val FROM m2),
+    m3 AS MATERIALIZED (
+      SELECT gm.i AS i, sum(gm.g * v2.val) AS val
+      FROM gm JOIN v2 ON gm.j = v2.i GROUP BY 1
+    ), n3 AS MATERIALIZED (SELECT sqrt(sum(val * val)) AS nrm FROM m3),
+    v3 AS MATERIALIZED (SELECT i, val / (SELECT nrm FROM n3) AS val FROM m3),
+    m4 AS MATERIALIZED (
+      SELECT gm.i AS i, sum(gm.g * v3.val) AS val
+      FROM gm JOIN v3 ON gm.j = v3.i GROUP BY 1
+    ), n4 AS MATERIALIZED (SELECT sqrt(sum(val * val)) AS nrm FROM m4),
+    v4 AS MATERIALIZED (SELECT i, val / (SELECT nrm FROM n4) AS val FROM m4),
+    m5 AS MATERIALIZED (
+      SELECT gm.i AS i, sum(gm.g * v4.val) AS val
+      FROM gm JOIN v4 ON gm.j = v4.i GROUP BY 1
+    ), n5 AS MATERIALIZED (SELECT sqrt(sum(val * val)) AS nrm FROM m5),
+    v5 AS MATERIALIZED (SELECT i, val / (SELECT nrm FROM n5) AS val FROM m5),
+    m6 AS MATERIALIZED (
+      SELECT gm.i AS i, sum(gm.g * v5.val) AS val
+      FROM gm JOIN v5 ON gm.j = v5.i GROUP BY 1
+    ), n6 AS MATERIALIZED (SELECT sqrt(sum(val * val)) AS nrm FROM m6),
+    v6 AS MATERIALIZED (SELECT i, val / (SELECT nrm FROM n6) AS val FROM m6),
+    m7 AS MATERIALIZED (
+      SELECT gm.i AS i, sum(gm.g * v6.val) AS val
+      FROM gm JOIN v6 ON gm.j = v6.i GROUP BY 1
+    ), n7 AS MATERIALIZED (SELECT sqrt(sum(val * val)) AS nrm FROM m7),
+    v7 AS MATERIALIZED (SELECT i, val / (SELECT nrm FROM n7) AS val FROM m7),
+    m8 AS MATERIALIZED (
+      SELECT gm.i AS i, sum(gm.g * v7.val) AS val
+      FROM gm JOIN v7 ON gm.j = v7.i GROUP BY 1
+    ), n8 AS MATERIALIZED (SELECT sqrt(sum(val * val)) AS nrm FROM m8),
+    v8 AS MATERIALIZED (SELECT i, val / (SELECT nrm FROM n8) AS val FROM m8)
+    SELECT v8.i::BIGINT AS i, round(v8.val, 6) AS loading,
+           round((SELECT nrm FROM n8), 6) AS eigenvalue
+    FROM v8 ORDER BY i
+"""

@@ -6982,6 +6982,83 @@ def q_gauss_decay_score(sf_dir: str):
         "score": _round6(pa.array(df["score"].to_numpy(), pa.float64()))})
 
 
+_EMB_DIM = 64  # embeddings.parquet vector width
+
+
+def _gram_upper(sf_dir: str):
+    """Distributed Gram matrix Σ x·xᵀ over the embedding column: each
+    batch contributes one 64×64 ``m.T @ m`` partial emitted as the
+    2080 upper-triangle (i, j, part) rows — the exchange carries
+    O(dim²) floats per block regardless of row count, the canonical
+    data-parallel covariance shape (same pattern at 100 TB: partials
+    are tiny, the sum is a 2080-key groupby)."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "embeddings", columns=["embedding"])
+    d = _EMB_DIM
+    iu = np.triu_indices(d)
+
+    def part(t: pa.Table) -> pa.Table:
+        col = t["embedding"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        m = pc.list_flatten(col).to_numpy(zero_copy_only=False) \
+            .astype(np.float64).reshape(-1, d)
+        g = m.T @ m
+        return pa.table({"i": pa.array(iu[0], pa.int64()),
+                         "j": pa.array(iu[1], pa.int64()),
+                         "part": pa.array(g[iu], pa.float64())})
+
+    agg = (ds.map_batches(part, batch_format="pyarrow")
+           .groupby(["i", "j"]).aggregate(Sum("part", alias_name="g"))
+           .to_pandas())
+    return agg.sort_values(["i", "j"]).reset_index(drop=True)
+
+
+def q_embedding_gram(sf_dir: str):
+    """Distributed Gram/covariance matrix of the embedding corpus —
+    the building block of data-parallel PCA / whitening / OOD scoring.
+    Upper triangle only (2080 rows at dim 64), round6 absorbs the
+    partial-sum addition order. Exact SQL oracle (vec self-join on
+    subscripts)."""
+    agg = _gram_upper(sf_dir)
+    return pa.table({
+        "i": pa.array(agg["i"].to_numpy(), pa.int64()),
+        "j": pa.array(agg["j"].to_numpy(), pa.int64()),
+        "g": _round6(pa.array(agg["g"].to_numpy(), pa.float64()))})
+
+
+_PCA_ITERS = 8
+
+
+def q_embedding_pca_power(sf_dir: str):
+    """Top principal direction by power iteration — distributed where
+    it matters (one Gram pass over all vectors, O(dim²) exchange),
+    driver-side where it's O(dim²) math. Deterministic spec shared
+    with the oracle: the Gram matrix is ROUNDED to 6 dp first (pinning
+    both sides to identical inputs — round6 absorbs partial-sum
+    order), then ``_PCA_ITERS`` power steps from v₀ = 1/√dim with
+    L2 normalization each step; eigenvalue = ‖G·v‖ of the last step.
+    Returns the 64 loadings + the eigenvalue. Oracle = the same
+    iteration unrolled as CTEs."""
+    agg = _gram_upper(sf_dir)
+    d = _EMB_DIM
+    g = np.zeros((d, d), dtype=np.float64)
+    g[agg["i"].to_numpy(), agg["j"].to_numpy()] = \
+        np.round(agg["g"].to_numpy(), 6)
+    g = g + np.triu(g, 1).T  # mirror the upper triangle
+    v = np.full(d, 1.0 / np.sqrt(d))
+    lam = 0.0
+    for _ in range(_PCA_ITERS):
+        mv = g @ v
+        lam = np.sqrt(np.sum(mv * mv))
+        v = mv / lam
+    return pa.table({
+        "i": pa.array(np.arange(d), pa.int64()),
+        "loading": _round6(pa.array(v, pa.float64())),
+        "eigenvalue": _round6(pa.array(np.full(d, lam), pa.float64()))})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -7208,4 +7285,6 @@ QUERY_REGISTRY = {
     "variable_width_histogram": q_variable_width_histogram,
     "random_score": q_random_score,
     "gauss_decay_score": q_gauss_decay_score,
+    "embedding_gram": q_embedding_gram,
+    "embedding_pca_power": q_embedding_pca_power,
 }

@@ -67,6 +67,14 @@ class IndexConfig:
     # doc to the exchange.
     index_path_field: bool = False
 
+    # Write the norms sidecar (norms/, one row per doc: doc_id, dl,
+    # path_dl — the Lucene .nvd analog), doc-id-sorted for row-group-
+    # pruned query-time gathers. Needed by scorers that want a doc's
+    # TOTAL per-field lengths even for fields the query terms don't
+    # cover (combined_fields). Off by default: costs one extra
+    # counts-only tokenize pass at build (3 ints/doc exchanged).
+    write_norms: bool = False
+
 
 @dataclass(frozen=True)
 class CorpusConfig:

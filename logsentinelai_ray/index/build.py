@@ -818,6 +818,40 @@ def build_positions(index_dir: str, cfg: IndexConfig,
     mf.mark_stage(index_dir, stage_name, {"n_occurrences": int(sum(occ))})
 
 
+def build_norms(index_dir: str, cfg: IndexConfig) -> None:
+    """Norms sidecar stage (skipped unless cfg.write_norms): one row per
+    doc — (doc_id, dl, path_dl) — the Lucene norms (.nvd) analog,
+    doc-id-sorted so query-time gathers prune row groups exactly like
+    the docmap join. Counts come from the same vectorized tokenizer the
+    postings use, so a norm always equals the dl the postings carry;
+    nothing term-sized is exchanged (the sort moves 3 ints per doc).
+    Serves scorers that need a document's TOTAL field lengths for docs
+    a query term does not cover in that field (combined_fields)."""
+    if not cfg.write_norms or mf.stage_done(index_dir, "norms"):
+        return
+    import ray.data as rd
+
+    mx = cfg.max_token_len
+
+    def kernel(t: pa.Table) -> pa.Table:
+        _r, _tok, dl = tokenize_batch_arrow(t["content"], mx)
+        if "path" in t.column_names:
+            _rp, _tp, pdl = tokenize_batch_arrow(t["path"], mx)
+        else:
+            pdl = np.zeros(len(dl), dtype=np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "dl": pa.array(dl.astype(np.int64), pa.int64()),
+            "path_dl": pa.array(pdl.astype(np.int64), pa.int64())})
+
+    cols = ["doc_id", "content", "path"]
+    ds = rd.read_parquet(os.path.join(index_dir, "docs"), columns=cols)
+    out = os.path.join(index_dir, "norms")
+    ds.map_batches(kernel, batch_format="pyarrow").sort("doc_id") \
+        .write_parquet(out)
+    mf.mark_stage(index_dir, "norms", {})
+
+
 def build_segments(index_dir: str, cfg: IndexConfig, avgdl: float,
                    fingerprint: str) -> None:
     """Stages 3+4, restricted to partitions not yet in the manifest."""
@@ -899,6 +933,11 @@ def build_index(corpus_ds, index_dir: str, cfg: IndexConfig | None = None,
         t = time.monotonic()
         build_positions(index_dir, cfg)
         timings["positions_s"] = round(time.monotonic() - t, 3)
+
+    if cfg.write_norms:
+        t = time.monotonic()
+        build_norms(index_dir, cfg)
+        timings["norms_s"] = round(time.monotonic() - t, 3)
 
     meta = {
         "fingerprint": fingerprint,

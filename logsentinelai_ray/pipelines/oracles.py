@@ -2826,6 +2826,106 @@ ORACLE_SQL["rank_feature"] = _BM25_BASE + """
         ORDER BY score DESC, s.doc_id ASC LIMIT 10
 """
 
+# combined_fields (BM25F-style): tf/dl summed across content+path with the
+# path boost (2.0), df over either-field matches, BM25 over combined stats.
+# The expression trees mirror SearchEngine.combined_fields_search exactly:
+# tf_c + 2.0*tf_p, dl_c + 2.0*dl_p, (total_c + 2.0*total_p)/n, and
+# idf * (tf*(k1+1)/(tf + k1*(1-b+b*dl/avg))); ORDER BY the unrounded sum.
+ORACLE_SQL["combined_fields"] = """
+WITH tr AS (
+  SELECT doc_id, lower(regexp_replace(regexp_replace(text,
+         '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+         '([a-z0-9])([A-Z])', '\\1 \\2', 'g')) AS s FROM documents
+), tokc AS (
+  SELECT doc_id, substr(t, 1, 64) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+        FROM tr)
+  WHERE t <> ''
+), tokp AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(
+                   lower('doc_' || CAST(doc_id AS VARCHAR) || '.md'),
+                   '[^a-z0-9]+')) AS t
+        FROM documents)
+  WHERE t <> ''
+), tfc AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokc GROUP BY 1, 2
+), tfp AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tokp GROUP BY 1, 2
+), dlc AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tokc GROUP BY 1
+), dlp AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tokp GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+         ((SELECT count(*)::DOUBLE FROM tokc)
+          + 2.0 * (SELECT count(*)::DOUBLE FROM tokp))
+         / (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+), q(term) AS (VALUES ('42'), ('doc'), ('md'), ('merge')),
+comb AS (
+  SELECT coalesce(c.doc_id, p.doc_id) AS doc_id,
+         coalesce(c.term, p.term) AS term,
+         coalesce(c.tf, 0) + 2.0 * coalesce(p.tf, 0) AS tf
+  FROM (SELECT * FROM tfc WHERE term IN (SELECT term FROM q)) c
+  FULL OUTER JOIN
+       (SELECT * FROM tfp WHERE term IN (SELECT term FROM q)) p
+  USING (doc_id, term)
+), df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM comb GROUP BY 1
+), norms AS (
+  SELECT d.doc_id,
+         coalesce(dlc.dl, 0) + 2.0 * coalesce(dlp.dl, 0) AS dl
+  FROM documents d
+  LEFT JOIN dlc ON dlc.doc_id = d.doc_id
+  LEFT JOIN dlp ON dlp.doc_id = d.doc_id
+), scores AS (
+  SELECT comb.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * (comb.tf * (1.2 + 1)
+                / (comb.tf + 1.2 * (1 - 0.75
+                                    + 0.75 * norms.dl / stats.avgdl)))
+         ) AS score
+  FROM comb JOIN df USING (term) JOIN norms USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY comb.doc_id
+)
+SELECT doc_id, round(scores.score, 6) AS score FROM scores
+ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+"""
+
+# sparse-vector dot product: per-term doc weight (1 + ln(tf)) * ln(1 + n/df)
+# — same expression tree as SearchEngine.sparse_vector_search (w * ((1 +
+# ln(tf)) * idf)); ORDER BY the unrounded sum, round in projection only
+ORACLE_SQL["text_expansion"] = """
+WITH tr AS (
+  SELECT doc_id, lower(regexp_replace(regexp_replace(text,
+         '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+         '([a-z0-9])([A-Z])', '\\1 \\2', 'g')) AS s FROM documents
+), tok AS (
+  SELECT doc_id, substr(t, 1, 64) AS term
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+        FROM tr)
+  WHERE t <> ''
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+), stats AS (
+  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n
+), q(term, w) AS (VALUES ('authentication', 2.0), ('error', 1.5),
+                         ('merge', 1.0), ('window', 0.5)),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum(q.w * ((1 + ln(tf.tf)) * ln(1 + stats.n / df.df))) AS score
+  FROM tf JOIN q USING (term) JOIN df USING (term) CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(scores.score, 6) AS score FROM scores
+ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+"""
+
 ORACLE_SQL["constant_score"] = _bm25_base("('merge')") + """
         SELECT t.doc_id, 1.0 AS score
         FROM (SELECT DISTINCT tok.doc_id

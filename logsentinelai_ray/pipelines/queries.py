@@ -1579,7 +1579,8 @@ def _docs_engine(sf_dir: str):
         "/tmp/lsai_idx",
         hashlib.sha256(tag.encode()).hexdigest()[:16])
     cfg = IndexConfig(num_partitions=8, salt_buckets=4,
-                      store_positions=True, index_path_field=True)
+                      store_positions=True, index_path_field=True,
+                      write_norms=True)
     build_index(corpus, idx_dir, cfg, corpus_tag=tag)
     eng = SearchEngine(idx_dir, num_shards=2)
     _ENGINE_CACHE[sf_dir] = eng
@@ -2394,6 +2395,34 @@ def q_rank_feature(sf_dir: str):
     eng = _docs_engine(sf_dir)
     res = eng.rank_feature_search(BM25_QUERY_TEXT, pivot=50.0,
                                   weight=0.7, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_combined_fields(sf_dir: str):
+    """ES ``combined_fields`` query (BM25F-style): content + path
+    scored as ONE pseudo-field — term freqs and doc lengths summed
+    with the path boost, df over either-field matches, one BM25 pass
+    over the combined stats. Doc lengths come from the norms sidecar
+    (index/build.py build_norms), so a doc matched only in one field
+    still gets its full combined length."""
+    eng = _docs_engine(sf_dir)
+    res = eng.combined_fields_search("merge doc 42 md", path_boost=2.0,
+                                     k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
+def q_text_expansion(sf_dir: str):
+    """ES ``text_expansion`` / ``sparse_vector`` query (the ELSER
+    serving shape): the query is a sparse term→weight map and document
+    weights derive from the index itself — (1 + ln(tf)) * ln(1 + n/df)
+    — so the score is a sparse dot product computed entirely from
+    postings (shard-side raw-tf decode, no doc store)."""
+    eng = _docs_engine(sf_dir)
+    res = eng.sparse_vector_search(
+        {"authentication": 2.0, "error": 1.5, "merge": 1.0,
+         "window": 0.5}, k=10)
     return pa.table({"doc_id": res["doc_id"],
                      "score": _round6(res["score"])})
 
@@ -7264,6 +7293,8 @@ QUERY_REGISTRY = {
     "bpe_token_stats": q_bpe_token_stats,
     "bigram_counts": q_bigram_counts,
     "rank_feature": q_rank_feature,
+    "text_expansion": q_text_expansion,
+    "combined_fields": q_combined_fields,
     "ip_prefix_agg": q_ip_prefix_agg,
     "terms_lookup": q_terms_lookup,
     "scripted_metric": q_scripted_metric,

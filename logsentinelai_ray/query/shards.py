@@ -27,6 +27,7 @@ query path holds an N-sized array.
 
 from __future__ import annotations
 
+import math
 import os
 import re
 
@@ -384,6 +385,29 @@ class IndexShard:
         ids, _tfs, dls = TermPostings(row).decode_all()
         return ids, dls.astype(np.float64)
 
+    def decode_raw(self, term: str):
+        """Shard-side (df, doc_ids, tf, dl) decode for one term, or
+        None — the formula-agnostic cousin of ``decode_term`` for
+        scorers whose per-term weight is NOT BM25 (sparse-vector /
+        combined-fields queries): raw term frequencies come back
+        zero-copy through the object store and the caller applies its
+        own weight expression, so one posting format serves every
+        scoring model without re-decoding on the driver."""
+        loc = self.term_index.get(term)
+        if loc is None:
+            return None
+        tbl = self.tables[loc[0]]
+        i = loc[1]
+        row: dict = {"term": term, "df": tbl["df"][i].as_py()}
+        for f in ("block_first", "block_last", "block_count", "block_max",
+                  "block_doc_off", "block_tf_off", "block_dl_off"):
+            row[f] = tbl[f][i].values.to_numpy(zero_copy_only=False)
+        for f in ("doc_data", "tf_data", "dl_data"):
+            row[f] = tbl[f][i].as_py()
+        ids, tfs, dls = TermPostings(row).decode_all()
+        return (int(row["df"]), ids, tfs.astype(np.float64),
+                dls.astype(np.float64))
+
 
 class SearchEngine:
     """Driver-side query coordinator over an IndexShard actor pool.
@@ -457,6 +481,7 @@ class SearchEngine:
             max(64_000_000, 96 * min(n_docs_now, taat_max_docs)))
         self._contrib_cached = 0
         self._docmap_mem = None  # lazy in-memory docmap (small-N fast path)
+        self._norms_mem = None   # lazy norms sidecar (combined_fields)
         # ES-style delete tombstones (index/delete.py): a sorted doc-id
         # exclusion applied on every query path; stats stay pre-delete
         # (the ES/Lucene contract until a segment merge/rebuild)
@@ -1740,6 +1765,157 @@ class SearchEngine:
         else:
             raise ValueError(f"unknown rank_feature function: {function}")
         scores = acc[cand] + float(weight) * boost
+        order = np.lexsort((cand, -scores))[:k]
+        return self._format_result(
+            [(int(cand[i]), float(scores[i])) for i in order], with_meta)
+
+    def sparse_vector_search(self, weights: dict[str, float],
+                             k: int = 10,
+                             with_meta: bool = False) -> pa.Table:
+        """ES ``text_expansion`` / ``sparse_vector`` query (the ELSER
+        serving shape): the query is a sparse term→weight vector and
+        each document's sparse vector is derived from the index itself
+        — w_d(t, d) = (1 + ln(tf)) * ln(1 + n/df), the classic
+        ltc-style expansion weight — so the score is the dot product
+        sum_t w_q(t) * w_d(t, d). No doc store is touched: raw tf
+        decodes shard-side (IndexShard.decode_raw) in one parallel
+        round and only (ids, tf) arrays cross the object store.
+
+        Query keys run through the analyzer; keys that don't normalize
+        to exactly one indexed-form token are rejected (a weight must
+        attach to one dictionary entry, as in ES's token→weight map).
+        TAAT accumulation in sorted-term order (the oracle's addition
+        order). Scale note: per-term max contribution is bounded by
+        w_q * (1 + ln(max_tf)) * idf, so the block-max WAND machinery
+        extends to this scorer when n_docs outgrows the accumulator;
+        the dense path matches taat_max_docs like search()."""
+        mx = int(self.stats["max_token_len"])
+        norm: dict[str, float] = {}
+        for key, w in weights.items():
+            toks = tokenize_py(key, mx)
+            if len(set(toks)) != 1:
+                raise ValueError(
+                    f"sparse_vector key {key!r} does not normalize to "
+                    f"one token (got {sorted(set(toks))})")
+            norm[toks[0]] = norm.get(toks[0], 0.0) + float(w)
+        terms = sorted(norm)
+        if not terms:
+            return self._format_result([], with_meta)
+        n = int(self.stats["n_docs"])
+        futures = [(t, self.part_to_shard[term_partition(t, self.P)]
+                    .decode_raw.remote(t)) for t in terms]
+        acc = np.zeros(n, dtype=np.float64)
+        for t, fut in futures:  # sorted-term order = oracle order
+            res = ray.get(fut)
+            if res is None:
+                continue
+            df, ids, tf, _dl = res
+            idf = math.log(1.0 + n / float(df))
+            # ln(tf) through scalar libm per UNIQUE tf value (tf is a
+            # small-int multiset, so uv is tiny): vectorized np.log is
+            # 1 ulp off scalar ln on ~20% of inputs, and the oracle
+            # (DuckDB ln) is scalar — exactness beats the SIMD log here
+            uv, inv = np.unique(tf, return_inverse=True)
+            ulog = np.array([math.log(float(x)) for x in uv],
+                            dtype=np.float64)
+            acc[ids] += norm[t] * ((1.0 + ulog[inv]) * idf)
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        scores = acc[cand]
+        order = np.lexsort((cand, -scores))[:k]
+        return self._format_result(
+            [(int(cand[i]), float(scores[i])) for i in order], with_meta)
+
+    def _norms_arrays(self) -> tuple[np.ndarray, np.ndarray]:
+        """(dl, path_dl) float64 arrays indexed by doc_id, from the
+        norms sidecar (index/build.py build_norms). Small-N fast path
+        pins both — the same N-sized budget the TAAT accumulator
+        already pays; past taat_max_docs a scorer should gather only
+        candidate rows through the doc-id-sorted parquet (row-group-
+        pruned, the _join_docmap pattern)."""
+        if self._norms_mem is None:
+            ndir = os.path.join(self.index_dir, "norms")
+            if not os.path.isdir(ndir):
+                raise ValueError(
+                    "index was built without the norms sidecar; rebuild "
+                    "with IndexConfig(write_norms=True)")
+            tbl = pa_ds.dataset(ndir, format="parquet").to_table()
+            n = int(self.stats["n_docs"])
+            dl = np.zeros(n, dtype=np.float64)
+            pdl = np.zeros(n, dtype=np.float64)
+            ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            dl[ids] = tbl["dl"].to_numpy(zero_copy_only=False)
+            pdl[ids] = tbl["path_dl"].to_numpy(zero_copy_only=False)
+            self._norms_mem = (dl, pdl)
+        return self._norms_mem
+
+    def combined_fields_search(self, text: str, path_boost: float = 1.0,
+                               k: int = 10,
+                               with_meta: bool = False) -> pa.Table:
+        """ES ``combined_fields`` query (BM25F-style term-centric
+        scoring): content and path are treated as ONE pseudo-field —
+        per term, tf_comb = tf_content + boost * tf_path; per doc,
+        dl_comb = dl_content + boost * dl_path (from the norms
+        sidecar, so docs a term matches only in one field still get
+        their full combined length); df_comb = |docs matching the term
+        in EITHER field|; avgdl_comb from the global field totals.
+        Then plain BM25 over the combined stats. Contrast
+        search_fields (per-field BM25 summed) and cross_fields_search
+        (blended df, max field norm).
+
+        Raw tf decodes shard-side (decode_raw) in one parallel round;
+        the per-term union/combine is numpy over a dense scratch
+        (reset per term by touched ids only). TAAT accumulation in
+        sorted-term order."""
+        if not self.stats.get("index_path_field"):
+            raise ValueError(
+                "combined_fields needs the scored path field; rebuild "
+                "with IndexConfig(index_path_field=True)")
+        mx = int(self.stats["max_token_len"])
+        terms = sorted(set(tokenize_py(text, mx)))
+        if not terms:
+            return self._format_result([], with_meta)
+        n = int(self.stats["n_docs"])
+        k1, b = float(self.stats["k1"]), float(self.stats["b"])
+        boost = float(path_boost)
+        avg = (float(self.stats["total_tokens"])
+               + boost * float(self.stats["path_total_tokens"])) \
+            / float(n)
+        dl_all, pdl_all = self._norms_arrays()
+        dl_comb = dl_all + boost * pdl_all
+        futures = [(t,
+                    self.part_to_shard[term_partition(t, self.P)]
+                    .decode_raw.remote(t),
+                    self.part_to_shard[term_partition("p:" + t, self.P)]
+                    .decode_raw.remote("p:" + t)) for t in terms]
+        acc = np.zeros(n, dtype=np.float64)
+        scratch = np.zeros(n, dtype=np.float64)
+        for t, fc, fp in futures:  # sorted-term order = oracle order
+            rc, rp = ray.get(fc), ray.get(fp)
+            if rc is None and rp is None:
+                continue
+            parts = []
+            if rc is not None:
+                scratch[rc[1]] += rc[2]
+                parts.append(rc[1])
+            if rp is not None:
+                scratch[rp[1]] += boost * rp[2]
+                parts.append(rp[1])
+            ids_u = parts[0] if len(parts) == 1 \
+                else np.union1d(parts[0], parts[1])
+            idf = bm25_idf(n, int(ids_u.size))
+            tfu = scratch[ids_u]
+            dlu = dl_comb[ids_u]
+            acc[ids_u] += idf * (tfu * (k1 + 1.0)
+                                 / (tfu + k1 * (1.0 - b + b * dlu / avg)))
+            scratch[ids_u] = 0.0
+        self._mask_tombstones(acc)
+        cand = np.flatnonzero(acc > 0.0)
+        if cand.size == 0:
+            return self._format_result([], with_meta)
+        scores = acc[cand]
         order = np.lexsort((cand, -scores))[:k]
         return self._format_result(
             [(int(cand[i]), float(scores[i])) for i in order], with_meta)

@@ -835,3 +835,102 @@ def test_dsl_ids_exists_prefix_nodes(engine, doc_tokens):
 
     with _pt.raises(ValueError):
         engine.dsl_search({"query": {"exists": {"field": "nope"}}})
+
+
+# -- sparse_vector (text_expansion) + combined_fields ----------------------
+
+
+def test_sparse_vector_vs_bruteforce(engine, doc_tokens):
+    """Dot-product scores bit-identical to a scalar recomputation of
+    w * ((1 + ln(tf)) * ln(1 + n/df)) from the raw token streams."""
+    import math
+
+    toks0 = doc_tokens[0][1]
+    weights = {toks0[0]: 2.0, toks0[3]: 0.5, "zzzmissing": 9.0}
+    res = engine.sparse_vector_search(weights, k=1_000_000)
+    n = len(doc_tokens)
+    df = {t: sum(1 for _d, tk in doc_tokens if t in tk)
+          for t in weights}
+    exp: dict[int, float] = {}
+    for d, tk in doc_tokens:
+        s = 0.0
+        for t in sorted(weights):
+            tf = tk.count(t)
+            if tf == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + n / float(df[t]))
+            s += weights[t] * ((1.0 + math.log(float(tf))) * idf)
+        if s > 0.0:
+            exp[d] = s
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    assert res["doc_id"].to_pylist() == order
+    assert res["score"].to_pylist() == [exp[d] for d in order]
+
+
+def test_sparse_vector_rejects_multi_token_keys(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        engine.sparse_vector_search({"two words": 1.0})
+    with _pt.raises(ValueError):
+        engine.sparse_vector_search({"camelCase": 1.0})
+
+
+def test_norms_sidecar_matches_tokenizer(small_index):
+    """norms/ rows = per-doc (content, path) token counts from the same
+    tokenizer the postings used."""
+    idx_dir, _cfg = small_index
+    docs = pq.read_table(f"{idx_dir}/docs",
+                         columns=["doc_id", "content", "path"])
+    norms = pq.read_table(f"{idx_dir}/norms").sort_by("doc_id")
+    exp = {d: (len(tokenize_py(c)), len(tokenize_py(p)))
+           for d, c, p in zip(docs["doc_id"].to_pylist(),
+                              docs["content"].to_pylist(),
+                              docs["path"].to_pylist())}
+    assert norms.num_rows == len(exp)
+    for d, dl, pdl in zip(norms["doc_id"].to_pylist(),
+                          norms["dl"].to_pylist(),
+                          norms["path_dl"].to_pylist()):
+        assert (dl, pdl) == exp[d]
+
+
+def test_combined_fields_vs_bruteforce(engine, small_index):
+    """BM25F combined scoring bit-identical to a scalar recomputation
+    over content+path with the boost folded into tf/dl/avgdl and df
+    over either-field matches."""
+    import math
+
+    idx_dir, cfg = small_index
+    docs = pq.read_table(f"{idx_dir}/docs",
+                         columns=["doc_id", "content", "path"])
+    rows = [(d, tokenize_py(c), tokenize_py(p))
+            for d, c, p in zip(docs["doc_id"].to_pylist(),
+                               docs["content"].to_pylist(),
+                               docs["path"].to_pylist())]
+    # one content-heavy term, one path-heavy term, one absent
+    text = f"{rows[0][1][0]} {rows[0][2][0]} zzzmissing"
+    boost = 2.0
+    res = engine.combined_fields_search(text, path_boost=boost,
+                                        k=1_000_000)
+    n = len(rows)
+    k1, b = cfg.k1, cfg.b
+    avg = (float(sum(len(tk) for _d, tk, _p in rows))
+           + boost * float(sum(len(ptk) for _d, _tk, ptk in rows))) \
+        / float(n)
+    terms = sorted(set(tokenize_py(text)))
+    exp: dict[int, float] = {}
+    for t in terms:
+        hits = [(d, tk.count(t), ptk.count(t), len(tk), len(ptk))
+                for d, tk, ptk in rows if t in tk or t in ptk]
+        if not hits:
+            continue
+        dfc = float(len(hits))
+        idf = math.log(1.0 + (n - dfc + 0.5) / (dfc + 0.5))
+        for d, tfc, tfp, dlc, dlp in hits:
+            tf = float(tfc) + boost * float(tfp)
+            dl = float(dlc) + boost * float(dlp)
+            exp[d] = exp.get(d, 0.0) + idf * (
+                tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avg)))
+    order = sorted(exp, key=lambda d: (-exp[d], d))
+    assert res["doc_id"].to_pylist() == order
+    assert res["score"].to_pylist() == [exp[d] for d in order]

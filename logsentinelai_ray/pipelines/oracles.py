@@ -3523,6 +3523,48 @@ ORACLE_SQL["geo_bbox_filter"] = _GEO_BASE + """
         GROUP BY 1 ORDER BY 1
 """
 
+# geo_polygon: convex CCW polygon from queries._GEO_POLYGON, unrolled as
+# one edge-cross-product condition per edge — all int64 centi-degrees,
+# bit-exact (condition: (x2-x1)*(lat-y1) - (y2-y1)*(lon-x1) >= 0)
+ORACLE_SQL["geo_polygon_filter"] = _GEO_BASE + """
+        SELECT country_code AS cc, count(*)::BIGINT AS n_in_poly
+        FROM geo
+        WHERE 12000 * (lat_cd - -4000) - -2000 * (lon_cd - -12000) >= 0
+          AND 12000 * (lat_cd - -6000) - 4000 * (lon_cd - 0) >= 0
+          AND -4000 * (lat_cd - -2000) - 7000 * (lon_cd - 12000) >= 0
+          AND -16000 * (lat_cd - 5000) - 1000 * (lon_cd - 8000) >= 0
+          AND -4000 * (lat_cd - 6000) - -10000 * (lon_cd - -8000) >= 0
+        GROUP BY 1 ORDER BY 1
+"""
+
+# bucket_correlation: Pearson r between the error and purchase per-day
+# count series. Every moment is an exact BIGINT; the final expression is
+# a single division chain evaluated once (same op tree as the engine),
+# so neither side rounds.
+ORACLE_SQL["bucket_correlation"] = """
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day,
+                 sum(CASE WHEN event_type = 'error' THEN 1
+                     ELSE 0 END)::BIGINT AS x,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1
+                     ELSE 0 END)::BIGINT AS y
+          FROM events GROUP BY 1
+        ), s AS (
+          SELECT count(*)::BIGINT AS k,
+                 sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+                 sum(x * y)::BIGINT AS sxy,
+                 sum(x * x)::BIGINT AS sxx,
+                 sum(y * y)::BIGINT AS syy
+          FROM daily
+        )
+        SELECT k AS n_buckets,
+               CAST(k * sxy - sx * sy AS DOUBLE)
+               / (sqrt(CAST(k * sxx - sx * sx AS DOUBLE))
+                  * sqrt(CAST(k * syy - sy * sy AS DOUBLE)))
+                   AS correlation
+        FROM s
+"""
+
 # pagerank: 5 unrolled integer fixed-point power iterations over the
 # user k-cooccurrence graph — every op is BIGINT floor arithmetic, so
 # engine and SQL agree bit-for-bit with no float tolerance at all

@@ -13,6 +13,7 @@ decimals on both sides.
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -6425,6 +6426,90 @@ def q_geo_bbox_filter(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+# (lon_cd, lat_cd) vertices, CCW convex — shared verbatim (as literal
+# edge conditions) by the geo_polygon oracle SQL; all arithmetic stays
+# int64 centi-degrees so engine and SQL agree with no float tolerance
+_GEO_POLYGON = [(-12000, -4000), (0, -6000), (12000, -2000),
+                (8000, 5000), (-8000, 6000)]
+
+
+def q_geo_polygon_filter(sf_dir: str):
+    """ES ``geo_polygon`` filter: per-country counts of enriched
+    locations inside a convex CCW polygon. Inside-test = every edge
+    cross product (x2-x1)*(lat-y1) - (y2-y1)*(lon-x1) >= 0 (boundary
+    inclusive) — exact int64 centi-degree arithmetic, one vectorized
+    pass per batch, partial counts, small groupby."""
+    from ray.data.aggregate import Sum
+
+    V = _GEO_POLYGON
+
+    def partial(t: pa.Table) -> pa.Table:
+        lat = t["lat_cd"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        lon = t["lon_cd"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        keep = np.ones(lat.size, dtype=bool)
+        for i in range(len(V)):
+            x1, y1 = V[i]
+            x2, y2 = V[(i + 1) % len(V)]
+            keep &= ((x2 - x1) * (lat - y1)
+                     - (y2 - y1) * (lon - x1)) >= 0
+        kept = t.filter(pa.array(keep))
+        agg = (pa.table({"cc": kept["country_code"]})
+               .group_by("cc").aggregate([([], "count_all")]))
+        return pa.table({"cc": agg["cc"],
+                         "pn": pc.cast(agg["count_all"], pa.int64())})
+
+    out = (_geo_located_ips(sf_dir)
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby("cc").aggregate(Sum("pn", alias_name="n_in_poly"))
+           .sort("cc").to_pandas())
+    out["n_in_poly"] = out["n_in_poly"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_bucket_correlation(sf_dir: str):
+    """ES ``bucket_correlation`` pipeline aggregation: Pearson r
+    between two sibling date-histogram count series (error vs purchase
+    events per day). Mergeable integer partials roll up to one tiny
+    per-day table; every moment (k, Σx, Σy, Σxy, Σx², Σy²) is an exact
+    Python int, and the correlation is evaluated ONCE in float64 with
+    the same operation tree as the oracle — a single division chain
+    over exact integers, so no rounding is needed on either side."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        day = pc.strftime(t["ts"], format="%Y-%m-%d")
+        err = pc.cast(pc.equal(t["event_type"], "error"), pa.int64())
+        pur = pc.cast(pc.equal(t["event_type"], "purchase"), pa.int64())
+        agg = (pa.table({"day": day, "x": err, "y": pur})
+               .group_by("day")
+               .aggregate([("x", "sum"), ("y", "sum")]))
+        return pa.table({"day": agg["day"], "px": agg["x_sum"],
+                         "py": agg["y_sum"]})
+
+    per_day = (ds.map_batches(partial, batch_format="pyarrow")
+               .groupby("day")
+               .aggregate(Sum("px", alias_name="x"),
+                          Sum("py", alias_name="y"))
+               .to_pandas())
+    x = per_day["x"].to_numpy(dtype=np.int64)
+    y = per_day["y"].to_numpy(dtype=np.int64)
+    kk = len(per_day)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    num = kk * sxy - sx * sy
+    d1 = kk * sxx - sx * sx
+    d2 = kk * syy - sy * sy
+    r = float(num) / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+    return pa.table({
+        "n_buckets": pa.array([kk], pa.int64()),
+        "correlation": pa.array([r], pa.float64())})
+
+
 def q_multimodal_resize(sf_dir: str):
     """Multimodal resize stage metadata (multimodal/binary.py
     ImageResizer): per-lang totals of the fit-inside geometry and the
@@ -7288,6 +7373,8 @@ QUERY_REGISTRY = {
     "match_bool_prefix": q_match_bool_prefix,
     "percentiles_bucket": q_percentiles_bucket,
     "geo_bbox_filter": q_geo_bbox_filter,
+    "geo_polygon_filter": q_geo_polygon_filter,
+    "bucket_correlation": q_bucket_correlation,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,

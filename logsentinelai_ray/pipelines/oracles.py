@@ -2972,6 +2972,63 @@ ORACLE_SQL["span_not"] = f"""
         ORDER BY doc_id
 """
 
+# span_containing / span_within: big = Lucene-minimal ordered span per
+# start (first 'merge' after each 'sort' within 6 positions — the
+# list_min of the filtered positions; empty -> NULL -> predicate false,
+# exactly the engine's "no j found" case). 1-based oracle positions are
+# shift-invariant for containment. Counting matches the engine: one per
+# qualifying big span (containing) / one per enclosed little occurrence
+# (within).
+ORACLE_SQL["span_containing"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        ), p AS (
+          SELECT doc_id,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'sort'] AS p1,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'merge'] AS p2,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'agg'] AS p3
+          FROM t
+        ), pm AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(p1, i ->
+                     len(list_filter(p3, p -> i <= p AND
+                         p <= list_min(list_filter(p2,
+                             y -> y > i AND y - i <= 6)))) > 0))
+                     AS BIGINT) AS n_matches
+          FROM p WHERE len(p1) > 0
+        )
+        SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
+        ORDER BY doc_id
+"""
+
+ORACLE_SQL["span_within"] = f"""
+        WITH t AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        ), p AS (
+          SELECT doc_id,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'sort'] AS p1,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'merge'] AS p2,
+                 [i FOR i IN generate_series(1, len(arr))
+                  IF arr[i] = 'agg'] AS p3
+          FROM t
+        ), pm AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(p3, p ->
+                     len(list_filter(p1, i -> i <= p AND
+                         p <= list_min(list_filter(p2,
+                             y -> y > i AND y - i <= 6)))) > 0))
+                     AS BIGINT) AS n_matches
+          FROM p WHERE len(p3) > 0
+        )
+        SELECT doc_id, n_matches FROM pm WHERE n_matches > 0
+        ORDER BY doc_id
+"""
+
 # phrase_slop: Lucene sloppy two-term distance |j - i - 1| <= 2; the
 # 1-based oracle positions cancel in the difference exactly as in
 # span_near

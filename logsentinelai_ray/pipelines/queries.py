@@ -2229,6 +2229,21 @@ def q_span_near(sf_dir: str):
     return eng.proximity_match("sort", "merge", window=3)
 
 
+def q_span_containing(sf_dir: str):
+    """ES ``span_containing``: big = minimal ordered span 'sort ...
+    merge' within 6 positions; count big spans that enclose an 'agg'
+    occurrence. Per-doc qualifying span counts."""
+    eng = _docs_engine(sf_dir)
+    return eng.span_containing_match("sort", "merge", "agg", max_dist=6)
+
+
+def q_span_within(sf_dir: str):
+    """ES ``span_within``: count 'agg' occurrences enclosed by a
+    minimal ordered 'sort ... merge' span within 6 positions."""
+    eng = _docs_engine(sf_dir)
+    return eng.span_within_match("sort", "merge", "agg", max_dist=6)
+
+
 def q_phrase_slop(sf_dir: str):
     """ES ``match_phrase`` with ``slop: 2`` for the two-term phrase
     'sort merge': Lucene sloppy distance |j - i - 1| <= slop, so the
@@ -7336,6 +7351,8 @@ QUERY_REGISTRY = {
     "constant_score": q_constant_score,
     "span_first": q_span_first,
     "span_not": q_span_not,
+    "span_containing": q_span_containing,
+    "span_within": q_span_within,
     "terms_set": q_terms_set,
     "categorize_text": q_categorize_text,
     "bucket_sort": q_bucket_sort,

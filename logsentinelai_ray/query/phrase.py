@@ -524,3 +524,133 @@ def span_or_match(engine, terms: list[str], chunk_docs: int = 200_000,
     if not tables:
         return _empty_result()
     return pa.concat_tables(tables).sort_by("doc_id")
+
+
+@ray.remote(num_cpus=1)
+def _span_contain_verify(index_dir: str, big1_slot, big2_slot,
+                         little_slot, lo: int, hi: int,
+                         cand: np.ndarray | None,
+                         max_dist: int, mode: str) -> pa.Table:
+    """Per-doc counts for span_containing / span_within in [lo, hi].
+
+    Big spans are Lucene-minimal ordered spans: for each occurrence i
+    of the first big term, the FIRST occurrence j of the last big term
+    with i < j <= i + max_dist (packed-key searchsorted — a span can
+    never cross a doc boundary because positions sit in the low 32
+    bits and max_dist never reaches the pack boundary).
+
+    mode='containing': count big spans holding >= 1 little occurrence
+    (range count over the little keys). mode='within': count little
+    occurrences inside >= 1 big span — spans are width-bounded
+    (<= max_dist), so the contained-position set is materialized by a
+    bounded repeat/arange expansion and membership is one np.isin."""
+    d1, p1 = _slot_positions(index_dir, big1_slot, lo, hi)
+    if cand is not None and d1.size:
+        r = np.searchsorted(cand, d1)
+        ok = cand[np.minimum(r, cand.size - 1)] == d1
+        d1, p1 = d1[ok], p1[ok]
+    if d1.size == 0:
+        return _empty_result()
+    d2, p2 = _slot_positions(index_dir, big2_slot, lo, hi)
+    if d2.size == 0:
+        return _empty_result()
+    d3, p3 = _slot_positions(index_dir, little_slot, lo, hi)
+    if d3.size == 0:
+        return _empty_result()
+    k1 = ((d1 - lo) << 32) | p1
+    k2 = np.sort(((d2 - lo) << 32) | p2)
+    k3 = np.sort(((d3 - lo) << 32) | p3)
+    idx = np.searchsorted(k2, k1 + 1, side="left")
+    ok = idx < k2.size
+    jk = k2[np.minimum(idx, k2.size - 1)]
+    ok &= jk <= k1 + max_dist
+    spans_i, spans_j = k1[ok], jk[ok]
+    if spans_i.size == 0:
+        return _empty_result()
+    if mode == "containing":
+        lo_idx = np.searchsorted(k3, spans_i, side="left")
+        hi_idx = np.searchsorted(k3, spans_j, side="right")
+        keys = spans_i[(hi_idx - lo_idx) > 0]
+    elif mode == "within":
+        w1 = (spans_j - spans_i).astype(np.int64) + 1
+        starts = np.zeros(w1.size, dtype=np.int64)
+        np.cumsum(w1[:-1], out=starts[1:])
+        offs = (np.arange(int(w1.sum()), dtype=np.int64)
+                - np.repeat(starts, w1))
+        pos_keys = np.repeat(spans_i, w1) + offs
+        keys = k3[np.isin(k3, pos_keys)]
+    else:
+        raise ValueError(f"unknown span containment mode: {mode}")
+    if keys.size == 0:
+        return _empty_result()
+    docs, counts = np.unique((keys >> 32) + lo, return_counts=True)
+    return pa.table({
+        "doc_id": pa.array(docs.astype(np.int64), pa.int64()),
+        "n_matches": pa.array(counts.astype(np.int64), pa.int64()),
+    })
+
+
+def span_contain_match(engine, big_first: str, big_last: str,
+                       little: str, max_dist: int = 6,
+                       mode: str = "containing",
+                       chunk_docs: int = 200_000,
+                       candidate_max_df: int = 5_000_000) -> pa.Table:
+    """ES ``span_containing`` / ``span_within`` over single-term
+    clauses: big = the minimal ordered span (big_first ... big_last)
+    with span length <= max_dist positions; little = a single term.
+    'containing' returns per-doc counts of big spans that hold a
+    little occurrence; 'within' counts little occurrences enclosed by
+    a big span. Same two exact plans as the other span queries:
+    candidate (intersection of the three posting lists) when the dfs
+    are decodable, doc-range chunks otherwise."""
+    from ..analysis.tokenizer import tokenize_py
+    from ..index.build import term_partition
+
+    if not engine.stats.get("store_positions"):
+        raise ValueError(
+            "index was built without the positions sidecar; rebuild with "
+            "IndexConfig(store_positions=True) to serve span queries")
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+    mtl = int(engine.stats["max_token_len"])
+    terms = []
+    for raw in (big_first, big_last, little):
+        toks = tokenize_py(raw, mtl)
+        if len(toks) != 1:
+            raise ValueError(
+                f"span clauses take single terms, got {raw!r}")
+        terms.append(toks[0])
+    t1, t2, t3 = terms
+    dfs = engine._term_dfs(terms)
+    if min(dfs.values()) == 0:
+        return _empty_result()
+    slots = [[(t, term_partition(t, engine.P))] for t in terms]
+    chunk_docs = min(chunk_docs, 2 ** 31 - 1)
+    if sum(dfs.values()) <= candidate_max_df:
+        engine._ensure_contribs(terms)
+        id_sets = [engine._contrib_cache[t][0] for t in terms
+                   if engine._contrib_cache.get(t) is not None]
+        if len(id_sets) < 3:
+            return _empty_result()
+        cand = np.intersect1d(np.intersect1d(id_sets[0], id_sets[1]),
+                              id_sets[2])
+        if cand.size == 0:
+            return _empty_result()
+        n_chunks = max(1, -(-cand.size // chunk_docs))
+        futures = [
+            _span_contain_verify.remote(
+                engine.index_dir, slots[0], slots[1], slots[2],
+                int(c[0]), int(c[-1]), c, int(max_dist), mode)
+            for c in np.array_split(cand, n_chunks)]
+    else:
+        n_docs = int(engine.stats["n_docs"])
+        futures = [
+            _span_contain_verify.remote(
+                engine.index_dir, slots[0], slots[1], slots[2], lo,
+                min(lo + chunk_docs - 1, n_docs - 1), None,
+                int(max_dist), mode)
+            for lo in range(0, n_docs, chunk_docs)]
+    tables = [x for x in ray.get(futures) if x.num_rows]
+    if not tables:
+        return _empty_result()
+    return pa.concat_tables(tables).sort_by("doc_id")

@@ -2284,6 +2284,33 @@ class SearchEngine:
         return self._filter_deleted_rows(
             span_or_match(self, terms, chunk_docs=chunk_docs))
 
+    def span_containing_match(self, big_first: str, big_last: str,
+                              little: str, max_dist: int = 6,
+                              chunk_docs: int = 200_000) -> pa.Table:
+        """ES ``span_containing``: (doc_id, n_matches) counting minimal
+        ordered big spans (big_first ... big_last, length <= max_dist)
+        that enclose a ``little`` occurrence (query/phrase.py
+        span_contain_match)."""
+        from .phrase import span_contain_match
+
+        return self._filter_deleted_rows(
+            span_contain_match(self, big_first, big_last, little,
+                               max_dist=max_dist, mode="containing",
+                               chunk_docs=chunk_docs))
+
+    def span_within_match(self, big_first: str, big_last: str,
+                          little: str, max_dist: int = 6,
+                          chunk_docs: int = 200_000) -> pa.Table:
+        """ES ``span_within``: (doc_id, n_matches) counting ``little``
+        occurrences enclosed by a minimal ordered big span
+        (query/phrase.py span_contain_match)."""
+        from .phrase import span_contain_match
+
+        return self._filter_deleted_rows(
+            span_contain_match(self, big_first, big_last, little,
+                               max_dist=max_dist, mode="within",
+                               chunk_docs=chunk_docs))
+
     def match_bool_prefix_search(self, text: str, k: int = 10,
                                  max_expansions: int = 1024,
                                  with_meta: bool = False) -> pa.Table:

@@ -934,3 +934,56 @@ def test_combined_fields_vs_bruteforce(engine, small_index):
     order = sorted(exp, key=lambda d: (-exp[d], d))
     assert res["doc_id"].to_pylist() == order
     assert res["score"].to_pylist() == [exp[d] for d in order]
+
+
+def _brute_big_spans(toks, t1, t2, max_dist):
+    """Minimal ordered spans: for each t1 position i, the first t2
+    position j with i < j <= i + max_dist."""
+    p2 = [p for p, t in enumerate(toks) if t == t2]
+    spans = []
+    for i, t in enumerate(toks):
+        if t != t1:
+            continue
+        js = [j for j in p2 if i < j <= i + max_dist]
+        if js:
+            spans.append((i, js[0]))
+    return spans
+
+
+def test_span_containing_and_within_vs_bruteforce(engine, doc_tokens):
+    # pick big-first/big-last/little from a real doc so matches exist
+    toks0 = doc_tokens[0][1]
+    t1, t2, t3 = toks0[0], toks0[4], toks0[2]
+    for dist in (2, 5):
+        cont = engine.span_containing_match(t1, t2, t3, max_dist=dist)
+        within = engine.span_within_match(t1, t2, t3, max_dist=dist)
+        got_c = dict(zip(cont["doc_id"].to_pylist(),
+                         cont["n_matches"].to_pylist()))
+        got_w = dict(zip(within["doc_id"].to_pylist(),
+                         within["n_matches"].to_pylist()))
+        exp_c, exp_w = {}, {}
+        for d, toks in doc_tokens:
+            spans = _brute_big_spans(toks, t1, t2, dist)
+            p3 = [p for p, t in enumerate(toks) if t == t3]
+            nc = sum(1 for i, j in spans
+                     if any(i <= p <= j for p in p3))
+            nw = sum(1 for p in p3
+                     if any(i <= p <= j for i, j in spans))
+            if nc:
+                exp_c[d] = nc
+            if nw:
+                exp_w[d] = nw
+        assert got_c == exp_c, f"containing dist={dist}"
+        assert got_w == exp_w, f"within dist={dist}"
+
+
+def test_span_containing_validation(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        engine.span_containing_match("two words", "merge", "agg")
+    with _pt.raises(ValueError):
+        engine.span_within_match("sort", "merge", "agg", max_dist=0)
+    # absent term -> empty, not an error
+    assert engine.span_containing_match(
+        "zzzmissing", "merge", "agg").num_rows == 0

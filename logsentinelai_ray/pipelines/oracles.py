@@ -1310,6 +1310,38 @@ ORACLE_SQL: dict[str, str] = {
         WHERE levenshtein(term, 'mrge') <= 2 GROUP BY 1
         ORDER BY df DESC, term ASC LIMIT 3
     """,
+    # phrase suggester: per-slot fuzzy candidates (levenshtein <= 1,
+    # df-ranked top 5 like expand_fuzzy) scored by total adjacent
+    # bigram count; INNER join prunes zero-support pairs like the engine
+    "phrase_suggest": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), tokdf AS (
+          SELECT term, count(*)::BIGINT AS df FROM tok GROUP BY 1
+        ), c1 AS (
+          SELECT term FROM tokdf WHERE levenshtein(term, 'sor') <= 1
+          ORDER BY df DESC, term ASC LIMIT 5
+        ), c2 AS (
+          SELECT term FROM tokdf WHERE levenshtein(term, 'mrge') <= 1
+          ORDER BY df DESC, term ASC LIMIT 5
+        ), t2 AS (
+          SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+        ), bg AS (
+          SELECT arr[i] AS w1, arr[i + 1] AS w2, count(*)::BIGINT AS cnt
+          FROM t2, unnest(generate_series(1, len(arr) - 1)) AS g(i)
+          GROUP BY 1, 2
+        )
+        SELECT a.term || ' ' || b.term AS suggestion, bg.cnt AS score
+        FROM c1 a CROSS JOIN c2 b
+        JOIN bg ON bg.w1 = a.term AND bg.w2 = b.term
+        ORDER BY score DESC, suggestion ASC LIMIT 3
+    """,
     # ES sort-by-keyword-field: first 10 matching docs by (lang, doc_id)
     "search_sorted": f"""
         WITH tr AS (

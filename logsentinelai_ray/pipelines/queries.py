@@ -2229,6 +2229,15 @@ def q_span_near(sf_dir: str):
     return eng.proximity_match("sort", "merge", window=3)
 
 
+def q_phrase_suggest(sf_dir: str):
+    """ES phrase suggester: correct the two-word typo 'sor mrge' —
+    fuzzy per-slot candidates (df-ranked, Levenshtein <= 1) scored by
+    their total adjacent-occurrence count from the positions sidecar;
+    zero-support pairs pruned; top 3."""
+    eng = _docs_engine(sf_dir)
+    return eng.phrase_suggest("sor mrge", max_edits=1, per_slot=5, k=3)
+
+
 def q_span_containing(sf_dir: str):
     """ES ``span_containing``: big = minimal ordered span 'sort ...
     merge' within 6 positions; count big spans that enclose an 'agg'
@@ -7352,6 +7361,7 @@ QUERY_REGISTRY = {
     "span_first": q_span_first,
     "span_not": q_span_not,
     "span_containing": q_span_containing,
+    "phrase_suggest": q_phrase_suggest,
     "span_within": q_span_within,
     "terms_set": q_terms_set,
     "categorize_text": q_categorize_text,

@@ -2284,6 +2284,41 @@ class SearchEngine:
         return self._filter_deleted_rows(
             span_or_match(self, terms, chunk_docs=chunk_docs))
 
+    def phrase_suggest(self, text: str, max_edits: int = 1,
+                       per_slot: int = 5, k: int = 3) -> pa.Table:
+        """ES phrase suggester ("did you mean" for multi-word queries):
+        per-slot candidate generation (fuzzy dictionary expansion,
+        df-ranked, ``per_slot`` wide) + bigram scoring — a candidate
+        pair's score is its total adjacent-occurrence count across the
+        corpus, served by the phrase machinery over the positions
+        sidecar (the shingle-field LM evidence ES uses), so correction
+        quality is judged by corpus evidence, not edit distance alone.
+        Pairs with zero corpus support drop out (ES confidence
+        pruning). Returns (suggestion, score), score desc /
+        suggestion asc, top ``k``."""
+        mtl = int(self.stats["max_token_len"])
+        toks = tokenize_py(text, mtl)
+        if len(toks) != 2:
+            raise ValueError("phrase_suggest takes a two-word query")
+        c1 = self.expand_fuzzy(toks[0], max_edits=max_edits,
+                               max_expansions=per_slot)
+        c2 = self.expand_fuzzy(toks[1], max_edits=max_edits,
+                               max_expansions=per_slot)
+        out_s, out_n = [], []
+        for a in c1["term"].to_pylist():
+            for b in c2["term"].to_pylist():
+                m = self.phrase_match(f"{a} {b}")
+                n = int(pc.sum(m["n_matches"]).as_py() or 0) \
+                    if m.num_rows else 0
+                if n > 0:
+                    out_s.append(f"{a} {b}")
+                    out_n.append(n)
+        tbl = pa.table({"suggestion": pa.array(out_s, pa.string()),
+                        "score": pa.array(out_n, pa.int64())})
+        idx = pc.sort_indices(tbl, sort_keys=[("score", "descending"),
+                                              ("suggestion", "ascending")])
+        return tbl.take(idx.slice(0, k))
+
     def span_containing_match(self, big_first: str, big_last: str,
                               little: str, max_dist: int = 6,
                               chunk_docs: int = 200_000) -> pa.Table:

@@ -987,3 +987,58 @@ def test_span_containing_validation(engine):
     # absent term -> empty, not an error
     assert engine.span_containing_match(
         "zzzmissing", "merge", "agg").num_rows == 0
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_phrase_suggest_vs_bruteforce(engine, doc_tokens):
+    """Candidate generation (fuzzy, df-ranked) + bigram scoring vs a
+    full recount from the raw token streams."""
+    toks0 = doc_tokens[0][1]
+    w1 = next(t for t in toks0 if len(t) >= 4)
+    w2 = next(t for t in toks0 if len(t) >= 4 and t != w1)
+    typo1, typo2 = w1[:-1], w2[:-1]  # one deletion each
+    res = engine.phrase_suggest(f"{typo1} {typo2}", max_edits=1,
+                                per_slot=5, k=10)
+    # brute force
+    vocab: dict[str, set] = {}
+    for d, toks in doc_tokens:
+        for t in toks:
+            vocab.setdefault(t, set()).add(d)
+    df = {t: len(ds) for t, ds in vocab.items()}
+
+    def cands(w):
+        hits = [t for t in df if _lev(w, t) <= 1]
+        hits.sort(key=lambda t: (-df[t], t))
+        return hits[:5]
+
+    bigrams: dict[tuple, int] = {}
+    for _d, toks in doc_tokens:
+        for a, b in zip(toks, toks[1:]):
+            bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
+    exp = []
+    for a in cands(typo1):
+        for b in cands(typo2):
+            n = bigrams.get((a, b), 0)
+            if n > 0:
+                exp.append((f"{a} {b}", n))
+    exp.sort(key=lambda x: (-x[1], x[0]))
+    got = list(zip(res["suggestion"].to_pylist(),
+                   res["score"].to_pylist()))
+    assert got == exp[:10]
+
+
+def test_phrase_suggest_validation(engine):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        engine.phrase_suggest("three word query")

@@ -1564,6 +1564,37 @@ ORACLE_SQL: dict[str, str] = {
     """,
     # bigram-LM / BPE counting: top-20 adjacent token pairs by raw
     # occurrence count (same lower+split tokenization as the shingles)
+    # PMI collocations: same lower+split tokenization as bigram_counts;
+    # every count is an exact BIGINT, pmi = ln of one cast-double ratio
+    # (single chain — no rounding either side), ORDER BY raw pmi
+    "collocations_pmi": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS arr
+          FROM documents
+        ), uni AS (
+          SELECT arr[i] AS w, count(*)::BIGINT AS c
+          FROM t, unnest(generate_series(1, len(arr))) AS g(i)
+          GROUP BY 1
+        ), n AS (
+          SELECT sum(c)::BIGINT AS n FROM uni
+        ), bg AS (
+          SELECT arr[i] AS w1, arr[i + 1] AS w2, count(*)::BIGINT AS cab
+          FROM t, unnest(generate_series(1, len(arr) - 1)) AS g(i)
+          GROUP BY 1, 2
+        )
+        SELECT bg.w1 || ' ' || bg.w2 AS pair, bg.cab AS n_pair,
+               ln(CAST(n.n * bg.cab AS DOUBLE)
+                  / CAST(u1.c * u2.c AS DOUBLE)) AS pmi
+        FROM bg
+        JOIN uni u1 ON u1.w = bg.w1
+        JOIN uni u2 ON u2.w = bg.w2
+        CROSS JOIN n
+        WHERE bg.cab >= 5
+        ORDER BY pmi DESC, pair ASC LIMIT 10
+    """,
     "bigram_counts": """
         WITH t AS (
           SELECT doc_id,

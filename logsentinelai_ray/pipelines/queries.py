@@ -3017,6 +3017,68 @@ def q_bigram_counts(sf_dir: str):
     return topk(out, 20, [("n", "descending"), ("pair", "ascending")])
 
 
+def q_collocations_pmi(sf_dir: str):
+    """Collocation extraction by pointwise mutual information — the
+    classic corpus-linguistics / tokenizer-vocab-candidate signal:
+    PMI(a,b) = ln(n·c(ab) / (c(a)·c(b))) over adjacent token pairs,
+    min-count >= 5, top-10 by (pmi desc, pair asc). Two distributed
+    counting passes (bigram + unigram; only (gram, count) rows cross
+    the shuffle) and a corpus token total; min-count pruning bounds
+    the survivor set BEFORE anything reaches the driver, and only the
+    survivors' unigram rows are collected. PMI is evaluated per
+    survivor with scalar libm over exact integer counts — a single
+    division chain, identical to the oracle's ln, so neither side
+    rounds."""
+    from ray.data.aggregate import Sum
+
+    from ..dedup.jaccard import _shingle_rows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep2(t: pa.Table) -> pa.Table:
+        sh = _shingle_rows(t, "text", "doc_id", 2, distinct=False)
+        out = sh.group_by("sh").aggregate([("sh", "count")])
+        return out.rename_columns(["pair", "n_part"])
+
+    def prep1(t: pa.Table) -> pa.Table:
+        sh = _shingle_rows(t, "text", "doc_id", 1, distinct=False)
+        out = sh.group_by("sh").aggregate([("sh", "count")])
+        return out.rename_columns(["w", "n_part"])
+
+    bg = (ds.map_batches(prep2, batch_format="pyarrow")
+          .groupby("pair").aggregate(Sum("n_part", alias_name="cab")))
+    surv = (bg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cab"], 5)),
+        batch_format="pyarrow").to_pandas())
+    terms = sorted({w for p in surv["pair"] for w in p.split(" ")})
+    uni_rows = (ds.map_batches(prep1, batch_format="pyarrow")
+                .groupby("w").aggregate(Sum("n_part", alias_name="c"))
+                .map_batches(
+                    lambda t: t.filter(
+                        pc.is_in(t["w"], value_set=pa.array(
+                            terms, pa.string()))),
+                    batch_format="pyarrow").to_pandas())
+    c_uni = dict(zip(uni_rows["w"], uni_rows["c"].astype("int64")))
+
+    def tok_total(t: pa.Table) -> pa.Table:
+        sh = _shingle_rows(t, "text", "doc_id", 1, distinct=False)
+        return pa.table({"c": pa.array([sh.num_rows], pa.int64())})
+
+    n = int(ds.map_batches(tok_total, batch_format="pyarrow").sum("c"))
+    rows = []
+    for p, cab in zip(surv["pair"], surv["cab"].astype("int64")):
+        a, b = p.split(" ")
+        pmi = math.log(float(n * int(cab))
+                       / float(c_uni[a] * c_uni[b]))
+        rows.append((p, int(cab), pmi))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    rows = rows[:10]
+    return pa.table({
+        "pair": pa.array([r[0] for r in rows], pa.string()),
+        "n_pair": pa.array([r[1] for r in rows], pa.int64()),
+        "pmi": pa.array([r[2] for r in rows], pa.float64())})
+
+
 def q_bigram_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring: train an add-1-smoothed bigram
     language model on the corpus (one counting pass — the same
@@ -7406,6 +7468,7 @@ QUERY_REGISTRY = {
     "sampled_severity_histogram": q_sampled_severity_histogram,
     "bpe_token_stats": q_bpe_token_stats,
     "bigram_counts": q_bigram_counts,
+    "collocations_pmi": q_collocations_pmi,
     "rank_feature": q_rank_feature,
     "text_expansion": q_text_expansion,
     "combined_fields": q_combined_fields,

@@ -3657,6 +3657,24 @@ ORACLE_SQL["geo_polygon_filter"] = _GEO_BASE + """
         GROUP BY 1 ORDER BY 1
 """
 
+# geo_line: per-user ordered location track (points ordered by the ES
+# sort-field contract: event_id, then ip for determinism); top-10 users
+# by point count, user_id asc tiebreak
+ORACLE_SQL["geo_line_agg"] = _GEO_BASE + """
+        , pts AS (
+          SELECT e2.user_id, g.event_id, g.ip,
+                 CAST(g.lat_cd AS VARCHAR) || ':'
+                   || CAST(g.lon_cd AS VARCHAR) AS pt
+          FROM geo g JOIN events e2 USING (event_id)
+        ), ln AS (
+          SELECT user_id, count(*)::BIGINT AS n_points,
+                 string_agg(pt, '>' ORDER BY event_id, ip) AS line
+          FROM pts GROUP BY 1
+        )
+        SELECT user_id, n_points, line FROM ln
+        ORDER BY n_points DESC, user_id ASC LIMIT 10
+"""
+
 # bucket_correlation: Pearson r between the error and purchase per-day
 # count series. Every moment is an exact BIGINT; the final expression is
 # a single division chain evaluated once (same op tree as the engine),

@@ -6554,6 +6554,66 @@ def q_geo_polygon_filter(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_geo_line_agg(sf_dir: str):
+    """ES ``geo_line`` aggregation: per user, the ordered track of
+    their event locations as one LineString-style string
+    ("lat:lon>lat:lon..."), points ordered by (event_id, ip) — the
+    sort-field contract of the ES agg. The enrichment is the shared
+    broadcast actor-pool stage; the per-user line builds inside
+    ``map_groups`` (a group is one user's points), and only the top-10
+    users by point count leave the driver-side head."""
+    import ray
+
+    from ..stages.geoip import GeoIPEnrich, _fake_geo_db
+
+    ds = _read(sf_dir, "events",
+               columns=["event_id", "user_id", "props"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return _derive_ip_lines(t).append_column("user_id", t["user_id"])
+
+    db_ref = ray.put(_fake_geo_db())
+    enriched = ds.map_batches(prep, batch_format="pyarrow").map_batches(
+        GeoIPEnrich, fn_constructor_args=(db_ref,),
+        fn_constructor_kwargs={"text_col": "line",
+                               "cache_size": 100_000,
+                               "with_location": True},
+        batch_format="pyarrow", concurrency=(1, 4))
+
+    def explode(t: pa.Table) -> pa.Table:
+        g = t["geo_ips"]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        flat = pc.list_flatten(g)
+        par = pc.list_parent_indices(g)
+        return pa.table({
+            "user_id": pc.take(t["user_id"], par),
+            "event_id": pc.take(t["event_id"], par),
+            "ip": pc.struct_field(flat, "ip"),
+            "lat_cd": pc.struct_field(flat, "lat_cd"),
+            "lon_cd": pc.struct_field(flat, "lon_cd"),
+        })
+
+    def to_line(df):
+        df = df.sort_values(["event_id", "ip"], kind="mergesort")
+        pts = (df["lat_cd"].astype(str) + ":"
+               + df["lon_cd"].astype(str))
+        import pandas as pd
+
+        return pd.DataFrame({
+            "user_id": [int(df["user_id"].iloc[0])],
+            "n_points": [len(df)],
+            "line": [">".join(pts)]})
+
+    lines = (enriched.map_batches(explode, batch_format="pyarrow")
+             .groupby("user_id").map_groups(to_line))
+    out = topk(lines, 10, [("n_points", "descending"),
+                           ("user_id", "ascending")])
+    out["n_points"] = out["n_points"].astype("int64")
+    out["user_id"] = out["user_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_bucket_correlation(sf_dir: str):
     """ES ``bucket_correlation`` pipeline aggregation: Pearson r
     between two sibling date-histogram count series (error vs purchase
@@ -7463,6 +7523,7 @@ QUERY_REGISTRY = {
     "percentiles_bucket": q_percentiles_bucket,
     "geo_bbox_filter": q_geo_bbox_filter,
     "geo_polygon_filter": q_geo_polygon_filter,
+    "geo_line_agg": q_geo_line_agg,
     "bucket_correlation": q_bucket_correlation,
     "alert_sink": q_alert_sink,
     "sampled_severity_histogram": q_sampled_severity_histogram,

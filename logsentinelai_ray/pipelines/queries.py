@@ -2438,6 +2438,31 @@ def q_combined_fields(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_async_search(sf_dir: str):
+    """ES ``_async_search`` lifecycle: submit returns an id
+    immediately, status polls without blocking, get joins — and the
+    final response is bit-identical to the synchronous search, so this
+    entry shares bm25_topk's SQL oracle (query/async_search.py)."""
+    import time
+
+    from ..query.async_search import AsyncSearchManager
+
+    eng = _docs_engine(sf_dir)
+    mgr = AsyncSearchManager(eng)
+    sid = mgr.submit(BM25_QUERY_TEXT, k=10, with_meta=False)
+    assert mgr.status(sid)["id"] == sid  # non-blocking while running
+    deadline = time.monotonic() + 120.0
+    while mgr.status(sid)["is_running"]:
+        if time.monotonic() > deadline:
+            raise TimeoutError("async search did not complete")
+        time.sleep(0.02)
+    res = mgr.get(sid)
+    mgr.delete(sid)
+    mgr.shutdown()
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_text_expansion(sf_dir: str):
     """ES ``text_expansion`` / ``sparse_vector`` query (the ELSER
     serving shape): the query is a sparse term→weight map and document
@@ -7533,6 +7558,7 @@ QUERY_REGISTRY = {
     "rank_feature": q_rank_feature,
     "text_expansion": q_text_expansion,
     "combined_fields": q_combined_fields,
+    "async_search": q_async_search,
     "ip_prefix_agg": q_ip_prefix_agg,
     "terms_lookup": q_terms_lookup,
     "scripted_metric": q_scripted_metric,

@@ -1042,3 +1042,40 @@ def test_phrase_suggest_validation(engine):
 
     with _pt.raises(ValueError):
         engine.phrase_suggest("three word query")
+
+
+# -- _async_search lifecycle ------------------------------------------------
+
+
+def test_async_search_lifecycle(engine, doc_tokens):
+    import time
+
+    from logsentinelai_ray.query.async_search import AsyncSearchManager
+
+    text = " ".join(doc_tokens[0][1][:4])
+    sync = engine.search(text, k=10, with_meta=False)
+    mgr = AsyncSearchManager(engine, max_concurrent=2)
+    try:
+        ids = [mgr.submit(text, k=10, with_meta=False) for _ in range(3)]
+        assert len(set(ids)) == 3
+        deadline = time.monotonic() + 60.0
+        while any(mgr.status(i)["is_running"] for i in ids):
+            assert time.monotonic() < deadline
+            time.sleep(0.01)
+        for i in ids:
+            st = mgr.status(i)
+            assert st == {"id": i, "is_running": False,
+                          "is_partial": False}
+            res = mgr.get(i)
+            assert res["doc_id"].to_pylist() == sync["doc_id"].to_pylist()
+            assert res["score"].to_pylist() == sync["score"].to_pylist()
+        assert mgr.delete(ids[0]) is True
+        assert mgr.delete(ids[0]) is False  # already gone
+        import pytest as _pt
+
+        with _pt.raises(KeyError):
+            mgr.get(ids[0])
+        with _pt.raises(KeyError):
+            mgr.status("as-nope")
+    finally:
+        mgr.shutdown()

@@ -1873,6 +1873,15 @@ class SearchEngine:
             raise ValueError(
                 "combined_fields needs the scored path field; rebuild "
                 "with IndexConfig(index_path_field=True)")
+        if int(self.stats["n_docs"]) > self.taat_max_docs:
+            # the dense accumulator + pinned norms are TAAT-regime
+            # structures; past the ceiling this scorer needs the WAND
+            # kernel with combined bounds + candidate-pruned norms
+            # gathers (_join_docmap pattern) — explicit, not silent
+            raise ValueError(
+                "combined_fields currently serves the TAAT regime "
+                f"(n_docs <= {self.taat_max_docs}); raise "
+                "taat_max_docs explicitly if the accumulator fits")
         mx = int(self.stats["max_token_len"])
         terms = sorted(set(tokenize_py(text, mx)))
         if not terms:

@@ -1929,6 +1929,69 @@ def q_rollover_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_ilm_search(sf_dir: str):
+    """ES ILM analog end-to-end (index/ilm.py): three rollover
+    generations from sorted-key chunks; policy = {warm: shrink sealed
+    non-head generations by factor 2, delete: keep last 2} — so
+    gen-0000 is deleted, gen-0001 is warm-shrunk (rank identity under
+    shrink is pinned by the shrink tests), the head stays hot. The
+    alias search then equals BM25 over the retained corpus tail (docs
+    with doc_id >= ceil(n/3), the deleted head) — an exact oracle.
+    Retained-union ids shift down by the deleted head's size; the
+    entry maps them back (deterministic from the policy)."""
+    import hashlib
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from ..config import IndexConfig
+    from ..index.ilm import IlmPolicy, apply_policy
+    from ..index.rollover import RolloverIndex
+
+    key = ("ilm", sf_dir)
+    if key in _ENGINE_CACHE:
+        roll, cutoff = _ENGINE_CACHE[key]
+    else:
+        src = _read(sf_dir, "documents",
+                    columns=["doc_id", "lang", "text"]) \
+            .map_batches(_corpusify_docs, batch_format="pyarrow")
+        tbl = pa.concat_tables(
+            b for b in src.iter_batches(batch_format="pyarrow"))
+        tbl = tbl.sort_by("repo")
+        n = tbl.num_rows
+        c = (n + 2) // 3  # == the oracle's (count(*) + 2) // 3
+        tag = "documents-ilm#v1:" + sf_dir.rstrip("/")
+        work = os.path.join(
+            "/tmp/lsai_idx",
+            hashlib.sha256(tag.encode()).hexdigest()[:16])
+        shutil.rmtree(work, ignore_errors=True)
+        os.makedirs(work)
+        chunks = []
+        for i, (lo, hi) in enumerate(((0, c), (c, 2 * c), (2 * c, n))):
+            p = os.path.join(work, f"chunk{i}.parquet")
+            pq.write_table(tbl.slice(lo, hi - lo), p)
+            chunks.append(p)
+        roll = RolloverIndex(os.path.join(work, "alias"),
+                             IndexConfig(num_partitions=8,
+                                         salt_buckets=4),
+                             max_docs=c, alias="docs")
+        for i, p in enumerate(chunks):
+            roll.ingest(p, tag=f"{tag}-{i}")
+        assert len(roll.meta["generations"]) == 3, roll.meta
+        acts = apply_policy(roll, IlmPolicy(
+            warm_after_generations=1, warm_shrink_factor=2,
+            delete_keep_last=2))
+        assert acts["delete"] == ["gen-0000"], acts
+        assert acts["warm"] == ["gen-0001-warm"], acts
+        cutoff = c
+        _ENGINE_CACHE[key] = (roll, cutoff)
+    res = roll.search(BM25_QUERY_TEXT, k=10)
+    ids = pc.add(pc.cast(res["doc_id"], pa.int64()),
+                 pa.scalar(cutoff, pa.int64()))
+    return pa.table({"doc_id": ids,
+                     "score": _round6(res["score"])})
+
+
 def q_federated_search_wand(sf_dir: str):
     """Federated search under FORCED block-max WAND: one vectorized
     kernel over every member's cursors in the global id space — the
@@ -7416,6 +7479,7 @@ QUERY_REGISTRY = {
     "wildcard_search": q_wildcard_search,
     "intervals_ordered": q_intervals_ordered,
     "rollover_search": q_rollover_search,
+    "ilm_search": q_ilm_search,
     "rescore_topk": q_rescore_topk,
     "multifield_search": q_multifield_search,
     "match_count": q_match_count,

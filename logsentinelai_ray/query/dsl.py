@@ -128,6 +128,32 @@ def _scored(engine, node: dict) -> np.ndarray:
         return _scored(engine, spec["query"]) \
             * float(spec.get("weight", 1.0))
 
+    if kind == "sparse_vector":
+        # ES sparse_vector / text_expansion serving shape:
+        # {"sparse_vector": {"field": "content",
+        #                    "query_vector": {token: weight, ...}}}
+        if spec.get("field", "content") != "content":
+            raise ValueError("sparse_vector supports the content field")
+        return engine._sparse_vector_dense(spec["query_vector"])
+
+    if kind == "combined_fields":
+        # {"combined_fields": {"query": text,
+        #                      "fields": ["content", "path^2"]}}
+        fields = spec.get("fields", ["content", "path"])
+        boost = 1.0
+        norm_fields = []
+        for f in fields:
+            name, _, suffix = f.partition("^")
+            if name == "path" and suffix:
+                boost = float(suffix)
+            norm_fields.append(name)
+        if sorted(norm_fields) != ["content", "path"]:
+            raise ValueError(
+                "combined_fields supports fields content + path, got "
+                f"{fields}")
+        return engine._combined_fields_dense(spec["query"],
+                                             path_boost=boost)
+
     if kind == "bool":
         return _scored_bool(engine, spec)
 

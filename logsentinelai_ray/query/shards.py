@@ -1769,6 +1769,43 @@ class SearchEngine:
         return self._format_result(
             [(int(cand[i]), float(scores[i])) for i in order], with_meta)
 
+    def _sparse_vector_dense(self, weights: dict[str, float]) -> np.ndarray:
+        """Dense unmasked per-doc scores for the sparse-vector scorer
+        (shared by sparse_vector_search and the DSL's sparse_vector
+        node). Query keys run through the analyzer; each must
+        normalize to one token."""
+        mx = int(self.stats["max_token_len"])
+        norm: dict[str, float] = {}
+        for key, w in weights.items():
+            toks = tokenize_py(key, mx)
+            if len(set(toks)) != 1:
+                raise ValueError(
+                    f"sparse_vector key {key!r} does not normalize to "
+                    f"one token (got {sorted(set(toks))})")
+            norm[toks[0]] = norm.get(toks[0], 0.0) + float(w)
+        terms = sorted(norm)
+        n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        if not terms:
+            return acc
+        futures = [(t, self.part_to_shard[term_partition(t, self.P)]
+                    .decode_raw.remote(t)) for t in terms]
+        for t, fut in futures:  # sorted-term order = oracle order
+            res = ray.get(fut)
+            if res is None:
+                continue
+            df, ids, tf, _dl = res
+            idf = math.log(1.0 + n / float(df))
+            # ln(tf) through scalar libm per UNIQUE tf value (tf is a
+            # small-int multiset, so uv is tiny): vectorized np.log is
+            # 1 ulp off scalar ln on ~20% of inputs, and the oracle
+            # (DuckDB ln) is scalar — exactness beats the SIMD log here
+            uv, inv = np.unique(tf, return_inverse=True)
+            ulog = np.array([math.log(float(x)) for x in uv],
+                            dtype=np.float64)
+            acc[ids] += norm[t] * ((1.0 + ulog[inv]) * idf)
+        return acc
+
     def sparse_vector_search(self, weights: dict[str, float],
                              k: int = 10,
                              with_meta: bool = False) -> pa.Table:
@@ -1789,36 +1826,7 @@ class SearchEngine:
         w_q * (1 + ln(max_tf)) * idf, so the block-max WAND machinery
         extends to this scorer when n_docs outgrows the accumulator;
         the dense path matches taat_max_docs like search()."""
-        mx = int(self.stats["max_token_len"])
-        norm: dict[str, float] = {}
-        for key, w in weights.items():
-            toks = tokenize_py(key, mx)
-            if len(set(toks)) != 1:
-                raise ValueError(
-                    f"sparse_vector key {key!r} does not normalize to "
-                    f"one token (got {sorted(set(toks))})")
-            norm[toks[0]] = norm.get(toks[0], 0.0) + float(w)
-        terms = sorted(norm)
-        if not terms:
-            return self._format_result([], with_meta)
-        n = int(self.stats["n_docs"])
-        futures = [(t, self.part_to_shard[term_partition(t, self.P)]
-                    .decode_raw.remote(t)) for t in terms]
-        acc = np.zeros(n, dtype=np.float64)
-        for t, fut in futures:  # sorted-term order = oracle order
-            res = ray.get(fut)
-            if res is None:
-                continue
-            df, ids, tf, _dl = res
-            idf = math.log(1.0 + n / float(df))
-            # ln(tf) through scalar libm per UNIQUE tf value (tf is a
-            # small-int multiset, so uv is tiny): vectorized np.log is
-            # 1 ulp off scalar ln on ~20% of inputs, and the oracle
-            # (DuckDB ln) is scalar — exactness beats the SIMD log here
-            uv, inv = np.unique(tf, return_inverse=True)
-            ulog = np.array([math.log(float(x)) for x in uv],
-                            dtype=np.float64)
-            acc[ids] += norm[t] * ((1.0 + ulog[inv]) * idf)
+        acc = self._sparse_vector_dense(weights)
         self._mask_tombstones(acc)
         cand = np.flatnonzero(acc > 0.0)
         if cand.size == 0:
@@ -1851,24 +1859,10 @@ class SearchEngine:
             self._norms_mem = (dl, pdl)
         return self._norms_mem
 
-    def combined_fields_search(self, text: str, path_boost: float = 1.0,
-                               k: int = 10,
-                               with_meta: bool = False) -> pa.Table:
-        """ES ``combined_fields`` query (BM25F-style term-centric
-        scoring): content and path are treated as ONE pseudo-field —
-        per term, tf_comb = tf_content + boost * tf_path; per doc,
-        dl_comb = dl_content + boost * dl_path (from the norms
-        sidecar, so docs a term matches only in one field still get
-        their full combined length); df_comb = |docs matching the term
-        in EITHER field|; avgdl_comb from the global field totals.
-        Then plain BM25 over the combined stats. Contrast
-        search_fields (per-field BM25 summed) and cross_fields_search
-        (blended df, max field norm).
-
-        Raw tf decodes shard-side (decode_raw) in one parallel round;
-        the per-term union/combine is numpy over a dense scratch
-        (reset per term by touched ids only). TAAT accumulation in
-        sorted-term order."""
+    def _combined_fields_dense(self, text: str,
+                               path_boost: float = 1.0) -> np.ndarray:
+        """Dense unmasked per-doc BM25F scores (shared by
+        combined_fields_search and the DSL's combined_fields node)."""
         if not self.stats.get("index_path_field"):
             raise ValueError(
                 "combined_fields needs the scored path field; rebuild "
@@ -1884,9 +1878,10 @@ class SearchEngine:
                 "taat_max_docs explicitly if the accumulator fits")
         mx = int(self.stats["max_token_len"])
         terms = sorted(set(tokenize_py(text, mx)))
-        if not terms:
-            return self._format_result([], with_meta)
         n = int(self.stats["n_docs"])
+        acc = np.zeros(n, dtype=np.float64)
+        if not terms:
+            return acc
         k1, b = float(self.stats["k1"]), float(self.stats["b"])
         boost = float(path_boost)
         avg = (float(self.stats["total_tokens"])
@@ -1899,7 +1894,6 @@ class SearchEngine:
                     .decode_raw.remote(t),
                     self.part_to_shard[term_partition("p:" + t, self.P)]
                     .decode_raw.remote("p:" + t)) for t in terms]
-        acc = np.zeros(n, dtype=np.float64)
         scratch = np.zeros(n, dtype=np.float64)
         for t, fc, fp in futures:  # sorted-term order = oracle order
             rc, rp = ray.get(fc), ray.get(fp)
@@ -1920,6 +1914,27 @@ class SearchEngine:
             acc[ids_u] += idf * (tfu * (k1 + 1.0)
                                  / (tfu + k1 * (1.0 - b + b * dlu / avg)))
             scratch[ids_u] = 0.0
+        return acc
+
+    def combined_fields_search(self, text: str, path_boost: float = 1.0,
+                               k: int = 10,
+                               with_meta: bool = False) -> pa.Table:
+        """ES ``combined_fields`` query (BM25F-style term-centric
+        scoring): content and path are treated as ONE pseudo-field —
+        per term, tf_comb = tf_content + boost * tf_path; per doc,
+        dl_comb = dl_content + boost * dl_path (from the norms
+        sidecar, so docs a term matches only in one field still get
+        their full combined length); df_comb = |docs matching the term
+        in EITHER field|; avgdl_comb from the global field totals.
+        Then plain BM25 over the combined stats. Contrast
+        search_fields (per-field BM25 summed) and cross_fields_search
+        (blended df, max field norm).
+
+        Raw tf decodes shard-side (decode_raw) in one parallel round;
+        the per-term union/combine is numpy over a dense scratch
+        (reset per term by touched ids only). TAAT accumulation in
+        sorted-term order."""
+        acc = self._combined_fields_dense(text, path_boost)
         self._mask_tombstones(acc)
         cand = np.flatnonzero(acc > 0.0)
         if cand.size == 0:

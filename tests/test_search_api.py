@@ -1079,3 +1079,30 @@ def test_async_search_lifecycle(engine, doc_tokens):
             mgr.status("as-nope")
     finally:
         mgr.shutdown()
+
+
+def test_dsl_sparse_vector_and_combined_fields(engine, doc_tokens):
+    """The new DSL scoring nodes equal their engine methods exactly."""
+    toks0 = doc_tokens[0][1]
+    weights = {toks0[0]: 2.0, toks0[3]: 0.5}
+    a = engine.dsl_search({"query": {"sparse_vector": {
+        "field": "content", "query_vector": weights}}, "size": 10})
+    b = engine.sparse_vector_search(weights, k=10)
+    assert a["doc_id"].to_pylist() == b["doc_id"].to_pylist()
+    assert a["score"].to_pylist() == b["score"].to_pylist()
+
+    text = f"{toks0[0]} src 3 md"
+    c = engine.dsl_search({"query": {"combined_fields": {
+        "query": text, "fields": ["content", "path^2"]}}, "size": 10})
+    d = engine.combined_fields_search(text, path_boost=2.0, k=10)
+    assert c["doc_id"].to_pylist() == d["doc_id"].to_pylist()
+    assert c["score"].to_pylist() == d["score"].to_pylist()
+
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        engine.dsl_search({"query": {"sparse_vector": {
+            "field": "path", "query_vector": weights}}})
+    with _pt.raises(ValueError):
+        engine.dsl_search({"query": {"combined_fields": {
+            "query": "x", "fields": ["content", "lang"]}}})

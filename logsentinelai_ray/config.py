@@ -67,6 +67,14 @@ class IndexConfig:
     # doc to the exchange.
     index_path_field: bool = False
 
+    # Index-time stopword filter for the CONTENT analyzer (ES custom
+    # analyzer `stop` filter; §2.11 extension surface). Dropped tokens
+    # never reach the postings exchange, so doc lengths / avgdl / df
+    # all reflect the filtered stream (the Lucene StopFilter contract;
+    # positions are assigned AFTER the filter — no gaps). Empty = off.
+    # The path/keyword fields are not filtered (per-field analyzers).
+    stop_words: tuple = ()
+
     # Write the norms sidecar (norms/, one row per doc: doc_id, dl,
     # path_dl — the Lucene .nvd analog), doc-id-sorted for row-group-
     # pruned query-time gathers. Needed by scorers that want a doc's

@@ -435,6 +435,19 @@ def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int,
     the only state is the hash cache above.)"""
     row_idx, tokens, dl_np = tokenize_batch_arrow(batch["content"],
                                                   cfg.max_token_len)
+    if cfg.stop_words:
+        # Lucene StopFilter contract: dropped tokens never reach the
+        # postings, and positions (below) are assigned over the kept
+        # stream; dl counts the kept tokens only
+        sw = pa.array(list(cfg.stop_words), pa.string())
+        keep = pc.invert(pc.is_in(tokens, value_set=sw)) \
+            .to_numpy(zero_copy_only=False)
+        tokens = pc.filter(tokens, pa.array(keep))
+        if isinstance(tokens, pa.ChunkedArray):
+            tokens = tokens.combine_chunks()
+        row_idx = row_idx[keep]
+        dl_np = np.bincount(row_idx, minlength=len(dl_np)) \
+            .astype(dl_np.dtype)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     n_docs = max(1, n_docs)
     P = cfg.num_partitions
@@ -834,7 +847,13 @@ def build_norms(index_dir: str, cfg: IndexConfig) -> None:
     mx = cfg.max_token_len
 
     def kernel(t: pa.Table) -> pa.Table:
-        _r, _tok, dl = tokenize_batch_arrow(t["content"], mx)
+        _r, tok, dl = tokenize_batch_arrow(t["content"], mx)
+        if cfg.stop_words:  # same filtered stream as tokenize_emit
+            sw = pa.array(list(cfg.stop_words), pa.string())
+            keep = pc.invert(pc.is_in(tok, value_set=sw)) \
+                .to_numpy(zero_copy_only=False)
+            dl = np.bincount(_r[keep], minlength=len(dl)) \
+                .astype(dl.dtype)
         if "path" in t.column_names:
             _rp, _tp, pdl = tokenize_batch_arrow(t["path"], mx)
         else:

@@ -1929,6 +1929,42 @@ def q_rollover_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_bm25_topk_stopped(sf_dir: str):
+    """§2.11 extension surface — a custom ANALYZER option wired
+    end-to-end: the index is built with ``stop_words=('the', 'a')``
+    (Lucene StopFilter contract: dropped tokens never reach the
+    postings, so df/dl/avgdl all reflect the kept stream), then the
+    standard BM25 query runs — scores shift exactly as the oracle's
+    NOT IN token filter predicts."""
+    import hashlib
+
+    import ray.data as rd
+
+    from ..config import IndexConfig
+    from ..index.build import build_index
+    from ..query.shards import SearchEngine
+
+    key = ("stopped", sf_dir)
+    if key in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[key]
+    else:
+        corpus = _read(sf_dir, "documents",
+                       columns=["doc_id", "lang", "text"]) \
+            .map_batches(_corpusify_docs, batch_format="pyarrow")
+        tag = "documents-stop#v1:" + sf_dir.rstrip("/")
+        idx_dir = os.path.join(
+            "/tmp/lsai_idx",
+            hashlib.sha256(tag.encode()).hexdigest()[:16])
+        cfg = IndexConfig(num_partitions=8, salt_buckets=4,
+                          stop_words=("the", "a"))
+        build_index(corpus, idx_dir, cfg, corpus_tag=tag)
+        eng = SearchEngine(idx_dir, num_shards=2)
+        _ENGINE_CACHE[key] = eng
+    res = eng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_ilm_search(sf_dir: str):
     """ES ILM analog end-to-end (index/ilm.py): three rollover
     generations from sorted-key chunks; policy = {warm: shrink sealed
@@ -7480,6 +7516,7 @@ QUERY_REGISTRY = {
     "intervals_ordered": q_intervals_ordered,
     "rollover_search": q_rollover_search,
     "ilm_search": q_ilm_search,
+    "bm25_topk_stopped": q_bm25_topk_stopped,
     "rescore_topk": q_rescore_topk,
     "multifield_search": q_multifield_search,
     "match_count": q_match_count,

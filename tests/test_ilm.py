@@ -76,3 +76,38 @@ def test_policy_delete_phase(rolled):
 def test_policy_validation(rolled):
     with pytest.raises(ValueError):
         apply_policy(rolled, IlmPolicy(warm_after_generations=-1))
+
+
+def test_stop_words_analyzer(ray_session, tmp_path_factory):
+    """stop_words drops tokens BEFORE tf/dl/positions: the stopword's
+    df is 0, doc lengths shrink, and a phrase spanning a removed
+    stopword becomes adjacent (StopFilter placement)."""
+    import ray.data as rd
+
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    base = tmp_path_factory.mktemp("stop")
+    import pyarrow as pa
+
+    docs = pa.table({
+        "repo": ["r0", "r1"],
+        "path": ["a.md", "b.md"],
+        "commit": ["c0", "c1"],
+        "lang": ["en", "en"],
+        "content": ["alpha the beta gamma", "alpha beta the gamma"],
+    })
+    cfg = IndexConfig(num_partitions=4, salt_buckets=1, block_size=16,
+                      store_positions=True, stop_words=("the",))
+    idx = str(base / "idx")
+    build_index(rd.from_arrow(docs), idx, cfg, corpus_tag="stop")
+    eng = SearchEngine(idx, num_shards=2, prewarm_hot_terms=0)
+    try:
+        assert eng.match_count("the") == 0          # df == 0
+        # doc 0: "alpha [the] beta" -> alpha/beta adjacent post-filter
+        ph = eng.phrase_match("alpha beta")
+        assert ph["doc_id"].to_pylist() == [0, 1]
+        # dl excludes the stopword: stats avgdl == 3 (not 4)
+        assert eng.stats["avgdl"] == 3.0
+    finally:
+        eng.shutdown()

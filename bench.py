@@ -244,7 +244,18 @@ def bench_pipelines() -> dict:
              "embedding_knn_hnsw", "embedding_knn_hnsw_filtered",
              "shrink_search", "split_search", "ccr_follow",
              "significant_text", "ingest_pipeline", "phrase_slop",
-             "collapse_inner_hits", "field_caps"]
+             "collapse_inner_hits", "field_caps",
+             # this-session operators: sparse-vector + BM25F scoring
+             # (combined_fields timing includes the norms sidecar via
+             # the shared engine build), span containment, phrase
+             # suggester, PMI collocations, geo polygon/line, async
+             # lifecycle, ILM policy pass (timing includes its own
+             # 3-generation rollover build + shrink), stopword analyzer
+             # (timing includes its own index build)
+             "text_expansion", "combined_fields", "span_containing",
+             "span_within", "phrase_suggest", "collocations_pmi",
+             "geo_polygon_filter", "geo_line_agg", "bucket_correlation",
+             "async_search", "ilm_search", "bm25_topk_stopped"]
     out = {}
     for name in names:
         t0 = time.monotonic()

@@ -3152,7 +3152,10 @@ def q_collocations_pmi(sf_dir: str):
     survivors' unigram rows are collected. PMI is evaluated per
     survivor with scalar libm over exact integer counts — a single
     division chain, identical to the oracle's ln, so neither side
-    rounds."""
+    rounds. Scale note: min_count must scale with corpus size (a fixed
+    absolute count stops pruning once every real bigram clears it);
+    at target scale use a rate threshold (count >= alpha * n) and keep
+    the PMI evaluation where the survivor rows live."""
     from ray.data.aggregate import Sum
 
     from ..dedup.jaccard import _shingle_rows
@@ -3854,6 +3857,24 @@ def q_embedding_knn(sf_dir: str):
     out = cosine_topk_bruteforce(ds, _query_vector(sf_dir), k=10)
     return pa.table({"vec_id": out["vec_id"],
                      "cosine": _round6(out["cosine"])})
+
+
+def q_embedding_knn_pq(sf_dir: str):
+    """Product-quantized ANN (ann/pq.py): 64-dim floats compress to 8
+    uint8 codes (32x memory), the query scans CODES with one ADC
+    lookup-table sum per row — the technique that fits 10^12 vectors
+    in cluster memory. Rows-only (k-means codebook internals aren't
+    SQL-expressible); the ADC == reconstructed-L2 identity and the
+    recall floor vs exact search are pinned in tests/test_pq.py."""
+    from ..ann.pq import adc_topk, encode_pq, train_pq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = train_pq(ds, m=8, n_centroids=16, n_iters=10)
+    codes = encode_pq(ds, books)
+    # FAISS refine pattern: ADC shortlist of 50 over codes, then an
+    # id-pruned exact-L2 rerank of just those 50 raw vectors
+    return adc_topk(codes, _query_vector(sf_dir), books, k=10,
+                    rerank_ds=ds, shortlist=50)
 
 
 def q_knn_similarity_cutoff(sf_dir: str):
@@ -7517,6 +7538,7 @@ QUERY_REGISTRY = {
     "rollover_search": q_rollover_search,
     "ilm_search": q_ilm_search,
     "bm25_topk_stopped": q_bm25_topk_stopped,
+    "embedding_knn_pq": q_embedding_knn_pq,
     "rescore_topk": q_rescore_topk,
     "multifield_search": q_multifield_search,
     "match_count": q_match_count,

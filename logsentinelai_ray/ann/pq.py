@@ -55,17 +55,9 @@ def _hash_rank_sample(ds, sample_size: int, id_col: str) -> "object":
             .drop(columns="__h").reset_index(drop=True))
 
 
-def train_pq(ds, m: int = 8, n_centroids: int = 16, n_iters: int = 10,
-             sample_size: int = 4096, vec_col: str = "embedding",
-             id_col: str = "vec_id", seed: int = 42) -> np.ndarray:
-    """Train the PQ codebooks: (m, n_centroids, D/m) float64. Plain L2
-    k-means per subspace over the hash-rank sample, seeded — fully
-    deterministic for a fixed input."""
-    if n_centroids > 256:
-        raise ValueError("PQ codes are uint8: n_centroids <= 256")
-    sample = _hash_rank_sample(ds, sample_size, id_col)
-    mat = np.stack([np.asarray(v, dtype=np.float64)
-                    for v in sample[vec_col]])
+def _train_books(mat: np.ndarray, m: int, n_centroids: int,
+                 n_iters: int, seed: int) -> np.ndarray:
+    """Per-subspace L2 k-means over an in-memory sample matrix."""
     d = mat.shape[1]
     if d % m != 0:
         raise ValueError(f"dim {d} must be divisible by m={m}")
@@ -88,6 +80,35 @@ def train_pq(ds, m: int = 8, n_centroids: int = 16, n_iters: int = 10,
                     cent[c] = x[mask].mean(axis=0)
         books[j] = cent
     return books
+
+
+def train_pq(ds, m: int = 8, n_centroids: int = 16, n_iters: int = 10,
+             sample_size: int = 4096, vec_col: str = "embedding",
+             id_col: str = "vec_id", seed: int = 42,
+             residual_centroids: np.ndarray | None = None) -> np.ndarray:
+    """Train the PQ codebooks: (m, n_centroids, D/m) float64. Plain L2
+    k-means per subspace over the hash-rank sample, seeded — fully
+    deterministic for a fixed input. With ``residual_centroids`` the
+    codebooks train on COARSE RESIDUALS (x - nearest centroid), the
+    IVFPQ regime — residuals are what the partition files store."""
+    if n_centroids > 256:
+        raise ValueError("PQ codes are uint8: n_centroids <= 256")
+    sample = _hash_rank_sample(ds, sample_size, id_col)
+    mat = np.stack([np.asarray(v, dtype=np.float64)
+                    for v in sample[vec_col]])
+    if residual_centroids is not None:
+        mat = mat - residual_centroids[
+            _coarse_assign(mat, residual_centroids)]
+    return _train_books(mat, m, n_centroids, n_iters, seed)
+
+
+def _coarse_assign(mat: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """Spherical (cosine) nearest-centroid assignment — the same rule
+    as ann/store.py's IVF partitioner, so IVFPQ lists line up with the
+    plain IVF index built from the same centroids."""
+    norms = np.sqrt((mat * mat).sum(axis=1))
+    norms[norms == 0] = 1.0
+    return np.argmax((mat / norms[:, None]) @ cent.T, axis=1)
 
 
 def encode_pq(ds, books: np.ndarray, vec_col: str = "embedding",
@@ -212,4 +233,130 @@ def adc_topk(codes_ds, query: np.ndarray, books: np.ndarray, k: int = 10,
     exact = exact.sort_values(["l2_dist", id_col],
                               ascending=[True, True]).head(k)
     return pa.Table.from_pandas(exact.reset_index(drop=True),
+                                preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# IVFPQ: coarse partition pruning x residual code compression — the two
+# ANN scale levers composed (FAISS IndexIVFPQ). The persisted layout is
+# out_dir/list=C/*.parquet holding (id, codes) ONLY: a probe reads
+# n_probe partitions of uint8 codes — IO shrinks by both the pruning
+# factor AND ~32x code compression vs the raw-float IVF store.
+# --------------------------------------------------------------------------
+
+
+def build_ivfpq_index(ds, out_dir: str, centroids: np.ndarray,
+                      books: np.ndarray, vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> dict:
+    """One assignment+encode pass: per row, coarse list = spherical
+    nearest centroid (the ann/store.py IVF rule), codes = PQ of the
+    RESIDUAL (x - centroid); hive-partitioned write, no shuffle (each
+    task writes its own partition files). ||q - x||^2 ==
+    ||(q - c) - (x - c)||^2 exactly, so residual ADC approximates true
+    L2 regardless of the assignment metric."""
+    import json
+
+    import ray
+
+    cent = np.asarray(centroids, dtype=np.float64)
+    m, _k, sub = books.shape
+    ref = ray.put((cent, books))
+
+    def assign_encode(t: pa.Table) -> pa.Table:
+        c_arr, bks = ray.get(ref)
+        n = len(t)
+        if n == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "codes": pa.array([], pa.list_(pa.uint8())),
+                             "list": pa.array([], pa.int32())})
+        vecs = t[vec_col]
+        if isinstance(vecs, pa.ChunkedArray):
+            vecs = vecs.combine_chunks()
+        mat = pc.list_flatten(vecs).to_numpy(
+            zero_copy_only=False).reshape(n, m * sub).astype(np.float64)
+        lists = _coarse_assign(mat, c_arr)
+        resid = mat - c_arr[lists]
+        codes = np.empty((n, m), dtype=np.uint8)
+        for j in range(m):
+            x = resid[:, j * sub:(j + 1) * sub]
+            cb = bks[j]
+            d2 = ((x * x).sum(1)[:, None] - 2.0 * (x @ cb.T)
+                  + (cb * cb).sum(1)[None, :])
+            codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table({
+            id_col: t[id_col],
+            "codes": pa.FixedSizeListArray.from_arrays(
+                pa.array(codes.reshape(-1), pa.uint8()), m),
+            "list": pa.array(lists.astype(np.int32), pa.int32()),
+        })
+
+    (ds.map_batches(assign_encode, batch_format="pyarrow")
+     .write_parquet(out_dir, partition_cols=["list"], mode="overwrite"))
+    meta = {"kind": "ivfpq", "centroids": cent.tolist(),
+            "books": books.tolist(), "id_col": id_col, "m": int(m)}
+    import os as _os
+
+    with open(_os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def ivfpq_index_topk(index_dir: str, query_vec, k: int = 10,
+                     n_probe: int = 2) -> pa.Table:
+    """Partition-pruned residual-ADC top-k: per probed list C the LUT
+    is built from (q - centroid_C) — the residual identity — and only
+    list=C code files are read. Returns (id, adc_dist) ascending."""
+    import json
+    import os as _os
+
+    import ray
+    import ray.data as rd
+
+    with open(_os.path.join(index_dir, "meta.json")) as f:
+        meta = json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    books = np.asarray(meta["books"], dtype=np.float64)
+    id_col = meta["id_col"]
+    m = books.shape[0]
+    q = np.asarray(query_vec, dtype=np.float64)
+    qn = np.sqrt((q * q).sum()) or 1.0
+    probe = np.argsort(-(cent @ (q / qn)))[:n_probe]
+    parts = []
+    for c in probe:
+        pdir = _os.path.join(index_dir, f"list={int(c)}")
+        if not _os.path.isdir(pdir):
+            continue
+        lut = adc_lut(q - cent[int(c)], books)
+        ref = ray.put(lut)
+
+        def local(t: pa.Table, _ref=ref) -> pa.Table:
+            table = ray.get(_ref)
+            n = len(t)
+            if n == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "adc_dist": pa.array([], pa.float64())})
+            col = t["codes"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            codes = pc.list_flatten(col).to_numpy(
+                zero_copy_only=False).reshape(n, m)
+            dist = table[np.arange(m)[None, :], codes].sum(axis=1)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            order = np.lexsort((ids, dist))[:k]
+            return pa.table({
+                id_col: pa.array(ids[order], pa.int64()),
+                "adc_dist": pa.array(dist[order], pa.float64())})
+
+        cand = rd.read_parquet(pdir, columns=[id_col, "codes"]) \
+            .map_batches(local, batch_format="pyarrow").to_pandas()
+        parts.append(cand)
+    if not parts:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "adc_dist": pa.array([], pa.float64())})
+    import pandas as pd
+
+    merged = pd.concat(parts, ignore_index=True) \
+        .sort_values(["adc_dist", id_col],
+                     ascending=[True, True]).head(k)
+    return pa.Table.from_pandas(merged.reset_index(drop=True),
                                 preserve_index=False)

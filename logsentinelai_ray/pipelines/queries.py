@@ -3877,6 +3877,31 @@ def q_embedding_knn_pq(sf_dir: str):
                     rerank_ds=ds, shortlist=50)
 
 
+def q_embedding_knn_ivfpq(sf_dir: str):
+    """FAISS IndexIVFPQ analog (ann/pq.py): coarse partition pruning x
+    residual code compression — one hive-partitioned build pass
+    (list=C dirs of uint8 codes only), then a probe reads n_probe=2
+    partitions and sums one per-list residual ADC LUT per row. IO per
+    query shrinks by the pruning factor AND ~32x code compression.
+    Rows-only; exactness over quantized points + probe-pruning
+    invariants pinned in tests/test_pq.py."""
+    import hashlib
+
+    from ..ann.knn import ivf_centroids
+    from ..ann.pq import build_ivfpq_index, ivfpq_index_topk, train_pq
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    out = os.path.join(
+        "/tmp/lsai_idx", "ivfpq-" + hashlib.sha256(
+            sf_dir.rstrip("/").encode()).hexdigest()[:12])
+    if not os.path.exists(os.path.join(out, "meta.json")):
+        cent = ivf_centroids(ds, n_centroids=8, n_iters=8)
+        books = train_pq(ds, m=8, n_centroids=16, n_iters=10,
+                         residual_centroids=cent)
+        build_ivfpq_index(ds, out, cent, books)
+    return ivfpq_index_topk(out, _query_vector(sf_dir), k=10, n_probe=2)
+
+
 def q_knn_similarity_cutoff(sf_dir: str):
     """ES 8.8 kNN ``similarity`` parameter: collect the k=25 nearest,
     then drop hits whose cosine falls below the cutoff (0.24) — the
@@ -7539,6 +7564,7 @@ QUERY_REGISTRY = {
     "ilm_search": q_ilm_search,
     "bm25_topk_stopped": q_bm25_topk_stopped,
     "embedding_knn_pq": q_embedding_knn_pq,
+    "embedding_knn_ivfpq": q_embedding_knn_ivfpq,
     "rescore_topk": q_rescore_topk,
     "multifield_search": q_multifield_search,
     "match_count": q_match_count,

@@ -84,3 +84,45 @@ def test_pq_validation(vec_ds):
         train_pq(ds, m=5)  # 16 % 5 != 0
     with pytest.raises(ValueError):
         train_pq(ds, m=4, n_centroids=300)  # uint8 codes
+
+
+def test_ivfpq_exactness_and_pruning(vec_ds, tmp_path_factory):
+    import glob
+
+    import pyarrow.parquet as pqt
+
+    from logsentinelai_ray.ann.knn import ivf_centroids
+    from logsentinelai_ray.ann.pq import (_coarse_assign,
+                                          build_ivfpq_index, decode_pq,
+                                          ivfpq_index_topk, train_pq)
+
+    ds, mat = vec_ds
+    cent = ivf_centroids(ds, n_centroids=4, n_iters=6, sample_size=240)
+    books = train_pq(ds, m=4, n_centroids=16, n_iters=8,
+                     residual_centroids=cent)
+    out = str(tmp_path_factory.mktemp("ivfpq") / "idx")
+    build_ivfpq_index(ds, out, cent, books)
+    q = mat[0] + 0.05
+    got = ivfpq_index_topk(out, q, k=10, n_probe=4)  # probe ALL lists
+    # expected: reconstruct every row from its partition's codes
+    rows = []
+    for c in range(4):
+        for f in sorted(glob.glob(f"{out}/list={c}/*.parquet")):
+            t = pqt.read_table(f)
+            codes = np.stack([np.asarray(x, dtype=np.uint8)
+                              for x in t["codes"].to_pylist()])
+            recon = cent[c] + decode_pq(codes, books)
+            for vid, r in zip(t["vec_id"].to_pylist(), recon):
+                rows.append((vid, ((r - q) ** 2).sum()))
+    rows.sort(key=lambda x: (x[1], x[0]))
+    exp_ids = [r[0] for r in rows[:10]]
+    exp_d = [r[1] for r in rows[:10]]
+    assert got["vec_id"].to_pylist() == exp_ids
+    assert np.allclose(got["adc_dist"].to_numpy(), exp_d,
+                       rtol=0, atol=1e-9)
+    # n_probe=1: candidates come ONLY from the probed list's rows
+    got1 = ivfpq_index_topk(out, q, k=10, n_probe=1)
+    probe1 = int(np.argmax(cent @ (q / np.sqrt((q * q).sum()))))
+    assign = _coarse_assign(mat, cent)
+    allowed = set(np.flatnonzero(assign == probe1).tolist())
+    assert set(got1["vec_id"].to_pylist()) <= allowed

@@ -1316,6 +1316,12 @@ ORACLE_SQL: dict[str, str] = {
         WHERE levenshtein(term, 'mrge') <= 2 GROUP BY 1
         ORDER BY df DESC, term ASC LIMIT 3
     """,
+    # terms_enum: keyword-field dictionary enumeration, term-asc (the
+    # API contract); df = docs holding the value (keyword tf=1)
+    "terms_enum": """
+        SELECT lang AS value, count(*)::BIGINT AS df FROM documents
+        GROUP BY 1 ORDER BY value ASC LIMIT 20
+    """,
     # phrase suggester: per-slot fuzzy candidates (levenshtein <= 1,
     # df-ranked top 5 like expand_fuzzy) scored by total adjacent
     # bigram count; INNER join prunes zero-support pairs like the engine

@@ -2337,6 +2337,16 @@ def q_phrase_suggest(sf_dir: str):
     return eng.phrase_suggest("sor mrge", max_edits=1, per_slot=5, k=3)
 
 
+def q_terms_enum(sf_dir: str):
+    """ES ``_terms_enum`` API: lexicographically-ascending values of
+    the ``lang`` keyword field with their doc counts, served entirely
+    from the term dictionary (no document reads)."""
+    eng = _docs_engine(sf_dir)
+    out = eng.terms_enum("lang", prefix="", size=20)
+    return pa.table({"value": out["value"],
+                     "df": pc.cast(out["df"], pa.int64())})
+
+
 def q_span_containing(sf_dir: str):
     """ES ``span_containing``: big = minimal ordered span 'sort ...
     merge' within 6 positions; count big spans that enclose an 'agg'
@@ -7658,6 +7668,7 @@ QUERY_REGISTRY = {
     "span_not": q_span_not,
     "span_containing": q_span_containing,
     "phrase_suggest": q_phrase_suggest,
+    "terms_enum": q_terms_enum,
     "span_within": q_span_within,
     "terms_set": q_terms_set,
     "categorize_text": q_categorize_text,

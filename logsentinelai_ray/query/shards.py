@@ -284,6 +284,27 @@ class IndexShard:
                                               ("term", "ascending")])
         return cat.take(idx.slice(0, limit))
 
+    def enum_terms(self, prefix: str, limit: int) -> pa.Table:
+        """Dictionary scan in TERM-ASC order (the ES _terms_enum
+        contract — lexicographic, not df-ranked): the first ``limit``
+        terms starting with ``prefix``, fields included. Each term
+        lives in exactly one partition (term-hash partitioning), so
+        per-shard asc heads merge losslessly on the driver."""
+        outs = []
+        for tbl in self.tables:
+            if tbl.num_rows == 0:
+                continue
+            m = pc.starts_with(tbl["term"], prefix)
+            sel = tbl.filter(m).select(["term", "df"])
+            if sel.num_rows:
+                outs.append(sel)
+        if not outs:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "df": pa.array([], pa.int64())})
+        cat = pa.concat_tables(outs)
+        idx = pc.sort_indices(cat, sort_keys=[("term", "ascending")])
+        return cat.take(idx.slice(0, limit))
+
     def hot_terms(self, top_n: int) -> list[str]:
         """This shard's highest-df content terms (the Zipf head that
         dominates TAAT decode cost) — drives speculative prewarm."""
@@ -2307,6 +2328,23 @@ class SearchEngine:
 
         return self._filter_deleted_rows(
             span_or_match(self, terms, chunk_docs=chunk_docs))
+
+    def terms_enum(self, field: str, prefix: str = "",
+                   size: int = 20) -> pa.Table:
+        """ES ``_terms_enum`` analog: values of a keyword FIELD
+        starting with ``prefix``, lexicographically ascending (the API
+        contract), served from the term dictionary alone — no doc
+        reads; df rides along free (keyword postings are one per doc).
+        Parallel per-shard asc heads of ``size`` merge on the driver;
+        term-hash partitioning guarantees no cross-shard duplicates."""
+        fp = f"{field}:{prefix}"
+        tbls = ray.get([s.enum_terms.remote(fp, size)
+                        for s in self.shards])
+        cat = pa.concat_tables(tbls)
+        idx = pc.sort_indices(cat, sort_keys=[("term", "ascending")])
+        cat = cat.take(idx.slice(0, size))
+        vals = pc.utf8_slice_codeunits(cat["term"], len(field) + 1)
+        return pa.table({"value": vals, "df": cat["df"]})
 
     def phrase_suggest(self, text: str, max_edits: int = 1,
                        per_slot: int = 5, k: int = 3) -> pa.Table:

@@ -207,8 +207,19 @@ def adc_topk(codes_ds, query: np.ndarray, books: np.ndarray, k: int = 10,
     if rerank_ds is None or shortlist <= 0:
         return pa.Table.from_pandas(cand.head(k).reset_index(drop=True),
                                     preserve_index=False)
-    want = sorted(int(i) for i in cand[id_col])
-    q = np.asarray(query, dtype=np.float64)
+    return exact_l2_rerank(rerank_ds,
+                           [int(i) for i in cand[id_col]],
+                           np.asarray(query, dtype=np.float64), k,
+                           vec_col=vec_col, id_col=id_col)
+
+
+def exact_l2_rerank(rerank_ds, ids: list[int], q: np.ndarray, k: int,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> pa.Table:
+    """The FAISS/BBQ refine stage shared by PQ and binary quantization:
+    gather ONLY the shortlist ids' raw vectors (an id-pruned filter,
+    shortlist-sized), exact squared-L2, true top-k of the shortlist."""
+    want = sorted(set(int(i) for i in ids))
 
     def gather(t: pa.Table) -> pa.Table:
         keep = pc.is_in(t[id_col],

@@ -82,3 +82,115 @@ def quantized_topk(ds, query_vec, mins, maxs, k: int = 10,
                             ascending=[False, True]).head(k)
     return pa.Table.from_pandas(cand.reset_index(drop=True),
                                 preserve_index=False)
+
+
+# --------------------------------------------------------------------------
+# Binary quantization (the ES 8.x BBQ / Lucene binary-vector trick):
+# 1 bit per dimension (32x less than float32, 8x less than SQ8),
+# Hamming distance via a byte-popcount LUT, exact-L2 rerank of the
+# Hamming shortlist for serving quality. No codebooks to train — the
+# quantizer is the per-dimension mean threshold (one distributed pass).
+# --------------------------------------------------------------------------
+
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def dim_means(ds, vec_col: str = "embedding") -> np.ndarray:
+    """Per-dimension mean over the corpus: (sum, count) partials per
+    batch — one (d,)-sized row per block crosses the shuffle."""
+
+    def part(t: pa.Table) -> pa.Table:
+        mat = _batch_vectors(t, vec_col)
+        if mat.size == 0:
+            return pa.table({"s": pa.array([], pa.list_(pa.float64())),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({
+            "s": pa.array([mat.sum(axis=0).tolist()],
+                          pa.list_(pa.float64())),
+            "n": pa.array([mat.shape[0]], pa.int64())})
+
+    parts = ds.map_batches(part, batch_format="pyarrow").to_pandas()
+    total = np.sum([np.asarray(s, dtype=np.float64)
+                    for s in parts["s"]], axis=0)
+    return total / float(parts["n"].sum())
+
+
+def _binarize(mat: np.ndarray, means: np.ndarray) -> np.ndarray:
+    """(N, D) floats -> (N, D/8) packed sign bits (bit = dim > mean)."""
+    bits = (mat > means[None, :]).astype(np.uint8)
+    return np.packbits(bits, axis=1)
+
+
+def binary_quantize(ds, means: np.ndarray, vec_col: str = "embedding",
+                    id_col: str = "vec_id"):
+    """One vectorized pass: Dataset of (id, bits fixed_size_list<uint8>
+    of D/8 bytes) — the 1-bit vector store."""
+    d = means.shape[0]
+    if d % 8 != 0:
+        raise ValueError(f"dim {d} must be a multiple of 8")
+    nb = d // 8
+
+    def enc(t: pa.Table) -> pa.Table:
+        mat = _batch_vectors(t, vec_col)
+        if mat.size == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "bits": pa.array([], pa.list_(pa.uint8()))})
+        packed = _binarize(mat.astype(np.float64), means)
+        return pa.table({
+            id_col: t[id_col],
+            "bits": pa.FixedSizeListArray.from_arrays(
+                pa.array(packed.reshape(-1), pa.uint8()), nb)})
+
+    return ds.map_batches(enc, batch_format="pyarrow")
+
+
+def hamming_topk(bits_ds, query: np.ndarray, means: np.ndarray,
+                 k: int = 10, id_col: str = "vec_id",
+                 rerank_ds=None, shortlist: int = 0,
+                 vec_col: str = "embedding") -> pa.Table:
+    """Hamming scan over the BITS dataset: per batch, XOR against the
+    binarized query + byte-popcount LUT sum (no float vectors read),
+    local top-k smallest, driver merge. With ``rerank_ds`` +
+    ``shortlist``: exact-L2 rerank of the Hamming shortlist (the BBQ
+    serving pattern — quantized scan for candidates, float rerank for
+    order)."""
+    import ray
+
+    q = np.asarray(query, dtype=np.float64)
+    qbits = _binarize(q[None, :], means)[0]
+    nb = qbits.shape[0]
+    ref = ray.put(qbits)
+    fetch = max(k, shortlist)
+
+    def local(t: pa.Table) -> pa.Table:
+        qb = ray.get(ref)
+        n = len(t)
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "hamming": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        col = t["bits"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        import pyarrow.compute as _pc
+
+        bits = _pc.list_flatten(col).to_numpy(
+            zero_copy_only=False).reshape(n, nb)
+        ham = _POP8[np.bitwise_xor(bits, qb[None, :])] \
+            .sum(axis=1, dtype=np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, ham))[:fetch]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "hamming": pa.array(ham[order], pa.int64())})
+
+    cand = bits_ds.map_batches(local, batch_format="pyarrow").to_pandas()
+    cand = cand.sort_values(["hamming", id_col],
+                            ascending=[True, True]).head(fetch)
+    if rerank_ds is None or shortlist <= 0:
+        return pa.Table.from_pandas(cand.head(k).reset_index(drop=True),
+                                    preserve_index=False)
+    from .pq import exact_l2_rerank
+
+    return exact_l2_rerank(rerank_ds,
+                           [int(i) for i in cand[id_col]], q, k,
+                           vec_col=vec_col, id_col=id_col)

@@ -3912,6 +3912,22 @@ def q_embedding_knn_ivfpq(sf_dir: str):
     return ivfpq_index_topk(out, _query_vector(sf_dir), k=10, n_probe=2)
 
 
+def q_embedding_knn_bq(sf_dir: str):
+    """ES BBQ / Lucene binary-quantization analog (ann/quantize.py):
+    1 bit per dimension (32x less than float32), Hamming scan via a
+    byte-popcount LUT over packed sign bits, then the BBQ serving
+    pattern — exact-L2 rerank of the Hamming shortlist. No codebooks;
+    the quantizer is one distributed per-dimension-mean pass.
+    Rows-only; bit-exact Hamming and recall floors in test_pq.py."""
+    from ..ann.quantize import binary_quantize, dim_means, hamming_topk
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    means = dim_means(ds)
+    bits = binary_quantize(ds, means)
+    return hamming_topk(bits, _query_vector(sf_dir), means, k=10,
+                        rerank_ds=ds, shortlist=50)
+
+
 def q_knn_similarity_cutoff(sf_dir: str):
     """ES 8.8 kNN ``similarity`` parameter: collect the k=25 nearest,
     then drop hits whose cosine falls below the cutoff (0.24) — the
@@ -7575,6 +7591,7 @@ QUERY_REGISTRY = {
     "bm25_topk_stopped": q_bm25_topk_stopped,
     "embedding_knn_pq": q_embedding_knn_pq,
     "embedding_knn_ivfpq": q_embedding_knn_ivfpq,
+    "embedding_knn_bq": q_embedding_knn_bq,
     "rescore_topk": q_rescore_topk,
     "multifield_search": q_multifield_search,
     "match_count": q_match_count,

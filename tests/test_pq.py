@@ -126,3 +126,34 @@ def test_ivfpq_exactness_and_pruning(vec_ds, tmp_path_factory):
     assign = _coarse_assign(mat, cent)
     allowed = set(np.flatnonzero(assign == probe1).tolist())
     assert set(got1["vec_id"].to_pylist()) <= allowed
+
+
+def test_binary_quantization(vec_ds):
+    from logsentinelai_ray.ann.quantize import (_binarize, dim_means,
+                                                binary_quantize,
+                                                hamming_topk)
+
+    ds, mat = vec_ds
+    means = dim_means(ds)
+    assert np.allclose(means, mat.mean(axis=0), atol=1e-9)
+    q = mat[0] + 0.05
+    got = hamming_topk(binary_quantize(ds, means), q, means, k=10)
+    # brute-force hamming from the raw bits
+    bits = (mat > means[None, :]).astype(np.uint8)
+    qb = (q > means).astype(np.uint8)
+    ham = (bits != qb[None, :]).sum(axis=1)
+    order = np.lexsort((np.arange(240), ham))[:10]
+    assert got["vec_id"].to_pylist() == order.tolist()
+    assert got["hamming"].to_pylist() == ham[order].tolist()
+    # packed bytes round-trip the sign pattern
+    packed = _binarize(mat, means)
+    assert np.array_equal(np.unpackbits(packed, axis=1)[:, :16], bits)
+    # BBQ serving pattern: hamming shortlist + exact rerank
+    # 16-bit codes are coarse (heavy Hamming ties on 16-dim data) —
+    # the shortlist must cover ~a cluster; 100/240 gives 0.9-1.0 here
+    refined = hamming_topk(binary_quantize(ds, means), q, means, k=10,
+                           rerank_ds=ds, shortlist=100)
+    diff = mat - q[None, :]
+    true10 = set(np.argsort((diff * diff).sum(axis=1))[:10].tolist())
+    recall = len(set(refined["vec_id"].to_pylist()) & true10) / 10.0
+    assert recall >= 0.8, recall

@@ -195,3 +195,80 @@ def encode_token_counts(ds, merges: pa.Table, text_col: str = "text",
                           ascending=[False, True]).head(k)
     return pa.Table.from_pandas(out.reset_index(drop=True),
                                 preserve_index=False)
+
+
+class BPEFertilityPartial:
+    """Actor-pool stage for tokenizer-fertility evaluation: per batch,
+    per group (e.g. lang), the total BPE token count and total word
+    characters — the two integers behind tokens-per-char fertility.
+    Same broadcast ranks + per-worker word-type memo as BPEEncoder;
+    the memo here stores only each word type's TOKEN COUNT."""
+
+    def __init__(self, ranks_ref, group_col: str = "lang",
+                 text_col: str = "text"):
+        import ray
+
+        self.ranks = ray.get(ranks_ref)
+        self.group_col = group_col
+        self.text_col = text_col
+        self.memo: dict[str, int] = {}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        text = pc.utf8_lower(t[self.text_col])
+        lists = pc.split_pattern_regex(text, pattern="[^a-z0-9]+")
+        flat = pc.list_flatten(lists)
+        parent = pc.list_parent_indices(lists)
+        keep = pc.not_equal(flat, "")
+        flat = pc.filter(flat, keep)
+        parent = pc.filter(parent, keep)
+        groups = pc.take(t[self.group_col], parent)
+        wc = (pa.table({"g": groups, "word": flat})
+              .group_by(["g", "word"]).aggregate([("word", "count")]))
+        toks: dict[str, int] = {}
+        chars: dict[str, int] = {}
+        for g, w, c in zip(wc["g"].to_pylist(),
+                           wc["word"].to_pylist(),
+                           wc["word_count"].to_pylist()):
+            nt = self.memo.get(w)
+            if nt is None:
+                nt = len(encode_word(w, self.ranks))
+                self.memo[w] = nt
+            toks[g] = toks.get(g, 0) + nt * c
+            chars[g] = chars.get(g, 0) + len(w) * c
+        gs = sorted(toks)
+        return pa.table({
+            "g": pa.array(gs, pa.string()),
+            "p_toks": pa.array([toks[g] for g in gs], pa.int64()),
+            "p_chars": pa.array([chars[g] for g in gs], pa.int64())})
+
+
+def fertility_by_group(ds, merges: pa.Table, group_col: str = "lang",
+                       text_col: str = "text") -> pa.Table:
+    """Per-group tokenizer fertility under the learned merges:
+    (group, n_tokens, n_chars, fertility = tokens/char). Mergeable
+    integer partials; the final division is one exact-int chain per
+    group evaluated once on the tiny grouped table."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    ranks = {(lt, rt): i for i, (lt, rt) in
+             enumerate(zip(merges["left"].to_pylist(),
+                           merges["right"].to_pylist()))}
+    ref = ray.put(ranks)
+    out = (ds.map_batches(
+        BPEFertilityPartial, fn_constructor_args=(ref,),
+        fn_constructor_kwargs={"group_col": group_col,
+                               "text_col": text_col},
+        batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("g")
+        .aggregate(Sum("p_toks", alias_name="n_tokens"),
+                   Sum("p_chars", alias_name="n_chars"))
+        .to_pandas())
+    out = out.sort_values("g").reset_index(drop=True)
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_chars"] = out["n_chars"].astype("int64")
+    out["fertility"] = [float(a) / float(b) if b else 0.0
+                        for a, b in zip(out["n_tokens"],
+                                        out["n_chars"])]
+    out = out.rename(columns={"g": group_col})
+    return pa.Table.from_pandas(out, preserve_index=False)

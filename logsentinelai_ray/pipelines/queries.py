@@ -5380,6 +5380,23 @@ def q_bpe_encode(sf_dir: str):
         _read(sf_dir, "documents", columns=["doc_id", "text"]), merges)
 
 
+def q_tokenizer_fertility(sf_dir: str):
+    """Tokenizer-quality evaluation for training pipelines: per-lang
+    FERTILITY (BPE tokens per word character) under the 20 learned
+    merges — the standard multilingual-tokenizer health metric (high
+    fertility = a lang the vocab serves poorly). Mergeable integer
+    partials from an actor-pool encode (word-type memo per worker);
+    rows-only (iterative-merge semantics aren't SQL-expressible);
+    parity with a brute-force python encode is pinned in tests."""
+    from ..analysis.bpe import fertility_by_group, learn_bpe
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    merges = learn_bpe(ds, n_merges=20)
+    return fertility_by_group(
+        _read(sf_dir, "documents", columns=["doc_id", "text", "lang"]),
+        merges, group_col="lang")
+
+
 def q_training_shards(sf_dir: str):
     """Training-data export: deterministic pseudo-shuffle (multiplicative
     hash — identical across reruns, block orders and cluster sizes,
@@ -7592,6 +7609,7 @@ QUERY_REGISTRY = {
     "embedding_knn_pq": q_embedding_knn_pq,
     "embedding_knn_ivfpq": q_embedding_knn_ivfpq,
     "embedding_knn_bq": q_embedding_knn_bq,
+    "tokenizer_fertility": q_tokenizer_fertility,
     "rescore_topk": q_rescore_topk,
     "multifield_search": q_multifield_search,
     "match_count": q_match_count,

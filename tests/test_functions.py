@@ -449,6 +449,43 @@ def test_bpe_encode_matches_bruteforce(ray_session):
                     got["n"].to_pylist())) == exp
 
 
+def test_bpe_fertility_matches_bruteforce(ray_session):
+    """fertility_by_group: per-group token/char totals equal the
+    single-process recomputation; fertility is the exact int ratio."""
+    import re
+
+    import ray.data as rd
+
+    from logsentinelai_ray.analysis.bpe import (
+        encode_word, fertility_by_group, learn_bpe)
+
+    texts = ["the quick brown fox the quick", "quick quick the fox jumps",
+             "brown bear brown fox", "the the the quick brown"]
+    langs = ["en", "en", "de", "de"]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                    "text": pa.array(texts),
+                    "lang": pa.array(langs)})
+    ds = rd.from_arrow(tbl)
+    merges = learn_bpe(ds, n_merges=6)
+    got = fertility_by_group(rd.from_arrow(tbl), merges,
+                             group_col="lang")
+    ranks = {(lt, rt): i for i, (lt, rt) in
+             enumerate(zip(merges["left"].to_pylist(),
+                           merges["right"].to_pylist()))}
+    exp = {}
+    for t, g in zip(texts, langs):
+        for w in re.findall(r"[a-z0-9]+", t.lower()):
+            tk, ch = exp.get(g, (0, 0))
+            exp[g] = (tk + len(encode_word(w, ranks)), ch + len(w))
+    assert got["lang"].to_pylist() == sorted(exp)
+    for g, nt, nc, f in zip(got["lang"].to_pylist(),
+                            got["n_tokens"].to_pylist(),
+                            got["n_chars"].to_pylist(),
+                            got["fertility"].to_pylist()):
+        assert (nt, nc) == exp[g]
+        assert f == float(nt) / float(nc)
+
+
 def _random_events(seed, n_users=6, n_events=400):
     rng = np.random.default_rng(seed)
     uid = rng.integers(0, n_users, n_events)

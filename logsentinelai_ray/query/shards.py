@@ -108,20 +108,25 @@ def _levenshtein_leq(a: str, b: str, k: int) -> bool:
     return prev[lb] <= k
 
 
-@ray.remote(num_cpus=0.1, max_concurrency=4, max_restarts=2,
+@ray.remote(num_cpus=0, max_concurrency=4, max_restarts=2,
             max_task_retries=2)
 class IndexShard:
     # max_restarts/max_task_retries: shards are pure readers of immutable
     # segment files (constructor args are plain strings, reloadable from
     # disk), so a died shard process restarts and replays transparently.
-    # num_cpus=0.1: shards are memory-holders that serve short lookup
-    # bursts; larger reservations accumulate across cached engines and
-    # starve concurrently-running pipelines (actor pools + map tasks) on
-    # small clusters. max_concurrency=4: every method is read-only after
-    # __init__ (tables + term_index are immutable), so a threaded actor
-    # lets an on-demand decode_term run instead of queueing behind the
-    # speculative prewarm backlog (numpy decode releases the GIL for its
-    # vectorized passes).
+    # num_cpus=0: shards are long-lived MEMORY-holders serving short
+    # decode bursts — reserving scheduler CPU for them accumulates
+    # across cached engines (a long session holds dozens of shard
+    # actors) until transient dataset tasks and NEW shard actors can no
+    # longer schedule at all on a small cluster (measured: a 4-CPU test
+    # session wedged with 23 shards x 0.1 CPU + one 1-CPU pool worker
+    # reserved). Their decode work is thread-side numpy that the
+    # scheduler cannot meter anyway; placement at target scale is by
+    # memory, not CPU. max_concurrency=4: every method is read-only
+    # after __init__ (tables + term_index are immutable), so a threaded
+    # actor lets an on-demand decode_term run instead of queueing behind
+    # the speculative prewarm backlog (numpy decode releases the GIL for
+    # its vectorized passes).
     """Owns the segment files of a set of term partitions."""
 
     def __init__(self, index_dir: str, parts: list[int]):

@@ -124,9 +124,11 @@ def encode_pq(ds, books: np.ndarray, vec_col: str = "embedding",
             vecs = vecs.combine_chunks()
         flat = pc.list_flatten(vecs).to_numpy(zero_copy_only=False)
         n = len(t)
-        if n == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "codes": pa.array([], pa.list_(pa.uint8()))})
+        if n == 0:  # empty blocks must keep the fixed-size-list schema
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.uint8()), m)})
         mat = flat.reshape(n, m * sub).astype(np.float64)
         codes = np.empty((n, m), dtype=np.uint8)
         for j in range(m):
@@ -276,10 +278,12 @@ def build_ivfpq_index(ds, out_dir: str, centroids: np.ndarray,
     def assign_encode(t: pa.Table) -> pa.Table:
         c_arr, bks = ray.get(ref)
         n = len(t)
-        if n == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "codes": pa.array([], pa.list_(pa.uint8())),
-                             "list": pa.array([], pa.int32())})
+        if n == 0:  # keep the fixed-size-list schema on empty blocks
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "codes": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.uint8()), m),
+                "list": pa.array([], pa.int32())})
         vecs = t[vec_col]
         if isinstance(vecs, pa.ChunkedArray):
             vecs = vecs.combine_chunks()

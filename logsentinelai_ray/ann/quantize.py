@@ -132,9 +132,11 @@ def binary_quantize(ds, means: np.ndarray, vec_col: str = "embedding",
 
     def enc(t: pa.Table) -> pa.Table:
         mat = _batch_vectors(t, vec_col)
-        if mat.size == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             "bits": pa.array([], pa.list_(pa.uint8()))})
+        if mat.size == 0:  # keep the fixed-size-list schema
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "bits": pa.FixedSizeListArray.from_arrays(
+                    pa.array([], pa.uint8()), nb)})
         packed = _binarize(mat.astype(np.float64), means)
         return pa.table({
             id_col: t[id_col],

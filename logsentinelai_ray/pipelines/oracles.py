@@ -1316,6 +1316,26 @@ ORACLE_SQL: dict[str, str] = {
         WHERE levenshtein(term, 'mrge') <= 2 GROUP BY 1
         ORDER BY df DESC, term ASC LIMIT 3
     """,
+    # events_ewma: the moving_fn ewma recurrence as a recursive CTE —
+    # 0.3*x + 0.7*s per step, the engine's exact float op tree; NO
+    # rounding either side (single deterministic chain; pc.round vs
+    # DuckDB round differ 1 ulp at print boundaries)
+    "events_ewma": """
+        WITH RECURSIVE daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events WHERE event_type = 'error' GROUP BY 1
+        ), idx AS (
+          SELECT day, n,
+                 row_number() OVER (ORDER BY day)::BIGINT AS i
+          FROM daily
+        ), rec AS (
+          SELECT i, day, n, CAST(n AS DOUBLE) AS s FROM idx WHERE i = 1
+          UNION ALL
+          SELECT d.i, d.day, d.n, 0.3 * CAST(d.n AS DOUBLE) + 0.7 * r.s
+          FROM idx d JOIN rec r ON d.i = r.i + 1
+        )
+        SELECT day, n, s AS ewma FROM rec ORDER BY day
+    """,
     # terms_enum: keyword-field dictionary enumeration, term-asc (the
     # API contract); df = docs holding the value (keyword tf=1)
     "terms_enum": """

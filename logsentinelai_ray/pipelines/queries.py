@@ -411,6 +411,37 @@ def q_events_moving(sf_dir: str):
     return pdf
 
 
+def q_events_ewma(sf_dir: str):
+    """ES ``moving_fn`` with the ``MovingFunctions.ewma`` model over
+    the daily error-count histogram: s_t = 0.3*x_t + 0.7*s_{t-1},
+    seeded at the first bucket. Parent histogram distributed; the
+    recurrence is a bucket-bounded driver post-pass (as in ES) with
+    the same float op tree as the oracle's recursive CTE — 0.3*x +
+    0.7*s per step. No rounding on either side: the recurrence is
+    one deterministic op chain, and pc.round vs DuckDB round disagree
+    by 1 ulp at print boundaries (measured at sf0.01 day 4)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["event_type"], "error")
+        return pa.table({"day": pc.strftime(
+            t.filter(keep)["ts"], format="%Y-%m-%d")})
+
+    pdf = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("day").aggregate(Count(alias_name="n"))
+           .sort("day").to_pandas())
+    ewma = []
+    s = None
+    for x in pdf["n"].astype("int64"):
+        s = float(x) if s is None else 0.3 * float(x) + 0.7 * s
+        ewma.append(s)
+    pdf["n"] = pdf["n"].astype("int64")
+    out = pa.Table.from_pandas(pdf, preserve_index=False)
+    return out.append_column("ewma", pa.array(ewma, pa.float64()))
+
+
 # ES `histogram` agg interval over value_micro (25 value units)
 _HISTO_INTERVAL_MICRO = 25_000_000
 
@@ -7704,6 +7735,7 @@ QUERY_REGISTRY = {
     "span_containing": q_span_containing,
     "phrase_suggest": q_phrase_suggest,
     "terms_enum": q_terms_enum,
+    "events_ewma": q_events_ewma,
     "span_within": q_span_within,
     "terms_set": q_terms_set,
     "categorize_text": q_categorize_text,

@@ -1812,6 +1812,75 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(rrf, 6) AS rrf_score FROM fused
         ORDER BY rrf DESC, doc_id ASC LIMIT 10
     """,
+    # ES ``linear`` retriever: minmax-normalized weighted fusion over
+    # the same two top-50 pools as hybrid_search_rrf
+    "hybrid_search_linear": _BM25_BASE + """
+        , brank AS (
+          SELECT doc_id, scores.score AS s,
+                 row_number() OVER (ORDER BY scores.score DESC,
+                                    doc_id ASC) AS r
+          FROM scores QUALIFY r <= 50
+        ), bnorm AS (
+          SELECT doc_id,
+                 CASE WHEN max(s) OVER () = min(s) OVER () THEN 1.0
+                      ELSE (s - min(s) OVER ())
+                           / (max(s) OVER () - min(s) OVER ())
+                 END AS lex
+          FROM brank
+        ), kv AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id = 0
+        ), ks AS (
+          SELECT vec_id AS doc_id,
+                 list_cosine_similarity(
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                     (SELECT v FROM kv)) AS c
+          FROM embeddings
+        ), krank AS (
+          SELECT doc_id, c,
+                 row_number() OVER (ORDER BY c DESC, doc_id ASC) AS r
+          FROM ks QUALIFY r <= 50
+        ), knorm AS (
+          SELECT doc_id,
+                 CASE WHEN max(c) OVER () = min(c) OVER () THEN 1.0
+                      ELSE (c - min(c) OVER ())
+                           / (max(c) OVER () - min(c) OVER ())
+                 END AS vec
+          FROM krank
+        ), fused AS (
+          SELECT COALESCE(b.doc_id, k.doc_id) AS doc_id,
+                 0.7 * COALESCE(b.lex, 0) + 0.3 * COALESCE(k.vec, 0)
+                 AS f
+          FROM bnorm b FULL OUTER JOIN knorm k ON b.doc_id = k.doc_id
+        )
+        SELECT doc_id, round(f, 6) AS linear_score FROM fused
+        ORDER BY f DESC, doc_id ASC LIMIT 10
+    """,
+    # ColBERT-style late interaction: docs are groups of 4 consecutive
+    # embedding rows, query = vec_id 0..2, score = sum of per-query-
+    # token max dot products (ES rank_vectors maxSimDotProduct)
+    "late_interaction_maxsim": """
+        WITH qv AS (
+          SELECT vec_id AS qid,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS q
+          FROM embeddings WHERE vec_id < 3
+        ), dv AS (
+          SELECT vec_id // 4 AS group_id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings
+        ), best AS (
+          SELECT group_id, qid, max(list_dot_product(q, v)) AS m
+          FROM dv CROSS JOIN qv GROUP BY group_id, qid
+        ), pivoted AS (
+          SELECT group_id,
+                 (max(CASE WHEN qid = 0 THEN m END)
+                  + max(CASE WHEN qid = 1 THEN m END))
+                 + max(CASE WHEN qid = 2 THEN m END) AS f
+          FROM best GROUP BY group_id
+        )
+        SELECT group_id, round(f, 6) AS maxsim_score FROM pivoted
+        ORDER BY f DESC, group_id ASC LIMIT 10
+    """,
     # Gopher repetition signals: top-unigram / top-bigram coverage
     # fractions per document
     "gopher_repetition": """

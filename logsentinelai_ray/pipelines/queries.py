@@ -5200,6 +5200,99 @@ def q_gopher_repetition(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_hybrid_search_linear(sf_dir: str):
+    """Hybrid retrieval with the ES 8.16 ``linear`` retriever (minmax
+    normalizer): BM25 top-50 and brute-force cosine top-50 (same two
+    retrievers as ``hybrid_search_rrf``), each list min-max normalized
+    over its own retrieved pool (``(s - min) / (max - min)``, the ES
+    ``minmax`` normalizer; degenerate one-score pools normalize to 1),
+    fused as ``0.7 * lex + 0.3 * vec`` with absent-from-list = 0,
+    top-10 by (score desc, doc_id). Like the RRF entry, fusion is
+    driver-side over two k-sized lists — the distributed work is the
+    two retrievers."""
+    eng = _docs_engine(sf_dir)
+    bm = eng.search(BM25_QUERY_TEXT, k=50, with_meta=False)
+    from ..ann import cosine_topk_bruteforce
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    kn = cosine_topk_bruteforce(ds, _query_vector(sf_dir), k=50)
+
+    def minmax(ids, scores) -> dict[int, float]:
+        s = np.asarray(scores, dtype=np.float64)
+        if s.size == 0:
+            return {}
+        lo, hi = float(s.min()), float(s.max())
+        norm = np.ones_like(s) if hi == lo else (s - lo) / (hi - lo)
+        return {int(i): float(v) for i, v in zip(ids, norm)}
+
+    lex = minmax(bm["doc_id"].to_pylist(), bm["score"].to_pylist())
+    vec = minmax(kn["vec_id"].to_pylist(), kn["cosine"].to_pylist())
+    fused = {d: 0.7 * lex.get(d, 0.0) + 0.3 * vec.get(d, 0.0)
+             for d in set(lex) | set(vec)}
+    order = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    return pa.table({
+        "doc_id": pa.array([d for d, _ in order], pa.int64()),
+        "linear_score": _round6(pa.array([s for _, s in order],
+                                         pa.float64()))})
+
+
+def q_late_interaction_maxsim(sf_dir: str):
+    """Late-interaction (ColBERT / ES 8.18 ``rank_vectors`` +
+    ``maxSimDotProduct``) scoring: each multi-vector document is a
+    group of 4 consecutive embedding rows (``group_id = vec_id // 4``),
+    the query is the 3 token vectors ``vec_id in (0, 1, 2)``, and
+    score(doc) = sum over query tokens of the max dot product against
+    any doc vector. Per batch: ONE matmul against the broadcast 3-row
+    query matrix emits only (group_id, d0, d1, d2); a Max-aggregate
+    groupby reduces per-group (groups may span block boundaries), so
+    nothing vector-sized ever shuffles — the exchange is 4 scalar
+    columns."""
+    import ray
+    from ray.data.aggregate import Max
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    from ..ann.knn import _batch_vectors
+
+    import pyarrow.dataset as pa_ds
+    qt = pa_ds.dataset(os.path.join(sf_dir, "embeddings.parquet"),
+                       format="parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id") < 3).sort_by("vec_id")
+    qmat = np.asarray(
+        [r.as_py() for r in qt["embedding"]], dtype=np.float64)
+    q_ref = ray.put(qmat)
+
+    def dots(batch: pa.Table) -> pa.Table:
+        mat = _batch_vectors(batch, "embedding")
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        if mat.size == 0:
+            return pa.table({"group_id": pa.array([], pa.int64()),
+                             "d0": pa.array([], pa.float64()),
+                             "d1": pa.array([], pa.float64()),
+                             "d2": pa.array([], pa.float64())})
+        d = mat @ ray.get(q_ref).T  # n x 3
+        return pa.table({"group_id": pa.array(ids // 4, pa.int64()),
+                         "d0": pa.array(d[:, 0], pa.float64()),
+                         "d1": pa.array(d[:, 1], pa.float64()),
+                         "d2": pa.array(d[:, 2], pa.float64())})
+
+    agg = (ds.map_batches(dots, batch_format="pyarrow")
+           .groupby("group_id")
+           .aggregate(Max("d0", alias_name="m0"),
+                      Max("d1", alias_name="m1"),
+                      Max("d2", alias_name="m2")))
+    df = agg.to_pandas()
+    raw = (df["m0"].to_numpy() + df["m1"].to_numpy()) \
+        + df["m2"].to_numpy()
+    df["_raw"] = raw
+    df = df.sort_values(["_raw", "group_id"],
+                        ascending=[False, True]).head(10)
+    return pa.table({
+        "group_id": pa.array(df["group_id"].astype("int64"),
+                             pa.int64()),
+        "maxsim_score": _round6(pa.array(df["_raw"], pa.float64()))})
+
+
 def q_pii_scrub(sf_dir: str):
     """PII redaction (the C4/Dolma scrub step): deterministic log lines
     are derived from event fields (the driver tables embed no literal
@@ -7654,6 +7747,8 @@ QUERY_REGISTRY = {
     "whole_file_read": q_whole_file_read,
     "duplicate_spans": q_duplicate_spans,
     "hybrid_search_rrf": q_hybrid_search_rrf,
+    "hybrid_search_linear": q_hybrid_search_linear,
+    "late_interaction_maxsim": q_late_interaction_maxsim,
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,

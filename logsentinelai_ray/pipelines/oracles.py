@@ -1856,6 +1856,43 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(f, 6) AS linear_score FROM fused
         ORDER BY f DESC, doc_id ASC LIMIT 10
     """,
+    # Efraimidis–Spirakis A-ES weighted sample: deterministic uniform
+    # from a Knuth multiplicative hash, key = u^(1/w), global top-20
+    "weighted_sample": """
+        WITH s AS (
+          SELECT doc_id, n_chars,
+                 pow(((doc_id * 2654435761) % 1000003 + 1) / 1000004.0,
+                     1.0 / CAST(n_chars AS DOUBLE)) AS k
+          FROM documents WHERE n_chars > 0
+        )
+        SELECT doc_id, n_chars, round(k, 6) AS sample_key FROM s
+        ORDER BY k DESC, doc_id ASC LIMIT 20
+    """,
+    # distributed OLS closure over explicit partial sums — the SQL
+    # mirrors the engine's (n·Σxy − Σx·Σy)/(n·Σxx − Σx²) formula
+    # term-by-term so the IEEE op tree matches
+    "ols_regression": """
+        WITH p AS (
+          SELECT event_type,
+                 CAST((epoch_us(ts) // 3600000000) % 24 AS DOUBLE) AS x,
+                 CAST(value AS DOUBLE) AS y
+          FROM events
+        ), sums AS (
+          SELECT event_type, count(*)::DOUBLE AS n,
+                 sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+                 sum(x * y) AS sxy, sum(y * y) AS syy
+          FROM p GROUP BY event_type
+        )
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                   AS slope,
+               round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx))
+                      * sx) / n, 6) AS intercept,
+               round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                   AS r2
+        FROM sums ORDER BY event_type
+    """,
     # ColBERT-style late interaction: docs are groups of 4 consecutive
     # embedding rows, query = vec_id 0..2, score = sum of per-query-
     # token max dot products (ES rank_vectors maxSimDotProduct)

@@ -838,6 +838,113 @@ def q_stratified_sample(sf_dir: str):
     return ds.map_batches(keep, batch_format="pyarrow").sort("doc_id")
 
 
+def q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement (Efraimidis–Spirakis A-ES,
+    the training-data mixture primitive for size-weighted corpora):
+    each doc draws a deterministic uniform u from a Knuth
+    multiplicative hash of doc_id and keeps key = u^(1/w) with
+    w = n_chars; the global sample is the top-20 keys. Deterministic
+    hash (not RNG) makes the sample identical across reruns, block
+    orders and cluster sizes AND gives an exact SQL oracle. Per batch:
+    vectorized key + local top-20; only k×blocks candidate rows reach
+    the driver merge (the kNN exchange pattern)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    k = 20
+
+    def local_topk(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].to_numpy(zero_copy_only=False)
+        w = t["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        m = w > 0
+        did, w = did[m], w[m]
+        if did.size == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_chars": pa.array([], pa.int64()),
+                             "sample_key": pa.array([], pa.float64())})
+        u = ((did * 2654435761) % 1000003 + 1) / 1000004.0
+        key = u ** (1.0 / w)
+        order = np.lexsort((did, -key))[:k]
+        return pa.table({
+            "doc_id": pa.array(did[order], pa.int64()),
+            "n_chars": pa.array(w[order].astype(np.int64), pa.int64()),
+            "sample_key": pa.array(key[order], pa.float64())})
+
+    cand = (ds.map_batches(local_topk, batch_format="pyarrow")
+            .to_pandas())
+    cand = cand.sort_values(["sample_key", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return pa.table({
+        "doc_id": pa.array(cand["doc_id"], pa.int64()),
+        "n_chars": pa.array(cand["n_chars"], pa.int64()),
+        "sample_key": _round6(pa.array(cand["sample_key"],
+                                       pa.float64()))})
+
+
+def q_ols_regression(sf_dir: str):
+    """Distributed ordinary-least-squares — the learned-quality-score
+    building block (fit a linear scorer over features without
+    collecting rows): per event_type, regress value on hour-of-day.
+    Each batch emits ONE row of partial sums (n, Σx, Σy, Σxx, Σxy,
+    Σyy) per group — the classic combiner — so the shuffle carries
+    6 scalars per (block, group); slope / intercept / r² close over
+    the merged sums on the driver with the same IEEE formula as the
+    oracle's explicit-aggregate SQL."""
+    from ray.data.aggregate import Sum
+
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    _OLS_SCHEMA = pa.schema([("event_type", pa.string())] +
+                            [(c, pa.float64()) for c in
+                             ("n", "sx", "sy", "sxx", "sxy", "syy")])
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _OLS_SCHEMA.empty_table()
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        x = ((ts // 3_600_000_000) % 24).astype(np.float64)
+        y = t["value"].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        g = (pa.table({"event_type": t["event_type"],
+                       "n": pa.array(np.ones_like(x), pa.float64()),
+                       "sx": pa.array(x, pa.float64()),
+                       "sy": pa.array(y, pa.float64()),
+                       "sxx": pa.array(x * x, pa.float64()),
+                       "sxy": pa.array(x * y, pa.float64()),
+                       "syy": pa.array(y * y, pa.float64())})
+             .group_by("event_type")
+             .aggregate([("n", "sum"), ("sx", "sum"), ("sy", "sum"),
+                         ("sxx", "sum"), ("sxy", "sum"),
+                         ("syy", "sum")]))
+        return g.rename_columns(["event_type", "n", "sx", "sy",
+                                 "sxx", "sxy", "syy"])
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Sum("sx", alias_name="sx"),
+                      Sum("sy", alias_name="sy"),
+                      Sum("sxx", alias_name="sxx"),
+                      Sum("sxy", alias_name="sxy"),
+                      Sum("syy", alias_name="syy")))
+    df = agg.to_pandas().sort_values("event_type").reset_index(drop=True)
+    n = df["n"].to_numpy()
+    sx, sy = df["sx"].to_numpy(), df["sy"].to_numpy()
+    sxx, sxy, syy = (df["sxx"].to_numpy(), df["sxy"].to_numpy(),
+                     df["syy"].to_numpy())
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    slope = cov / varx
+    intercept = (sy - slope * sx) / n
+    r2 = (cov * cov) / (varx * vary)
+    return pa.table({
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "n": pa.array(n.astype(np.int64), pa.int64()),
+        "slope": _round6(pa.array(slope, pa.float64())),
+        "intercept": _round6(pa.array(intercept, pa.float64())),
+        "r2": _round6(pa.array(r2, pa.float64()))})
+
+
 _PACK_BUDGET_CHARS = 10_000
 
 
@@ -7749,6 +7856,8 @@ QUERY_REGISTRY = {
     "hybrid_search_rrf": q_hybrid_search_rrf,
     "hybrid_search_linear": q_hybrid_search_linear,
     "late_interaction_maxsim": q_late_interaction_maxsim,
+    "weighted_sample": q_weighted_sample,
+    "ols_regression": q_ols_regression,
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,

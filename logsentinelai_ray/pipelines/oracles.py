@@ -1336,6 +1336,71 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT day, n, s AS ewma FROM rec ORDER BY day
     """,
+    # LTR feature logging over the BM25 top-20: matched distinct query
+    # terms, token dl, and the doc-aligned embedding cosine
+    "ltr_features": _BM25_BASE + """
+        , top AS (
+          SELECT doc_id, scores.score AS score,
+                 row_number() OVER (ORDER BY scores.score DESC,
+                                    doc_id ASC) AS r
+          FROM scores QUALIFY r <= 20
+        ), mt AS (
+          SELECT doc_id, count(DISTINCT term)::BIGINT AS matched_terms
+          FROM tf WHERE term IN (SELECT term FROM q) GROUP BY 1
+        ), kv AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings WHERE vec_id = 0
+        )
+        SELECT t.doc_id, round(t.score, 6) AS score, mt.matched_terms,
+               CAST(dl.dl AS BIGINT) AS dl,
+               round(list_cosine_similarity(
+                   list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                   (SELECT v FROM kv)), 6) AS cosine
+        FROM top t JOIN mt USING (doc_id) JOIN dl USING (doc_id)
+        JOIN embeddings e ON e.vec_id = t.doc_id
+        ORDER BY t.score DESC, t.doc_id ASC
+    """,
+    # downsample/rollup serving equivalence: the oracle aggregates RAW
+    # events into months; the engine serves the same months from its
+    # persisted daily rollup. Integer micros (histogram_agg convention)
+    # make every merge exact and order-independent.
+    "rollup_downsample": """
+        WITH m AS (
+          SELECT event_type, strftime(ts, '%Y-%m') AS month,
+                 CAST(round(value * 1e6, 0) AS BIGINT) AS micro
+          FROM events
+        )
+        SELECT event_type, month, count(*)::BIGINT AS n_events,
+               CAST(sum(micro) AS BIGINT) AS sum_value_micro,
+               min(micro) AS min_value_micro,
+               max(micro) AS max_value_micro
+        FROM m GROUP BY 1, 2 ORDER BY event_type, month
+    """,
+    # moving_fn holt (level+trend double smoothing): the recursive CTE
+    # carries (s, b); s_new is recomputed textually where needed — the
+    # identical expression yields the identical IEEE value
+    "events_holt": """
+        WITH RECURSIVE daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events WHERE event_type = 'error' GROUP BY 1
+        ), idx AS (
+          SELECT day, n,
+                 row_number() OVER (ORDER BY day)::BIGINT AS i
+          FROM daily
+        ), rec AS (
+          SELECT i, day, n, CAST(n AS DOUBLE) AS s,
+                 CAST(0 AS DOUBLE) AS b
+          FROM idx WHERE i = 1
+          UNION ALL
+          SELECT d.i, d.day, d.n,
+                 0.3 * CAST(d.n AS DOUBLE) + 0.7 * (r.s + r.b),
+                 0.1 * ((0.3 * CAST(d.n AS DOUBLE)
+                         + 0.7 * (r.s + r.b)) - r.s) + 0.9 * r.b
+          FROM idx d JOIN rec r ON d.i = r.i + 1
+        )
+        SELECT day, n, s AS level, b AS trend, s + b AS forecast
+        FROM rec ORDER BY day
+    """,
     # terms_enum: keyword-field dictionary enumeration, term-asc (the
     # API contract); df = docs holding the value (keyword tf=1)
     "terms_enum": """

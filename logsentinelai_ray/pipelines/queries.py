@@ -442,6 +442,47 @@ def q_events_ewma(sf_dir: str):
     return out.append_column("ewma", pa.array(ewma, pa.float64()))
 
 
+def q_events_holt(sf_dir: str):
+    """ES ``moving_fn`` with the ``MovingFunctions.holt`` model (double
+    exponential smoothing: level + trend) over the daily error-count
+    histogram: seeded s_1 = x_1, b_1 = 0, then
+    s_t = 0.3*x_t + 0.7*(s_{t-1} + b_{t-1}),
+    b_t = 0.1*(s_t - s_{t-1}) + 0.9*b_{t-1}; ``forecast = s + b`` (the
+    one-step-ahead value ES returns). Parent histogram distributed; the
+    recurrence is a bucket-bounded driver post-pass with the same IEEE
+    op tree as the oracle's recursive CTE. No rounding on either side —
+    one deterministic op chain (the events_ewma convention)."""
+    from ray.data.aggregate import Count
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        keep = pc.equal(t["event_type"], "error")
+        return pa.table({"day": pc.strftime(
+            t.filter(keep)["ts"], format="%Y-%m-%d")})
+
+    pdf = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("day").aggregate(Count(alias_name="n"))
+           .sort("day").to_pandas())
+    level, trend, fc = [], [], []
+    s = b = None
+    for x in pdf["n"].astype("int64"):
+        if s is None:
+            s, b = float(x), 0.0
+        else:
+            s_new = 0.3 * float(x) + 0.7 * (s + b)
+            b = 0.1 * (s_new - s) + 0.9 * b
+            s = s_new
+        level.append(s)
+        trend.append(b)
+        fc.append(s + b)
+    pdf["n"] = pdf["n"].astype("int64")
+    out = pa.Table.from_pandas(pdf, preserve_index=False)
+    return (out.append_column("level", pa.array(level, pa.float64()))
+            .append_column("trend", pa.array(trend, pa.float64()))
+            .append_column("forecast", pa.array(fc, pa.float64())))
+
+
 # ES `histogram` agg interval over value_micro (25 value units)
 _HISTO_INTERVAL_MICRO = 25_000_000
 
@@ -6473,6 +6514,119 @@ def q_rate_anomalies(sf_dir: str):
         "z": _round6(pa.array([r[3] for r in rows], pa.float64()))})
 
 
+def q_ltr_features(sf_dir: str):
+    """ES 8.12 learning-to-rank feature logging: for the standard
+    query's BM25 top-20 candidates, the per-(query, doc) training
+    feature row — BM25 score, matched query-term count, document
+    length (all shard-decoded next to the postings —
+    query/shards.py::ltr_features) plus the query-embedding cosine
+    (vec_id is doc-aligned; one row-group-pruned read of exactly the
+    20 candidate vectors, not a scan)."""
+    import pyarrow.dataset as pa_ds
+
+    from ..ann.knn import _cosine
+
+    eng = _docs_engine(sf_dir)
+    feats = eng.ltr_features(BM25_QUERY_TEXT, k=20)
+    ids = feats["doc_id"].to_numpy(zero_copy_only=False)
+    emb = pa_ds.dataset(os.path.join(sf_dir, "embeddings.parquet"),
+                        format="parquet").to_table(
+        columns=["vec_id", "embedding"],
+        filter=pc.field("vec_id").isin(ids.tolist()))
+    vid = emb["vec_id"].to_numpy(zero_copy_only=False)
+    mat = np.asarray([r.as_py() for r in emb["embedding"]],
+                     dtype=np.float64)
+    cos_by_id = dict(zip(vid, _cosine(mat, _query_vector(sf_dir))))
+    keep = np.isin(ids, vid)
+    f = feats.filter(pa.array(keep))
+    return pa.table({
+        "doc_id": f["doc_id"],
+        "score": _round6(f["score"]),
+        "matched_terms": f["matched_terms"],
+        "dl": f["dl"],
+        "cosine": _round6(pa.array(
+            [cos_by_id[int(d)] for d in
+             f["doc_id"].to_numpy(zero_copy_only=False)],
+            pa.float64()))})
+
+
+def q_rollup_downsample(sf_dir: str):
+    """ES downsampling (the ILM ``downsample`` action / legacy rollup
+    API): the raw events index is replaced by a fixed-interval
+    pre-aggregated index — one row per (event_type, day) carrying the
+    mergeable metric tuple (value_count, sum, min, max) — written once
+    as partitioned parquet; queries then serve from the rollup without
+    touching raw data. The entry builds the daily rollup distributed
+    (groupby exchange moves 4 scalars per bucket, the combiner
+    pattern), persists it, and answers a MONTHLY stats query purely by
+    re-aggregating the daily rollup — count/min/max merge exactly,
+    sums re-associate (round6, the extended_stats convention). The
+    oracle computes the same months from the raw table, proving
+    rollup-serving equivalence. Metric values use the integer-micro
+    convention (histogram_agg): sums/mins/maxes are int64 micros, so
+    every merge is EXACT and order-independent — the property that
+    makes a rollup index trustworthy at any re-aggregation depth."""
+    import hashlib
+    import shutil
+
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        micro = pc.cast(pc.round(pc.multiply(t["value"], 1e6),
+                                 ndigits=0), pa.int64())
+        return pa.table({
+            "event_type": t["event_type"],
+            "day": pc.strftime(t["ts"], format="%Y-%m-%d"),
+            "value": micro})
+
+    rollup_dir = os.path.join(
+        "/tmp/lsai_rollup",
+        hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:16])
+    if not os.path.isdir(rollup_dir):
+        tmp = rollup_dir + ".tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (ds.map_batches(prep, batch_format="pyarrow")
+         .groupby(["event_type", "day"])
+         .aggregate(Count(alias_name="n"),
+                    Sum("value", alias_name="vsum"),
+                    Min("value", alias_name="vmin"),
+                    Max("value", alias_name="vmax"))
+         .write_parquet(tmp))
+        os.rename(tmp, rollup_dir)  # atomic publish (K1 sink contract)
+
+    roll = rd.read_parquet(rollup_dir)
+
+    def monthly(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": t["event_type"],
+            "month": pc.utf8_slice_codeunits(t["day"], 0, 7),
+            "n": t["n"], "vsum": t["vsum"],
+            "vmin": t["vmin"], "vmax": t["vmax"]})
+
+    out = (roll.map_batches(monthly, batch_format="pyarrow")
+           .groupby(["event_type", "month"])
+           .aggregate(Sum("n", alias_name="n_events"),
+                      Sum("vsum", alias_name="value_sum"),
+                      Min("vmin", alias_name="value_min"),
+                      Max("vmax", alias_name="value_max")))
+    df = out.to_pandas().sort_values(["event_type", "month"]) \
+        .reset_index(drop=True)
+    return pa.table({
+        "event_type": pa.array(df["event_type"], pa.string()),
+        "month": pa.array(df["month"], pa.string()),
+        "n_events": pa.array(df["n_events"].astype("int64"),
+                             pa.int64()),
+        "sum_value_micro": pa.array(df["value_sum"].astype("int64"),
+                                    pa.int64()),
+        "min_value_micro": pa.array(df["value_min"].astype("int64"),
+                                    pa.int64()),
+        "max_value_micro": pa.array(df["value_max"].astype("int64"),
+                                    pa.int64())})
+
+
 def q_pivot_transform(sf_dir: str):
     """ES Transform API analog (continuous pivot, stages/transform.py):
     build the per-user rollup destination from the FIRST HALF of the
@@ -7858,6 +8012,9 @@ QUERY_REGISTRY = {
     "late_interaction_maxsim": q_late_interaction_maxsim,
     "weighted_sample": q_weighted_sample,
     "ols_regression": q_ols_regression,
+    "events_holt": q_events_holt,
+    "rollup_downsample": q_rollup_downsample,
+    "ltr_features": q_ltr_features,
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,

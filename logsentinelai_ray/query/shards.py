@@ -1795,6 +1795,50 @@ class SearchEngine:
         return self._format_result(
             [(int(cand[i]), float(scores[i])) for i in order], with_meta)
 
+    def ltr_features(self, text: str, k: int = 10) -> pa.Table:
+        """ES 8.12 learning-to-rank FEATURE LOGGING: for the query's
+        BM25 top-k candidates, extract the per-(query, doc) feature
+        row a ranking model trains on — here ``score`` (BM25),
+        ``matched_terms`` (how many distinct query terms hit the doc)
+        and ``dl`` (document token length). Everything reuses machinery
+        the query path already has: contributions from the shard-decoded
+        cache (term id lists double as match indicators), dl decoded
+        SHARD-SIDE next to the postings (rank_feature's decode_dls
+        round) — no doc-store read, nothing N-sized beyond TAAT's own
+        accumulator. Returns (doc_id, score, matched_terms, dl) in
+        (score desc, doc_id asc) order."""
+        terms = sorted(set(tokenize_py(text,
+                                       int(self.stats["max_token_len"]))))
+        self._ensure_contribs(terms)
+        topk = self._search_taat(terms, k, None)
+        if not topk:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64()),
+                             "matched_terms": pa.array([], pa.int64()),
+                             "dl": pa.array([], pa.int64())})
+        top_ids = np.array([d for d, _ in topk], dtype=np.int64)
+        matched = np.zeros(top_ids.size, dtype=np.int64)
+        present = []
+        for t in terms:
+            hit = self._contrib_cache.get(t)
+            if hit is None:
+                continue
+            matched += np.isin(top_ids, hit[0]).astype(np.int64)
+            if not t.startswith("p:"):
+                present.append(t)
+        futures = [self.part_to_shard[term_partition(t, self.P)]
+                   .decode_dls.remote(t) for t in present]
+        n = int(self.stats["n_docs"])
+        dl = np.zeros(n, dtype=np.int64)
+        for res in ray.get(futures):
+            if res is not None:
+                dl[res[0]] = res[1]
+        return pa.table({
+            "doc_id": pa.array(top_ids, pa.int64()),
+            "score": pa.array([s for _, s in topk], pa.float64()),
+            "matched_terms": pa.array(matched, pa.int64()),
+            "dl": pa.array(dl[top_ids], pa.int64())})
+
     def _sparse_vector_dense(self, weights: dict[str, float]) -> np.ndarray:
         """Dense unmasked per-doc scores for the sparse-vector scorer
         (shared by sparse_vector_search and the DSL's sparse_vector

@@ -213,7 +213,7 @@ def bench_pipelines() -> dict:
              "duplicate_spans", "hybrid_search_rrf",
              "hybrid_search_linear", "late_interaction_maxsim",
              "weighted_sample", "ols_regression", "events_holt",
-             "rollup_downsample", "ltr_features",
+             "rollup_downsample", "ltr_features", "esql_stats",
              "gopher_repetition", "pii_scrub", "asof_join",
              "sessionize", "ann_recall", "bpe_encode",
              # continuation round-3 operators: terms shard-error

@@ -1336,6 +1336,27 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT day, n, s AS ewma FROM rec ORDER BY day
     """,
+    # ES|QL pipelines (query/esql.py) — the SQL mirrors each piped
+    # command in order; micros make SUM exact (histogram convention)
+    "esql_stats": """
+        WITH f AS (
+          SELECT user_id,
+                 CAST(round(value * 1000000, 0) AS BIGINT) AS micro
+          FROM events WHERE event_type = 'error'
+        )
+        SELECT user_id, count(*)::BIGINT AS n,
+               CAST(sum(micro) AS BIGINT) AS total_micro,
+               max(micro) AS vmax_micro
+        FROM f GROUP BY user_id
+        ORDER BY n DESC, user_id ASC LIMIT 10
+    """,
+    "esql_docs": """
+        SELECT upper(lang) AS lang_u, count(*)::BIGINT AS docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars,
+               max(n_chars) AS cmax
+        FROM documents WHERE n_chars >= 100
+        GROUP BY 1 ORDER BY docs DESC, lang_u ASC LIMIT 5
+    """,
     # LTR feature logging over the BM25 top-20: matched distinct query
     # terms, token dl, and the doc-aligned embedding cosine
     "ltr_features": _BM25_BASE + """

@@ -6514,6 +6514,42 @@ def q_rate_anomalies(sf_dir: str):
         "z": _round6(pa.array([r[3] for r in rows], pa.float64()))})
 
 
+ESQL_EVENTS_QUERY = (
+    'FROM events | WHERE event_type == "error" '
+    '| EVAL micro = TO_LONG(ROUND(value * 1000000)) '
+    '| STATS n = COUNT(*), total_micro = SUM(micro), '
+    'vmax_micro = MAX(micro) BY user_id '
+    '| SORT n DESC, user_id ASC | LIMIT 10')
+
+ESQL_DOCS_QUERY = (
+    'FROM documents | EVAL lang_u = TO_UPPER(lang) '
+    '| WHERE n_chars >= 100 '
+    '| STATS docs = COUNT(*), chars = SUM(n_chars), '
+    'cmax = MAX(n_chars) BY lang_u '
+    '| SORT docs DESC, lang_u ASC | LIMIT 5')
+
+
+def q_esql_stats(sf_dir: str):
+    """ES|QL (the ES 8.11+ piped query language) executed by the
+    mini-dialect compiler (query/esql.py): WHERE/EVAL fuse into one
+    vectorized map_batches stage, STATS…BY compiles to the Dataset
+    groupby exchange, the read is pruned to exactly the referenced
+    columns. Integer micros keep the sums exact (histogram_agg
+    convention)."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_EVENTS_QUERY, sf_dir)
+
+
+def q_esql_docs(sf_dir: str):
+    """Second ES|QL pipeline over documents: EVAL-derived string key
+    (TO_UPPER) used as the STATS BY column, WHERE after EVAL in the
+    same fused stage."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_DOCS_QUERY, sf_dir)
+
+
 def q_ltr_features(sf_dir: str):
     """ES 8.12 learning-to-rank feature logging: for the standard
     query's BM25 top-20 candidates, the per-(query, doc) training
@@ -8015,6 +8051,8 @@ QUERY_REGISTRY = {
     "events_holt": q_events_holt,
     "rollup_downsample": q_rollup_downsample,
     "ltr_features": q_ltr_features,
+    "esql_stats": q_esql_stats,
+    "esql_docs": q_esql_docs,
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,

@@ -1,0 +1,521 @@
+"""ES|QL mini-dialect executor — the ES 8.11+ piped query language
+(`FROM … | WHERE … | EVAL … | STATS … BY … | SORT … | LIMIT …`)
+compiled onto Ray Data operators.
+
+Reference parity: the reference ships its results to Elasticsearch and
+users query them with ES|QL / Query-DSL (reference README quick-start;
+the Kibana dashboard ndjson). The DSL executor (query/dsl.py) covers the
+JSON body; this module covers the piped text language.
+
+Compilation strategy (the scale story):
+- ``FROM t``      → ``ray.data.read_parquet(t, columns=<pruned>)`` — the
+  parser collects every field referenced anywhere in the pipeline and
+  prunes the read to exactly that set (a 2-column query reads 2 columns).
+- ``WHERE``/``EVAL`` → one vectorized ``map_batches`` stage per run of
+  row-local commands (pyarrow.compute kernels, zero Python-per-row).
+- ``STATS … BY`` → ``Dataset.groupby().aggregate()`` (Count/Sum/Min/
+  Max/Mean) — partial aggregation inside blocks, tiny exchange.
+  Global STATS (no BY) aggregates without a shuffle.
+- ``SORT``/``LIMIT`` after STATS act on the bucket table (driver-side,
+  bucket-bounded); before STATS they become dataset sort/limit.
+- ``KEEP``/``DROP`` → ``select_columns``.
+
+Supported expression grammar (recursive descent, precedence low→high):
+``OR`` < ``AND`` < ``NOT`` < comparison (``== != > >= < <=``) <
+additive (``+ -``) < multiplicative (``* / %``) < unary ``-`` <
+atom (literal / field / function call / parenthesized). Functions:
+``ROUND(x[, n]) ABS(x) LENGTH(s) TO_LOWER(s) TO_UPPER(s) TO_LONG(x)
+TO_DOUBLE(x)``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_TOKEN_RE = re.compile(
+    r"\s*(?:(?P<num>\d+\.\d+|\d+)|(?P<str>\"(?:[^\"\\]|\\.)*\")"
+    r"|(?P<op>==|!=|>=|<=|[><+\-*/%(),=])|(?P<word>[A-Za-z_][A-Za-z0-9_.]*))")
+
+
+def _tokenize(s: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if m is None:
+            if s[i:].strip():
+                raise ValueError(f"ES|QL: cannot tokenize at {s[i:]!r}")
+            break
+        i = m.end()
+        for kind in ("num", "str", "op", "word"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+# -- expression AST ---------------------------------------------------------
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Field:
+    name: str
+
+
+@dataclass
+class Call:
+    fn: str
+    args: list
+
+
+@dataclass
+class BinOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Unary:
+    op: str
+    operand: object
+
+
+class _ExprParser:
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self) -> tuple[str, str] | None:
+        return self.toks[self.i] if self.i < len(self.toks) else None
+
+    def next(self) -> tuple[str, str]:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, val: str) -> None:
+        t = self.next()
+        if t[1] != val:
+            raise ValueError(f"ES|QL: expected {val!r}, got {t[1]!r}")
+
+    def parse(self):
+        e = self.parse_or()
+        if self.i != len(self.toks):
+            raise ValueError(
+                f"ES|QL: trailing tokens {self.toks[self.i:]!r}")
+        return e
+
+    def parse_or(self):
+        left = self.parse_and()
+        while (t := self.peek()) and t[0] == "word" \
+                and t[1].upper() == "OR":
+            self.next()
+            left = BinOp("or", left, self.parse_and())
+        return left
+
+    def parse_and(self):
+        left = self.parse_not()
+        while (t := self.peek()) and t[0] == "word" \
+                and t[1].upper() == "AND":
+            self.next()
+            left = BinOp("and", left, self.parse_not())
+        return left
+
+    def parse_not(self):
+        t = self.peek()
+        if t and t[0] == "word" and t[1].upper() == "NOT":
+            self.next()
+            return Unary("not", self.parse_not())
+        return self.parse_cmp()
+
+    def parse_cmp(self):
+        left = self.parse_add()
+        t = self.peek()
+        if t and t[1] in ("==", "!=", ">", ">=", "<", "<="):
+            self.next()
+            return BinOp(t[1], left, self.parse_add())
+        return left
+
+    def parse_add(self):
+        left = self.parse_mul()
+        while (t := self.peek()) and t[1] in ("+", "-"):
+            self.next()
+            left = BinOp(t[1], left, self.parse_mul())
+        return left
+
+    def parse_mul(self):
+        left = self.parse_unary()
+        while (t := self.peek()) and t[1] in ("*", "/", "%"):
+            self.next()
+            left = BinOp(t[1], left, self.parse_unary())
+        return left
+
+    def parse_unary(self):
+        t = self.peek()
+        if t and t[1] == "-":
+            self.next()
+            return Unary("neg", self.parse_unary())
+        return self.parse_atom()
+
+    def parse_atom(self):
+        kind, val = self.next()
+        if kind == "num":
+            return Lit(float(val) if "." in val else int(val))
+        if kind == "str":
+            return Lit(val[1:-1].replace('\\"', '"'))
+        if val == "(":
+            e = self.parse_or()
+            self.expect(")")
+            return e
+        if kind == "word":
+            nxt = self.peek()
+            if nxt and nxt[1] == "(":
+                self.next()
+                args = []
+                if self.peek() and self.peek()[1] != ")":
+                    args.append(self.parse_or())
+                    while self.peek() and self.peek()[1] == ",":
+                        self.next()
+                        args.append(self.parse_or())
+                self.expect(")")
+                return Call(val.upper(), args)
+            return Field(val)
+        raise ValueError(f"ES|QL: unexpected token {val!r}")
+
+
+def parse_expr(src: str):
+    return _ExprParser(_tokenize(src)).parse()
+
+
+def expr_fields(e, out: set[str]) -> set[str]:
+    """Every field name an expression references (for column pruning)."""
+    if isinstance(e, Field):
+        out.add(e.name)
+    elif isinstance(e, BinOp):
+        expr_fields(e.left, out)
+        expr_fields(e.right, out)
+    elif isinstance(e, Unary):
+        expr_fields(e.operand, out)
+    elif isinstance(e, Call):
+        for a in e.args:
+            expr_fields(a, out)
+    return out
+
+
+_CMP = {"==": pc.equal, "!=": pc.not_equal, ">": pc.greater,
+        ">=": pc.greater_equal, "<": pc.less, "<=": pc.less_equal}
+_ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
+          "/": pc.divide}
+
+
+def eval_expr(e, t: pa.Table):
+    """Evaluate an expression AST against a batch — pyarrow.compute
+    kernels only, no per-row Python."""
+    if isinstance(e, Lit):
+        return pa.scalar(e.value)
+    if isinstance(e, Field):
+        col = t[e.name]
+        return col.combine_chunks() if isinstance(col, pa.ChunkedArray) \
+            else col
+    if isinstance(e, Unary):
+        v = eval_expr(e.operand, t)
+        return pc.invert(v) if e.op == "not" else pc.negate(v)
+    if isinstance(e, Call):
+        args = [eval_expr(a, t) for a in e.args]
+        if e.fn == "ROUND":
+            nd = args[1].as_py() if len(args) > 1 else 0
+            return pc.round(args[0], ndigits=int(nd))
+        if e.fn == "ABS":
+            return pc.abs(args[0])
+        if e.fn == "LENGTH":
+            return pc.utf8_length(args[0])
+        if e.fn == "TO_LOWER":
+            return pc.utf8_lower(args[0])
+        if e.fn == "TO_UPPER":
+            return pc.utf8_upper(args[0])
+        if e.fn == "TO_LONG":
+            return pc.cast(args[0], pa.int64())
+        if e.fn == "TO_DOUBLE":
+            return pc.cast(args[0], pa.float64())
+        raise ValueError(f"ES|QL: unknown function {e.fn}")
+    if isinstance(e, BinOp):
+        lv, rv = eval_expr(e.left, t), eval_expr(e.right, t)
+        if e.op == "and":
+            return pc.and_(lv, rv)
+        if e.op == "or":
+            return pc.or_(lv, rv)
+        if e.op in _CMP:
+            return _CMP[e.op](lv, rv)
+        if e.op == "%":
+            # arrow has no elementwise modulo kernel; numpy round-trip
+            a = np.asarray(lv)
+            b = np.asarray(rv) if not isinstance(rv, pa.Scalar) \
+                else rv.as_py()
+            return pa.array(a % b)
+        return _ARITH[e.op](lv, rv)
+    raise TypeError(f"ES|QL: bad node {e!r}")
+
+
+# -- pipeline commands ------------------------------------------------------
+
+@dataclass
+class From:
+    table: str
+
+
+@dataclass
+class Where:
+    cond: object
+
+
+@dataclass
+class Eval:
+    assigns: list  # [(name, expr)]
+
+
+@dataclass
+class Stats:
+    aggs: list  # [(name, fn, expr_or_None)]
+    by: list
+
+
+@dataclass
+class Sort:
+    keys: list  # [(name, ascending)]
+
+
+@dataclass
+class Limit:
+    n: int
+
+
+@dataclass
+class Keep:
+    cols: list
+
+
+@dataclass
+class Drop:
+    cols: list
+
+
+_AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on sep at paren depth 0 (agg args may contain commas)."""
+    out, depth, cur = [], 0, []
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == sep and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return [p.strip() for p in out if p.strip()]
+
+
+def parse_esql(query: str) -> list:
+    parts = [p.strip() for p in query.split("|")]
+    if not parts or not parts[0].upper().startswith("FROM"):
+        raise ValueError("ES|QL: pipeline must start with FROM")
+    cmds: list = [From(parts[0][4:].strip())]
+    for part in parts[1:]:
+        head, _, rest = part.partition(" ")
+        head = head.upper()
+        rest = rest.strip()
+        if head == "WHERE":
+            cmds.append(Where(parse_expr(rest)))
+        elif head == "EVAL":
+            assigns = []
+            for a in _split_top(rest):
+                name, _, src = a.partition("=")
+                assigns.append((name.strip(), parse_expr(src.strip())))
+            cmds.append(Eval(assigns))
+        elif head == "STATS":
+            m = re.search(r"\bBY\b", rest, re.IGNORECASE)
+            agg_src = rest[:m.start()] if m else rest
+            by = [c.strip() for c in rest[m.end():].split(",")] \
+                if m else []
+            aggs = []
+            for a in _split_top(agg_src):
+                name, _, src = a.partition("=")
+                name, src = name.strip(), src.strip()
+                fm = re.match(r"([A-Za-z_]+)\((.*)\)$", src)
+                if fm is None or fm.group(1).upper() not in _AGG_FNS:
+                    raise ValueError(f"ES|QL: bad aggregate {src!r}")
+                fn = fm.group(1).upper()
+                arg = fm.group(2).strip()
+                if fn == "COUNT" and arg not in ("*", ""):
+                    raise ValueError(
+                        "ES|QL mini-dialect: COUNT supports only "
+                        "COUNT(*)")
+                expr = None if arg in ("*", "") else parse_expr(arg)
+                aggs.append((name, fn, expr))
+            cmds.append(Stats(aggs, by))
+        elif head == "SORT":
+            keys = []
+            for kspec in rest.split(","):
+                toks = kspec.split()
+                asc = not (len(toks) > 1
+                           and toks[1].upper() == "DESC")
+                keys.append((toks[0], asc))
+            cmds.append(Sort(keys))
+        elif head == "LIMIT":
+            cmds.append(Limit(int(rest)))
+        elif head == "KEEP":
+            cmds.append(Keep([c.strip() for c in rest.split(",")]))
+        elif head == "DROP":
+            cmds.append(Drop([c.strip() for c in rest.split(",")]))
+        else:
+            raise ValueError(f"ES|QL: unknown command {head!r}")
+    return cmds
+
+
+def _pipeline_fields(cmds: list) -> set[str]:
+    """Source columns the pipeline touches, minus EVAL-derived names —
+    the pruned column set for the parquet read."""
+    fields: set[str] = set()
+    derived: set[str] = set()
+    for c in cmds:
+        if isinstance(c, Where):
+            expr_fields(c.cond, fields)
+        elif isinstance(c, Eval):
+            for name, e in c.assigns:
+                expr_fields(e, fields)
+                derived.add(name)
+        elif isinstance(c, Stats):
+            for name, _, e in c.aggs:
+                if e is not None:
+                    expr_fields(e, fields)
+                derived.add(name)  # agg outputs are not source columns
+            fields.update(c.by)
+        elif isinstance(c, Sort):
+            fields.update(k for k, _ in c.keys)
+        elif isinstance(c, (Keep, Drop)):
+            fields.update(c.cols)
+    return fields - derived
+
+
+def execute_esql(query: str, sf_dir: str) -> pa.Table:
+    """Parse + compile + run an ES|QL pipeline over the parquet tables
+    in ``sf_dir``. Returns the (small) result as an Arrow table."""
+    import ray.data as rd
+
+    cmds = parse_esql(query)
+    src = cmds[0]
+    path = os.path.join(sf_dir, f"{src.table}.parquet")
+    cols = sorted(_pipeline_fields(cmds))
+    ds = rd.read_parquet(path, columns=cols or None)
+
+    # fuse consecutive row-local commands into one map_batches stage
+    i = 1
+    while i < len(cmds):
+        run = []
+        while i < len(cmds) and isinstance(cmds[i], (Where, Eval)):
+            run.append(cmds[i])
+            i += 1
+        if run:
+            def stage(t: pa.Table, _run=tuple(run)) -> pa.Table:
+                for c in _run:
+                    if isinstance(c, Where):
+                        t = t.filter(eval_expr(c.cond, t))
+                    else:
+                        for name, e in c.assigns:
+                            v = eval_expr(e, t)
+                            if isinstance(v, pa.Scalar):
+                                v = pa.array([v.as_py()] * len(t))
+                            if name in t.column_names:
+                                t = t.set_column(
+                                    t.column_names.index(name),
+                                    name, v)
+                            else:
+                                t = t.append_column(name, v)
+                return t
+
+            ds = ds.map_batches(stage, batch_format="pyarrow")
+        if i >= len(cmds):
+            break
+        c = cmds[i]
+        i += 1
+        if isinstance(c, Stats):
+            ds = _compile_stats(ds, c)
+        elif isinstance(c, Sort):
+            ds = ds.sort([k for k, _ in c.keys],
+                         descending=[not a for _, a in c.keys])
+        elif isinstance(c, Limit):
+            ds = ds.limit(c.n)
+        elif isinstance(c, Keep):
+            ds = ds.select_columns(c.cols)
+        elif isinstance(c, Drop):
+            ds = ds.drop_columns(c.cols)
+
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def _compile_stats(ds, c: Stats):
+    """STATS → Ray Data aggregate (partial per block, tiny exchange).
+    Aggregates over expressions evaluate the expression into a scratch
+    column first (one vectorized stage)."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    scratch: list[tuple[str, object]] = []
+    specs = []
+    count_names = []
+    for idx, (name, fn, expr) in enumerate(c.aggs):
+        if fn == "COUNT":
+            if c.by:
+                specs.append(Count(alias_name=name))
+            else:
+                # global Count(alias_name=...) mis-reports 0 on this
+                # Ray version — served via Dataset.count() below
+                count_names.append(name)
+            continue
+        if isinstance(expr, Field):
+            col = expr.name
+        else:
+            col = f"__agg{idx}"
+            scratch.append((col, expr))
+        cls = {"SUM": Sum, "MIN": Min, "MAX": Max, "AVG": Mean}[fn]
+        specs.append(cls(col, alias_name=name))
+    if scratch:
+        def add_scratch(t: pa.Table, _s=tuple(scratch)) -> pa.Table:
+            for col, e in _s:
+                v = eval_expr(e, t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * len(t))
+                t = t.append_column(col, v)
+            return t
+
+        ds = ds.map_batches(add_scratch, batch_format="pyarrow")
+    if c.by:
+        return ds.groupby(c.by if len(c.by) > 1 else c.by[0]) \
+            .aggregate(*specs)
+    # global STATS: Dataset.aggregate returns a plain dict — wrap it
+    # back into a one-row Dataset so SORT/LIMIT/KEEP still compose
+    import ray.data as rd
+
+    if count_names and specs:
+        ds = ds.materialize()  # consumed twice: count() + aggregate()
+    row = dict(ds.aggregate(*specs)) if specs else {}
+    if count_names:
+        n = ds.count()
+        for name in count_names:
+            row[name] = n
+    ordered = {name: row[name] for name, _, _ in c.aggs}
+    return rd.from_items([ordered])

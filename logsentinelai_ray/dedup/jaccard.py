@@ -172,7 +172,20 @@ def _doc_sizes(shingles) -> tuple[np.ndarray, np.ndarray]:
     return ids[order], cnt[order]
 
 
-def _jaccard_filter(batch: pa.Table, sz_ref, threshold: float) -> pa.Table:
+def _pair_score(inter: np.ndarray, na: np.ndarray, nb: np.ndarray,
+                metric: str) -> np.ndarray:
+    """Pair similarity from intersection + set sizes. ``jaccard`` =
+    inter/(na+nb-inter); ``containment`` = inter/min(na, nb) — the
+    asymmetric-subset detector (a short doc quoted inside a long one
+    scores ~1.0 here but low Jaccard; the metric CommonCrawl-style
+    pipelines use to catch quote inclusion)."""
+    if metric == "containment":
+        return inter / np.minimum(na, nb)
+    return inter / (na + nb - inter)
+
+
+def _jaccard_filter(batch: pa.Table, sz_ref, threshold: float,
+                    metric: str = "jaccard") -> pa.Table:
     """Unpack (pk, inter) → (a, b, jaccard) rows above threshold."""
     import ray
 
@@ -183,7 +196,7 @@ def _jaccard_filter(batch: pa.Table, sz_ref, threshold: float) -> pa.Table:
     b = (pk & 0xFFFFFFFF).astype(np.int64)
     na = sz_counts[np.searchsorted(sz_ids, a)].astype(np.float64)
     nb = sz_counts[np.searchsorted(sz_ids, b)].astype(np.float64)
-    j = inter / (na + nb - inter)
+    j = _pair_score(inter, na, nb, metric)
     keep = j >= threshold
     return pa.table({"a": pa.array(a[keep], pa.int64()),
                      "b": pa.array(b[keep], pa.int64()),
@@ -200,7 +213,7 @@ def _unpack_pk(batch: pa.Table) -> pa.Table:
 
 
 def _jaccard_join_path(pairs_ds, sizes_ds, threshold: float,
-                       num_partitions: int):
+                       num_partitions: int, metric: str = "jaccard"):
     """Size lookup as two hash-partitioned joins — the 10^9+-doc
     exchange the module scale note prescribes: nothing doc-count-sized
     ever sits on the driver or in one task's heap. The pair table joins
@@ -224,7 +237,7 @@ def _jaccard_join_path(pairs_ds, sizes_ds, threshold: float,
             .astype(np.float64)
         na = t["na"].to_numpy(zero_copy_only=False).astype(np.float64)
         nb = t["nb"].to_numpy(zero_copy_only=False).astype(np.float64)
-        j = inter / (na + nb - inter)
+        j = _pair_score(inter, na, nb, metric)
         keep = j >= threshold
         return pa.table({
             "a": pc.filter(t["a"], pa.array(keep)),
@@ -239,7 +252,8 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                         max_group: int | None | str = "auto",
                         driver_max_rows: int = 5_000_000,
                         size_exchange: str = "broadcast",
-                        join_partitions: int = 32):
+                        join_partitions: int = 32,
+                        metric: str = "jaccard"):
     """Returns a pyarrow Table (a, b, jaccard) sorted by (a, b).
 
     Pair EXPANSION runs distributed AND salted: each shingle group emits
@@ -295,7 +309,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
                 .materialize())
     if size_exchange == "join":
         out = _jaccard_join_path(pairs_ds, sizes_ds, threshold,
-                                 join_partitions)
+                                 join_partitions, metric=metric)
         parts = list(out.iter_batches(batch_format="pyarrow",
                                       batch_size=1 << 20))
         t = (pa.concat_tables(parts) if parts else
@@ -324,7 +338,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         na = sz_counts[np.searchsorted(sz_ids, a)].astype(np.float64)
         nb = sz_counts[np.searchsorted(sz_ids, b)].astype(np.float64)
         it = inter.astype(np.float64)
-        j = it / (na + nb - it)
+        j = _pair_score(it, na, nb, metric)
         keep = j >= threshold
         a, b, j = a[keep], b[keep], j[keep]
     else:
@@ -332,7 +346,7 @@ def ngram_jaccard_pairs(ds, text_col: str = "text", id_col: str = "doc_id",
         out = (pairs_ds.groupby("pk")
                .aggregate(Count(alias_name="inter"))
                .map_batches(partial(_jaccard_filter, sz_ref=sz_ref,
-                                    threshold=threshold),
+                                    threshold=threshold, metric=metric),
                             batch_format="pyarrow"))
         parts = list(out.iter_batches(batch_format="pyarrow",
                                       batch_size=1 << 20))

@@ -2231,6 +2231,35 @@ ORACLE_SQL: dict[str, str] = {
         WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.5
         ORDER BY a, b
     """,
+    # containment (inter / min size) near-dup pairs — same shingle CTEs
+    # as the jaccard oracle, asymmetric-subset formula, threshold 0.8
+    "ngram_containment_dupes": """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS arr
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest([arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]
+                         FOR i IN generate_series(1, len(arr) - 2)]) AS sh
+          FROM t WHERE len(arr) >= 3
+        ), gd AS (
+          SELECT DISTINCT doc_id, sh FROM g
+        ), sz AS (
+          SELECT doc_id, count(*) AS n FROM gd GROUP BY 1
+        ), p AS (
+          SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+          FROM gd x JOIN gd y ON x.sh = y.sh AND x.doc_id < y.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT p.a, p.b,
+               inter::DOUBLE / least(sa.n, sb.n) AS containment
+        FROM p JOIN sz sa ON p.a = sa.doc_id JOIN sz sb ON p.b = sb.doc_id
+        WHERE inter::DOUBLE / least(sa.n, sb.n) >= 0.8
+        ORDER BY a, b
+    """,
     # connected components over the jaccard dup pairs: transitive closure
     # via a recursive CTE, cluster = min reachable id — exact (the pair
     # set at test scale is tiny; the closure is only oracle-side)

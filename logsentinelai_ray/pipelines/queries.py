@@ -3541,6 +3541,20 @@ def q_ngram_jaccard_dupes(sf_dir: str):
     return ngram_jaccard_pairs(ds, n=3, threshold=0.5)
 
 
+def q_ngram_containment_dupes(sf_dir: str):
+    """Containment near-dup pairs — the asymmetric-subset metric
+    (inter / min(|A|,|B|)): a short document quoted inside a long one
+    scores ~1.0 here but low Jaccard, so CC-style pipelines run BOTH.
+    Same distributed shingle/pair machinery as ngram_jaccard_dupes
+    (dedup/jaccard.py::_pair_score), threshold 0.8."""
+    from ..dedup import ngram_jaccard_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    out = ngram_jaccard_pairs(ds, n=3, threshold=0.8,
+                              metric="containment")
+    return out.rename_columns(["a", "b", "containment"])
+
+
 def q_dedup_clusters(sf_dir: str):
     """Near-dup cluster assignment: connected components over the n-gram
     Jaccard pairs (dedup/cluster.py) — every doc in >= 1 pair labeled
@@ -8053,6 +8067,7 @@ QUERY_REGISTRY = {
     "ltr_features": q_ltr_features,
     "esql_stats": q_esql_stats,
     "esql_docs": q_esql_docs,
+    "ngram_containment_dupes": q_ngram_containment_dupes,
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,

@@ -1350,6 +1350,24 @@ ORACLE_SQL: dict[str, str] = {
         FROM f GROUP BY user_id
         ORDER BY n DESC, user_id ASC LIMIT 10
     """,
+    "esql_enrich": """
+        SELECT c_mktsegment, count(*)::BIGINT AS n,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY c_mktsegment ASC
+    """,
+    "esql_dissect": """
+        WITH x AS (
+          SELECT event_type,
+                 CAST(regexp_extract(props, '\\{"k": (.*)\\}', 1)
+                      AS BIGINT) AS kv
+          FROM events
+        )
+        SELECT event_type, count(*)::BIGINT AS n,
+               CAST(sum(kv) AS BIGINT) AS ksum
+        FROM x GROUP BY 1 ORDER BY event_type ASC
+    """,
     "esql_docs": """
         SELECT upper(lang) AS lang_u, count(*)::BIGINT AS docs,
                CAST(sum(n_chars) AS BIGINT) AS chars,

@@ -6543,6 +6543,39 @@ ESQL_DOCS_QUERY = (
     '| SORT docs DESC, lang_u ASC | LIMIT 5')
 
 
+ESQL_ENRICH_QUERY = (
+    "FROM orders | ENRICH customer ON o_custkey WITH c_mktsegment "
+    "| EVAL cents = TO_LONG(ROUND(o_totalprice * 100)) "
+    "| STATS n = COUNT(*), total_cents = SUM(cents) BY c_mktsegment "
+    "| SORT c_mktsegment ASC")
+
+ESQL_DISSECT_QUERY = (
+    'FROM events | DISSECT props "{\\"k\\": %{kval}}" '
+    "| EVAL kv = TO_LONG(kval) "
+    "| STATS n = COUNT(*), ksum = SUM(kv) BY event_type "
+    "| SORT event_type ASC")
+
+
+def q_esql_enrich(sf_dir: str):
+    """ES|QL ENRICH (the enrich-policy lookup join): the customer
+    small side is read once and broadcast via ray.put; each batch does
+    one vectorized index_in/take — never a shuffle join for a
+    dimension table (the J1 GeoIP pattern, now reachable from the
+    query language)."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_ENRICH_QUERY, sf_dir)
+
+
+def q_esql_dissect(sf_dir: str):
+    """ES|QL DISSECT: %{name} structured extraction compiled to ONE
+    vectorized RE2 extract_regex per batch, fused into the same
+    map_batches stage as the following EVAL cast."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_DISSECT_QUERY, sf_dir)
+
+
 def q_esql_stats(sf_dir: str):
     """ES|QL (the ES 8.11+ piped query language) executed by the
     mini-dialect compiler (query/esql.py): WHERE/EVAL fuse into one
@@ -8068,6 +8101,8 @@ QUERY_REGISTRY = {
     "esql_stats": q_esql_stats,
     "esql_docs": q_esql_docs,
     "ngram_containment_dupes": q_ngram_containment_dupes,
+    "esql_enrich": q_esql_enrich,
+    "esql_dissect": q_esql_dissect,
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,

@@ -1,5 +1,7 @@
 """ES|QL mini-dialect executor — the ES 8.11+ piped query language
-(`FROM … | WHERE … | EVAL … | STATS … BY … | SORT … | LIMIT …`)
+(`FROM … | WHERE … | EVAL … | STATS … BY … | SORT … | LIMIT …`,
+plus `KEEP`/`DROP`, `DISSECT <field> "%{a}…"` structured extraction,
+and `ENRICH <table> ON <field> [WITH cols]` broadcast lookup joins)
 compiled onto Ray Data operators.
 
 Reference parity: the reference ships its results to Elasticsearch and
@@ -310,6 +312,22 @@ class Drop:
     cols: list
 
 
+@dataclass
+class Dissect:
+    field: str
+    pattern: str  # original %{name} pattern
+    regex: str    # compiled RE2 with named groups
+    names: list
+
+
+@dataclass
+class Enrich:
+    table: str
+    on: str
+    with_cols: list
+    ref: object = None  # ray.put((keys, {col: values})) — broadcast side
+
+
 _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
 
 
@@ -382,6 +400,37 @@ def parse_esql(query: str) -> list:
             cmds.append(Keep([c.strip() for c in rest.split(",")]))
         elif head == "DROP":
             cmds.append(Drop([c.strip() for c in rest.split(",")]))
+        elif head == "DISSECT":
+            fld, _, pat = rest.partition(" ")
+            pat = pat.strip()
+            if len(pat) < 2 or pat[0] != '"' or pat[-1] != '"':
+                raise ValueError("ES|QL: DISSECT pattern must be quoted")
+            pat = pat[1:-1].replace('\\"', '"')
+            pieces = re.split(r"%\{(\w+)\}", pat)
+            names = pieces[1::2]
+            if not names:
+                raise ValueError("ES|QL: DISSECT needs >=1 %{name} key")
+            rx_parts = []
+            for j, piece in enumerate(pieces):
+                if j % 2 == 0:
+                    rx_parts.append(re.escape(piece))
+                else:  # last key greedy, inner keys lazy (dissect rule)
+                    greedy = ".*" if j == len(pieces) - 2 \
+                        and pieces[-1] == "" else ".*?"
+                    rx_parts.append(f"(?P<{piece}>{greedy})")
+            cmds.append(Dissect(fld.strip(), pat, "".join(rx_parts),
+                                names))
+        elif head == "ENRICH":
+            m = re.match(
+                r"(\w+)\s+ON\s+(\w+)(?:\s+WITH\s+(.+))?$", rest,
+                re.IGNORECASE)
+            if m is None:
+                raise ValueError(
+                    "ES|QL: ENRICH syntax is ENRICH <table> ON <field>"
+                    " [WITH col, ...]")
+            with_cols = [c.strip() for c in
+                         (m.group(3) or "").split(",") if c.strip()]
+            cmds.append(Enrich(m.group(1), m.group(2), with_cols))
         else:
             raise ValueError(f"ES|QL: unknown command {head!r}")
     return cmds
@@ -409,6 +458,12 @@ def _pipeline_fields(cmds: list) -> set[str]:
             fields.update(k for k, _ in c.keys)
         elif isinstance(c, (Keep, Drop)):
             fields.update(c.cols)
+        elif isinstance(c, Dissect):
+            fields.add(c.field)
+            derived.update(c.names)
+        elif isinstance(c, Enrich):
+            fields.add(c.on)
+            derived.update(c.with_cols)
     return fields - derived
 
 
@@ -423,11 +478,31 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
     cols = sorted(_pipeline_fields(cmds))
     ds = rd.read_parquet(path, columns=cols or None)
 
+    # ENRICH small sides are read once on the driver and broadcast via
+    # ray.put — the lookup join never reships the table per batch
+    import ray
+
+    for c in cmds:
+        if isinstance(c, Enrich):
+            import pyarrow.parquet as pq
+
+            et = pq.read_table(
+                os.path.join(sf_dir, f"{c.table}.parquet"))
+            key_col = et.column_names[0]  # enrich policy match field
+            cols = c.with_cols or [n for n in et.column_names
+                                   if n != key_col]
+            c.with_cols = cols
+            c.ref = ray.put(
+                (et[key_col].combine_chunks(),
+                 {n: et[n].combine_chunks() for n in cols}))
+
     # fuse consecutive row-local commands into one map_batches stage
     i = 1
     while i < len(cmds):
         run = []
-        while i < len(cmds) and isinstance(cmds[i], (Where, Eval)):
+        while i < len(cmds) and isinstance(cmds[i],
+                                           (Where, Eval, Dissect,
+                                            Enrich)):
             run.append(cmds[i])
             i += 1
         if run:
@@ -435,6 +510,20 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
                 for c in _run:
                     if isinstance(c, Where):
                         t = t.filter(eval_expr(c.cond, t))
+                    elif isinstance(c, Dissect):
+                        col = t[c.field]
+                        if isinstance(col, pa.ChunkedArray):
+                            col = col.combine_chunks()
+                        ext = pc.extract_regex(col, c.regex)
+                        for name in c.names:
+                            t = t.append_column(
+                                name, pc.struct_field(ext, name))
+                    elif isinstance(c, Enrich):
+                        keys, vals = ray.get(c.ref)
+                        idx = pc.index_in(t[c.on], value_set=keys)
+                        for name in c.with_cols:
+                            t = t.append_column(
+                                name, pc.take(vals[name], idx))
                     else:
                         for name, e in c.assigns:
                             v = eval_expr(e, t)

@@ -65,6 +65,33 @@ def test_unknown_command_and_bad_agg():
         parse_esql("FROM x | STATS a = COUNT(v)")
 
 
+def test_dissect_pattern_compiles():
+    cmds = parse_esql(
+        'FROM events | DISSECT props "{\\"k\\": %{kval}}"')
+    d = cmds[1]
+    assert d.names == ["kval"]
+    import re as _re
+    m = _re.search(d.regex, '{"k": 87}')
+    assert m and m.group("kval") == "87"
+
+
+def test_dissect_multi_key_lazy_inner():
+    cmds = parse_esql('FROM x | DISSECT f "%{a} - %{b}"')
+    import re as _re
+    m = _re.search(cmds[1].regex, "one - two - three")
+    assert m.group("a") == "one" and m.group("b") == "two - three"
+
+
+def test_enrich_parse_and_errors():
+    cmds = parse_esql(
+        "FROM orders | ENRICH customer ON o_custkey WITH c_name")
+    e = cmds[1]
+    assert (e.table, e.on, e.with_cols) == ("customer", "o_custkey",
+                                            ["c_name"])
+    with pytest.raises(ValueError):
+        parse_esql("FROM orders | ENRICH customer o_custkey")
+
+
 def test_where_keep_limit_vs_duckdb(ray_session):
     out = execute_esql(
         'FROM documents | WHERE lang == "en" AND n_chars > 120 '

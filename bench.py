@@ -214,7 +214,7 @@ def bench_pipelines() -> dict:
              "hybrid_search_linear", "late_interaction_maxsim",
              "weighted_sample", "ols_regression", "events_holt",
              "rollup_downsample", "ltr_features", "esql_stats",
-             "ngram_containment_dupes", "esql_enrich",
+             "ngram_containment_dupes", "esql_enrich", "moore_lewis",
              "gopher_repetition", "pii_scrub", "asof_join",
              "sessionize", "ann_recall", "bpe_encode",
              # continuation round-3 operators: terms shard-error

@@ -1782,6 +1782,63 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, n_pairs, round(nll / n_pairs, 6) AS avg_nll
         FROM s ORDER BY nll / n_pairs DESC, doc_id ASC LIMIT 15
     """,
+    # Moore–Lewis cross-entropy selection: per-doc avg NLL under the
+    # in-domain (lang='en') bigram LM minus under the general LM;
+    # LEFT JOIN + COALESCE(0) = the engine's unseen-pair add-1 path
+    "moore_lewis": """
+        WITH t AS (
+          SELECT doc_id, lang,
+                 list_filter(regexp_split_to_array(lower(text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS arr
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest([arr[i] || ' ' || arr[i+1]
+                         FOR i IN generate_series(1, len(arr) - 1)])
+                     AS pair,
+                 unnest([arr[i]
+                         FOR i IN generate_series(1, len(arr) - 1)])
+                     AS w1
+          FROM t WHERE len(arr) >= 2
+        ), c1g AS (
+          SELECT w, count(*)::DOUBLE AS c
+          FROM (SELECT unnest(arr) AS w FROM t) GROUP BY 1
+        ), vvg AS (SELECT count(*)::DOUBLE AS v FROM c1g),
+        c2g AS (
+          SELECT pair, count(*)::DOUBLE AS c FROM g GROUP BY 1
+        ), gi AS (
+          SELECT doc_id,
+                 unnest([arr[i] || ' ' || arr[i+1]
+                         FOR i IN generate_series(1, len(arr) - 1)])
+                     AS pair
+          FROM t WHERE len(arr) >= 2 AND lang = 'en'
+        ), c1i AS (
+          SELECT w, count(*)::DOUBLE AS c
+          FROM (SELECT unnest(arr) AS w FROM t WHERE lang = 'en')
+          GROUP BY 1
+        ), vvi AS (SELECT count(*)::DOUBLE AS v FROM c1i),
+        c2i AS (
+          SELECT pair, count(*)::DOUBLE AS c FROM gi GROUP BY 1
+        ), s AS (
+          SELECT g.doc_id,
+                 -sum(ln((c2g.c + 1) / (c1g.c + vvg.v))) AS nllg,
+                 -sum(ln((COALESCE(c2i.c, 0) + 1)
+                         / (COALESCE(c1i.c, 0) + vvi.v))) AS nlli,
+                 count(*)::BIGINT AS n_pairs
+          FROM g JOIN c2g USING (pair)
+          JOIN c1g ON c1g.w = g.w1
+          LEFT JOIN c2i ON c2i.pair = g.pair
+          LEFT JOIN c1i ON c1i.w = g.w1
+          CROSS JOIN vvg CROSS JOIN vvi
+          GROUP BY 1
+        )
+        SELECT doc_id, n_pairs,
+               round(nlli / n_pairs - nllg / n_pairs, 6) AS ml_score
+        FROM s
+        ORDER BY nlli / n_pairs - nllg / n_pairs ASC, doc_id ASC
+        LIMIT 15
+    """,
     # substring-level dedup rewrite: duplicated 3-grams removed outside
     # their min-doc keeper, docs rebuilt from kept tokens
     "dedup_span_removal": """

@@ -3468,6 +3468,89 @@ def q_bigram_perplexity(sf_dir: str):
                                     pa.float64()))})
 
 
+def q_moore_lewis(sf_dir: str):
+    """Moore–Lewis cross-entropy data selection (Moore & Lewis 2010 —
+    the classic targeted-corpus builder): score every document by
+    ``H_in(d) − H_gen(d)``, the per-pair average NLL under an
+    IN-DOMAIN bigram LM (here: lang == 'en' docs) minus under the
+    GENERAL LM (all docs); the lowest scores are the docs that look
+    most in-domain *relative to* the background. Same distributed
+    machinery as bigram_perplexity — two vectorized counting passes,
+    four count tables broadcast once via ray.put, one scoring pass —
+    with add-1 smoothing handling pairs UNSEEN by the in-domain LM
+    (count 0). Returns the 15 best (most in-domain) docs."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..dedup.jaccard import _shingle_rows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def counts(t: pa.Table, n: int, in_domain: bool) -> pa.Table:
+        if in_domain:
+            t = t.filter(pc.equal(t["lang"], "en"))
+        sh = _shingle_rows(t, "text", "doc_id", n, distinct=False)
+        out = sh.group_by("sh").aggregate([("sh", "count")])
+        return out.rename_columns(["w", "n_part"])
+
+    def table(n: int, in_domain: bool):
+        from functools import partial
+
+        return (ds.map_batches(partial(counts, n=n,
+                                       in_domain=in_domain),
+                               batch_format="pyarrow")
+                .groupby("w").aggregate(Sum("n_part", alias_name="c"))
+                .to_pandas())
+
+    c1g, c2g = table(1, False), table(2, False)
+    c1i, c2i = table(1, True), table(2, True)
+    vg, vi = float(len(c1g)), float(len(c1i))
+    refs = ray.put((
+        dict(zip(c1g["w"], c1g["c"].astype("float64"))),
+        dict(zip(c2g["w"], c2g["c"].astype("float64"))),
+        dict(zip(c1i["w"], c1i["c"].astype("float64"))),
+        dict(zip(c2i["w"], c2i["c"].astype("float64")))))
+
+    def score(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        u_g, b_g, u_i, b_i = ray.get(refs)
+        sh = _shingle_rows(t, "text", "doc_id", 2, distinct=False)
+        if sh.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_pairs": pa.array([], pa.int64()),
+                             "ml_score": pa.array([], pa.float64())})
+        pairs = pd.Series(sh["sh"].to_pylist())
+        w1 = pairs.str.split(" ", n=1).str[0]
+        cbg = pairs.map(b_g).to_numpy(dtype=np.float64)
+        cug = w1.map(u_g).to_numpy(dtype=np.float64)
+        cbi = np.nan_to_num(pairs.map(b_i).to_numpy(dtype=np.float64))
+        cui = np.nan_to_num(w1.map(u_i).to_numpy(dtype=np.float64))
+        logp_g = np.log((cbg + 1.0) / (cug + vg))
+        logp_i = np.log((cbi + 1.0) / (cui + vi))
+        did = sh["doc_id"].to_numpy(zero_copy_only=False)
+        docs, inv = np.unique(did, return_inverse=True)
+        nll_g = np.zeros(docs.size, dtype=np.float64)
+        nll_i = np.zeros(docs.size, dtype=np.float64)
+        np.add.at(nll_g, inv, -logp_g)
+        np.add.at(nll_i, inv, -logp_i)
+        n_pairs = np.bincount(inv).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(docs, pa.int64()),
+            "n_pairs": pa.array(n_pairs, pa.int64()),
+            "ml_score": pa.array(nll_i / n_pairs - nll_g / n_pairs,
+                                 pa.float64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    df = topk(scored, 15, [("ml_score", "ascending"),
+                           ("doc_id", "ascending")])
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "n_pairs": pa.array(df["n_pairs"].to_numpy(), pa.int64()),
+        "ml_score": _round6(pa.array(df["ml_score"].to_numpy(),
+                                     pa.float64()))})
+
+
 _BENCH_DOC_MAX = 5  # docs 0..4 play the held-out benchmark set
 
 
@@ -8103,6 +8186,7 @@ QUERY_REGISTRY = {
     "ngram_containment_dupes": q_ngram_containment_dupes,
     "esql_enrich": q_esql_enrich,
     "esql_dissect": q_esql_dissect,
+    "moore_lewis": q_moore_lewis,
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,

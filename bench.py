@@ -215,6 +215,7 @@ def bench_pipelines() -> dict:
              "weighted_sample", "ols_regression", "events_holt",
              "rollup_downsample", "ltr_features", "esql_stats",
              "ngram_containment_dupes", "esql_enrich", "moore_lewis",
+             "sorted_index_topn",
              "gopher_repetition", "pii_scrub", "asof_join",
              "sessionize", "ann_recall", "bpe_encode",
              # continuation round-3 operators: terms shard-error

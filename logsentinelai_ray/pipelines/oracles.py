@@ -1782,6 +1782,18 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, n_pairs, round(nll / n_pairs, 6) AS avg_nll
         FROM s ORDER BY nll / n_pairs DESC, doc_id ASC LIMIT 15
     """,
+    # sorted-layout early termination / manifest pruning — plain ORDER
+    # BY oracles; the engine serves them reading only a file prefix /
+    # intersecting partitions
+    "sorted_index_topn": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars ASC, doc_id ASC LIMIT 50
+    """,
+    "sorted_index_range": """
+        SELECT doc_id, n_chars FROM documents
+        WHERE n_chars BETWEEN 110 AND 125
+        ORDER BY n_chars ASC, doc_id ASC
+    """,
     # Moore–Lewis cross-entropy selection: per-doc avg NLL under the
     # in-domain (lang='en') bigram LM minus under the general LM;
     # LEFT JOIN + COALESCE(0) = the engine's unseen-pair add-1 path

@@ -6226,6 +6226,50 @@ def _morton16_sql(a_expr: str, b_expr: str) -> str:
     return " | ".join(terms)
 
 
+def _sorted_layout_dir(sf_dir: str) -> str:
+    """Build (once, cached) the n_chars-sorted document layout."""
+    import hashlib
+
+    layout = os.path.join(
+        "/tmp/lsai_sorted",
+        hashlib.sha256(sf_dir.rstrip("/").encode()).hexdigest()[:16])
+    if not os.path.isdir(layout):
+        from ..index.sorted import build_sorted_layout
+
+        ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+        build_sorted_layout(ds, layout, key="n_chars", id_col="doc_id",
+                            num_parts=16)
+    return layout
+
+
+def q_sorted_index_topn(sf_dir: str):
+    """Lucene ``index.sort`` / ES index-sorting analog
+    (index/sorted.py): documents re-laid-out range-partitioned and
+    sorted by n_chars, then ``ORDER BY n_chars, doc_id LIMIT 50``
+    served with EARLY TERMINATION — the walk stops after the first
+    file(s) holding 50 rows; `tests/test_sorted_layout.py` asserts the
+    read touches < all files."""
+    from ..index.sorted import sorted_topn
+
+    out, _stats = sorted_topn(_sorted_layout_dir(sf_dir), 50)
+    return pa.table({"doc_id": out["doc_id"],
+                     "n_chars": out["n_chars"]})
+
+
+def q_sorted_index_range(sf_dir: str):
+    """Manifest-pruned key-range scan over the sorted layout (the
+    lakehouse data-skipping contract): only partitions whose
+    [kmin, kmax] intersects n_chars ∈ [110, 125] are opened."""
+    from ..index.sorted import sorted_range
+
+    out, _stats = sorted_range(_sorted_layout_dir(sf_dir), 110, 125)
+    if out is None:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "n_chars": pa.array([], pa.int64())})
+    return pa.table({"doc_id": out["doc_id"],
+                     "n_chars": out["n_chars"]})
+
+
 def q_zorder_layout(sf_dir: str):
     """Z-order (Morton) data-layout clustering — the lakehouse OPTIMIZE
     ZORDER BY technique that makes multi-column range scans prune at
@@ -8187,6 +8231,8 @@ QUERY_REGISTRY = {
     "esql_enrich": q_esql_enrich,
     "esql_dissect": q_esql_dissect,
     "moore_lewis": q_moore_lewis,
+    "sorted_index_topn": q_sorted_index_topn,
+    "sorted_index_range": q_sorted_index_range,
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,

@@ -1316,6 +1316,22 @@ ORACLE_SQL: dict[str, str] = {
         WHERE levenshtein(term, 'mrge') <= 2 GROUP BY 1
         ORDER BY df DESC, term ASC LIMIT 3
     """,
+    # ES-default fuzziness (transpositions): Damerau–Levenshtein <= 1;
+    # engine predicate is the Lowrance–Wagner matrix ≡ this function
+    "fuzzy_suggest_dl": f"""
+        WITH tr AS (
+          SELECT doc_id, {_CAMEL.format(col='text')} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        )
+        SELECT term, count(*)::BIGINT AS df FROM tok
+        WHERE damerau_levenshtein(term, 'mrege') <= 1 GROUP BY 1
+        ORDER BY df DESC, term ASC LIMIT 3
+    """,
     # events_ewma: the moving_fn ewma recurrence as a recursive CTE —
     # 0.3*x + 0.7*s per step, the engine's exact float op tree; NO
     # rounding either side (single deterministic chain; pc.round vs

@@ -2599,6 +2599,18 @@ def q_spell_suggest(sf_dir: str):
     return exp.sort_by([("df", "descending"), ("term", "ascending")])
 
 
+def q_fuzzy_suggest_dl(sf_dir: str):
+    """ES fuzziness with ``transpositions: true`` (the ES DEFAULT —
+    Damerau–Levenshtein): corrections of 'mrege' within ONE edit.
+    Plain Levenshtein needs 2 edits to reach 'merge'; the transposed
+    adjacent pair counts as one here (query/shards.py::_damerau_leq,
+    Lowrance–Wagner matrix ≡ DuckDB damerau_levenshtein)."""
+    eng = _docs_engine(sf_dir)
+    exp = eng.expand_fuzzy("mrege", max_edits=1, max_expansions=3,
+                           transpositions=True)
+    return exp.sort_by([("df", "descending"), ("term", "ascending")])
+
+
 def q_boolean_search(sf_dir: str):
     """ES bool query: must-conjunction + must_not exclusion, scored by
     BM25 over must+should terms (query/shards.py boolean_search)."""
@@ -8233,6 +8245,7 @@ QUERY_REGISTRY = {
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,
+    "fuzzy_suggest_dl": q_fuzzy_suggest_dl,
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,

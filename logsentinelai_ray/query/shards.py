@@ -108,6 +108,42 @@ def _levenshtein_leq(a: str, b: str, k: int) -> bool:
     return prev[lb] <= k
 
 
+def _damerau_leq(a: str, b: str, k: int) -> bool:
+    """True iff UNRESTRICTED Damerau–Levenshtein distance(a, b) <= k —
+    the Lowrance–Wagner matrix (transpositions may later be edited
+    into, e.g. 'ca'→'abc' = 2), matching DuckDB's
+    ``damerau_levenshtein`` exactly so the oracle predicate is
+    identical. Terms are <= 64 chars; the length prefilter keeps the
+    candidate set small."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > k:
+        return False
+    inf = la + lb
+    da: dict[str, int] = {}
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        for j in range(1, lb + 1):
+            i1 = da.get(b[j - 1], 0)
+            j1 = db
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,          # substitute / match
+                d[i + 1][j] + 1,         # insert
+                d[i][j + 1] + 1,         # delete
+                d[i1][j1] + (i - i1 - 1) + 1 + (j - j1 - 1))  # transp.
+        da[a[i - 1]] = i
+    return d[la + 1][lb + 1] <= k
+
+
 @ray.remote(num_cpus=0, max_concurrency=4, max_restarts=2,
             max_task_retries=2)
 class IndexShard:
@@ -256,13 +292,15 @@ class IndexShard:
         return cat.take(idx.slice(0, limit))
 
     def expand_fuzzy(self, term: str, max_edits: int,
-                     limit: int) -> pa.Table:
+                     limit: int, transpositions: bool = False) -> pa.Table:
         """Dictionary scan for terms within ``max_edits`` Levenshtein
-        edits (ES fuzzy query). Vectorized length prefilter (edit
-        distance >= length difference), then banded DP on the small
-        survivor set. An automaton intersection would beat the scan at
-        huge vocabularies; the scan is shard-parallel and runs where
-        the dictionary lives."""
+        edits (ES fuzzy query; ``transpositions=True`` = the ES
+        ``fuzziness`` default semantics, Damerau–Levenshtein).
+        Vectorized length prefilter (edit distance >= length
+        difference), then banded DP on the small survivor set. An
+        automaton intersection would beat the scan at huge
+        vocabularies; the scan is shard-parallel and runs where the
+        dictionary lives."""
         tlen = len(term)
         outs = []
         for tbl in self.tables:
@@ -276,11 +314,12 @@ class IndexShard:
             sel = tbl.filter(m)
             if sel.num_rows:
                 outs.append(sel)
+        pred = _damerau_leq if transpositions else _levenshtein_leq
         hits_t, hits_df = [], []
         for tbl in outs:
             for t, df in zip(tbl["term"].to_pylist(),
                              tbl["df"].to_pylist()):
-                if _levenshtein_leq(term, t, max_edits):
+                if pred(term, t, max_edits):
                     hits_t.append(t)
                     hits_df.append(df)
         cat = pa.table({"term": pa.array(hits_t, pa.string()),
@@ -948,13 +987,16 @@ class SearchEngine:
         return cat.take(idx.slice(0, max_expansions)).sort_by("term")
 
     def expand_fuzzy(self, term: str, max_edits: int = 1,
-                     max_expansions: int = 64) -> pa.Table:
-        """Content terms within ``max_edits`` Levenshtein edits of
-        ``term`` (ES fuzzy query), (term, df) sorted by term asc."""
+                     max_expansions: int = 64,
+                     transpositions: bool = False) -> pa.Table:
+        """Content terms within ``max_edits`` edits of ``term`` (ES
+        fuzzy query; ``transpositions=True`` = Damerau–Levenshtein,
+        the ES default), (term, df) sorted by term asc."""
         if not term:
             raise ValueError("empty term")
         tbls = ray.get([
-            s.expand_fuzzy.remote(term, max_edits, max_expansions)
+            s.expand_fuzzy.remote(term, max_edits, max_expansions,
+                                  transpositions)
             for s in self.shards])
         cat = pa.concat_tables(tbls)
         idx = pc.sort_indices(cat, sort_keys=[("df", "descending"),

@@ -1106,3 +1106,36 @@ def test_dsl_sparse_vector_and_combined_fields(engine, doc_tokens):
     with _pt.raises(ValueError):
         engine.dsl_search({"query": {"combined_fields": {
             "query": "x", "fields": ["content", "lang"]}}})
+
+
+def test_damerau_predicate_matches_duckdb():
+    """_damerau_leq implements UNRESTRICTED Damerau-Levenshtein (the
+    Lowrance-Wagner matrix), bit-for-bit the oracle's
+    damerau_levenshtein — property-checked over random pairs plus the
+    classic OSA-vs-DL separator ('ca'->'abc' = 2, not 3)."""
+    import random
+
+    import duckdb
+
+    from logsentinelai_ray.query.shards import _damerau_leq
+
+    assert _damerau_leq("ca", "abc", 2) and not _damerau_leq("ca", "abc", 1)
+    rng = random.Random(11)
+    for _ in range(300):
+        a = "".join(rng.choices("abcd", k=rng.randint(0, 7)))
+        b = "".join(rng.choices("abcd", k=rng.randint(0, 7)))
+        d = duckdb.sql(
+            f"select damerau_levenshtein('{a}','{b}')").fetchone()[0]
+        for k in range(4):
+            assert _damerau_leq(a, b, k) == (d <= k), (a, b, k, d)
+
+
+def test_expand_fuzzy_transpositions(engine):
+    """transpositions=True finds adjacent-swap typos one edit away that
+    plain Levenshtein needs two for."""
+    lev = engine.expand_fuzzy("mreged", max_edits=1, max_expansions=10)
+    dl = engine.expand_fuzzy("mreged", max_edits=1, max_expansions=10,
+                             transpositions=True)
+    assert "merged" in dl["term"].to_pylist() or dl.num_rows >= lev.num_rows
+    # DL is a relaxation: every lev hit is a DL hit
+    assert set(lev["term"].to_pylist()) <= set(dl["term"].to_pylist())

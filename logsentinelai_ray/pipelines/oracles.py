@@ -647,6 +647,50 @@ ORACLE_SQL: dict[str, str] = {
         WHERE fg_df >= 3 AND fg_df / fg_n > df / n
         ORDER BY score DESC, term ASC LIMIT 15
     """.format(camel=_CAMEL.format(col='text')),
+    # chi_square heuristic: 2x2 contingency statistic, positive
+    # associations only; a/b/c/d and the num/den products are written
+    # with the engine's exact IEEE op tree
+    "significant_terms_chi2": f"""
+        WITH tr AS (
+          SELECT doc_id, lang, {{camel}} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, lang, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id, lang,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+                FROM tr)
+          WHERE t <> ''
+        ), stats AS (
+          SELECT term,
+                 sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT
+                     AS fg_df,
+                 count(*)::BIGINT AS df
+          FROM tok GROUP BY 1
+        ), sizes AS (
+          SELECT count(*)::BIGINT AS n,
+                 sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT
+                     AS fg_n
+          FROM documents
+        ), cells AS (
+          SELECT term, fg_df, df,
+                 CAST(n AS DOUBLE) AS nn,
+                 CAST(fg_n AS DOUBLE) AS fgn,
+                 CAST(fg_df AS DOUBLE) AS a,
+                 CAST(fg_n AS DOUBLE) - CAST(fg_df AS DOUBLE) AS b,
+                 CAST(df AS DOUBLE) - CAST(fg_df AS DOUBLE) AS c,
+                 (CAST(n AS DOUBLE) - CAST(fg_n AS DOUBLE))
+                 - (CAST(df AS DOUBLE) - CAST(fg_df AS DOUBLE)) AS d
+          FROM stats, sizes
+        )
+        SELECT term, fg_df, df,
+               round((nn * ((a * d - b * c) * (a * d - b * c)))
+                     / ((a + b) * (c + d) * (a + c) * (b + d)), 6)
+                   AS chi2
+        FROM cells
+        WHERE fg_df >= 3 AND a / fgn > CAST(df AS DOUBLE) / nn
+          AND (a + b) * (c + d) * (a + c) * (b + d) > 0
+        ORDER BY chi2 DESC, term ASC
+        LIMIT 15
+    """.format(camel=_CAMEL.format(col='text')),
     # significant_text: foreground = QUERY matches (any standard query
     # term), exact-duplicate texts dropped first (filter_duplicate_text)
     "significant_text": """

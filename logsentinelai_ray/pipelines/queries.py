@@ -1523,23 +1523,16 @@ def q_df_top_terms(sf_dir: str):
     return topk(out, 20, [("df", "descending"), ("term", "ascending")])
 
 
-def q_significant_terms(sf_dir: str):
-    """ES ``significant_terms`` aggregation (JLH score): terms
-    over-represented in a foreground subset (here docs with lang='de')
-    vs the whole corpus as background — the Kibana "what is unusual
-    about these logs" panel. One tokenize pass computes per-term
-    foreground df and total df together (per-batch distinct + partial
-    sums, then a single term groupby — the same exchange shape as
-    ``df_top_terms``); corpus sizes are two scalar aggregates. The JLH
-    expression ``(fg_rate - bg_rate) * (fg_rate / bg_rate)`` is written
-    with the identical operation tree in the SQL oracle so the doubles
-    agree bit-for-bit before the shared round-to-6."""
+def _sig_term_stats(sf_dir: str, fg_lang: str):
+    """Shared significant-terms counting pass: per-term (fg_df, df)
+    Dataset plus the two corpus-size scalars (one tokenize pass —
+    per-batch distinct + partial sums, then a single term groupby; the
+    df_top_terms exchange shape). Used by both the JLH and chi-square
+    heuristics."""
     from ray.data.aggregate import Sum
 
     from ..analysis.tokenizer import tokenize_batch_arrow
 
-    fg_lang = "de"
-    min_fg_df = 3
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
 
     def partial(t: pa.Table) -> pa.Table:
@@ -1574,6 +1567,20 @@ def q_significant_terms(sf_dir: str):
 
     fg_n = float(lang_ds.map_batches(
         count_fg, batch_format="pyarrow").sum("c"))
+    return stats, n, fg_n
+
+
+def q_significant_terms(sf_dir: str):
+    """ES ``significant_terms`` aggregation (JLH score): terms
+    over-represented in a foreground subset (here docs with lang='de')
+    vs the whole corpus as background — the Kibana "what is unusual
+    about these logs" panel. Counting via _sig_term_stats (one
+    tokenize pass). The JLH expression ``(fg_rate - bg_rate) *
+    (fg_rate / bg_rate)`` is written with the identical operation tree
+    in the SQL oracle so the doubles agree bit-for-bit before the
+    shared round-to-6."""
+    min_fg_df = 3
+    stats, n, fg_n = _sig_term_stats(sf_dir, "de")
 
     def score(t: pa.Table) -> pa.Table:
         fg_i = t["fg_df"].to_numpy(zero_copy_only=False)
@@ -1590,6 +1597,43 @@ def q_significant_terms(sf_dir: str):
 
     scored = stats.map_batches(score, batch_format="pyarrow")
     return topk(scored, 15, [("score", "descending"),
+                             ("term", "ascending")])
+
+
+def q_significant_terms_chi2(sf_dir: str):
+    """ES ``significant_terms`` with the ``chi_square`` heuristic
+    (positive associations only, the include_negatives=false shape):
+    the classic 2×2 contingency statistic
+    ``N·(ad − bc)² / ((a+b)(c+d)(a+c)(b+d))`` with a = fg_df,
+    b = fg_n − a, c = df − a (background-exclusive df,
+    background_is_superset), d = (N − fg_n) − c. Same one-pass
+    counting as the JLH entry (_sig_term_stats); identical IEEE op
+    tree in the SQL oracle."""
+    min_fg_df = 3
+    stats, n, fg_n = _sig_term_stats(sf_dir, "de")
+
+    def score(t: pa.Table) -> pa.Table:
+        fg_i = t["fg_df"].to_numpy(zero_copy_only=False)
+        a = fg_i.astype(np.float64)
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = fg_n - a
+        c = df - a
+        d = (n - fg_n) - c
+        num = n * ((a * d - b * c) * (a * d - b * c))
+        den = (a + b) * (c + d) * (a + c) * (b + d)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            chi2 = num / den
+        fg_rate = a / fg_n
+        bg_rate = df / n
+        keep = (fg_i >= min_fg_df) & (fg_rate > bg_rate) & (den > 0)
+        out = pa.table({"term": t["term"], "fg_df": t["fg_df"],
+                        "df": t["df"],
+                        "chi2": _round6(pa.array(
+                            np.nan_to_num(chi2), pa.float64()))})
+        return out.filter(pa.array(keep))
+
+    scored = stats.map_batches(score, batch_format="pyarrow")
+    return topk(scored, 15, [("chi2", "descending"),
                              ("term", "ascending")])
 
 
@@ -8246,6 +8290,7 @@ QUERY_REGISTRY = {
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,
     "fuzzy_suggest_dl": q_fuzzy_suggest_dl,
+    "significant_terms_chi2": q_significant_terms_chi2,
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,

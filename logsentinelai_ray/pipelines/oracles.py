@@ -1854,6 +1854,26 @@ ORACLE_SQL: dict[str, str] = {
         WHERE n_chars BETWEEN 110 AND 125
         ORDER BY n_chars ASC, doc_id ASC
     """,
+    # per-doc character Shannon entropy (quality signal), lowest 20;
+    # -(p ln p) accumulates per cell on both sides, round6 absorbs
+    # group addition order
+    "char_entropy": """
+        WITH c AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch
+          FROM documents WHERE length(text) > 0
+        ), cc AS (
+          SELECT doc_id, ch, count(*)::DOUBLE AS k FROM c GROUP BY 1, 2
+        ), wt AS (
+          SELECT doc_id, k,
+                 sum(k) OVER (PARTITION BY doc_id) AS tot
+          FROM cc
+        ), e AS (
+          SELECT doc_id, -sum((k / tot) * ln(k / tot)) AS ent
+          FROM wt GROUP BY 1
+        )
+        SELECT doc_id, round(ent, 6) AS entropy FROM e
+        ORDER BY ent ASC, doc_id ASC LIMIT 20
+    """,
     # Moore–Lewis cross-entropy selection: per-doc avg NLL under the
     # in-domain (lang='en') bigram LM minus under the general LM;
     # LEFT JOIN + COALESCE(0) = the engine's unseen-pair add-1 path

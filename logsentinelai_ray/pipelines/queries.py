@@ -3524,6 +3524,48 @@ def q_bigram_perplexity(sf_dir: str):
                                     pa.float64()))})
 
 
+def q_char_entropy(sf_dir: str):
+    """Character-entropy quality signal (low-entropy text = repeated
+    filler / binary junk; a standard corpus-card column next to the
+    Gopher signals): per document, Shannon entropy of the character
+    distribution, computed FULLY vectorized from the Arrow string
+    buffer — offsets give per-row byte runs, one np.unique over
+    (row << 8 | byte) keys counts every (doc, char) cell in the batch,
+    no per-row Python. Returns the 20 lowest-entropy docs."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def per_doc(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        offs = np.frombuffer(col.buffers()[1], dtype=np.int32,
+                             count=len(col) + 1).astype(np.int64)
+        offs = offs + 0  # copy off the arrow buffer
+        data = np.frombuffer(col.buffers()[2], dtype=np.uint8,
+                             count=int(offs[-1]))
+        lens = np.diff(offs)
+        keep = lens > 0
+        row_idx = np.repeat(np.arange(len(col), dtype=np.int64), lens)
+        key = (row_idx << 8) | data[offs[0]:].astype(np.int64)
+        cells, counts = np.unique(key, return_counts=True)
+        cell_row = cells >> 8
+        p = counts.astype(np.float64) / lens[cell_row].astype(np.float64)
+        ent = np.zeros(len(col), dtype=np.float64)
+        np.add.at(ent, cell_row, -(p * np.log(p)))
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "entropy": pa.array(ent[keep], pa.float64())})
+
+    scored = ds.map_batches(per_doc, batch_format="pyarrow")
+    df = topk(scored, 20, [("entropy", "ascending"),
+                           ("doc_id", "ascending")])
+    return pa.table({
+        "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+        "entropy": _round6(pa.array(df["entropy"].to_numpy(),
+                                    pa.float64()))})
+
+
 def q_moore_lewis(sf_dir: str):
     """Moore–Lewis cross-entropy data selection (Moore & Lewis 2010 —
     the classic targeted-corpus builder): score every document by
@@ -8291,6 +8333,7 @@ QUERY_REGISTRY = {
     "sorted_index_range": q_sorted_index_range,
     "fuzzy_suggest_dl": q_fuzzy_suggest_dl,
     "significant_terms_chi2": q_significant_terms_chi2,
+    "char_entropy": q_char_entropy,
     "gopher_repetition": q_gopher_repetition,
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,

@@ -3451,6 +3451,25 @@ def q_collocations_pmi(sf_dir: str):
         "pmi": pa.array([r[2] for r in rows], pa.float64())})
 
 
+def _lookup_f64(col, key_arr: pa.Array, val_np: np.ndarray,
+                default: float = 0.0) -> np.ndarray:
+    """Vectorized count-table lookup: one Arrow ``index_in`` against
+    the broadcast key array + one numpy gather — replaces the old
+    per-batch ``to_pylist()`` + pandas ``.map`` (Python-object hot
+    path) in the LM scorers. Missing keys → ``default``."""
+    idx = pc.fill_null(pc.index_in(col, value_set=key_arr), -1) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    out = val_np[np.maximum(idx, 0)]
+    return np.where(idx < 0, default, out)
+
+
+def _w1_of_pairs(sh_col) -> pa.Array:
+    """First token of each 'w1 w2' shingle, vectorized."""
+    if isinstance(sh_col, pa.ChunkedArray):
+        sh_col = sh_col.combine_chunks()
+    return pc.list_element(pc.split_pattern(sh_col, " "), 0)
+
+
 def q_bigram_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring: train an add-1-smoothed bigram
     language model on the corpus (one counting pass — the same
@@ -3486,23 +3505,21 @@ def q_bigram_perplexity(sf_dir: str):
           .groupby("pair").aggregate(Sum("n_part", alias_name="c"))
           .to_pandas())
     v = float(len(c1))
-    c1_ref = ray.put(dict(zip(c1["w"], c1["c"].astype("float64"))))
-    c2_ref = ray.put(dict(zip(c2["pair"], c2["c"].astype("float64"))))
+    c1_ref = ray.put((pa.array(c1["w"], pa.string()),
+                      c1["c"].to_numpy(dtype="float64")))
+    c2_ref = ray.put((pa.array(c2["pair"], pa.string()),
+                      c2["c"].to_numpy(dtype="float64")))
 
     def score(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        uni_c = ray.get(c1_ref)
-        bi_c = ray.get(c2_ref)
+        uni_k, uni_v = ray.get(c1_ref)
+        bi_k, bi_v = ray.get(c2_ref)
         sh = _shingle_rows(t, "text", "doc_id", 2, distinct=False)
         if sh.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_pairs": pa.array([], pa.int64()),
                              "avg_nll": pa.array([], pa.float64())})
-        pairs = pd.Series(sh["sh"].to_pylist())
-        w1 = pairs.str.split(" ", n=1).str[0]
-        cb = pairs.map(bi_c).to_numpy(dtype=np.float64)
-        cu = w1.map(uni_c).to_numpy(dtype=np.float64)
+        cb = _lookup_f64(sh["sh"], bi_k, bi_v)
+        cu = _lookup_f64(_w1_of_pairs(sh["sh"]), uni_k, uni_v)
         logp = np.log((cb + 1.0) / (cu + v))
         did = sh["doc_id"].to_numpy(zero_copy_only=False)
         docs, inv = np.unique(did, return_inverse=True)
@@ -3604,26 +3621,27 @@ def q_moore_lewis(sf_dir: str):
     c1i, c2i = table(1, True), table(2, True)
     vg, vi = float(len(c1g)), float(len(c1i))
     refs = ray.put((
-        dict(zip(c1g["w"], c1g["c"].astype("float64"))),
-        dict(zip(c2g["w"], c2g["c"].astype("float64"))),
-        dict(zip(c1i["w"], c1i["c"].astype("float64"))),
-        dict(zip(c2i["w"], c2i["c"].astype("float64")))))
+        (pa.array(c1g["w"], pa.string()),
+         c1g["c"].to_numpy(dtype="float64")),
+        (pa.array(c2g["w"], pa.string()),
+         c2g["c"].to_numpy(dtype="float64")),
+        (pa.array(c1i["w"], pa.string()),
+         c1i["c"].to_numpy(dtype="float64")),
+        (pa.array(c2i["w"], pa.string()),
+         c2i["c"].to_numpy(dtype="float64"))))
 
     def score(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
         u_g, b_g, u_i, b_i = ray.get(refs)
         sh = _shingle_rows(t, "text", "doc_id", 2, distinct=False)
         if sh.num_rows == 0:
             return pa.table({"doc_id": pa.array([], pa.int64()),
                              "n_pairs": pa.array([], pa.int64()),
                              "ml_score": pa.array([], pa.float64())})
-        pairs = pd.Series(sh["sh"].to_pylist())
-        w1 = pairs.str.split(" ", n=1).str[0]
-        cbg = pairs.map(b_g).to_numpy(dtype=np.float64)
-        cug = w1.map(u_g).to_numpy(dtype=np.float64)
-        cbi = np.nan_to_num(pairs.map(b_i).to_numpy(dtype=np.float64))
-        cui = np.nan_to_num(w1.map(u_i).to_numpy(dtype=np.float64))
+        w1 = _w1_of_pairs(sh["sh"])
+        cbg = _lookup_f64(sh["sh"], *b_g)
+        cug = _lookup_f64(w1, *u_g)
+        cbi = _lookup_f64(sh["sh"], *b_i)
+        cui = _lookup_f64(w1, *u_i)
         logp_g = np.log((cbg + 1.0) / (cug + vg))
         logp_i = np.log((cbi + 1.0) / (cui + vi))
         did = sh["doc_id"].to_numpy(zero_copy_only=False)

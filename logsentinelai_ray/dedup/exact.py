@@ -10,22 +10,36 @@ aggregate does partial (per-block) combining before the shuffle, so only
 
 from __future__ import annotations
 
-import hashlib
-
+import numpy as np
 import pyarrow as pa
 
 
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Dataset of surviving ids: min(id) per distinct content, one column
-    named ``id_col``. (Keep-first under ascending ids == keep-min-id.)"""
+    named ``id_col``. (Keep-first under ascending ids == keep-min-id.)
+
+    Content hashes are two independently-seeded vectorized 64-bit
+    polars xxhash passes packed into one 128-bit key — same collision
+    headroom as the old per-row md5 loop (birthday-safe past 10^12
+    docs) at zero Python-per-row cost. The hash only needs within-run
+    consistency: the RESULT (min id per distinct text) is
+    hash-agnostic."""
     from ray.data.aggregate import Min
 
     def to_hash(batch: pa.Table) -> pa.Table:
-        h = [hashlib.md5((t or "").encode("utf-8")).hexdigest()
-             for t in batch[text_col].to_pylist()]
-        return pa.table({"h": pa.array(h, pa.string()),
+        import polars as pl
+
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        s = pl.from_arrow(col)
+        h1 = s.hash(seed=0).to_numpy().astype(np.int64)
+        h2 = s.hash(seed=1).to_numpy().astype(np.int64)
+        return pa.table({"h1": pa.array(h1, pa.int64()),
+                         "h2": pa.array(h2, pa.int64()),
                          "_id": batch[id_col]})
 
     hashed = ds.map_batches(to_hash, batch_format="pyarrow")
-    out = hashed.groupby("h").aggregate(Min("_id", alias_name=id_col))
+    out = hashed.groupby(["h1", "h2"]) \
+        .aggregate(Min("_id", alias_name=id_col))
     return out.select_columns([id_col])

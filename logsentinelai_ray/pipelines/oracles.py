@@ -4561,3 +4561,65 @@ ORACLE_SQL["embedding_pca_power"] = """
            round((SELECT nrm FROM n8), 6) AS eigenvalue
     FROM v8 ORDER BY i
 """
+
+ORACLE_SQL["has_child_topk"] = """
+    WITH cs AS (
+      SELECT l_orderkey,
+             max(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                            + 0.5) AS BIGINT)) AS child_score_cents
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey, o.o_orderstatus, cs.child_score_cents
+    FROM orders o JOIN cs ON cs.l_orderkey = o.o_orderkey
+    ORDER BY cs.child_score_cents DESC, o.o_orderkey ASC LIMIT 10
+"""
+
+ORACLE_SQL["has_parent_agg"] = """
+    SELECT l.l_returnflag, count(*) AS n_items,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["latest_transform"] = """
+    SELECT user_id, event_id, event_type, round(value, 6) AS value,
+           epoch_us(ts) AS ts_us
+    FROM (SELECT *, row_number() OVER (
+              PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1 ORDER BY user_id
+"""
+
+ORACLE_SQL["knn_outlier"] = """
+    WITH sub AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < 2048
+    ), pairs AS (
+      SELECT a.vec_id AS vec_id,
+             1 - list_cosine_similarity(a.v, b.v) AS d
+      FROM sub a JOIN sub b ON a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT vec_id, d, row_number() OVER (
+          PARTITION BY vec_id ORDER BY d ASC) AS rn
+      FROM pairs
+    )
+    SELECT vec_id, round(d, 6) AS knn_distance
+    FROM ranked WHERE rn = 10
+    ORDER BY d DESC, vec_id ASC LIMIT 20
+"""
+
+ORACLE_SQL["graph_explore"] = """
+    WITH seed AS (
+      SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    ), hop AS (
+      SELECT e.event_type, count(*) AS n,
+             count(DISTINCT e.user_id) AS nu
+      FROM events e JOIN seed s ON e.user_id = s.user_id
+      WHERE e.event_type <> 'error' GROUP BY 1
+    )
+    SELECT event_type, n, nu FROM hop
+    ORDER BY nu DESC, n DESC, event_type ASC
+"""

@@ -8243,6 +8243,275 @@ def q_embedding_pca_power(sf_dir: str):
         "eigenvalue": _round6(pa.array(np.full(d, lam), pa.float64()))})
 
 
+def q_has_child_topk(sf_dir: str):
+    """ES parent-child ``has_child`` query (join field, score_mode=max):
+    top-10 parent orders ranked by the best matching child lineitem
+    (l_returnflag='R'), child score = extended price after discount in
+    integer cents. Scale shape mirrors ES's shard-local parent-child
+    join: the child side reduces to (parent_key, max_score) — a
+    per-block Arrow partial max, then ONE aggregate exchange keyed by
+    orderkey carrying two ints per parent — and only the final k=10
+    parent keys are fetched from the parent table with a pruned,
+    broadcast-filtered read. Nothing order-table-sized is collected."""
+    from ray.data.aggregate import Max
+
+    child = _read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_returnflag",
+                           "l_extendedprice", "l_discount"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t["l_returnflag"], "R"))
+        if t.num_rows == 0:
+            return pa.schema([("l_orderkey", pa.int64()),
+                              ("score_cents", pa.int64())]).empty_table()
+        p = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+        d = t["l_discount"].to_numpy(zero_copy_only=False)
+        cents = np.floor(p * (1 - d) * 100 + 0.5).astype(np.int64)
+        g = (pa.table({"l_orderkey": t["l_orderkey"],
+                       "score_cents": pa.array(cents, pa.int64())})
+             .group_by("l_orderkey").aggregate([("score_cents", "max")]))
+        return g.rename_columns(["l_orderkey", "score_cents"])
+
+    agg = (child.map_batches(partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Max("score_cents", alias_name="child_score_cents")))
+    top = topk(agg, 10, [("child_score_cents", "descending"),
+                         ("l_orderkey", "ascending")])
+    keys = pa.array(top["l_orderkey"].tolist(), pa.int64())
+
+    parents = (_read(sf_dir, "orders",
+                     columns=["o_orderkey", "o_orderstatus"])
+               .map_batches(lambda t: t.filter(
+                   pc.is_in(t["o_orderkey"], value_set=keys)),
+                   batch_format="pyarrow")
+               .to_pandas())
+    out = top.merge(parents, left_on="l_orderkey", right_on="o_orderkey")
+    out = out.sort_values(["child_score_cents", "o_orderkey"],
+                          ascending=[False, True])
+    return pa.table({
+        "o_orderkey": pa.array(out["o_orderkey"].tolist(), pa.int64()),
+        "o_orderstatus": pa.array(out["o_orderstatus"].tolist(),
+                                  pa.string()),
+        "child_score_cents": pa.array(out["child_score_cents"].tolist(),
+                                      pa.int64())})
+
+
+def q_has_parent_agg(sf_dir: str):
+    """ES ``has_parent`` query + child rollup: count / total quantity of
+    lineitems whose parent order is 1-URGENT, by return flag. The
+    filtered parent key set is the SMALL side (selective parent filters
+    are the ES norm — ES itself co-locates children on the parent's
+    shard to make this join local): keys are collected once, broadcast
+    via ``ray.put``, and children are filtered vectorized per batch;
+    per-block Arrow partials keep the final exchange at one row per
+    (block, flag). A non-selective parent filter would switch to the
+    hash-partitioned groupby join (the asof_join composition)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    pkeys = []
+    for b in (_read(sf_dir, "orders",
+                    columns=["o_orderkey", "o_orderpriority"])
+              .map_batches(lambda t: t.filter(
+                  pc.equal(t["o_orderpriority"], "1-URGENT"))
+                  .select(["o_orderkey"]), batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        pkeys.append(b["o_orderkey"].to_numpy(zero_copy_only=False))
+    keys_ref = ray.put(pa.array(np.sort(np.concatenate(pkeys))
+                                if pkeys else np.array([], np.int64),
+                                pa.int64()))
+
+    _HP_SCHEMA = pa.schema([("l_returnflag", pa.string()),
+                            ("n_items", pa.int64()),
+                            ("sum_qty", pa.int64())])
+
+    def partial(t: pa.Table) -> pa.Table:
+        keys = ray.get(keys_ref)
+        t = t.filter(pc.is_in(t["l_orderkey"], value_set=keys))
+        if t.num_rows == 0:
+            return _HP_SCHEMA.empty_table()
+        qty = t["l_quantity"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = (pa.table({"l_returnflag": t["l_returnflag"],
+                       "n_items": pa.array(np.ones(len(qty), np.int64)),
+                       "sum_qty": pa.array(qty, pa.int64())})
+             .group_by("l_returnflag")
+             .aggregate([("n_items", "sum"), ("sum_qty", "sum")]))
+        return g.rename_columns(["l_returnflag", "n_items", "sum_qty"])
+
+    return (_read(sf_dir, "lineitem",
+                  columns=["l_orderkey", "l_returnflag", "l_quantity"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("n_items", alias_name="n_items"),
+                       Sum("sum_qty", alias_name="sum_qty"))
+            .sort("l_returnflag"))
+
+
+def q_latest_transform(sf_dir: str):
+    """ES ``latest`` transform: the most recent event per user
+    (sort ts desc, tie-break event_id desc — ES requires a unique
+    sort for determinism). Classic combiner shape: each block reduces
+    to at most one row per user seen in it (vectorized lexsort +
+    boundary take), so the groupby exchange carries users x blocks
+    rows, never the raw events; the final per-user pick runs in
+    ``map_groups`` (group = one user's per-block winners, <= n_blocks
+    rows). Output is a Dataset, streamed — at 100 TB the transform's
+    destination index would be written partitioned, not collected."""
+
+    def _winners(t: pa.Table) -> pa.Table:
+        u = t["user_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts, u))
+        u_s = u[order]
+        last = np.nonzero(np.r_[u_s[1:] != u_s[:-1], True])[0]
+        take = order[last]
+        return pa.table({
+            "user_id": pa.array(u[take], pa.int64()),
+            "event_id": pa.array(eid[take], pa.int64()),
+            "event_type": t["event_type"].take(pa.array(take)),
+            "value": _round6(t["value"].take(pa.array(take))),
+            "ts_us": pa.array(ts[take], pa.int64())})
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.schema([
+                ("user_id", pa.int64()), ("event_id", pa.int64()),
+                ("event_type", pa.string()), ("value", pa.float64()),
+                ("ts_us", pa.int64())]).empty_table()
+        return _winners(t)
+
+    def final(g: pa.Table) -> pa.Table:
+        ts = g["ts_us"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, ts))
+        return g.take(pa.array(order[-1:]))
+
+    return (_read(sf_dir, "events",
+                  columns=["user_id", "event_id", "event_type",
+                           "value", "ts"])
+            .map_batches(partial, batch_format="pyarrow")
+            .groupby("user_id")
+            .map_groups(final, batch_format="pyarrow")
+            .sort("user_id"))
+
+
+_OUTLIER_SUBSET = 2048
+_OUTLIER_K = 10
+
+
+def q_knn_outlier(sf_dir: str):
+    """ES ML outlier detection, the distance-based feature: each
+    vector's outlier score = cosine distance to its k-th (k=10)
+    nearest neighbour; top-20 outliers returned. The comparison set
+    (vec_id < 2048 — ES caps outlier frames at ML-node memory the same
+    way) is broadcast ONCE via ``ray.put`` with norms precomputed; each
+    batch then scores against it with one float64 matmul +
+    ``np.partition`` — no pairwise rows ever materialize. At full
+    scale candidate generation would come from the persisted ANN
+    bucket index (ann/store.py) instead of the dense subset."""
+    import ray
+
+    sub_parts = []
+    for b in (_read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+              .map_batches(lambda t: t.filter(
+                  pc.less(t["vec_id"], _OUTLIER_SUBSET)),
+                  batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        sub_parts.append(b)
+    sub = pa.concat_tables(sub_parts)
+    order = pc.sort_indices(sub, sort_keys=[("vec_id", "ascending")])
+    sub = sub.take(order)
+    from ..ann.knn import _batch_vectors
+    mat = _batch_vectors(sub, "embedding")
+    sub_ids = sub["vec_id"].to_numpy(zero_copy_only=False)
+    sub_norm = np.sqrt((mat * mat).sum(axis=1))
+    ref = ray.put((sub_ids, mat, sub_norm))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["vec_id"], _OUTLIER_SUBSET))
+        if t.num_rows == 0:
+            return pa.schema([("vec_id", pa.int64()),
+                              ("knn_distance", pa.float64())]) \
+                .empty_table()
+        ids, smat, snorm = ray.get(ref)
+        m = _batch_vectors(t, "embedding")
+        rn = np.sqrt((m * m).sum(axis=1))
+        d = 1.0 - (m @ smat.T) / (rn[:, None] * snorm[None, :])
+        bid = t["vec_id"].to_numpy(zero_copy_only=False)
+        d[bid[:, None] == ids[None, :]] = np.inf  # exclude self
+        kth = np.partition(d, _OUTLIER_K - 1, axis=1)[:, _OUTLIER_K - 1]
+        return pa.table({"vec_id": pa.array(bid, pa.int64()),
+                         "knn_distance": pa.array(kth, pa.float64())})
+
+    ds = (_read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+          .map_batches(score, batch_format="pyarrow"))
+    out = topk(ds, 20, [("knn_distance", "descending"),
+                        ("vec_id", "ascending")])
+    return pa.table({
+        "vec_id": pa.array(out["vec_id"].tolist(), pa.int64()),
+        "knn_distance": _round6(pa.array(out["knn_distance"].tolist(),
+                                         pa.float64()))})
+
+
+def q_graph_explore(sf_dir: str):
+    """ES Graph API ``_explore``: seed on the 'error' vertex, hop 1 to
+    the users connected to it, hop 2 to the other event-type vertices
+    those users touch, ranked by connected-user count. Like ES, the
+    vertex frontier (distinct seed users) is gathered on the
+    coordinator and broadcast — Graph explore is explicitly a
+    sampled/bounded API, not a full-corpus join; the per-block distinct
+    + two-stage aggregate keeps the exchange at one row per
+    (type, user) pair."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    seeds = []
+    for b in (_read(sf_dir, "events", columns=["user_id", "event_type"])
+              .map_batches(lambda t: pa.table({
+                  "user_id": pc.unique(t.filter(
+                      pc.equal(t["event_type"], "error"))["user_id"])}),
+                  batch_format="pyarrow")
+              .iter_batches(batch_format="pyarrow")):
+        seeds.append(b["user_id"].to_numpy(zero_copy_only=False))
+    seed_ref = ray.put(pa.array(
+        np.unique(np.concatenate(seeds)) if seeds
+        else np.array([], np.int64), pa.int64()))
+
+    _GX_SCHEMA = pa.schema([("event_type", pa.string()),
+                            ("user_id", pa.int64()),
+                            ("n", pa.int64())])
+
+    def pairs(t: pa.Table) -> pa.Table:
+        seed = ray.get(seed_ref)
+        t = t.filter(pc.and_(pc.is_in(t["user_id"], value_set=seed),
+                             pc.not_equal(t["event_type"], "error")))
+        if t.num_rows == 0:
+            return _GX_SCHEMA.empty_table()
+        g = (pa.table({"event_type": t["event_type"],
+                       "user_id": t["user_id"],
+                       "n": pa.array(np.ones(t.num_rows, np.int64))})
+             .group_by(["event_type", "user_id"])
+             .aggregate([("n", "sum")]))
+        return g.rename_columns(["event_type", "user_id", "n"])
+
+    per_pair = (_read(sf_dir, "events", columns=["user_id", "event_type"])
+                .map_batches(pairs, batch_format="pyarrow")
+                .groupby(["event_type", "user_id"])
+                .aggregate(Sum("n", alias_name="n")))
+    out = (per_pair.groupby("event_type")
+           .aggregate(Sum("n", alias_name="n"),
+                      Count(alias_name="nu"))
+           .to_pandas()
+           .sort_values(["nu", "n", "event_type"],
+                        ascending=[False, False, True]))
+    return pa.table({
+        "event_type": pa.array(out["event_type"].tolist(), pa.string()),
+        "n": pa.array(out["n"].tolist(), pa.int64()),
+        "nu": pa.array(out["nu"].tolist(), pa.int64())})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -8507,4 +8776,9 @@ QUERY_REGISTRY = {
     "gauss_decay_score": q_gauss_decay_score,
     "embedding_gram": q_embedding_gram,
     "embedding_pca_power": q_embedding_pca_power,
+    "has_child_topk": q_has_child_topk,
+    "has_parent_agg": q_has_parent_agg,
+    "latest_transform": q_latest_transform,
+    "knn_outlier": q_knn_outlier,
+    "graph_explore": q_graph_explore,
 }

@@ -75,6 +75,16 @@ class IndexConfig:
     # The path/keyword fields are not filtered (per-field analyzers).
     stop_words: tuple = ()
 
+    # Posting-stream codec: "varint" (delta-gap + LEB128, the default)
+    # or "bitpack" (per-block FOR bit-packing, the Lucene-postings
+    # layout) — a dense term's gaps pack into 1-3 bits instead of >= 8,
+    # so "bitpack" trades a somewhat slower numpy decode for 2-4x fewer
+    # index bytes moved through storage / network / page cache — the
+    # binding resource at 10^12 docs. Both codecs share the segment
+    # schema and block-max metadata; query results are bit-identical
+    # (rank-identity tested in tests/test_codec_bitpack.py).
+    codec: str = "varint"
+
     # Write the norms sidecar (norms/, one row per doc: doc_id, dl,
     # path_dl — the Lucene .nvd analog), doc-id-sorted for row-group-
     # pruned query-time gathers. Needed by scorers that want a doc's

@@ -663,7 +663,7 @@ def compute_stats(index_dir: str, cfg: IndexConfig, n_docs: int) -> dict:
         "block_size": cfg.block_size,
         "max_token_len": cfg.max_token_len,
         "store_positions": cfg.store_positions,
-        "codec": "delta-gap+leb128-varint+blockmax",
+        "codec": cfg.codec,
     }
     mf.write_stats(index_dir, stats)
     return stats

@@ -173,6 +173,10 @@ class IndexShard:
         self.parts = list(parts)
         self.tables: list[pa.Table] = []
         self.term_index: dict[str, tuple[int, int]] = {}
+        # posting-stream codec from the index's stats.json (stamped onto
+        # every row this shard hands to TermPostings); legacy descriptive
+        # strings and missing keys both mean varint
+        self.codec = mf.read_stats(index_dir).get("codec", "varint")
         seg_dir = os.path.join(index_dir, "segments")
         for p in self.parts:
             path = os.path.join(seg_dir, f"part-{p:04d}.parquet")
@@ -383,7 +387,8 @@ class IndexShard:
             return None
         tbl = self.tables[loc[0]]
         i = loc[1]
-        row: dict = {"term": term, "df": tbl["df"][i].as_py()}
+        row: dict = {"term": term, "df": tbl["df"][i].as_py(),
+                     "codec": self.codec}
         for f in ("block_first", "block_last", "block_count", "block_max",
                   "block_doc_off", "block_tf_off", "block_dl_off"):
             row[f] = tbl[f][i].values.to_numpy(zero_copy_only=False)
@@ -441,7 +446,8 @@ class IndexShard:
             return None
         tbl = self.tables[loc[0]]
         i = loc[1]
-        row: dict = {"term": term, "df": tbl["df"][i].as_py()}
+        row: dict = {"term": term, "df": tbl["df"][i].as_py(),
+                     "codec": self.codec}
         for f in ("block_first", "block_last", "block_count", "block_max",
                   "block_doc_off", "block_tf_off", "block_dl_off"):
             row[f] = tbl[f][i].values.to_numpy(zero_copy_only=False)
@@ -463,7 +469,8 @@ class IndexShard:
             return None
         tbl = self.tables[loc[0]]
         i = loc[1]
-        row: dict = {"term": term, "df": tbl["df"][i].as_py()}
+        row: dict = {"term": term, "df": tbl["df"][i].as_py(),
+                     "codec": self.codec}
         for f in ("block_first", "block_last", "block_count", "block_max",
                   "block_doc_off", "block_tf_off", "block_dl_off"):
             row[f] = tbl[f][i].values.to_numpy(zero_copy_only=False)
@@ -503,6 +510,7 @@ class SearchEngine:
         self.index_dir = index_dir
         self.stats = mf.read_stats(index_dir)
         self.P = int(self.stats["num_partitions"])
+        self._codec = self.stats.get("codec", "varint")
         self.taat_max_docs = taat_max_docs
         # WAND shares the contribution cache for terms whose decoded
         # list fits a sane per-term budget; hotter terms (df beyond
@@ -622,7 +630,8 @@ class SearchEngine:
                     # zero-copy numpy views of the block metadata (a hot
                     # term has ~n_docs/block_size entries — materializing
                     # Python lists here dominated first-query latency)
-                    row: dict = {"term": t, "df": tbl["df"][i].as_py()}
+                    row: dict = {"term": t, "df": tbl["df"][i].as_py(),
+                                 "codec": self._codec}
                     for f in ("block_first", "block_last", "block_count",
                               "block_max", "block_doc_off", "block_tf_off",
                               "block_dl_off"):

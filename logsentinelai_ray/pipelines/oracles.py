@@ -4623,3 +4623,78 @@ ORACLE_SQL["graph_explore"] = """
     SELECT event_type, n, nu FROM hop
     ORDER BY nu DESC, n DESC, event_type ASC
 """
+
+ORACLE_SQL["perplexity_buckets"] = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             unnest([arr[i] || ' ' || arr[i+1]
+                     FOR i IN generate_series(1, len(arr) - 1)])
+                 AS pair,
+             unnest([arr[i]
+                     FOR i IN generate_series(1, len(arr) - 1)])
+                 AS w1
+      FROM t WHERE len(arr) >= 2
+    ), c1 AS (
+      SELECT w, count(*)::DOUBLE AS c
+      FROM (SELECT unnest(arr) AS w FROM t) GROUP BY 1
+    ), vv AS (SELECT count(*)::DOUBLE AS v FROM c1),
+    c2 AS (
+      SELECT pair, count(*)::DOUBLE AS c FROM g GROUP BY 1
+    ), s AS (
+      SELECT g.doc_id,
+             -sum(ln((c2.c + 1) / (c1.c + vv.v))) AS nll,
+             count(*)::BIGINT AS n_pairs
+      FROM g JOIN c2 USING (pair)
+      JOIN c1 ON c1.w = g.w1 CROSS JOIN vv
+      GROUP BY 1
+    ), r AS (
+      SELECT d.lang, s.doc_id, s.nll / s.n_pairs AS a,
+             row_number() OVER (PARTITION BY d.lang
+                 ORDER BY s.nll / s.n_pairs ASC, s.doc_id ASC) AS rn,
+             count(*) OVER (PARTITION BY d.lang) AS cnt
+      FROM s JOIN documents d USING (doc_id)
+    )
+    SELECT lang, CAST((3 * (rn - 1)) // cnt AS BIGINT) AS bucket,
+           count(*)::BIGINT AS n_docs,
+           round(min(a), 6) AS lo, round(max(a), 6) AS hi
+    FROM r GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+ORACLE_SQL["winnowing_fingerprints"] = """
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),
+                                               '[^a-z0-9]+'),
+                         x -> x <> '') AS arr
+      FROM documents
+    ), g AS (
+      SELECT doc_id, i,
+             md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]) AS h,
+             len(arr) - 2 AS ng
+      FROM t, unnest(generate_series(1, len(arr) - 2)) AS u(i)
+      WHERE len(arr) >= 3
+    ), k AS (
+      SELECT doc_id, i, ng,
+             h || lpad(CAST(1000000000 - i AS VARCHAR), 10, '0') AS key
+      FROM g
+    ), wmin AS (
+      SELECT doc_id, i, ng,
+             min(key) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN 3 PRECEDING
+                            AND CURRENT ROW) AS wkey
+      FROM k
+    ), sel AS (
+      SELECT DISTINCT doc_id, substr(wkey, 1, 32) AS h
+      FROM wmin WHERE i >= 4 OR (ng < 4 AND i = ng)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*)::BIGINT AS shared
+    FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 ORDER BY shared DESC, doc_a ASC, doc_b ASC LIMIT 15
+"""

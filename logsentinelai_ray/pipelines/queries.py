@@ -3470,23 +3470,16 @@ def _w1_of_pairs(sh_col) -> pa.Array:
     return pc.list_element(pc.split_pattern(sh_col, " "), 0)
 
 
-def q_bigram_perplexity(sf_dir: str):
-    """CCNet-style LM quality scoring: train an add-1-smoothed bigram
-    language model on the corpus (one counting pass — the same
-    vectorized shingle machinery as bigram_counts), broadcast the
-    count tables once (``ray.put``; at target scale this becomes a
-    hash-partitioned join on the pair key), then score every document's
-    average negative log-likelihood ``-mean ln((c(w1,w2)+1) /
-    (c(w1)+V))`` in a second vectorized pass. Returns the 15
-    worst-scoring (most surprising) docs — the perplexity filter's
-    reject list. Exact SQL oracle; ln/div parity, round6 absorbs
-    summation order."""
+def _bigram_lm_refs(ds):
+    """Train the add-1 bigram LM once (two distributed counting passes
+    over the same vectorized shingle machinery as bigram_counts) and
+    broadcast the count tables: returns ``(c1_ref, c2_ref, V)``. Shared
+    by bigram_perplexity and perplexity_buckets; at target scale the
+    broadcast becomes a hash-partitioned join on the pair key."""
     import ray
     from ray.data.aggregate import Sum
 
     from ..dedup.jaccard import _shingle_rows
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def uni(t: pa.Table) -> pa.Table:
         sh = _shingle_rows(t, "text", "doc_id", 1, distinct=False)
@@ -3509,6 +3502,26 @@ def q_bigram_perplexity(sf_dir: str):
                       c1["c"].to_numpy(dtype="float64")))
     c2_ref = ray.put((pa.array(c2["pair"], pa.string()),
                       c2["c"].to_numpy(dtype="float64")))
+    return c1_ref, c2_ref, v
+
+
+def q_bigram_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring: train an add-1-smoothed bigram
+    language model on the corpus (one counting pass — the same
+    vectorized shingle machinery as bigram_counts), broadcast the
+    count tables once (``ray.put``; at target scale this becomes a
+    hash-partitioned join on the pair key), then score every document's
+    average negative log-likelihood ``-mean ln((c(w1,w2)+1) /
+    (c(w1)+V))`` in a second vectorized pass. Returns the 15
+    worst-scoring (most surprising) docs — the perplexity filter's
+    reject list. Exact SQL oracle; ln/div parity, round6 absorbs
+    summation order."""
+    import ray
+
+    from ..dedup.jaccard import _shingle_rows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    c1_ref, c2_ref, v = _bigram_lm_refs(ds)
 
     def score(t: pa.Table) -> pa.Table:
         uni_k, uni_v = ray.get(c1_ref)
@@ -8512,6 +8525,165 @@ def q_graph_explore(sf_dir: str):
         "nu": pa.array(out["nu"].tolist(), pa.int64())})
 
 
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet's head/middle/tail split: score every doc with the add-1
+    bigram LM (shared trainer ``_bigram_lm_refs``), then cut each
+    language into perplexity tertiles by rank — bucket =
+    ``(3 * rank) // n_lang`` over (avg_nll asc, doc_id asc) — and
+    report per-(lang, bucket) doc counts with the tertile's score
+    range. The scoring pass is the distributed map; the per-lang rank
+    runs in ``map_groups`` (one lang = one group; at 100 TB a lang is
+    range-partitioned by score and ranked with a distributed sort —
+    the same exchange as index/sorted.py). min/max are order-
+    independent, so the only floats in the output are round6-stable."""
+    import ray
+
+    from ..dedup.jaccard import _shingle_rows
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    c1_ref, c2_ref, v = _bigram_lm_refs(ds)
+
+    _PB_SCHEMA = pa.schema([("lang", pa.string()),
+                            ("doc_id", pa.int64()),
+                            ("a", pa.float64())])
+
+    def score(t: pa.Table) -> pa.Table:
+        uni_k, uni_v = ray.get(c1_ref)
+        bi_k, bi_v = ray.get(c2_ref)
+        sh = _shingle_rows(t, "text", "doc_id", 2, distinct=False)
+        if sh.num_rows == 0:
+            return _PB_SCHEMA.empty_table()
+        cb = _lookup_f64(sh["sh"], bi_k, bi_v)
+        cu = _lookup_f64(_w1_of_pairs(sh["sh"]), uni_k, uni_v)
+        logp = np.log((cb + 1.0) / (cu + v))
+        did = sh["doc_id"].to_numpy(zero_copy_only=False)
+        docs, inv = np.unique(did, return_inverse=True)
+        nll = np.zeros(docs.size, dtype=np.float64)
+        np.add.at(nll, inv, -logp)
+        n_pairs = np.bincount(inv).astype(np.int64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lang = t["lang"].take(pa.array(
+            np.searchsorted(ids, docs)))
+        return pa.table({"lang": lang,
+                         "doc_id": pa.array(docs, pa.int64()),
+                         "a": pa.array(nll / n_pairs, pa.float64())})
+
+    def tertiles(g: pa.Table) -> pa.Table:
+        a = g["a"].to_numpy(zero_copy_only=False)
+        ids = g["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, a))
+        bucket = (3 * np.arange(a.size, dtype=np.int64)) // a.size
+        out = []
+        for bk in np.unique(bucket):
+            sel = a[order][bucket == bk]
+            out.append((g["lang"][0].as_py(), int(bk), int(sel.size),
+                        float(sel.min()), float(sel.max())))
+        return pa.table({
+            "lang": pa.array([r[0] for r in out], pa.string()),
+            "bucket": pa.array([r[1] for r in out], pa.int64()),
+            "n_docs": pa.array([r[2] for r in out], pa.int64()),
+            "lo": pa.array([r[3] for r in out], pa.float64()),
+            "hi": pa.array([r[4] for r in out], pa.float64())})
+
+    out = (ds.map_batches(score, batch_format="pyarrow")
+           .groupby("lang")
+           .map_groups(tertiles, batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["lang", "bucket"]).reset_index(drop=True))
+    return pa.table({
+        "lang": pa.array(out["lang"].tolist(), pa.string()),
+        "bucket": pa.array(out["bucket"].tolist(), pa.int64()),
+        "n_docs": pa.array(out["n_docs"].tolist(), pa.int64()),
+        "lo": _round6(pa.array(out["lo"].tolist(), pa.float64())),
+        "hi": _round6(pa.array(out["hi"].tolist(), pa.float64()))})
+
+
+_WINNOW_K = 3   # words per k-gram
+_WINNOW_W = 4   # k-grams per winnowing window
+
+
+def q_winnowing_fingerprints(sf_dir: str):
+    """Winnowing document fingerprints (the MOSS local fingerprinting
+    algorithm; Schleimer et al. 2003): hash every word 3-gram, slide a
+    4-gram window, keep each window's minimum hash with the RIGHTMOST
+    tie (the robust-winnowing rule), then rank document pairs by how
+    many selected fingerprints they share — the code-plagiarism /
+    near-dup detector for a source corpus. The gram stream comes from
+    the shared vectorized shingle machinery; per-window selection is
+    four shifted vectorized string-minima (no per-window loop) with
+    doc boundaries masked by a sentinel; pair expansion and counting
+    reuse the salted/bucketed jaccard exchange, so a hot fingerprint
+    never grinds one task. md5 keeps the oracle exact (the
+    fingerprint_minmd5 convention); the rolling-hash scale path is
+    functions/text.py add_fingerprint_rolling."""
+    import hashlib
+
+    from ray.data.aggregate import Count
+
+    from ..dedup.jaccard import (
+        _expand_pair_blocks,
+        _pair_blocks_of_group,
+        _shingle_rows,
+        _unpack_pk,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    _SEL_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("h", pa.string())])
+
+    def select(t: pa.Table) -> pa.Table:
+        sh = _shingle_rows(t, "text", "doc_id", _WINNOW_K,
+                           distinct=False)
+        if sh.num_rows == 0:
+            return _SEL_SCHEMA.empty_table()
+        did = sh["doc_id"].to_numpy(zero_copy_only=False)
+        # per-doc gram positions (gram rows are doc-major, in order)
+        new = np.r_[True, did[1:] != did[:-1]]
+        starts = np.flatnonzero(new)
+        pos = np.arange(did.size, dtype=np.int64) \
+            - np.repeat(starts, np.diff(np.append(starts, did.size)))
+        ng = np.repeat(np.diff(np.append(starts, did.size)),
+                       np.diff(np.append(starts, did.size)))
+        h = np.array([hashlib.md5(s.encode()).hexdigest()
+                      for s in sh["sh"].to_pylist()], dtype="U32")
+        pad = np.char.zfill(
+            (1_000_000_000 - (pos + 1)).astype("U10"), 10)
+        keys = np.char.add(h, pad)
+        # windowed min of W shifted copies; '~' (> any hex digit)
+        # masks positions before the doc's start
+        sent = np.full(1, "~", dtype=keys.dtype)
+        wmin = keys
+        for s in range(1, _WINNOW_W):
+            shifted = np.concatenate([np.repeat(sent, s), keys[:-s]]) \
+                if s < keys.size else np.repeat(sent, keys.size)
+            shifted = np.where(pos >= s, shifted, sent[0])
+            wmin = np.where(shifted < wmin, shifted, wmin)
+        emit = (pos >= _WINNOW_W - 1) | ((ng < _WINNOW_W) & (pos == ng - 1))
+        sel = pa.table({
+            "doc_id": pa.array(did[emit], pa.int64()),
+            "h": pa.array(wmin[emit].astype("U32"))})
+        return sel.group_by(["doc_id", "h"]).aggregate([])
+
+    sel = ds.map_batches(select, batch_format="pyarrow")
+    from functools import partial as _partial
+
+    counts = (sel.groupby("h")
+              .map_groups(_partial(_pair_blocks_of_group, max_group=None),
+                          batch_format="pyarrow")
+              .map_batches(_expand_pair_blocks, batch_format="pyarrow",
+                           batch_size=128)
+              .groupby("pk")
+              .aggregate(Count(alias_name="inter"))
+              .map_batches(_unpack_pk, batch_format="pyarrow"))
+    top = topk(counts, 15, [("inter", "descending"), ("a", "ascending"),
+                            ("b", "ascending")])
+    return pa.table({
+        "doc_a": pa.array(top["a"].tolist(), pa.int64()),
+        "doc_b": pa.array(top["b"].tolist(), pa.int64()),
+        "shared": pa.array(top["inter"].tolist(), pa.int64())})
+
+
 QUERY_REGISTRY = {
     "severity_histogram": q_severity_histogram,
     "severity_alerts": q_severity_alerts,
@@ -8781,4 +8953,6 @@ QUERY_REGISTRY = {
     "latest_transform": q_latest_transform,
     "knn_outlier": q_knn_outlier,
     "graph_explore": q_graph_explore,
+    "perplexity_buckets": q_perplexity_buckets,
+    "winnowing_fingerprints": q_winnowing_fingerprints,
 }

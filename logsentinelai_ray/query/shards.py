@@ -561,6 +561,10 @@ class SearchEngine:
         from ..index.delete import read_tombstones
 
         self._tombstones = read_tombstones(index_dir)
+        # ES shard-request-cache analog (search_cached): full-request
+        # key -> result table; generation bumps on every refresh
+        self._request_cache: dict = {}
+        self._request_cache_gen = 0
         # speculative prewarm: kick off shard-side decodes of each
         # shard's Zipf-head terms NOW (results wait in the object store,
         # materialized on first use) — first queries for hot terms find
@@ -593,11 +597,56 @@ class SearchEngine:
 
     def reload_tombstones(self) -> int:
         """Re-read the delete set from disk (the ES refresh analog);
-        returns its size."""
+        returns its size. Bumps the request-cache generation — every
+        cached search result keyed under the old generation becomes
+        unreachable, the ES shard-request-cache invalidation-on-refresh
+        contract."""
         from ..index.delete import read_tombstones
 
         self._tombstones = read_tombstones(self.index_dir)
+        self._request_cache_gen += 1
+        self._request_cache.clear()
         return int(self._tombstones.size)
+
+    def delete_by_query(self, text: str) -> int:
+        """ES ``_delete_by_query``: tombstone every doc matching the
+        query (same match semantics as ``match_ids``), persist the
+        merged delete set, and refresh this engine so the deletes are
+        immediately visible here. Returns how many NEW docs were
+        deleted. Like ES, this never rewrites segments — ``compact``
+        is the force-merge that physically drops them."""
+        from ..index.delete import delete_docs
+
+        ids = self._drop_tombstones(np.sort(self.match_ids(text)))
+        if ids.size:
+            delete_docs(self.index_dir, ids)
+        self.reload_tombstones()
+        return int(ids.size)
+
+    _REQUEST_CACHE_MAX = 256
+
+    def search_cached(self, text: str, k: int = 10,
+                      filters: dict | None = None,
+                      strategy: str | None = None) -> pa.Table:
+        """ES shard-request-cache analog over ``search``: identical
+        requests return the SAME immutable Arrow result without
+        re-scoring; entries are keyed by the full request plus the
+        delete-set generation, so any refresh (``reload_tombstones`` /
+        ``delete_by_query``) invalidates everything at once — results
+        are always exactly ``search``'s. Bounded FIFO of
+        ``_REQUEST_CACHE_MAX`` entries (a result is k rows, ~KBs)."""
+        fkey = (tuple(sorted((f, tuple(v) if isinstance(v, (list, tuple))
+                              else v) for f, v in filters.items()))
+                if filters else None)
+        key = (text, k, fkey, strategy, self._request_cache_gen)
+        hit = self._request_cache.get(key)
+        if hit is not None:
+            return hit
+        res = self.search(text, k=k, filters=filters, strategy=strategy)
+        if len(self._request_cache) >= self._REQUEST_CACHE_MAX:
+            self._request_cache.pop(next(iter(self._request_cache)))
+        self._request_cache[key] = res
+        return res
 
     def _mask_tombstones(self, acc: np.ndarray) -> None:
         """Zero deleted docs out of a TAAT accumulator in place."""

@@ -123,3 +123,48 @@ def test_scroll_export_plans_agree_with_deletes(deleted_engine, tmp_path):
     assert a["doc_id"].tolist() == b["doc_id"].tolist()
     assert not (set(a["doc_id"]) & victims)
     assert a["sha256"].tolist() == b["sha256"].tolist()
+
+
+def test_delete_by_query_and_request_cache(ray_session, tmp_path):
+    """ES _delete_by_query + shard-request-cache semantics: cached
+    results are identical objects until a refresh invalidates them,
+    and delete_by_query removes exactly the matching docs."""
+    import ray.data as rd
+
+    from logsentinelai_ray.config import CorpusConfig, IndexConfig
+    from logsentinelai_ray.corpus import generate_corpus
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    d = str(tmp_path / "dbq")
+    tbl = generate_corpus(CorpusConfig(n_docs=300))
+    build_index(rd.from_arrow(tbl), d,
+                IndexConfig(num_partitions=4, salt_buckets=2,
+                            block_size=32), corpus_tag="dbq")
+    eng = SearchEngine(d, num_shards=2)
+    try:
+        q = "authentication failure error"
+        r1 = eng.search_cached(q, k=10)
+        r2 = eng.search_cached(q, k=10)
+        assert r2 is r1                      # cache hit: same object
+        assert r1["doc_id"].to_pylist() == \
+            eng.search(q, k=10)["doc_id"].to_pylist()
+
+        victims = set(int(i) for i in eng.match_ids("authentication"))
+        n = eng.delete_by_query("authentication")
+        assert n == len(victims) > 0
+        assert eng.delete_by_query("authentication") == 0  # idempotent
+
+        r3 = eng.search_cached(q, k=10)
+        assert r3 is not r1                  # refresh invalidated
+        assert not victims & set(r3["doc_id"].to_pylist())
+        assert r3["doc_id"].to_pylist() == \
+            eng.search(q, k=10)["doc_id"].to_pylist()
+
+        # filters participate in the cache key
+        f1 = eng.search_cached(q, k=10, filters={"lang": "python"})
+        f2 = eng.search_cached(q, k=10, filters={"lang": "java"})
+        assert f1 is not f2
+        assert f1 is eng.search_cached(q, k=10, filters={"lang": "python"})
+    finally:
+        eng.shutdown()

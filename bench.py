@@ -33,6 +33,32 @@ BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "100000"))
 CORPUS_CACHE = f"/tmp/lsai_bench_corpus_{BENCH_DOCS}"
 
+def primer_start(n: int = 32, ramp_s: float = 25.0) -> list:
+    """nice-19 spinners on ALL cores: this host's idle-frequency governor
+    keeps clocks LOW under light load and takes ~20–25 s of sustained
+    full-core load to ramp (measured directly this round: memcpy probe
+    2.7 GB/s after 5 s of spinner load, 10.0 GB/s after 25 s; the same
+    83 MB posting exchange took 27.7 s on a session's first emit and
+    10.3 s warm), so an unprimed run measures the governor, not the
+    engine. The primer holds clocks up at the LOWEST priority — the
+    measured Ray workers preempt it — and ``ramp_s`` waits out the clock
+    ramp before the timed section begins. Every bench JSON that ran under
+    it says so (``primed: true``)."""
+    code = "while True:\n    pass\n"
+    procs = [subprocess.Popen(["nice", "-n", "19",
+                               sys.executable, "-c", code])
+             for _ in range(n)]
+    time.sleep(ramp_s)
+    return procs
+
+
+def primer_stop(procs: list) -> None:
+    for p in procs:
+        p.kill()
+    for p in procs:
+        p.wait()
+
+
 def _query_set() -> list[dict]:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "queries.json")) as f:
@@ -287,9 +313,13 @@ def run_once() -> dict:
     DataContext.get_current().enable_progress_bars = False
 
     probe_before = host_probe()
-    core = bench_index_and_query()
-    probe_mid = host_probe()
-    pipelines = bench_pipelines()
+    procs = primer_start()
+    try:
+        core = bench_index_and_query()
+        probe_mid = host_probe()
+        pipelines = bench_pipelines()
+    finally:
+        primer_stop(procs)
     ray.shutdown()
     probe_after = host_probe()
 
@@ -299,6 +329,7 @@ def run_once() -> dict:
         "metric": "index_build_plus_bm25_query",
         "value": core["build_s"],
         "unit": "sec",
+        "primed": True,
         "queries": queries,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
@@ -371,34 +402,13 @@ def run_scaling() -> dict:
     reported alongside for transparency.
     """
 
-    def primer_start(n: int = 16) -> list:
-        """nice-19 spinners pinned to the upper cores: this host's
-        idle-frequency governor keeps clocks LOW under light load, so an
-        unprimed 2-cpu leg measures the governor, not the engine
-        (observed: physically impossible >1 efficiencies). The primer
-        holds clocks up at the lowest priority; the measured Ray workers
-        preempt it. Disclosed in the output (primed: true)."""
-        code = "import time\nwhile True:\n    pass\n"
-        return [subprocess.Popen(
-            ["nice", "-n", "19", "taskset", "-c", "16-31",
-             sys.executable, "-c", code]) for _ in range(n)]
-
-    def primer_stop(procs: list) -> None:
-        for p in procs:
-            p.kill()
-        for p in procs:
-            p.wait()
-
     def sub_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_BENCH_DOCS=str(SCALING_DOCS))
-        procs = primer_start()
-        try:
-            out = subprocess.run([sys.executable, __file__, "--core-only"],
-                                 env=env, capture_output=True, text=True,
-                                 check=True).stdout
-        finally:
-            primer_stop(procs)
+        # --core-only primes itself (module-level primer_start)
+        out = subprocess.run([sys.executable, __file__, "--core-only"],
+                             env=env, capture_output=True, text=True,
+                             check=True).stdout
         os.sync()  # settle page cache/allocator before the next run
         time.sleep(8)
         return json.loads(out.strip().splitlines()[-1])
@@ -467,8 +477,13 @@ def run_core_only() -> dict:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    core = bench_index_and_query()
+    procs = primer_start()
+    try:
+        core = bench_index_and_query()
+    finally:
+        primer_stop(procs)
     ray.shutdown()
+    core["primed"] = True
     return core
 
 

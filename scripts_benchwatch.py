@@ -1,0 +1,90 @@
+"""Window-gated headline bench runner.
+
+The sandbox host throttles AGGREGATE multi-process memory bandwidth in
+oscillating windows (measured this round: 8-process aggregate memcpy
+swings 0.3 -> 117 GB/s and back within minutes, while single-process
+reads stay ~8-18 GB/s — so only a multi-process probe detects it).
+This script probes every ``PROBE_EVERY_S`` and fires ``bench.py
+--core-only`` only inside a healthy window, recording every attempt
+(probes embedded before/after) to ``BENCH_r{N}_attempt_*.json`` — the
+round's disclosed-attempt protocol (BASELINE.md). When an attempt
+clears ``FULL_BAR`` docs/s it runs the FULL bench once and writes the
+candidate ``BENCH_r{N}.json``.
+
+Usage: python scripts_benchwatch.py [max_minutes]
+"""
+import json
+import os
+import string
+import subprocess
+import sys
+import time
+
+HEALTHY_P8_GBPS = 50.0
+FULL_BAR = 5000.0
+PROBE_EVERY_S = 75
+ROUND = os.environ.get("GRAFT_ROUND", "r03")
+
+
+def _aggregate_probe() -> dict:
+    import bench
+
+    return {"memcpy_p1": bench._memory_bandwidth(1),
+            "memcpy_p8": bench._memory_bandwidth(8),
+            **bench.host_probe()}
+
+
+def _next_attempt_path() -> str:
+    for c in string.ascii_lowercase[4:]:  # attempts a-d exist
+        p = f"BENCH_{ROUND}_attempt_{c}.json"
+        if not os.path.exists(p):
+            return p
+    return f"BENCH_{ROUND}_attempt_z{int(time.time())}.json"
+
+
+def main() -> int:
+    max_s = float(sys.argv[1]) * 60 if len(sys.argv) > 1 else 7200
+    t_start = time.monotonic()
+    best = 0.0
+    full_done = False
+    while time.monotonic() - t_start < max_s:
+        probe = _aggregate_probe()
+        healthy = probe["memcpy_p8"] >= HEALTHY_P8_GBPS
+        print(f"probe p8={probe['memcpy_p8']} healthy={healthy}",
+              flush=True)
+        if not healthy:
+            time.sleep(PROBE_EVERY_S)
+            continue
+        out = subprocess.run([sys.executable, "bench.py", "--core-only"],
+                             capture_output=True, text=True)
+        try:
+            core = json.loads(out.stdout.strip().splitlines()[-1])
+        except Exception:
+            print("core bench failed:", out.stderr[-500:], flush=True)
+            time.sleep(PROBE_EVERY_S)
+            continue
+        rec = {"probes": {"before": probe, "after": _aggregate_probe()},
+               **core}
+        path = _next_attempt_path()
+        with open(path, "w") as f:
+            json.dump(rec, f, indent=1)
+        dps = core.get("docs_per_sec", 0.0)
+        best = max(best, dps)
+        print(f"attempt {path}: {dps} docs/s (best {best})", flush=True)
+        if dps >= FULL_BAR and not full_done:
+            out = subprocess.run([sys.executable, "bench.py"],
+                                 capture_output=True, text=True)
+            try:
+                full = json.loads(out.stdout.strip().splitlines()[-1])
+                with open(f"BENCH_{ROUND}_candidate.json", "w") as f:
+                    json.dump(full, f, indent=1)
+                print("FULL bench candidate written", flush=True)
+                full_done = True
+            except Exception:
+                print("full bench failed:", out.stderr[-500:], flush=True)
+        time.sleep(PROBE_EVERY_S)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -22,4 +22,13 @@ No module here calls ``ray.init``/``ray.shutdown``; sessions are owned by the
 driver, ``bench.py``, or the test fixture.
 """
 
+import os as _os
+
+# Polars sizes its thread pool at first import. Inside Ray workers every
+# task is scheduled as num_cpus=1 — parallelism comes from tasks, so an
+# uncapped per-worker pool (32 threads x 32 workers) only oversubscribes.
+# Must be set before any polars import anywhere in the process; harmless
+# on the driver (driver-side polars use is small tables).
+_os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 __version__ = "0.1.0"

@@ -62,3 +62,21 @@ def test_null_content_is_empty():
     per_row, dl = _arrow_tokens(["x", None, "y z"])
     assert per_row == [["x"], [], ["y", "z"]]
     assert list(dl) == [1, 0, 2]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(max_size=80), min_size=1, max_size=20))
+def test_polars_and_re2_paths_identical(texts):
+    """The polars fast path and the RE2 fallback must stay
+    byte-identical — rank identity vs the oracle depends on it."""
+    from logsentinelai_ray.analysis.tokenizer import (
+        _tokenize_batch_polars,
+        _tokenize_batch_re2,
+    )
+
+    arr = pa.array(texts, pa.string())
+    r1, f1, d1 = _tokenize_batch_re2(arr, 64)
+    r2, f2, d2 = _tokenize_batch_polars(arr, 64)
+    assert (r1 == r2).all()
+    assert f1.equals(f2)
+    assert (d1 == d2).all()

@@ -82,6 +82,20 @@ def main() -> int:
                 full_done = True
             except Exception:
                 print("full bench failed:", out.stderr[-500:], flush=True)
+        if dps >= FULL_BAR and full_done and \
+                not os.path.exists(f"BENCH_{ROUND}_1m.json"):
+            env = dict(os.environ, GRAFT_BENCH_DOCS="1000000")
+            out = subprocess.run(
+                [sys.executable, "bench.py", "--core-only"],
+                capture_output=True, text=True, env=env)
+            try:
+                m1 = json.loads(out.stdout.strip().splitlines()[-1])
+                m1["probes_after"] = _aggregate_probe()
+                with open(f"BENCH_{ROUND}_1m.json", "w") as f:
+                    json.dump(m1, f, indent=1)
+                print("1M-doc core bench written", flush=True)
+            except Exception:
+                print("1M bench failed:", out.stderr[-500:], flush=True)
         time.sleep(PROBE_EVERY_S)
     return 0
 

@@ -4698,3 +4698,33 @@ ORACLE_SQL["winnowing_fingerprints"] = """
     FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2 ORDER BY shared DESC, doc_a ASC, doc_b ASC LIMIT 15
 """
+
+ORACLE_SQL["mixture_unimax"] = """
+    WITH RECURSIVE tk AS (
+      SELECT lang,
+             sum(len(regexp_extract_all(lower(text),
+                 '[a-z0-9]+')))::BIGINT AS tokens
+      FROM documents GROUP BY 1
+    ), tot AS (SELECT sum(tokens)::BIGINT AS b FROM tk),
+    caps AS (
+      SELECT lang, tokens, 2 * tokens AS cap,
+             row_number() OVER (ORDER BY 2 * tokens ASC, lang ASC) AS rn,
+             count(*) OVER () AS n
+      FROM tk
+    ), alloc AS (
+      SELECT c.rn, c.n, c.lang, c.tokens, c.cap,
+             least(c.cap, (SELECT b FROM tot) // c.n) AS a,
+             (SELECT b FROM tot)
+               - least(c.cap, (SELECT b FROM tot) // c.n) AS rem
+      FROM caps c WHERE c.rn = 1
+      UNION ALL
+      SELECT c.rn, c.n, c.lang, c.tokens, c.cap,
+             least(c.cap, p.rem // (c.n - c.rn + 1)),
+             p.rem - least(c.cap, p.rem // (c.n - c.rn + 1))
+      FROM caps c JOIN alloc p ON c.rn = p.rn + 1
+    )
+    SELECT lang, tokens, CAST(cap AS BIGINT) AS cap,
+           CAST(a AS BIGINT) AS alloc,
+           CAST((a * 1000000) // tokens AS BIGINT) AS epochs_ppm
+    FROM alloc ORDER BY lang
+"""

@@ -755,6 +755,50 @@ def q_mixture_weights(sf_dir: str):
     return out
 
 
+_UNIMAX_EPOCH_CAP = 2
+
+
+def q_mixture_unimax(sf_dir: str):
+    """UniMax language sampling (Chung et al. 2023): allocate a total
+    token budget across languages with a hard per-language epoch cap,
+    giving every language an equal share of the remaining budget unless
+    its capacity (``cap = EPOCH_CAP * tokens``) is smaller — process
+    languages ASCENDING by capacity so small languages cap out first
+    and their unused share flows to the rest. Token counting is the
+    distributed ``add_token_count`` groupby; the waterfall itself is a
+    driver post-pass over #languages rows (integer floor division —
+    deterministic, oracle-exact via a recursive CTE). ``epochs_ppm`` is
+    the resulting epochs per language in exact integer ppm."""
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+
+    from ..functions import add_token_count
+
+    ds = _read(sf_dir, "documents", columns=["lang", "text"])
+    tk = (ds.map_batches(add_token_count, batch_format="pyarrow")
+          .select_columns(["lang", "n_tokens"])
+          .groupby("lang").aggregate(Sum("n_tokens", alias_name="tokens"))
+          .to_pandas())
+    tk["tokens"] = tk["tokens"].astype("int64")
+    tk["cap"] = _UNIMAX_EPOCH_CAP * tk["tokens"]
+    tk = tk.sort_values(["cap", "lang"]).reset_index(drop=True)
+    budget = int(tk["tokens"].sum())
+    n = len(tk)
+    rem = budget
+    allocs = []
+    for i, cap in enumerate(tk["cap"]):
+        a = min(int(cap), rem // (n - i))
+        allocs.append(a)
+        rem -= a
+    tk["alloc"] = pd.Series(allocs, dtype="int64")
+    tk["epochs_ppm"] = (tk["alloc"] * 1_000_000) // tk["tokens"]
+    out = tk.sort_values("lang").reset_index(drop=True)
+    return out[["lang", "tokens", "cap", "alloc", "epochs_ppm"]].astype(
+        {"tokens": "int64", "cap": "int64", "alloc": "int64",
+         "epochs_ppm": "int64"})
+
+
 def pack_bestfit_group(sizes, ids, capacity: int):
     """Best-fit-decreasing bin packing over one partition's (size, id)
     pairs: items sorted (size desc, id asc); each item goes to the open
@@ -8896,6 +8940,7 @@ QUERY_REGISTRY = {
     "dsl_search": q_dsl_search,
     "sliced_scroll": q_sliced_scroll,
     "mixture_temperature": q_mixture_temperature,
+    "mixture_unimax": q_mixture_unimax,
     "synonym_search": q_synonym_search,
     "multimodal_resize": q_multimodal_resize,
     "video_frame_sample": q_video_frame_sample,

@@ -107,7 +107,12 @@ def bench_index_and_query() -> dict:
     idx_base = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     idx_dir = f"{idx_base}/lsai_bench_idx_{NUM_CPUS}"
     shutil.rmtree(idx_dir, ignore_errors=True)
-    cfg = IndexConfig(num_partitions=32, salt_buckets=4)
+    # GRAFT_BENCH_POSITIONS=1 measures the positions-sidecar build (one
+    # row per token occurrence — the Lucene-.pos-sized artifact phrase
+    # queries need); default is the core postings-only build
+    cfg = IndexConfig(num_partitions=32, salt_buckets=4,
+                      store_positions=bool(int(os.environ.get(
+                          "GRAFT_BENCH_POSITIONS", "0"))))
     t0 = time.monotonic()
     meta = build_index(corpus_dir, idx_dir, cfg,
                        corpus_tag=f"bench{BENCH_DOCS}")

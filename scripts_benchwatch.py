@@ -82,6 +82,22 @@ def main() -> int:
                 full_done = True
             except Exception:
                 print("full bench failed:", out.stderr[-500:], flush=True)
+        if dps >= FULL_BAR and \
+                not os.path.exists(f"BENCH_{ROUND}_positions.json"):
+            env = dict(os.environ, GRAFT_BENCH_POSITIONS="1")
+            out = subprocess.run(
+                [sys.executable, "bench.py", "--core-only"],
+                capture_output=True, text=True, env=env)
+            try:
+                posr = json.loads(out.stdout.strip().splitlines()[-1])
+                posr["store_positions"] = True
+                posr["probes_after"] = _aggregate_probe()
+                with open(f"BENCH_{ROUND}_positions.json", "w") as f:
+                    json.dump(posr, f, indent=1)
+                print("positions core bench written", flush=True)
+            except Exception:
+                print("positions bench failed:", out.stderr[-500:],
+                      flush=True)
         if dps >= FULL_BAR and full_done and \
                 not os.path.exists(f"BENCH_{ROUND}_1m.json"):
             env = dict(os.environ, GRAFT_BENCH_DOCS="1000000")

@@ -112,6 +112,19 @@ def main() -> int:
                 print("1M-doc core bench written", flush=True)
             except Exception:
                 print("1M bench failed:", out.stderr[-500:], flush=True)
+        if dps >= FULL_BAR and full_done and \
+                os.path.exists(f"BENCH_{ROUND}_1m.json") and \
+                not os.path.exists(f"BENCH_scaling_{ROUND}_final.json"):
+            out = subprocess.run([sys.executable, "bench.py", "--scaling"],
+                                 capture_output=True, text=True)
+            try:
+                sc = json.loads(out.stdout.strip().splitlines()[-1])
+                with open(f"BENCH_scaling_{ROUND}_final.json", "w") as f:
+                    json.dump(sc, f, indent=1)
+                print("scaling pair written, eff:", sc.get("value"),
+                      flush=True)
+            except Exception:
+                print("scaling failed:", out.stderr[-500:], flush=True)
         time.sleep(PROBE_EVERY_S)
     return 0
 

@@ -131,9 +131,12 @@ def main(argv: list[str] | None = None) -> int:
     sn.add_argument("--out", required=True)
 
     d = sub.add_parser("delete", parents=[common],
-                       help="tombstone documents by doc id")
+                       help="tombstone documents by doc id, or by match "
+                            "query (ES _delete_by_query analog)")
     d.add_argument("--index", required=True)
-    d.add_argument("doc_ids", nargs="+", type=int)
+    d.add_argument("--query", default=None,
+                   help="tombstone every doc matching this query text")
+    d.add_argument("doc_ids", nargs="*", type=int)
 
     c = sub.add_parser("compact", parents=[common],
                        help="force-merge: rebuild without tombstoned "
@@ -270,10 +273,22 @@ def main(argv: list[str] | None = None) -> int:
             report = snapshot_index(args.index, args.out)
             print(json.dumps(report))
         elif args.cmd == "delete":
-            from .index.delete import delete_docs
+            if args.query is not None:
+                from .query.shards import SearchEngine
 
-            n = delete_docs(args.index, args.doc_ids)
-            print(json.dumps({"tombstones": n}))
+                eng = SearchEngine(args.index)
+                try:
+                    n = eng.delete_by_query(args.query)
+                finally:
+                    eng.shutdown()
+                print(json.dumps({"deleted": n}))
+            else:
+                if not args.doc_ids:
+                    raise SystemExit("delete: need doc_ids or --query")
+                from .index.delete import delete_docs
+
+                n = delete_docs(args.index, args.doc_ids)
+                print(json.dumps({"tombstones": n}))
         elif args.cmd == "transform":
             import ray.data as rd
 

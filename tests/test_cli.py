@@ -98,6 +98,20 @@ def test_cli_delete_then_compact(cli_index, capfd, tmp_path):
     assert not (ids2 & set(victims))
 
 
+def test_cli_delete_by_query(cli_index, capfd):
+    """`delete --query` is the ES _delete_by_query analog: every doc
+    matching the query is tombstoned and disappears from search."""
+    _, index = cli_index
+    hits = _run(capfd, ["search", "--index", index, "timeout", "-k", "5"])
+    assert hits, "need at least one match to delete"
+    rep = _run(capfd, ["delete", "--index", index,
+                       "--query", "timeout"])[0]
+    assert rep["deleted"] > 0
+    again = _run(capfd, ["delete", "--index", index,
+                         "--query", "timeout"])[0]
+    assert again["deleted"] == 0  # idempotent
+
+
 def test_cli_snapshot_roundtrip(cli_index, capfd, tmp_path):
     _, index = cli_index
     out = str(tmp_path / "snap")

@@ -20,7 +20,7 @@ import subprocess
 import sys
 import time
 
-HEALTHY_P8_GBPS = 50.0
+HEALTHY_P8_GBPS = 25.0
 FULL_BAR = 5000.0
 PROBE_EVERY_S = 75
 ROUND = os.environ.get("GRAFT_ROUND", "r03")

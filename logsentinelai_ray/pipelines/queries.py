@@ -8689,8 +8689,17 @@ def q_winnowing_fingerprints(sf_dir: str):
             - np.repeat(starts, np.diff(np.append(starts, did.size)))
         ng = np.repeat(np.diff(np.append(starts, did.size)),
                        np.diff(np.append(starts, did.size)))
-        h = np.array([hashlib.md5(s.encode()).hexdigest()
-                      for s in sh["sh"].to_pylist()], dtype="U32")
+        # md5 only the UNIQUE grams (they repeat heavily), then gather —
+        # the md5-per-row cost drops by the duplication factor; md5
+        # itself is the oracle-exactness convention (fingerprint_minmd5),
+        # the rolling-hash kernel is the scale path
+        enc = sh["sh"].dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        uniq_h = np.array([hashlib.md5(s.encode()).hexdigest()
+                           for s in enc.dictionary.to_pylist()],
+                          dtype="U32")
+        h = uniq_h[enc.indices.to_numpy(zero_copy_only=False)]
         pad = np.char.zfill(
             (1_000_000_000 - (pos + 1)).astype("U10"), 10)
         keys = np.char.add(h, pad)

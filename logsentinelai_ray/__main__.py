@@ -116,6 +116,10 @@ def main(argv: list[str] | None = None) -> int:
                    help="parse the text as the ES query_string "
                         "mini-language (field:value, \"phrase\", "
                         "+must, -must_not)")
+    s.add_argument("--kql", action="store_true",
+                   help="parse the text as KQL (the Kibana search-bar "
+                        "language: and/or/not, field:value, "
+                        "field:(a or b), \"phrase\", wildcard*)")
 
     e = sub.add_parser("explain", parents=[common],
                        help="per-term BM25 contribution breakdown of "
@@ -244,7 +248,10 @@ def main(argv: list[str] | None = None) -> int:
                 filters[field] = vals if len(vals) > 1 else vals[0]
             filters = filters or None
             eng = SearchEngine(args.index)
-            if args.query_string:
+            if args.kql:
+                res = eng.kql_search(args.text, k=args.k,
+                                     with_meta=True)
+            elif args.query_string:
                 res = eng.query_string(args.text, k=args.k)
             elif args.phrase:
                 res = eng.phrase_topk(args.text, k=args.k,

@@ -4728,3 +4728,24 @@ ORACLE_SQL["mixture_unimax"] = """
            CAST((a * 1000000) // tokens AS BIGINT) AS epochs_ppm
     FROM alloc ORDER BY lang
 """
+
+# KQL: lang:en and (merge or "sort merge") and not error — candidate
+# predicate over keyword field + term/phrase union + exclusion, scored
+# by the shared BM25 CTE over the positive text terms (merge, sort)
+ORACLE_SQL["kql_search"] = _bm25_base("('merge'), ('sort')") + f"""
+    , arr AS (
+      SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+    ), ph AS (
+      SELECT doc_id FROM arr
+      WHERE len(arr) >= 2
+        AND len([i FOR i IN generate_series(1, len(arr) - 1)
+                 IF arr[i] = 'sort' AND arr[i+1] = 'merge']) > 0
+    )
+    SELECT s.doc_id, round(s.score, 6) AS score
+    FROM scores s JOIN documents d USING (doc_id)
+    WHERE d.lang = 'en'
+      AND (s.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+           OR s.doc_id IN (SELECT doc_id FROM ph))
+      AND s.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'error')
+    ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""

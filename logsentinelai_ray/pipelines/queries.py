@@ -2750,6 +2750,21 @@ def q_query_string(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+KQL_QUERY = 'lang:en and (merge or "sort merge") and not error'
+
+
+def q_kql_search(sf_dir: str):
+    """KQL — the Kibana search-bar language the reference's dashboards
+    actually speak (SURVEY §1.2): boolean id-set algebra over keyword
+    postings / term unions / positional phrase verify, ranked by BM25
+    over the positive text terms (query/kql.py). Exact SQL oracle:
+    the same candidate predicate + the shared BM25 CTE."""
+    eng = _docs_engine(sf_dir)
+    res = eng.kql_search(KQL_QUERY, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_function_score(sf_dir: str):
     """ES function_score (filter+weight functions): BM25 multiplied by
     per-lang weights (en 1.5x, de 1.25x) BEFORE top-k selection — the
@@ -8798,6 +8813,7 @@ QUERY_REGISTRY = {
     "min_should_match": q_min_should_match,
     "analyze_tokens": q_analyze_tokens,
     "query_string": q_query_string,
+    "kql_search": q_kql_search,
     "function_score": q_function_score,
     "dis_max": q_dis_max,
     "search_facets": q_search_facets,

@@ -1030,6 +1030,28 @@ class SearchEngine:
         cat = cat.take(idx.slice(0, max_expansions))
         return cat.sort_by("term")
 
+    def keyword_values(self, field: str, prefix: str = "",
+                       max_expansions: int = 256) -> list[str]:
+        """Distinct indexed values of a keyword field (optionally value-
+        prefix-filtered) — a dictionary scan over the field's namespaced
+        ``field:value`` terms, values returned sorted. Serves KQL/ES
+        wildcard-on-keyword clauses (``repo:org1*``)."""
+        ns = f"{field}:{prefix}"
+        tbls = ray.get([s.expand_terms.remote(ns, max_expansions, True)
+                        for s in self.shards])
+        cat = pa.concat_tables(tbls)
+        cut = len(field) + 1
+        vals = {t[cut:] for t in cat["term"].to_pylist()
+                if t.startswith(f"{field}:")}
+        return sorted(vals)[:max_expansions]
+
+    def kql_search(self, q: str, k: int = 10,
+                   with_meta: bool = False) -> pa.Table:
+        """Kibana Query Language search — see query/kql.py."""
+        from .kql import kql_search
+
+        return kql_search(self, q, k=k, with_meta=with_meta)
+
     def expand_regex(self, pattern: str,
                      max_expansions: int = 64) -> pa.Table:
         """Content terms fully matching the RE2 ``pattern`` (ES regexp

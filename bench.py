@@ -29,8 +29,15 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
 # --scaling amortizes fixed stage overheads over a larger corpus so the
-# measurement reflects the parallel fraction, not constant costs
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "100000"))
+# measurement reflects the parallel fraction, not constant costs.
+# Round 3 raised this 100k -> 500k after the build got ~2.3x faster:
+# measured at 100k, every build carries ~8.5 s of CPU-count-independent
+# cost (Ray startup waves, manifest/stats IO, merge barrier) vs ~101
+# core-seconds of parallel work, which caps 2->8 efficiency at ~0.70 by
+# Amdahl alone; at 500k the parallel fraction dominates again (the
+# production regime — a 10^12-file shard gives every node hours of
+# parallel work, so the fixed cost is noise there).
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "500000"))
 CORPUS_CACHE = f"/tmp/lsai_bench_corpus_{BENCH_DOCS}"
 
 def primer_start(n: int = 32, ramp_s: float = 25.0) -> list:

@@ -298,7 +298,11 @@ def bench_pipelines() -> dict:
              "text_expansion", "combined_fields", "span_containing",
              "span_within", "phrase_suggest", "collocations_pmi",
              "geo_polygon_filter", "geo_line_agg", "bucket_correlation",
-             "async_search", "ilm_search", "bm25_topk_stopped"]
+             "async_search", "ilm_search", "bm25_topk_stopped",
+             # fifth-session operators: Kibana search-bar language,
+             # CCNet perplexity tertiles, MOSS winnowing, UniMax
+             "kql_search", "perplexity_buckets",
+             "winnowing_fingerprints", "mixture_unimax"]
     out = {}
     for name in names:
         t0 = time.monotonic()

@@ -103,6 +103,33 @@ class WebhookAlertSink:
         return n
 
 
+class TelegramAlertSink(WebhookAlertSink):
+    """Telegram Bot API transport — the reference's exact delivery
+    channel (utils/telegram_alert.py:22-33: one ``sendMessage`` POST
+    per alert to ``api.telegram.org/bot<token>``, chat_id + text body;
+    the reference opens a fresh Bot per message to dodge pool reuse —
+    here the sink is actor-held, one client per actor). Same injectable
+    ``post_fn`` seam as the webhook sink (no network in the sandbox;
+    the URL/payload shape is unit-tested with a fake)."""
+
+    _API = "https://api.telegram.org/bot{token}/sendMessage"
+
+    def __init__(self, token: str, chat_id: str,
+                 timeout_s: float = 10.0, post_fn=None):
+        super().__init__(self._API.format(token=token),
+                         timeout_s=timeout_s, post_fn=post_fn)
+        self.chat_id = chat_id
+
+    def deliver(self, alerts: pa.Table) -> int:
+        n = 0
+        for row in alerts.to_pylist():
+            payload = json.dumps({"chat_id": self.chat_id,
+                                  "text": row["message"]})
+            self._post(self.url, payload.encode("utf-8"))
+            n += 1
+        return n
+
+
 class _DeliverStage:
     """Actor-pool stage: construct the sink once per actor, deliver per
     batch, emit one receipt row per batch."""

@@ -203,6 +203,35 @@ def test_webhook_alert_sink_posts_payloads():
     assert b"CRITICAL" in posted[0][1]
 
 
+def test_telegram_alert_sink_shape():
+    """Telegram transport: reference utils/telegram_alert.py parity —
+    bot-token URL, chat_id + text JSON body, one POST per alert."""
+    import json as _json
+
+    from logsentinelai_ray.stages.alerts import (
+        TelegramAlertSink,
+        format_alerts,
+    )
+
+    posted = []
+    sink = TelegramAlertSink("TOKEN123", chat_id="-10042",
+                             post_fn=lambda url, body: posted.append(
+                                 (url, body)))
+    events = pa.table({
+        "event_id": pa.array([5, 6], pa.int64()),
+        "event_type": pa.array(["error", "click"]),
+        "user_id": pa.array([1, 2], pa.int64()),
+        "props": pa.array(["{}", "{}"]),
+    })
+    n = sink.deliver(format_alerts(events))
+    assert n == 1 and len(posted) == 1
+    url, body = posted[0]
+    assert url == "https://api.telegram.org/botTOKEN123/sendMessage"
+    payload = _json.loads(body)
+    assert payload["chat_id"] == "-10042"
+    assert payload["text"].startswith("[CRITICAL]")
+
+
 def test_geoip_mmdb_seam():
     """The real-mmdb path raises a clear ImportError here (maxminddb not
     in the container); an injected lookup_fn overrides the synthetic."""

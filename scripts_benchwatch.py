@@ -71,14 +71,28 @@ def main() -> int:
         dps = core.get("docs_per_sec", 0.0)
         best = max(best, dps)
         print(f"attempt {path}: {dps} docs/s (best {best})", flush=True)
+        cand_path = f"BENCH_{ROUND}_candidate.json"
+        prior_best = None
+        if os.path.exists(cand_path):
+            try:
+                with open(cand_path) as f:
+                    prior_best = json.load(f).get("value")
+            except Exception:
+                prior_best = None
         if dps >= FULL_BAR and not full_done:
             out = subprocess.run([sys.executable, "bench.py"],
                                  capture_output=True, text=True)
             try:
                 full = json.loads(out.stdout.strip().splitlines()[-1])
-                with open(f"BENCH_{ROUND}_candidate.json", "w") as f:
-                    json.dump(full, f, indent=1)
-                print("FULL bench candidate written", flush=True)
+                # a candidate from a previous run is only replaced by a
+                # strictly better (faster-build) one — never regressed
+                if prior_best is None or full["value"] < prior_best:
+                    with open(cand_path, "w") as f:
+                        json.dump(full, f, indent=1)
+                    print("FULL bench candidate written", flush=True)
+                else:
+                    print(f"full bench {full['value']}s not better than "
+                          f"{prior_best}s — kept prior", flush=True)
                 full_done = True
             except Exception:
                 print("full bench failed:", out.stderr[-500:], flush=True)

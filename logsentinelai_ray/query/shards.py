@@ -977,6 +977,26 @@ class SearchEngine:
             row = rows.get(t)
             if row is None:
                 continue
+            cached = (None if t.startswith("p:")
+                      else self._contrib_cache.get(t))
+            if cached is not None:
+                # already decoded shard-side for TAAT/WAND sharing —
+                # gather instead of re-decoding blocks (bit-identical:
+                # the cached contribs come from the same elementwise
+                # float64 expression the inline path computes below,
+                # which the TAAT==oracle rank tests pin down). The "p:"
+                # guard keeps this path's avgdl handling byte-for-byte
+                # with the inline computation, which uses the content
+                # field's avgdl for every term.
+                cids, ccontrib = cached[0], cached[1]
+                p = np.searchsorted(cids, ids)
+                inb = p < cids.size
+                p_ok = p[inb]
+                hit = cids[p_ok] == ids[inb]
+                if hit.any():
+                    idx_sel = np.flatnonzero(inb)[hit]
+                    totals[idx_sel] += ccontrib[p_ok[hit]]
+                continue
             tp = TermPostings(row)
             idf = bm25_idf(n, int(tp.df))
             # blocks that could contain an id, coalesced into contiguous

@@ -183,6 +183,7 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
                        coalesce_blocks: int = 32,
                        decoded: list | None = None,
                        span_cap: int = _SPAN_CAP,
+                       sparse_df_cap: int = 4096,
                        ) -> list[tuple[int, float]]:
     """Vectorized block-max WAND — identical results to ``block_max_wand``
     (cross-tested), but block-at-a-time instead of doc-at-a-time, so the
@@ -220,6 +221,22 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
     excluded docs (they are removed before the top-k merge), matching the
     scalar contract. ``seed_threshold`` must be strictly below the true
     k-th best score (see block_max_wand).
+
+    Sparse-list refinement (``sparse_df_cap``): a rare term's few
+    postings land in few blocks whose [first, last] intervals can span
+    nearly the whole doc-id space, so interval-based atoms would smear
+    its (large) upper bound over every hot block inside them — the
+    measured failure mode on mixed rare+hot queries, where the scalar
+    WAND skips on the rare cursor's ACTUAL doc ids. Cursors with
+    ``df <= sparse_df_cap`` therefore enter the sweep as per-posting
+    runs of consecutive ids bounded by their EXACT contributions
+    (decoded once — O(df), trivially small by the cap — and reused as
+    the cursor's zero-decode scoring arrays): gaps between a rare
+    term's postings carry no rare bound at all, so hot-only atoms
+    there prune the moment the threshold clears the hot terms' own
+    bounds. Exactness is unchanged — a run's bound is the max of the
+    true contributions inside it, so the skip argument above holds
+    verbatim.
     """
     if decoded is None:
         decoded = [None] * len(cursors)
@@ -230,7 +247,39 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
 
     # ---- 1. atom sweep over block intervals ------------------------------
     pos_parts, delta_parts = [], []
-    for c in cs:
+    for ci, c in enumerate(cs):
+        if c.tp.df <= sparse_df_cap:
+            # sparse list: exact per-posting runs (see docstring)
+            dec = decoded[ci]
+            if dec is not None:
+                ids_full, contrib_full = dec
+            else:
+                ids_full, tfs, dls = c.tp.decode_all()
+                tf = tfs.astype(np.float64)
+                dl = dls.astype(np.float64)
+                # identical expression tree to the block-decode scoring
+                # path below — these arrays ARE the scoring arrays
+                contrib_full = c.idf * (tf * (c.k1 + 1.0)
+                                        / (tf + c.k1 * (1.0 - c.b
+                                                        + c.b * dl
+                                                        / c.avgdl)))
+                decoded[ci] = (ids_full, contrib_full)
+            if not ids_full.size:
+                continue
+            new_run = np.empty(ids_full.size, dtype=bool)
+            new_run[0] = True
+            new_run[1:] = ids_full[1:] > ids_full[:-1] + 1
+            starts = np.flatnonzero(new_run)
+            lo = ids_full[starts]
+            hi = ids_full[np.append(starts[1:], ids_full.size) - 1]
+            ub = np.maximum.reduceat(contrib_full, starts)
+            if c.score_scale != 1.0:
+                ub = c.score_scale * ub
+            pos_parts.append(lo.astype(np.int64, copy=False))
+            delta_parts.append(ub)
+            pos_parts.append(hi.astype(np.int64, copy=False) + 1)
+            delta_parts.append(-ub)
+            continue
         ub = (c.idf * c.bound_scale * c.score_scale) * c.tp.block_max
         pos_parts.append(c.tp.block_first)
         delta_parts.append(ub)

@@ -129,6 +129,53 @@ def test_wand_vec_equals_scalar_wand(engine):
         assert got == exp, (query, "filtered")
 
 
+def test_wand_vec_sparse_intervals(engine):
+    """The sparse-cursor refinement (rare lists enter the atom sweep as
+    exact per-posting runs instead of wide block intervals) must be
+    invisible to results: cap=0 (interval-only), the default, and
+    cap=huge (every list sparse-exact) all return identical top-k on a
+    mixed rare+hot query — seeded and unseeded."""
+    import numpy as np
+
+    from logsentinelai_ray.query.bm25 import bm25_idf
+    from logsentinelai_ray.query.postings import PostingsCursor, TermPostings
+    from logsentinelai_ray.query.wand import block_max_wand_vec
+
+    stats = engine.stats
+    n = int(stats["n_docs"])
+    # find a genuinely rare term plus the two hottest query terms
+    seg = engine._fetch_terms(
+        sorted(set(t for q in QUERY_SET for t in q.split())))
+    hot = sorted(seg, key=lambda t: -seg[t]["df"])[:2]
+    rare = min(seg, key=lambda t: seg[t]["df"])
+    terms = sorted(set(hot + [rare]))
+    rows = engine._fetch_terms(terms)
+
+    def mk():
+        out = []
+        for t in terms:
+            if t not in rows:
+                continue
+            tp = TermPostings(rows[t])
+            out.append(PostingsCursor(tp, bm25_idf(n, int(tp.df)),
+                                      stats["k1"], stats["b"],
+                                      stats["avgdl"]))
+        return out
+
+    for k in (3, 25):
+        exp = block_max_wand_vec(mk(), k, sparse_df_cap=0)
+        got_def = block_max_wand_vec(mk(), k)
+        got_all = block_max_wand_vec(mk(), k, sparse_df_cap=1 << 60)
+        assert got_def == exp, k
+        assert got_all == exp, k
+        if exp:
+            seed = float(np.nextafter(exp[min(k, len(exp)) - 1][1],
+                                      -np.inf))
+            got_seeded = block_max_wand_vec(mk(), k, seed_threshold=seed,
+                                            sparse_df_cap=1 << 60)
+            assert got_seeded == exp, (k, "seeded")
+
+
 def test_doc_ids_deterministic_and_deduped(small_index, small_corpus):
     idx_dir, _ = small_index
     docs = pq.read_table(os.path.join(idx_dir, "docs")).sort_by("doc_id")

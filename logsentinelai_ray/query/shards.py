@@ -841,6 +841,40 @@ class SearchEngine:
 
     # -- public API --------------------------------------------------------
 
+    def _wand_inputs(self, terms: list[str]
+                     ) -> tuple[list[PostingsCursor], list]:
+        """Cursors + zero-decode arrays for the vectorized WAND kernel,
+        sharing TAAT's shard-decoded contribution cache: resident terms
+        score via zero-decode range slices inside the kernel. Terms up
+        to _WAND_CACHE_MAX_DF are decoded once shard-side (parallel)
+        and cached under the SAME budget TAAT uses; rarer-than-cache
+        or mega-hot terms fall back to selective block decode — at
+        10^12 docs a df~10^11 list can never be cached and block-max
+        pruning over compressed blocks is the only path, which stays
+        exercised here whenever the cache budget evicts."""
+        rows = self._fetch_terms(terms)
+        n, avgdl = self.stats["n_docs"], self.stats["avgdl"]
+        cacheable = [t for t, r in rows.items()
+                     if r["df"] <= self._WAND_CACHE_MAX_DF]
+        if cacheable:
+            self._ensure_contribs(cacheable)
+        bounds_avgdl = self.stats.get("min_bounds_avgdl", avgdl) or avgdl
+        bound_scale = max(1.0, avgdl / bounds_avgdl)
+        cursors = []
+        decoded = []
+        for t in terms:  # sorted-term order — the scoring contract
+            row = rows.get(t)
+            if row is None:
+                continue
+            tp = TermPostings(row)
+            idf = bm25_idf(n, int(tp.df))
+            cursors.append(PostingsCursor(tp, idf, self.stats["k1"],
+                                          self.stats["b"], avgdl,
+                                          bound_scale, lazy=True))
+            hit = self._contrib_cache.get(t)
+            decoded.append(None if hit is None else (hit[0], hit[1]))
+        return cursors, decoded
+
     def search(self, text: str, k: int = 10,
                filters: dict | None = None,
                with_meta: bool = True,
@@ -862,34 +896,7 @@ class SearchEngine:
                 self._ensure_contribs(terms)
                 topk = self._search_taat(terms, k, filter_ids)
             return self._format_result(topk, with_meta)
-        rows = self._fetch_terms(terms)
-        # share TAAT's shard-decoded contribution cache: resident terms
-        # score via zero-decode range slices inside the kernel. Terms up
-        # to _WAND_CACHE_MAX_DF are decoded once shard-side (parallel)
-        # and cached under the SAME budget TAAT uses; rarer-than-cache
-        # or mega-hot terms fall back to selective block decode — at
-        # 10^12 docs a df~10^11 list can never be cached and block-max
-        # pruning over compressed blocks is the only path, which stays
-        # exercised here whenever the cache budget evicts.
-        cacheable = [t for t, r in rows.items()
-                     if r["df"] <= self._WAND_CACHE_MAX_DF]
-        if cacheable:
-            self._ensure_contribs(cacheable)
-        bounds_avgdl = self.stats.get("min_bounds_avgdl", avgdl) or avgdl
-        bound_scale = max(1.0, avgdl / bounds_avgdl)
-        cursors = []
-        decoded = []
-        for t in terms:  # sorted-term order — the scoring contract
-            row = rows.get(t)
-            if row is None:
-                continue
-            tp = TermPostings(row)
-            idf = bm25_idf(n, int(tp.df))
-            cursors.append(PostingsCursor(tp, idf, self.stats["k1"],
-                                          self.stats["b"], avgdl,
-                                          bound_scale, lazy=True))
-            hit = self._contrib_cache.get(t)
-            decoded.append(None if hit is None else (hit[0], hit[1]))
+        cursors, decoded = self._wand_inputs(terms)
         filter_ids = self._filter_ids(filters)
         if filter_ids is not None and filter_ids.size == 0:
             return self._format_result([], with_meta)
@@ -1449,26 +1456,34 @@ class SearchEngine:
 
     def search_after(self, text: str, k: int = 10,
                      after: tuple[float, int] | None = None,
-                     with_meta: bool = False) -> pa.Table:
+                     with_meta: bool = False,
+                     strategy: str | None = None) -> pa.Table:
         """ES search_after pagination: the next ``k`` results strictly
         after the cursor ``(score, doc_id)`` in (score desc, doc_id asc)
         order. Pass the previous page's last row (full-precision score)
         as the cursor; ``after=None`` is page one.
 
-        Runs on the TAAT accumulator (the cursor predicate filters the
-        scored candidates before top-k selection); past ``taat_max_docs``
-        the same semantics come from WAND with its pruning threshold
-        warm-started at nextafter(cursor_score, -inf) and the cursor
-        predicate applied to the heap — not needed at sandbox scale, so
-        this method enforces the TAAT ceiling explicitly."""
-        if int(self.stats["n_docs"]) > self.taat_max_docs:
-            raise NotImplementedError(
-                "search_after currently requires the TAAT path; see "
-                "docstring for the WAND warm-start formulation")
+        Auto-strategy mirrors ``search``: the TAAT accumulator (cursor
+        predicate filters the scored candidates before top-k selection)
+        while it fits; past ``taat_max_docs``, capped-score WAND — the
+        kernel admits only post-cursor docs into its top-k merge, so the
+        pruning threshold adapts to the post-cursor k-th best and deep
+        pagination needs no N-sized state (the shard-scale requirement
+        ES meets the same way: Lucene's searchAfter collectors re-run
+        the pruned query with the cursor as a rank cap)."""
+        n = int(self.stats["n_docs"])
+        if strategy is None:
+            strategy = "taat" if n <= self.taat_max_docs else "wand"
         terms = sorted(set(tokenize_py(text,
                                        int(self.stats["max_token_len"]))))
+        if strategy == "wand":
+            cursors, decoded = self._wand_inputs(terms)
+            tomb = self._tombstones
+            topk = block_max_wand_vec(
+                cursors, k, exclude_ids=tomb if tomb.size else None,
+                decoded=decoded, after=after)
+            return self._format_result(topk, with_meta)
         self._ensure_contribs(terms)
-        n = int(self.stats["n_docs"])
         acc = np.zeros(n, dtype=np.float64)
         for t in terms:  # sorted-term order = the oracle's addition order
             hit = self._contrib_cache.get(t)

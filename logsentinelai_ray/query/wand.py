@@ -184,6 +184,7 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
                        decoded: list | None = None,
                        span_cap: int = _SPAN_CAP,
                        sparse_df_cap: int = 4096,
+                       after: tuple[float, int] | None = None,
                        ) -> list[tuple[int, float]]:
     """Vectorized block-max WAND — identical results to ``block_max_wand``
     (cross-tested), but block-at-a-time instead of doc-at-a-time, so the
@@ -221,6 +222,15 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
     excluded docs (they are removed before the top-k merge), matching the
     scalar contract. ``seed_threshold`` must be strictly below the true
     k-th best score (see block_max_wand).
+
+    ``after`` = (score, doc_id) is the ES search_after cursor: only docs
+    ranked STRICTLY after it in (score desc, doc_id asc) order — i.e.
+    score < cursor_score, or equal score with a larger doc_id — enter
+    the top-k merge, so the kernel returns the next page and the pruning
+    threshold adapts to the post-cursor k-th best. This is what makes
+    deep pagination work on shards past the TAAT ceiling: the skip
+    argument is unchanged (held docs are post-cursor with smaller ids,
+    so an atom with ub <= threshold still cannot contain a page member).
 
     Sparse-list refinement (``sparse_df_cap``): a rare term's few
     postings land in few blocks whose [first, last] intervals can span
@@ -413,6 +423,10 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
                 good = np.zeros(uids.size, dtype=bool)
                 good[p_ok] = filter_ids[p[p_ok]] == uids[p_ok]
                 uids, acc = uids[good], acc[good]
+            if after is not None and uids.size:
+                a_s, a_d = float(after[0]), int(after[1])
+                post = (acc < a_s) | ((acc == a_s) & (uids > a_d))
+                uids, acc = uids[post], acc[post]
             if not uids.size:
                 continue
             merged_ids = np.concatenate((top_ids, uids))

@@ -87,6 +87,10 @@ def test_search_after_excludes_deleted(deleted_engine):
     eng, victims = deleted_engine
     page = eng.search_after("error", k=10 ** 6)
     assert not victims & set(page["doc_id"].to_pylist())
+    # the capped-score WAND path drops tombstones too (exclude_ids)
+    pw = eng.search_after("error", k=10 ** 6, strategy="wand")
+    assert pw["doc_id"].to_pylist() == page["doc_id"].to_pylist()
+    assert pw["score"].to_pylist() == page["score"].to_pylist()
 
 
 def test_reload_tombstones(small_index, tmp_path):

@@ -46,6 +46,26 @@ def test_search_after_pages_equal_topk(engine, doc_tokens):
     assert got_scores == full["score"].to_pylist()
 
 
+def test_search_after_wand_equals_taat(engine, doc_tokens):
+    """Deep pagination on the no-N-accumulator path: forced capped-score
+    WAND must walk the exact same pages as the TAAT cursor predicate —
+    bit-identical scores, through page exhaustion."""
+    toks0 = doc_tokens[0][1]
+    text = " ".join(toks0[:4])
+    cursor = None
+    pages = 0
+    while True:
+        pt = engine.search_after(text, k=7, after=cursor, strategy="taat")
+        pw = engine.search_after(text, k=7, after=cursor, strategy="wand")
+        assert pt["doc_id"].to_pylist() == pw["doc_id"].to_pylist(), pages
+        assert pt["score"].to_pylist() == pw["score"].to_pylist(), pages
+        if pt.num_rows < 7 or pages > 30:
+            break
+        cursor = (pt["score"][6].as_py(), pt["doc_id"][6].as_py())
+        pages += 1
+    assert pages >= 1  # the query must actually paginate
+
+
 def test_search_after_none_is_page_one(engine, doc_tokens):
     text = " ".join(doc_tokens[0][1][:3])
     a = engine.search_after(text, k=10)

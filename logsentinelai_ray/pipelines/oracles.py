@@ -4732,6 +4732,34 @@ ORACLE_SQL["mixture_unimax"] = """
 # KQL: lang:en and (merge or "sort merge") and not error — candidate
 # predicate over keyword field + term/phrase union + exclusion, scored
 # by the shared BM25 CTE over the positive text terms (merge, sort)
+# simple_query_string: q(term) is a SELECT (not VALUES) because the
+# prefix wildcard's expansions score too — the engine ranks over
+# merge/sort/spark plus every content term starting with 'windo'
+ORACLE_SQL["simple_query_string"] = _bm25_base("('merge')").replace(
+    "q(term) AS (VALUES ('merge'))",
+    "q(term) AS (SELECT DISTINCT term FROM tf WHERE term IN "
+    "('merge', 'sort', 'spark') OR term LIKE 'windo%')") + f"""
+    , arr AS (
+      SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents
+    ), ph AS (
+      SELECT doc_id FROM arr
+      WHERE len(arr) >= 2
+        AND len([i FOR i IN generate_series(1, len(arr) - 1)
+                 IF arr[i] = 'sort' AND arr[i+1] = 'merge']) > 0
+    )
+    SELECT s.doc_id, round(s.score, 6) AS score
+    FROM scores s
+    WHERE (
+        (s.doc_id IN (SELECT doc_id FROM tf WHERE term = 'merge')
+         OR s.doc_id IN (SELECT doc_id FROM ph))
+        AND s.doc_id IN (SELECT doc_id FROM tf
+                         WHERE term LIKE 'windo%')
+        AND s.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'join')
+      )
+      OR s.doc_id IN (SELECT doc_id FROM tf WHERE term = 'spark')
+    ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+"""
+
 ORACLE_SQL["kql_search"] = _bm25_base("('merge'), ('sort')") + f"""
     , arr AS (
       SELECT doc_id, {_PHRASE_ARR} AS arr FROM documents

@@ -2750,6 +2750,23 @@ def q_query_string(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+SQS_QUERY = '(merge | "sort merge") + windo* + -join spark |'
+
+
+def q_simple_query_string(sf_dir: str):
+    """ES simple_query_string — the lenient end-user syntax (never
+    raises on malformed input; the trailing dangling ``|`` here parses
+    away). Operators: ``|`` OR, ``+`` AND, ``-`` NOT, phrase, trailing
+    ``*`` prefix, parens; adjacency = default_operator (or). Parsed to
+    the same AST KQL evaluates (query/sqs.py -> query/kql.py id-set
+    algebra), ranked by BM25 over the positive text terms. Candidates:
+    ((merge OR "sort merge") AND windo* AND NOT join) OR spark."""
+    eng = _docs_engine(sf_dir)
+    res = eng.simple_query_string(SQS_QUERY, k=10)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 KQL_QUERY = 'lang:en and (merge or "sort merge") and not error'
 
 
@@ -8813,6 +8830,7 @@ QUERY_REGISTRY = {
     "min_should_match": q_min_should_match,
     "analyze_tokens": q_analyze_tokens,
     "query_string": q_query_string,
+    "simple_query_string": q_simple_query_string,
     "kql_search": q_kql_search,
     "function_score": q_function_score,
     "dis_max": q_dis_max,

@@ -1072,6 +1072,16 @@ class SearchEngine:
                 if t.startswith(f"{field}:")}
         return sorted(vals)[:max_expansions]
 
+    def simple_query_string(self, q: str, k: int = 10,
+                            default_operator: str = "or",
+                            with_meta: bool = False) -> pa.Table:
+        """ES simple_query_string (lenient end-user syntax) — see
+        query/sqs.py."""
+        from .sqs import sqs_search
+
+        return sqs_search(self, q, k=k, default_operator=default_operator,
+                          with_meta=with_meta)
+
     def kql_search(self, q: str, k: int = 10,
                    with_meta: bool = False) -> pa.Table:
         """Kibana Query Language search — see query/kql.py."""

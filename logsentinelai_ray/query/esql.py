@@ -473,6 +473,11 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
     import ray.data as rd
 
     cmds = parse_esql(query)
+    if not any(isinstance(c, Limit) for c in cmds):
+        # ES|QL's documented implicit row cap: a pipeline with no LIMIT
+        # returns at most 1000 rows — which also bounds the final
+        # driver-side materialization below on unbounded scans
+        cmds.append(Limit(1000))
     src = cmds[0]
     path = os.path.join(sf_dir, f"{src.table}.parquet")
     cols = sorted(_pipeline_fields(cmds))

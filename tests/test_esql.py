@@ -113,3 +113,13 @@ def test_global_stats_no_by(ray_session):
         f"'{SF}/events.parquet') WHERE event_type = 'error'") \
         .fetch_arrow_table()
     assert out["n"].to_pylist() == exp["n"].to_pylist()
+
+
+def test_implicit_limit_1000(ray_session):
+    # ES|QL's documented default: no LIMIT in the pipeline -> at most
+    # 1000 rows come back
+    out = execute_esql("FROM events | KEEP event_id", SF)
+    import duckdb as _d
+    total = _d.sql(f"SELECT count(*) FROM read_parquet("
+                   f"'{SF}/events.parquet')").fetchone()[0]
+    assert out.num_rows == min(1000, total)

@@ -302,7 +302,10 @@ def bench_pipelines() -> dict:
              # fifth-session operators: Kibana search-bar language,
              # CCNet perplexity tertiles, MOSS winnowing, UniMax
              "kql_search", "perplexity_buckets",
-             "winnowing_fingerprints", "mixture_unimax"]
+             "winnowing_fingerprints", "mixture_unimax",
+             # sixth-session ES|QL additions: multivalue expansion,
+             # grok extraction, exact distinct cardinality
+             "esql_rename_expand", "esql_grok", "esql_count_distinct"]
     out = {}
     for name in names:
         t0 = time.monotonic()

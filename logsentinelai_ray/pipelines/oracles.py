@@ -1435,6 +1435,37 @@ ORACLE_SQL: dict[str, str] = {
         FROM documents WHERE n_chars >= 100
         GROUP BY 1 ORDER BY docs DESC, lang_u ASC LIMIT 5
     """,
+    # MV_EXPAND == UNNEST here (the corpus has no null/empty vectors;
+    # the ES keep-null-row divergence is pinned by unit tests instead)
+    "esql_rename_expand": """
+        WITH x AS (
+          SELECT vec_id,
+                 CAST(round(CAST(u AS DOUBLE) * 1000000, 0) AS BIGINT)
+                     AS m
+          FROM (SELECT vec_id, unnest(embedding) AS u
+                FROM embeddings WHERE vec_id < 40)
+        )
+        SELECT vec_id, count(*)::BIGINT AS n,
+               CAST(sum(m) AS BIGINT) AS s
+        FROM x GROUP BY 1 ORDER BY vec_id ASC LIMIT 15
+    """,
+    "esql_grok": """
+        WITH x AS (
+          SELECT event_type,
+                 CAST(regexp_extract(props, '\\{"k": ([+-]?\\d+)\\}',
+                                     1) AS BIGINT) AS kv
+          FROM events
+        )
+        SELECT event_type, count(*)::BIGINT AS n,
+               CAST(sum(kv) AS BIGINT) AS ksum
+        FROM x GROUP BY 1 ORDER BY event_type ASC
+    """,
+    "esql_count_distinct": """
+        SELECT event_type,
+               count(DISTINCT user_id)::BIGINT AS users,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1 ORDER BY event_type ASC
+    """,
     # LTR feature logging over the BM25 top-20: matched distinct query
     # terms, token dl, and the doc-aligned embedding cosine
     "ltr_features": _BM25_BASE + """

@@ -6888,6 +6888,61 @@ ESQL_DISSECT_QUERY = (
     "| SORT event_type ASC")
 
 
+ESQL_RENAME_EXPAND_QUERY = (
+    "FROM embeddings | WHERE vec_id < 40 "
+    "| RENAME embedding AS vec | MV_EXPAND vec "
+    "| EVAL m = TO_LONG(ROUND(TO_DOUBLE(vec) * 1000000)) "
+    "| STATS n = COUNT(*), s = SUM(m) BY vec_id "
+    "| SORT vec_id ASC | LIMIT 15")
+
+ESQL_GROK_QUERY = (
+    'FROM events | GROK props "\\{\\"k\\": %{INT:kv:int}\\}" '
+    "| STATS n = COUNT(*), ksum = SUM(kv) BY event_type "
+    "| SORT event_type ASC")
+
+ESQL_COUNT_DISTINCT_QUERY = (
+    "FROM events "
+    "| STATS users = COUNT_DISTINCT(user_id), n = COUNT(*) "
+    "BY event_type | SORT event_type ASC")
+
+
+def q_esql_rename_expand(sf_dir: str):
+    """ES|QL RENAME + MV_EXPAND: the multivalue expansion runs inside
+    the fused row-local stage as one numpy-repeat + one Arrow take per
+    column (query/esql.py::_mv_expand) — no Python per row, and the
+    read is pruned to (vec_id, embedding). ES semantics (null/empty
+    list keeps its row with a null value) are pinned by unit tests;
+    this corpus has no empty vectors, so the SQL UNNEST oracle
+    matches exactly."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_RENAME_EXPAND_QUERY, sf_dir)
+
+
+def q_esql_grok(sf_dir: str):
+    """ES|QL GROK: %{SYNTAX:name:type} patterns (the Logstash grok
+    library subset, RE2-safe) compile to ONE vectorized extract_regex
+    per batch plus a typed cast — literal segments are regex, unlike
+    DISSECT's literal-text rule (both live in the same fused
+    stage)."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_GROK_QUERY, sf_dir)
+
+
+def q_esql_count_distinct(sf_dir: str):
+    """ES|QL COUNT_DISTINCT: exact per-group cardinality via a
+    two-level groupby — the exchange carries each distinct
+    (group, value) pair once (dedup happens in the shuffle's partial
+    aggregation), then a tiny per-group count; nothing value-set-sized
+    reaches the driver (query/esql.py::_stats_with_distinct). The
+    approximate counterpart at 100-TB scale is the mergeable HLL
+    sketch (cardinality_sketch entry)."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_COUNT_DISTINCT_QUERY, sf_dir)
+
+
 def q_esql_enrich(sf_dir: str):
     """ES|QL ENRICH (the enrich-policy lookup join): the customer
     small side is read once and broadcast via ray.put; each batch does
@@ -8884,6 +8939,9 @@ QUERY_REGISTRY = {
     "ngram_containment_dupes": q_ngram_containment_dupes,
     "esql_enrich": q_esql_enrich,
     "esql_dissect": q_esql_dissect,
+    "esql_rename_expand": q_esql_rename_expand,
+    "esql_grok": q_esql_grok,
+    "esql_count_distinct": q_esql_count_distinct,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -1,8 +1,9 @@
 """ES|QL mini-dialect executor — the ES 8.11+ piped query language
 (`FROM … | WHERE … | EVAL … | STATS … BY … | SORT … | LIMIT …`,
-plus `KEEP`/`DROP`, `DISSECT <field> "%{a}…"` structured extraction,
-and `ENRICH <table> ON <field> [WITH cols]` broadcast lookup joins)
-compiled onto Ray Data operators.
+plus `KEEP`/`DROP`, `RENAME old AS new`, `MV_EXPAND <field>`,
+`DISSECT <field> "%{a}…"` / `GROK <field> "%{INT:n:int}…"` structured
+extraction, and `ENRICH <table> ON <field> [WITH cols]` broadcast
+lookup joins) compiled onto Ray Data operators.
 
 Reference parity: the reference ships its results to Elasticsearch and
 users query them with ES|QL / Query-DSL (reference README quick-start;
@@ -328,7 +329,87 @@ class Enrich:
     ref: object = None  # ray.put((keys, {col: values})) — broadcast side
 
 
-_AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG")
+@dataclass
+class Rename:
+    pairs: list  # [(old, new)]
+
+
+@dataclass
+class MvExpand:
+    field: str
+
+
+@dataclass
+class Grok:
+    field: str
+    pattern: str  # original %{SYNTAX:name[:type]} grok pattern
+    regex: str    # compiled RE2 with named groups
+    names: list
+    types: dict   # name -> "int" | "float" | None
+
+
+# grok's built-in pattern library, the subset that covers log-shaped
+# text without PCRE-only constructs (RE2 has no backrefs/atomic groups).
+# ES|QL GROK == Logstash grok: literal segments ARE regex (unlike
+# DISSECT, where they're literal), %{SYNTAX:name:type} converts.
+_GROK_PATTERNS = {
+    "WORD": r"\b\w+\b",
+    "NOTSPACE": r"\S+",
+    "SPACE": r"\s*",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "POSINT": r"\b[1-9]\d*\b",
+    "INT": r"[+-]?\d+",
+    "BASE10NUM": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "NUMBER": r"[+-]?(?:\d+(?:\.\d+)?|\.\d+)",
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "USER": r"[a-zA-Z0-9._-]+",
+    "IPV4": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "IP": r"(?:\d{1,3}\.){3}\d{1,3}",
+    "HOSTNAME": r"\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})"
+                r"(?:\.[0-9A-Za-z][0-9A-Za-z-]{0,62})*\.?\b",
+    "UUID": r"[A-Fa-f0-9]{8}-(?:[A-Fa-f0-9]{4}-){3}[A-Fa-f0-9]{12}",
+    "LOGLEVEL": r"(?:DEBUG|INFO|NOTICE|WARN(?:ING)?|ERROR"
+                r"|CRIT(?:ICAL)?|FATAL|SEVERE|EMERG(?:ENCY)?)",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}"
+                         r"(?::\d{2}(?:\.\d+)?)?(?:Z|[+-]\d{2}:?\d{2})?",
+}
+
+_GROK_KEY_RE = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
+
+
+def compile_grok(pattern: str) -> tuple[str, list, dict]:
+    """%{SYNTAX:name[:type]} grok pattern → (RE2 with named groups,
+    capture names in order, name→type map). Unnamed %{SYNTAX} matches
+    without capturing; literal segments pass through as regex (the
+    grok rule — DISSECT is the literal-segment variant)."""
+    names: list[str] = []
+    types: dict[str, str] = {}
+    out: list[str] = []
+    pos = 0
+    for m in _GROK_KEY_RE.finditer(pattern):
+        out.append(pattern[pos:m.start()])
+        pos = m.end()
+        syntax, name, ty = m.group(1), m.group(2), m.group(3)
+        if syntax not in _GROK_PATTERNS:
+            raise ValueError(f"GROK: unknown pattern %{{{syntax}}}")
+        body = _GROK_PATTERNS[syntax]
+        if name:
+            if ty and ty not in ("int", "float"):
+                raise ValueError(f"GROK: unknown conversion :{ty}")
+            names.append(name)
+            if ty:
+                types[name] = ty
+            out.append(f"(?P<{name}>{body})")
+        else:
+            out.append(f"(?:{body})")
+    out.append(pattern[pos:])
+    if not names:
+        raise ValueError("GROK: needs >=1 named %{SYNTAX:name} key")
+    return "".join(out), names, types
+
+
+_AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT")
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -382,7 +463,10 @@ def parse_esql(query: str) -> list:
                 if fn == "COUNT" and arg not in ("*", ""):
                     raise ValueError(
                         "ES|QL mini-dialect: COUNT supports only "
-                        "COUNT(*)")
+                        "COUNT(*) (use COUNT_DISTINCT for values)")
+                if fn == "COUNT_DISTINCT" and arg in ("*", ""):
+                    raise ValueError(
+                        "ES|QL: COUNT_DISTINCT needs a field/expr")
                 expr = None if arg in ("*", "") else parse_expr(arg)
                 aggs.append((name, fn, expr))
             cmds.append(Stats(aggs, by))
@@ -431,6 +515,29 @@ def parse_esql(query: str) -> list:
             with_cols = [c.strip() for c in
                          (m.group(3) or "").split(",") if c.strip()]
             cmds.append(Enrich(m.group(1), m.group(2), with_cols))
+        elif head == "RENAME":
+            pairs = []
+            for spec in rest.split(","):
+                pm = re.match(r"(\w+)\s+AS\s+(\w+)$", spec.strip(),
+                              re.IGNORECASE)
+                if pm is None:
+                    raise ValueError(
+                        "ES|QL: RENAME syntax is RENAME old AS new"
+                        " [, ...]")
+                pairs.append((pm.group(1), pm.group(2)))
+            cmds.append(Rename(pairs))
+        elif head == "MV_EXPAND":
+            if not re.match(r"\w+$", rest):
+                raise ValueError("ES|QL: MV_EXPAND takes one field")
+            cmds.append(MvExpand(rest))
+        elif head == "GROK":
+            fld, _, pat = rest.partition(" ")
+            pat = pat.strip()
+            if len(pat) < 2 or pat[0] != '"' or pat[-1] != '"':
+                raise ValueError("ES|QL: GROK pattern must be quoted")
+            pat = pat[1:-1].replace('\\"', '"')
+            rx, names, types = compile_grok(pat)
+            cmds.append(Grok(fld.strip(), pat, rx, names, types))
         else:
             raise ValueError(f"ES|QL: unknown command {head!r}")
     return cmds
@@ -464,7 +571,54 @@ def _pipeline_fields(cmds: list) -> set[str]:
         elif isinstance(c, Enrich):
             fields.add(c.on)
             derived.update(c.with_cols)
+        elif isinstance(c, Rename):
+            fields.update(old for old, _ in c.pairs)
+            derived.update(new for _, new in c.pairs)
+        elif isinstance(c, MvExpand):
+            fields.add(c.field)
+        elif isinstance(c, Grok):
+            fields.add(c.field)
+            derived.update(c.names)
     return fields - derived
+
+
+def _mv_expand(t: pa.Table, field: str) -> pa.Table:
+    """MV_EXPAND: one output row per list element, fully vectorized
+    (numpy repeat for parent indices + one Arrow take per column).
+    ES semantics: a null or empty multivalue keeps its row with a
+    single null value — unlike SQL UNNEST, which drops it."""
+    if len(t) == 0:
+        vt = t.schema.field(field).type
+        if pa.types.is_list(vt) or pa.types.is_large_list(vt) \
+                or pa.types.is_fixed_size_list(vt):
+            vt = vt.value_type
+        return t.set_column(t.column_names.index(field), field,
+                            pa.nulls(0, type=vt))
+    col = t[field]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ln = pc.fill_null(pc.list_value_length(col), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    reps = np.where(ln == 0, 1, ln)  # null/empty rows emit 1 null
+    parent = np.repeat(np.arange(len(t), dtype=np.int64), reps)
+    flat = col.flatten()  # inner nulls kept; null/empty lists dropped
+    starts = np.concatenate(([0], np.cumsum(ln)[:-1]))
+    ends = np.cumsum(reps)
+    within = np.arange(int(reps.sum()), dtype=np.int64) \
+        - np.repeat(ends - reps, reps)
+    take_idx = np.repeat(starts, reps) + within
+    empty_rep = np.repeat(ln == 0, reps)
+    if len(flat) == 0:
+        values = pa.nulls(int(reps.sum()), type=flat.type)
+    else:
+        values = flat.take(pa.array(np.where(empty_rep, 0, take_idx)))
+        if empty_rep.any():
+            values = pc.if_else(pa.array(~empty_rep), values,
+                                pa.scalar(None, type=flat.type))
+    parent_idx = pa.array(parent)
+    arrays = [values if n == field else t[n].take(parent_idx)
+              for n in t.column_names]
+    return pa.Table.from_arrays(arrays, names=t.column_names)
 
 
 def execute_esql(query: str, sf_dir: str) -> pa.Table:
@@ -507,7 +661,8 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
         run = []
         while i < len(cmds) and isinstance(cmds[i],
                                            (Where, Eval, Dissect,
-                                            Enrich)):
+                                            Enrich, Rename, MvExpand,
+                                            Grok)):
             run.append(cmds[i])
             i += 1
         if run:
@@ -529,6 +684,26 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
                         for name in c.with_cols:
                             t = t.append_column(
                                 name, pc.take(vals[name], idx))
+                    elif isinstance(c, Rename):
+                        mapping = dict(c.pairs)
+                        t = t.rename_columns(
+                            [mapping.get(n, n)
+                             for n in t.column_names])
+                    elif isinstance(c, MvExpand):
+                        t = _mv_expand(t, c.field)
+                    elif isinstance(c, Grok):
+                        col = t[c.field]
+                        if isinstance(col, pa.ChunkedArray):
+                            col = col.combine_chunks()
+                        ext = pc.extract_regex(col, c.regex)
+                        for name in c.names:
+                            v = pc.struct_field(ext, name)
+                            ty = c.types.get(name)
+                            if ty == "int":
+                                v = pc.cast(v, pa.int64())
+                            elif ty == "float":
+                                v = pc.cast(v, pa.float64())
+                            t = t.append_column(name, v)
                     else:
                         for name, e in c.assigns:
                             v = eval_expr(e, t)
@@ -571,6 +746,7 @@ def _compile_stats(ds, c: Stats):
     scratch: list[tuple[str, object]] = []
     specs = []
     count_names = []
+    cd_aggs: list[tuple[str, str]] = []  # COUNT_DISTINCT: (name, col)
     for idx, (name, fn, expr) in enumerate(c.aggs):
         if fn == "COUNT":
             if c.by:
@@ -585,6 +761,9 @@ def _compile_stats(ds, c: Stats):
         else:
             col = f"__agg{idx}"
             scratch.append((col, expr))
+        if fn == "COUNT_DISTINCT":
+            cd_aggs.append((name, col))
+            continue
         cls = {"SUM": Sum, "MIN": Min, "MAX": Max, "AVG": Mean}[fn]
         specs.append(cls(col, alias_name=name))
     if scratch:
@@ -597,6 +776,8 @@ def _compile_stats(ds, c: Stats):
             return t
 
         ds = ds.map_batches(add_scratch, batch_format="pyarrow")
+    if cd_aggs:
+        return _stats_with_distinct(ds, c, specs, count_names, cd_aggs)
     if c.by:
         return ds.groupby(c.by if len(c.by) > 1 else c.by[0]) \
             .aggregate(*specs)
@@ -613,3 +794,49 @@ def _compile_stats(ds, c: Stats):
             row[name] = n
     ordered = {name: row[name] for name, _, _ in c.aggs}
     return rd.from_items([ordered])
+
+
+def _stats_with_distinct(ds, c: Stats, specs, count_names, cd_aggs):
+    """COUNT_DISTINCT: exact per-group cardinality via a two-level
+    groupby — the exchange carries each distinct (by, value) pair
+    ONCE (level 1 dedups inside the shuffle's partial aggregation),
+    then a tiny per-group row count. Nothing value-set-sized touches
+    the driver; the merge below joins bucket-bounded frames only.
+    Nulls don't count (the ES COUNT_DISTINCT / SQL count(DISTINCT)
+    convention)."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    ds = ds.materialize()  # consumed once per distinct agg + once more
+    if not c.by:
+        row = dict(ds.aggregate(*specs)) if specs else {}
+        if count_names:
+            n = ds.count()
+            for name in count_names:
+                row[name] = n
+        for name, col in cd_aggs:
+            dd = ds.map_batches(
+                lambda t, _c=col: t.filter(pc.is_valid(t[_c])),
+                batch_format="pyarrow")
+            row[name] = dd.groupby(col).count().count()
+        ordered = {name: row[name] for name, _, _ in c.aggs}
+        return rd.from_items([ordered])
+
+    gkey = c.by if len(c.by) > 1 else c.by[0]
+    frames = []
+    if specs:
+        frames.append(ds.groupby(gkey).aggregate(*specs).to_pandas())
+    for name, col in cd_aggs:
+        dd = ds.map_batches(
+            lambda t, _c=col: t.filter(pc.is_valid(t[_c])),
+            batch_format="pyarrow")
+        pairs = dd.groupby(c.by + [col]).count()
+        cnt = pairs.groupby(gkey).aggregate(Count(alias_name=name))
+        frames.append(cnt.to_pandas()[c.by + [name]])
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.merge(f, on=c.by, how="left" if specs else "outer")
+    for name, _ in cd_aggs:  # groups whose values were all null → 0
+        out[name] = out[name].fillna(0).astype("int64")
+    cols = c.by + [name for name, _, _ in c.aggs]
+    return rd.from_pandas(out[cols])

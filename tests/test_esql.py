@@ -123,3 +123,105 @@ def test_implicit_limit_1000(ray_session):
     total = _d.sql(f"SELECT count(*) FROM read_parquet("
                    f"'{SF}/events.parquet')").fetchone()[0]
     assert out.num_rows == min(1000, total)
+
+
+def test_rename_parse_and_errors():
+    cmds = parse_esql(
+        "FROM x | RENAME a AS b, c AS d | WHERE b > 1")
+    r = cmds[1]
+    assert r.pairs == [("a", "b"), ("c", "d")]
+    # the renamed source column counts as read; new names are derived
+    assert _pipeline_fields(cmds) == {"a", "c"}
+    with pytest.raises(ValueError):
+        parse_esql("FROM x | RENAME a b")
+
+
+def test_mv_expand_es_null_semantics():
+    # ES MV_EXPAND: null / empty multivalues KEEP their row with a
+    # single null value (SQL UNNEST would drop them)
+    from logsentinelai_ray.query.esql import _mv_expand
+    t = pa.table({
+        "id": [1, 2, 3, 4],
+        "v": pa.array([[10, 20], [], None, [30]],
+                      type=pa.list_(pa.int64())),
+    })
+    out = _mv_expand(t, "v")
+    assert out["id"].to_pylist() == [1, 1, 2, 3, 4]
+    assert out["v"].to_pylist() == [10, 20, None, None, 30]
+    # inner nulls survive the expansion
+    t2 = pa.table({"id": [7], "v": pa.array([[1, None, 2]],
+                                            type=pa.list_(pa.int64()))})
+    assert _mv_expand(t2, "v")["v"].to_pylist() == [1, None, 2]
+    # empty batch keeps the unnested value type
+    empty = _mv_expand(t.slice(0, 0), "v")
+    assert empty.num_rows == 0 and empty["v"].type == pa.int64()
+
+
+def test_grok_compile_library_and_types():
+    from logsentinelai_ray.query.esql import compile_grok
+    rx, names, types = compile_grok(
+        "%{IPV4:ip} - %{USERNAME:user} %{INT:code:int}")
+    assert names == ["ip", "user", "code"] and types == {"code": "int"}
+    import re as _re
+    m = _re.search(rx, "10.0.0.7 - alice -42")
+    assert m.group("ip") == "10.0.0.7" and m.group("code") == "-42"
+    # unnamed %{SYNTAX} matches without capturing
+    rx2, names2, _ = compile_grok("%{WORD} %{NUMBER:v:float}")
+    assert names2 == ["v"]
+    with pytest.raises(ValueError):
+        compile_grok("%{NOSUCHPATTERN:x}")
+    with pytest.raises(ValueError):
+        compile_grok("%{WORD}")  # no named key
+    with pytest.raises(ValueError):
+        compile_grok("%{INT:x:datetime}")  # unknown conversion
+
+
+def test_grok_execute_typed_extract(ray_session):
+    out = execute_esql(
+        'FROM events | GROK props "\\{\\"k\\": %{INT:kv:int}\\}" '
+        "| STATS ksum = SUM(kv), n = COUNT(*)", SF)
+    exp = duckdb.sql(
+        f"SELECT CAST(sum(CAST(regexp_extract(props,"
+        f" '\\{{\"k\": ([+-]?\\d+)\\}}', 1) AS BIGINT)) AS BIGINT)"
+        f" AS ksum, count(*)::BIGINT AS n"
+        f" FROM read_parquet('{SF}/events.parquet')") \
+        .fetch_arrow_table()
+    assert out.to_pydict() == exp.to_pydict()
+
+
+def test_count_distinct_grouped_and_global(ray_session):
+    out = execute_esql(
+        "FROM events | STATS u = COUNT_DISTINCT(user_id), "
+        "n = COUNT(*) BY event_type | SORT event_type ASC", SF)
+    exp = duckdb.sql(
+        f"SELECT event_type, count(DISTINCT user_id)::BIGINT AS u,"
+        f" count(*)::BIGINT AS n"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        f" GROUP BY 1 ORDER BY 1").fetch_arrow_table()
+    assert out.to_pydict() == exp.to_pydict()
+    g = execute_esql(
+        "FROM events | STATS u = COUNT_DISTINCT(user_id)", SF)
+    ge = duckdb.sql(
+        f"SELECT count(DISTINCT user_id)::BIGINT AS u FROM"
+        f" read_parquet('{SF}/events.parquet')").fetch_arrow_table()
+    assert g.to_pydict() == ge.to_pydict()
+    with pytest.raises(ValueError):
+        parse_esql("FROM x | STATS u = COUNT_DISTINCT(*)")
+
+
+def test_mv_expand_execute_vs_unnest(ray_session):
+    out = execute_esql(
+        "FROM embeddings | WHERE vec_id < 3 | RENAME embedding AS vec "
+        "| MV_EXPAND vec "
+        "| EVAL m = TO_LONG(ROUND(TO_DOUBLE(vec) * 1000000)) "
+        "| STATS n = COUNT(*), s = SUM(m) BY vec_id "
+        "| SORT vec_id ASC", SF)
+    exp = duckdb.sql(
+        f"WITH x AS (SELECT vec_id, CAST(round(CAST(u AS DOUBLE)"
+        f" * 1000000, 0) AS BIGINT) AS m FROM (SELECT vec_id,"
+        f" unnest(embedding) AS u FROM"
+        f" read_parquet('{SF}/embeddings.parquet') WHERE vec_id < 3))"
+        f" SELECT vec_id, count(*)::BIGINT AS n,"
+        f" CAST(sum(m) AS BIGINT) AS s FROM x GROUP BY 1 ORDER BY 1") \
+        .fetch_arrow_table()
+    assert out.to_pydict() == exp.to_pydict()

@@ -304,8 +304,10 @@ def bench_pipelines() -> dict:
              "kql_search", "perplexity_buckets",
              "winnowing_fingerprints", "mixture_unimax",
              # sixth-session ES|QL additions: multivalue expansion,
-             # grok extraction, exact distinct cardinality
-             "esql_rename_expand", "esql_grok", "esql_count_distinct"]
+             # grok extraction, exact distinct cardinality; stemmed
+             # analyzer (timing includes its own index build)
+             "esql_rename_expand", "esql_grok", "esql_count_distinct",
+             "bm25_topk_stemmed"]
     out = {}
     for name in names:
         t0 = time.monotonic()

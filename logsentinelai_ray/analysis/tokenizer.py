@@ -122,3 +122,56 @@ def _tokenize_batch_polars(
     row_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
     doc_len = np.bincount(row_idx, minlength=n).astype(np.int64)
     return row_idx, flat, doc_len
+
+
+# -- stemming (per-field analyzer option; IndexConfig.stem) -----------------
+
+def stem_minimal_english(w: str) -> str:
+    """Lucene's EnglishMinimalStemFilter (plural-only stemming — the ES
+    ``minimal_english`` stemmer): strips a trailing plural ``s`` with
+    the classic guards (the S-stemmer family, Harman "How effective is
+    suffixing?" JASIS 1991 — the variant Lucene ships). Deliberately
+    crude ("pies"→"py") so index, query side and the SQL oracle agree
+    on EXACTLY the same rule."""
+    if len(w) < 3 or not w.endswith("s"):
+        return w
+    p = w[-2]
+    if p in ("u", "s"):
+        return w
+    if p == "e":
+        if len(w) > 3 and w[-3] == "i" and w[-4] not in ("a", "e"):
+            return w[:-3] + "y"
+        if w[-3] in ("i", "a", "o", "e"):
+            return w
+    return w[:-1]
+
+
+def stem_tokens_arrow(tokens: pa.Array) -> pa.Array:
+    """Vectorized ``stem_minimal_english`` over a token array: two RE2
+    passes + one if_else — no Python per token. Rule order matches the
+    scalar exactly (property-tested):
+    1. ``Xies$`` (X not a/e) → ``Xy``
+    2. keep: len<3, or ends ss/us/[aeio]es
+    3. otherwise strip the trailing ``s``."""
+    t1 = pc.replace_substring_regex(tokens, r"([^ae])ies$",
+                                    replacement=r"\1y")
+    keep = pc.match_substring_regex(
+        t1, r"^(?:.{0,2}|.*(?:ss|us|[aeio]es))$")
+    stripped = pc.replace_substring_regex(t1, r"s$", replacement="")
+    out = pc.if_else(keep, t1, stripped)
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) \
+        else out
+
+
+_STEMMERS = {"minimal_english": stem_minimal_english}
+
+
+def analyze_py(text: str, max_token_len: int = 64,
+               stem: str = "") -> list[str]:
+    """tokenize_py + the configured stem filter — the scalar analyzer
+    the query side uses so query terms hit the stemmed dictionary."""
+    toks = tokenize_py(text, max_token_len)
+    if stem:
+        fn = _STEMMERS[stem]
+        toks = [fn(t) for t in toks]
+    return toks

@@ -75,6 +75,16 @@ class IndexConfig:
     # The path/keyword fields are not filtered (per-field analyzers).
     stop_words: tuple = ()
 
+    # Index-time stem filter for the CONTENT analyzer (ES custom
+    # analyzer `stemmer` filter). "" = off; "minimal_english" = the
+    # Lucene EnglishMinimalStemFilter plural stemmer (S-stemmer). Runs
+    # AFTER the stop filter; rewrites tokens without dropping them, so
+    # dl / avgdl / positions are unchanged while tf / df merge inflected
+    # forms ("error" + "errors"). Query terms are stemmed through the
+    # same rule at search time (query/shards.py::SearchEngine._toks).
+    # The path field keeps its own unstemmed analyzer.
+    stem: str = ""
+
     # Posting-stream codec: "varint" (delta-gap + LEB128, the default)
     # or "bitpack" (per-block FOR bit-packing, the Lucene-postings
     # layout) — a dense term's gaps pack into 1-3 bits instead of >= 8,

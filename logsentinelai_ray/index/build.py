@@ -476,6 +476,13 @@ def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int,
         row_idx = row_idx[keep]
         dl_np = np.bincount(row_idx, minlength=len(dl_np)) \
             .astype(dl_np.dtype)
+    if cfg.stem:
+        # stem AFTER stop (the ES analyzer chain order): tokens are
+        # rewritten, never dropped — dl / positions stay exact while
+        # tf / df merge inflected forms
+        from ..analysis.tokenizer import stem_tokens_arrow
+
+        tokens = stem_tokens_arrow(tokens)
     doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
     n_docs = max(1, n_docs)
     P = cfg.num_partitions
@@ -692,6 +699,7 @@ def compute_stats(index_dir: str, cfg: IndexConfig, n_docs: int) -> dict:
         "max_token_len": cfg.max_token_len,
         "store_positions": cfg.store_positions,
         "codec": cfg.codec,
+        "stem": cfg.stem,
     }
     mf.write_stats(index_dir, stats)
     return stats
@@ -933,6 +941,15 @@ def build_index(corpus_ds, index_dir: str, cfg: IndexConfig | None = None,
     import shutil
 
     cfg = cfg or IndexConfig()
+    if cfg.stem and cfg.store_positions:
+        # phrase verification re-tokenizes document content with the
+        # BASE analyzer (query/phrase.py) — a stemmed dictionary would
+        # silently never match. Refuse loudly instead.
+        raise ValueError(
+            "IndexConfig: stem + store_positions is unsupported — the "
+            "positional phrase path analyzes surface forms")
+    if cfg.stem and cfg.stem != "minimal_english":
+        raise ValueError(f"IndexConfig: unknown stemmer {cfg.stem!r}")
     fingerprint = mf._fingerprint(corpus_tag, cfg)
     # a prior build of a DIFFERENT input/config in this directory is not
     # resumable — wipe it rather than mixing artifacts. The start marker is

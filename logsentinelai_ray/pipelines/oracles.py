@@ -3447,6 +3447,58 @@ SELECT doc_id, round(scores.score, 6) AS score FROM scores
 ORDER BY scores.score DESC, doc_id ASC LIMIT 10
 """
 
+# bm25_topk_stemmed: the stem="minimal_english" analyzer — every
+# corpus token goes through the S-stemmer CASE (exactly
+# tokenizer.stem_minimal_english's rule order) BEFORE tf/df/avgdl;
+# query terms are the stems of "errors merges sparks windows"
+ORACLE_SQL["bm25_topk_stemmed"] = """
+WITH tr AS (
+  SELECT doc_id, lower(regexp_replace(regexp_replace(text,
+         '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),
+         '([a-z0-9])([A-Z])', '\\1 \\2', 'g')) AS s FROM documents
+), tok0 AS (
+  SELECT doc_id, substr(t, 1, 64) AS t2
+  FROM (SELECT doc_id, unnest(regexp_split_to_array(s, '[^a-z0-9]+')) AS t
+        FROM tr)
+  WHERE t <> ''
+), tok AS (
+  SELECT doc_id,
+         CASE
+           WHEN length(t2) < 3 OR right(t2, 1) <> 's' THEN t2
+           WHEN right(t2, 2) IN ('ss', 'us') THEN t2
+           WHEN regexp_matches(t2, '[^ae]ies$')
+             THEN regexp_replace(t2, 'ies$', 'y')
+           WHEN regexp_matches(t2, '[aeio]es$') THEN t2
+           ELSE substr(t2, 1, length(t2) - 1)
+         END AS term
+  FROM tok0
+), tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*)::DOUBLE AS dl FROM tok GROUP BY 1
+), stats AS (
+  SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+         (SELECT count(*)::DOUBLE FROM tok) /
+         (SELECT count(*)::DOUBLE FROM documents) AS avgdl
+), q(term) AS (VALUES ('error'), ('merge'), ('spark'), ('window')),
+df AS (
+  SELECT term, count(*)::DOUBLE AS df FROM tf
+  WHERE term IN (SELECT term FROM q) GROUP BY 1
+), scores AS (
+  SELECT tf.doc_id,
+         sum(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * tf.tf * (1.2 + 1)
+             / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+         ) AS score
+  FROM tf
+  JOIN q USING (term) JOIN df USING (term) JOIN dl USING (doc_id)
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, round(scores.score, 6) AS score FROM scores
+ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+"""
+
 # ilm_search: after the delete phase drops the first rollover
 # generation (the corpus head, ceil(n/3) docs in sorted-key order) the
 # alias serves BM25 over the retained tail — same CTE shape as

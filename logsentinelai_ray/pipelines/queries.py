@@ -2232,6 +2232,44 @@ def q_bm25_topk_stopped(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_bm25_topk_stemmed(sf_dir: str):
+    """§2.11 extension surface — the ANALYZER `stemmer` filter wired
+    end-to-end: the index is built with ``stem="minimal_english"``
+    (Lucene's EnglishMinimalStemFilter, the Harman S-stemmer — tokens
+    rewrite but never drop, so dl/avgdl are unchanged while tf/df
+    merge inflected forms), and the PLURALIZED query ("errors merges
+    sparks windows") is stemmed through the same rule at search time —
+    ranks equal the oracle's stemmed-token BM25 exactly. Index-side
+    stemming is one vectorized 2-regex pass per batch
+    (analysis/tokenizer.py::stem_tokens_arrow)."""
+    import hashlib
+
+    from ..config import IndexConfig
+    from ..index.build import build_index
+    from ..query.shards import SearchEngine
+
+    key = ("stemmed", sf_dir)
+    if key in _ENGINE_CACHE:
+        eng = _ENGINE_CACHE[key]
+    else:
+        corpus = _read(sf_dir, "documents",
+                       columns=["doc_id", "lang", "text"]) \
+            .map_batches(_corpusify_docs, batch_format="pyarrow")
+        tag = "documents-stem#v1:" + sf_dir.rstrip("/")
+        idx_dir = os.path.join(
+            "/tmp/lsai_idx",
+            hashlib.sha256(tag.encode()).hexdigest()[:16])
+        cfg = IndexConfig(num_partitions=8, salt_buckets=4,
+                          stem="minimal_english")
+        build_index(corpus, idx_dir, cfg, corpus_tag=tag)
+        eng = SearchEngine(idx_dir, num_shards=2)
+        _ENGINE_CACHE[key] = eng
+    res = eng.search("errors merges sparks windows", k=10,
+                     with_meta=False)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_ilm_search(sf_dir: str):
     """ES ILM analog end-to-end (index/ilm.py): three rollover
     generations from sorted-key chunks; policy = {warm: shrink sealed
@@ -8910,6 +8948,7 @@ QUERY_REGISTRY = {
     "rollover_search": q_rollover_search,
     "ilm_search": q_ilm_search,
     "bm25_topk_stopped": q_bm25_topk_stopped,
+    "bm25_topk_stemmed": q_bm25_topk_stemmed,
     "embedding_knn_pq": q_embedding_knn_pq,
     "embedding_knn_ivfpq": q_embedding_knn_ivfpq,
     "embedding_knn_bq": q_embedding_knn_bq,

@@ -45,11 +45,13 @@ class BM25Oracle:
         cfg = cfg or IndexConfig()
         self.k1, self.b = cfg.k1, cfg.b
         self.max_token_len = cfg.max_token_len
+        self.stop_words = frozenset(cfg.stop_words)
+        self.stem = cfg.stem
         self.postings: dict[str, dict[int, int]] = {}
         self.doc_len: dict[int, int] = {}
         self.attrs = attrs or {}
         for doc_id, content in docs:
-            toks = tokenize_py(content, self.max_token_len)
+            toks = self._analyze(content)
             self.doc_len[doc_id] = len(toks)
             tf: dict[str, int] = {}
             for t in toks:
@@ -60,9 +62,22 @@ class BM25Oracle:
         total = sum(self.doc_len.values())
         self.avgdl = (total / self.n_docs) if self.n_docs else 0.0
 
+    def _analyze(self, text: str) -> list[str]:
+        """The cfg-driven content analyzer chain (tokenize → stop →
+        stem), mirroring the distributed build exactly."""
+        toks = tokenize_py(text, self.max_token_len)
+        if self.stop_words:
+            toks = [t for t in toks if t not in self.stop_words]
+        if self.stem:
+            from ..analysis.tokenizer import _STEMMERS
+
+            fn = _STEMMERS[self.stem]
+            toks = [fn(t) for t in toks]
+        return toks
+
     def search(self, text: str, k: int = 10,
                filters: dict[str, str] | None = None) -> list[tuple[int, float]]:
-        terms = sorted(set(tokenize_py(text, self.max_token_len)))
+        terms = sorted(set(self._analyze(text)))
         scores: dict[int, float] = {}
         for t in terms:
             plist = self.postings.get(t)

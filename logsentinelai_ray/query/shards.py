@@ -511,6 +511,10 @@ class SearchEngine:
         self.stats = mf.read_stats(index_dir)
         self.P = int(self.stats["num_partitions"])
         self._codec = self.stats.get("codec", "varint")
+        # content-field analyzer parity: query terms go through the
+        # same stem filter the index was built with (stats["stem"]),
+        # or they would miss the stemmed dictionary entirely
+        self._stem = self.stats.get("stem", "")
         self.taat_max_docs = taat_max_docs
         # WAND shares the contribution cache for terms whose decoded
         # list fits a sane per-term budget; hotter terms (df beyond
@@ -875,6 +879,22 @@ class SearchEngine:
             decoded.append(None if hit is None else (hit[0], hit[1]))
         return cursors, decoded
 
+    def _toks(self, text: str) -> list[str]:
+        """The engine's CONTENT-field analyzer: tokenize + the stem
+        filter the index was built with (stats["stem"]). The core
+        match family — search / msearch / search_after / explain /
+        match_ids / conjunction_ids / federated members — analyzes
+        through here. Specialty surfaces that reason about SURFACE
+        forms (prefix / fuzzy / wildcard expansion, suggesters,
+        synonym and query_string parsing, the path field's own
+        analyzer) intentionally keep the base tokenizer — the ES
+        analogy is a multi-field mapping whose ``.stemmed`` subfield
+        serves match while ``keyword``-ish subfields serve the rest."""
+        from ..analysis.tokenizer import analyze_py
+
+        return analyze_py(text, int(self.stats["max_token_len"]),
+                          self._stem)
+
     def search(self, text: str, k: int = 10,
                filters: dict | None = None,
                with_meta: bool = True,
@@ -884,7 +904,7 @@ class SearchEngine:
 
         ``strategy``: None = auto (TAAT when the accumulator fits),
         "taat" / "wand" to force a path (both are exact)."""
-        terms = sorted(set(tokenize_py(text, int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         n, avgdl = self.stats["n_docs"], self.stats["avgdl"]
         if strategy is None:
             strategy = "taat" if n <= self.taat_max_docs else "wand"
@@ -920,9 +940,8 @@ class SearchEngine:
         Each request is ``{"text": ..., "k": ..., "filters": ...}``
         (k defaults to 10); output stacks the per-query results with a
         leading ``query_id`` column (the request's position)."""
-        mtl = int(self.stats["max_token_len"])
         all_terms = sorted({t for r in requests
-                            for t in tokenize_py(r["text"], mtl)})
+                            for t in self._toks(r["text"])})
         strat = strategy or (
             "taat" if self.stats["n_docs"] <= self.taat_max_docs
             else "wand")
@@ -1257,8 +1276,7 @@ class SearchEngine:
         from the term dictionary in sorted order and each value's id
         list intersects the match set until k rows fill. No document
         metadata is read (the ES doc-values trick, posting-style)."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         self._ensure_contribs(terms)
         present = [self._contrib_cache[t][0] for t in terms
                    if self._contrib_cache.get(t) is not None]
@@ -1308,8 +1326,7 @@ class SearchEngine:
         values enumerate from the term dictionary; each value's best
         doc is one vectorized argmax over the accumulator restricted to
         that value's posting ids. Returns (doc_id, field, score)."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         self._ensure_contribs(terms)
         n = int(self.stats["n_docs"])
         acc = np.zeros(n, dtype=np.float64)
@@ -1355,8 +1372,7 @@ class SearchEngine:
         value one vectorized partial sort of depth inner_size. Returns
         (field, hit_rank, doc_id, score) flattened in (group rank,
         hit_rank) order."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         self._ensure_contribs(terms)
         n = int(self.stats["n_docs"])
         acc = np.zeros(n, dtype=np.float64)
@@ -1405,8 +1421,7 @@ class SearchEngine:
         of one doc for a query — (term, df, contribution) term-asc; the
         contributions sum to search()'s score for the doc bit-exactly
         (same cached contribution arrays, one binary search per term)."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         self._ensure_contribs(terms)
         out_t, out_df, out_c = [], [], []
         for t in terms:
@@ -1428,8 +1443,7 @@ class SearchEngine:
         AND-dual of ``match_ids``; pure sorted-array intersections over
         cached posting id lists, no scoring, no Python rows (at corpus
         scale the result stays a packed int64 array)."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         if not terms:
             return np.empty(0, dtype=np.int64)
         self._ensure_contribs(terms)
@@ -1449,8 +1463,7 @@ class SearchEngine:
         """Sorted doc-id array of docs containing ANY query term — a
         posting-id union, no scoring, no metadata read. The id set for
         _count and the broadcast side of scroll-style exports."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         self._ensure_contribs(terms)
         present = [self._contrib_cache[t][0] for t in terms
                    if self._contrib_cache.get(t) is not None]
@@ -1484,8 +1497,7 @@ class SearchEngine:
         n = int(self.stats["n_docs"])
         if strategy is None:
             strategy = "taat" if n <= self.taat_max_docs else "wand"
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         if strategy == "wand":
             cursors, decoded = self._wand_inputs(terms)
             tomb = self._tombstones
@@ -1528,8 +1540,7 @@ class SearchEngine:
             filter=pc.field("doc_id") == doc_id)
         if src.num_rows == 0:
             raise KeyError(f"doc_id {doc_id} not in index")
-        toks = tokenize_py(src["content"][0].as_py(),
-                           int(self.stats["max_token_len"]))
+        toks = self._toks(src["content"][0].as_py())
         if not toks:
             return self._format_result([], with_meta)
         uniq, tf = np.unique(np.asarray(toks, dtype=object),
@@ -1607,8 +1618,7 @@ class SearchEngine:
             filter=pc.field("doc_id") == doc_id)
         if src.num_rows == 0:
             raise KeyError(f"doc_id {doc_id} not in index")
-        toks = tokenize_py(src["content"][0].as_py(),
-                           int(self.stats["max_token_len"]))
+        toks = self._toks(src["content"][0].as_py())
         uniq, tf = np.unique(np.asarray(toks, dtype=object),
                              return_counts=True)
         return pa.table({
@@ -1658,12 +1668,9 @@ class SearchEngine:
         semantics run as WAND over the must conjunction with a must_not
         membership predicate — this method guards the TAAT ceiling the
         same way search() does."""
-        mt = sorted(set(tokenize_py(must,
-                                    int(self.stats["max_token_len"]))))
-        st = sorted(set(tokenize_py(should,
-                                    int(self.stats["max_token_len"]))))
-        nt = sorted(set(tokenize_py(must_not,
-                                    int(self.stats["max_token_len"]))))
+        mt = sorted(set(self._toks(must)))
+        st = sorted(set(self._toks(should)))
+        nt = sorted(set(self._toks(must_not)))
         if not mt and not st:
             return self._format_result([], with_meta)
         score_terms = sorted(set(mt) | set(st))
@@ -1719,8 +1726,7 @@ class SearchEngine:
         inflated by max(weight) plus exact per-doc re-weighting at
         scoring time (bounds stay admissible because weights are
         per-doc multipliers bounded by the max)."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         if not terms:
             return self._format_result([], with_meta)
         self._ensure_contribs(terms)
@@ -1865,8 +1871,7 @@ class SearchEngine:
         append after the base, index/update.py). A dl- or
         timestamp-valued variant threads that value through the
         contribution cache; the formula and exchange are identical."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         if not terms:
             return self._format_result([], with_meta)
         self._ensure_contribs(terms)
@@ -1926,8 +1931,7 @@ class SearchEngine:
         terms (IndexShard.decode_dls) — any matched term covers its
         docs' dl, so candidates (docs with acc > 0) are fully covered
         and no doc store is read."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         if not terms:
             return self._format_result([], with_meta)
         self._ensure_contribs(terms)
@@ -1974,8 +1978,7 @@ class SearchEngine:
         round) — no doc-store read, nothing N-sized beyond TAAT's own
         accumulator. Returns (doc_id, score, matched_terms, dl) in
         (score desc, doc_id asc) order."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         self._ensure_contribs(terms)
         topk = self._search_taat(terms, k, None)
         if not topk:
@@ -2188,8 +2191,7 @@ class SearchEngine:
         (any query term, AND the keyword filters) scores exactly 1.0;
         ties break doc_id asc. Pure posting-set algebra — no scoring
         decode."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         self._ensure_contribs(terms)
         id_sets = [self._contrib_cache[t][0] for t in terms
                    if self._contrib_cache.get(t) is not None]
@@ -2388,8 +2390,7 @@ class SearchEngine:
         intersections of the match set with the field posting lists —
         the field values are enumerated from the term dictionary, and no
         document metadata is read at all."""
-        terms = sorted(set(tokenize_py(text,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(text)))
         self._ensure_contribs(terms)
         present = [self._contrib_cache[t][0] for t in terms
                    if self._contrib_cache.get(t) is not None]
@@ -2704,8 +2705,7 @@ class SearchEngine:
         match_ids = matches["doc_id"].to_numpy(zero_copy_only=False)
         if match_ids.size == 0:
             return self._format_result([], with_meta)
-        terms = sorted(set(tokenize_py(phrase,
-                                       int(self.stats["max_token_len"]))))
+        terms = sorted(set(self._toks(phrase)))
         if int(self.stats["n_docs"]) <= self.taat_max_docs:
             self._ensure_contribs(terms)
             topk = self._search_taat(terms, k, match_ids)

@@ -483,3 +483,52 @@ def test_wand_vec_span_windows_and_decoded_cache(engine):
         got_mix = block_max_wand_vec(cursors, 20, decoded=dec_mixed,
                                      span_cap=101)
         assert got_mix == exp, (query, "mixed decoded + span windows")
+
+
+def test_stemmed_index_rank_identity(ray_session, small_corpus,
+                                     tmp_path_factory):
+    """stem="minimal_english" end-to-end: pluralized queries hit the
+    stemmed dictionary (query terms stem through the SAME rule), and
+    TAAT + forced WAND both equal the analyzer-aware oracle
+    bit-for-bit. Also pins the stem+positions build guard."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.query.bm25 import BM25Oracle
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    cfg = IndexConfig(num_partitions=8, salt_buckets=2, block_size=32,
+                      stem="minimal_english")
+    idx = str(tmp_path_factory.mktemp("stem") / "idx")
+    build_index(rd.from_arrow(small_corpus), idx, cfg,
+                corpus_tag="stem-test")
+    eng = SearchEngine(idx, num_shards=3)
+    docs = pq.read_table(f"{idx}/docs")
+    orc = BM25Oracle(list(zip(docs["doc_id"].to_pylist(),
+                              docs["content"].to_pylist())), None, cfg)
+    try:
+        for q in ["authentication failures errors",
+                  "merges windows", "sorted arrays values"]:
+            exp = orc.search(q, k=10)
+            for strat in ("taat", "wand"):
+                res = eng.search(q, k=10, with_meta=False,
+                                 strategy=strat).to_pandas()
+                got = list(zip(res["doc_id"].tolist(),
+                               res["score"].tolist()))
+                assert got == exp, (strat, q)
+        # singular and plural query forms retrieve identically
+        a = eng.search("errors", k=5, with_meta=False).to_pandas()
+        b = eng.search("error", k=5, with_meta=False).to_pandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+    finally:
+        eng.shutdown()
+    with pytest.raises(ValueError, match="store_positions"):
+        build_index(rd.from_arrow(small_corpus), idx + "_bad",
+                    IndexConfig(stem="minimal_english",
+                                store_positions=True),
+                    corpus_tag="bad")
+    with pytest.raises(ValueError, match="unknown stemmer"):
+        build_index(rd.from_arrow(small_corpus), idx + "_bad2",
+                    IndexConfig(stem="porter2"), corpus_tag="bad2")

@@ -80,3 +80,45 @@ def test_polars_and_re2_paths_identical(texts):
     assert (r1 == r2).all()
     assert f1.equals(f2)
     assert (d1 == d2).all()
+
+
+def test_stem_minimal_english_goldens():
+    """Lucene EnglishMinimalStemFilter parity on the classic edge
+    cases (including the deliberately crude ones)."""
+    from logsentinelai_ray.analysis.tokenizer import stem_minimal_english
+    cases = {
+        "errors": "error", "merges": "merge", "windows": "window",
+        "glass": "glass", "bus": "bus", "us": "us", "miss": "miss",
+        "bodies": "body", "pies": "py", "ties": "ty",
+        "aies": "aies", "goes": "goes", "ies": "ies",
+        "is": "is", "as": "as", "s": "s", "a": "a", "": "",
+        "its": "it", "this": "thi", "classes": "classe",
+        "tubes": "tube", "window": "window",
+    }
+    for w, exp in cases.items():
+        assert stem_minimal_english(w) == exp, w
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.text(
+    alphabet="abcdefgiopstuy0", max_size=8), min_size=1, max_size=30))
+def test_stem_vectorized_equals_scalar(words):
+    """stem_tokens_arrow (2 RE2 passes + if_else) must equal the
+    scalar rule on arbitrary token-ish strings — the engine stems
+    index tokens vectorized and query terms scalar, so any divergence
+    breaks rank identity."""
+    from logsentinelai_ray.analysis.tokenizer import (
+        stem_minimal_english,
+        stem_tokens_arrow,
+    )
+
+    arr = pa.array(words, pa.string())
+    vec = stem_tokens_arrow(arr).to_pylist()
+    assert vec == [stem_minimal_english(w) for w in words]
+
+
+def test_analyze_py_stems_query_terms():
+    from logsentinelai_ray.analysis.tokenizer import analyze_py
+    assert analyze_py("parseErrors mergesFiles", 64,
+                      "minimal_english") == \
+        ["parse", "error", "merge", "files"[:-1]]

@@ -864,6 +864,15 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.lang = 'en'
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
+    # alias_search: the filtered-alias indirection adds nothing to the
+    # math — BM25 over the full corpus stats, hits restricted to the
+    # alias filter's lang (exactly the filtered-search shape)
+    "alias_search": _BM25_BASE + """
+        SELECT s.doc_id, round(s.score, 6) AS score
+        FROM scores s JOIN documents d USING (doc_id)
+        WHERE d.lang = 'fr'
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+    """,
     # ES _stats analog: the engine serves these from metadata; SQL
     # recounts from raw text. Field postings (lang:/repo:) add one term
     # per distinct lang + one per doc (repo keys are unique per doc in

@@ -2017,6 +2017,30 @@ def q_bm25_topk_filtered(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_alias_search(sf_dir: str):
+    """ES filtered index alias (the ``_aliases`` API, index/aliases.py):
+    a "docs-fr" alias over the shared docs index carries filter
+    lang=fr, and every query through the alias gets the filter AND-ed
+    in — scores equal the plain filtered search exactly (the alias is
+    pure indirection; registry is an atomically-written KB-sized JSON
+    beside the manifest, never in the data path)."""
+    import hashlib
+
+    from ..index import aliases as al
+
+    eng = _docs_engine(sf_dir)
+    reg = os.path.join(
+        "/tmp/lsai_idx",
+        "aliases-" + hashlib.sha256(sf_dir.encode()).hexdigest()[:12],
+        "registry.json")
+    al.put_alias(reg, "docs-fr",
+                 [{"index": eng.index_dir, "filter": {"lang": "fr"}}])
+    res = al.alias_search(reg, "docs-fr", BM25_QUERY_TEXT, k=10,
+                          get_engine=lambda d: eng)
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_rare_terms(sf_dir: str):
     """ES ``rare_terms`` aggregation: the 20 least-frequent content
     terms (df <= 400 — the synthetic vocabulary's rare tail; min df is
@@ -8918,6 +8942,7 @@ QUERY_REGISTRY = {
     "federated_search_wand": q_federated_search_wand,
     "msearch": q_msearch,
     "bm25_topk_filtered": q_bm25_topk_filtered,
+    "alias_search": q_alias_search,
     "bm25_topk_terms_filter": q_bm25_topk_terms_filter,
     "collapse_by_lang": q_collapse_by_lang,
     "federated_search": q_federated_search,

@@ -172,6 +172,28 @@ def main(argv: list[str] | None = None) -> int:
     asr.add_argument("--strategy", choices=["taat", "wand"],
                      default=None)
 
+    eq = sub.add_parser("esql", parents=[common],
+                        help="run an ES|QL pipeline over a parquet "
+                             "table dir (FROM t | WHERE ... | STATS "
+                             "... BY ... | SORT | LIMIT ...)")
+    eq.add_argument("query")
+    eq.add_argument("--sf-dir", required=True,
+                    help="directory holding <table>.parquet files")
+
+    al = sub.add_parser("alias", parents=[common],
+                        help="filtered index aliases (_aliases API): "
+                             "put/list/delete/query")
+    al.add_argument("action", choices=["put", "list", "delete",
+                                       "query"])
+    al.add_argument("--registry", required=True,
+                    help="alias registry JSON path")
+    al.add_argument("--name", default=None)
+    al.add_argument("--member", action="append", default=[],
+                    metavar="INDEX_DIR[:FIELD=VALUE[,VALUE...]]",
+                    help="for put: index dir with an optional filter")
+    al.add_argument("--text", default=None, help="for query")
+    al.add_argument("-k", type=int, default=10)
+
     tf = sub.add_parser("transform", parents=[common],
                         help="continuous pivot transform (ES Transform "
                              "API analog): build the per-user rollup "
@@ -347,6 +369,39 @@ def main(argv: list[str] | None = None) -> int:
             for row in res.to_pylist():
                 print(json.dumps(row))
             roll.shutdown()
+        elif args.cmd == "esql":
+            from .query.esql import execute_esql
+
+            out = execute_esql(args.query, args.sf_dir)
+            for row in out.to_pylist():
+                print(json.dumps(row, default=str))
+        elif args.cmd == "alias":
+            from .index import aliases as alia
+
+            if args.action == "list":
+                print(json.dumps(alia.list_aliases(args.registry)))
+            elif args.action == "delete":
+                alia.delete_alias(args.registry, args.name)
+                print(json.dumps({"deleted": args.name}))
+            elif args.action == "put":
+                members = []
+                for spec in args.member:
+                    idx, _, fspec = spec.partition(":")
+                    flt = None
+                    if fspec:
+                        field, value = fspec.split("=", 1)
+                        vals = value.split(",")
+                        flt = {field: vals if len(vals) > 1
+                               else vals[0]}
+                    members.append({"index": idx, "filter": flt})
+                alia.put_alias(args.registry, args.name, members)
+                print(json.dumps({"alias": args.name,
+                                  "members": len(members)}))
+            else:  # query
+                res = alia.alias_search(args.registry, args.name,
+                                        args.text, k=args.k)
+                for row in res.to_pylist():
+                    print(json.dumps(row))
         elif args.cmd == "compact":
             from .index.delete import compact_index
 

@@ -185,3 +185,38 @@ def test_cli_transform_build_and_continue(ray_session, tmp_path, capfd):
     a = read_transform(dest).to_pylist()
     b = read_transform(dest2).to_pylist()
     assert a == b
+
+
+def test_cli_esql(ray_session, capfd):
+    rows = _run(capfd, [
+        "esql", "FROM events | WHERE event_type == \"error\" "
+        "| STATS n = COUNT(*), u = COUNT_DISTINCT(user_id)",
+        "--sf-dir", "/root/testdata/sf0.001"])
+    import duckdb
+    exp = duckdb.sql(
+        "SELECT count(*)::BIGINT AS n, "
+        "count(DISTINCT user_id)::BIGINT AS u FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet') "
+        "WHERE event_type = 'error'").fetchone()
+    assert rows[-1] == {"n": exp[0], "u": exp[1]}
+
+
+def test_cli_alias_put_query_list_delete(cli_index, capfd, tmp_path):
+    _, index = cli_index
+    reg = str(tmp_path / "aliases.json")
+    _run(capfd, ["alias", "put", "--registry", reg, "--name", "py",
+                 "--member", f"{index}:lang=python"])
+    rows = _run(capfd, ["alias", "query", "--registry", reg,
+                        "--name", "py", "--text", "error merge"])
+    assert all("doc_id" in r and "score" in r for r in rows)
+    # equals the direct filtered search through the same index
+    direct = _run(capfd, ["search", "--index", index, "error merge",
+                          "--filter", "lang=python"])
+    assert [r["doc_id"] for r in rows] == \
+        [r["doc_id"] for r in direct]
+    listed = _run(capfd, ["alias", "list", "--registry", reg])
+    assert "py" in listed[-1]
+    _run(capfd, ["alias", "delete", "--registry", reg,
+                 "--name", "py"])
+    listed = _run(capfd, ["alias", "list", "--registry", reg])
+    assert listed[-1] == {}

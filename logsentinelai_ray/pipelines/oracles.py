@@ -1475,6 +1475,14 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n
         FROM events GROUP BY 1 ORDER BY event_type ASC
     """,
+    "esql_lookup_join": """
+        SELECT c_mktsegment, count(*)::BIGINT AS n,
+               CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_acctbal > 0
+        GROUP BY 1 ORDER BY c_mktsegment ASC
+    """,
     # LTR feature logging over the BM25 top-20: matched distinct query
     # terms, token dl, and the doc-aligned embedding cosine
     "ltr_features": _BM25_BASE + """

@@ -6962,6 +6962,14 @@ ESQL_GROK_QUERY = (
     "| STATS n = COUNT(*), ksum = SUM(kv) BY event_type "
     "| SORT event_type ASC")
 
+ESQL_LOOKUP_JOIN_QUERY = (
+    "FROM orders | RENAME o_custkey AS c_custkey "
+    "| LOOKUP JOIN customer ON c_custkey "
+    "| WHERE c_acctbal > 0 "
+    "| EVAL cents = TO_LONG(ROUND(o_totalprice * 100)) "
+    "| STATS n = COUNT(*), total_cents = SUM(cents) BY c_mktsegment "
+    "| SORT c_mktsegment ASC")
+
 ESQL_COUNT_DISTINCT_QUERY = (
     "FROM events "
     "| STATS users = COUNT_DISTINCT(user_id), n = COUNT(*) "
@@ -6990,6 +6998,18 @@ def q_esql_grok(sf_dir: str):
     from ..query.esql import execute_esql
 
     return execute_esql(ESQL_GROK_QUERY, sf_dir)
+
+
+def q_esql_lookup_join(sf_dir: str):
+    """ES|QL LOOKUP JOIN (8.18+): left lookup join on the shared field
+    name, adding every non-key column — composed here with RENAME to
+    line the key names up (the documented ES pattern). Same broadcast
+    index_in/take kernel as ENRICH; the main-table read prunes to
+    exactly (o_custkey, o_totalprice) because the joined-in columns
+    resolve as derived before pruning."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_LOOKUP_JOIN_QUERY, sf_dir)
 
 
 def q_esql_count_distinct(sf_dir: str):
@@ -9006,6 +9026,7 @@ QUERY_REGISTRY = {
     "esql_rename_expand": q_esql_rename_expand,
     "esql_grok": q_esql_grok,
     "esql_count_distinct": q_esql_count_distinct,
+    "esql_lookup_join": q_esql_lookup_join,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

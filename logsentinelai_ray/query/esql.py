@@ -2,8 +2,9 @@
 (`FROM … | WHERE … | EVAL … | STATS … BY … | SORT … | LIMIT …`,
 plus `KEEP`/`DROP`, `RENAME old AS new`, `MV_EXPAND <field>`,
 `DISSECT <field> "%{a}…"` / `GROK <field> "%{INT:n:int}…"` structured
-extraction, and `ENRICH <table> ON <field> [WITH cols]` broadcast
-lookup joins) compiled onto Ray Data operators.
+extraction, and `ENRICH <table> ON <field> [WITH cols]` /
+`LOOKUP JOIN <table> ON <field>` broadcast lookup joins) compiled onto
+Ray Data operators.
 
 Reference parity: the reference ships its results to Elasticsearch and
 users query them with ES|QL / Query-DSL (reference README quick-start;
@@ -515,6 +516,21 @@ def parse_esql(query: str) -> list:
             with_cols = [c.strip() for c in
                          (m.group(3) or "").split(",") if c.strip()]
             cmds.append(Enrich(m.group(1), m.group(2), with_cols))
+        elif head == "LOOKUP":
+            # ES 8.18+ `LOOKUP JOIN <table> ON <field>`: left lookup
+            # join on the shared field name, adding every non-key
+            # column — the same broadcast index_in/take kernel as
+            # ENRICH (with_cols=[] means "all non-key", resolved when
+            # the small side loads). Multi-match lookup keys take the
+            # FIRST match (our lookup tables are unique-keyed; ES
+            # emits one row per match there).
+            m = re.match(r"JOIN\s+(\w+)\s+ON\s+(\w+)$", rest,
+                         re.IGNORECASE)
+            if m is None:
+                raise ValueError(
+                    "ES|QL: LOOKUP JOIN syntax is "
+                    "LOOKUP JOIN <table> ON <field>")
+            cmds.append(Enrich(m.group(1), m.group(2), []))
         elif head == "RENAME":
             pairs = []
             for spec in rest.split(","):
@@ -634,11 +650,12 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
         cmds.append(Limit(1000))
     src = cmds[0]
     path = os.path.join(sf_dir, f"{src.table}.parquet")
-    cols = sorted(_pipeline_fields(cmds))
-    ds = rd.read_parquet(path, columns=cols or None)
 
-    # ENRICH small sides are read once on the driver and broadcast via
-    # ray.put — the lookup join never reships the table per batch
+    # ENRICH / LOOKUP JOIN small sides are read once on the driver and
+    # broadcast via ray.put — the lookup join never reships the table
+    # per batch. Loaded BEFORE column pruning: LOOKUP JOIN's added
+    # columns ("all non-key") only become known here, and they must
+    # count as derived when pruning the main read.
     import ray
 
     for c in cmds:
@@ -647,13 +664,19 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
 
             et = pq.read_table(
                 os.path.join(sf_dir, f"{c.table}.parquet"))
-            key_col = et.column_names[0]  # enrich policy match field
-            cols = c.with_cols or [n for n in et.column_names
-                                   if n != key_col]
-            c.with_cols = cols
+            # LOOKUP JOIN keys on the ON field BY NAME in the lookup
+            # table; ENRICH policies match on the table's first column
+            key_col = c.on if c.on in et.column_names \
+                else et.column_names[0]
+            side_cols = c.with_cols or [n for n in et.column_names
+                                        if n != key_col]
+            c.with_cols = side_cols
             c.ref = ray.put(
                 (et[key_col].combine_chunks(),
-                 {n: et[n].combine_chunks() for n in cols}))
+                 {n: et[n].combine_chunks() for n in side_cols}))
+
+    cols = sorted(_pipeline_fields(cmds))
+    ds = rd.read_parquet(path, columns=cols or None)
 
     # fuse consecutive row-local commands into one map_batches stage
     i = 1

@@ -225,3 +225,31 @@ def test_mv_expand_execute_vs_unnest(ray_session):
         f" CAST(sum(m) AS BIGINT) AS s FROM x GROUP BY 1 ORDER BY 1") \
         .fetch_arrow_table()
     assert out.to_pydict() == exp.to_pydict()
+
+
+def test_lookup_join_parse_and_pruning():
+    cmds = parse_esql(
+        "FROM orders | RENAME o_custkey AS c_custkey "
+        "| LOOKUP JOIN customer ON c_custkey "
+        "| STATS n = COUNT(*) BY c_mktsegment")
+    e = cmds[2]
+    assert (e.table, e.on, e.with_cols) == ("customer", "c_custkey",
+                                            [])
+    with pytest.raises(ValueError):
+        parse_esql("FROM x | LOOKUP customer ON k")
+
+
+def test_lookup_join_vs_duckdb(ray_session):
+    out = execute_esql(
+        "FROM orders | RENAME o_custkey AS c_custkey "
+        "| LOOKUP JOIN customer ON c_custkey "
+        "| WHERE c_acctbal > 0 "
+        "| STATS n = COUNT(*) BY c_mktsegment "
+        "| SORT c_mktsegment ASC", SF)
+    exp = duckdb.sql(
+        f"SELECT c_mktsegment, count(*)::BIGINT AS n FROM"
+        f" read_parquet('{SF}/orders.parquet') o JOIN"
+        f" read_parquet('{SF}/customer.parquet') c"
+        f" ON o.o_custkey = c.c_custkey WHERE c_acctbal > 0"
+        f" GROUP BY 1 ORDER BY 1").fetch_arrow_table()
+    assert out.to_pydict() == exp.to_pydict()

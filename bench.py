@@ -307,7 +307,8 @@ def bench_pipelines() -> dict:
              # grok extraction, exact distinct cardinality; stemmed
              # analyzer (timing includes its own index build)
              "esql_rename_expand", "esql_grok", "esql_count_distinct",
-             "bm25_topk_stemmed", "alias_search", "esql_lookup_join"]
+             "bm25_topk_stemmed", "alias_search", "esql_lookup_join",
+             "range_join"]
     out = {}
     for name in names:
         t0 = time.monotonic()

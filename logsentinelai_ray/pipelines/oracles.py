@@ -2351,6 +2351,25 @@ ORACLE_SQL: dict[str, str] = {
                END AS avg_us_since_error
         FROM m GROUP BY event_type ORDER BY event_type
     """,
+    # range join: distinct per-user error windows [ts, ts+10min) x all
+    # events of the same user inside the window, aggregated per window
+    "range_join": """
+        WITH e AS (
+          SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+                 CAST(round(value * 1000000, 0) AS BIGINT) AS v
+          FROM events
+        ), w AS (
+          SELECT DISTINCT user_id, ts_us AS wstart
+          FROM e WHERE event_type = 'error'
+        )
+        SELECT w.user_id, w.wstart AS wstart_us,
+               count(*)::BIGINT AS n_events,
+               CAST(sum(e.v) AS BIGINT) AS sum_micro
+        FROM w JOIN e ON e.user_id = w.user_id
+                     AND e.ts_us >= w.wstart
+                     AND e.ts_us < w.wstart + 600000000
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     # gap-based sessionization: >30-minute gaps split a user's events
     "sessionize": """
         WITH e AS (

@@ -5947,6 +5947,59 @@ def q_asof_join(sf_dir: str):
             [None if np.isnan(x) else x for x in avg], pa.float64())})
 
 
+def q_range_join(sf_dir: str):
+    """Range (interval) join — the second operator the brief names that
+    Ray Data lacks (asof_join is the first): every distinct 'error'
+    event of a user opens a 10-minute window [ts, ts+10min), and ALL
+    of that user's events falling inside the window join to it (row
+    multiplication — an event can land in several overlapping windows,
+    the property that separates a range join from as-of). Built per
+    the same documented composition: hash-partition by key
+    (``groupby(user)``), per-group vectorized interval matching — two
+    ``searchsorted`` calls bound each window and a value prefix-sum
+    turns per-window sums into O(1) lookups, so the group kernel is
+    O((E+W) log E) with zero Python per row. One output row per
+    window crosses the second (tiny) exchange. Partitioning
+    assumption: one key's history fits one task (asof_join's note);
+    overlapping-window blowup is bounded because output rows are
+    per-WINDOW aggregates, never the multiplied pair set."""
+    ds = _read(sf_dir, "events",
+               columns=["user_id", "event_type", "ts", "value"])
+    dur_us = 600 * 1_000_000
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g["ts"].to_numpy(zero_copy_only=False) \
+            .astype("datetime64[us]").astype(np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts_s = ts[order]
+        vf = g["value"].to_numpy(zero_copy_only=False) * 1e6
+        # half-away-from-zero, the DuckDB round() convention
+        # (np.round is half-to-even and would diverge on exact halves)
+        v = np.trunc(vf + np.copysign(0.5, vf)).astype(np.int64)[order]
+        types = np.asarray(g["event_type"].to_pylist(),
+                           dtype=object)[order]
+        wstart = np.unique(ts_s[types == "error"])
+        if wstart.size == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "wstart_us": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "sum_micro": pa.array([], pa.int64())})
+        lo = np.searchsorted(ts_s, wstart, side="left")
+        hi = np.searchsorted(ts_s, wstart + dur_us, side="left")
+        pv = np.concatenate(([0], np.cumsum(v)))
+        uid = int(g["user_id"][0].as_py())
+        return pa.table({
+            "user_id": pa.array(np.full(wstart.size, uid), pa.int64()),
+            "wstart_us": pa.array(wstart, pa.int64()),
+            "n_events": pa.array((hi - lo).astype(np.int64)),
+            "sum_micro": pa.array(pv[hi] - pv[lo], pa.int64())})
+
+    out = (ds.groupby("user_id")
+           .map_groups(per_user, batch_format="pyarrow")
+           .sort(["user_id", "wstart_us"]))
+    return pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+
+
 def q_sessionize(sf_dir: str):
     """Gap-based sessionization (the streaming 'session window' the
     reference's count/timeout windows approximate, core/monitoring.py:
@@ -9037,6 +9090,7 @@ QUERY_REGISTRY = {
     "pii_scrub": q_pii_scrub,
     "events_derivative": q_events_derivative,
     "asof_join": q_asof_join,
+    "range_join": q_range_join,
     "sessionize": q_sessionize,
     "ann_recall": q_ann_recall,
     "bpe_encode": q_bpe_encode,

@@ -747,3 +747,50 @@ def test_ingest_pipeline_processors():
     got = g(run(t))
     assert got["head"].to_pylist() == ["f", None, None]
     assert got["tail"].to_pylist() == ["oo", None, None]
+
+
+def test_range_join_matches_bruteforce(ray_session):
+    """q_range_join vs a brute-force interval scan on random events —
+    pins the row-multiplication property (one event inside two
+    overlapping windows contributes to BOTH), duplicate-window dedup,
+    and the half-away-from-zero micro rounding."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from logsentinelai_ray.pipelines.queries import q_range_join
+
+    rng = np.random.default_rng(31)
+    n = 500
+    uid = rng.integers(0, 5, n)
+    # dense timestamps so 10-min windows overlap heavily
+    ts = np.cumsum(rng.integers(0, 90_000_000, n))
+    ts[rng.integers(0, n, 8)] = ts[rng.integers(0, n, 8)]
+    types = np.array(["error", "view", "click"])[rng.integers(0, 3, n)]
+    val = rng.normal(0, 3, n)
+    tbl = pa.table({"user_id": pa.array(uid, pa.int64()),
+                    "event_type": pa.array(types, pa.string()),
+                    "ts": pa.array(ts).cast(pa.timestamp("us")),
+                    "value": pa.array(val, pa.float64())})
+    d = tempfile.mkdtemp(prefix="rjoin_")
+    pq.write_table(tbl, os.path.join(d, "events.parquet"))
+    got = q_range_join(d).to_pandas()
+
+    dur = 600 * 1_000_000
+    vmic = np.trunc(val * 1e6 + np.copysign(0.5, val * 1e6)) \
+        .astype(np.int64)
+    exp = []
+    for u in np.unique(uid):
+        mask = uid == u
+        for w in np.unique(ts[mask & (types == "error")]):
+            inw = mask & (ts >= w) & (ts < w + dur)
+            exp.append((u, w, int(inw.sum()), int(vmic[inw].sum())))
+    exp.sort()
+    assert list(map(tuple, got.itertuples(index=False))) == exp
+    # overlap sanity: total window-event pairs exceed distinct events
+    # covered by any window (i.e. multiplication actually happened)
+    covered = np.zeros(n, dtype=bool)
+    for u, w, _, _ in exp:
+        covered |= (uid == u) & (ts >= w) & (ts < w + dur)
+    assert got["n_events"].sum() > covered.sum()

@@ -873,6 +873,15 @@ ORACLE_SQL: dict[str, str] = {
         WHERE d.lang = 'fr'
         ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
     """,
+    # search_template: mustache rendering adds zero scoring surface —
+    # the rendered body is a filtered match (lang from the template
+    # param, size through the {{^size}} default block)
+    "search_template": _BM25_BASE + """
+        SELECT s.doc_id, round(s.score, 6) AS score
+        FROM scores s JOIN documents d USING (doc_id)
+        WHERE d.lang = 'es'
+        ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
+    """,
     # ES _stats analog: the engine serves these from metadata; SQL
     # recounts from raw text. Field postings (lang:/repo:) add one term
     # per distinct lang + one per doc (repo keys are unique per doc in

@@ -7996,6 +7996,29 @@ def q_mixture_temperature(sf_dir: str):
         "sample_share": _round6(pa.array(share, pa.float64()))})
 
 
+SEARCH_TEMPLATE_SOURCE = (
+    '{"query": {"bool": {'
+    '"must": [{"match": {"content": "{{qtext}}"}}], '
+    '"filter": [{"term": {"lang": "{{lang}}"}}]}}, '
+    '"size": {{size}}{{^size}}10{{/size}}}')
+
+
+def q_search_template(sf_dir: str):
+    """ES ``_search/template``: a mustache-parameterized DSL body
+    ({{qtext}}/{{lang}} substitution, {{size}} falling back through a
+    {{^size}} default block) rendered on the driver and executed via
+    the verified DSL executor — templating adds zero new scoring
+    surface, so the filtered-BM25 oracle is exact
+    (query/template.py)."""
+    from ..query.template import search_template
+
+    eng = _docs_engine(sf_dir)
+    res = search_template(eng, SEARCH_TEMPLATE_SOURCE,
+                          {"qtext": BM25_QUERY_TEXT, "lang": "es"})
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_dsl_search(sf_dir: str):
     """ES Query-DSL JSON executor (query/dsl.py): a verbatim ES request
     body — bool with a multi-term match must, a lang term filter and a
@@ -9016,6 +9039,7 @@ QUERY_REGISTRY = {
     "msearch": q_msearch,
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "alias_search": q_alias_search,
+    "search_template": q_search_template,
     "bm25_topk_terms_filter": q_bm25_topk_terms_filter,
     "collapse_by_lang": q_collapse_by_lang,
     "federated_search": q_federated_search,

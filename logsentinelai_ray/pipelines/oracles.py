@@ -4490,6 +4490,38 @@ ORACLE_SQL["access_log_parse"] = """
         FROM s GROUP BY 1 ORDER BY 1
 """
 
+# syslog_parse: the oracle recomputes the reference Statistics shape
+# from the DERIVATION arithmetic; the engine must recover it by
+# actually parsing the rendered RFC3164 lines (round-trip proof).
+# username exists for sshd + CRON families, source ip for sshd only.
+ORACLE_SQL["syslog_parse"] = """
+        WITH e AS (
+          SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                     AS k,
+                 user_id AS uid
+          FROM events
+        ), s AS (
+          SELECT CASE
+                   WHEN k % 37 = 0 THEN '_malformed'
+                   WHEN k % 5 = 0 THEN 'auth_failure'
+                   WHEN k % 5 = 1 THEN 'auth_success'
+                   WHEN k % 5 = 2 THEN 'session'
+                   WHEN k % 5 = 3 THEN 'service'
+                   ELSE 'kernel'
+                 END AS etype,
+                 CASE WHEN k % 37 <> 0 AND k % 5 IN (0, 1, 2)
+                      THEN 'u' || CAST(uid AS VARCHAR) END AS username,
+                 CASE WHEN k % 37 <> 0 AND k % 5 IN (0, 1)
+                      THEN '10.0.' || CAST(uid % 4 AS VARCHAR) || '.'
+                           || CAST(k % 256 AS VARCHAR) END AS ip
+          FROM e
+        )
+        SELECT etype, count(*)::BIGINT AS n,
+               count(DISTINCT username)::BIGINT AS unique_users,
+               count(DISTINCT ip)::BIGINT AS unique_ips
+        FROM s GROUP BY 1 ORDER BY 1
+"""
+
 # zorder_layout: the SAME unrolled Morton interleave the engine kernel
 # runs, generated from the identical Python (_morton16_sql); every term
 # fully parenthesized — DuckDB gives &, |, << equal precedence

@@ -6708,6 +6708,101 @@ def q_access_log_parse(sf_dir: str):
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_syslog_parse(sf_dir: str):
+    """The reference's THIRD analyzer input — linux system logs
+    (analyzers/linux_system.py:22-69; sample-logs/linux-2k.log) —
+    through the real vectorized syslog parser (stages/syslog.py):
+    events render to deterministic RFC3164 lines across the
+    reference's event families (sshd auth failure/success, CRON
+    pam_unix session, systemd service, kernel), one malformed family
+    (k % 37 == 0) exercises the dead-letter mask, and the rollup
+    reproduces the reference's Statistics shape (event_by_type with
+    per-type counts + exact unique_users / unique_ips) — unique
+    counts via the two-level groupby (each distinct (etype, value)
+    pair crosses the exchange once). Line construction and field
+    classification are Arrow kernels end to end."""
+    from ray.data.aggregate import Count
+
+    from ..stages.syslog import parse_syslog
+
+    ds = _read(sf_dir, "events", columns=["user_id", "props"])
+
+    def render(t: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        n = t.num_rows
+
+        def s(arr) -> pa.Array:
+            return pc.cast(pa.array(arr), pa.string())
+
+        def lit(x: str) -> pa.Array:
+            return pa.array([x] * n, pa.string())
+
+        join = pc.binary_join_element_wise
+        user = join(lit("u"), s(uid), "")
+        ip = join(lit("10.0."), s(uid % 4), lit("."), s(k % 256), "")
+        sshd_tail = join(user, lit(" from "), ip, lit(" port "),
+                         s(2200 + k % 100), lit(" ssh2"), "")
+        fam = k % 5
+        msg = pc.if_else(pa.array(fam == 0),
+                         join(lit("Failed password for "), sshd_tail,
+                              ""),
+              pc.if_else(pa.array(fam == 1),
+                         join(lit("Accepted password for "),
+                              sshd_tail, ""),
+              pc.if_else(pa.array(fam == 2),
+                         join(lit("pam_unix(cron:session): session "
+                                  "opened for user "), user, ""),
+              pc.if_else(pa.array(fam == 3),
+                         lit("Started Daily apt upgrade timer."),
+                         lit("[123.456] audit: type=1400 denied")))))
+        procpid = pc.if_else(pa.array(fam <= 1),
+                             join(lit("sshd["), s(1000 + k % 500),
+                                  lit("]"), ""),
+                  pc.if_else(pa.array(fam == 2),
+                             join(lit("CRON["), s(1000 + k % 500),
+                                  lit("]"), ""),
+                  pc.if_else(pa.array(fam == 3), lit("systemd[1]"),
+                             lit("kernel"))))
+        line = join(lit("Jan  5 03:02:01 host-"), s(uid % 8),
+                    lit(" "), procpid, lit(": "), msg, "")
+        line = pc.if_else(pa.array(k % 37 == 0),
+                          join(lit("#### corrupt "), s(k), ""), line)
+        return pa.table({"line": line})
+
+    parsed = (ds.map_batches(render, batch_format="pyarrow")
+              .map_batches(parse_syslog, batch_format="pyarrow")
+              .map_batches(lambda t: pa.table({
+                  "etype": pc.fill_null(t["etype"], "_malformed"),
+                  "username": t["username"], "ip": t["ip"]}),
+                  batch_format="pyarrow")
+              .materialize())  # consumed three times below
+    counts = parsed.groupby("etype") \
+        .aggregate(Count(alias_name="n")).to_pandas()
+    uniq = {}
+    for col, out_name in (("username", "unique_users"),
+                          ("ip", "unique_ips")):
+        d = (parsed.map_batches(
+                lambda t, _c=col: t.filter(pc.is_valid(t[_c])),
+                batch_format="pyarrow")
+             .groupby(["etype", col]).count()
+             .groupby("etype").aggregate(Count(alias_name=out_name))
+             .to_pandas())
+        uniq[out_name] = d
+    out = counts
+    for out_name, d in uniq.items():
+        out = out.merge(d[["etype", out_name]], on="etype",
+                        how="left")
+        out[out_name] = out[out_name].fillna(0).astype("int64")
+    out = out.sort_values("etype").reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(
+        out[["etype", "n", "unique_users", "unique_ips"]],
+        preserve_index=False)
+
+
 def q_ids_query(sf_dir: str):
     """ES ``ids`` query: fetch specific documents by id with their
     stored fields — a pure docmap gather (row-group-pruned read, the
@@ -9227,6 +9322,7 @@ QUERY_REGISTRY = {
     "eql_sequence_strict": q_eql_sequence_strict,
     "ids_query": q_ids_query,
     "access_log_parse": q_access_log_parse,
+    "syslog_parse": q_syslog_parse,
     "zorder_layout": q_zorder_layout,
     "span_or": q_span_or,
     "match_bool_prefix": q_match_bool_prefix,

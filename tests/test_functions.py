@@ -794,3 +794,37 @@ def test_range_join_matches_bruteforce(ray_session):
     for u, w, _, _ in exp:
         covered |= (uid == u) & (ts >= w) & (ts < w + dur)
     assert got["n_events"].sum() > covered.sum()
+
+
+def test_parse_syslog_fields_and_dead_letter():
+    """stages/syslog.py: envelope extraction (incl. the pid-less
+    kernel form), event classification, optional username/ip fields,
+    and the dead-letter contract (unparseable rows kept, parsed=false,
+    all fields null)."""
+    from logsentinelai_ray.stages.syslog import parse_syslog
+
+    lines = [
+        "Jan  5 03:02:01 h1 sshd[42]: Failed password for root "
+        "from 10.1.2.3 port 22 ssh2",
+        "Jan  5 03:02:01 h1 sshd[43]: Accepted password for alice "
+        "from 10.1.2.4 port 22 ssh2",
+        "Feb 12 23:59:59 web-07 CRON[9]: pam_unix(cron:session): "
+        "session opened for user bob",
+        "Jan  5 03:02:01 h2 systemd[1]: Started thing.",
+        "Jan  5 03:02:01 h2 kernel: [1.0] audit: denied",
+        "totally not a syslog line",
+    ]
+    t = parse_syslog(pa.table({"line": pa.array(lines)}))
+    assert t["etype"].to_pylist() == [
+        "auth_failure", "auth_success", "session", "service",
+        "kernel", None]
+    assert t["username"].to_pylist() == [
+        "root", "alice", "bob", None, None, None]
+    assert t["ip"].to_pylist() == [
+        "10.1.2.3", "10.1.2.4", None, None, None, None]
+    assert t["pid"].to_pylist() == [42, 43, 9, 1, None, None]
+    assert t["host"].to_pylist() == [
+        "h1", "h1", "web-07", "h2", "h2", None]
+    assert t["parsed"].to_pylist() == [True] * 5 + [False]
+    # nothing dropped: every input row survives
+    assert t.num_rows == len(lines)

@@ -308,7 +308,8 @@ def bench_pipelines() -> dict:
              # analyzer (timing includes its own index build)
              "esql_rename_expand", "esql_grok", "esql_count_distinct",
              "bm25_topk_stemmed", "alias_search", "esql_lookup_join",
-             "range_join", "search_template", "syslog_parse"]
+             "range_join", "search_template", "syslog_parse",
+             "esql_like_in"]
     out = {}
     for name in names:
         t0 = time.monotonic()

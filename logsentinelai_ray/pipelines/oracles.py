@@ -1484,6 +1484,14 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n
         FROM events GROUP BY 1 ORDER BY event_type ASC
     """,
+    "esql_like_in": """
+        SELECT lang, source, count(*)::BIGINT AS docs,
+               CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents
+        WHERE lang IN ('en', 'de') AND source LIKE 'src1_'
+          AND source NOT IN ('src13')
+        GROUP BY 1, 2 ORDER BY lang ASC, source ASC
+    """,
     "esql_lookup_join": """
         SELECT c_mktsegment, count(*)::BIGINT AS n,
                CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT))

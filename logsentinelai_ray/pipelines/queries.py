@@ -7123,6 +7123,13 @@ ESQL_COUNT_DISTINCT_QUERY = (
     "| STATS users = COUNT_DISTINCT(user_id), n = COUNT(*) "
     "BY event_type | SORT event_type ASC")
 
+ESQL_LIKE_IN_QUERY = (
+    'FROM documents '
+    '| WHERE lang IN ("en", "de") AND source LIKE "src1?" '
+    'AND source NOT IN ("src13") '
+    "| STATS docs = COUNT(*), chars = SUM(n_chars) BY lang, source "
+    "| SORT lang ASC, source ASC")
+
 
 def q_esql_rename_expand(sf_dir: str):
     """ES|QL RENAME + MV_EXPAND: the multivalue expansion runs inside
@@ -7146,6 +7153,16 @@ def q_esql_grok(sf_dir: str):
     from ..query.esql import execute_esql
 
     return execute_esql(ESQL_GROK_QUERY, sf_dir)
+
+
+def q_esql_like_in(sf_dir: str):
+    """ES|QL string predicates: LIKE (*/? wildcards, whole-string),
+    NOT IN, and IN — each one vectorized Arrow kernel
+    (match_substring_regex on the translated anchor pattern /
+    is_in) inside the same fused WHERE stage."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_LIKE_IN_QUERY, sf_dir)
 
 
 def q_esql_lookup_join(sf_dir: str):
@@ -9199,6 +9216,7 @@ QUERY_REGISTRY = {
     "esql_grok": q_esql_grok,
     "esql_count_distinct": q_esql_count_distinct,
     "esql_lookup_join": q_esql_lookup_join,
+    "esql_like_in": q_esql_like_in,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -149,6 +149,41 @@ class _ExprParser:
         if t and t[1] in ("==", "!=", ">", ">=", "<", "<="):
             self.next()
             return BinOp(t[1], left, self.parse_add())
+        # LIKE "err*" / RLIKE "er+or" / IN ("a", "b") — with optional
+        # NOT (the ES|QL string-predicate operators)
+        neg = False
+        if t and t[0] == "word" and t[1].upper() == "NOT":
+            nxt = self.toks[self.i + 1] \
+                if self.i + 1 < len(self.toks) else None
+            if nxt and nxt[0] == "word" \
+                    and nxt[1].upper() in ("LIKE", "RLIKE", "IN"):
+                self.next()
+                neg = True
+                t = self.peek()
+        if t and t[0] == "word" and t[1].upper() in ("LIKE", "RLIKE"):
+            op = self.next()[1].lower()
+            kind, val = self.next()
+            if kind != "str":
+                raise ValueError(f"ES|QL: {op.upper()} needs a quoted "
+                                 "pattern")
+            node = BinOp(op, left,
+                         Lit(val[1:-1].replace('\\"', '"')))
+            return Unary("not", node) if neg else node
+        if t and t[0] == "word" and t[1].upper() == "IN":
+            self.next()
+            self.expect("(")
+            vals = [self.parse_atom()]
+            while self.peek() and self.peek()[1] == ",":
+                self.next()
+                vals.append(self.parse_atom())
+            self.expect(")")
+            for v in vals:
+                if not isinstance(v, Lit):
+                    raise ValueError("ES|QL: IN takes literal values")
+            node = BinOp("in", left, Lit([v.value for v in vals]))
+            return Unary("not", node) if neg else node
+        if neg:
+            raise ValueError("ES|QL: dangling NOT")
         return left
 
     def parse_add(self):
@@ -254,6 +289,15 @@ def eval_expr(e, t: pa.Table):
             return pc.cast(args[0], pa.float64())
         raise ValueError(f"ES|QL: unknown function {e.fn}")
     if isinstance(e, BinOp):
+        if e.op in ("like", "rlike", "in"):
+            lv = eval_expr(e.left, t)
+            if e.op == "in":
+                return pc.is_in(lv, value_set=pa.array(e.right.value))
+            pat = e.right.value
+            if e.op == "like":  # * / ? wildcards, whole-string match
+                pat = re.escape(pat).replace(r"\*", ".*") \
+                    .replace(r"\?", ".")
+            return pc.match_substring_regex(lv, f"^(?:{pat})$")
         lv, rv = eval_expr(e.left, t), eval_expr(e.right, t)
         if e.op == "and":
             return pc.and_(lv, rv)

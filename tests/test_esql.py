@@ -253,3 +253,37 @@ def test_lookup_join_vs_duckdb(ray_session):
         f" ON o.o_custkey = c.c_custkey WHERE c_acctbal > 0"
         f" GROUP BY 1 ORDER BY 1").fetch_arrow_table()
     assert out.to_pydict() == exp.to_pydict()
+
+
+def test_like_rlike_in_operators():
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({"s": ["error_log", "warn", "errs", None],
+                  "n": [1, 2, 3, 4]})
+    assert ev(parse_expr('s LIKE "err*"'), t).to_pylist() == \
+        [True, False, True, None]
+    assert ev(parse_expr('s NOT LIKE "err*"'), t).to_pylist() == \
+        [False, True, False, None]
+    # RLIKE anchors the WHOLE string (the ES|QL contract)
+    assert ev(parse_expr('s RLIKE "e[a-z]+"'), t).to_pylist() == \
+        [False, False, True, None]
+    assert ev(parse_expr("n IN (1, 3)"), t).to_pylist() == \
+        [True, False, True, False]
+    assert ev(parse_expr('s LIKE "w?rn"'), t).to_pylist() == \
+        [False, True, False, None]
+    with pytest.raises(ValueError):
+        parse_expr("s LIKE pattern")  # unquoted
+    with pytest.raises(ValueError):
+        parse_expr("n IN (x)")  # non-literal
+
+
+def test_like_in_pipeline_vs_duckdb(ray_session):
+    out = execute_esql(
+        'FROM documents | WHERE lang IN ("en", "de") '
+        'AND source LIKE "src1?" '
+        "| STATS docs = COUNT(*) BY lang | SORT lang ASC", SF)
+    exp = duckdb.sql(
+        f"SELECT lang, count(*)::BIGINT AS docs FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+        f" WHERE lang IN ('en', 'de') AND source LIKE 'src1_'"
+        f" GROUP BY 1 ORDER BY 1").fetch_arrow_table()
+    assert out.to_pydict() == exp.to_pydict()

@@ -1484,6 +1484,21 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n
         FROM events GROUP BY 1 ORDER BY event_type ASC
     """,
+    "esql_functions": """
+        SELECT CASE WHEN n_chars >= 150 THEN 'long'
+                    WHEN n_chars >= 100 THEN 'mid'
+                    ELSE 'short' END AS band,
+               lang || ':' || substr(source, 4) AS key,
+               count(*)::BIGINT AS n
+        FROM documents WHERE source LIKE 'src1%'
+        GROUP BY 1, 2 ORDER BY band ASC, key ASC LIMIT 25
+    """,
+    "esql_date_trunc": """
+        SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n,
+               CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS sum_micro
+        FROM events GROUP BY 1 ORDER BY day ASC
+    """,
     "esql_like_in": """
         SELECT lang, source, count(*)::BIGINT AS docs,
                CAST(sum(n_chars) AS BIGINT) AS chars

@@ -7155,6 +7155,41 @@ def q_esql_grok(sf_dir: str):
     return execute_esql(ESQL_GROK_QUERY, sf_dir)
 
 
+ESQL_FUNCTIONS_QUERY = (
+    'FROM documents '
+    '| WHERE STARTS_WITH(source, "src1") '
+    '| EVAL band = CASE(n_chars >= 150, "long", '
+    'n_chars >= 100, "mid", "short"), '
+    'key = CONCAT(lang, ":", SUBSTRING(source, 4)) '
+    "| STATS n = COUNT(*) BY band, key "
+    "| SORT band ASC, key ASC | LIMIT 25")
+
+ESQL_DATE_TRUNC_QUERY = (
+    'FROM events | EVAL day = DATE_TRUNC("day", ts), '
+    "micro = TO_LONG(ROUND(value * 1000000)) "
+    "| STATS n = COUNT(*), sum_micro = SUM(micro) BY day "
+    "| SORT day ASC")
+
+
+def q_esql_functions(sf_dir: str):
+    """ES|QL scalar-function surface: variadic CASE (nested if_else,
+    first match wins), CONCAT (one binary_join per batch), 1-based
+    SUBSTRING, STARTS_WITH — all Arrow kernels inside the fused
+    row-local stage, grouped by two EVAL-derived keys."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_FUNCTIONS_QUERY, sf_dir)
+
+
+def q_esql_date_trunc(sf_dir: str):
+    """ES|QL DATE_TRUNC (mini-dialect string-unit form) compiled to
+    pc.floor_temporal — the date-histogram shape expressed in the
+    query language, grouped on a real timestamp key."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_DATE_TRUNC_QUERY, sf_dir)
+
+
 def q_esql_like_in(sf_dir: str):
     """ES|QL string predicates: LIKE (*/? wildcards, whole-string),
     NOT IN, and IN — each one vectorized Arrow kernel
@@ -9217,6 +9252,8 @@ QUERY_REGISTRY = {
     "esql_count_distinct": q_esql_count_distinct,
     "esql_lookup_join": q_esql_lookup_join,
     "esql_like_in": q_esql_like_in,
+    "esql_functions": q_esql_functions,
+    "esql_date_trunc": q_esql_date_trunc,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

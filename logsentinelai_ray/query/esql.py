@@ -27,9 +27,13 @@ Compilation strategy (the scale story):
 Supported expression grammar (recursive descent, precedence low→high):
 ``OR`` < ``AND`` < ``NOT`` < comparison (``== != > >= < <=``) <
 additive (``+ -``) < multiplicative (``* / %``) < unary ``-`` <
-atom (literal / field / function call / parenthesized). Functions:
+atom (literal / field / function call / parenthesized); string
+predicates ``LIKE`` (*/? wildcards) / ``RLIKE`` (anchored regex) /
+``IN (…)``, each with a ``NOT`` form. Functions:
 ``ROUND(x[, n]) ABS(x) LENGTH(s) TO_LOWER(s) TO_UPPER(s) TO_LONG(x)
-TO_DOUBLE(x)``.
+TO_DOUBLE(x) SUBSTRING(s, start[, len]) CONCAT(…) TRIM(s)
+STARTS_WITH(s, p) ENDS_WITH(s, p) COALESCE(…) FLOOR CEIL SQRT
+POW(x, y) LOG10 DATE_TRUNC("unit", ts) CASE(c1, v1, …[, default])``.
 """
 
 from __future__ import annotations
@@ -258,6 +262,15 @@ _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
           "/": pc.divide}
 
 
+def _arr(v, n: int):
+    """Broadcast a pa.Scalar to a length-n array (variadic string/
+    conditional kernels want equal-length inputs)."""
+    if isinstance(v, pa.Scalar):
+        return pa.array([v.as_py()] * n,
+                        type=v.type if v.type != pa.null() else None)
+    return v
+
+
 def eval_expr(e, t: pa.Table):
     """Evaluate an expression AST against a batch — pyarrow.compute
     kernels only, no per-row Python."""
@@ -287,6 +300,82 @@ def eval_expr(e, t: pa.Table):
             return pc.cast(args[0], pa.int64())
         if e.fn == "TO_DOUBLE":
             return pc.cast(args[0], pa.float64())
+        if e.fn == "SUBSTRING":
+            # ES 1-based; negative start counts from the end; optional
+            # length. start/length must be literals (the common query
+            # shape; per-row offsets would need a take-based kernel).
+            def _lit_int(node) -> int:
+                if isinstance(node, Lit):
+                    return int(node.value)
+                if isinstance(node, Unary) and node.op == "neg" \
+                        and isinstance(node.operand, Lit):
+                    return -int(node.operand.value)
+                raise ValueError(
+                    "ES|QL: SUBSTRING start/length must be literals")
+
+            start = _lit_int(e.args[1])
+            begin = start - 1 if start > 0 else start
+            if len(e.args) > 2:
+                ln = _lit_int(e.args[2])
+                stop = begin + ln
+                if start < 0 and stop >= 0:
+                    stop = None  # negative start + long len → to end
+                return pc.utf8_slice_codeunits(args[0], begin,
+                                               stop=stop)
+            return pc.utf8_slice_codeunits(args[0], begin)
+        if e.fn == "CONCAT":
+            n = len(t)
+            return pc.binary_join_element_wise(
+                *[pc.cast(_arr(a, n), pa.string()) for a in args], "")
+        if e.fn == "TRIM":
+            return pc.utf8_trim_whitespace(args[0])
+        if e.fn == "STARTS_WITH":
+            if not isinstance(e.args[1], Lit):
+                raise ValueError("ES|QL: STARTS_WITH prefix must be "
+                                 "a literal")
+            return pc.starts_with(args[0], pattern=e.args[1].value)
+        if e.fn == "ENDS_WITH":
+            if not isinstance(e.args[1], Lit):
+                raise ValueError("ES|QL: ENDS_WITH suffix must be "
+                                 "a literal")
+            return pc.ends_with(args[0], pattern=e.args[1].value)
+        if e.fn == "COALESCE":
+            return pc.coalesce(*args)
+        if e.fn == "FLOOR":
+            return pc.floor(args[0])
+        if e.fn == "CEIL":
+            return pc.ceil(args[0])
+        if e.fn == "SQRT":
+            return pc.sqrt(args[0])
+        if e.fn == "POW":
+            return pc.power(args[0], args[1])
+        if e.fn == "LOG10":
+            return pc.log10(args[0])
+        if e.fn == "DATE_TRUNC":
+            # mini-dialect form: DATE_TRUNC("day", ts) — a string unit
+            # instead of ES|QL's time-span literal (1 day), which the
+            # tokenizer doesn't carry
+            if not isinstance(e.args[0], Lit):
+                raise ValueError('ES|QL: DATE_TRUNC unit must be a '
+                                 'quoted literal, e.g. "day"')
+            return pc.floor_temporal(args[1], unit=e.args[0].value)
+        if e.fn == "CASE":
+            # CASE(c1, v1, c2, v2, ..., [default]) — ES|QL variadic;
+            # nested if_else built back-to-front, null default
+            n = len(t)
+            if len(args) % 2 == 1:
+                out = _arr(args[-1], n)
+                pairs = args[:-1]
+            else:
+                out, pairs = None, args
+            for cond, val in zip(pairs[-2::-2], pairs[-1::-2]):
+                val = _arr(val, n)
+                if out is None:
+                    out = pc.if_else(cond, val,
+                                     pa.nulls(n, type=val.type))
+                else:
+                    out = pc.if_else(cond, val, out)
+            return out
         raise ValueError(f"ES|QL: unknown function {e.fn}")
     if isinstance(e, BinOp):
         if e.op in ("like", "rlike", "in"):

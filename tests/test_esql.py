@@ -287,3 +287,49 @@ def test_like_in_pipeline_vs_duckdb(ray_session):
         f" WHERE lang IN ('en', 'de') AND source LIKE 'src1_'"
         f" GROUP BY 1 ORDER BY 1").fetch_arrow_table()
     assert out.to_pydict() == exp.to_pydict()
+
+
+def test_scalar_function_surface():
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    import datetime as dt
+    t = pa.table({
+        "s": ["src12", " pad ", "abc", None],
+        "n": [150.0, 120.0, 80.0, 4.0],
+        "ts": pa.array([dt.datetime(2024, 1, 5, 3, 2, 1),
+                        dt.datetime(2024, 1, 5, 23, 59, 59),
+                        dt.datetime(2024, 2, 1),
+                        dt.datetime(2024, 2, 2)], pa.timestamp("us"))})
+    assert ev(parse_expr("SUBSTRING(s, 4)"), t).to_pylist() == \
+        ["12", "d ", "", None]
+    assert ev(parse_expr("SUBSTRING(s, 1, 3)"), t).to_pylist() == \
+        ["src", " pa", "abc", None]
+    assert ev(parse_expr("SUBSTRING(s, -2)"), t).to_pylist() == \
+        ["12", "d ", "bc", None]
+    assert ev(parse_expr('CONCAT(s, "-", TO_UPPER(s))'),
+              t).to_pylist() == \
+        ["src12-SRC12", " pad - PAD ", "abc-ABC", None]
+    assert ev(parse_expr("TRIM(s)"), t).to_pylist() == \
+        ["src12", "pad", "abc", None]
+    assert ev(parse_expr('COALESCE(s, "none")'), t).to_pylist() == \
+        ["src12", " pad ", "abc", "none"]
+    assert ev(parse_expr('STARTS_WITH(s, "src")'), t).to_pylist() == \
+        [True, False, False, None]
+    assert ev(parse_expr('ENDS_WITH(s, "12")'), t).to_pylist() == \
+        [True, False, False, None]
+    assert ev(parse_expr("FLOOR(n / 100)"), t).to_pylist() == \
+        [1.0, 1.0, 0.0, 0.0]
+    assert ev(parse_expr("POW(n, 2)"), t).to_pylist()[0] == 22500.0
+    assert ev(parse_expr("SQRT(n)"), t).to_pylist()[3] == 2.0
+    assert abs(ev(parse_expr("LOG10(n)"), t).to_pylist()[1]
+               - 2.0791812460476247) < 1e-12
+    # DATE_TRUNC floors to midnight; CASE is first-match-wins with an
+    # optional default (absent -> null)
+    days = ev(parse_expr('DATE_TRUNC("day", ts)'), t).to_pylist()
+    assert days[0] == days[1] == dt.datetime(2024, 1, 5)
+    assert ev(parse_expr('CASE(n >= 150, "long", n >= 100, "mid", '
+                         '"short")'), t).to_pylist() == \
+        ["long", "mid", "short", "short"]
+    assert ev(parse_expr('CASE(n >= 150, "long")'), t).to_pylist() == \
+        ["long", None, None, None]
+    with pytest.raises(ValueError):
+        ev(parse_expr("SUBSTRING(s, n)"), t)  # non-literal start

@@ -309,7 +309,8 @@ def bench_pipelines() -> dict:
              "esql_rename_expand", "esql_grok", "esql_count_distinct",
              "bm25_topk_stemmed", "alias_search", "esql_lookup_join",
              "range_join", "search_template", "syslog_parse",
-             "esql_like_in", "esql_functions", "esql_date_trunc"]
+             "esql_like_in", "esql_functions", "esql_date_trunc",
+             "esql_having"]
     out = {}
     for name in names:
         t0 = time.monotonic()

@@ -1484,6 +1484,13 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n
         FROM events GROUP BY 1 ORDER BY event_type ASC
     """,
+    "esql_having": """
+        SELECT user_id, count(*)::BIGINT AS n,
+               CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
+                    AS BIGINT) AS micro
+        FROM events GROUP BY 1 HAVING count(*) >= 60
+        ORDER BY n DESC, user_id ASC
+    """,
     "esql_functions": """
         SELECT CASE WHEN n_chars >= 150 THEN 'long'
                     WHEN n_chars >= 100 THEN 'mid'

@@ -7190,6 +7190,21 @@ def q_esql_date_trunc(sf_dir: str):
     return execute_esql(ESQL_DATE_TRUNC_QUERY, sf_dir)
 
 
+ESQL_HAVING_QUERY = (
+    "FROM events | STATS n = COUNT(*), "
+    "micro = SUM(TO_LONG(ROUND(value * 1000000))) BY user_id "
+    "| WHERE n >= 60 | SORT n DESC, user_id ASC")
+
+
+def q_esql_having(sf_dir: str):
+    """ES|QL WHERE-after-STATS (SQL HAVING): commands compose in pipe
+    order, so the post-STATS WHERE becomes a vectorized filter stage
+    over the (bucket-bounded) aggregate table — no special casing."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_HAVING_QUERY, sf_dir)
+
+
 def q_esql_like_in(sf_dir: str):
     """ES|QL string predicates: LIKE (*/? wildcards, whole-string),
     NOT IN, and IN — each one vectorized Arrow kernel
@@ -9254,6 +9269,7 @@ QUERY_REGISTRY = {
     "esql_like_in": q_esql_like_in,
     "esql_functions": q_esql_functions,
     "esql_date_trunc": q_esql_date_trunc,
+    "esql_having": q_esql_having,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

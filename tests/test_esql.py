@@ -333,3 +333,15 @@ def test_scalar_function_surface():
         ["long", None, None, None]
     with pytest.raises(ValueError):
         ev(parse_expr("SUBSTRING(s, n)"), t)  # non-literal start
+
+
+def test_where_after_stats_is_having(ray_session):
+    out = execute_esql(
+        "FROM events | STATS n = COUNT(*) BY user_id "
+        "| WHERE n >= 80 | SORT n DESC, user_id ASC", SF)
+    exp = duckdb.sql(
+        f"SELECT user_id, count(*)::BIGINT AS n FROM"
+        f" read_parquet('{SF}/events.parquet') GROUP BY 1"
+        f" HAVING count(*) >= 80 ORDER BY n DESC, user_id") \
+        .fetch_arrow_table()
+    assert out.to_pydict() == exp.to_pydict()

@@ -583,8 +583,20 @@ def parse_esql(query: str) -> list:
         elif head == "STATS":
             m = re.search(r"\bBY\b", rest, re.IGNORECASE)
             agg_src = rest[:m.start()] if m else rest
-            by = [c.strip() for c in rest[m.end():].split(",")] \
-                if m else []
+            by, by_assigns = [], []
+            if m:
+                for c in _split_top(rest[m.end():]):
+                    # inline grouping-key sugar: BY day = DATE_TRUNC(…)
+                    # desugars to an EVAL immediately before the STATS
+                    name, eq, src_e = c.partition("=")
+                    if eq and re.match(r"\w+$", name.strip()):
+                        by_assigns.append((name.strip(),
+                                           parse_expr(src_e.strip())))
+                        by.append(name.strip())
+                    else:
+                        by.append(c)
+            if by_assigns:
+                cmds.append(Eval(by_assigns))
             aggs = []
             for a in _split_top(agg_src):
                 name, _, src = a.partition("=")

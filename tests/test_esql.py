@@ -345,3 +345,17 @@ def test_where_after_stats_is_having(ray_session):
         f" HAVING count(*) >= 80 ORDER BY n DESC, user_id") \
         .fetch_arrow_table()
     assert out.to_pydict() == exp.to_pydict()
+
+
+def test_inline_by_assignment(ray_session):
+    # BY day = DATE_TRUNC(...) sugar desugars to an EVAL before STATS
+    out = execute_esql(
+        'FROM events | STATS n = COUNT(*) '
+        'BY day = DATE_TRUNC("day", ts) | SORT day ASC', SF)
+    exp = duckdb.sql(
+        f"SELECT date_trunc('day', ts) AS day, count(*)::BIGINT AS n"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        f" GROUP BY 1 ORDER BY 1").fetch_arrow_table()
+    assert out["n"].to_pylist() == exp["n"].to_pylist()
+    assert [d for d in out["day"].to_pylist()] == \
+        [d for d in exp["day"].to_pylist()]

@@ -357,5 +357,7 @@ def test_inline_by_assignment(ray_session):
         f" FROM read_parquet('{SF}/events.parquet')"
         f" GROUP BY 1 ORDER BY 1").fetch_arrow_table()
     assert out["n"].to_pylist() == exp["n"].to_pylist()
-    assert [d for d in out["day"].to_pylist()] == \
+    # duckdb's date_trunc('day') comes back as DATE; ours stays a
+    # midnight timestamp — same instants
+    assert [d.date() for d in out["day"].to_pylist()] == \
         [d for d in exp["day"].to_pylist()]

@@ -1484,6 +1484,25 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n
         FROM events GROUP BY 1 ORDER BY event_type ASC
     """,
+    "esql_mv_functions": """
+        WITH x AS (
+          SELECT label, len(embedding)::BIGINT AS dims,
+                 CAST(round(CAST(list_aggregate(embedding, 'min')
+                      AS DOUBLE) * 1000000, 0) AS BIGINT) AS mn,
+                 CAST(round(CAST(list_aggregate(embedding, 'max')
+                      AS DOUBLE) * 1000000, 0) AS BIGINT) AS mx,
+                 CAST(round((SELECT sum(CAST(u AS DOUBLE))
+                             FROM unnest(embedding) AS t(u))
+                      * 1000000, 0) AS BIGINT) AS sm
+          FROM embeddings
+        )
+        SELECT label, count(*)::BIGINT AS n,
+               CAST(sum(dims) AS BIGINT) AS total_dims,
+               CAST(sum(mn) AS BIGINT) AS sum_mn,
+               CAST(sum(mx) AS BIGINT) AS sum_mx,
+               CAST(sum(sm) AS BIGINT) AS sum_sm
+        FROM x GROUP BY 1 ORDER BY label ASC
+    """,
     "esql_having": """
         SELECT user_id, count(*)::BIGINT AS n,
                CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))

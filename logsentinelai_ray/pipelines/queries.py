@@ -7190,6 +7190,29 @@ def q_esql_date_trunc(sf_dir: str):
     return execute_esql(ESQL_DATE_TRUNC_QUERY, sf_dir)
 
 
+ESQL_MV_FUNCTIONS_QUERY = (
+    "FROM embeddings "
+    "| EVAL dims = MV_COUNT(embedding), "
+    "mn = TO_LONG(ROUND(MV_MIN(embedding) * 1000000)), "
+    "mx = TO_LONG(ROUND(MV_MAX(embedding) * 1000000)), "
+    "sm = TO_LONG(ROUND(MV_SUM(embedding) * 1000000)) "
+    "| STATS n = COUNT(*), total_dims = SUM(dims), "
+    "sum_mn = SUM(mn), sum_mx = SUM(mx), sum_sm = SUM(sm) BY label "
+    "| SORT label ASC")
+
+
+def q_esql_mv_functions(sf_dir: str):
+    """ES|QL multivalue functions (MV_COUNT/MV_MIN/MV_MAX/MV_SUM) over
+    the embedding list column: each is one flatten + one numpy
+    reduceat per batch (query/esql.py::_mv_reduce) — no per-row
+    Python, no expansion to one-row-per-element. Sum order is
+    element-sequential after an exact f32→f64 cast, matching the SQL
+    list_aggregate oracle bit-for-bit."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_MV_FUNCTIONS_QUERY, sf_dir)
+
+
 ESQL_HAVING_QUERY = (
     "FROM events | STATS n = COUNT(*), "
     "micro = SUM(TO_LONG(ROUND(value * 1000000))) BY user_id "
@@ -9270,6 +9293,7 @@ QUERY_REGISTRY = {
     "esql_functions": q_esql_functions,
     "esql_date_trunc": q_esql_date_trunc,
     "esql_having": q_esql_having,
+    "esql_mv_functions": q_esql_mv_functions,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -262,6 +262,30 @@ _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
           "/": pc.divide}
 
 
+def _mv_reduce(col, how: str):
+    """Per-list reduction over a list column (the ES|QL MV_* family):
+    one flatten + one numpy ``reduceat`` — no Python per row. Null or
+    empty multivalues yield null (the ES contract)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    ln = pc.fill_null(pc.list_value_length(col), 0) \
+        .to_numpy(zero_copy_only=False).astype(np.int64)
+    flat = col.flatten().to_numpy(zero_copy_only=False) \
+        .astype(np.float64)
+    valid = ln > 0
+    out = np.zeros(len(ln), dtype=np.float64)
+    if flat.size and valid.any():
+        starts = np.concatenate(([0], np.cumsum(ln)[:-1]))
+        fn = {"sum": np.add, "min": np.minimum,
+              "max": np.maximum}[how if how != "avg" else "sum"]
+        # empty rows contribute no elements, so passing only the valid
+        # rows' starts keeps reduceat segment boundaries correct
+        out[valid] = fn.reduceat(flat, starts[valid])
+        if how == "avg":
+            out[valid] = out[valid] / ln[valid]
+    return pa.array(out, mask=~valid)
+
+
 def _arr(v, n: int):
     """Broadcast a pa.Scalar to a length-n array (variadic string/
     conditional kernels want equal-length inputs)."""
@@ -359,6 +383,13 @@ def eval_expr(e, t: pa.Table):
                 raise ValueError('ES|QL: DATE_TRUNC unit must be a '
                                  'quoted literal, e.g. "day"')
             return pc.floor_temporal(args[1], unit=e.args[0].value)
+        if e.fn == "MV_COUNT":
+            col = args[0]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.cast(pc.list_value_length(col), pa.int64())
+        if e.fn in ("MV_SUM", "MV_MIN", "MV_MAX", "MV_AVG"):
+            return _mv_reduce(args[0], e.fn[3:].lower())
         if e.fn == "CASE":
             # CASE(c1, v1, c2, v2, ..., [default]) — ES|QL variadic;
             # nested if_else built back-to-front, null default

@@ -361,3 +361,20 @@ def test_inline_by_assignment(ray_session):
     # midnight timestamp — same instants
     assert [d.date() for d in out["day"].to_pylist()] == \
         [d for d in exp["day"].to_pylist()]
+
+
+def test_mv_functions():
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({"v": pa.array([[1.0, 2.0, 3.0], [], None, [5.0]],
+                                pa.list_(pa.float64()))})
+    assert ev(parse_expr("MV_COUNT(v)"), t).to_pylist() == \
+        [3, 0, None, 1]
+    # null/empty multivalues reduce to null (the ES contract)
+    assert ev(parse_expr("MV_SUM(v)"), t).to_pylist() == \
+        [6.0, None, None, 5.0]
+    assert ev(parse_expr("MV_MIN(v)"), t).to_pylist() == \
+        [1.0, None, None, 5.0]
+    assert ev(parse_expr("MV_MAX(v)"), t).to_pylist() == \
+        [3.0, None, None, 5.0]
+    assert ev(parse_expr("MV_AVG(v)"), t).to_pylist() == \
+        [2.0, None, None, 5.0]

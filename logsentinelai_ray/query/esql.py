@@ -153,6 +153,19 @@ class _ExprParser:
         if t and t[1] in ("==", "!=", ">", ">=", "<", "<="):
             self.next()
             return BinOp(t[1], left, self.parse_add())
+        # postfix IS NULL / IS NOT NULL
+        if t and t[0] == "word" and t[1].upper() == "IS":
+            self.next()
+            neg = False
+            nt = self.next()
+            if nt[0] == "word" and nt[1].upper() == "NOT":
+                neg = True
+                nt = self.next()
+            if nt[0] != "word" or nt[1].upper() != "NULL":
+                raise ValueError(
+                    "ES|QL: expected IS [NOT] NULL")
+            node = Unary("is_null", left)
+            return Unary("not", node) if neg else node
         # LIKE "err*" / RLIKE "er+or" / IN ("a", "b") — with optional
         # NOT (the ES|QL string-predicate operators)
         neg = False
@@ -306,6 +319,8 @@ def eval_expr(e, t: pa.Table):
             else col
     if isinstance(e, Unary):
         v = eval_expr(e.operand, t)
+        if e.op == "is_null":
+            return pc.is_null(v)
         return pc.invert(v) if e.op == "not" else pc.negate(v)
     if isinstance(e, Call):
         args = [eval_expr(a, t) for a in e.args]
@@ -735,11 +750,37 @@ def parse_esql(query: str) -> list:
     return cmds
 
 
+def _expand_cols(specs: list, names: list) -> list:
+    """Expand ``*`` wildcards in KEEP/DROP column specs against the
+    live schema, wildcard matches in schema order (the ES rule),
+    deduped keeping first occurrence."""
+    import fnmatch
+
+    out: list = []
+    for spec in specs:
+        matches = [n for n in names if fnmatch.fnmatchcase(n, spec)] \
+            if "*" in spec else [spec]
+        for m in matches:
+            if m not in out:
+                out.append(m)
+    return out
+
+
 def _pipeline_fields(cmds: list) -> set[str]:
     """Source columns the pipeline touches, minus EVAL-derived names —
-    the pruned column set for the parquet read."""
+    the pruned column set for the parquet read. A wildcard KEEP/DROP
+    can reference columns nothing else names, so its presence disables
+    pruning (empty set → read all columns)."""
     fields: set[str] = set()
     derived: set[str] = set()
+    for c in cmds:
+        # DROP keeps every column it does NOT name — the pipeline
+        # implicitly references the whole schema, so pruning is off.
+        # (Same for wildcard KEEP, which may match unnamed columns.)
+        if isinstance(c, Drop):
+            return set()
+        if isinstance(c, Keep) and any("*" in s for s in c.cols):
+            return set()
     for c in cmds:
         if isinstance(c, Where):
             expr_fields(c.cond, fields)
@@ -929,9 +970,11 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
         elif isinstance(c, Limit):
             ds = ds.limit(c.n)
         elif isinstance(c, Keep):
-            ds = ds.select_columns(c.cols)
+            ds = ds.select_columns(
+                _expand_cols(c.cols, ds.schema().names))
         elif isinstance(c, Drop):
-            ds = ds.drop_columns(c.cols)
+            ds = ds.drop_columns(
+                _expand_cols(c.cols, ds.schema().names))
 
     return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
 

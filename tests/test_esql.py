@@ -378,3 +378,30 @@ def test_mv_functions():
         [3.0, None, None, 5.0]
     assert ev(parse_expr("MV_AVG(v)"), t).to_pylist() == \
         [2.0, None, None, 5.0]
+
+
+def test_is_null_and_keep_drop_wildcards(ray_session):
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({"s": ["a", None, "c"]})
+    assert ev(parse_expr("s IS NULL"), t).to_pylist() == \
+        [False, True, False]
+    assert ev(parse_expr("s IS NOT NULL"), t).to_pylist() == \
+        [True, False, True]
+    with pytest.raises(ValueError):
+        parse_expr("s IS BANANA")
+    out = execute_esql(
+        "FROM events | KEEP event_*, user_id "
+        "| SORT event_id ASC | LIMIT 2", SF)
+    assert out.column_names == ["event_id", "event_type", "user_id"]
+
+
+def test_drop_keeps_unnamed_columns(ray_session):
+    # DROP implicitly references the whole schema — the read must NOT
+    # prune to just the dropped columns (regression: pruning once
+    # reduced `DROP props, ts, value` to an event_id-only table)
+    out = execute_esql(
+        "FROM events | DROP props, ts, value "
+        "| SORT event_id ASC | LIMIT 2", SF)
+    assert set(out.column_names) == {"event_id", "user_id",
+                                     "event_type"}
+    assert out.num_rows == 2

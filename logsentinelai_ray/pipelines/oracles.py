@@ -1484,6 +1484,17 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n
         FROM events GROUP BY 1 ORDER BY event_type ASC
     """,
+    "esql_median": """
+        WITH m AS (
+          SELECT event_type,
+                 CAST(round(value * 1000000, 0) AS BIGINT) AS micro
+          FROM events
+        )
+        SELECT event_type, count(*)::BIGINT AS n,
+               quantile_disc(micro, 0.5)::BIGINT AS med,
+               quantile_disc(micro, 0.90)::BIGINT AS p90
+        FROM m GROUP BY 1 ORDER BY event_type ASC
+    """,
     "esql_mv_functions": """
         WITH x AS (
           SELECT label, len(embedding)::BIGINT AS dims,

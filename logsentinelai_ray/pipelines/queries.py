@@ -7213,6 +7213,25 @@ def q_esql_mv_functions(sf_dir: str):
     return execute_esql(ESQL_MV_FUNCTIONS_QUERY, sf_dir)
 
 
+ESQL_MEDIAN_QUERY = (
+    "FROM events | EVAL micro = TO_LONG(ROUND(value * 1000000)) "
+    "| STATS n = COUNT(*), med = MEDIAN(micro), "
+    "p90 = PERCENTILE(micro, 90) BY event_type "
+    "| SORT event_type ASC")
+
+
+def q_esql_median(sf_dir: str):
+    """ES|QL order-statistic aggregates (MEDIAN / PERCENTILE): the
+    STATS compiles to ONE groupby().map_groups kernel — each group
+    sorts locally on its owning worker, rows move exactly once, and
+    the discrete-quantile index convention matches DuckDB
+    quantile_disc exactly (the value_quantiles plan shape, reachable
+    from the query language)."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_MEDIAN_QUERY, sf_dir)
+
+
 ESQL_HAVING_QUERY = (
     "FROM events | STATS n = COUNT(*), "
     "micro = SUM(TO_LONG(ROUND(value * 1000000))) BY user_id "
@@ -9294,6 +9313,7 @@ QUERY_REGISTRY = {
     "esql_date_trunc": q_esql_date_trunc,
     "esql_having": q_esql_having,
     "esql_mv_functions": q_esql_mv_functions,
+    "esql_median": q_esql_median,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -589,7 +589,11 @@ def compile_grok(pattern: str) -> tuple[str, list, dict]:
     return "".join(out), names, types
 
 
-_AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT")
+_AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT",
+            "MEDIAN", "PERCENTILE", "VALUES", "TOP")
+# aggregates Ray's builtin Aggregate set can't express — the whole
+# STATS compiles to one groupby().map_groups group kernel instead
+_KERNEL_FNS = {"MEDIAN", "PERCENTILE", "VALUES", "TOP"}
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
@@ -656,10 +660,31 @@ def parse_esql(query: str) -> list:
                     raise ValueError(
                         "ES|QL mini-dialect: COUNT supports only "
                         "COUNT(*) (use COUNT_DISTINCT for values)")
-                if fn == "COUNT_DISTINCT" and arg in ("*", ""):
+                if fn != "COUNT" and arg in ("*", ""):
                     raise ValueError(
-                        "ES|QL: COUNT_DISTINCT needs a field/expr")
-                expr = None if arg in ("*", "") else parse_expr(arg)
+                        f"ES|QL: {fn} needs a field/expr")
+                if fn in ("PERCENTILE", "TOP"):
+                    # multi-arg aggregates: PERCENTILE(x, p) /
+                    # TOP(x, k, "asc"|"desc") — extras are literals,
+                    # packed behind the main expression node
+                    parts = _split_top(arg)
+                    extras = []
+                    for p_s in parts[1:]:
+                        node = parse_expr(p_s)
+                        if isinstance(node, Unary) \
+                                and node.op == "neg" \
+                                and isinstance(node.operand, Lit):
+                            node = Lit(-node.operand.value)
+                        if not isinstance(node, Lit):
+                            raise ValueError(
+                                f"ES|QL: {fn} extra args must be "
+                                "literals")
+                        extras.append(node.value)
+                    expr = (parse_expr(parts[0]), *extras)
+                elif arg in ("*", ""):
+                    expr = None
+                else:
+                    expr = parse_expr(arg)
                 aggs.append((name, fn, expr))
             cmds.append(Stats(aggs, by))
         elif head == "SORT":
@@ -790,6 +815,8 @@ def _pipeline_fields(cmds: list) -> set[str]:
                 derived.add(name)
         elif isinstance(c, Stats):
             for name, _, e in c.aggs:
+                if isinstance(e, tuple):  # multi-arg agg: main node
+                    e = e[0]
                 if e is not None:
                     expr_fields(e, fields)
                 derived.add(name)  # agg outputs are not source columns
@@ -985,6 +1012,8 @@ def _compile_stats(ds, c: Stats):
     column first (one vectorized stage)."""
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+    if any(fn in _KERNEL_FNS for _, fn, _e in c.aggs):
+        return _stats_group_kernel(ds, c)
     scratch: list[tuple[str, object]] = []
     specs = []
     count_names = []
@@ -1036,6 +1065,105 @@ def _compile_stats(ds, c: Stats):
             row[name] = n
     ordered = {name: row[name] for name, _, _ in c.aggs}
     return rd.from_items([ordered])
+
+
+def _qdisc(v: np.ndarray, q: float):
+    """Discrete quantile, the DuckDB quantile_disc convention the
+    whole repo uses: sorted element at max(0, ceil(q*n) - 1)."""
+    import math
+
+    if v.size == 0:
+        return None
+    return v[max(0, math.ceil(q * v.size) - 1)].item()
+
+
+def _stats_group_kernel(ds, c: Stats):
+    """STATS containing order-statistic aggregates (MEDIAN /
+    PERCENTILE / VALUES / TOP) — Ray's builtin Aggregate set can't
+    express these, so the whole STATS compiles to ONE
+    ``groupby().map_groups`` kernel: each group sorts locally on the
+    worker that owns it and emits one row (the value_quantiles plan
+    shape — the shuffle moves each row exactly once, nothing
+    group-sized reaches the driver). Partitioning assumption: one
+    group fits one worker; beyond that the distributed-sort +
+    rank-selection exchange replaces the local sort."""
+    # evaluate every agg's main expression into a scratch column first
+    # (one vectorized stage), so the group kernel only reads columns
+    cols: list[tuple[str, str, str, tuple]] = []  # name, fn, col, extras
+    scratch: list[tuple[str, object]] = []
+    for idx, (name, fn, expr) in enumerate(c.aggs):
+        extras: tuple = ()
+        if isinstance(expr, tuple):
+            expr, extras = expr[0], tuple(expr[1:])
+        if expr is None:
+            col = ""
+        elif isinstance(expr, Field):
+            col = expr.name
+        else:
+            col = f"__agg{idx}"
+            scratch.append((col, expr))
+        cols.append((name, fn, col, extras))
+    if scratch:
+        def add_scratch(t: pa.Table, _s=tuple(scratch)) -> pa.Table:
+            for col, e in _s:
+                v = eval_expr(e, t)
+                if isinstance(v, pa.Scalar):
+                    v = pa.array([v.as_py()] * len(t))
+                t = t.append_column(col, v)
+            return t
+
+        ds = ds.map_batches(add_scratch, batch_format="pyarrow")
+
+    by = list(c.by)
+    if not by:  # global STATS: constant group key, dropped on output
+        ds = ds.map_batches(
+            lambda t: t.append_column("__g", pa.nulls(len(t),
+                                                      pa.int8())),
+            batch_format="pyarrow")
+        by = ["__g"]
+
+    def kernel(g: pa.Table, _cols=tuple(cols), _by=tuple(by)) \
+            -> pa.Table:
+        out: dict = {k: [g[k][0].as_py()] for k in _by}
+        for name, fn, col, extras in _cols:
+            if fn == "COUNT":
+                out[name] = [len(g)]
+                continue
+            arr = g[col]
+            if fn == "SUM":
+                out[name] = [pc.sum(arr).as_py()]
+            elif fn == "MIN":
+                out[name] = [pc.min(arr).as_py()]
+            elif fn == "MAX":
+                out[name] = [pc.max(arr).as_py()]
+            elif fn == "AVG":
+                out[name] = [pc.mean(arr).as_py()]
+            elif fn == "COUNT_DISTINCT":
+                out[name] = [pc.count_distinct(arr).as_py()]
+            else:
+                v = np.sort(arr.drop_null().to_numpy(
+                    zero_copy_only=False))
+                if fn == "MEDIAN":
+                    out[name] = [_qdisc(v, 0.5)]
+                elif fn == "PERCENTILE":
+                    out[name] = [_qdisc(v, float(extras[0]) / 100.0)]
+                elif fn == "VALUES":
+                    # ES returns an unordered multivalue; sorted here
+                    # for determinism (documented deviation)
+                    out[name] = [np.unique(v).tolist()]
+                else:  # TOP(col, k, "asc"|"desc")
+                    k = int(extras[0])
+                    order = (extras[1] if len(extras) > 1
+                             else "desc")
+                    top = v[::-1][:k] if order == "desc" else v[:k]
+                    out[name] = [top.tolist()]
+        return pa.table(out)
+
+    out = ds.groupby(by if len(by) > 1 else by[0]) \
+        .map_groups(kernel, batch_format="pyarrow")
+    if not c.by:
+        out = out.drop_columns(["__g"])
+    return out
 
 
 def _stats_with_distinct(ds, c: Stats, specs, count_names, cd_aggs):

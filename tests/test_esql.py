@@ -60,9 +60,11 @@ def test_unknown_command_and_bad_agg():
     with pytest.raises(ValueError):
         parse_esql("FROM x | FROBNICATE y")
     with pytest.raises(ValueError):
-        parse_esql("FROM x | STATS a = MEDIAN(v)")
+        parse_esql("FROM x | STATS a = FROBNICATE(v)")
     with pytest.raises(ValueError):
         parse_esql("FROM x | STATS a = COUNT(v)")
+    with pytest.raises(ValueError):
+        parse_esql("FROM x | STATS a = MEDIAN(*)")
 
 
 def test_dissect_pattern_compiles():
@@ -405,3 +407,38 @@ def test_drop_keeps_unnamed_columns(ray_session):
     assert set(out.column_names) == {"event_id", "user_id",
                                      "event_type"}
     assert out.num_rows == 2
+
+
+def test_order_statistic_aggs(ray_session):
+    # MEDIAN / PERCENTILE match DuckDB quantile_disc exactly; TOP and
+    # VALUES produce deterministic (sorted) multivalues
+    out = execute_esql(
+        "FROM events | EVAL micro = TO_LONG(ROUND(value * 1000000)) "
+        "| STATS med = MEDIAN(micro), p25 = PERCENTILE(micro, 25), "
+        "t2 = TOP(micro, 2), vals = VALUES(event_type)", SF)
+    exp = duckdb.sql(
+        f"WITH m AS (SELECT event_type,"
+        f" CAST(round(value * 1000000, 0) AS BIGINT) AS micro"
+        f" FROM read_parquet('{SF}/events.parquet'))"
+        f" SELECT quantile_disc(micro, 0.5)::BIGINT AS med,"
+        f" quantile_disc(micro, 0.25)::BIGINT AS p25,"
+        f" list(DISTINCT event_type ORDER BY event_type) AS vals,"
+        f" (SELECT list(micro ORDER BY micro DESC)[1:2] FROM m) AS t2"
+        f" FROM m").fetchone()
+    assert out["med"][0].as_py() == exp[0]
+    assert out["p25"][0].as_py() == exp[1]
+    assert out["vals"][0].as_py() == sorted(exp[2])
+    assert out["t2"][0].as_py() == exp[3]
+    # TOP asc variant + grouped median path
+    g = execute_esql(
+        "FROM events | EVAL micro = TO_LONG(ROUND(value * 1000000)) "
+        '| STATS lo = TOP(micro, 2, "asc") BY event_type '
+        "| SORT event_type ASC", SF)
+    ge = duckdb.sql(
+        f"WITH m AS (SELECT event_type,"
+        f" CAST(round(value * 1000000, 0) AS BIGINT) AS micro"
+        f" FROM read_parquet('{SF}/events.parquet'))"
+        f" SELECT event_type, list(micro ORDER BY micro ASC)[1:2]"
+        f" AS lo FROM m GROUP BY 1 ORDER BY 1").fetchall()
+    assert [(r["event_type"], r["lo"]) for r in g.to_pylist()] == \
+        [(et, lo) for et, lo in ge]

@@ -310,7 +310,8 @@ def bench_pipelines() -> dict:
              "bm25_topk_stemmed", "alias_search", "esql_lookup_join",
              "range_join", "search_template", "syslog_parse",
              "esql_like_in", "esql_functions", "esql_date_trunc",
-             "esql_having", "esql_mv_functions", "esql_median"]
+             "esql_having", "esql_mv_functions", "esql_median",
+             "profile_search"]
     out = {}
     for name in names:
         t0 = time.monotonic()

@@ -2017,6 +2017,19 @@ def q_bm25_topk_filtered(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_profile_search(sf_dir: str):
+    """ES ``"profile": true`` analog for the WAND scale path
+    (rows-only: pruning-atom counters aren't SQL-expressible): one row
+    of DETERMINISTIC counters — pruning atoms total/considered/skipped
+    and docs exactly scored — for the standard query. The counters are
+    a pure function of index content + query (no timings, unseeded),
+    so repeated runs hash identically; the block-max skip behavior
+    they expose is the no-N-sized-accumulator strategy's entire scale
+    story (query/wand.py)."""
+    eng = _docs_engine(sf_dir)
+    return eng.profile(BM25_QUERY_TEXT, k=10)
+
+
 def q_alias_search(sf_dir: str):
     """ES filtered index alias (the ``_aliases`` API, index/aliases.py):
     a "docs-fr" alias over the shared docs index carries filter
@@ -9244,6 +9257,7 @@ QUERY_REGISTRY = {
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "alias_search": q_alias_search,
     "search_template": q_search_template,
+    "profile_search": q_profile_search,
     "bm25_topk_terms_filter": q_bm25_topk_terms_filter,
     "collapse_by_lang": q_collapse_by_lang,
     "federated_search": q_federated_search,

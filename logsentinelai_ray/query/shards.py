@@ -928,6 +928,32 @@ class SearchEngine:
             decoded=decoded)
         return self._format_result(topk, with_meta)
 
+    def profile(self, text: str, k: int = 10,
+                **kernel_kwargs) -> pa.Table:
+        """ES ``"profile": true`` analog for the scale (WAND) path —
+        one row of DETERMINISTIC pruning counters (a pure function of
+        index content + query, no timings): total pruning atoms,
+        atoms considered vs skipped whole by the block-max bound, and
+        docs exactly scored. Runs unseeded so the counters don't
+        depend on cache warmth; results are the exact same top-k as
+        ``search`` (rank identity holds by the WAND cross-tests)."""
+        terms = sorted(set(self._toks(text)))
+        cursors, decoded = self._wand_inputs(terms)
+        stats: dict = {}
+        topk = block_max_wand_vec(cursors, k, decoded=decoded,
+                                  stats_out=stats, **kernel_kwargs)
+        return pa.table({
+            "n_terms": pa.array([len(terms)], pa.int64()),
+            "n_atoms": pa.array([stats.get("n_atoms", 0)], pa.int64()),
+            "atoms_considered": pa.array(
+                [stats.get("atoms_considered", 0)], pa.int64()),
+            "atoms_skipped": pa.array(
+                [stats.get("atoms_skipped", 0)], pa.int64()),
+            "docs_scored": pa.array(
+                [stats.get("docs_scored", 0)], pa.int64()),
+            "hits": pa.array([len(topk)], pa.int64()),
+        })
+
     def msearch(self, requests: list[dict], with_meta: bool = True,
                 strategy: str | None = None) -> pa.Table:
         """ES ``_msearch`` analog: a batch of top-k queries in one call.

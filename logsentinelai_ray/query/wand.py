@@ -185,6 +185,7 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
                        span_cap: int = _SPAN_CAP,
                        sparse_df_cap: int = 4096,
                        after: tuple[float, int] | None = None,
+                       stats_out: dict | None = None,
                        ) -> list[tuple[int, float]]:
     """Vectorized block-max WAND — identical results to ``block_max_wand``
     (cross-tested), but block-at-a-time instead of doc-at-a-time, so the
@@ -247,6 +248,11 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
     bounds. Exactness is unchanged — a run's bound is the max of the
     true contributions inside it, so the skip argument above holds
     verbatim.
+
+    ``stats_out``: optional dict filled with deterministic pruning
+    counters (n_atoms, atoms_considered, atoms_skipped, docs_scored) —
+    the ES "profile": true analog for the scale path; counters are a
+    pure function of index content + query (no timings).
     """
     if decoded is None:
         decoded = [None] * len(cursors)
@@ -304,6 +310,8 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
     atom_ub = np.cumsum(delta)[last_idx]
     atom_ub = atom_ub * (1.0 + 1e-9) + 1e-12  # see docstring: safe bound
     n_atoms = upos.size - 1  # last upos is max(block_last)+1, ub ~ 0 after
+    atoms_considered = 0
+    docs_scored = 0
 
     # ---- 2/3. batched consume + exact scoring ----------------------------
     top_ids = np.empty(0, dtype=np.int64)
@@ -321,6 +329,7 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
         je = min(j + batch, n_atoms)
         batch = min(batch * 8, 1 << 18)
         alive = atom_ub[j:je] > threshold
+        atoms_considered += int(alive.sum())
         if not alive.any():
             j = je
             continue
@@ -407,6 +416,7 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
             if not touched:
                 continue
             rel = np.flatnonzero(scratch)
+            docs_scored += int(rel.size)
             if not rel.size:
                 continue
             uids = rel + base
@@ -435,4 +445,9 @@ def block_max_wand_vec(cursors: list[PostingsCursor], k: int,
             top_ids, top_scores = merged_ids[sel], merged_scores[sel]
             if top_ids.size == k:
                 threshold = max(seed, float(top_scores[-1]))
+    if stats_out is not None:
+        stats_out.update(
+            n_atoms=int(n_atoms), atoms_considered=atoms_considered,
+            atoms_skipped=int(n_atoms) - atoms_considered,
+            docs_scored=docs_scored)
     return [(int(d), float(s)) for d, s in zip(top_ids, top_scores)]

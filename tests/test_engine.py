@@ -532,3 +532,31 @@ def test_stemmed_index_rank_identity(ray_session, small_corpus,
     with pytest.raises(ValueError, match="unknown stemmer"):
         build_index(rd.from_arrow(small_corpus), idx + "_bad2",
                     IndexConfig(stem="porter2"), corpus_tag="bad2")
+
+
+def test_profile_counters_and_pruning(engine, oracle):
+    """SearchEngine.profile: deterministic WAND pruning counters.
+    Invariants: considered + skipped == total atoms, counters stable
+    across runs, and the profiled query's top-k equals search()'s.
+    With a tight sparse_df_cap (forcing hot terms onto block
+    intervals) and k=1, block-max pruning must actually skip atoms
+    and score a strict subset of the corpus."""
+    p = engine.profile("error merge spark window").to_pylist()[0]
+    assert p["atoms_considered"] + p["atoms_skipped"] == p["n_atoms"]
+    assert p["hits"] == 10 and p["n_terms"] == 4
+    # determinism: a second run returns identical counters
+    assert engine.profile("error merge spark window").to_pylist()[0] \
+        == p
+    # the profiled path IS the search path (rank identity)
+    exp = [d for d, _ in oracle.search("error merge spark window",
+                                       k=10)]
+    res = engine.search("error merge spark window", k=10,
+                        with_meta=False, strategy="wand")
+    assert res["doc_id"].to_pylist() == exp
+    # forced block-interval regime: pruning visibly skips work
+    n_docs = int(engine.stats["n_docs"])
+    q = engine.profile("authentication error merge window", k=1,
+                       sparse_df_cap=8, first_batch_atoms=4) \
+        .to_pylist()[0]
+    assert q["atoms_skipped"] > 0
+    assert q["docs_scored"] < n_docs

@@ -1484,6 +1484,12 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n
         FROM events GROUP BY 1 ORDER BY event_type ASC
     """,
+    "esql_date_format": """
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1, 2 ORDER BY day ASC, hr ASC LIMIT 50
+    """,
     "esql_median": """
         WITH m AS (
           SELECT event_type,

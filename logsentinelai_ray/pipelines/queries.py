@@ -7226,6 +7226,22 @@ def q_esql_mv_functions(sf_dir: str):
     return execute_esql(ESQL_MV_FUNCTIONS_QUERY, sf_dir)
 
 
+ESQL_DATE_FORMAT_QUERY = (
+    'FROM events | EVAL day = DATE_FORMAT("yyyy-MM-dd", ts), '
+    'hr = DATE_EXTRACT("hour", ts) '
+    "| STATS n = COUNT(*) BY day, hr "
+    "| SORT day ASC, hr ASC | LIMIT 50")
+
+
+def q_esql_date_format(sf_dir: str):
+    """ES|QL DATE_FORMAT (Java-pattern subset → one vectorized
+    strftime per batch) + DATE_EXTRACT (temporal-component kernels),
+    grouped on the two derived keys."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_DATE_FORMAT_QUERY, sf_dir)
+
+
 ESQL_MEDIAN_QUERY = (
     "FROM events | EVAL micro = TO_LONG(ROUND(value * 1000000)) "
     "| STATS n = COUNT(*), med = MEDIAN(micro), "
@@ -9328,6 +9344,7 @@ QUERY_REGISTRY = {
     "esql_having": q_esql_having,
     "esql_mv_functions": q_esql_mv_functions,
     "esql_median": q_esql_median,
+    "esql_date_format": q_esql_date_format,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -390,6 +390,40 @@ def eval_expr(e, t: pa.Table):
             return pc.power(args[0], args[1])
         if e.fn == "LOG10":
             return pc.log10(args[0])
+        if e.fn == "DATE_FORMAT":
+            # DATE_FORMAT("yyyy-MM-dd HH:mm:ss", ts) — the Java-style
+            # pattern subset translated to strftime, one vectorized
+            # strftime per batch
+            if not isinstance(e.args[0], Lit):
+                raise ValueError(
+                    "ES|QL: DATE_FORMAT pattern must be a literal")
+            pat = e.args[0].value
+            for java, c_ in (("yyyy", "%Y"), ("MM", "%m"),
+                             ("dd", "%d"), ("HH", "%H"),
+                             ("mm", "%M"), ("ss", "%S")):
+                pat = pat.replace(java, c_)
+            # arrow's %S prints fractional seconds; floor to second
+            # precision so "ss" means the strftime two-digit field
+            v = args[1]
+            if "%S" in pat:
+                v = pc.floor_temporal(v, unit="second")
+                v = v.cast(pa.timestamp("s")) if hasattr(v, "cast") \
+                    else pc.cast(v, pa.timestamp("s"))
+            return pc.strftime(v, format=pat)
+        if e.fn == "DATE_EXTRACT":
+            if not isinstance(e.args[0], Lit):
+                raise ValueError(
+                    "ES|QL: DATE_EXTRACT part must be a literal")
+            part = e.args[0].value.lower()
+            fns = {"year": pc.year, "month": pc.month,
+                   "day": pc.day, "hour": pc.hour,
+                   "minute": pc.minute, "second": pc.second,
+                   "day_of_week": pc.day_of_week}
+            if part not in fns:
+                raise ValueError(
+                    f"ES|QL: DATE_EXTRACT part {part!r} not in "
+                    f"{sorted(fns)}")
+            return pc.cast(fns[part](args[1]), pa.int64())
         if e.fn == "DATE_TRUNC":
             # mini-dialect form: DATE_TRUNC("day", ts) — a string unit
             # instead of ES|QL's time-span literal (1 day), which the

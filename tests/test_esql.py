@@ -442,3 +442,22 @@ def test_order_statistic_aggs(ray_session):
         f" AS lo FROM m GROUP BY 1 ORDER BY 1").fetchall()
     assert [(r["event_type"], r["lo"]) for r in g.to_pylist()] == \
         [(et, lo) for et, lo in ge]
+
+
+def test_date_format_and_extract():
+    import datetime as dt
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({"ts": pa.array(
+        [dt.datetime(2024, 1, 5, 3, 2, 1),
+         dt.datetime(2024, 12, 31, 23, 59, 59)], pa.timestamp("us"))})
+    assert ev(parse_expr('DATE_FORMAT("yyyy-MM-dd HH:mm:ss", ts)'),
+              t).to_pylist() == \
+        ["2024-01-05 03:02:01", "2024-12-31 23:59:59"]
+    assert ev(parse_expr('DATE_FORMAT("yyyy-MM", ts)'),
+              t).to_pylist() == ["2024-01", "2024-12"]
+    assert ev(parse_expr('DATE_EXTRACT("hour", ts)'),
+              t).to_pylist() == [3, 23]
+    assert ev(parse_expr('DATE_EXTRACT("year", ts)'),
+              t).to_pylist() == [2024, 2024]
+    with pytest.raises(ValueError):
+        ev(parse_expr('DATE_EXTRACT("fortnight", ts)'), t)

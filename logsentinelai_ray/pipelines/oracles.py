@@ -1484,6 +1484,12 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n
         FROM events GROUP BY 1 ORDER BY event_type ASC
     """,
+    "esql_sample": """
+        SELECT event_type, count(*)::BIGINT AS n,
+               count(DISTINCT user_id)::BIGINT AS users
+        FROM events WHERE event_id % 16 = 0
+        GROUP BY 1 ORDER BY event_type ASC
+    """,
     "esql_date_format": """
         SELECT strftime(ts, '%Y-%m-%d') AS day,
                CAST(extract(hour FROM ts) AS BIGINT) AS hr,

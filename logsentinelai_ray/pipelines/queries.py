@@ -7226,6 +7226,25 @@ def q_esql_mv_functions(sf_dir: str):
     return execute_esql(ESQL_MV_FUNCTIONS_QUERY, sf_dir)
 
 
+ESQL_SAMPLE_QUERY = (
+    "FROM events | SAMPLE 0.0625 ON event_id "
+    "| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id) "
+    "BY event_type | SORT event_type ASC")
+
+
+def q_esql_sample(sf_dir: str):
+    """ES|QL SAMPLE (9.x) in the mini-dialect's DETERMINISTIC form —
+    id-modulo sampling (the repo-wide load-shed convention, O3/O5):
+    reproducible across reruns, cluster sizes and block orders, so
+    the 1/16 sample has an exact SQL oracle (ES's seeded-random
+    SAMPLE cannot; documented deviation). The filter fuses into the
+    row-local stage before the STATS exchange — shed rows never
+    shuffle."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_SAMPLE_QUERY, sf_dir)
+
+
 ESQL_DATE_FORMAT_QUERY = (
     'FROM events | EVAL day = DATE_FORMAT("yyyy-MM-dd", ts), '
     'hr = DATE_EXTRACT("hour", ts) '
@@ -9345,6 +9364,7 @@ QUERY_REGISTRY = {
     "esql_mv_functions": q_esql_mv_functions,
     "esql_median": q_esql_median,
     "esql_date_format": q_esql_date_format,
+    "esql_sample": q_esql_sample,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -549,6 +549,12 @@ class Rename:
 
 
 @dataclass
+class Sample:
+    field: str
+    k: int  # keep rows where field % k == 0 (p = 1/k)
+
+
+@dataclass
 class MvExpand:
     field: str
 
@@ -792,6 +798,27 @@ def parse_esql(query: str) -> list:
                         " [, ...]")
                 pairs.append((pm.group(1), pm.group(2)))
             cmds.append(Rename(pairs))
+        elif head == "SAMPLE":
+            # mini-dialect form: SAMPLE <p> ON <id_field> — DETERMINISTIC
+            # id-hash sampling (keep field % round(1/p) == 0), the
+            # repo-wide load-shed convention: reproducible across
+            # reruns, cluster sizes and block orders, hence an exact
+            # SQL oracle — unlike ES|QL 9.x's seeded-random SAMPLE
+            # (documented deviation). p must be 1/integer.
+            sm = re.match(r"([0-9.]+)\s+ON\s+(\w+)$", rest,
+                          re.IGNORECASE)
+            if sm is None:
+                raise ValueError(
+                    "ES|QL: SAMPLE syntax is SAMPLE <p> ON <field>")
+            p = float(sm.group(1))
+            if not 0 < p <= 1:
+                raise ValueError("ES|QL: SAMPLE p must be in (0, 1]")
+            kk = round(1.0 / p)
+            if abs(1.0 / p - kk) > 1e-9:
+                raise ValueError(
+                    "ES|QL mini-dialect: SAMPLE p must be 1/integer "
+                    "(deterministic modulo sampling)")
+            cmds.append(Sample(sm.group(2), kk))
         elif head == "MV_EXPAND":
             if not re.match(r"\w+$", rest):
                 raise ValueError("ES|QL: MV_EXPAND takes one field")
@@ -868,7 +895,7 @@ def _pipeline_fields(cmds: list) -> set[str]:
         elif isinstance(c, Rename):
             fields.update(old for old, _ in c.pairs)
             derived.update(new for _, new in c.pairs)
-        elif isinstance(c, MvExpand):
+        elif isinstance(c, (MvExpand, Sample)):
             fields.add(c.field)
         elif isinstance(c, Grok):
             fields.add(c.field)
@@ -963,7 +990,7 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
         while i < len(cmds) and isinstance(cmds[i],
                                            (Where, Eval, Dissect,
                                             Enrich, Rename, MvExpand,
-                                            Grok)):
+                                            Grok, Sample)):
             run.append(cmds[i])
             i += 1
         if run:
@@ -992,6 +1019,10 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
                              for n in t.column_names])
                     elif isinstance(c, MvExpand):
                         t = _mv_expand(t, c.field)
+                    elif isinstance(c, Sample):
+                        ids = t[c.field].to_numpy(
+                            zero_copy_only=False)
+                        t = t.filter(pa.array(ids % c.k == 0))
                     elif isinstance(c, Grok):
                         col = t[c.field]
                         if isinstance(col, pa.ChunkedArray):

@@ -461,3 +461,26 @@ def test_date_format_and_extract():
               t).to_pylist() == [2024, 2024]
     with pytest.raises(ValueError):
         ev(parse_expr('DATE_EXTRACT("fortnight", ts)'), t)
+
+
+def test_sample_deterministic(ray_session):
+    out = execute_esql(
+        "FROM events | SAMPLE 0.0625 ON event_id "
+        "| STATS n = COUNT(*) BY event_type | SORT event_type ASC",
+        SF)
+    exp = duckdb.sql(
+        f"SELECT event_type, count(*)::BIGINT AS n FROM"
+        f" read_parquet('{SF}/events.parquet')"
+        f" WHERE event_id % 16 = 0 GROUP BY 1 ORDER BY 1") \
+        .fetch_arrow_table()
+    assert out.to_pydict() == exp.to_pydict()
+    # identical across runs (deterministic by construction)
+    again = execute_esql(
+        "FROM events | SAMPLE 0.0625 ON event_id "
+        "| STATS n = COUNT(*) BY event_type | SORT event_type ASC",
+        SF)
+    assert again.to_pydict() == out.to_pydict()
+    with pytest.raises(ValueError):
+        parse_esql("FROM x | SAMPLE 0.3 ON id")  # not 1/integer
+    with pytest.raises(ValueError):
+        parse_esql("FROM x | SAMPLE 2.0 ON id")

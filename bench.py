@@ -192,6 +192,12 @@ def bench_index_and_query() -> dict:
             sel[f"selective_{strat}_ms"] = round(
                 float(np.median(ts)) * 1000, 2)
         sel["selective_term_df"] = rare_df
+        # deterministic pruning counters for the same selective query
+        # (SearchEngine.profile — pure function of index + query): the
+        # atoms-skipped / docs-scored numbers ARE the block-max scale
+        # story, recorded alongside the latency they explain
+        sel["selective_wand_profile"] = \
+            eng.profile(qtext, k=10).to_pylist()[0]
     # batched serving throughput: the whole query mix as ONE msearch
     # call (union of terms prefetched in a single shard round), repeated
     # — queries/sec is the number a batch-serving deployment sees

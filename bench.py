@@ -317,7 +317,7 @@ def bench_pipelines() -> dict:
              "range_join", "search_template", "syslog_parse",
              "esql_like_in", "esql_functions", "esql_date_trunc",
              "esql_having", "esql_mv_functions", "esql_median",
-             "esql_date_format", "esql_sample",
+             "esql_date_format", "esql_sample", "esql_match",
              "profile_search"]
     out = {}
     for name in names:

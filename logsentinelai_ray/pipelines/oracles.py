@@ -1484,6 +1484,25 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n
         FROM events GROUP BY 1 ORDER BY event_type ASC
     """,
+    "esql_match": f"""
+        WITH tok AS (
+          SELECT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(
+                           {_CAMEL.format(col='text')},
+                           '[^a-z0-9]+')) AS t
+                FROM documents)
+          WHERE t <> ''
+        ), hits AS (
+          SELECT DISTINCT doc_id FROM tok
+          WHERE term IN ('error', 'merge')
+        )
+        SELECT d.source, count(*)::BIGINT AS n,
+               CAST(sum(d.n_chars) AS BIGINT) AS chars
+        FROM documents d JOIN hits USING (doc_id)
+        WHERE d.lang = 'en'
+        GROUP BY 1 ORDER BY d.source ASC
+    """,
     "esql_sample": """
         SELECT event_type, count(*)::BIGINT AS n,
                count(DISTINCT user_id)::BIGINT AS users

@@ -7226,6 +7226,26 @@ def q_esql_mv_functions(sf_dir: str):
     return execute_esql(ESQL_MV_FUNCTIONS_QUERY, sf_dir)
 
 
+ESQL_MATCH_QUERY = (
+    'FROM documents | WHERE MATCH(text, "error merge") '
+    'AND lang == "en" '
+    "| STATS n = COUNT(*), chars = SUM(n_chars) BY source "
+    "| SORT source ASC")
+
+
+def q_esql_match(sf_dir: str):
+    """ES|QL 8.17 full-text MATCH function: the field's ANALYZED token
+    stream (real code-aware tokenizer) intersected with the query's
+    terms, as one vectorized tokenize + is_in + scatter per batch — a
+    streaming-scan match over parquet (no index), the ES runtime-field
+    analog; the indexed BM25 path stays in query/shards.py. Oracle
+    replicates the analyzer in SQL exactly (the boolean_search
+    tokenization CTE)."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_MATCH_QUERY, sf_dir)
+
+
 ESQL_SAMPLE_QUERY = (
     "FROM events | SAMPLE 0.0625 ON event_id "
     "| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id) "
@@ -9365,6 +9385,7 @@ QUERY_REGISTRY = {
     "esql_median": q_esql_median,
     "esql_date_format": q_esql_date_format,
     "esql_sample": q_esql_sample,
+    "esql_match": q_esql_match,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -432,6 +432,30 @@ def eval_expr(e, t: pa.Table):
                 raise ValueError('ES|QL: DATE_TRUNC unit must be a '
                                  'quoted literal, e.g. "day"')
             return pc.floor_temporal(args[1], unit=e.args[0].value)
+        if e.fn == "MATCH":
+            # ES|QL 8.17+ full-text MATCH(field, "query"): TRUE when
+            # the field's ANALYZED token stream (the real code-aware
+            # tokenizer — camel split, lowercase, truncation) hits any
+            # query term. One vectorized tokenize + is_in + scatter
+            # per batch; no index needed (a streaming-scan match, the
+            # ES runtime-field analog — indexed BM25 lives in
+            # query/shards.py).
+            if not isinstance(e.args[1], Lit):
+                raise ValueError(
+                    "ES|QL: MATCH query must be a quoted literal")
+            from ..analysis.tokenizer import (tokenize_batch_arrow,
+                                              tokenize_py)
+
+            terms = sorted(set(tokenize_py(e.args[1].value, 64)))
+            col = args[0]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            row_idx, toks, _dl = tokenize_batch_arrow(col, 64)
+            hit = pc.is_in(toks, value_set=pa.array(
+                terms, pa.string())).to_numpy(zero_copy_only=False)
+            out = np.zeros(len(col), dtype=bool)
+            out[row_idx[hit]] = True
+            return pa.array(out)
         if e.fn == "MV_COUNT":
             col = args[0]
             if isinstance(col, pa.ChunkedArray):

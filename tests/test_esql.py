@@ -484,3 +484,29 @@ def test_sample_deterministic(ray_session):
         parse_esql("FROM x | SAMPLE 0.3 ON id")  # not 1/integer
     with pytest.raises(ValueError):
         parse_esql("FROM x | SAMPLE 2.0 ON id")
+
+
+def test_match_function_analyzed(ray_session):
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    # camelCase splits through the REAL analyzer: "parseError" hits
+    # the query term "error"; plain substring would not
+    t = pa.table({"s": ["a parseError happened", "all quiet",
+                        "merge done", None]})
+    assert ev(parse_expr('MATCH(s, "error merge")'), t).to_pylist() \
+        == [True, False, True, False]
+    with pytest.raises((ValueError, KeyError)):
+        ev(parse_expr("MATCH(s, q)"), t)  # non-literal query
+    # end-to-end count equals the SQL tokenization oracle
+    out = execute_esql(
+        'FROM documents | WHERE MATCH(text, "spark") '
+        "| STATS n = COUNT(*)", SF)
+    exp = duckdb.sql(
+        f"WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+        f"lower(regexp_replace(regexp_replace(text,"
+        f" '([A-Z]+)([A-Z][a-z])', '\\1 \\2', 'g'),"
+        f" '([a-z0-9])([A-Z])', '\\1 \\2', 'g')),"
+        f" '[^a-z0-9]+')) AS t"
+        f" FROM read_parquet('{SF}/documents.parquet'))"
+        f" SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tok"
+        f" WHERE t = 'spark'").fetch_arrow_table()
+    assert out["n"].to_pylist() == exp["n"].to_pylist()

@@ -318,6 +318,7 @@ def bench_pipelines() -> dict:
              "esql_like_in", "esql_functions", "esql_date_trunc",
              "esql_having", "esql_mv_functions", "esql_median",
              "esql_date_format", "esql_sample", "esql_match",
+             "esql_agg_where",
              "profile_search"]
     out = {}
     for name in names:

@@ -1484,6 +1484,20 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n
         FROM events GROUP BY 1 ORDER BY event_type ASC
     """,
+    "esql_agg_where": """
+        WITH m AS (
+          SELECT user_id, event_type,
+                 CAST(round(value * 1000000, 0) AS BIGINT) AS micro
+          FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE event_type = 'error')
+                    AS BIGINT) AS n_err,
+               CAST(sum(micro) FILTER (WHERE event_type = 'error')
+                    AS BIGINT) AS s_err,
+               count(*)::BIGINT AS n
+        FROM m GROUP BY 1 ORDER BY user_id ASC LIMIT 20
+    """,
     "esql_match": f"""
         WITH tok AS (
           SELECT doc_id, substr(t, 1, 64) AS term

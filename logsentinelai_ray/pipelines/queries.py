@@ -7226,6 +7226,24 @@ def q_esql_mv_functions(sf_dir: str):
     return execute_esql(ESQL_MV_FUNCTIONS_QUERY, sf_dir)
 
 
+ESQL_AGG_WHERE_QUERY = (
+    "FROM events | EVAL micro = TO_LONG(ROUND(value * 1000000)) "
+    '| STATS n_err = COUNT(*) WHERE event_type == "error", '
+    's_err = SUM(micro) WHERE event_type == "error", '
+    "n = COUNT(*) BY user_id | SORT user_id ASC | LIMIT 20")
+
+
+def q_esql_agg_where(sf_dir: str):
+    """ES|QL per-aggregate filters (8.16: ``SUM(x) WHERE cond``):
+    desugared at parse time onto the CASE kernel — filtered-out rows
+    become nulls every aggregate already ignores (COUNT becomes
+    SUM(CASE(c,1,0)) so an all-false group counts 0) — zero executor
+    changes, the SQL FILTER clause exactly."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_AGG_WHERE_QUERY, sf_dir)
+
+
 ESQL_MATCH_QUERY = (
     'FROM documents | WHERE MATCH(text, "error merge") '
     'AND lang == "en" '
@@ -9386,6 +9404,7 @@ QUERY_REGISTRY = {
     "esql_date_format": q_esql_date_format,
     "esql_sample": q_esql_sample,
     "esql_match": q_esql_match,
+    "esql_agg_where": q_esql_agg_where,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -660,6 +660,23 @@ _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT",
 _KERNEL_FNS = {"MEDIAN", "PERCENTILE", "VALUES", "TOP"}
 
 
+def _split_agg_where(s: str) -> tuple[str, str | None]:
+    """Split an agg spec ``FN(args) WHERE cond`` at the first
+    top-level `` WHERE `` (paren depth 0). Returns (fn_part, cond)."""
+    depth = 0
+    up = s.upper()
+    i = 0
+    while i < len(s):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+        elif depth == 0 and up.startswith(" WHERE ", i):
+            return s[:i].strip(), s[i + 7:].strip()
+        i += 1
+    return s, None
+
+
 def _split_top(s: str, sep: str = ",") -> list[str]:
     """Split on sep at paren depth 0 (agg args may contain commas)."""
     out, depth, cur = [], 0, []
@@ -715,6 +732,12 @@ def parse_esql(query: str) -> list:
             for a in _split_top(agg_src):
                 name, _, src = a.partition("=")
                 name, src = name.strip(), src.strip()
+                # per-aggregate filter (ES|QL 8.16: `SUM(x) WHERE c`)
+                # desugars onto CASE at parse time: the filtered rows
+                # become nulls, which every aggregate already ignores
+                # (COUNT(*) WHERE c becomes SUM(CASE(c, 1, 0)) so an
+                # all-false group counts 0, not null)
+                src, agg_cond = _split_agg_where(src)
                 fm = re.match(r"([A-Za-z_]+)\((.*)\)$", src)
                 if fm is None or fm.group(1).upper() not in _AGG_FNS:
                     raise ValueError(f"ES|QL: bad aggregate {src!r}")
@@ -749,6 +772,16 @@ def parse_esql(query: str) -> list:
                     expr = None
                 else:
                     expr = parse_expr(arg)
+                if agg_cond is not None:
+                    cond = parse_expr(agg_cond)
+                    if fn == "COUNT":
+                        fn = "SUM"
+                        expr = Call("CASE", [cond, Lit(1), Lit(0)])
+                    elif isinstance(expr, tuple):
+                        expr = (Call("CASE", [cond, expr[0]]),
+                                *expr[1:])
+                    else:
+                        expr = Call("CASE", [cond, expr])
                 aggs.append((name, fn, expr))
             cmds.append(Stats(aggs, by))
         elif head == "SORT":

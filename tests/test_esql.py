@@ -510,3 +510,31 @@ def test_match_function_analyzed(ray_session):
         f" SELECT count(DISTINCT doc_id)::BIGINT AS n FROM tok"
         f" WHERE t = 'spark'").fetch_arrow_table()
     assert out["n"].to_pylist() == exp["n"].to_pylist()
+
+
+def test_agg_where_filters(ray_session):
+    # per-aggregate WHERE == SQL FILTER; a group with no matching
+    # rows counts 0 (COUNT) and null (SUM)
+    out = execute_esql(
+        'FROM events | STATS n_err = COUNT(*) WHERE '
+        'event_type == "error", n = COUNT(*) BY user_id '
+        "| SORT user_id ASC", SF)
+    exp = duckdb.sql(
+        f"SELECT user_id, CAST(count(*) FILTER (WHERE event_type ="
+        f" 'error') AS BIGINT) AS n_err, count(*)::BIGINT AS n"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        f" GROUP BY 1 ORDER BY 1").fetch_arrow_table()
+    assert out.to_pydict() == exp.to_pydict()
+    # MEDIAN with a per-agg filter rides the group kernel
+    m = execute_esql(
+        "FROM events | EVAL micro = TO_LONG(ROUND(value * 1000000)) "
+        '| STATS med_err = MEDIAN(micro) WHERE event_type == "error" '
+        "BY user_id | SORT user_id ASC | LIMIT 3", SF)
+    me = duckdb.sql(
+        f"WITH m AS (SELECT user_id, event_type,"
+        f" CAST(round(value * 1000000, 0) AS BIGINT) AS micro"
+        f" FROM read_parquet('{SF}/events.parquet'))"
+        f" SELECT user_id, quantile_disc(micro, 0.5)"
+        f" FILTER (WHERE event_type = 'error')::BIGINT AS med_err"
+        f" FROM m GROUP BY 1 ORDER BY 1 LIMIT 3").fetch_arrow_table()
+    assert m.to_pydict() == me.to_pydict()

@@ -579,6 +579,16 @@ class Sample:
 
 
 @dataclass
+class Row:
+    assigns: list  # [(name, expr)] — evaluated against a 1-row table
+
+
+@dataclass
+class Show:
+    pass
+
+
+@dataclass
 class MvExpand:
     field: str
 
@@ -696,9 +706,30 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 
 def parse_esql(query: str) -> list:
     parts = [p.strip() for p in query.split("|")]
-    if not parts or not parts[0].upper().startswith("FROM"):
-        raise ValueError("ES|QL: pipeline must start with FROM")
-    cmds: list = [From(parts[0][4:].strip())]
+    if not parts:
+        raise ValueError("ES|QL: empty pipeline")
+    head0 = parts[0].upper()
+    cmds: list
+    if head0.startswith("ROW"):
+        # ROW a = 1, b = "x" — the literal one-row source (the second
+        # of ES|QL's three source commands; SHOW INFO is the third)
+        assigns = []
+        for a in _split_top(parts[0][3:].strip()):
+            name, eq, src = a.partition("=")
+            if not eq:
+                raise ValueError("ES|QL: ROW needs name = literal")
+            node = parse_expr(src.strip())
+            assigns.append((name.strip(), node))
+        cmds = [Row(assigns)]
+    elif head0.startswith("SHOW"):
+        if parts[0][4:].strip().upper() != "INFO":
+            raise ValueError("ES|QL: SHOW supports only SHOW INFO")
+        cmds = [Show()]
+    elif head0.startswith("FROM"):
+        cmds = [From(parts[0][4:].strip())]
+    else:
+        raise ValueError(
+            "ES|QL: pipeline must start with FROM, ROW or SHOW")
     for part in parts[1:]:
         head, _, rest = part.partition(" ")
         head = head.upper()
@@ -1011,7 +1042,6 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
         # driver-side materialization below on unbounded scans
         cmds.append(Limit(1000))
     src = cmds[0]
-    path = os.path.join(sf_dir, f"{src.table}.parquet")
 
     # ENRICH / LOOKUP JOIN small sides are read once on the driver and
     # broadcast via ray.put — the lookup join never reships the table
@@ -1037,8 +1067,25 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
                 (et[key_col].combine_chunks(),
                  {n: et[n].combine_chunks() for n in side_cols}))
 
-    cols = sorted(_pipeline_fields(cmds))
-    ds = rd.read_parquet(path, columns=cols or None)
+    if isinstance(src, Show):
+        from .. import __version__
+
+        ds = rd.from_arrow(pa.table({
+            "name": pa.array(["logsentinelai_ray"], pa.string()),
+            "version": pa.array([__version__], pa.string())}))
+    elif isinstance(src, Row):
+        one = pa.table({"__one": pa.array([0], pa.int8())})
+        rcols: dict = {}
+        for name, node in src.assigns:
+            v = eval_expr(node, one)
+            if isinstance(v, pa.Scalar):
+                v = pa.array([v.as_py()])
+            rcols[name] = v
+        ds = rd.from_arrow(pa.table(rcols))
+    else:
+        path = os.path.join(sf_dir, f"{src.table}.parquet")
+        cols = sorted(_pipeline_fields(cmds))
+        ds = rd.read_parquet(path, columns=cols or None)
 
     # fuse consecutive row-local commands into one map_batches stage
     i = 1

@@ -538,3 +538,16 @@ def test_agg_where_filters(ray_session):
         f" FILTER (WHERE event_type = 'error')::BIGINT AS med_err"
         f" FROM m GROUP BY 1 ORDER BY 1 LIMIT 3").fetch_arrow_table()
     assert m.to_pydict() == me.to_pydict()
+
+
+def test_row_and_show_sources(ray_session):
+    out = execute_esql(
+        'ROW a = 1, b = "x", c = 2 * 3 + 1 | EVAL d = a + c', "/tmp")
+    assert out.to_pydict() == {"a": [1], "b": ["x"], "c": [7],
+                               "d": [8]}
+    info = execute_esql("SHOW INFO", "/tmp")
+    assert info["name"].to_pylist() == ["logsentinelai_ray"]
+    with pytest.raises(ValueError):
+        parse_esql("SHOW FUNCTIONS")
+    with pytest.raises(ValueError):
+        parse_esql("ROW a")  # no assignment

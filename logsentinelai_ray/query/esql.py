@@ -463,6 +463,21 @@ def eval_expr(e, t: pa.Table):
             return pc.cast(pc.list_value_length(col), pa.int64())
         if e.fn in ("MV_SUM", "MV_MIN", "MV_MAX", "MV_AVG"):
             return _mv_reduce(args[0], e.fn[3:].lower())
+        if e.fn in ("MV_FIRST", "MV_LAST"):
+            col = args[0]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ln = pc.fill_null(pc.list_value_length(col), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            valid = ln > 0
+            flat = col.flatten()
+            if len(flat) == 0:
+                return pa.nulls(len(col), type=flat.type)
+            starts = np.concatenate(([0], np.cumsum(ln)[:-1]))
+            idx = starts + (ln - 1 if e.fn == "MV_LAST" else 0)
+            vals = flat.take(pa.array(np.where(valid, idx, 0)))
+            return pc.if_else(pa.array(valid), vals,
+                              pa.scalar(None, type=flat.type))
         if e.fn == "CASE":
             # CASE(c1, v1, c2, v2, ..., [default]) — ES|QL variadic;
             # nested if_else built back-to-front, null default

@@ -551,3 +551,17 @@ def test_row_and_show_sources(ray_session):
         parse_esql("SHOW FUNCTIONS")
     with pytest.raises(ValueError):
         parse_esql("ROW a")  # no assignment
+
+
+def test_mv_first_last():
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({"v": pa.array([[1.0, 2.0, 3.0], [], None, [5.0]],
+                                pa.list_(pa.float64()))})
+    assert ev(parse_expr("MV_FIRST(v)"), t).to_pylist() == \
+        [1.0, None, None, 5.0]
+    assert ev(parse_expr("MV_LAST(v)"), t).to_pylist() == \
+        [3.0, None, None, 5.0]
+    # all-empty input keeps the value type
+    e = pa.table({"v": pa.array([None, []], pa.list_(pa.float64()))})
+    out = ev(parse_expr("MV_FIRST(v)"), e)
+    assert out.to_pylist() == [None, None]

@@ -390,6 +390,22 @@ def eval_expr(e, t: pa.Table):
             return pc.power(args[0], args[1])
         if e.fn == "LOG10":
             return pc.log10(args[0])
+        if e.fn in ("E", "PI", "TAU"):
+            import math
+
+            return pa.scalar({"E": math.e, "PI": math.pi,
+                              "TAU": math.tau}[e.fn], pa.float64())
+        if e.fn == "EXP":
+            return pc.exp(args[0])
+        if e.fn == "LOG":
+            # LOG(x) = natural log; LOG(base, x) = log_base(x)
+            if len(args) == 2:
+                return pc.divide(pc.ln(args[1]), pc.ln(args[0]))
+            return pc.ln(args[0])
+        if e.fn in ("SIN", "COS", "TAN", "ATAN", "SIGNUM"):
+            return {"SIN": pc.sin, "COS": pc.cos, "TAN": pc.tan,
+                    "ATAN": pc.atan,
+                    "SIGNUM": pc.sign}[e.fn](args[0])
         if e.fn == "DATE_FORMAT":
             # DATE_FORMAT("yyyy-MM-dd HH:mm:ss", ts) — the Java-style
             # pattern subset translated to strftime, one vectorized

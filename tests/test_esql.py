@@ -565,3 +565,22 @@ def test_mv_first_last():
     e = pa.table({"v": pa.array([None, []], pa.list_(pa.float64()))})
     out = ev(parse_expr("MV_FIRST(v)"), e)
     assert out.to_pylist() == [None, None]
+
+
+def test_math_functions_and_constants():
+    import math
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({"x": [1.0, 4.0, -9.0]})
+    assert ev(parse_expr("EXP(x)"), t).to_pylist()[0] == math.e
+    assert ev(parse_expr("LOG(x)"), t).to_pylist()[1] == math.log(4.0)
+    # LOG(base, x)
+    assert abs(ev(parse_expr("LOG(2, x)"), t).to_pylist()[1]
+               - 2.0) < 1e-12
+    assert ev(parse_expr("SIGNUM(x)"), t).to_pylist() == \
+        [1.0, 1.0, -1.0]
+    assert ev(parse_expr("SIN(x)"), t).to_pylist()[0] == math.sin(1.0)
+    # constants broadcast through EVAL arithmetic
+    out = ev(parse_expr("PI() * 2"), t)
+    assert out.as_py() == math.tau
+    assert ev(parse_expr("TAU()"), t).as_py() == math.tau
+    assert ev(parse_expr("E()"), t).as_py() == math.e

@@ -326,7 +326,10 @@ def eval_expr(e, t: pa.Table):
         args = [eval_expr(a, t) for a in e.args]
         if e.fn == "ROUND":
             nd = args[1].as_py() if len(args) > 1 else 0
-            return pc.round(args[0], ndigits=int(nd))
+            # ES (and the DuckDB oracles) round half AWAY FROM ZERO;
+            # pyarrow's default is banker's half-to-even
+            return pc.round(args[0], ndigits=int(nd),
+                            round_mode="half_towards_infinity")
         if e.fn == "ABS":
             return pc.abs(args[0])
         if e.fn == "LENGTH":
@@ -719,10 +722,22 @@ def _split_agg_where(s: str) -> tuple[str, str | None]:
 
 
 def _split_top(s: str, sep: str = ",") -> list[str]:
-    """Split on sep at paren depth 0 (agg args may contain commas)."""
-    out, depth, cur = [], 0, []
+    """Split on sep at paren depth 0 AND quote depth 0 (agg args may
+    contain commas; string literals may contain anything)."""
+    out, depth, cur, in_q, esc = [], 0, [], False, False
     for ch in s:
-        if ch == "(":
+        if in_q:
+            cur.append(ch)
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_q = False
+            continue
+        if ch == '"':
+            in_q = True
+        elif ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
@@ -735,8 +750,34 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
     return [p.strip() for p in out if p.strip()]
 
 
+def _split_pipes(query: str) -> list[str]:
+    """Split the pipeline on '|' at quote depth 0 only — a '|' inside
+    a string literal (the normal RLIKE alternation, e.g.
+    RLIKE "error|fatal") is part of the command, not a separator."""
+    out, cur, in_q, esc = [], [], False, False
+    for ch in query:
+        if in_q:
+            cur.append(ch)
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == '"':
+                in_q = False
+            continue
+        if ch == '"':
+            in_q = True
+        if ch == "|" and not in_q:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    out.append("".join(cur))
+    return out
+
+
 def parse_esql(query: str) -> list:
-    parts = [p.strip() for p in query.split("|")]
+    parts = [p.strip() for p in _split_pipes(query)]
     if not parts:
         raise ValueError("ES|QL: empty pipeline")
     head0 = parts[0].upper()

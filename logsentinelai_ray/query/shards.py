@@ -940,8 +940,11 @@ class SearchEngine:
         terms = sorted(set(self._toks(text)))
         cursors, decoded = self._wand_inputs(terms)
         stats: dict = {}
-        topk = block_max_wand_vec(cursors, k, decoded=decoded,
-                                  stats_out=stats, **kernel_kwargs)
+        tomb = self._tombstones
+        topk = block_max_wand_vec(
+            cursors, k, decoded=decoded,
+            exclude_ids=tomb if tomb.size else None,
+            stats_out=stats, **kernel_kwargs)
         return pa.table({
             "n_terms": pa.array([len(terms)], pa.int64()),
             "n_atoms": pa.array([stats.get("n_atoms", 0)], pa.int64()),

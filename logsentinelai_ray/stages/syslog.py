@@ -20,11 +20,14 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 # RFC3164 envelope: "Mon DD HH:MM:SS host proc[pid]: msg" (pid optional,
-# e.g. "kernel:" lines carry none)
+# e.g. "kernel:" lines carry none). proc allows one parenthesized PAM
+# module suffix — the reference corpus's dominant shape is
+# "sshd(pam_unix)[19939]:" (43% of sample-logs/linux-2k.log).
 SYSLOG_REGEX = (
     r"^(?P<mon>[A-Z][a-z]{2}) +(?P<day>\d{1,2}) "
     r"(?P<time>\d{2}:\d{2}:\d{2}) (?P<host>\S+) "
-    r"(?P<proc>[A-Za-z0-9_.-]+)(?:\[(?P<pid>\d+)\])?: (?P<msg>.*)$"
+    r"(?P<proc>[A-Za-z0-9_.-]+(?:\([A-Za-z0-9_.-]+\))?)"
+    r"(?:\[(?P<pid>\d+)\])?: (?P<msg>.*)$"
 )
 
 _ENVELOPE = ("mon", "day", "time", "host", "proc", "pid", "msg")
@@ -32,9 +35,9 @@ _ENVELOPE = ("mon", "day", "time", "host", "proc", "pid", "msg")
 # message classification — the reference's EventType enum families
 # (auth success/failure, session, service, kernel), first match wins
 _CLASSES = (
-    ("auth_failure", r"^Failed password"),
+    ("auth_failure", r"^Failed password|authentication failure"),
     ("auth_success", r"^Accepted password"),
-    ("session", r"^pam_unix"),
+    ("session", r"^pam_unix|session (?:opened|closed)"),
 )
 
 
@@ -70,11 +73,23 @@ def parse_syslog(batch: pa.Table, line_col: str = "line") -> pa.Table:
     etype = pc.if_else(parsed, etype, pa.scalar(None, pa.string()))
     cols["etype"] = etype
     # optional structured fields (null when the message has none);
-    # "for user X" before "for X" — alternation is ordered in RE2
+    # "for user X" before "for X" — alternation is ordered in RE2;
+    # an optional "invalid user " between them covers sshd's very
+    # common "Failed password for invalid user admin from ..." form,
+    # and the PAM "... user=root" key-value form is the fallback
     user_ext = pc.extract_regex(
-        msg, r"(?:for user|for) (?P<username>\S+?)(?: from| port|$)")
-    cols["username"] = pc.struct_field(user_ext, "username")
+        msg, r"(?:for user |for )(?:invalid user )?"
+             r"(?P<username>\S+?)(?: from| port| by|$)")
+    username = pc.struct_field(user_ext, "username")
+    user_kv = pc.extract_regex(msg, r"\buser=(?P<username>\S+)")
+    cols["username"] = pc.if_else(
+        pc.is_valid(username), username,
+        pc.struct_field(user_kv, "username"))
     ip_ext = pc.extract_regex(msg, r"from (?P<ip>[0-9.]+) port")
-    cols["ip"] = pc.struct_field(ip_ext, "ip")
+    ip = pc.struct_field(ip_ext, "ip")
+    # PAM auth-failure lines carry the peer as "rhost=" (no "from")
+    ip_kv = pc.extract_regex(msg, r"\brhost=(?P<ip>[0-9.]+)(?:\s|$)")
+    cols["ip"] = pc.if_else(pc.is_valid(ip), ip,
+                            pc.struct_field(ip_kv, "ip"))
     cols["parsed"] = parsed
     return pa.table(cols)

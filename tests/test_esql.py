@@ -584,3 +584,35 @@ def test_math_functions_and_constants():
     assert out.as_py() == math.tau
     assert ev(parse_expr("TAU()"), t).as_py() == math.tau
     assert ev(parse_expr("E()"), t).as_py() == math.e
+
+
+def test_pipe_inside_string_literal(ray_session):
+    """'|' inside a string literal (the normal RLIKE alternation) is
+    NOT a pipeline separator — the quote-aware splitter keeps the
+    command whole (and _split_top keeps quoted commas whole too)."""
+    out = execute_esql(
+        'FROM documents | WHERE lang RLIKE "en|de" '
+        "| STATS docs = COUNT(*) BY lang | SORT lang ASC", SF)
+    import duckdb
+    exp = duckdb.sql(
+        f"SELECT lang, count(*)::BIGINT AS docs FROM"
+        f" read_parquet('{SF}/documents.parquet')"
+        f" WHERE regexp_full_match(lang, 'en|de')"
+        f" GROUP BY 1 ORDER BY 1").fetch_arrow_table()
+    assert out.to_pydict() == exp.to_pydict()
+    # quoted comma survives _split_top in EVAL assignments
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({"s": ["a", "b"]})
+    assert ev(parse_expr('CONCAT(s, ",|,")'), t).to_pylist() == \
+        ["a,|,", "b,|,"]
+
+
+def test_round_half_away_from_zero():
+    """ROUND matches ES / DuckDB half-away-from-zero, not pyarrow's
+    default banker's rounding (ADVICE r3)."""
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({"x": [0.5, 1.5, 2.5, -0.5, -2.5, 1.25]})
+    assert ev(parse_expr("ROUND(x)"), t).to_pylist() == \
+        [1.0, 2.0, 3.0, -1.0, -3.0, 1.0]
+    assert ev(parse_expr("ROUND(x, 1)"), t).to_pylist() == \
+        [0.5, 1.5, 2.5, -0.5, -2.5, 1.3]

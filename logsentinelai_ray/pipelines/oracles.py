@@ -4627,6 +4627,102 @@ ORACLE_SQL["syslog_parse"] = """
         FROM s GROUP BY 1 ORDER BY 1
 """
 
+# error_log_parse: the oracle recomputes the reference httpd_server
+# Statistics shape (total_event / event_by_level / event_by_type as
+# long-form rows) from the DERIVATION arithmetic; the engine must
+# recover it by actually parsing the rendered Apache error lines.
+ORACLE_SQL["error_log_parse"] = """
+        WITH e AS (
+          SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                     AS k
+          FROM events
+        ), s AS (
+          SELECT CASE
+                   WHEN k % 43 = 0 THEN '_malformed'
+                   WHEN k % 6 <= 3 THEN 'error'
+                   WHEN k % 6 = 4 THEN 'notice'
+                   ELSE 'warn'
+                 END AS level,
+                 CASE
+                   WHEN k % 43 = 0 THEN '_malformed'
+                   WHEN k % 6 = 0 THEN 'unauthorized_access'
+                   WHEN k % 6 = 1 THEN 'missing_file'
+                   WHEN k % 6 = 2 THEN 'directory_traversal'
+                   WHEN k % 6 = 3 THEN 'config_error'
+                   WHEN k % 6 = 4 THEN 'other'
+                   ELSE 'module_error'
+                 END AS etype
+          FROM e
+        )
+        SELECT dim, bucket, n FROM (
+          SELECT 'level' AS dim, level AS bucket,
+                 count(*)::BIGINT AS n FROM s GROUP BY 2
+          UNION ALL
+          SELECT 'type', etype, count(*)::BIGINT FROM s GROUP BY 2
+          UNION ALL
+          SELECT 'total', 'total_event', count(*)::BIGINT FROM s
+          WHERE level <> '_malformed'
+        ) ORDER BY dim, bucket
+"""
+
+# general_log_profile: the oracle recomputes the reference
+# general_log pattern fields + EventStatistics (detected_formats /
+# timestamp_patterns / categories / log_sources / unique_sources /
+# total_events) from the DERIVATION arithmetic; the engine must
+# recover it by profiling the rendered mixed-format lines.
+ORACLE_SQL["general_log_profile"] = """
+        WITH e AS (
+          SELECT CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
+                     AS k
+          FROM events
+        ), s AS (
+          SELECT CASE
+                   WHEN k % 37 = 0 THEN 'unknown'
+                   WHEN k % 4 = 0 THEN 'apache_combined'
+                   WHEN k % 4 = 1 THEN 'apache_error'
+                   WHEN k % 4 = 2 THEN 'syslog'
+                   ELSE 'json'
+                 END AS fmt,
+                 CASE
+                   WHEN k % 37 = 0 THEN 'none'
+                   WHEN k % 4 = 0 THEN 'dd/Mon/yyyy:HH:MM:SS'
+                   WHEN k % 4 = 1 THEN 'Day Mon dd HH:MM:SS yyyy'
+                   WHEN k % 4 = 2 THEN 'Mon dd HH:MM:SS'
+                   ELSE 'ISO8601'
+                 END AS pat,
+                 CASE
+                   WHEN k % 37 = 0 THEN 'UNKNOWN'
+                   WHEN k % 4 = 0 THEN 'ACCESS'
+                   WHEN k % 4 = 1 THEN 'ERROR'
+                   WHEN k % 4 = 2 THEN 'AUTHENTICATION'
+                   ELSE 'PERFORMANCE'
+                 END AS cat,
+                 CASE
+                   WHEN k % 37 = 0 THEN '_none'
+                   WHEN k % 4 IN (0, 1) THEN 'httpd'
+                   WHEN k % 4 = 2 THEN 'sshd(pam_unix)'
+                   ELSE 'app' || CAST(k % 3 AS VARCHAR)
+                 END AS src
+          FROM e
+        )
+        SELECT dim, bucket, n FROM (
+          SELECT 'format' AS dim, fmt AS bucket,
+                 count(*)::BIGINT AS n FROM s GROUP BY 2
+          UNION ALL
+          SELECT 'ts_pattern', pat, count(*)::BIGINT FROM s GROUP BY 2
+          UNION ALL
+          SELECT 'category', cat, count(*)::BIGINT FROM s GROUP BY 2
+          UNION ALL
+          SELECT 'source', src, count(*)::BIGINT FROM s GROUP BY 2
+          UNION ALL
+          SELECT 'summary', 'unique_sources',
+                 count(DISTINCT src)::BIGINT FROM s
+          WHERE src <> '_none'
+          UNION ALL
+          SELECT 'summary', 'total_events', count(*)::BIGINT FROM s
+        ) ORDER BY dim, bucket
+"""
+
 # zorder_layout: the SAME unrolled Morton interleave the engine kernel
 # runs, generated from the identical Python (_morton16_sql); every term
 # fully parenthesized — DuckDB gives &, |, << equal precedence

@@ -6816,6 +6816,202 @@ def q_syslog_parse(sf_dir: str):
         preserve_index=False)
 
 
+def q_error_log_parse(sf_dir: str):
+    """The reference's FOURTH analyzer input — Apache httpd error
+    logs (analyzers/httpd_server.py:17-59;
+    sample-logs/apache-100.log) — through the real vectorized
+    error-log parser (stages/errorlog.py): events render to
+    deterministic ``[Thu Jun 09 ...] [level] [client IP]? msg`` lines
+    across the reference's AttackType families
+    (directory-traversal / invalid-method / unauthorized-access /
+    missing-file / config-error / module-error), one malformed family
+    (k % 43 == 0) exercises the dead-letter mask, and the rollup
+    reproduces the reference ``Statistics`` shape
+    (analyzers/httpd_server.py:46-49 — total_event + event_by_level
+    + event_by_type) as long-form (dim, bucket, n) rows. Line
+    construction and classification are Arrow kernels end to end;
+    the exchange carries only per-batch partial counts."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.errorlog import parse_error_log
+
+    ds = _read(sf_dir, "events", columns=["user_id", "props"])
+
+    def render(t: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        n = t.num_rows
+
+        def s(arr) -> pa.Array:
+            return pc.cast(pa.array(arr), pa.string())
+
+        def lit(x: str) -> pa.Array:
+            return pa.array([x] * n, pa.string())
+
+        join = pc.binary_join_element_wise
+        fam = k % 6
+        msg = pc.if_else(pa.array(fam == 0),
+                         lit("Directory index forbidden by rule: "
+                             "/var/www/html/"),
+              pc.if_else(pa.array(fam == 1),
+                         join(lit("File does not exist: "
+                                  "/var/www/html/p"), s(k), ""),
+              pc.if_else(pa.array(fam == 2),
+                         join(lit("Invalid method in request get "
+                                  "/scripts/.%252e/cmd.exe?"), s(k),
+                              ""),
+              pc.if_else(pa.array(fam == 3),
+                         join(lit("config.update(): Can't create vm"),
+                              s(k % 5), lit(":"), ""),
+              pc.if_else(pa.array(fam == 4),
+                         join(lit("jk2_init() Found child "),
+                              s(1000 + k % 500),
+                              lit(" in scoreboard slot "), s(k % 10),
+                              ""),
+                         join(lit("mod_jk child init 1 "), s(k % 3),
+                              ""))))))
+        level = pc.if_else(pa.array(fam <= 3), lit("error"),
+                pc.if_else(pa.array(fam == 4), lit("notice"),
+                           lit("warn")))
+        client = pc.if_else(
+            pa.array(fam <= 1),
+            join(lit(" [client 10."), s(uid % 4), lit("."),
+                 s(k % 256), lit(".7]"), ""),
+            lit(""))
+        line = join(lit("[Thu Jun 09 06:07:04 2005] ["), level,
+                    lit("]"), client, lit(" "), msg, "")
+        line = pc.if_else(pa.array(k % 43 == 0),
+                          join(lit("#### corrupt "), s(k), ""), line)
+        return pa.table({"line": line})
+
+    def partial(t: pa.Table) -> pa.Table:
+        level = pc.fill_null(t["level"], "_malformed")
+        etype = pc.fill_null(t["etype"], "_malformed")
+        lv = (pa.table({"bucket": level}).group_by("bucket")
+              .aggregate([([], "count_all")]))
+        ty = (pa.table({"bucket": etype}).group_by("bucket")
+              .aggregate([([], "count_all")]))
+        return pa.table({
+            "dim": pa.array(["level"] * lv.num_rows
+                            + ["type"] * ty.num_rows),
+            "bucket": pa.concat_arrays(
+                [lv["bucket"].combine_chunks(),
+                 ty["bucket"].combine_chunks()]),
+            "pn": pc.cast(pa.concat_arrays(
+                [lv["count_all"].combine_chunks(),
+                 ty["count_all"].combine_chunks()]), pa.int64())})
+
+    agg = (ds.map_batches(render, batch_format="pyarrow")
+           .map_batches(parse_error_log, batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["dim", "bucket"])
+           .aggregate(Sum("pn", alias_name="n"))
+           .to_pandas())
+    total = int(agg.loc[(agg["dim"] == "level")
+                        & (agg["bucket"] != "_malformed"), "n"].sum())
+    out = pd.concat([agg, pd.DataFrame(
+        [{"dim": "total", "bucket": "total_event", "n": total}])],
+        ignore_index=True).sort_values(["dim", "bucket"]) \
+        .reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out[["dim", "bucket", "n"]],
+                                preserve_index=False)
+
+
+def q_general_log_profile(sf_dir: str):
+    """The reference's ``general_log`` analyzer analog
+    (analyzers/general_log.py:17-90) — mixed-format pattern
+    detection through the real vectorized profiler
+    (stages/generallog.py): events render to a deterministic MIX of
+    Apache combined, Apache error, RFC3164 syslog and JSON lines
+    (one malformed family, k % 37 == 0), and the rollup reproduces
+    the reference's flat pattern fields + EventStatistics shape
+    (detected_formats / timestamp_patterns / log_sources /
+    per-category counters / unique_sources / total_events) as
+    long-form (dim, bucket, n) rows. Only per-batch partial counts
+    cross the exchange; unique_sources is a distinct-count over the
+    (few) observed sources."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..stages.generallog import profile_general_log
+
+    ds = _read(sf_dir, "events", columns=["user_id", "props"])
+
+    def render(t: pa.Table) -> pa.Table:
+        k = pc.cast(pc.struct_field(
+            pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+            pa.int64()).to_numpy(zero_copy_only=False)
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        n = t.num_rows
+
+        def s(arr) -> pa.Array:
+            return pc.cast(pa.array(arr), pa.string())
+
+        def lit(x: str) -> pa.Array:
+            return pa.array([x] * n, pa.string())
+
+        join = pc.binary_join_element_wise
+        fam = k % 4
+        clf = join(lit("52.0."), s(uid % 256),
+                   lit('.9 - - [22/Jan/2019:03:56:14 +0330] '
+                       '"GET /app/'), s(k), lit(' HTTP/1.1" 200 123'),
+                   "")
+        aerr = join(lit("[Thu Jun 09 06:07:04 2005] [error] File "
+                        "does not exist: /var/www/html/p"), s(k), "")
+        slog = join(lit("Jun 14 15:16:01 host-"), s(uid % 8),
+                    lit(" sshd(pam_unix)["), s(1000 + k % 500),
+                    lit("]: authentication failure; rhost=10.0."),
+                    s(uid % 4), lit("."), s(k % 256), "")
+        jsn = join(lit('{"ts": "2024-01-05T03:02:01Z", "app": "app'),
+                   s(k % 3), lit('", "msg": "db timeout on query"}'),
+                   "")
+        line = pc.if_else(pa.array(fam == 0), clf,
+               pc.if_else(pa.array(fam == 1), aerr,
+               pc.if_else(pa.array(fam == 2), slog, jsn)))
+        line = pc.if_else(pa.array(k % 37 == 0),
+                          join(lit("~~~~ garbage "), s(k), ""), line)
+        return pa.table({"line": line})
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = pc.fill_null(t["source"], "_none")
+        dims, buckets, counts = [], [], []
+        for dim, col in (("format", t["format"]),
+                         ("ts_pattern", t["ts_pattern"]),
+                         ("category", t["category"]),
+                         ("source", src)):
+            g = (pa.table({"bucket": col}).group_by("bucket")
+                 .aggregate([([], "count_all")]))
+            dims += [dim] * g.num_rows
+            buckets.append(g["bucket"].combine_chunks())
+            counts.append(g["count_all"].combine_chunks())
+        return pa.table({
+            "dim": pa.array(dims),
+            "bucket": pa.concat_arrays(buckets),
+            "pn": pc.cast(pa.concat_arrays(counts), pa.int64())})
+
+    agg = (ds.map_batches(render, batch_format="pyarrow")
+           .map_batches(profile_general_log, batch_format="pyarrow")
+           .map_batches(partial, batch_format="pyarrow")
+           .groupby(["dim", "bucket"])
+           .aggregate(Sum("pn", alias_name="n"))
+           .to_pandas())
+    srcs = agg[agg["dim"] == "source"]
+    uniq = int((srcs["bucket"] != "_none").sum())
+    total = int(agg.loc[agg["dim"] == "format", "n"].sum())
+    out = pd.concat([agg, pd.DataFrame([
+        {"dim": "summary", "bucket": "unique_sources", "n": uniq},
+        {"dim": "summary", "bucket": "total_events", "n": total}])],
+        ignore_index=True).sort_values(["dim", "bucket"]) \
+        .reset_index(drop=True)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out[["dim", "bucket", "n"]],
+                                preserve_index=False)
+
+
 def q_ids_query(sf_dir: str):
     """ES ``ids`` query: fetch specific documents by id with their
     stored fields — a pure docmap gather (row-group-pruned read, the
@@ -9529,6 +9725,8 @@ QUERY_REGISTRY = {
     "ids_query": q_ids_query,
     "access_log_parse": q_access_log_parse,
     "syslog_parse": q_syslog_parse,
+    "error_log_parse": q_error_log_parse,
+    "general_log_profile": q_general_log_profile,
     "zorder_layout": q_zorder_layout,
     "span_or": q_span_or,
     "match_bool_prefix": q_match_bool_prefix,

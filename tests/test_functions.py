@@ -866,3 +866,79 @@ def test_parse_syslog_reference_corpus_linux2k():
         "invalid user admin from 10.1.2.3 port 22 ssh2"])}))
     assert inv["username"].to_pylist() == ["admin"]
     assert inv["etype"].to_pylist() == ["auth_failure"]
+
+
+def test_parse_error_log_reference_corpus_apache100():
+    """stages/errorlog.py on the reference's own
+    sample-logs/apache-100.log (the httpd_server analyzer's
+    documented manual-test corpus): 100% parse rate and the exact
+    level / AttackType-family counts (grep-established ground
+    truth), plus client-IP extraction on request-scoped errors."""
+    import collections
+    import os
+
+    from logsentinelai_ray.stages.errorlog import parse_error_log
+
+    path = "/root/reference/sample-logs/apache-100.log"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference corpus not present")
+    with open(path, encoding="utf-8", errors="replace") as f:
+        lines = [ln.rstrip("\n") for ln in f if ln.strip()]
+    t = parse_error_log(pa.table({"line": pa.array(lines)}))
+    assert all(t["parsed"].to_pylist())
+    lv = collections.Counter(t["level"].to_pylist())
+    assert lv == {"error": 70, "notice": 30}
+    et = collections.Counter(t["etype"].to_pylist())
+    assert et == {"missing_file": 33, "unauthorized_access": 21,
+                  "other": 21, "module_error": 14, "config_error": 8,
+                  "directory_traversal": 3}
+    clients = [c for c in t["client"].to_pylist() if c]
+    assert len(clients) == 57 and all("." in c for c in clients)
+    # dead-letter: a malformed line keeps its row, fields null
+    bad = parse_error_log(pa.table({"line": pa.array(["nope"])}))
+    assert bad["parsed"].to_pylist() == [False]
+    assert bad["etype"].to_pylist() == [None]
+
+
+def test_profile_general_log_mixed_formats():
+    """stages/generallog.py on a mix of all three reference sample
+    corpora plus JSON / ISO / garbage lines: format detection,
+    timestamp-pattern mapping, category classification, and
+    per-format source extraction."""
+    import collections
+    import os
+
+    from logsentinelai_ray.stages.generallog import profile_general_log
+
+    lines = []
+    for f in ("apache-100.log", "linux-100.log", "access-100.log"):
+        path = f"/root/reference/sample-logs/{f}"
+        if not os.path.exists(path):
+            import pytest
+            pytest.skip("reference corpus not present")
+        with open(path, encoding="utf-8", errors="replace") as fh:
+            lines += [ln.rstrip("\n") for ln in fh if ln.strip()]
+    lines += [
+        '{"ts": "2024-01-05T03:02:01Z", "app": "billing", '
+        '"msg": "payment failed"}',
+        "2024-01-05 03:02:01 INFO starting worker",
+        "garbage line",
+    ]
+    t = profile_general_log(pa.table({"line": pa.array(lines)}))
+    fmt = collections.Counter(t["format"].to_pylist())
+    assert fmt == {"apache_error": 100, "syslog": 100,
+                   "apache_combined": 100, "json": 1, "iso_app": 1,
+                   "unknown": 1}
+    ts = collections.Counter(t["ts_pattern"].to_pylist())
+    assert ts["ISO8601"] == 2 and ts["none"] == 1
+    assert ts["Mon dd HH:MM:SS"] == 100
+    src = collections.Counter(s for s in t["source"].to_pylist() if s)
+    assert src["httpd"] == 200
+    assert src["sshd(pam_unix)"] > 0  # syslog proc recovered
+    assert src["billing"] == 1  # JSON "app" field recovered
+    cat = collections.Counter(t["category"].to_pylist())
+    # every reference access line is an ACCESS event; PAM auth lines
+    # classify AUTHENTICATION; rows are never dropped
+    assert cat["ACCESS"] >= 100 and cat["AUTHENTICATION"] >= 30
+    assert t.num_rows == len(lines)

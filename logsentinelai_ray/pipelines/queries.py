@@ -9387,7 +9387,7 @@ _WINNOW_K = 3   # words per k-gram
 _WINNOW_W = 4   # k-grams per winnowing window
 
 
-def q_winnowing_fingerprints(sf_dir: str):
+def q_winnowing_fingerprints(sf_dir: str, max_group="auto"):
     """Winnowing document fingerprints (the MOSS local fingerprinting
     algorithm; Schleimer et al. 2003): hash every word 3-gram, slide a
     4-gram window, keep each window's minimum hash with the RIGHTMOST
@@ -9398,7 +9398,14 @@ def q_winnowing_fingerprints(sf_dir: str):
     four shifted vectorized string-minima (no per-window loop) with
     doc boundaries masked by a sentinel; pair expansion and counting
     reuse the salted/bucketed jaccard exchange, so a hot fingerprint
-    never grinds one task. md5 keeps the oracle exact (the
+    never grinds one task. ``max_group="auto"`` applies the
+    corpus-aware jaccard cap (min(10k, 4*sqrt(n_docs))) — a
+    fingerprint shared by more docs than that is boilerplate whose
+    O(g^2) pair rows would dominate the exchange while contributing
+    no plagiarism signal (member docs still pair through their other
+    fingerprints); pass ``max_group=None`` for the uncapped exact
+    expansion (the oracle's semantics — identical at sf scales where
+    real groups are tiny). md5 keeps the oracle exact (the
     fingerprint_minmd5 convention); the rolling-hash scale path is
     functions/text.py add_fingerprint_rolling."""
     import hashlib
@@ -9462,8 +9469,13 @@ def q_winnowing_fingerprints(sf_dir: str):
     sel = ds.map_batches(select, batch_format="pyarrow")
     from functools import partial as _partial
 
+    if max_group == "auto":
+        n_docs = _read(sf_dir, "documents",
+                       columns=["doc_id"]).count()
+        max_group = min(10_000, max(64, int(4 * n_docs ** 0.5) + 1))
     counts = (sel.groupby("h")
-              .map_groups(_partial(_pair_blocks_of_group, max_group=None),
+              .map_groups(_partial(_pair_blocks_of_group,
+                                   max_group=max_group),
                           batch_format="pyarrow")
               .map_batches(_expand_pair_blocks, batch_format="pyarrow",
                            batch_size=128)
@@ -9472,6 +9484,10 @@ def q_winnowing_fingerprints(sf_dir: str):
               .map_batches(_unpack_pk, batch_format="pyarrow"))
     top = topk(counts, 15, [("inter", "descending"), ("a", "ascending"),
                             ("b", "ascending")])
+    if top is None:  # every group capped/empty → no pairs
+        return pa.table({"doc_a": pa.array([], pa.int64()),
+                         "doc_b": pa.array([], pa.int64()),
+                         "shared": pa.array([], pa.int64())})
     return pa.table({
         "doc_a": pa.array(top["a"].tolist(), pa.int64()),
         "doc_b": pa.array(top["b"].tolist(), pa.int64()),

@@ -283,3 +283,43 @@ def test_remove_duplicate_spans_property(ray_session):
             assert row.kept_tokens == len(kept)
 
     run()
+
+
+def test_winnowing_capped_on_boilerplate_corpus(ray_session, tmp_path):
+    """Adversarial shared-fingerprint corpus (every doc winnows to the
+    same fingerprints — boilerplate headers): with the default
+    corpus-aware cap the O(g^2) pair expansion is skipped and the run
+    completes bounded; uncapped (max_group=None) the same corpus
+    yields all C(n,2) pairs — proving the cap is what bounds it."""
+    import time
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from logsentinelai_ray.pipelines.queries import (
+        q_winnowing_fingerprints,
+    )
+
+    n = 2000
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "text": pa.array(
+            ["copyright header licensed under apache license "
+             "version two point zero see notice file"] * n),
+    })
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    t0 = time.monotonic()
+    out = q_winnowing_fingerprints(str(tmp_path))
+    elapsed = time.monotonic() - t0
+    # cap = min(10k, 4*sqrt(2000)+1) ≈ 179 < 2000 → every group skipped
+    assert out.num_rows == 0
+    assert elapsed < 60, f"boilerplate corpus took {elapsed:.1f}s"
+    # uncapped on a small slice: the exact all-pairs semantics
+    small = 12
+    pq.write_table(tbl.slice(0, small),
+                   str(tmp_path / "documents.parquet"))
+    exact = q_winnowing_fingerprints(str(tmp_path), max_group=None)
+    # top-15 of C(12,2)=66 identical-share pairs
+    assert exact.num_rows == 15
+    assert len(set(exact["shared"].to_pylist())) == 1

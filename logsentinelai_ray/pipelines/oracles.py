@@ -4627,6 +4627,94 @@ ORACLE_SQL["syslog_parse"] = """
         FROM s GROUP BY 1 ORDER BY 1
 """
 
+# pack_bestfit: best-fit-decreasing is sequential, but DuckDB's
+# recursive CTE can step the IDENTICAL algorithm state (the
+# eql_sequence_strict / pagerank fixed-point convention): per lang the
+# working row carries parallel lists (remaining capacity / count /
+# total / first-doc per bin, list position - 1 == bin id), each
+# iteration consumes the next item in (n_chars DESC, doc_id ASC)
+# order and either best-fits it (list_min of fitting remainders;
+# list_position takes the FIRST occurrence = lowest bin id, the tie
+# rule) or opens a new bin (oversize bins get remaining -1 so nothing
+# ever fits them — the dedicated-oversize-bin rule).
+ORACLE_SQL["pack_bestfit"] = """
+WITH RECURSIVE items AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY n_chars DESC, doc_id ASC) AS r
+  FROM documents
+), pack AS (
+  SELECT lang, 0::BIGINT AS i,
+         CAST([] AS BIGINT[]) AS rems,
+         CAST([] AS BIGINT[]) AS cnts,
+         CAST([] AS BIGINT[]) AS tots,
+         CAST([] AS BIGINT[]) AS firsts
+  FROM (SELECT DISTINCT lang FROM documents)
+  UNION ALL
+  SELECT p.lang, p.i + 1,
+    CASE WHEN f.idx IS NULL THEN
+      list_append(p.rems, CASE WHEN it.n_chars <= 10000
+                               THEN 10000 - it.n_chars ELSE -1 END)
+    ELSE p.rems[1:f.idx-1] || [f.best - it.n_chars] || p.rems[f.idx+1:]
+    END,
+    CASE WHEN f.idx IS NULL THEN list_append(p.cnts, 1)
+    ELSE p.cnts[1:f.idx-1] || [p.cnts[f.idx] + 1] || p.cnts[f.idx+1:]
+    END,
+    CASE WHEN f.idx IS NULL THEN list_append(p.tots, it.n_chars)
+    ELSE p.tots[1:f.idx-1] || [p.tots[f.idx] + it.n_chars]
+         || p.tots[f.idx+1:] END,
+    CASE WHEN f.idx IS NULL THEN list_append(p.firsts, it.doc_id)
+    ELSE p.firsts[1:f.idx-1]
+         || [least(p.firsts[f.idx], it.doc_id)] || p.firsts[f.idx+1:]
+    END
+  FROM pack p
+  JOIN items it ON it.lang = p.lang AND it.r = p.i + 1,
+  LATERAL (
+    SELECT list_min(list_filter(p.rems, x -> x >= it.n_chars)) AS best,
+           CASE WHEN it.n_chars <= 10000
+                THEN list_position(p.rems,
+                     list_min(list_filter(p.rems,
+                                          x -> x >= it.n_chars)))
+                END AS idx
+  ) f
+), final AS (
+  SELECT p.lang, p.cnts, p.tots, p.firsts
+  FROM pack p
+  JOIN (SELECT lang, max(i) AS mi FROM pack GROUP BY 1) m
+    ON p.lang = m.lang AND p.i = m.mi
+)
+SELECT lang, unnest(range(len(cnts)))::BIGINT AS bin_id,
+       unnest(cnts)::BIGINT AS n_docs,
+       unnest(tots)::BIGINT AS total_chars,
+       unnest(firsts)::BIGINT AS first_doc,
+       (unnest(tots) * 1000000 // 10000)::BIGINT AS fill_ppm
+FROM final
+ORDER BY lang, bin_id
+"""
+
+# profile_search: the per-query-term dictionary profile (term, df,
+# sparse-regime flag) — df via the engine-tokenizer-equivalent SQL
+# (the df_top_terms convention); the non-SQL pruning counters are
+# invariant-checked inside the entry and pinned in test_engine.py.
+ORACLE_SQL["profile_search"] = f"""
+        WITH tr AS (
+          SELECT doc_id, {{camel}} AS s FROM documents
+        ), tok AS (
+          SELECT DISTINCT doc_id, substr(t, 1, 64) AS term
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(s, '[^a-z0-9]+'))
+                           AS t
+                FROM tr)
+          WHERE t <> ''
+        ), q AS (
+          SELECT unnest(['error', 'merge', 'spark', 'window']) AS term
+        )
+        SELECT q.term, count(tok.doc_id)::BIGINT AS df,
+               (count(tok.doc_id) <= 4096) AS sparse
+        FROM q LEFT JOIN tok ON tok.term = q.term
+        GROUP BY 1 ORDER BY 1
+""".format(camel=_CAMEL.format(col='text'))
+
 # error_log_parse: the oracle recomputes the reference httpd_server
 # Statistics shape (total_event / event_by_level / event_by_type as
 # long-form rows) from the DERIVATION arithmetic; the engine must

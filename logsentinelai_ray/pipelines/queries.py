@@ -834,9 +834,11 @@ def q_pack_bestfit(sf_dir: str):
     lang packs inside one ``map_groups`` (the same per-partition
     sequentiality as sequence_pack — at 100 TB, pack per input shard
     instead of per lang and the bin ids stay shard-local); output is one
-    row per bin. Greedy-iterative, so no SQL oracle (rows-only check);
-    an independent O(n·bins) reference implementation pins the exact
-    bin assignment in tests, plus capacity/coverage invariants."""
+    row per bin. Greedy-iterative, yet EXACTLY oracle-checked: a
+    DuckDB recursive CTE steps the identical best-fit state per lang
+    (parallel bin lists, first-position tie rule, dedicated oversize
+    bins — see oracles.py), and an independent O(n·bins) reference
+    implementation additionally pins the bin assignment in tests."""
     import pandas as pd
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
@@ -2018,16 +2020,29 @@ def q_bm25_topk_filtered(sf_dir: str):
 
 
 def q_profile_search(sf_dir: str):
-    """ES ``"profile": true`` analog for the WAND scale path
-    (rows-only: pruning-atom counters aren't SQL-expressible): one row
-    of DETERMINISTIC counters — pruning atoms total/considered/skipped
-    and docs exactly scored — for the standard query. The counters are
-    a pure function of index content + query (no timings, unseeded),
-    so repeated runs hash identically; the block-max skip behavior
-    they expose is the no-N-sized-accumulator strategy's entire scale
-    story (query/wand.py)."""
+    """ES ``"profile": true`` analog for the WAND scale path. The
+    pruning counters themselves (atoms total/considered/skipped, docs
+    exactly scored) are a pure function of index content + query but
+    not SQL-expressible — they're pinned in test_engine.py and
+    recorded per-bench (selective_wand_profile); HERE they're
+    invariant-checked inline (considered + skipped == total, repeat
+    run bit-identical). The externally-hashed projection is the
+    per-query-term dictionary profile the pruning runs over: (term,
+    df, sparse) rows served from the real shard dictionaries — df is
+    exactly the oracle's tokenizer-derived document frequency and
+    ``sparse`` is the regime selector (df <= sparse_df_cap) that
+    decides exact-list vs block-interval atoms in query/wand.py."""
     eng = _docs_engine(sf_dir)
-    return eng.profile(BM25_QUERY_TEXT, k=10)
+    p = eng.profile(BM25_QUERY_TEXT, k=10).to_pylist()[0]
+    assert p["atoms_considered"] + p["atoms_skipped"] == p["n_atoms"]
+    assert eng.profile(BM25_QUERY_TEXT, k=10).to_pylist()[0] == p
+    terms = sorted(set(eng._toks(BM25_QUERY_TEXT)))
+    dfs = eng._term_dfs(terms)
+    df = [int(dfs.get(t, 0)) for t in terms]
+    return pa.table({
+        "term": pa.array(terms, pa.string()),
+        "df": pa.array(df, pa.int64()),
+        "sparse": pa.array([d <= 4096 for d in df], pa.bool_())})
 
 
 def q_alias_search(sf_dir: str):

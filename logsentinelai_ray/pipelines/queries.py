@@ -1826,6 +1826,33 @@ def _corpusify_docs(t: pa.Table) -> pa.Table:
     })
 
 
+def _sorted_key_boundaries(src, idxs):
+    """Boundary ``repo`` keys at the given row indices of the
+    repo-sorted corpus — a KEYS-ONLY distributed sort + metadata
+    split + one-row takes; no corpus bytes reach the driver (the r3
+    multi-index fixture preps concat_tables'd the whole corpus here,
+    the way a 100-TB user must NOT create members)."""
+    keys = src.select_columns(["repo"]).sort("repo")
+    parts = keys.split_at_indices(list(idxs))
+    return [p.take(1)[0]["repo"] for p in parts[1:]]
+
+
+def _key_range(src, lo, hi):
+    """Corpus rows with repo in [lo, hi) (None = unbounded) as a
+    streaming map_batches filter — the dataset-native member/chunk
+    split used by the federated / rollover / ILM fixtures."""
+    def f(t: pa.Table) -> pa.Table:
+        m = None
+        if lo is not None:
+            m = pc.greater_equal(t["repo"], lo)
+        if hi is not None:
+            h = pc.less(t["repo"], hi)
+            m = h if m is None else pc.and_(m, h)
+        return t if m is None else t.filter(m)
+
+    return src.map_batches(f, batch_format="pyarrow")
+
+
 def _docs_engine(sf_dir: str):
     """Build (once per sf_dir) an index over documents mapped to the corpus
     shape with id-aligned keys: repo = f"r{doc_id:012d}" makes the engine's
@@ -2158,8 +2185,6 @@ def q_federated_search(sf_dir: str):
     import hashlib
     import shutil
 
-    import ray.data as rd
-
     from ..config import IndexConfig
     from ..index.build import build_index
     from ..query.federated import FederatedSearch
@@ -2177,16 +2202,16 @@ def q_federated_search(sf_dir: str):
             "/tmp/lsai_idx",
             hashlib.sha256(tag.encode()).hexdigest()[:16])
         shutil.rmtree(work, ignore_errors=True)
-        tbl = pa.concat_tables(
-            b for b in src.iter_batches(batch_format="pyarrow"))
-        half_key = sorted(tbl["repo"].to_pylist())[tbl.num_rows // 2]
+        # dataset-native median split: keys-only sort for the boundary
+        # key, streaming key-range filters feed the member builds —
+        # the corpus never materializes on the driver
+        [half_key] = _sorted_key_boundaries(src, [src.count() // 2])
         cfg = IndexConfig(num_partitions=8, salt_buckets=4)
         members = []
-        for name, mask in (
-                ("a", pc.less(tbl["repo"], half_key)),
-                ("b", pc.greater_equal(tbl["repo"], half_key))):
+        for name, lo, hi in (("a", None, half_key),
+                             ("b", half_key, None)):
             d = os.path.join(work, name)
-            build_index(rd.from_arrow(tbl.filter(mask)), d, cfg,
+            build_index(_key_range(src, lo, hi), d, cfg,
                         corpus_tag=f"{tag}-{name}")
             members.append(SearchEngine(d, num_shards=2))
         fed = FederatedSearch(members)
@@ -2207,8 +2232,6 @@ def q_rollover_search(sf_dir: str):
     import hashlib
     import shutil
 
-    import pyarrow.parquet as pq
-
     from ..config import IndexConfig
     from ..index.rollover import RolloverIndex
 
@@ -2218,22 +2241,24 @@ def q_rollover_search(sf_dir: str):
     else:
         src = _read(sf_dir, "documents",
                     columns=["doc_id", "lang", "text"]) \
-            .map_batches(_corpusify_docs, batch_format="pyarrow")
-        tbl = pa.concat_tables(
-            b for b in src.iter_batches(batch_format="pyarrow"))
-        tbl = tbl.sort_by("repo")
-        n = tbl.num_rows
+            .map_batches(_corpusify_docs, batch_format="pyarrow") \
+            .materialize()  # consumed by the keys sort + 3 chunk writes
+        n = src.count()
         tag = "documents-roll#v1:" + sf_dir.rstrip("/")
         work = os.path.join(
             "/tmp/lsai_idx",
             hashlib.sha256(tag.encode()).hexdigest()[:16])
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(work)
+        # dataset-native thirds: keys-only boundary sort, then each
+        # chunk streams through a key-range filter into partitioned
+        # parquet — no driver-side corpus table (r3 What's-wrong #2)
+        b = _sorted_key_boundaries(src, [n // 3, 2 * n // 3])
         chunks = []
-        for i, (lo, hi) in enumerate(((0, n // 3), (n // 3, 2 * n // 3),
-                                      (2 * n // 3, n))):
-            p = os.path.join(work, f"chunk{i}.parquet")
-            pq.write_table(tbl.slice(lo, hi - lo), p)
+        for i, (lo, hi) in enumerate(((None, b[0]), (b[0], b[1]),
+                                      (b[1], None))):
+            p = os.path.join(work, f"chunk{i}")
+            _key_range(src, lo, hi).write_parquet(p)
             chunks.append(p)
         roll = RolloverIndex(os.path.join(work, "alias"),
                              IndexConfig(num_partitions=8,
@@ -2335,8 +2360,6 @@ def q_ilm_search(sf_dir: str):
     import hashlib
     import shutil
 
-    import pyarrow.parquet as pq
-
     from ..config import IndexConfig
     from ..index.ilm import IlmPolicy, apply_policy
     from ..index.rollover import RolloverIndex
@@ -2347,11 +2370,9 @@ def q_ilm_search(sf_dir: str):
     else:
         src = _read(sf_dir, "documents",
                     columns=["doc_id", "lang", "text"]) \
-            .map_batches(_corpusify_docs, batch_format="pyarrow")
-        tbl = pa.concat_tables(
-            b for b in src.iter_batches(batch_format="pyarrow"))
-        tbl = tbl.sort_by("repo")
-        n = tbl.num_rows
+            .map_batches(_corpusify_docs, batch_format="pyarrow") \
+            .materialize()  # consumed by the keys sort + 3 chunk writes
+        n = src.count()
         c = (n + 2) // 3  # == the oracle's (count(*) + 2) // 3
         tag = "documents-ilm#v1:" + sf_dir.rstrip("/")
         work = os.path.join(
@@ -2359,10 +2380,13 @@ def q_ilm_search(sf_dir: str):
             hashlib.sha256(tag.encode()).hexdigest()[:16])
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(work)
+        # dataset-native chunking, as in q_rollover_search
+        b = _sorted_key_boundaries(src, [c, 2 * c])
         chunks = []
-        for i, (lo, hi) in enumerate(((0, c), (c, 2 * c), (2 * c, n))):
-            p = os.path.join(work, f"chunk{i}.parquet")
-            pq.write_table(tbl.slice(lo, hi - lo), p)
+        for i, (lo, hi) in enumerate(((None, b[0]), (b[0], b[1]),
+                                      (b[1], None))):
+            p = os.path.join(work, f"chunk{i}")
+            _key_range(src, lo, hi).write_parquet(p)
             chunks.append(p)
         roll = RolloverIndex(os.path.join(work, "alias"),
                              IndexConfig(num_partitions=8,

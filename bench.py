@@ -315,8 +315,10 @@ def bench_pipelines() -> dict:
              "esql_rename_expand", "esql_grok", "esql_count_distinct",
              "bm25_topk_stemmed", "alias_search", "esql_lookup_join",
              "range_join", "search_template", "syslog_parse",
-             # round-4: the analyzer quartet completed
+             # round-4: the analyzer quartet completed + ES|QL
+             # INLINESTATS / FORK
              "error_log_parse", "general_log_profile",
+             "esql_inlinestats", "esql_fork",
              "esql_like_in", "esql_functions", "esql_date_trunc",
              "esql_having", "esql_mv_functions", "esql_median",
              "esql_date_format", "esql_sample", "esql_match",

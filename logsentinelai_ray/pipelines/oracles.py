@@ -1484,6 +1484,29 @@ ORACLE_SQL: dict[str, str] = {
                count(*)::BIGINT AS n
         FROM events GROUP BY 1 ORDER BY event_type ASC
     """,
+    "esql_inlinestats": """
+        WITH a AS (
+          SELECT lang, avg(n_chars) AS m
+          FROM documents GROUP BY 1
+        )
+        SELECT d.lang, count(*)::BIGINT AS above,
+               max(d.n_chars)::BIGINT AS max_over
+        FROM documents d JOIN a USING (lang)
+        WHERE d.n_chars > a.m
+        GROUP BY 1 ORDER BY d.lang ASC
+    """,
+    "esql_fork": """
+        SELECT * FROM (
+          SELECT source, count(*)::BIGINT AS n,
+                 sum(n_chars)::BIGINT AS chars,
+                 'fork1' AS _fork
+          FROM documents WHERE lang = 'en' GROUP BY source
+          UNION ALL
+          SELECT source, count(*)::BIGINT, sum(n_chars)::BIGINT,
+                 'fork2'
+          FROM documents WHERE n_chars >= 400 GROUP BY source
+        ) ORDER BY _fork ASC, source ASC
+    """,
     "esql_agg_where": """
         WITH m AS (
           SELECT user_id, event_type,

@@ -7479,6 +7479,48 @@ def q_esql_agg_where(sf_dir: str):
     return execute_esql(ESQL_AGG_WHERE_QUERY, sf_dir)
 
 
+ESQL_INLINESTATS_QUERY = (
+    "FROM documents "
+    "| INLINESTATS avg_chars = AVG(n_chars) BY lang "
+    "| WHERE n_chars > avg_chars "
+    "| STATS above = COUNT(*), max_over = MAX(n_chars) BY lang "
+    "| SORT lang ASC")
+
+
+def q_esql_inlinestats(sf_dir: str):
+    """ES|QL INLINESTATS (the join-back STATS): per-group aggregates
+    computed by the distributed STATS kernel, then broadcast-joined
+    back onto the stream (ray.put of the group-row table, one
+    index_in/take per aggregate column per batch — no row-level
+    shuffle of the stream). The canonical above-group-average filter
+    is then an ordinary WHERE over original + aggregate columns."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_INLINESTATS_QUERY, sf_dir)
+
+
+ESQL_FORK_QUERY = (
+    "FROM documents | FORK "
+    '(WHERE lang == "en" | STATS n = COUNT(*), '
+    "chars = SUM(n_chars) BY source) "
+    '(WHERE n_chars >= 400 | STATS n = COUNT(*), '
+    "chars = SUM(n_chars) BY source) "
+    "| SORT _fork ASC, source ASC")
+
+
+def q_esql_fork(sf_dir: str):
+    """ES|QL FORK (9.1): two branch sub-pipelines over the same
+    materialized stream, each ending in its own STATS, unioned with
+    the ``_fork`` discriminator and null-aligned columns — the
+    branch-per-perspective fan-out. Deterministic (both branches
+    aggregate), so it carries an exact UNION ALL oracle; branch
+    identity vs running each branch standalone is pinned in
+    test_esql.py."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_FORK_QUERY, sf_dir)
+
+
 ESQL_MATCH_QUERY = (
     'FROM documents | WHERE MATCH(text, "error merge") '
     'AND lang == "en" '
@@ -9656,6 +9698,8 @@ QUERY_REGISTRY = {
     "esql_sample": q_esql_sample,
     "esql_match": q_esql_match,
     "esql_agg_where": q_esql_agg_where,
+    "esql_inlinestats": q_esql_inlinestats,
+    "esql_fork": q_esql_fork,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -2,9 +2,11 @@
 (`FROM … | WHERE … | EVAL … | STATS … BY … | SORT … | LIMIT …`,
 plus `KEEP`/`DROP`, `RENAME old AS new`, `MV_EXPAND <field>`,
 `DISSECT <field> "%{a}…"` / `GROK <field> "%{INT:n:int}…"` structured
-extraction, and `ENRICH <table> ON <field> [WITH cols]` /
-`LOOKUP JOIN <table> ON <field>` broadcast lookup joins) compiled onto
-Ray Data operators.
+extraction, `ENRICH <table> ON <field> [WITH cols]` /
+`LOOKUP JOIN <table> ON <field>` broadcast lookup joins,
+`INLINESTATS … BY …` join-back aggregates, and `FORK (…) (…)` branch
+fan-out with the `_fork` discriminator) compiled onto Ray Data
+operators.
 
 Reference parity: the reference ships its results to Elasticsearch and
 users query them with ES|QL / Query-DSL (reference README quick-start;
@@ -628,6 +630,25 @@ class MvExpand:
 
 
 @dataclass
+class InlineStats:
+    """INLINESTATS (ES|QL 8.x tech preview / 9.x): STATS that joins
+    its per-group results BACK onto the stream instead of replacing
+    it — every original column survives and the aggregate columns are
+    appended per row (a broadcast join-back on the BY keys)."""
+    aggs: list  # [(name, fn, expr_or_None)]
+    by: list
+
+
+@dataclass
+class Fork:
+    """FORK (ES|QL 9.1): run each parenthesized branch sub-pipeline
+    over the current stream, union the results with a ``_fork``
+    discriminator column (fork1, fork2, ...); missing columns are
+    null-filled across branches."""
+    branches: list  # [list[command]]
+
+
+@dataclass
 class Grok:
     field: str
     pattern: str  # original %{SYNTAX:name[:type]} grok pattern
@@ -751,10 +772,11 @@ def _split_top(s: str, sep: str = ",") -> list[str]:
 
 
 def _split_pipes(query: str) -> list[str]:
-    """Split the pipeline on '|' at quote depth 0 only — a '|' inside
-    a string literal (the normal RLIKE alternation, e.g.
-    RLIKE "error|fatal") is part of the command, not a separator."""
-    out, cur, in_q, esc = [], [], False, False
+    """Split the pipeline on '|' at quote depth 0 AND paren depth 0 —
+    a '|' inside a string literal (the normal RLIKE alternation, e.g.
+    RLIKE "error|fatal") or inside a FORK branch's parentheses is part
+    of the command, not a separator."""
+    out, cur, in_q, esc, depth = [], [], False, False, 0
     for ch in query:
         if in_q:
             cur.append(ch)
@@ -767,7 +789,11 @@ def _split_pipes(query: str) -> list[str]:
             continue
         if ch == '"':
             in_q = True
-        if ch == "|" and not in_q:
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "|" and depth == 0:
             out.append("".join(cur))
             cur = []
         else:
@@ -803,6 +829,15 @@ def parse_esql(query: str) -> list:
         raise ValueError(
             "ES|QL: pipeline must start with FROM, ROW or SHOW")
     for part in parts[1:]:
+        cmds.extend(_parse_one(part))
+    return cmds
+
+
+def _parse_one(part: str) -> list:
+    """Parse one non-source pipeline command into its command list
+    (STATS/INLINESTATS may desugar into [Eval, Stats])."""
+    cmds: list = []
+    if True:  # preserve the historical chain indentation
         head, _, rest = part.partition(" ")
         head = head.upper()
         rest = rest.strip()
@@ -814,7 +849,7 @@ def parse_esql(query: str) -> list:
                 name, _, src = a.partition("=")
                 assigns.append((name.strip(), parse_expr(src.strip())))
             cmds.append(Eval(assigns))
-        elif head == "STATS":
+        elif head in ("STATS", "INLINESTATS"):
             m = re.search(r"\bBY\b", rest, re.IGNORECASE)
             agg_src = rest[:m.start()] if m else rest
             by, by_assigns = [], []
@@ -886,7 +921,8 @@ def parse_esql(query: str) -> list:
                     else:
                         expr = Call("CASE", [cond, expr])
                 aggs.append((name, fn, expr))
-            cmds.append(Stats(aggs, by))
+            cmds.append(Stats(aggs, by) if head == "STATS"
+                        else InlineStats(aggs, by))
         elif head == "SORT":
             keys = []
             for kspec in rest.split(","):
@@ -991,6 +1027,48 @@ def parse_esql(query: str) -> list:
             pat = pat[1:-1].replace('\\"', '"')
             rx, names, types = compile_grok(pat)
             cmds.append(Grok(fld.strip(), pat, rx, names, types))
+        elif head == "FORK":
+            branches = []
+            depth, in_q, esc, cur = 0, False, False, []
+            for ch in rest:
+                if in_q:
+                    cur.append(ch)
+                    if esc:
+                        esc = False
+                    elif ch == "\\":
+                        esc = True
+                    elif ch == '"':
+                        in_q = False
+                    continue
+                if ch == '"':
+                    in_q = True
+                elif ch == "(":
+                    depth += 1
+                    if depth == 1:
+                        continue  # opening paren of a branch
+                elif ch == ")":
+                    depth -= 1
+                    if depth == 0:
+                        branches.append("".join(cur).strip())
+                        cur = []
+                        continue
+                if depth >= 1:
+                    cur.append(ch)
+                elif not ch.isspace():
+                    raise ValueError(
+                        "ES|QL: FORK branches must be parenthesized")
+            if depth != 0 or len(branches) < 2:
+                raise ValueError(
+                    "ES|QL: FORK needs >= 2 balanced (branch) groups")
+            parsed = []
+            for btxt in branches:
+                bc: list = []
+                for sp in _split_pipes(btxt):
+                    sp = sp.strip()
+                    if sp:
+                        bc.extend(_parse_one(sp))
+                parsed.append(bc)
+            cmds.append(Fork(parsed))
         else:
             raise ValueError(f"ES|QL: unknown command {head!r}")
     return cmds
@@ -1019,7 +1097,8 @@ def _pipeline_fields(cmds: list) -> set[str]:
     pruning (empty set → read all columns)."""
     fields: set[str] = set()
     derived: set[str] = set()
-    for c in cmds:
+    flat = list(_walk_cmds(cmds))
+    for c in flat:
         # DROP keeps every column it does NOT name — the pipeline
         # implicitly references the whole schema, so pruning is off.
         # (Same for wildcard KEEP, which may match unnamed columns.)
@@ -1027,14 +1106,14 @@ def _pipeline_fields(cmds: list) -> set[str]:
             return set()
         if isinstance(c, Keep) and any("*" in s for s in c.cols):
             return set()
-    for c in cmds:
+    for c in flat:
         if isinstance(c, Where):
             expr_fields(c.cond, fields)
         elif isinstance(c, Eval):
             for name, e in c.assigns:
                 expr_fields(e, fields)
                 derived.add(name)
-        elif isinstance(c, Stats):
+        elif isinstance(c, (Stats, InlineStats)):
             for name, _, e in c.aggs:
                 if isinstance(e, tuple):  # multi-arg agg: main node
                     e = e[0]
@@ -1060,6 +1139,8 @@ def _pipeline_fields(cmds: list) -> set[str]:
         elif isinstance(c, Grok):
             fields.add(c.field)
             derived.update(c.names)
+        elif isinstance(c, Fork):
+            derived.add("_fork")  # branch commands are walked above
     return fields - derived
 
 
@@ -1122,7 +1203,7 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
     # count as derived when pruning the main read.
     import ray
 
-    for c in cmds:
+    for c in _walk_cmds(cmds):
         if isinstance(c, Enrich):
             import pyarrow.parquet as pq
 
@@ -1159,8 +1240,26 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
         cols = sorted(_pipeline_fields(cmds))
         ds = rd.read_parquet(path, columns=cols or None)
 
-    # fuse consecutive row-local commands into one map_batches stage
-    i = 1
+    ds = _apply_pipeline(ds, cmds[1:])
+    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+
+
+def _walk_cmds(cmds):
+    """Flatten a command list including FORK branch sub-pipelines."""
+    for c in cmds:
+        yield c
+        if isinstance(c, Fork):
+            for b in c.branches:
+                yield from _walk_cmds(b)
+
+
+def _apply_pipeline(ds, cmds: list):
+    """Apply non-source commands to a Dataset (recursed into by FORK
+    branches). Fuses consecutive row-local commands into one
+    map_batches stage."""
+    import ray
+
+    i = 0
     while i < len(cmds):
         run = []
         while i < len(cmds) and isinstance(cmds[i],
@@ -1232,6 +1331,10 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
         i += 1
         if isinstance(c, Stats):
             ds = _compile_stats(ds, c)
+        elif isinstance(c, InlineStats):
+            ds = _apply_inlinestats(ds, c)
+        elif isinstance(c, Fork):
+            ds = _apply_fork(ds, c)
         elif isinstance(c, Sort):
             ds = ds.sort([k for k, _ in c.keys],
                          descending=[not a for _, a in c.keys])
@@ -1244,7 +1347,115 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
             ds = ds.drop_columns(
                 _expand_cols(c.cols, ds.schema().names))
 
-    return pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    return ds
+
+
+def _group_keys_str(t: pa.Table, by: list):
+    """Composite BY key per row as one string array (per-part null
+    sentinel BEFORE joining so partial-null multi-keys stay
+    distinct) — the broadcast join-back key for INLINESTATS."""
+    parts = []
+    for b in by:
+        col = t[b]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        parts.append(pc.fill_null(pc.cast(col, pa.string()), "\x00"))
+    key = parts[0]
+    for p in parts[1:]:
+        key = pc.binary_join_element_wise(key, p, "\x1f")
+    return key
+
+
+def _apply_inlinestats(ds, c: InlineStats):
+    """INLINESTATS = the STATS kernel (distributed aggregates) + a
+    broadcast join-back: the per-group result table is tiny (one row
+    per group), so it ships once via ray.put and each batch appends
+    the aggregate columns with one index_in/take per column — no
+    row-level shuffle of the stream itself."""
+    import ray
+
+    ds = ds.materialize()  # consumed by the aggregate AND the stream
+    st = pa.Table.from_pandas(
+        _compile_stats(ds, Stats(c.aggs, c.by)).to_pandas(),
+        preserve_index=False)
+    out_names = [name for name, _, _ in c.aggs]
+    ref = ray.put(st)
+    by = list(c.by)
+
+    def join(t: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        if not by:  # global aggregates broadcast to every row
+            for n in out_names:
+                col = s[n]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                t = t.append_column(n, pa.array(
+                    [col[0].as_py()] * len(t), type=col.type))
+            return t
+        idx = pc.index_in(_group_keys_str(t, by),
+                          value_set=_group_keys_str(s, by))
+        for n in out_names:
+            col = s[n]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            t = t.append_column(n, pc.take(col, idx))
+        return t
+
+    return ds.map_batches(join, batch_format="pyarrow")
+
+
+def _apply_fork(ds, c: Fork):
+    """FORK: run each branch sub-pipeline over the materialized
+    stream, tag rows with ``_fork``, align columns (missing columns
+    null-filled with the owning branch's type; conflicting types are
+    an error), and union."""
+    base = ds.materialize()
+    outs = []
+    for bi, branch in enumerate(c.branches):
+        b = _apply_pipeline(base, list(branch))
+        tag = f"fork{bi + 1}"
+
+        def add_tag(t: pa.Table, _tag=tag) -> pa.Table:
+            return t.append_column(
+                "_fork", pa.array([_tag] * len(t), pa.string()))
+
+        outs.append(b.map_batches(add_tag, batch_format="pyarrow")
+                    .materialize())
+    # empty branches have no schema (Ray returns None) and contribute
+    # no rows — drop them from alignment and union
+    nonempty = [o for o in outs if o.schema() is not None]
+    if not nonempty:
+        return outs[0]
+    outs = nonempty
+    # column alignment across branches, first-seen order
+    order: list[str] = []
+    types: dict = {}
+    for o in outs:
+        sch = o.schema()
+        for n, ty in zip(sch.names, sch.types):
+            if n not in types:
+                order.append(n)
+                types[n] = ty
+            elif types[n] != ty:
+                raise ValueError(
+                    f"ES|QL: FORK branches disagree on column {n!r} "
+                    f"type ({types[n]} vs {ty})")
+    aligned = []
+    for o in outs:
+        have = set(o.schema().names)
+        missing = [n for n in order if n not in have]
+
+        def align(t: pa.Table, _missing=tuple(missing)) -> pa.Table:
+            for n in _missing:
+                t = t.append_column(n, pa.nulls(len(t),
+                                                type=types[n]))
+            return t.select(order)
+
+        aligned.append(o.map_batches(align, batch_format="pyarrow"))
+    out = aligned[0]
+    if len(aligned) > 1:
+        out = out.union(*aligned[1:])
+    return out
 
 
 def _compile_stats(ds, c: Stats):

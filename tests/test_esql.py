@@ -616,3 +616,66 @@ def test_round_half_away_from_zero():
         [1.0, 2.0, 3.0, -1.0, -3.0, 1.0]
     assert ev(parse_expr("ROUND(x, 1)"), t).to_pylist() == \
         [0.5, 1.5, 2.5, -0.5, -2.5, 1.3]
+
+
+def test_inlinestats_join_back(ray_session):
+    """INLINESTATS keeps every original column and appends the
+    aggregate columns per row — the canonical above-group-average
+    filter matches the window-function SQL exactly."""
+    out = execute_esql(
+        "FROM documents | INLINESTATS avg_chars = AVG(n_chars) "
+        "BY lang | WHERE n_chars > avg_chars "
+        "| STATS above = COUNT(*) BY lang | SORT lang ASC", SF)
+    exp = duckdb.sql(
+        f"WITH a AS (SELECT lang, avg(n_chars) m FROM"
+        f" read_parquet('{SF}/documents.parquet') GROUP BY 1)"
+        f" SELECT d.lang, count(*)::BIGINT AS above FROM"
+        f" read_parquet('{SF}/documents.parquet') d JOIN a USING"
+        f" (lang) WHERE d.n_chars > a.m GROUP BY 1 ORDER BY 1"
+    ).fetch_arrow_table()
+    assert out.to_pydict() == exp.to_pydict()
+    # no BY: global aggregate broadcast to every row
+    g = execute_esql(
+        "FROM documents | INLINESTATS total = COUNT(*) "
+        "| STATS rows = COUNT(*), t = MAX(total)", SF)
+    assert g["rows"].to_pylist() == g["t"].to_pylist()
+
+
+def test_fork_branch_identity_and_alignment(ray_session):
+    """Each FORK branch's rows equal the same sub-pipeline run
+    standalone; missing columns are null-aligned; empty branches
+    drop from the union."""
+    forked = execute_esql(
+        'FROM documents | FORK (WHERE lang == "en" | STATS n ='
+        ' COUNT(*) BY source) (WHERE lang == "de" | STATS n ='
+        ' COUNT(*) BY source, lang) | SORT _fork ASC, source ASC', SF)
+    for tag, solo_q in (
+            ("fork1", 'FROM documents | WHERE lang == "en" '
+                      "| STATS n = COUNT(*) BY source "
+                      "| SORT source ASC"),
+            ("fork2", 'FROM documents | WHERE lang == "de" '
+                      "| STATS n = COUNT(*) BY source, lang "
+                      "| SORT source ASC")):
+        solo = execute_esql(solo_q, SF)
+        part = forked.filter(
+            pa.compute.equal(forked["_fork"], tag))
+        assert part["source"].to_pylist() == \
+            solo["source"].to_pylist()
+        assert part["n"].to_pylist() == solo["n"].to_pylist()
+    # branch 1 lacks 'lang' -> null-filled there, present for fork2
+    f1_lang = forked.filter(
+        pa.compute.equal(forked["_fork"], "fork1"))["lang"]
+    assert f1_lang.null_count == len(f1_lang)
+    # an empty branch contributes nothing and breaks nothing
+    e = execute_esql(
+        'FROM documents | FORK (WHERE lang == "xx" | STATS n = '
+        'COUNT(*) BY source) (WHERE lang == "en" | STATS n = '
+        "COUNT(*) BY source) | SORT source ASC", SF)
+    assert set(e["_fork"].to_pylist()) == {"fork2"}
+
+
+def test_fork_parse_errors():
+    with pytest.raises(ValueError, match="parenthesized"):
+        parse_esql("FROM documents | FORK WHERE x > 1 (LIMIT 2)")
+    with pytest.raises(ValueError, match=">= 2"):
+        parse_esql("FROM documents | FORK (LIMIT 2)")

@@ -508,9 +508,13 @@ def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int,
         np.cumsum(dl_np[:-1], out=starts[1:])
         occ_pos = (np.arange(codes.size, dtype=np.int64)
                    - starts[row_idx]).astype(np.int32)
+        # term as the ALREADY-COMPUTED dictionary array (enc below is
+        # tokens encoded): the per-part slice gather then moves int32
+        # codes instead of strings and parquet writes the dictionary
+        # pages directly — measured ~25% off the sidecar write
         positions = pa.table({
             "part": pa.array(term_parts[codes], pa.int32()),
-            "term": tokens,
+            "term": enc,
             "doc_id": pa.array(doc_ids[row_idx], pa.int64()),
             "pos": pa.array(occ_pos, pa.int32()),
         })
@@ -817,19 +821,47 @@ def _consolidate_positions(index_dir: str, raw_pos_dir: str, part: int,
         order = pc.sort_indices(dict_arr).to_numpy(zero_copy_only=False)
         rank = np.empty(len(dict_arr), dtype=np.int64)
         rank[order] = np.arange(len(dict_arr), dtype=np.int64)
-        doc = tbl["doc_id"].to_numpy(zero_copy_only=False)
-        pos = tbl["pos"].to_numpy(zero_copy_only=False)
-        idx = np.lexsort((pos, doc, rank[codes]))
+        doc = tbl["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        pos = tbl["pos"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        # pack (rank, doc, pos) into ONE uint64 and np.sort the packed
+        # VALUES — no argsort, no row gather; unpacking is shifts and
+        # masks. Measured ~4x over the 3-key np.lexsort at ~9M rows
+        # (the stage's dominant kernel). Falls back to lexsort when the
+        # combined key width exceeds 64 bits (e.g. full 10^12-doc id
+        # space — there, doc-range splitting keeps in-range ids narrow
+        # after subtracting lo, which the fallback does not need).
+        base = int(lo or 0)
+        dmax = int(doc.max() - base) if doc.size else 0
+        pmax = int(pos.max()) if pos.size else 0
+        rb = max(1, int(len(dict_arr)).bit_length())
+        db = max(1, dmax.bit_length())
+        pb = max(1, pmax.bit_length())
+        if doc.size and rb + db + pb <= 64:
+            key = (rank[codes].astype(np.uint64) << np.uint64(db + pb)) \
+                | ((doc - base).astype(np.uint64) << np.uint64(pb)) \
+                | pos.astype(np.uint64)
+            key.sort()
+            srank = (key >> np.uint64(db + pb)).astype(np.int64)
+            sdoc = ((key >> np.uint64(pb))
+                    & np.uint64((1 << db) - 1)).astype(np.int64) + base
+            spos = (key & np.uint64((1 << pb) - 1)).astype(np.int32)
+            scodes = order[srank].astype(np.int32)
+        else:
+            idx = np.lexsort((pos, doc, rank[codes]))
+            scodes = codes[idx].astype(np.int32)
+            sdoc = doc[idx]
+            spos = pos[idx].astype(np.int32)
         # materialize term as plain string (one C++ gather) so every
         # sidecar file shares POSITIONS_SCHEMA — parquet re-dictionary-
         # encodes on write regardless
         term_sorted = pa.DictionaryArray.from_arrays(
-            pa.array(codes[idx].astype(np.int32)), dict_arr) \
-            .cast(pa.string())
+            pa.array(scodes), dict_arr).cast(pa.string())
         tbl = pa.table({
             "term": term_sorted,
-            "doc_id": pa.array(doc[idx], pa.int64()),
-            "pos": pa.array(pos[idx].astype(np.int32), pa.int32()),
+            "doc_id": pa.array(sdoc, pa.int64()),
+            "pos": pa.array(spos, pa.int32()),
         })
     else:
         tbl = POSITIONS_SCHEMA.empty_table()

@@ -752,7 +752,10 @@ def _merge_part(index_dir: str, part: int, fingerprint: str,
     os.makedirs(seg_dir, exist_ok=True)
     path = os.path.join(seg_dir, f"part-{part:04d}.parquet")
     tmp = path + f".tmp-{os.getpid()}"
-    pq.write_table(merged, tmp, **_PQ_WRITE_KW)
+    # bounded row groups (512 dictionary rows each): the unit the
+    # bounded-memory IndexShard mode pages in/out of its LRU — full
+    # reads are unaffected (parquet streams row groups either way)
+    pq.write_table(merged, tmp, row_group_size=512, **_PQ_WRITE_KW)
     os.replace(tmp, path)
     n_postings = int(pc.sum(merged["df"]).as_py() or 0) if merged.num_rows \
         else 0

@@ -163,9 +163,21 @@ class IndexShard:
     # actor lets an on-demand decode_term run instead of queueing behind
     # the speculative prewarm backlog (numpy decode releases the GIL for
     # its vectorized passes).
-    """Owns the segment files of a set of term partitions."""
+    """Owns the segment files of a set of term partitions.
 
-    def __init__(self, index_dir: str, parts: list[int]):
+    ``max_resident_bytes`` — bounded-memory serving mode (the 100-TB
+    story: total segment bytes across an index can exceed any one
+    node's heap). When set, only the DICTIONARY columns (term, df)
+    stay resident; full segment rows (posting streams + block-max
+    metadata) load lazily per parquet ROW GROUP from the memory-mapped
+    segment file into an LRU capped at the byte budget. Every query
+    path returns identical results — only residency changes — which
+    ``test_memory_bound.py`` pins (served under a cap smaller than
+    total segment bytes with identical ranks and observed
+    evictions)."""
+
+    def __init__(self, index_dir: str, parts: list[int],
+                 max_resident_bytes: int | None = None):
         # hold the segment as Arrow tables + a term → (table, row) index;
         # rows are sliced lazily at lookup time. (Materializing per-term
         # Python dicts for the whole vocabulary cost hundreds of bytes and
@@ -177,31 +189,113 @@ class IndexShard:
         # every row this shard hands to TermPostings); legacy descriptive
         # strings and missing keys both mean varint
         self.codec = mf.read_stats(index_dir).get("codec", "varint")
+        self.max_resident = max_resident_bytes
+        import threading
+
+        # the actor is threaded (max_concurrency=4): LRU bookkeeping
+        # AND the ParquetFile row-group reads (not documented
+        # thread-safe) serialize under this lock; the resident fast
+        # path is one dict get + list move
+        self._rg_lock = threading.Lock()
+        self._files: list = []          # pq.ParquetFile per table
+        self._rg_offsets: list = []     # per table: row offset of each RG
+        self._rg_cache: dict = {}       # (ti, rg) -> full-column RG table
+        self._rg_lru: list = []         # LRU order of cache keys
+        self._rg_bytes = 0
+        self._rg_loads = 0              # cold row-group reads (stats)
+        self._rg_evictions = 0
         seg_dir = os.path.join(index_dir, "segments")
         for p in self.parts:
             path = os.path.join(seg_dir, f"part-{p:04d}.parquet")
             if not os.path.exists(path):
                 continue
-            tbl = pq.read_table(path)
             ti = len(self.tables)
+            if self.max_resident is None:
+                tbl = pq.read_table(path)
+            else:
+                pf = pq.ParquetFile(path, memory_map=True)
+                tbl = pf.read(columns=["term", "df"])
+                offs = np.zeros(pf.num_row_groups, dtype=np.int64)
+                for rg in range(1, pf.num_row_groups):
+                    offs[rg] = offs[rg - 1] \
+                        + pf.metadata.row_group(rg - 1).num_rows
+                self._files.append(pf)
+                self._rg_offsets.append(offs)
             self.tables.append(tbl)
             self.term_index.update(
                 (t, (ti, i)) for i, t in enumerate(tbl["term"].to_pylist()))
+
+    def _rg_table(self, ti: int, rg: int) -> pa.Table:
+        """Bounded mode: fetch one row group's FULL columns through the
+        byte-capped LRU (load from the memory-mapped file on miss,
+        evict least-recently-used row groups past the budget)."""
+        key = (ti, rg)
+        with self._rg_lock:
+            tbl = self._rg_cache.get(key)
+            if tbl is not None:
+                if self._rg_lru[-1] != key:
+                    self._rg_lru.remove(key)
+                    self._rg_lru.append(key)
+                return tbl
+            tbl = self._files[ti].read_row_group(rg)
+            self._rg_loads += 1
+            self._rg_cache[key] = tbl
+            self._rg_lru.append(key)
+            self._rg_bytes += tbl.nbytes
+            # HARD cap: even the just-inserted row group may evict
+            # (the caller's reference keeps the returned table alive;
+            # Arrow tables are refcounted) — an oversized RG simply
+            # never caches
+            while self._rg_bytes > self.max_resident and self._rg_lru:
+                old = self._rg_lru.pop(0)
+                self._rg_bytes -= self._rg_cache.pop(old).nbytes
+                self._rg_evictions += 1
+        return tbl
+
+    def _full_rows(self, locs: list[tuple[int, int]]) -> pa.Table | None:
+        """Full segment rows for (table, row) locations — resident
+        slice in default mode, LRU row-group reads in bounded mode."""
+        if not locs:
+            return None
+        if self.max_resident is None:
+            by_tbl: dict[int, list[int]] = {}
+            for ti, i in locs:
+                by_tbl.setdefault(ti, []).append(i)
+            slices = [self.tables[ti].take(pa.array(idx, pa.int64()))
+                      for ti, idx in sorted(by_tbl.items())]
+            return pa.concat_tables(slices)
+        by_rg: dict[tuple[int, int], list[int]] = {}
+        for ti, i in locs:
+            offs = self._rg_offsets[ti]
+            rg = int(np.searchsorted(offs, i, side="right") - 1)
+            by_rg.setdefault((ti, rg), []).append(i - int(offs[rg]))
+        slices = [self._rg_table(ti, rg).take(pa.array(idx, pa.int64()))
+                  for (ti, rg), idx in sorted(by_rg.items())]
+        return pa.concat_tables(slices)
+
+    def cache_stats(self) -> dict:
+        """Bounded-mode residency counters (zeros in default mode)."""
+        return {"rg_loads": self._rg_loads,
+                "rg_evictions": self._rg_evictions,
+                "resident_bytes": self._rg_bytes,
+                "resident_row_groups": len(self._rg_cache)}
 
     def get_terms(self, terms: list[str]) -> pa.Table | None:
         """Requested terms' segment rows as ONE Arrow table (Ray ships
         Arrow tables via pickle-5 out-of-band buffers — no per-value
         pickling of the posting streams)."""
-        by_tbl: dict[int, list[int]] = {}
-        for t in terms:
-            loc = self.term_index.get(t)
-            if loc is not None:
-                by_tbl.setdefault(loc[0], []).append(loc[1])
-        if not by_tbl:
-            return None
-        slices = [self.tables[ti].take(pa.array(idx, pa.int64()))
-                  for ti, idx in sorted(by_tbl.items())]
-        return pa.concat_tables(slices)
+        locs = [loc for t in terms
+                if (loc := self.term_index.get(t)) is not None]
+        return self._full_rows(locs)
+
+    def _seg_row(self, loc: tuple[int, int]) -> tuple[pa.Table, int]:
+        """One term's full segment row location — the resident table in
+        default mode, its LRU-cached row group in bounded mode."""
+        if self.max_resident is None:
+            return self.tables[loc[0]], loc[1]
+        offs = self._rg_offsets[loc[0]]
+        rg = int(np.searchsorted(offs, loc[1], side="right") - 1)
+        return self._rg_table(loc[0], rg), loc[1] - int(offs[rg])
 
     def n_terms(self) -> int:
         return len(self.term_index)
@@ -385,8 +479,7 @@ class IndexShard:
         loc = self.term_index.get(term)
         if loc is None:
             return None
-        tbl = self.tables[loc[0]]
-        i = loc[1]
+        tbl, i = self._seg_row(loc)
         row: dict = {"term": term, "df": tbl["df"][i].as_py(),
                      "codec": self.codec}
         for f in ("block_first", "block_last", "block_count", "block_max",
@@ -444,8 +537,7 @@ class IndexShard:
         loc = self.term_index.get(term)
         if loc is None:
             return None
-        tbl = self.tables[loc[0]]
-        i = loc[1]
+        tbl, i = self._seg_row(loc)
         row: dict = {"term": term, "df": tbl["df"][i].as_py(),
                      "codec": self.codec}
         for f in ("block_first", "block_last", "block_count", "block_max",
@@ -467,8 +559,7 @@ class IndexShard:
         loc = self.term_index.get(term)
         if loc is None:
             return None
-        tbl = self.tables[loc[0]]
-        i = loc[1]
+        tbl, i = self._seg_row(loc)
         row: dict = {"term": term, "df": tbl["df"][i].as_py(),
                      "codec": self.codec}
         for f in ("block_first", "block_last", "block_count", "block_max",
@@ -499,7 +590,8 @@ class SearchEngine:
     def __init__(self, index_dir: str, num_shards: int | None = None,
                  taat_max_docs: int = 5_000_000,
                  term_cache_size: int = 4096,
-                 prewarm_hot_terms: int = 64):
+                 prewarm_hot_terms: int = 64,
+                 max_resident_bytes: int | None = None):
         # prewarm width: cold hot-term latency is transport + decode
         # round-trip bound (~0.2-0.5 s per df~10^6 term on this host);
         # 64 covers the whole Zipf head of a realistic query mix and the
@@ -525,7 +617,13 @@ class SearchEngine:
         assignment: list[list[int]] = [[] for _ in range(n_shards)]
         for p in range(self.P):
             assignment[p % n_shards].append(p)
-        self.shards = [IndexShard.remote(index_dir, parts)
+        # per-shard residency budget: the engine-level cap divides
+        # evenly across shards (each owns a disjoint partition set)
+        per_shard_cap = (None if max_resident_bytes is None
+                         else max(1, max_resident_bytes // n_shards))
+        self.max_resident_bytes = max_resident_bytes
+        self.shards = [IndexShard.remote(index_dir, parts,
+                                         per_shard_cap)
                        for parts in assignment]
         # overlap segment loads across shards AND warm each worker's Arrow
         # serialization path before the first query (see IndexShard.warmup)
@@ -584,6 +682,13 @@ class SearchEngine:
                 for t in terms:
                     self._pending[t] = shard.decode_term.remote(
                         t, n, k1, b, avgdl)
+
+    def cache_stats(self) -> dict:
+        """Aggregate bounded-memory residency counters across shards
+        (all zeros when serving unbounded)."""
+        stats = ray.get([s.cache_stats.remote() for s in self.shards])
+        return {k: sum(s[k] for s in stats) for k in stats[0]} if stats \
+            else {}
 
     def shutdown(self) -> None:
         for s in self.shards:

@@ -208,6 +208,16 @@ def main(argv: list[str] | None = None) -> int:
                          "manifest's checkpoint instead of building")
     tf.add_argument("--partitions", type=int, default=16)
 
+    an = sub.add_parser(
+        "analyze", parents=[common],
+        help="run a reference analyzer type over raw log files "
+             "(the logsentinelai-httpd-access / httpd-server / "
+             "linux-system / general-log console-script analog)")
+    an.add_argument("--type", required=True,
+                    choices=["httpd_access", "httpd_server",
+                             "linux_system", "general_log"])
+    an.add_argument("files", nargs="+")
+
     g = sub.add_parser("gen", parents=[common],
                        help="write a deterministic synthetic corpus")
     g.add_argument("--out", required=True)
@@ -229,7 +239,11 @@ def main(argv: list[str] | None = None) -> int:
 
     ray, owns_session = _ray_session(args.num_cpus)
     try:
-        if args.cmd == "build":
+        if args.cmd == "analyze":
+            from .analyze import analyze_files
+
+            print(json.dumps(analyze_files(args.type, args.files)))
+        elif args.cmd == "build":
             from .config import IndexConfig
             from .index.build import build_index
 

@@ -220,3 +220,34 @@ def test_cli_alias_put_query_list_delete(cli_index, capfd, tmp_path):
                  "--name", "py"])
     listed = _run(capfd, ["alias", "list", "--registry", reg])
     assert listed[-1] == {}
+
+
+def test_analyze_reference_corpora(ray_session, capfd):
+    """The `analyze` subcommand — the reference's four console-script
+    analyzers (pyproject [project.scripts]) — over the reference's own
+    sample logs, Statistics shapes pinned to grep-established ground
+    truth."""
+    base = "/root/reference/sample-logs"
+    if not os.path.isdir(base):
+        pytest.skip("reference corpora not present")
+    out = _run(capfd, ["analyze", "--type", "httpd_server",
+                       f"{base}/apache-100.log"])[-1]
+    assert out["total_event"] == 100 and out["unparsed_lines"] == 0
+    assert "error:70" in out["event_by_level"]
+    assert "missing_file:33" in out["event_by_type"]
+    out = _run(capfd, ["analyze", "--type", "linux_system",
+                       f"{base}/linux-2k.log"])[-1]
+    assert out["auth_failures"] == 490
+    assert out["unique_users"] == 5 and out["unique_ips"] == 27
+    out = _run(capfd, ["analyze", "--type", "httpd_access",
+                       f"{base}/access-100.log"])[-1]
+    assert out["total_requests"] == 100
+    assert out["response_code_dist"][0] == "200:96"
+    assert out["error_rate"] == 0.03
+    out = _run(capfd, ["analyze", "--type", "general_log",
+                       f"{base}/apache-100.log",
+                       f"{base}/linux-100.log"])[-1]
+    assert out["total_events"] == 200
+    assert out["detected_formats"] == ["apache_error:100",
+                                       "syslog:100"]
+    assert out["unique_sources"] == 5

@@ -355,7 +355,7 @@ def bench_pipelines() -> dict:
              # round-4: the analyzer quartet completed + ES|QL
              # INLINESTATS / FORK
              "error_log_parse", "general_log_profile",
-             "esql_inlinestats", "esql_fork",
+             "esql_inlinestats", "esql_fork", "esql_change_point",
              "esql_like_in", "esql_functions", "esql_date_trunc",
              "esql_having", "esql_mv_functions", "esql_median",
              "esql_date_format", "esql_sample", "esql_match",

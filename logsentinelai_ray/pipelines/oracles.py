@@ -1507,6 +1507,31 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents WHERE n_chars >= 400 GROUP BY source
         ) ORDER BY _fork ASC, source ASC
     """,
+    "esql_change_point": """
+        WITH daily AS (
+          SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n
+          FROM events GROUP BY 1
+        ), ord AS (
+          SELECT day, n,
+                 row_number() OVER (ORDER BY day) AS i,
+                 count(*) OVER () AS total,
+                 sum(n) OVER (ORDER BY day) AS sl,
+                 sum(n) OVER () AS s
+          FROM daily
+        ), scored AS (
+          SELECT i AS k,
+                 CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE)
+                     / CAST(i AS DOUBLE)
+                   + CAST(s - sl AS DOUBLE) * CAST(s - sl AS DOUBLE)
+                     / CAST(total - i AS DOUBLE) AS g
+          FROM ord WHERE i < total
+        ), best AS (
+          SELECT k, g FROM scored ORDER BY g DESC, k ASC LIMIT 1
+        )
+        SELECT ord.day, ord.n, 'step_change' AS type,
+               round(best.g, 6) AS pvalue
+        FROM ord, best WHERE ord.i = best.k + 1
+    """,
     "esql_agg_where": """
         WITH m AS (
           SELECT user_id, event_type,

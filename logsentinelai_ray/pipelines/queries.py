@@ -7521,6 +7521,27 @@ def q_esql_fork(sf_dir: str):
     return execute_esql(ESQL_FORK_QUERY, sf_dir)
 
 
+ESQL_CHANGE_POINT_QUERY = (
+    'FROM events | STATS n = COUNT(*) BY day = '
+    'DATE_FORMAT("yyyy-MM-dd", ts) '
+    "| CHANGE_POINT n ON day "
+    "| WHERE type IS NOT NULL "
+    "| KEEP day, n, type, pvalue")
+
+
+def q_esql_change_point(sf_dir: str):
+    """ES|QL CHANGE_POINT (9.x) over the daily count series: the
+    distributed STATS builds the bucket-bounded series, the command
+    finds the SSE-minimizing step split (integer prefix sums cast to
+    double before the multiply — identical IEEE op tree as the SQL
+    oracle, ties earliest) and marks the first row of the right
+    segment with type="step_change" and the deterministic gain score
+    (the documented p-value deviation — no ML stats in the sandbox)."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_CHANGE_POINT_QUERY, sf_dir)
+
+
 ESQL_MATCH_QUERY = (
     'FROM documents | WHERE MATCH(text, "error merge") '
     'AND lang == "en" '
@@ -9700,6 +9721,7 @@ QUERY_REGISTRY = {
     "esql_agg_where": q_esql_agg_where,
     "esql_inlinestats": q_esql_inlinestats,
     "esql_fork": q_esql_fork,
+    "esql_change_point": q_esql_change_point,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

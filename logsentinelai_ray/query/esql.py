@@ -640,6 +640,23 @@ class InlineStats:
 
 
 @dataclass
+class ChangePoint:
+    """CHANGE_POINT (ES|QL 9.x): detect a step change in ``value``
+    over rows ordered by ``on``, appending ``type_col`` /
+    ``pvalue_col`` columns that are non-null only on the change row.
+    Mini-dialect determinism deviation (documented): instead of an
+    ML p-value, ``pvalue_col`` carries the (rounded) SSE-split gain
+    g(k) = SL^2/k + SR^2/(n-k) at the argmax split — the identical
+    deterministic statistic the ``change_point`` registry entry and
+    its SQL oracle use. Input must be bucket-bounded (ES caps the
+    command at 1000 values; it runs after STATS)."""
+    value: str
+    on: str
+    type_col: str
+    pvalue_col: str
+
+
+@dataclass
 class Fork:
     """FORK (ES|QL 9.1): run each parenthesized branch sub-pipeline
     over the current stream, union the results with a ``_fork``
@@ -1027,6 +1044,18 @@ def _parse_one(part: str) -> list:
             pat = pat[1:-1].replace('\\"', '"')
             rx, names, types = compile_grok(pat)
             cmds.append(Grok(fld.strip(), pat, rx, names, types))
+        elif head == "CHANGE_POINT":
+            m = re.match(
+                r"(\w+)(?:\s+ON\s+(\w+))?"
+                r"(?:\s+AS\s+(\w+)\s*,\s*(\w+))?$", rest,
+                re.IGNORECASE)
+            if m is None:
+                raise ValueError(
+                    "ES|QL: CHANGE_POINT syntax is CHANGE_POINT "
+                    "<value> [ON <key>] [AS <type>, <pvalue>]")
+            cmds.append(ChangePoint(
+                m.group(1), m.group(2) or "@timestamp",
+                m.group(3) or "type", m.group(4) or "pvalue"))
         elif head == "FORK":
             branches = []
             depth, in_q, esc, cur = 0, False, False, []
@@ -1141,6 +1170,10 @@ def _pipeline_fields(cmds: list) -> set[str]:
             derived.update(c.names)
         elif isinstance(c, Fork):
             derived.add("_fork")  # branch commands are walked above
+        elif isinstance(c, ChangePoint):
+            fields.add(c.value)
+            fields.add(c.on)
+            derived.update((c.type_col, c.pvalue_col))
     return fields - derived
 
 
@@ -1335,6 +1368,8 @@ def _apply_pipeline(ds, cmds: list):
             ds = _apply_inlinestats(ds, c)
         elif isinstance(c, Fork):
             ds = _apply_fork(ds, c)
+        elif isinstance(c, ChangePoint):
+            ds = _apply_change_point(ds, c)
         elif isinstance(c, Sort):
             ds = ds.sort([k for k, _ in c.keys],
                          descending=[not a for _, a in c.keys])
@@ -1402,6 +1437,43 @@ def _apply_inlinestats(ds, c: InlineStats):
         return t
 
     return ds.map_batches(join, batch_format="pyarrow")
+
+
+def _apply_change_point(ds, c: ChangePoint):
+    """CHANGE_POINT executes on the (bucket-bounded) collected series:
+    sort by the key, find the SSE-minimizing split with integer
+    prefix sums cast to double BEFORE the multiply (the exact op tree
+    of the change_point registry oracle — +,*,/ are exactly rounded,
+    so the argmax agrees with SQL bit-for-bit; ties break earliest),
+    and append the type/pvalue columns, non-null only on the first
+    row of the right segment."""
+    import ray.data as rd
+
+    t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    idx = pc.sort_indices(t, sort_keys=[(c.on, "ascending")])
+    t = t.take(idx)
+    n = t.num_rows
+    tcol = pa.nulls(n, pa.string())
+    pcol = pa.nulls(n, pa.float64())
+    if n >= 2:
+        v = t[c.value].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        sl = np.cumsum(v)[:-1]
+        sr = float(v.sum()) - sl
+        k = np.arange(1, n, dtype=np.float64)
+        g = sl * sl / k + sr * sr / (float(n) - k)
+        best = int(np.argmax(g))  # earliest max
+        mask = np.zeros(n, dtype=bool)
+        mask[best + 1] = True
+        m = pa.array(mask)
+        tcol = pc.if_else(m, pa.scalar("step_change", pa.string()),
+                          tcol)
+        pcol = pc.if_else(
+            m, pa.scalar(round(float(g[best]), 6), pa.float64()),
+            pcol)
+    t = t.append_column(c.type_col, tcol)
+    t = t.append_column(c.pvalue_col, pcol)
+    return rd.from_arrow(t)
 
 
 def _apply_fork(ds, c: Fork):

@@ -679,3 +679,34 @@ def test_fork_parse_errors():
         parse_esql("FROM documents | FORK WHERE x > 1 (LIMIT 2)")
     with pytest.raises(ValueError, match=">= 2"):
         parse_esql("FROM documents | FORK (LIMIT 2)")
+
+
+def test_change_point_command(ray_session):
+    """CHANGE_POINT marks exactly one row (the first row of the right
+    segment of the SSE-minimizing split) with type/pvalue; all other
+    rows keep null markers; defaults and AS renames both parse."""
+    out = execute_esql(
+        'FROM events | STATS n = COUNT(*) BY day = '
+        'DATE_FORMAT("yyyy-MM-dd", ts) '
+        "| CHANGE_POINT n ON day | SORT day ASC", SF)
+    marked = out.filter(pa.compute.is_valid(out["type"]))
+    assert marked.num_rows == 1
+    assert marked["type"].to_pylist() == ["step_change"]
+    assert marked["pvalue"][0].as_py() > 0
+    # synthetic series with a hard step: the split lands on it
+    from logsentinelai_ray.query.esql import parse_esql, ChangePoint
+    cmds = parse_esql(
+        "FROM events | CHANGE_POINT v ON t AS kind, score")
+    cp = cmds[1]
+    assert isinstance(cp, ChangePoint)
+    assert (cp.type_col, cp.pvalue_col) == ("kind", "score")
+    import ray.data as rd
+    from logsentinelai_ray.query.esql import _apply_change_point
+    t = pa.table({"t": list(range(10)),
+                  "v": [1.0] * 5 + [100.0] * 5})
+    res = pa.Table.from_pandas(
+        _apply_change_point(rd.from_arrow(t), cp).to_pandas())
+    kinds = res["kind"].to_pylist()
+    assert kinds.index("step_change") == 5  # first row of the step
+    with pytest.raises(ValueError, match="CHANGE_POINT syntax"):
+        parse_esql("FROM events | CHANGE_POINT")

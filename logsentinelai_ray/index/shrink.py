@@ -55,7 +55,7 @@ def _merge_segment_parts(src_dir: str, dst_dir: str, new_part: int,
     if merged is None:
         return 0
     pq.write_table(merged, tmp, compression="zstd",
-                   compression_level=1)
+                   compression_level=1, row_group_size=512)
     os.replace(tmp, out)
     return merged.num_rows
 

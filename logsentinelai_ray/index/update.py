@@ -297,7 +297,9 @@ def _merge_delta_part(index_dir: str, delta_dir: str, part: int,
         merged = SEGMENT_SCHEMA.empty_table()
     tmp = seg_path + f".tmp-{os.getpid()}"
     os.makedirs(os.path.dirname(seg_path), exist_ok=True)
-    pq.write_table(merged, tmp)
+    # same bounded row groups as the base build (the bounded-memory
+    # shard mode's paging unit)
+    pq.write_table(merged, tmp, row_group_size=512)
     os.replace(tmp, seg_path)
     n_postings = int(pc.sum(merged["df"]).as_py() or 0) if merged.num_rows \
         else 0

@@ -710,3 +710,22 @@ def test_change_point_command(ray_session):
     assert kinds.index("step_change") == 5  # first row of the step
     with pytest.raises(ValueError, match="CHANGE_POINT syntax"):
         parse_esql("FROM events | CHANGE_POINT")
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.sampled_from(
+    ['WHERE a > 1', 'EVAL b = a + 1', 'LIMIT 5',
+     'WHERE s RLIKE "x|y"', 'EVAL c = CONCAT(s, "p|q,(r")',
+     'WHERE s LIKE "a*"']), min_size=1, max_size=5))
+def test_pipe_split_roundtrip_property(cmds):
+    """Property: joining commands with ' | ' and re-splitting recovers
+    exactly the original commands — pipes/commas/parens inside string
+    literals never split, balanced parens outside strings never split
+    at depth 0 when they shouldn't."""
+    from logsentinelai_ray.query.esql import _split_pipes
+    joined = " | ".join(cmds)
+    assert [p.strip() for p in _split_pipes(joined)] == cmds

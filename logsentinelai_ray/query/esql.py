@@ -1096,6 +1096,11 @@ def _parse_one(part: str) -> list:
                     sp = sp.strip()
                     if sp:
                         bc.extend(_parse_one(sp))
+                # ES FORK branches carry their own implicit LIMIT 1000
+                # — it also bounds the branch materialization the
+                # union's schema alignment needs
+                if not any(isinstance(b, Limit) for b in bc):
+                    bc.append(Limit(1000))
                 parsed.append(bc)
             cmds.append(Fork(parsed))
         else:
@@ -1450,6 +1455,13 @@ def _apply_change_point(ds, c: ChangePoint):
     import ray.data as rd
 
     t = pa.Table.from_pandas(ds.to_pandas(), preserve_index=False)
+    if t.num_rows > 10_000:
+        # ES caps CHANGE_POINT at 1000 values; the command runs on a
+        # STATS-built series by design — refuse an unbounded stream
+        # loudly instead of collecting it
+        raise ValueError(
+            "ES|QL: CHANGE_POINT input must be a bucket-bounded "
+            f"series (got {t.num_rows} rows; run it after STATS)")
     idx = pc.sort_indices(t, sort_keys=[(c.on, "ascending")])
     t = t.take(idx)
     n = t.num_rows

@@ -413,6 +413,9 @@ def run_once() -> dict:
         "query_p99_ms": core["query_p99_ms"],
         "query_coldpass_p99_ms": core["query_coldpass_p99_ms"],
         "query_p50_wand_ms": core["query_p50_wand_ms"],
+        "bounded_cold_p99_ms": core.get("bounded_cold_p99_ms"),
+        "bounded_warm_p99_ms": core.get("bounded_warm_p99_ms"),
+        "bounded_cache": core.get("bounded_cache"),
         "stage_timings": core["stage_timings"],
         "host_probes": {"before": probe_before, "after_core": probe_mid,
                         "after": probe_after},

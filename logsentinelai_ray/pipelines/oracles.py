@@ -1507,6 +1507,21 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents WHERE n_chars >= 400 GROUP BY source
         ) ORDER BY _fork ASC, source ASC
     """,
+    # esql_knn: same deterministic query vector as the entry
+    # (_esql_knn_query_vec); DOUBLE-cast lists per the embedding_knn
+    # convention; rank on the UNROUNDED similarity inside the subquery
+    "esql_knn": """
+        SELECT vec_id, round(sim, 6) AS sim FROM (
+          SELECT vec_id,
+                 list_cosine_similarity(
+                     list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)),
+                     [{qvec}]) AS sim
+          FROM embeddings
+          ORDER BY sim DESC, vec_id ASC LIMIT 10
+        )
+    """.format(qvec=", ".join(
+        repr((((i * 37) % 19) - 9) / 10.0) for i in range(64))),
     "esql_change_point": """
         WITH daily AS (
           SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS n

@@ -7542,6 +7542,28 @@ def q_esql_change_point(sf_dir: str):
     return execute_esql(ESQL_CHANGE_POINT_QUERY, sf_dir)
 
 
+def _esql_knn_query_vec() -> list[float]:
+    """Deterministic 64-dim query vector for the vector-function
+    entry (matches the embeddings table's dim)."""
+    return [(((i * 37) % 19) - 9) / 10.0 for i in range(64)]
+
+
+def q_esql_knn(sf_dir: str):
+    """ES|QL 9.x vector similarity functions (tech preview) — kNN
+    expressed in the dialect itself: ``EVAL sim = V_COSINE(embedding,
+    [q...])`` is one float64 matmul per batch (the ann/knn.py kernel
+    convention), then ordinary ``SORT sim DESC | LIMIT k``. The array
+    literal goes through the expression parser; rounding happens
+    AFTER the top-k cut so ranks use full precision."""
+    from ..query.esql import execute_esql
+
+    lit = "[" + ", ".join(repr(x) for x in _esql_knn_query_vec()) + "]"
+    return execute_esql(
+        f"FROM embeddings | EVAL sim = V_COSINE(embedding, {lit}) "
+        "| SORT sim DESC, vec_id ASC | LIMIT 10 "
+        "| EVAL sim = ROUND(sim, 6) | KEEP vec_id, sim", sf_dir)
+
+
 ESQL_MATCH_QUERY = (
     'FROM documents | WHERE MATCH(text, "error merge") '
     'AND lang == "en" '
@@ -9722,6 +9744,7 @@ QUERY_REGISTRY = {
     "esql_inlinestats": q_esql_inlinestats,
     "esql_fork": q_esql_fork,
     "esql_change_point": q_esql_change_point,
+    "esql_knn": q_esql_knn,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -50,7 +50,8 @@ import pyarrow.compute as pc
 
 _TOKEN_RE = re.compile(
     r"\s*(?:(?P<num>\d+\.\d+|\d+)|(?P<str>\"(?:[^\"\\]|\\.)*\")"
-    r"|(?P<op>==|!=|>=|<=|[><+\-*/%(),=])|(?P<word>[A-Za-z_][A-Za-z0-9_.]*))")
+    r"|(?P<op>==|!=|>=|<=|[><+\-*/%(),=\[\]])"
+    r"|(?P<word>[A-Za-z_][A-Za-z0-9_.]*))")
 
 
 def _tokenize(s: str) -> list[tuple[str, str]]:
@@ -232,6 +233,29 @@ class _ExprParser:
             return Lit(float(val) if "." in val else int(val))
         if kind == "str":
             return Lit(val[1:-1].replace('\\"', '"'))
+        if val == "[":
+            # numeric array literal [1.0, -2, ...] — the query-vector
+            # argument of the 9.x vector similarity functions
+            vals: list[float] = []
+            while True:
+                t = self.next()
+                neg = False
+                if t[1] == "-":
+                    neg = True
+                    t = self.next()
+                if t[0] != "num":
+                    raise ValueError(
+                        "ES|QL: array literals take numbers only")
+                x = float(t[1])
+                vals.append(-x if neg else x)
+                t = self.next()
+                if t[1] == "]":
+                    break
+                if t[1] != ",":
+                    raise ValueError(
+                        f"ES|QL: expected , or ] in array literal, "
+                        f"got {t[1]!r}")
+            return Lit(vals)
         if val == "(":
             e = self.parse_or()
             self.expect(")")
@@ -325,6 +349,47 @@ def eval_expr(e, t: pa.Table):
             return pc.is_null(v)
         return pc.invert(v) if e.op == "not" else pc.negate(v)
     if isinstance(e, Call):
+        if e.fn in ("V_COSINE", "V_DOT_PRODUCT", "V_L1_NORM",
+                    "V_L2_NORM"):
+            # 9.x vector similarity functions (tech preview):
+            # field x array-literal, one float64 matmul / reduction
+            # per batch (the ann/knn.py kernel convention — float64
+            # before any multiply, so the SQL DOUBLE oracles agree)
+            if len(e.args) != 2 or not isinstance(e.args[0], Field) \
+                    or not isinstance(e.args[1], Lit) \
+                    or not isinstance(e.args[1].value, list):
+                raise ValueError(
+                    f"ES|QL: {e.fn}(field, [numbers...]) expected")
+            col = t[e.args[0].name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            q = np.asarray(e.args[1].value, dtype=np.float64)
+            n = len(col)
+            flat = col.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            if n and flat.size != n * q.size:
+                raise ValueError(
+                    f"ES|QL: {e.fn} dimension mismatch "
+                    f"({flat.size} values over {n} rows vs "
+                    f"query dim {q.size}; null/ragged vectors are "
+                    "unsupported)")
+            mat = flat.reshape(n, q.size) if n else \
+                flat.reshape(0, q.size)
+            if e.fn == "V_DOT_PRODUCT":
+                out = mat @ q
+            elif e.fn == "V_COSINE":
+                dot = mat @ q
+                norms = np.sqrt((mat * mat).sum(axis=1)) \
+                    * np.sqrt((q * q).sum())
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    out = dot / norms
+                out = np.nan_to_num(out, nan=0.0)
+            elif e.fn == "V_L1_NORM":
+                out = np.abs(mat - q).sum(axis=1)
+            else:  # V_L2_NORM
+                d = mat - q
+                out = np.sqrt((d * d).sum(axis=1))
+            return pa.array(out, pa.float64())
         args = [eval_expr(a, t) for a in e.args]
         if e.fn == "ROUND":
             nd = args[1].as_py() if len(args) > 1 else 0

@@ -729,3 +729,30 @@ def test_pipe_split_roundtrip_property(cmds):
     from logsentinelai_ray.query.esql import _split_pipes
     joined = " | ".join(cmds)
     assert [p.strip() for p in _split_pipes(joined)] == cmds
+
+
+def test_vector_functions(ray_session):
+    """V_COSINE / V_DOT_PRODUCT / V_L1_NORM / V_L2_NORM over list
+    columns with array literals — vectorized float64 kernels."""
+    import math
+
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({"v": pa.array([[1.0, 0.0], [0.0, 2.0], [3.0, 4.0]],
+                                pa.list_(pa.float32()))})
+    assert ev(parse_expr("V_DOT_PRODUCT(v, [1, 1])"), t).to_pylist() \
+        == [1.0, 2.0, 7.0]
+    cos = ev(parse_expr("V_COSINE(v, [1, 0])"), t).to_pylist()
+    assert cos[0] == 1.0 and cos[1] == 0.0 and \
+        abs(cos[2] - 0.6) < 1e-12
+    assert ev(parse_expr("V_L1_NORM(v, [0, 0])"), t).to_pylist() == \
+        [1.0, 2.0, 7.0]
+    assert ev(parse_expr("V_L2_NORM(v, [0, 0])"), t).to_pylist() == \
+        [1.0, 2.0, 5.0]
+    # negatives in array literals; dimension mismatch is loud
+    assert ev(parse_expr("V_DOT_PRODUCT(v, [-1, -1])"),
+              t).to_pylist() == [-1.0, -2.0, -7.0]
+    with pytest.raises(ValueError, match="dimension mismatch"):
+        ev(parse_expr("V_COSINE(v, [1, 2, 3])"), t)
+    with pytest.raises(ValueError, match="expected"):
+        ev(parse_expr('V_COSINE(v, "nope")'), t)
+    assert math.isfinite(sum(cos))

@@ -736,6 +736,12 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, round(scores.score, 6) AS score FROM scores
         ORDER BY scores.score DESC, doc_id ASC LIMIT 10
     """,
+    # bounded-memory serving changes residency, never results —
+    # identical oracle to bm25_topk
+    "bm25_topk_bounded": _BM25_BASE + """
+        SELECT doc_id, round(scores.score, 6) AS score FROM scores
+        ORDER BY scores.score DESC, doc_id ASC LIMIT 10
+    """,
     # the async lifecycle returns the synchronous response verbatim —
     # identical oracle to bm25_topk
     "async_search": _BM25_BASE + """

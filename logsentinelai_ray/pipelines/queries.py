@@ -2005,6 +2005,35 @@ def q_bm25_topk(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_bm25_topk_bounded(sf_dir: str):
+    """bm25_topk through the BOUNDED-MEMORY serving mode
+    (query/shards.py max_resident_bytes — the 100-TB deployment where
+    per-node segment bytes exceed the heap): only the dictionary is
+    resident, posting rows page per parquet row group through a hard
+    byte-capped LRU over the mmap'd segment file. Must be
+    score-identical to the unbounded engine, so it shares bm25_topk's
+    SQL oracle; the entry additionally asserts the lazy path actually
+    ran (cold row-group loads observed under a cap 1/8 of segment
+    bytes)."""
+    eng = _docs_engine(sf_dir)  # ensures the index exists
+    key = ("bounded", sf_dir)
+    if key not in _ENGINE_CACHE:
+        from ..query.shards import SearchEngine
+
+        seg = os.path.join(eng.index_dir, "segments")
+        cap = max(4096, sum(
+            os.path.getsize(os.path.join(seg, f))
+            for f in os.listdir(seg)) // 8)
+        _ENGINE_CACHE[key] = SearchEngine(
+            eng.index_dir, num_shards=2, prewarm_hot_terms=0,
+            max_resident_bytes=cap)
+    beng = _ENGINE_CACHE[key]
+    res = beng.search(BM25_QUERY_TEXT, k=10, with_meta=False)
+    assert beng.cache_stats()["rg_loads"] > 0  # paged, not resident
+    return pa.table({"doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_bm25_topk_wand(sf_dir: str):
     """FORCED block-max WAND (the no-N-sized-accumulator strategy for
     10^12-doc shards, vectorized: query/wand.py block_max_wand_vec) —
@@ -9661,6 +9690,7 @@ QUERY_REGISTRY = {
     "df_top_terms": q_df_top_terms,
     "bm25_topk": q_bm25_topk,
     "bm25_topk_wand": q_bm25_topk_wand,
+    "bm25_topk_bounded": q_bm25_topk_bounded,
     "federated_search_wand": q_federated_search_wand,
     "msearch": q_msearch,
     "bm25_topk_filtered": q_bm25_topk_filtered,

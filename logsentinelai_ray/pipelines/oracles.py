@@ -1513,6 +1513,14 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents WHERE n_chars >= 400 GROUP BY source
         ) ORDER BY _fork ASC, source ASC
     """,
+    "esql_lookup_join_multi": """
+        SELECT n_name,
+               count(*)::BIGINT AS customers,
+               CAST(sum(CAST(round(c_acctbal * 100, 0) AS BIGINT))
+                    AS BIGINT) AS total_bal
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY 1 ORDER BY 1
+    """,
     # esql_knn: same deterministic query vector as the entry
     # (_esql_knn_query_vec); DOUBLE-cast lists per the embedding_knn
     # convention; rank on the UNROUNDED similarity inside the subquery

@@ -7571,6 +7571,28 @@ def q_esql_change_point(sf_dir: str):
     return execute_esql(ESQL_CHANGE_POINT_QUERY, sf_dir)
 
 
+ESQL_LOOKUP_MULTI_QUERY = (
+    "FROM nation | RENAME n_nationkey AS c_nationkey "
+    "| LOOKUP JOIN customer ON c_nationkey "
+    "| WHERE c_custkey IS NOT NULL "
+    "| EVAL bal = TO_LONG(ROUND(c_acctbal * 100)) "
+    "| STATS customers = COUNT(*), total_bal = SUM(bal) BY n_name "
+    "| SORT n_name ASC")
+
+
+def q_esql_lookup_join_multi(sf_dir: str):
+    """ES|QL LOOKUP JOIN with TRUE multi-match semantics (8.18): a key
+    matching g lookup rows emits g output rows — nation joined to its
+    MANY customers (the broadcast side grouped into per-key struct
+    lists once, row multiplication via the MV_EXPAND kernel per
+    batch), then the per-nation rollup in exact integer cents. The
+    plain-SQL JOIN is naturally multi-match, so the oracle is a
+    direct equality check of the row-multiplication semantics."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_LOOKUP_MULTI_QUERY, sf_dir)
+
+
 def _esql_knn_query_vec() -> list[float]:
     """Deterministic 64-dim query vector for the vector-function
     entry (matches the embeddings table's dim)."""
@@ -9775,6 +9797,7 @@ QUERY_REGISTRY = {
     "esql_fork": q_esql_fork,
     "esql_change_point": q_esql_change_point,
     "esql_knn": q_esql_knn,
+    "esql_lookup_join_multi": q_esql_lookup_join_multi,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

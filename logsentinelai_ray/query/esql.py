@@ -665,7 +665,9 @@ class Enrich:
     table: str
     on: str
     with_cols: list
-    ref: object = None  # ray.put((keys, {col: values})) — broadcast side
+    ref: object = None  # ray.put broadcast side (see execute_esql)
+    multi: bool = False  # LOOKUP JOIN: one output row PER match
+    #   (ES 8.18 contract); ENRICH stays single-match (first row)
 
 
 @dataclass
@@ -1053,18 +1055,21 @@ def _parse_one(part: str) -> list:
         elif head == "LOOKUP":
             # ES 8.18+ `LOOKUP JOIN <table> ON <field>`: left lookup
             # join on the shared field name, adding every non-key
-            # column — the same broadcast index_in/take kernel as
-            # ENRICH (with_cols=[] means "all non-key", resolved when
-            # the small side loads). Multi-match lookup keys take the
-            # FIRST match (our lookup tables are unique-keyed; ES
-            # emits one row per match there).
+            # column (with_cols=[] means "all non-key", resolved when
+            # the small side loads). TRUE multi-match semantics: a key
+            # matching g lookup rows emits g output rows (the ES
+            # contract) — the broadcast side is grouped into per-key
+            # struct lists and row multiplication reuses the
+            # MV_EXPAND kernel; non-matching rows survive with nulls
+            # (left join).
             m = re.match(r"JOIN\s+(\w+)\s+ON\s+(\w+)$", rest,
                          re.IGNORECASE)
             if m is None:
                 raise ValueError(
                     "ES|QL: LOOKUP JOIN syntax is "
                     "LOOKUP JOIN <table> ON <field>")
-            cmds.append(Enrich(m.group(1), m.group(2), []))
+            cmds.append(Enrich(m.group(1), m.group(2), [],
+                               multi=True))
         elif head == "RENAME":
             pairs = []
             for spec in rest.split(","):
@@ -1319,9 +1324,35 @@ def execute_esql(query: str, sf_dir: str) -> pa.Table:
             side_cols = c.with_cols or [n for n in et.column_names
                                         if n != key_col]
             c.with_cols = side_cols
-            c.ref = ray.put(
-                (et[key_col].combine_chunks(),
-                 {n: et[n].combine_chunks() for n in side_cols}))
+            if c.multi:
+                # group the side into key -> list<struct{side_cols}>
+                # ONCE (stable order: key, then original row) so each
+                # batch is one index_in + one list take + one expand;
+                # null-keyed lookup rows can never match (ES) — drop
+                et = et.filter(pc.is_valid(et[key_col]))
+                order = pc.sort_indices(
+                    et.append_column(
+                        "__row", pa.array(range(et.num_rows),
+                                          pa.int64())),
+                    sort_keys=[(key_col, "ascending"),
+                               ("__row", "ascending")])
+                ets = et.take(order)
+                keys_np = ets[key_col].to_numpy(zero_copy_only=False)
+                uniq, starts = np.unique(keys_np, return_index=True)
+                offsets = np.append(starts, len(keys_np)) \
+                    .astype(np.int32)
+                struct = pa.StructArray.from_arrays(
+                    [ets[n].combine_chunks() for n in side_cols],
+                    side_cols)
+                lists = pa.ListArray.from_arrays(
+                    pa.array(offsets, pa.int32()), struct)
+                ukeys = pa.array(uniq).cast(
+                    et.schema.field(key_col).type)
+                c.ref = ray.put((ukeys, lists))
+            else:
+                c.ref = ray.put(
+                    (et[key_col].combine_chunks(),
+                     {n: et[n].combine_chunks() for n in side_cols}))
 
     if isinstance(src, Show):
         from .. import __version__
@@ -1387,9 +1418,25 @@ def _apply_pipeline(ds, cmds: list):
                     elif isinstance(c, Enrich):
                         keys, vals = ray.get(c.ref)
                         idx = pc.index_in(t[c.on], value_set=keys)
-                        for name in c.with_cols:
+                        if c.multi:
+                            # one row PER match: take the per-key
+                            # struct list (null for no match), expand
+                            # rows with the MV_EXPAND kernel, then
+                            # flatten the struct into columns
                             t = t.append_column(
-                                name, pc.take(vals[name], idx))
+                                "__lookup", pc.take(vals, idx))
+                            t = _mv_expand(t, "__lookup")
+                            lk = t["__lookup"]
+                            if isinstance(lk, pa.ChunkedArray):
+                                lk = lk.combine_chunks()
+                            for name in c.with_cols:
+                                t = t.append_column(
+                                    name, pc.struct_field(lk, name))
+                            t = t.drop_columns(["__lookup"])
+                        else:
+                            for name in c.with_cols:
+                                t = t.append_column(
+                                    name, pc.take(vals[name], idx))
                     elif isinstance(c, Rename):
                         mapping = dict(c.pairs)
                         t = t.rename_columns(

@@ -756,3 +756,29 @@ def test_vector_functions(ray_session):
     with pytest.raises(ValueError, match="expected"):
         ev(parse_expr('V_COSINE(v, "nope")'), t)
     assert math.isfinite(sum(cos))
+
+
+def test_lookup_join_multi_match(ray_session):
+    """LOOKUP JOIN multi-match: a key matching g lookup rows emits g
+    rows (row multiplication), non-matching keys keep one row with
+    nulls (left join) — cross-checked vs DuckDB LEFT JOIN."""
+    out = execute_esql(
+        "FROM nation | RENAME n_nationkey AS c_nationkey "
+        "| LOOKUP JOIN customer ON c_nationkey "
+        "| STATS rows = COUNT(*), "
+        "matched = COUNT(*) WHERE c_custkey IS NOT NULL "
+        "BY n_name | SORT n_name ASC", SF)
+    exp = duckdb.sql(
+        f"SELECT n_name, count(*)::BIGINT AS rows,"
+        f" count(c_custkey)::BIGINT AS matched"
+        f" FROM read_parquet('{SF}/nation.parquet') n"
+        f" LEFT JOIN read_parquet('{SF}/customer.parquet') c"
+        f" ON c.c_nationkey = n.n_nationkey"
+        f" GROUP BY 1 ORDER BY 1").fetch_arrow_table()
+    got = out.to_pydict()
+    want = exp.to_pydict()
+    assert got["n_name"] == want["n_name"]
+    assert got["matched"] == want["matched"]
+    # LEFT JOIN count(*) counts 1 for unmatched; ES emits 1 null row
+    # there too — identical rows totals
+    assert got["rows"] == want["rows"]

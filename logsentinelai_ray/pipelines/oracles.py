@@ -1513,6 +1513,15 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents WHERE n_chars >= 400 GROUP BY source
         ) ORDER BY _fork ASC, source ASC
     """,
+    # esql_bucket: BUCKET(n_chars, 10, 0, 600) — nice widths are
+    # {1,2,5}x10^k; smallest fitting 600 in <=10 buckets: 10→60,
+    # 20→30, 50→12 (all >10), 100→6 ✓ — so width = 100
+    "esql_bucket": """
+        SELECT floor(n_chars / 100.0) * 100.0 AS b,
+               count(*)::BIGINT AS n,
+               max(n_chars)::BIGINT AS max_chars
+        FROM documents GROUP BY 1 ORDER BY 1
+    """,
     "esql_lookup_join_multi": """
         SELECT n_name,
                count(*)::BIGINT AS customers,

@@ -7571,6 +7571,25 @@ def q_esql_change_point(sf_dir: str):
     return execute_esql(ESQL_CHANGE_POINT_QUERY, sf_dir)
 
 
+ESQL_BUCKET_QUERY = (
+    "FROM documents "
+    "| STATS n = COUNT(*), max_chars = MAX(n_chars) "
+    "BY b = BUCKET(n_chars, 10, 0, 600) "
+    "| SORT b ASC")
+
+
+def q_esql_bucket(sf_dir: str):
+    """ES|QL BUCKET (8.13, the date_histogram/histogram workhorse) in
+    its numeric form: values floor to multiples of the smallest
+    'nice' {1,2,5}x10^k width fitting [min,max] in <= buckets buckets
+    (here [0,600] in <=10 → width 100), as an inline STATS BY key.
+    Deterministic, so the oracle hardcodes the derived width with the
+    derivation documented."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_BUCKET_QUERY, sf_dir)
+
+
 ESQL_LOOKUP_MULTI_QUERY = (
     "FROM nation | RENAME n_nationkey AS c_nationkey "
     "| LOOKUP JOIN customer ON c_nationkey "
@@ -9798,6 +9817,7 @@ QUERY_REGISTRY = {
     "esql_change_point": q_esql_change_point,
     "esql_knn": q_esql_knn,
     "esql_lookup_join_multi": q_esql_lookup_join_multi,
+    "esql_bucket": q_esql_bucket,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -301,6 +301,21 @@ _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
           "/": pc.divide}
 
 
+def _nice_bucket_width(lo: float, hi: float, target: int) -> float:
+    """Smallest {1,2,5}x10^k width that fits [lo, hi] in <= target
+    buckets (the BUCKET function's deterministic nice-width rule)."""
+    import math
+
+    span = max(hi - lo, 1e-12)
+    k = math.floor(math.log10(span / max(target, 1)))
+    for exp in range(k, k + 6):
+        for m in (1.0, 2.0, 5.0):
+            w = m * 10.0 ** exp
+            if math.ceil(span / w) <= target:
+                return w
+    return span
+
+
 def _mv_reduce(col, how: str):
     """Per-list reduction over a list column (the ES|QL MV_* family):
     one flatten + one numpy ``reduceat`` — no Python per row. Null or
@@ -510,6 +525,26 @@ def eval_expr(e, t: pa.Table):
                     f"ES|QL: DATE_EXTRACT part {part!r} not in "
                     f"{sorted(fns)}")
             return pc.cast(fns[part](args[1]), pa.int64())
+        if e.fn == "BUCKET":
+            # ES|QL 8.13 BUCKET (numeric form): BUCKET(x, buckets,
+            # min, max) — values floor to multiples of a "nice" width
+            # ({1,2,5}x10^k), the SMALLEST such width that fits the
+            # [min,max] range in <= buckets buckets (deterministic,
+            # SQL-mirrorable). The datetime span form (BUCKET(ts,
+            # 1 day)) is served by DATE_TRUNC — the tokenizer carries
+            # no time-span literals (documented deviation).
+            if len(e.args) != 4 or not all(
+                    isinstance(a, Lit) for a in e.args[1:]):
+                raise ValueError(
+                    "ES|QL mini-dialect: BUCKET(field, buckets, min,"
+                    " max) with literal bounds")
+            nb = int(e.args[1].value)
+            lo, hi = float(e.args[2].value), float(e.args[3].value)
+            width = _nice_bucket_width(lo, hi, nb)
+            v = pc.cast(args[0], pa.float64())
+            return pc.multiply(
+                pc.floor(pc.divide(v, pa.scalar(width, pa.float64()))),
+                pa.scalar(width, pa.float64()))
         if e.fn == "DATE_TRUNC":
             # mini-dialect form: DATE_TRUNC("day", ts) — a string unit
             # instead of ES|QL's time-span literal (1 day), which the

@@ -782,3 +782,21 @@ def test_lookup_join_multi_match(ray_session):
     # LEFT JOIN count(*) counts 1 for unmatched; ES emits 1 null row
     # there too — identical rows totals
     assert got["rows"] == want["rows"]
+
+
+def test_bucket_nice_width():
+    """BUCKET's deterministic nice-width rule: smallest {1,2,5}x10^k
+    width fitting the range in <= target buckets; values floor to
+    bucket starts."""
+    from logsentinelai_ray.query.esql import _nice_bucket_width
+    from logsentinelai_ray.query.esql import eval_expr as ev
+
+    assert _nice_bucket_width(0, 600, 10) == 100.0
+    assert _nice_bucket_width(0, 100, 10) == 10.0
+    assert _nice_bucket_width(0, 100, 25) == 5.0
+    assert _nice_bucket_width(25324, 74999, 20) == 5000.0  # ES doc ex.
+    t = pa.table({"x": [47, 99, 100, 555]})
+    out = ev(parse_expr("BUCKET(x, 10, 0, 600)"), t)
+    assert out.to_pylist() == [0.0, 0.0, 100.0, 500.0]
+    with pytest.raises(ValueError, match="literal bounds"):
+        ev(parse_expr("BUCKET(x, 10, x, 600)"), t)

@@ -1513,6 +1513,17 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents WHERE n_chars >= 400 GROUP BY source
         ) ORDER BY _fork ASC, source ASC
     """,
+    "esql_string_functions2": """
+        WITH e AS (
+          SELECT reverse(lang) AS lang2,
+                 left(source, 4) AS head,
+                 strpos(text, 'error') AS pos
+          FROM documents
+        )
+        SELECT lang2, head, count(*)::BIGINT AS n,
+               CAST(count(*) FILTER (WHERE pos > 0) AS BIGINT) AS hits
+        FROM e GROUP BY 1, 2 ORDER BY 1, 2
+    """,
     # esql_bucket: BUCKET(n_chars, 10, 0, 600) — nice widths are
     # {1,2,5}x10^k; smallest fitting 600 in <=10 buckets: 10→60,
     # 20→30, 50→12 (all >10), 100→6 ✓ — so width = 100

@@ -7571,6 +7571,24 @@ def q_esql_change_point(sf_dir: str):
     return execute_esql(ESQL_CHANGE_POINT_QUERY, sf_dir)
 
 
+ESQL_STRINGS2_QUERY = (
+    "FROM documents "
+    '| EVAL lang2 = REVERSE(lang), head = LEFT(source, 4), '
+    'pos = LOCATE(text, "error") '
+    "| STATS n = COUNT(*), hits = COUNT(*) WHERE pos > 0 "
+    "BY lang2, head | SORT lang2 ASC, head ASC")
+
+
+def q_esql_string_functions2(sf_dir: str):
+    """Round-4 ES|QL string surface over real data: REVERSE / LEFT /
+    LOCATE (1-based, 0 = absent — DuckDB strpos contract) feeding
+    grouped aggregates with a per-agg filter; one fused vectorized
+    row-local stage before the STATS exchange."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_STRINGS2_QUERY, sf_dir)
+
+
 ESQL_BUCKET_QUERY = (
     "FROM documents "
     "| STATS n = COUNT(*), max_chars = MAX(n_chars) "
@@ -9818,6 +9836,7 @@ QUERY_REGISTRY = {
     "esql_knn": q_esql_knn,
     "esql_lookup_join_multi": q_esql_lookup_join_multi,
     "esql_bucket": q_esql_bucket,
+    "esql_string_functions2": q_esql_string_functions2,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -453,6 +453,61 @@ def eval_expr(e, t: pa.Table):
                 *[pc.cast(_arr(a, n), pa.string()) for a in args], "")
         if e.fn == "TRIM":
             return pc.utf8_trim_whitespace(args[0])
+        if e.fn == "LTRIM":
+            return pc.utf8_ltrim_whitespace(args[0])
+        if e.fn == "RTRIM":
+            return pc.utf8_rtrim_whitespace(args[0])
+        if e.fn == "LEFT":
+            n_ = int(e.args[1].value) if isinstance(e.args[1], Lit) \
+                else None
+            if n_ is None or n_ < 0:
+                raise ValueError(
+                    "ES|QL: LEFT length must be a non-negative literal")
+            return pc.utf8_slice_codeunits(args[0], start=0, stop=n_)
+        if e.fn == "RIGHT":
+            n_ = int(e.args[1].value) if isinstance(e.args[1], Lit) \
+                else None
+            if n_ is None or n_ < 0:
+                raise ValueError(
+                    "ES|QL: RIGHT length must be a non-negative "
+                    "literal")
+            if n_ == 0:
+                return pc.utf8_slice_codeunits(args[0], start=0,
+                                               stop=0)
+            # negative start counts from the end; short strings
+            # return whole (python slice semantics — matches ES)
+            return pc.utf8_slice_codeunits(args[0], start=-n_)
+        if e.fn == "REPLACE":
+            # ES REPLACE(s, regex, new) is regex-based
+            if not isinstance(e.args[1], Lit) \
+                    or not isinstance(e.args[2], Lit):
+                raise ValueError(
+                    "ES|QL: REPLACE pattern/replacement must be "
+                    "literals")
+            return pc.replace_substring_regex(
+                args[0], pattern=e.args[1].value,
+                replacement=e.args[2].value)
+        if e.fn == "REVERSE":
+            return pc.utf8_reverse(args[0])
+        if e.fn == "SPLIT":
+            if not isinstance(e.args[1], Lit):
+                raise ValueError(
+                    "ES|QL: SPLIT delimiter must be a literal")
+            return pc.split_pattern(args[0],
+                                    pattern=e.args[1].value)
+        if e.fn == "LOCATE":
+            # ES LOCATE(s, substr): 1-based position, 0 when absent —
+            # find_substring's -1 maps to 0 under the +1
+            if not isinstance(e.args[1], Lit):
+                raise ValueError(
+                    "ES|QL: LOCATE substring must be a literal")
+            return pc.cast(pc.add(pc.find_substring(
+                args[0], pattern=e.args[1].value), 1), pa.int64())
+        if e.fn == "REPEAT":
+            if not isinstance(e.args[1], Lit):
+                raise ValueError(
+                    "ES|QL: REPEAT count must be a literal")
+            return pc.binary_repeat(args[0], int(e.args[1].value))
         if e.fn == "STARTS_WITH":
             if not isinstance(e.args[1], Lit):
                 raise ValueError("ES|QL: STARTS_WITH prefix must be "

@@ -800,3 +800,35 @@ def test_bucket_nice_width():
     assert out.to_pylist() == [0.0, 0.0, 100.0, 500.0]
     with pytest.raises(ValueError, match="literal bounds"):
         ev(parse_expr("BUCKET(x, 10, x, 600)"), t)
+
+
+def test_string_function_surface_2():
+    """Round-4 string functions: LEFT / RIGHT / REPLACE / REVERSE /
+    SPLIT / LOCATE / REPEAT / LTRIM / RTRIM."""
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({"s": ["hello", "ab", " pad "]})
+    assert ev(parse_expr("LEFT(s, 3)"), t).to_pylist() == \
+        ["hel", "ab", " pa"]
+    assert ev(parse_expr("RIGHT(s, 3)"), t).to_pylist() == \
+        ["llo", "ab", "ad "]
+    assert ev(parse_expr("RIGHT(s, 0)"), t).to_pylist() == \
+        ["", "", ""]
+    assert ev(parse_expr('REPLACE(s, "l+", "L")'), t).to_pylist() == \
+        ["heLo", "ab", " pad "]
+    assert ev(parse_expr("REVERSE(s)"), t).to_pylist() == \
+        ["olleh", "ba", " dap "]
+    assert ev(parse_expr('SPLIT(s, "l")'), t).to_pylist() == \
+        [["he", "", "o"], ["ab"], [" pad "]]
+    assert ev(parse_expr('LOCATE(s, "l")'), t).to_pylist() == \
+        [3, 0, 0]  # 1-based, 0 = absent (the ES contract)
+    assert ev(parse_expr("REPEAT(s, 2)"), t).to_pylist() == \
+        ["hellohello", "abab", " pad  pad "]
+    assert ev(parse_expr("LTRIM(s)"), t).to_pylist() == \
+        ["hello", "ab", "pad "]
+    assert ev(parse_expr("RTRIM(s)"), t).to_pylist() == \
+        ["hello", "ab", " pad"]
+    # SPLIT composes with MV_COUNT / MV_EXPAND machinery
+    assert ev(parse_expr('MV_COUNT(SPLIT(s, "l"))'), t).to_pylist() \
+        == [3, 1, 1]
+    with pytest.raises(ValueError, match="literal"):
+        ev(parse_expr("LEFT(s, s)"), t)

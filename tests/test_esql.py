@@ -832,3 +832,26 @@ def test_string_function_surface_2():
         == [3, 1, 1]
     with pytest.raises(ValueError, match="literal"):
         ev(parse_expr("LEFT(s, s)"), t)
+
+
+def test_inlinestats_null_and_multikey(ray_session):
+    """INLINESTATS join-back with NULL group keys and multi-key BY:
+    the per-part null sentinel keeps (null, 'x') distinct from
+    ('x', null) and null groups join back to their own aggregate."""
+    import ray.data as rd
+    from logsentinelai_ray.query.esql import (InlineStats,
+                                              _apply_inlinestats,
+                                              _parse_one)
+    cmds = _parse_one("INLINESTATS s = SUM(v) BY a, b")
+    ist = cmds[-1]
+    assert isinstance(ist, InlineStats)
+    t = pa.table({
+        "a": ["x", "x", None, None, "y"],
+        "b": [None, None, "x", "x", "y"],
+        "v": [1, 2, 4, 8, 16],
+    })
+    out = pa.Table.from_pandas(
+        _apply_inlinestats(rd.from_arrow(t), ist).to_pandas(),
+        preserve_index=False).sort_by("v")
+    # ('x', null) group sums 3; (null, 'x') sums 12 — NOT merged
+    assert out["s"].to_pylist() == [3, 3, 12, 12, 16]

@@ -781,6 +781,43 @@ POSITIONS_SCHEMA = pa.schema([
 ])
 
 
+def _sort_occurrences(codes: np.ndarray, rank: np.ndarray,
+                      order: np.ndarray, doc: np.ndarray,
+                      pos: np.ndarray, base: int,
+                      n_dict: int) -> tuple:
+    """Sort occurrence rows by (term rank, doc, pos), returning
+    (codes, doc, pos) in sorted order. Fast path packs (rank, doc-base,
+    pos) into ONE uint64 and np.sorts the packed VALUES — no argsort,
+    no row gather; unpacking is shifts and masks (~4x over the 3-key
+    np.lexsort at ~9M rows, the consolidation stage's dominant
+    kernel). Falls back to lexsort when the combined key width exceeds
+    64 bits (e.g. the full 10^12-doc id space — there, doc-range
+    splitting keeps in-range ids narrow after the base rebase, which
+    the fallback does not need). Packed == lexsort is property-pinned
+    in test_engine.py."""
+    dmax = int(doc.max() - base) if doc.size else 0
+    pmax = int(pos.max()) if pos.size else 0
+    rb = max(1, int(n_dict).bit_length())
+    db = max(1, dmax.bit_length())
+    pb = max(1, pmax.bit_length())
+    if doc.size and rb + db + pb <= 64:
+        key = (rank[codes].astype(np.uint64) << np.uint64(db + pb)) \
+            | ((doc - base).astype(np.uint64) << np.uint64(pb)) \
+            | pos.astype(np.uint64)
+        key.sort()
+        srank = (key >> np.uint64(db + pb)).astype(np.int64)
+        sdoc = ((key >> np.uint64(pb))
+                & np.uint64((1 << db) - 1)).astype(np.int64) + base
+        spos = (key & np.uint64((1 << pb) - 1)).astype(np.int32)
+        scodes = order[srank].astype(np.int32)
+    else:
+        idx = np.lexsort((pos, doc, rank[codes]))
+        scodes = codes[idx].astype(np.int32)
+        sdoc = doc[idx]
+        spos = pos[idx].astype(np.int32)
+    return scodes, sdoc, spos
+
+
 @ray.remote(num_cpus=1)
 def _consolidate_positions(index_dir: str, raw_pos_dir: str, part: int,
                            out_name: str, lo: int | None = None,
@@ -828,34 +865,9 @@ def _consolidate_positions(index_dir: str, raw_pos_dir: str, part: int,
             .astype(np.int64, copy=False)
         pos = tbl["pos"].to_numpy(zero_copy_only=False) \
             .astype(np.int64, copy=False)
-        # pack (rank, doc, pos) into ONE uint64 and np.sort the packed
-        # VALUES — no argsort, no row gather; unpacking is shifts and
-        # masks. Measured ~4x over the 3-key np.lexsort at ~9M rows
-        # (the stage's dominant kernel). Falls back to lexsort when the
-        # combined key width exceeds 64 bits (e.g. full 10^12-doc id
-        # space — there, doc-range splitting keeps in-range ids narrow
-        # after subtracting lo, which the fallback does not need).
-        base = int(lo or 0)
-        dmax = int(doc.max() - base) if doc.size else 0
-        pmax = int(pos.max()) if pos.size else 0
-        rb = max(1, int(len(dict_arr)).bit_length())
-        db = max(1, dmax.bit_length())
-        pb = max(1, pmax.bit_length())
-        if doc.size and rb + db + pb <= 64:
-            key = (rank[codes].astype(np.uint64) << np.uint64(db + pb)) \
-                | ((doc - base).astype(np.uint64) << np.uint64(pb)) \
-                | pos.astype(np.uint64)
-            key.sort()
-            srank = (key >> np.uint64(db + pb)).astype(np.int64)
-            sdoc = ((key >> np.uint64(pb))
-                    & np.uint64((1 << db) - 1)).astype(np.int64) + base
-            spos = (key & np.uint64((1 << pb) - 1)).astype(np.int32)
-            scodes = order[srank].astype(np.int32)
-        else:
-            idx = np.lexsort((pos, doc, rank[codes]))
-            scodes = codes[idx].astype(np.int32)
-            sdoc = doc[idx]
-            spos = pos[idx].astype(np.int32)
+        scodes, sdoc, spos = _sort_occurrences(
+            codes, rank, order, doc, pos, int(lo or 0),
+            int(len(dict_arr)))
         # materialize term as plain string (one C++ gather) so every
         # sidecar file shares POSITIONS_SCHEMA — parquet re-dictionary-
         # encodes on write regardless

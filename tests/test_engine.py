@@ -560,3 +560,41 @@ def test_profile_counters_and_pruning(engine, oracle):
         .to_pylist()[0]
     assert q["atoms_skipped"] > 0
     assert q["docs_scored"] < n_docs
+
+
+def test_sort_occurrences_packed_equals_lexsort():
+    """Property: the packed-uint64 occurrence sort equals the 3-key
+    lexsort fallback on random inputs (incl. ties in every key and a
+    doc-range base offset), and the forced fallback (wide key) agrees
+    too."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from logsentinelai_ray.index.build import _sort_occurrences
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.integers(1, 300), st.integers(0, 2**20), st.integers(1, 9))
+    def run(n, base, ndict):
+        rng = np.random.default_rng(n * 1_000_003 + base)
+        codes = rng.integers(0, ndict, n).astype(np.int64)
+        # rank = lexicographic rank of a shuffled dictionary
+        order = rng.permutation(ndict).astype(np.int64)
+        rank = np.empty(ndict, dtype=np.int64)
+        rank[order] = np.arange(ndict)
+        doc = (base + rng.integers(0, 50, n)).astype(np.int64)
+        pos = rng.integers(0, 30, n).astype(np.int64)
+        got = _sort_occurrences(codes, rank, order, doc, pos,
+                                base, ndict)
+        idx = np.lexsort((pos, doc, rank[codes]))
+        exp = (codes[idx].astype(np.int32), doc[idx],
+               pos[idx].astype(np.int32))
+        for g, e in zip(got, exp):
+            assert np.array_equal(g, e)
+        # force the fallback (impossible 64-bit fit) — same answer
+        wide = _sort_occurrences(codes, rank, order,
+                                 doc + (1 << 62), pos, 0, ndict)
+        assert np.array_equal(wide[0], exp[0])
+        assert np.array_equal(wide[2], exp[2])
+
+    run()

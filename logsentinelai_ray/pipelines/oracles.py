@@ -1513,6 +1513,20 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents WHERE n_chars >= 400 GROUP BY source
         ) ORDER BY _fork ASC, source ASC
     """,
+    # esql_weighted_stats: identical double op trees — w =
+    # sum(v*w)/sum(w masked under v*w's null mask); sd =
+    # sqrt(s2/n - (s/n)*(s/n)) with n = count of non-null values
+    "esql_weighted_stats": """
+        SELECT event_type,
+               round(sum(value * user_id)
+                     / sum(CASE WHEN value * user_id IS NOT NULL
+                                THEN user_id END), 6) AS w,
+               round(sqrt(sum(value * value) / count(value)
+                          - (sum(value) / count(value))
+                            * (sum(value) / count(value))), 6) AS sd,
+               count(*)::BIGINT AS n
+        FROM events GROUP BY 1 ORDER BY 1
+    """,
     "esql_string_functions2": """
         WITH e AS (
           SELECT reverse(lang) AS lang2,

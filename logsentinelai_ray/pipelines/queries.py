@@ -7571,6 +7571,25 @@ def q_esql_change_point(sf_dir: str):
     return execute_esql(ESQL_CHANGE_POINT_QUERY, sf_dir)
 
 
+ESQL_WEIGHTED_STATS_QUERY = (
+    "FROM events "
+    "| STATS w = WEIGHTED_AVG(value, user_id), "
+    "sd = STD_DEV(value), n = COUNT(*) BY event_type "
+    "| EVAL w = ROUND(w, 6), sd = ROUND(sd, 6) "
+    "| SORT event_type ASC")
+
+
+def q_esql_weighted_stats(sf_dir: str):
+    """ES|QL WEIGHTED_AVG (8.x) + STD_DEV (9.x): both compile to Sum
+    partials (value*weight / masked weight; x / x^2 / non-null count)
+    with a post-exchange finalize pass — sqrt(s2/n - (s/n)^2) and
+    s_vw/s_w in the exact double op tree the SQL oracle mirrors;
+    rounded to 6 decimals per the repo's float policy."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_WEIGHTED_STATS_QUERY, sf_dir)
+
+
 ESQL_STRINGS2_QUERY = (
     "FROM documents "
     '| EVAL lang2 = REVERSE(lang), head = LEFT(source, 4), '
@@ -9837,6 +9856,7 @@ QUERY_REGISTRY = {
     "esql_lookup_join_multi": q_esql_lookup_join_multi,
     "esql_bucket": q_esql_bucket,
     "esql_string_functions2": q_esql_string_functions2,
+    "esql_weighted_stats": q_esql_weighted_stats,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

@@ -893,7 +893,8 @@ def compile_grok(pattern: str) -> tuple[str, list, dict]:
 
 
 _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT",
-            "MEDIAN", "PERCENTILE", "VALUES", "TOP")
+            "MEDIAN", "PERCENTILE", "VALUES", "TOP", "WEIGHTED_AVG",
+            "STD_DEV")
 # aggregates Ray's builtin Aggregate set can't express — the whole
 # STATS compiles to one groupby().map_groups group kernel instead
 _KERNEL_FNS = {"MEDIAN", "PERCENTILE", "VALUES", "TOP"}
@@ -1062,6 +1063,20 @@ def _parse_one(part: str) -> list:
                 if fn != "COUNT" and arg in ("*", ""):
                     raise ValueError(
                         f"ES|QL: {fn} needs a field/expr")
+                if fn == "WEIGHTED_AVG":
+                    # WEIGHTED_AVG(value, weight): BOTH args are
+                    # expressions (unlike PERCENTILE's literal extra);
+                    # a per-agg WHERE nulls the value, which masks the
+                    # weight through the shared null propagation
+                    wa = _split_top(arg)
+                    if len(wa) != 2:
+                        raise ValueError(
+                            "ES|QL: WEIGHTED_AVG(value, weight)")
+                    v0 = parse_expr(wa[0])
+                    if agg_cond is not None:
+                        v0 = Call("CASE", [parse_expr(agg_cond), v0])
+                    aggs.append((name, fn, (v0, parse_expr(wa[1]))))
+                    continue
                 if fn in ("PERCENTILE", "TOP"):
                     # multi-arg aggregates: PERCENTILE(x, p) /
                     # TOP(x, k, "asc"|"desc") — extras are literals,
@@ -1309,10 +1324,13 @@ def _pipeline_fields(cmds: list) -> set[str]:
                 derived.add(name)
         elif isinstance(c, (Stats, InlineStats)):
             for name, _, e in c.aggs:
-                if isinstance(e, tuple):  # multi-arg agg: main node
-                    e = e[0]
-                if e is not None:
-                    expr_fields(e, fields)
+                nodes = e if isinstance(e, tuple) else (e,)
+                for el in nodes:
+                    # tuple extras are AST nodes for WEIGHTED_AVG's
+                    # weight but plain literals for PERCENTILE/TOP
+                    if isinstance(el, (Lit, Field, Call, BinOp,
+                                       Unary)):
+                        expr_fields(el, fields)
                 derived.add(name)  # agg outputs are not source columns
             fields.update(c.by)
         elif isinstance(c, Sort):
@@ -1756,7 +1774,44 @@ def _compile_stats(ds, c: Stats):
     specs = []
     count_names = []
     cd_aggs: list[tuple[str, str]] = []  # COUNT_DISTINCT: (name, col)
+    # post-computed aggregates: (out_name, kind, temp column names) —
+    # finalized from Sum partials after the exchange (kind "wavg" =
+    # s_vw / s_w; kind "std" = sqrt(s2/n - (s/n)^2), the exact op
+    # tree the SQL oracles mirror)
+    post: list[tuple[str, str, tuple]] = []
     for idx, (name, fn, expr) in enumerate(c.aggs):
+        if fn == "WEIGHTED_AVG":
+            from ray.data.aggregate import Sum as _Sum
+
+            vw = f"__wa{idx}_vw"
+            wm = f"__wa{idx}_w"
+            vnode, wnode = expr
+            mul = BinOp("*", vnode, wnode)
+            scratch.append((vw, mul))
+            # weight masked under the product's null mask, so a
+            # null/filtered value drops its weight too
+            scratch.append((wm, Call("CASE", [
+                Unary("not", Unary("is_null", mul)), wnode])))
+            specs.append(_Sum(vw, alias_name=vw))
+            specs.append(_Sum(wm, alias_name=wm))
+            post.append((name, "wavg", (vw, wm)))
+            continue
+        if fn == "STD_DEV":
+            from ray.data.aggregate import Sum as _Sum
+
+            xs = f"__sd{idx}_s"
+            x2 = f"__sd{idx}_s2"
+            xn = f"__sd{idx}_n"
+            scratch.append((xs, expr))
+            scratch.append((x2, BinOp("*", expr, expr)))
+            scratch.append((xn, Call("CASE", [
+                Unary("not", Unary("is_null", expr)),
+                Lit(1), Lit(0)])))
+            specs.append(_Sum(xs, alias_name=xs))
+            specs.append(_Sum(x2, alias_name=x2))
+            specs.append(_Sum(xn, alias_name=xn))
+            post.append((name, "std", (xs, x2, xn)))
+            continue
         if fn == "COUNT":
             if c.by:
                 specs.append(Count(alias_name=name))
@@ -1785,13 +1840,40 @@ def _compile_stats(ds, c: Stats):
             return t
 
         ds = ds.map_batches(add_scratch, batch_format="pyarrow")
+    def apply_post(out_ds):
+        if not post:
+            return out_ds
+
+        def fin(t: pa.Table, _post=tuple(post)) -> pa.Table:
+            for name, kind, cols in _post:
+                if kind == "wavg":
+                    v = pc.divide(
+                        pc.cast(t[cols[0]], pa.float64()),
+                        pc.cast(t[cols[1]], pa.float64()))
+                else:  # std
+                    s = pc.cast(t[cols[0]], pa.float64())
+                    s2 = pc.cast(t[cols[1]], pa.float64())
+                    n = pc.cast(t[cols[2]], pa.float64())
+                    m = pc.divide(s, n)
+                    v = pc.sqrt(pc.subtract(pc.divide(s2, n),
+                                            pc.multiply(m, m)))
+                t = t.append_column(name, v)
+            return t.drop_columns(
+                [cc for _, _, cs in _post for cc in cs])
+
+        return out_ds.map_batches(fin, batch_format="pyarrow")
+
     if cd_aggs:
-        return _stats_with_distinct(ds, c, specs, count_names, cd_aggs)
+        return apply_post(
+            _stats_with_distinct(ds, c, specs, count_names, cd_aggs))
     if c.by:
-        return ds.groupby(c.by if len(c.by) > 1 else c.by[0]) \
-            .aggregate(*specs)
+        return apply_post(
+            ds.groupby(c.by if len(c.by) > 1 else c.by[0])
+            .aggregate(*specs))
     # global STATS: Dataset.aggregate returns a plain dict — wrap it
     # back into a one-row Dataset so SORT/LIMIT/KEEP still compose
+    import math as _math
+
     import ray.data as rd
 
     if count_names and specs:
@@ -1801,6 +1883,13 @@ def _compile_stats(ds, c: Stats):
         n = ds.count()
         for name in count_names:
             row[name] = n
+    for name, kind, cols in post:
+        if kind == "wavg":
+            row[name] = float(row[cols[0]]) / float(row[cols[1]])
+        else:
+            s, s2, n_ = (float(row[cc]) for cc in cols)
+            m = s / n_
+            row[name] = _math.sqrt(s2 / n_ - m * m)
     ordered = {name: row[name] for name, _, _ in c.aggs}
     return rd.from_items([ordered])
 

@@ -855,3 +855,34 @@ def test_inlinestats_null_and_multikey(ray_session):
         preserve_index=False).sort_by("v")
     # ('x', null) group sums 3; (null, 'x') sums 12 — NOT merged
     assert out["s"].to_pylist() == [3, 3, 12, 12, 16]
+
+
+def test_weighted_avg_and_std_dev(ray_session):
+    """WEIGHTED_AVG/STD_DEV: Sum-partial compilation + finalize pass;
+    per-agg WHERE masks value AND weight together; global (no BY)
+    form works."""
+    out = execute_esql(
+        "FROM events | STATS w = WEIGHTED_AVG(value, user_id) "
+        'WHERE event_type == "error", sd = STD_DEV(value) '
+        "BY event_type | EVAL w = ROUND(w, 6), sd = ROUND(sd, 6) "
+        "| SORT event_type ASC", SF)
+    exp = duckdb.sql(
+        f"SELECT event_type,"
+        f" round(sum(CASE WHEN event_type = 'error' THEN value END"
+        f"           * user_id)"
+        f"  / sum(CASE WHEN event_type = 'error' THEN user_id END),"
+        f" 6) AS w,"
+        f" round(sqrt(sum(value*value)/count(value)"
+        f"   - (sum(value)/count(value))*(sum(value)/count(value))),"
+        f" 6) AS sd"
+        f" FROM read_parquet('{SF}/events.parquet')"
+        f" GROUP BY 1 ORDER BY 1").fetch_arrow_table()
+    assert out["event_type"].to_pylist() == \
+        exp["event_type"].to_pylist()
+    assert out["sd"].to_pylist() == exp["sd"].to_pylist()
+    got_w = out["w"].to_pylist()
+    exp_w = exp["w"].to_pylist()
+    for g, e in zip(got_w, exp_w):
+        assert (g is None and e is None) or g == e
+    with pytest.raises(ValueError, match="WEIGHTED_AVG"):
+        parse_esql("FROM events | STATS w = WEIGHTED_AVG(value)")

@@ -598,3 +598,42 @@ def test_sort_occurrences_packed_equals_lexsort():
         assert np.array_equal(wide[2], exp[2])
 
     run()
+
+
+def test_resume_rebuilds_positions_stage(small_corpus, tmp_path):
+    """Kill-and-resume DURING the positions consolidation: wiping the
+    stage marker + one part's consolidated files re-runs the stage
+    idempotently (deterministic file names, atomic writes) and phrase
+    results are unchanged."""
+    import shutil
+
+    import ray.data as rd
+
+    from logsentinelai_ray.config import IndexConfig
+    from logsentinelai_ray.index import manifest as mf
+    from logsentinelai_ray.index.build import build_index
+    from logsentinelai_ray.query.shards import SearchEngine
+
+    cfg = IndexConfig(num_partitions=4, salt_buckets=2, block_size=16,
+                      store_positions=True)
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(small_corpus), idx, cfg, corpus_tag="p")
+    e1 = SearchEngine(idx, num_shards=2)
+    before = e1.phrase_topk("authentication failure", k=10,
+                            with_meta=False).to_pydict()
+    e1.shutdown()
+    # simulate a crash mid-positions: marker gone, one part's
+    # consolidated dir partially deleted
+    stages = mf.read_stage(idx, "positions")
+    assert stages  # stage had been marked
+    os.remove(os.path.join(idx, "positions", "_SUCCESS"))
+    shutil.rmtree(os.path.join(idx, "positions", "part=1"))
+    meta = build_index(rd.from_arrow(small_corpus), idx, cfg,
+                      corpus_tag="p")
+    assert "positions_s" in meta["timings"]
+    assert os.path.isdir(os.path.join(idx, "positions", "part=1"))
+    e2 = SearchEngine(idx, num_shards=2)
+    after = e2.phrase_topk("authentication failure", k=10,
+                           with_meta=False).to_pydict()
+    e2.shutdown()
+    assert before == after

@@ -1675,7 +1675,7 @@ ORACLE_SQL: dict[str, str] = {
                CAST(sum(CAST(round(value * 1000000, 0) AS BIGINT))
                     AS BIGINT) AS micro
         FROM events GROUP BY 1 HAVING count(*) >= 60
-        ORDER BY n DESC, user_id ASC
+        ORDER BY n DESC, user_id ASC LIMIT 500
     """,
     "esql_functions": """
         SELECT CASE WHEN n_chars >= 150 THEN 'long'
@@ -4555,7 +4555,7 @@ ORACLE_SQL["bucket_correlation"] = """
 # user k-cooccurrence graph — every op is BIGINT floor arithmetic, so
 # engine and SQL agree bit-for-bit with no float tolerance at all
 _PR_ITER_SQL = """
-        , i{next} AS (
+        , i{next} AS MATERIALIZED (
           SELECT e.dst AS u,
                  (SELECT base FROM consts)
                    + (85 * sum(it.p // dg.outdeg)) // 100 AS p
@@ -4565,19 +4565,23 @@ _PR_ITER_SQL = """
           GROUP BY e.dst
         )"""
 
+# MATERIALIZED everywhere: without it DuckDB re-inlines the shared
+# CTEs through the 5 chained iteration joins and the recomputation
+# cascade spilled >100 GB of temp at sf0.1 (measured; with
+# materialization the same query runs in seconds)
 ORACLE_SQL["pagerank"] = ("""
-        WITH d AS (
+        WITH d AS MATERIALIZED (
           SELECT DISTINCT
                  CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)
                      AS k,
                  user_id AS u
           FROM events
-        ), edges AS (
+        ), edges AS MATERIALIZED (
           SELECT DISTINCT a.u AS src, b.u AS dst
           FROM d a JOIN d b ON a.k = b.k AND a.u <> b.u
-        ), deg AS (
+        ), deg AS MATERIALIZED (
           SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY 1
-        ), consts AS (
+        ), consts AS MATERIALIZED (
           SELECT count(*)::BIGINT AS n,
                  (1000000000000 // count(*))::BIGINT AS p0,
                  ((15 * (1000000000000 // count(*))) // 100)::BIGINT

@@ -7748,7 +7748,7 @@ def q_esql_median(sf_dir: str):
 ESQL_HAVING_QUERY = (
     "FROM events | STATS n = COUNT(*), "
     "micro = SUM(TO_LONG(ROUND(value * 1000000))) BY user_id "
-    "| WHERE n >= 60 | SORT n DESC, user_id ASC")
+    "| WHERE n >= 60 | SORT n DESC, user_id ASC | LIMIT 500")
 
 
 def q_esql_having(sf_dir: str):

@@ -19,6 +19,13 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
+    # heavy oracles (pagerank's 5 chained iteration CTEs at sf0.1)
+    # spill tens of GB of temp; the repo cwd's ".tmp" default can run
+    # out of disk where /dev/shm has room
+    import os as _os
+
+    if _os.path.isdir("/dev/shm"):
+        con.execute("SET temp_directory='/dev/shm/duckdb_oracle_tmp'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "

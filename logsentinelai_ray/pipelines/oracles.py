@@ -1513,6 +1513,25 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents WHERE n_chars >= 400 GROUP BY source
         ) ORDER BY _fork ASC, source ASC
     """,
+    # esql_ip_functions: the CIDR masks in octet arithmetic —
+    # 52.0.0.0/8 == (o1 = 52); 54.0.0.0/7 == (o1 // 2 == 27);
+    # IP_PREFIX(ip, 12) == o1 . (high nibble of o2) . 0 . 0
+    "esql_ip_functions": """
+        WITH e AS (
+          SELECT 52 + user_id % 3 AS o1, user_id % 200 AS o2,
+                 event_id % 256 AS o3
+          FROM events
+        ), m AS (
+          SELECT CAST(o1 AS VARCHAR) || '.'
+                   || CAST((o2 // 16) * 16 AS VARCHAR)
+                   || '.0.0' AS pfx,
+                 (o1 = 52 OR o1 // 2 = 27) AS in_net
+          FROM e
+        )
+        SELECT pfx, count(*)::BIGINT AS n,
+               CAST(count(*) FILTER (WHERE in_net) AS BIGINT) AS hits
+        FROM m GROUP BY 1 ORDER BY 1 LIMIT 500
+    """,
     # esql_weighted_stats: identical double op trees — w =
     # sum(v*w)/sum(w masked under v*w's null mask); sd =
     # sqrt(s2/n - (s/n)*(s/n)) with n = count of non-null values

@@ -7571,6 +7571,27 @@ def q_esql_change_point(sf_dir: str):
     return execute_esql(ESQL_CHANGE_POINT_QUERY, sf_dir)
 
 
+ESQL_IP_QUERY = (
+    "FROM events "
+    '| EVAL ip = CONCAT(52 + user_id % 3, ".", user_id % 200, '
+    '".", event_id % 256, ".9") '
+    '| EVAL in_net = CIDR_MATCH(ip, "52.0.0.0/8", "54.0.0.0/7"), '
+    "pfx = IP_PREFIX(ip, 12, 0) "
+    "| STATS n = COUNT(*), hits = COUNT(*) WHERE in_net BY pfx "
+    "| SORT pfx ASC | LIMIT 500")
+
+
+def q_esql_ip_functions(sf_dir: str):
+    """ES|QL IPv4 functions — CIDR_MATCH (multi-CIDR OR) and
+    IP_PREFIX (masked network address) — over deterministically
+    derived dotted quads: octets pack to int64 once per batch, masks
+    are literal-folded, and the /12 prefix becomes a grouped rollup.
+    The oracle mirrors the mask arithmetic in octet form."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_IP_QUERY, sf_dir)
+
+
 ESQL_WEIGHTED_STATS_QUERY = (
     "FROM events "
     "| STATS w = WEIGHTED_AVG(value, user_id), "
@@ -9857,6 +9878,7 @@ QUERY_REGISTRY = {
     "esql_bucket": q_esql_bucket,
     "esql_string_functions2": q_esql_string_functions2,
     "esql_weighted_stats": q_esql_weighted_stats,
+    "esql_ip_functions": q_esql_ip_functions,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

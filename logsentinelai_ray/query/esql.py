@@ -301,6 +301,21 @@ _ARITH = {"+": pc.add, "-": pc.subtract, "*": pc.multiply,
           "/": pc.divide}
 
 
+def _ipv4_to_int(col) -> pa.Array:
+    """Dotted-quad strings -> packed int64 (one split + four casts,
+    vectorized). Strict: malformed octets raise (derived corpora are
+    well-formed; ES returns null there — documented deviation)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    parts = pc.split_pattern(col, ".")
+    out = None
+    for i in range(4):
+        o = pc.cast(pc.list_element(parts, i), pa.int64())
+        o = pc.multiply(o, pa.scalar(1 << (8 * (3 - i)), pa.int64()))
+        out = o if out is None else pc.add(out, o)
+    return out
+
+
 def _nice_bucket_width(lo: float, hi: float, target: int) -> float:
     """Smallest {1,2,5}x10^k width that fits [lo, hi] in <= target
     buckets (the BUCKET function's deterministic nice-width rule)."""
@@ -580,6 +595,47 @@ def eval_expr(e, t: pa.Table):
                     f"ES|QL: DATE_EXTRACT part {part!r} not in "
                     f"{sorted(fns)}")
             return pc.cast(fns[part](args[1]), pa.int64())
+        if e.fn in ("CIDR_MATCH", "IP_PREFIX"):
+            # ES|QL IPv4 functions over dotted-quad strings: pack the
+            # octets to one int64 per row (vectorized split + cast),
+            # then mask arithmetic. CIDR_MATCH(ip, "net/len", ...) ORs
+            # the literal CIDRs; IP_PREFIX(ip, v4_len, v6_len) renders
+            # the masked network address (IPv6 unsupported — dotted
+            # quads only, documented).
+            ip32 = _ipv4_to_int(args[0])
+            if e.fn == "CIDR_MATCH":
+                if len(e.args) < 2 or not all(
+                        isinstance(a, Lit) for a in e.args[1:]):
+                    raise ValueError(
+                        "ES|QL: CIDR_MATCH(ip, \"net/len\", ...) "
+                        "with literal CIDRs")
+                acc = None
+                for a in e.args[1:]:
+                    net_s, _, ln_s = str(a.value).partition("/")
+                    ln = int(ln_s) if ln_s else 32
+                    if not 0 <= ln <= 32:
+                        raise ValueError(
+                            f"ES|QL: bad CIDR length {ln}")
+                    net = sum(int(o) << (8 * (3 - i)) for i, o in
+                              enumerate(net_s.split(".")))
+                    mask = ((1 << 32) - 1) ^ ((1 << (32 - ln)) - 1)
+                    hit = pc.equal(
+                        pc.bit_wise_and(ip32,
+                                        pa.scalar(mask, pa.int64())),
+                        pa.scalar(net & mask, pa.int64()))
+                    acc = hit if acc is None else pc.or_(acc, hit)
+                return acc
+            if not isinstance(e.args[1], Lit):
+                raise ValueError(
+                    "ES|QL: IP_PREFIX lengths must be literals")
+            ln = int(e.args[1].value)
+            mask = ((1 << 32) - 1) ^ ((1 << (32 - ln)) - 1)
+            m = pc.bit_wise_and(ip32, pa.scalar(mask, pa.int64()))
+            octs = [pc.cast(pc.bit_wise_and(
+                pc.shift_right(m, pa.scalar(8 * (3 - i), pa.int64())),
+                pa.scalar(255, pa.int64())), pa.string())
+                for i in range(4)]
+            return pc.binary_join_element_wise(*octs, ".")
         if e.fn == "BUCKET":
             # ES|QL 8.13 BUCKET (numeric form): BUCKET(x, buckets,
             # min, max) — values floor to multiples of a "nice" width

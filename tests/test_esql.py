@@ -886,3 +886,24 @@ def test_weighted_avg_and_std_dev(ray_session):
         assert (g is None and e is None) or g == e
     with pytest.raises(ValueError, match="WEIGHTED_AVG"):
         parse_esql("FROM events | STATS w = WEIGHTED_AVG(value)")
+
+
+def test_ip_functions():
+    """CIDR_MATCH (multi-CIDR OR, /32 default) and IP_PREFIX (masked
+    network address) over dotted quads."""
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({"ip": ["52.10.3.9", "54.1.2.3", "53.200.1.1",
+                         "55.255.0.1"]})
+    assert ev(parse_expr(
+        'CIDR_MATCH(ip, "52.0.0.0/8", "54.0.0.0/7")'), t).to_pylist() \
+        == [True, True, False, True]
+    assert ev(parse_expr('CIDR_MATCH(ip, "52.10.3.9")'),
+              t).to_pylist() == [True, False, False, False]
+    assert ev(parse_expr("IP_PREFIX(ip, 12, 0)"), t).to_pylist() == \
+        ["52.0.0.0", "54.0.0.0", "53.192.0.0", "55.240.0.0"]
+    assert ev(parse_expr("IP_PREFIX(ip, 32, 0)"), t).to_pylist() == \
+        t["ip"].to_pylist()
+    with pytest.raises(ValueError, match="literal CIDRs"):
+        ev(parse_expr("CIDR_MATCH(ip, ip)"), t)
+    with pytest.raises(ValueError, match="bad CIDR length"):
+        ev(parse_expr('CIDR_MATCH(ip, "1.2.3.4/40")'), t)

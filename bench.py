@@ -359,7 +359,7 @@ def bench_pipelines() -> dict:
              "esql_knn", "bm25_topk_bounded",
              "esql_lookup_join_multi", "esql_bucket",
              "esql_string_functions2", "esql_weighted_stats",
-             "esql_ip_functions",
+             "esql_ip_functions", "esql_mv_list_functions",
              "esql_like_in", "esql_functions", "esql_date_trunc",
              "esql_having", "esql_mv_functions", "esql_median",
              "esql_date_format", "esql_sample", "esql_match",

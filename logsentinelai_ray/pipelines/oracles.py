@@ -1513,6 +1513,22 @@ ORACLE_SQL: dict[str, str] = {
           FROM documents WHERE n_chars >= 400 GROUP BY source
         ) ORDER BY _fork ASC, source ASC
     """,
+    # esql_mv_list_functions: dedupe of {a,b,a} == {least, greatest}
+    # (sorted), slice 0..1 inclusive keeps both of <=2 elements
+    "esql_mv_list_functions": """
+        WITH e AS (
+          SELECT CAST(n_chars % 3 AS VARCHAR) AS a,
+                 CAST(n_chars % 5 AS VARCHAR) AS b
+          FROM documents
+        ), m AS (
+          SELECT CASE WHEN a = b THEN 1 ELSE 2 END AS k,
+                 least(a, b) AS mn,
+                 greatest(a, b) AS mx
+          FROM e
+        )
+        SELECT k, mn, mx, count(*)::BIGINT AS n
+        FROM m GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
     # esql_ip_functions: the CIDR masks in octet arithmetic —
     # 52.0.0.0/8 == (o1 = 52); 54.0.0.0/7 == (o1 // 2 == 27);
     # IP_PREFIX(ip, 12) == o1 . (high nibble of o2) . 0 . 0

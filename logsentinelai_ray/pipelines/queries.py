@@ -7571,6 +7571,27 @@ def q_esql_change_point(sf_dir: str):
     return execute_esql(ESQL_CHANGE_POINT_QUERY, sf_dir)
 
 
+ESQL_MV_LIST_QUERY = (
+    "FROM documents "
+    '| EVAL m = MV_SLICE(MV_DEDUPE(SPLIT(CONCAT(n_chars % 3, ",", '
+    'n_chars % 5, ",", n_chars % 3), ",")), 0, 1) '
+    "| EVAL k = MV_COUNT(m), mn = MV_FIRST(m), mx = MV_LAST(m) "
+    "| STATS n = COUNT(*) BY k, mn, mx "
+    "| SORT k ASC, mn ASC, mx ASC")
+
+
+def q_esql_mv_list_functions(sf_dir: str):
+    """ES|QL multivalue manipulators — SPLIT → MV_DEDUPE (sorted
+    dedupe, the ES contract) → MV_SLICE (end-inclusive) → MV_COUNT /
+    MV_FIRST / MV_LAST — composed per row with zero Python loops
+    (flatten + parent-keyed lexsort + offset rebuild). The oracle
+    mirrors the dedupe/sort semantics with CASE/least/greatest over
+    the same derived strings."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_MV_LIST_QUERY, sf_dir)
+
+
 ESQL_IP_QUERY = (
     "FROM events "
     '| EVAL ip = CONCAT(52 + user_id % 3, ".", user_id % 200, '
@@ -9879,6 +9900,7 @@ QUERY_REGISTRY = {
     "esql_string_functions2": q_esql_string_functions2,
     "esql_weighted_stats": q_esql_weighted_stats,
     "esql_ip_functions": q_esql_ip_functions,
+    "esql_mv_list_functions": q_esql_mv_list_functions,
     "moore_lewis": q_moore_lewis,
     "sorted_index_topn": q_sorted_index_topn,
     "sorted_index_range": q_sorted_index_range,

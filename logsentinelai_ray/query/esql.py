@@ -439,6 +439,12 @@ def eval_expr(e, t: pa.Table):
             return pc.cast(args[0], pa.int64())
         if e.fn == "TO_DOUBLE":
             return pc.cast(args[0], pa.float64())
+        if e.fn == "TO_STRING":
+            return pc.cast(args[0], pa.string())
+        if e.fn == "TO_INTEGER":
+            # int64-backed like TO_LONG (documented: no 32-bit
+            # narrowing in the mini-dialect)
+            return pc.cast(args[0], pa.int64())
         if e.fn == "SUBSTRING":
             # ES 1-based; negative start counts from the end; optional
             # length. start/length must be literals (the common query
@@ -710,6 +716,53 @@ def eval_expr(e, t: pa.Table):
             vals = flat.take(pa.array(np.where(valid, idx, 0)))
             return pc.if_else(pa.array(valid), vals,
                               pa.scalar(None, type=flat.type))
+        if e.fn == "MV_SLICE":
+            # MV_SLICE(list, start[, end]) — END-INCLUSIVE like ES
+            if not all(isinstance(a, Lit) for a in e.args[1:]):
+                raise ValueError(
+                    "ES|QL: MV_SLICE bounds must be literals")
+            start = int(e.args[1].value)
+            stop = (int(e.args[2].value) + 1 if len(e.args) > 2
+                    else None)
+            if start < 0 or (stop is not None and stop <= start):
+                raise ValueError("ES|QL: bad MV_SLICE bounds")
+            col = args[0]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            return pc.list_slice(col, start, stop)
+        if e.fn in ("MV_SORT", "MV_DEDUPE"):
+            # per-row list sort / dedupe: flatten once, np.lexsort by
+            # (parent, value), rebuild offsets — no Python per row.
+            # MV_DEDUPE keeps ES's semantics (result is also sorted).
+            col = args[0]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ln = pc.fill_null(pc.list_value_length(col), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = col.flatten()
+            if len(flat) == 0:
+                return col
+            parent = np.repeat(np.arange(len(col), dtype=np.int64),
+                               ln)
+            fv = flat.to_numpy(zero_copy_only=False)
+            order = np.lexsort((fv, parent))
+            sp, sv = parent[order], fv[order]
+            if e.fn == "MV_DEDUPE":
+                keep = np.r_[True, (sp[1:] != sp[:-1])
+                             | (sv[1:] != sv[:-1])]
+                order, sp = order[keep], sp[keep]
+            counts = np.bincount(sp, minlength=len(col))
+            offs = np.zeros(len(col) + 1, dtype=np.int64)
+            np.cumsum(counts, out=offs[1:])
+            values = flat.take(pa.array(order))
+            out = pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()).cast(pa.int32()), values)
+            # null rows stay null (offsets collapsed them to empty)
+            nullmask = pc.is_null(col)
+            if pc.any(nullmask).as_py():
+                out = pc.if_else(nullmask,
+                                 pa.scalar(None, type=out.type), out)
+            return out
         if e.fn == "CASE":
             # CASE(c1, v1, c2, v2, ..., [default]) — ES|QL variadic;
             # nested if_else built back-to-front, null default

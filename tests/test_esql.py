@@ -907,3 +907,29 @@ def test_ip_functions():
         ev(parse_expr("CIDR_MATCH(ip, ip)"), t)
     with pytest.raises(ValueError, match="bad CIDR length"):
         ev(parse_expr('CIDR_MATCH(ip, "1.2.3.4/40")'), t)
+
+
+def test_mv_list_manipulators():
+    """MV_SORT / MV_DEDUPE (sorted, ES contract) / MV_SLICE
+    (end-inclusive) over numeric and string lists; nulls and empties
+    survive; TO_STRING/TO_INTEGER casts."""
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({
+        "v": pa.array([[3, 1, 2, 1], [5], None, []],
+                      pa.list_(pa.int64())),
+        "s": ["b,a,b", "x", "a", ""],
+    })
+    assert ev(parse_expr("MV_SORT(v)"), t).to_pylist() == \
+        [[1, 1, 2, 3], [5], None, []]
+    assert ev(parse_expr("MV_DEDUPE(v)"), t).to_pylist() == \
+        [[1, 2, 3], [5], None, []]
+    assert ev(parse_expr("MV_SLICE(v, 0, 1)"), t).to_pylist() == \
+        [[3, 1], [5], None, []]
+    assert ev(parse_expr('MV_DEDUPE(SPLIT(s, ","))'), t).to_pylist() \
+        == [["a", "b"], ["x"], ["a"], [""]]
+    assert ev(parse_expr("TO_STRING(MV_COUNT(v))"), t).to_pylist() \
+        == ["4", "1", None, "0"]
+    assert ev(parse_expr("TO_INTEGER(MV_COUNT(v))"), t).to_pylist() \
+        == [4, 1, None, 0]
+    with pytest.raises(ValueError, match="bounds"):
+        ev(parse_expr("MV_SLICE(v, 2, 1)"), t)

@@ -31,11 +31,20 @@ Supported expression grammar (recursive descent, precedence low→high):
 additive (``+ -``) < multiplicative (``* / %``) < unary ``-`` <
 atom (literal / field / function call / parenthesized); string
 predicates ``LIKE`` (*/? wildcards) / ``RLIKE`` (anchored regex) /
-``IN (…)``, each with a ``NOT`` form. Functions:
-``ROUND(x[, n]) ABS(x) LENGTH(s) TO_LOWER(s) TO_UPPER(s) TO_LONG(x)
-TO_DOUBLE(x) SUBSTRING(s, start[, len]) CONCAT(…) TRIM(s)
-STARTS_WITH(s, p) ENDS_WITH(s, p) COALESCE(…) FLOOR CEIL SQRT
-POW(x, y) LOG10 DATE_TRUNC("unit", ts) CASE(c1, v1, …[, default])``.
+``IN (…)``, each with a ``NOT`` form; numeric array literals
+``[1, -0.5, …]`` for the vector functions. Functions:
+``ROUND(x[, n]) ABS LENGTH TO_LOWER TO_UPPER TO_LONG TO_INTEGER
+TO_DOUBLE TO_STRING SUBSTRING CONCAT TRIM LTRIM RTRIM LEFT RIGHT
+REPLACE REVERSE SPLIT LOCATE REPEAT STARTS_WITH ENDS_WITH COALESCE
+FLOOR CEIL SQRT POW LOG10 EXP LOG SIN COS TAN SIGNUM E PI TAU
+BUCKET(x, n, min, max) DATE_TRUNC DATE_FORMAT DATE_EXTRACT
+CASE(c1, v1, …[, default]) MATCH(field, "query")
+CIDR_MATCH(ip, "net/len", …) IP_PREFIX(ip, len, 0)
+V_COSINE/V_DOT_PRODUCT/V_L1_NORM/V_L2_NORM(field, [q…])
+MV_COUNT/MV_SUM/MV_MIN/MV_MAX/MV_AVG/MV_FIRST/MV_LAST/MV_SORT/
+MV_DEDUPE/MV_SLICE``; aggregates ``COUNT COUNT_DISTINCT SUM MIN MAX
+AVG MEDIAN PERCENTILE VALUES TOP WEIGHTED_AVG STD_DEV`` (each with a
+per-aggregate ``WHERE`` filter).
 """
 
 from __future__ import annotations

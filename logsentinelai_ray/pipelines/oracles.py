@@ -1548,19 +1548,28 @@ ORACLE_SQL: dict[str, str] = {
                CAST(count(*) FILTER (WHERE in_net) AS BIGINT) AS hits
         FROM m GROUP BY 1 ORDER BY 1 LIMIT 500
     """,
-    # esql_weighted_stats: identical double op trees — w =
-    # sum(v*w)/sum(w masked under v*w's null mask); sd =
-    # sqrt(s2/n - (s/n)*(s/n)) with n = count of non-null values
+    # esql_weighted_stats: identical double op trees over
+    # centi-unit-quantized exact-integer inputs (scale-stable: every
+    # partial sum representable in a double, so summation order is
+    # irrelevant) — w = sum(v*w)/sum(w masked under v*w's null mask);
+    # sd = sqrt(s2/n - (s/n)*(s/n)) with n = count of non-null values
     "esql_weighted_stats": """
+        WITH e AS (
+          SELECT event_type, user_id,
+                 CAST(round(value * 100) AS BIGINT) AS v
+          FROM events
+        )
         SELECT event_type,
-               round(sum(value * user_id)
-                     / sum(CASE WHEN value * user_id IS NOT NULL
-                                THEN user_id END), 6) AS w,
-               round(sqrt(sum(value * value) / count(value)
-                          - (sum(value) / count(value))
-                            * (sum(value) / count(value))), 6) AS sd,
+               round((sum(CAST(v AS DOUBLE) * user_id)
+                      / sum(CASE WHEN v * user_id IS NOT NULL
+                                 THEN CAST(user_id AS DOUBLE) END))
+                     / 100, 6) AS w,
+               round(sqrt(sum(CAST(v AS DOUBLE) * v) / count(v)
+                          - (sum(CAST(v AS DOUBLE)) / count(v))
+                            * (sum(CAST(v AS DOUBLE)) / count(v)))
+                     / 100, 6) AS sd,
                count(*)::BIGINT AS n
-        FROM events GROUP BY 1 ORDER BY 1
+        FROM e GROUP BY 1 ORDER BY 1
     """,
     "esql_string_functions2": """
         WITH e AS (
@@ -5291,10 +5300,21 @@ ORACLE_SQL["winnowing_fingerprints"] = """
     ), sel AS (
       SELECT DISTINCT doc_id, substr(wkey, 1, 32) AS h
       FROM wmin WHERE i >= 4 OR (ng < 4 AND i = ng)
+    ), cap AS (
+      -- mirror the entry's corpus-aware max_group="auto" cap:
+      -- min(10k, max(64, int(4*sqrt(n_docs)) + 1)); boilerplate
+      -- fingerprints shared by more docs are excluded on BOTH sides
+      SELECT least(10000, greatest(64,
+               CAST(trunc(4 * sqrt(count(*))) AS BIGINT) + 1)) AS g
+      FROM documents
+    ), keep AS (
+      SELECT h FROM sel GROUP BY h
+      HAVING count(*) <= (SELECT g FROM cap)
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            count(*)::BIGINT AS shared
     FROM sel a JOIN sel b ON a.h = b.h AND a.doc_id < b.doc_id
+    JOIN keep k ON k.h = a.h
     GROUP BY 1, 2 ORDER BY shared DESC, doc_a ASC, doc_b ASC LIMIT 15
 """
 

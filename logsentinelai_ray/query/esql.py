@@ -753,6 +753,14 @@ def eval_expr(e, t: pa.Table):
                 return col
             parent = np.repeat(np.arange(len(col), dtype=np.int64),
                                ln)
+            # drop element-level (inner) nulls before the lexsort: a
+            # None in a string list makes the object-array compare
+            # raise, and float-null→NaN ordering silently diverges
+            # from ES null semantics (MV_SORT/MV_DEDUPE drop nulls)
+            fvalid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+            if not fvalid.all():
+                flat = flat.filter(pa.array(fvalid))
+                parent = parent[fvalid]
             fv = flat.to_numpy(zero_copy_only=False)
             order = np.lexsort((fv, parent))
             sp, sv = parent[order], fv[order]

@@ -19,13 +19,28 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
     con = duckdb.connect()
-    # heavy oracles (pagerank's 5 chained iteration CTEs at sf0.1)
-    # spill tens of GB of temp; the repo cwd's ".tmp" default can run
-    # out of disk where /dev/shm has room
+    # Heavy oracles (pagerank's chained iteration CTEs at sf0.1) can
+    # spill temp. /dev/shm is RAM-backed and shared with Ray's plasma
+    # object store, so only spill there when explicitly opted in
+    # (GRAFT_ORACLE_SHM=1) AND it has generous headroom — and even
+    # then under a hard size cap so a runaway oracle fails cleanly
+    # instead of exhausting shared memory under concurrent actors.
+    # Default: disk temp dir with a size cap.
     import os as _os
 
-    if _os.path.isdir("/dev/shm"):
-        con.execute("SET temp_directory='/dev/shm/duckdb_oracle_tmp'")
+    tmp_dir = "/tmp/duckdb_oracle_tmp"
+    cap_gib = 40
+    if _os.environ.get("GRAFT_ORACLE_SHM") == "1" and _os.path.isdir("/dev/shm"):
+        try:
+            st = _os.statvfs("/dev/shm")
+            free_gib = (st.f_bavail * st.f_frsize) >> 30
+        except OSError:
+            free_gib = 0
+        if free_gib >= 16:
+            tmp_dir = "/dev/shm/duckdb_oracle_tmp"
+            cap_gib = max(4, free_gib // 4)
+    con.execute(f"SET temp_directory='{tmp_dir}'")
+    con.execute(f"SET max_temp_directory_size='{cap_gib}GiB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "

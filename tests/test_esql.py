@@ -933,3 +933,25 @@ def test_mv_list_manipulators():
         == [4, 1, None, 0]
     with pytest.raises(ValueError, match="bounds"):
         ev(parse_expr("MV_SLICE(v, 2, 1)"), t)
+
+
+def test_mv_sort_dedupe_inner_nulls():
+    """Element-level (inner) nulls are dropped before the lexsort —
+    a None inside a STRING list must not raise (object-array
+    compare), and float inner nulls must not leak NaN ordering;
+    row-level nulls still map to null (r4 ADVICE item)."""
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({
+        "s": pa.array([["b", None, "a"], [None], None, ["x", "x"]],
+                      pa.list_(pa.string())),
+        "f": pa.array([[2.0, None, 1.0], [None, None], None, [3.0]],
+                      pa.list_(pa.float64())),
+    })
+    assert ev(parse_expr("MV_SORT(s)"), t).to_pylist() == \
+        [["a", "b"], [], None, ["x", "x"]]
+    assert ev(parse_expr("MV_DEDUPE(s)"), t).to_pylist() == \
+        [["a", "b"], [], None, ["x"]]
+    assert ev(parse_expr("MV_SORT(f)"), t).to_pylist() == \
+        [[1.0, 2.0], [], None, [3.0]]
+    assert ev(parse_expr("MV_DEDUPE(f)"), t).to_pylist() == \
+        [[1.0, 2.0], [], None, [3.0]]

@@ -185,6 +185,14 @@ class IndexShard:
         self.parts = list(parts)
         self.tables: list[pa.Table] = []
         self.term_index: dict[str, tuple[int, int]] = {}
+        # bounded mode: the dictionary residency is the sorted Arrow
+        # term column itself (~len+12 bytes/term); lookups
+        # binary-search it instead of a Python dict whose ~100
+        # bytes/term would dwarf the posting LRU at a 1e8-term
+        # vocabulary (r4 verdict item #2). Segments are written
+        # term-sorted (segments.py merge_runs sort_by term), which the
+        # constructor asserts before trusting the search.
+        self._term_cols: list[pa.Array] = []
         # posting-stream codec from the index's stats.json (stamped onto
         # every row this shard hands to TermPostings); legacy descriptive
         # strings and missing keys both mean varint
@@ -222,8 +230,44 @@ class IndexShard:
                 self._files.append(pf)
                 self._rg_offsets.append(offs)
             self.tables.append(tbl)
-            self.term_index.update(
-                (t, (ti, i)) for i, t in enumerate(tbl["term"].to_pylist()))
+            if self.max_resident is None:
+                self.term_index.update(
+                    (t, (ti, i))
+                    for i, t in enumerate(tbl["term"].to_pylist()))
+            else:
+                col = tbl["term"]
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                if isinstance(col, pa.ChunkedArray):  # older pyarrow
+                    col = col.chunk(0) if col.num_chunks else \
+                        pa.array([], pa.string())
+                if len(col) > 1:
+                    # binary search requires the on-disk term order
+                    assert pc.all(pc.less_equal(
+                        col.slice(0, len(col) - 1),
+                        col.slice(1))).as_py(), \
+                        f"segment part-{p:04d} terms not sorted"
+                self._term_cols.append(col)
+
+    def _lookup(self, term: str):
+        """(table, row) of ``term`` or None. Default mode: one dict
+        get. Bounded mode: binary search per sorted resident term
+        column — O(log vocab) scalar compares against O(1) dict time,
+        irrelevant next to posting decode, for a ~10x smaller
+        dictionary residency."""
+        if self.max_resident is None:
+            return self.term_index.get(term)
+        for ti, col in enumerate(self._term_cols):
+            lo, hi = 0, len(col)
+            while lo < hi:
+                mid = (lo + hi) // 2
+                if col[mid].as_py() < term:
+                    lo = mid + 1
+                else:
+                    hi = mid
+            if lo < len(col) and col[lo].as_py() == term:
+                return (ti, lo)
+        return None
 
     def _rg_table(self, ti: int, rg: int) -> pa.Table:
         """Bounded mode: fetch one row group's FULL columns through the
@@ -280,12 +324,21 @@ class IndexShard:
                 "resident_bytes": self._rg_bytes,
                 "resident_row_groups": len(self._rg_cache)}
 
+    def dict_stats(self) -> dict:
+        """Dictionary residency: terms held in the Python dict (0 in
+        bounded mode — there the dictionary IS the sorted Arrow term
+        column) and the Arrow column bytes backing bounded lookups."""
+        return {"py_dict_terms": len(self.term_index),
+                "term_col_bytes": int(sum(c.nbytes
+                                          for c in self._term_cols)),
+                "n_terms": self.n_terms()}
+
     def get_terms(self, terms: list[str]) -> pa.Table | None:
         """Requested terms' segment rows as ONE Arrow table (Ray ships
         Arrow tables via pickle-5 out-of-band buffers — no per-value
         pickling of the posting streams)."""
         locs = [loc for t in terms
-                if (loc := self.term_index.get(t)) is not None]
+                if (loc := self._lookup(t)) is not None]
         return self._full_rows(locs)
 
     def _seg_row(self, loc: tuple[int, int]) -> tuple[pa.Table, int]:
@@ -298,7 +351,10 @@ class IndexShard:
         return self._rg_table(loc[0], rg), loc[1] - int(offs[rg])
 
     def n_terms(self) -> int:
-        return len(self.term_index)
+        # a term lives in exactly ONE hash partition, so summing
+        # per-table rows equals the dict length in default mode and is
+        # the only option in bounded mode (no dict exists there)
+        return sum(t.num_rows for t in self.tables)
 
     def term_dfs(self, terms: list[str]) -> dict[str, int]:
         """Document frequencies only — a dictionary lookup, no posting
@@ -306,7 +362,7 @@ class IndexShard:
         decides whether decoding postings is affordable)."""
         out = {}
         for t in terms:
-            loc = self.term_index.get(t)
+            loc = self._lookup(t)
             if loc is not None:
                 out[t] = int(self.tables[loc[0]]["df"][loc[1]].as_py())
         return out
@@ -476,7 +532,7 @@ class IndexShard:
         local-df one — federated search passes the GLOBAL idf so the
         contribution's expression tree is identical to a single merged
         index's (query/federated.py)."""
-        loc = self.term_index.get(term)
+        loc = self._lookup(term)
         if loc is None:
             return None
         tbl, i = self._seg_row(loc)
@@ -534,7 +590,7 @@ class IndexShard:
         covering the doc yields its feature value, decoded where the
         compressed row lives (ES rank_feature over a doc-values field,
         posting-style)."""
-        loc = self.term_index.get(term)
+        loc = self._lookup(term)
         if loc is None:
             return None
         tbl, i = self._seg_row(loc)
@@ -556,7 +612,7 @@ class IndexShard:
         zero-copy through the object store and the caller applies its
         own weight expression, so one posting format serves every
         scoring model without re-decoding on the driver."""
-        loc = self.term_index.get(term)
+        loc = self._lookup(term)
         if loc is None:
             return None
         tbl, i = self._seg_row(loc)

@@ -75,6 +75,39 @@ def test_bounded_phrase_and_filters(bounded_pair, small_index):
         assert a.to_pydict() == b.to_pydict(), kwargs
 
 
+def test_bounded_dictionary_residency(bounded_pair):
+    """Bounded mode must hold NO per-term Python dict (at a 1e8-term
+    vocabulary a ~100-byte/term dict would dwarf the posting LRU the
+    mode exists to cap): the dictionary residency is the sorted Arrow
+    term column, a few tens of bytes/term, binary-searched at lookup
+    time with rank identity pinned above."""
+    import ray
+
+    full, bounded, _cap = bounded_pair
+    for st in ray.get([s.dict_stats.remote() for s in bounded.shards]):
+        assert st["py_dict_terms"] == 0
+        if st["n_terms"]:
+            assert st["term_col_bytes"] > 0
+            # Arrow string column: 4-byte offset + payload (+ padding);
+            # short code tokens stay well under the ~100 B/entry a
+            # Python dict[str, tuple] costs
+            assert st["term_col_bytes"] / st["n_terms"] < 48
+    # default mode is unchanged: the hot-path dict covers every term
+    for st in ray.get([s.dict_stats.remote() for s in full.shards]):
+        assert st["py_dict_terms"] == st["n_terms"]
+        assert st["term_col_bytes"] == 0
+
+
+def test_bounded_lookup_miss_and_field_terms(bounded_pair):
+    """Binary-search lookup parity on misses and field terms: absent
+    terms return empty everywhere, lang-filtered search (field-term
+    lookups) matches the unbounded engine."""
+    full, bounded, _cap = bounded_pair
+    a = full.search("zzz_nonexistent_term_q", k=5, with_meta=False)
+    b = bounded.search("zzz_nonexistent_term_q", k=5, with_meta=False)
+    assert a.to_pydict() == b.to_pydict()
+
+
 def test_segment_files_have_bounded_row_groups(small_index):
     """Segments are written with bounded row groups — the paging unit
     the LRU depends on (a single whole-part row group would make the

@@ -216,6 +216,53 @@ def test_msearch_equals_sequential_search(engine, doc_tokens):
         assert part["score"].to_pylist() == solo["score"].to_pylist()
 
 
+def test_msearch_threaded_with_filters_and_meta(engine, doc_tokens):
+    """The threaded batch path must stay bit-identical under per-request
+    filters, metadata joins, and forced strategies (filters resolve
+    serially before scoring fans out; WAND requests take the serial
+    path)."""
+    toks0 = doc_tokens[0][1]
+    reqs = [{"text": " ".join(toks0[:3]), "k": 7,
+             "filters": {"lang": "python"}},
+            {"text": " ".join(toks0[:2]), "k": 5},
+            {"text": toks0[0], "k": 5, "filters": {"lang": "go"}}]
+    for strategy in (None, "taat", "wand"):
+        for with_meta in (False, True):
+            batch = engine.msearch(reqs, with_meta=with_meta,
+                                   strategy=strategy)
+            for qid, r in enumerate(reqs):
+                solo = engine.search(r["text"], k=r["k"],
+                                     filters=r.get("filters"),
+                                     with_meta=with_meta,
+                                     strategy=strategy)
+                part = batch.filter(np.equal(
+                    batch["query_id"].to_numpy(zero_copy_only=False),
+                    qid)).drop_columns(["query_id"])
+                assert part.to_pydict() == solo.to_pydict(), \
+                    (qid, strategy, with_meta)
+
+
+def test_dense_hot_term_rows_bit_identical(engine, doc_tokens):
+    """Mega-hot terms (df >= n/4) score through a cached dense
+    contribution row (sequential axpy) — results must be bit-identical
+    to scatter accumulation, since adding 0.0 where the term is absent
+    is an IEEE no-op for positive contribs."""
+    hot = doc_tokens[0][1][0]
+    res = engine.search(hot, k=20, with_meta=False)
+    if hot not in engine._dense_rows:
+        pytest.skip("term not hot enough in this fixture corpus")
+    ids, contrib, _df = engine._contrib_cache[hot]
+    n = int(engine.stats["n_docs"])
+    acc = np.zeros(n)
+    acc[ids] += contrib
+    dense = engine._dense_rows[hot]
+    assert np.array_equal(acc, dense)
+    # scores returned match the scatter formulation exactly
+    for d, s in zip(res["doc_id"].to_pylist(),
+                    res["score"].to_pylist()):
+        assert s == acc[d]
+
+
 def test_query_string_equals_boolean_search(engine, doc_tokens):
     """A query_string with only +must / -not / bare-should clauses must
     reproduce boolean_search exactly (same composition, same scorer)."""

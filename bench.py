@@ -364,7 +364,9 @@ def bench_pipelines() -> dict:
              "esql_having", "esql_mv_functions", "esql_median",
              "esql_date_format", "esql_sample", "esql_match",
              "esql_agg_where",
-             "profile_search"]
+             "profile_search",
+             # round-5: the reference's real sample corpora end-to-end
+             "analyze_linux2k", "analyze_apache100"]
     out = {}
     for name in names:
         t0 = time.monotonic()

@@ -5396,3 +5396,102 @@ ORACLE_SQL["kql_search"] = _bm25_base("('merge'), ('sort')") + f"""
       AND s.doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'error')
     ORDER BY s.score DESC, s.doc_id ASC LIMIT 10
 """
+
+
+# analyze_linux2k / analyze_apache100: the strongest parity evidence —
+# the oracle re-parses the reference's OWN raw sample corpus
+# (fixed-size real files; CONTRIBUTING.md:71-77 prescribes exactly
+# these as the analyzers' manual-test inputs) with the SAME RE2
+# patterns in DuckDB, independently reproducing the Ray parser's
+# Statistics rollup (ground truth: 490 auth_failure / 246 session on
+# linux-2k). read_csv with a sentinel delim + disabled quoting reads
+# raw lines; both files were checked free of the sentinel.
+ORACLE_SQL["analyze_linux2k"] = r"""
+    WITH raw AS (
+      SELECT line FROM read_csv(
+          '/root/reference/sample-logs/linux-2k.log',
+          header=false, delim=chr(1), quote='', escape='',
+          columns={'line': 'VARCHAR'})
+    ), p AS (
+      SELECT
+        regexp_matches(line,
+          '^[A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2} \S+ [A-Za-z0-9_.-]+(?:\([A-Za-z0-9_.-]+\))?(?:\[\d+\])?: ')
+          AS ok,
+        regexp_extract(line,
+          '^([A-Z][a-z]{2}) +(\d{1,2}) (\d{2}:\d{2}:\d{2}) (\S+) ([A-Za-z0-9_.-]+(?:\([A-Za-z0-9_.-]+\))?)(?:\[(\d+)\])?: (.*)$',
+          ['mon','day','time','host','proc','pid','msg']) AS g
+      FROM raw
+    ), c AS (
+      SELECT
+        CASE WHEN NOT ok THEN '_malformed'
+             WHEN regexp_matches(g.msg,
+                 '^Failed password|authentication failure')
+                 THEN 'auth_failure'
+             WHEN regexp_matches(g.msg, '^Accepted password')
+                 THEN 'auth_success'
+             WHEN regexp_matches(g.msg,
+                 '^pam_unix|session (?:opened|closed)') THEN 'session'
+             WHEN g.proc = 'kernel' THEN 'kernel'
+             WHEN g.proc = 'systemd' THEN 'service'
+             ELSE 'other' END AS etype,
+        CASE WHEN ok THEN coalesce(
+            nullif(regexp_extract(g.msg,
+                '(?:for user |for )(?:invalid user )?(\S+?)(?: from| port| by|$)',
+                1), ''),
+            nullif(regexp_extract(g.msg, '\buser=(\S+)', 1), ''))
+        END AS username,
+        CASE WHEN ok THEN coalesce(
+            nullif(regexp_extract(g.msg, 'from ([0-9.]+) port', 1), ''),
+            nullif(regexp_extract(g.msg, '\brhost=([0-9.]+)(?:\s|$)',
+                                  1), ''))
+        END AS ip
+      FROM p
+    )
+    SELECT etype, count(*)::BIGINT AS n,
+           count(DISTINCT username)::BIGINT AS unique_users,
+           count(DISTINCT ip)::BIGINT AS unique_ips
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+
+ORACLE_SQL["analyze_apache100"] = r"""
+    WITH raw AS (
+      SELECT line FROM read_csv(
+          '/root/reference/sample-logs/apache-100.log',
+          header=false, delim=chr(1), quote='', escape='',
+          columns={'line': 'VARCHAR'})
+    ), p AS (
+      SELECT
+        regexp_matches(line,
+          '^\[[A-Z][a-z]{2} [A-Z][a-z]{2} +\d{1,2} \d{2}:\d{2}:\d{2} \d{4}\] \[[a-z]+\](?: \[client [0-9.]+\])? ')
+          AS ok,
+        regexp_extract(line,
+          '^\[([A-Z][a-z]{2}) ([A-Z][a-z]{2}) +(\d{1,2}) (\d{2}:\d{2}:\d{2}) (\d{4})\] \[([a-z]+)\](?: \[client ([0-9.]+)\])? (.*)$',
+          ['dow','mon','day','time','year','level','client','msg'])
+          AS g
+      FROM raw
+    ), c AS (
+      SELECT
+        CASE WHEN ok THEN g.level ELSE '_malformed' END AS level,
+        CASE WHEN NOT ok THEN '_malformed'
+             WHEN regexp_matches(g.msg, '%252e|%2e%2e|\.\./')
+                 THEN 'directory_traversal'
+             WHEN regexp_matches(g.msg, '^Invalid method in request')
+                 THEN 'invalid_http_method'
+             WHEN regexp_matches(g.msg, '^Directory index forbidden')
+                 THEN 'unauthorized_access'
+             WHEN regexp_matches(g.msg, '^File does not exist')
+                 THEN 'missing_file'
+             WHEN regexp_matches(g.msg, $$Can't create|Factory error$$)
+                 THEN 'config_error'
+             WHEN regexp_matches(g.msg, '^mod_jk|^workerEnv')
+                 THEN 'module_error'
+             ELSE 'other' END AS etype
+      FROM p
+    ), long AS (
+      SELECT 'level' AS dim, level AS bucket FROM c
+      UNION ALL
+      SELECT 'etype' AS dim, etype AS bucket FROM c
+    )
+    SELECT dim, bucket, count(*)::BIGINT AS n
+    FROM long GROUP BY 1, 2 ORDER BY 1, 2
+"""

@@ -6879,8 +6879,20 @@ def q_syslog_parse(sf_dir: str):
         return pa.table({"line": line})
 
     parsed = (ds.map_batches(render, batch_format="pyarrow")
-              .map_batches(parse_syslog, batch_format="pyarrow")
-              .map_batches(lambda t: pa.table({
+              .map_batches(parse_syslog, batch_format="pyarrow"))
+    return _syslog_stats_rollup(parsed)
+
+
+def _syslog_stats_rollup(parsed) -> pa.Table:
+    """The reference linux_system Statistics rollup shared by the
+    synthetic (q_syslog_parse) and real-corpus (q_analyze_linux2k)
+    entries: per-etype counts + exact unique_users / unique_ips via
+    the two-level groupby (each distinct (etype, value) pair crosses
+    the exchange once). The projected 3-column stream is materialized
+    once (keys only, never line text) and consumed three times."""
+    from ray.data.aggregate import Count
+
+    parsed = (parsed.map_batches(lambda t: pa.table({
                   "etype": pc.fill_null(t["etype"], "_malformed"),
                   "username": t["username"], "ip": t["ip"]}),
                   batch_format="pyarrow")
@@ -6907,6 +6919,73 @@ def q_syslog_parse(sf_dir: str):
     return pa.Table.from_pandas(
         out[["etype", "n", "unique_users", "unique_ips"]],
         preserve_index=False)
+
+
+REF_SAMPLE_LOGS = "/root/reference/sample-logs"
+
+
+def q_analyze_linux2k(sf_dir: str):
+    """END-TO-END parity over the reference's OWN corpus: the real
+    2000-line ``sample-logs/linux-2k.log`` (the manual-test corpus the
+    reference's CONTRIBUTING.md:71-77 prescribes for the linux-system
+    analyzer) streamed through ``ray.data.read_text`` → the vectorized
+    syslog parser (stages/syslog.py) → the reference Statistics rollup
+    (analyzers/linux_system.py:54-59). Ground truth: 490 auth_failure
+    / 246 session events and >=99% parse rate (pinned in
+    test_functions.py); the DuckDB oracle re-derives the SAME numbers
+    from the SAME raw file with RE2 regexes, so the parser semantics
+    are verified by two independent engines. ``sf_dir`` is unused —
+    the corpus is fixed-size real data, identical at every sweep
+    scale."""
+    import ray.data as rd
+
+    from ..stages.syslog import parse_syslog
+
+    ds = rd.read_text(os.path.join(REF_SAMPLE_LOGS, "linux-2k.log"))
+    parsed = ds.map_batches(
+        lambda t: parse_syslog(t, line_col="text"),
+        batch_format="pyarrow")
+    return _syslog_stats_rollup(parsed)
+
+
+def q_analyze_apache100(sf_dir: str):
+    """END-TO-END parity over the reference's OWN corpus: the real
+    100-line ``sample-logs/apache-100.log`` through the vectorized
+    Apache error-log parser (stages/errorlog.py) and the reference
+    httpd_server Statistics rollup (analyzers/httpd_server.py:46-49:
+    event_by_level + event_by_type) as long-form (dim, bucket, n)
+    rows; the DuckDB oracle re-derives the same rollup from the same
+    raw file. ``sf_dir`` is unused — fixed-size real data."""
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from ..stages.errorlog import parse_error_log
+
+    ds = rd.read_text(os.path.join(REF_SAMPLE_LOGS, "apache-100.log"))
+
+    def proj(t: pa.Table) -> pa.Table:
+        p = parse_error_log(t, line_col="text")
+        lv = pc.fill_null(p["level"], "_malformed")
+        et = pc.fill_null(p["etype"], "_malformed")
+
+        def _arr(c):
+            return c.combine_chunks() if isinstance(c, pa.ChunkedArray) \
+                else c
+
+        n = p.num_rows
+        return pa.table({
+            "dim": pa.array(["level"] * n + ["etype"] * n, pa.string()),
+            "bucket": pa.concat_arrays([_arr(lv), _arr(et)])})
+
+    out = (ds.map_batches(proj, batch_format="pyarrow")
+           .groupby(["dim", "bucket"])
+           .aggregate(Count(alias_name="n"))
+           .to_pandas()
+           .sort_values(["dim", "bucket"]).reset_index(drop=True))
+    return pa.table({
+        "dim": pa.array(out["dim"].tolist(), pa.string()),
+        "bucket": pa.array(out["bucket"].tolist(), pa.string()),
+        "n": pa.array(out["n"].astype("int64").tolist(), pa.int64())})
 
 
 def q_error_log_parse(sf_dir: str):
@@ -9878,6 +9957,8 @@ QUERY_REGISTRY = {
     "intervals_ordered": q_intervals_ordered,
     "rollover_search": q_rollover_search,
     "ilm_search": q_ilm_search,
+    "analyze_linux2k": q_analyze_linux2k,
+    "analyze_apache100": q_analyze_apache100,
     "bm25_topk_stopped": q_bm25_topk_stopped,
     "bm25_topk_stemmed": q_bm25_topk_stemmed,
     "embedding_knn_pq": q_embedding_knn_pq,

@@ -366,7 +366,9 @@ def bench_pipelines() -> dict:
              "esql_agg_where",
              "profile_search",
              # round-5: the reference's real sample corpora end-to-end
-             "analyze_linux2k", "analyze_apache100"]
+             # + the ES|QL 9.x tail (CATEGORIZE, DATE_DIFF family)
+             "analyze_linux2k", "analyze_apache100",
+             "esql_categorize", "esql_date_diff"]
     out = {}
     for name in names:
         t0 = time.monotonic()

@@ -5495,3 +5495,48 @@ ORACLE_SQL["analyze_apache100"] = r"""
     SELECT dim, bucket, count(*)::BIGINT AS n
     FROM long GROUP BY 1, 2 ORDER BY 1, 2
 """
+
+
+# esql_categorize: the SAME three-pass RE2 template cascade as the
+# engine (digit-bearing tokens -> "*", "*" runs collapse, whitespace
+# normalized, trimmed) — both sides RE2, so byte-identical categories
+ORACLE_SQL["esql_categorize"] = r"""
+    WITH m AS (
+      SELECT user_id,
+             'user ' || CAST(user_id AS VARCHAR) || ' action '
+               || event_type || ' took '
+               || CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+               || ' us' AS msg
+      FROM events
+    ), c AS (
+      SELECT user_id,
+             trim(regexp_replace(regexp_replace(regexp_replace(
+                 msg, '\S*\d\S*', '*', 'g'),
+                 '\*(?:\s+\*)+', '*', 'g'),
+                 '\s+', ' ', 'g')) AS cat
+      FROM m
+    )
+    SELECT cat, count(*)::BIGINT AS n,
+           count(DISTINCT user_id)::BIGINT AS users
+    FROM c GROUP BY 1 ORDER BY 1
+"""
+
+# esql_date_diff: epoch-microsecond integer division (every diff is
+# positive — min(ts) > the anchor — so floor division == the ES
+# trunc-toward-zero contract); greatest/least need no null guard here
+# (ts and the literals are non-null)
+ORACLE_SQL["esql_date_diff"] = """
+    WITH e AS (
+      SELECT epoch_us(ts)
+               - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS du
+      FROM events
+    ), d AS (
+      SELECT du // 86400000000 AS days,
+             du // 3600000000 AS hours
+      FROM e
+    )
+    SELECT days, count(*)::BIGINT AS n, max(hours) AS hmax,
+           min(greatest(days, 10)) AS gmin,
+           max(least(hours, 200)) AS lmax
+    FROM d GROUP BY 1 ORDER BY 1
+"""

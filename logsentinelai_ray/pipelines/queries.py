@@ -7741,6 +7741,56 @@ def q_esql_weighted_stats(sf_dir: str):
     return execute_esql(ESQL_WEIGHTED_STATS_QUERY, sf_dir)
 
 
+ESQL_CATEGORIZE_QUERY = (
+    "FROM events "
+    '| EVAL msg = CONCAT("user ", TO_STRING(user_id), " action ", '
+    'event_type, " took ", TO_STRING(TO_LONG(ROUND(value * 100))), '
+    '" us") '
+    "| EVAL cat = CATEGORIZE(msg) "
+    "| STATS n = COUNT(*), users = COUNT_DISTINCT(user_id) BY cat "
+    "| SORT cat ASC")
+
+
+def q_esql_categorize(sf_dir: str):
+    """ES|QL 9.x CATEGORIZE — the flagship log-pattern aggregation
+    key, precisely this engine's domain: log-shaped messages rendered
+    from events collapse to their constant-token skeleton ("user *
+    action click took * us") via the deterministic template heuristic
+    (digit-bearing tokens -> "*", runs collapsed — the documented
+    replacement for ES's ML categorizer), then STATS groups by the
+    category. Three vectorized RE2 passes per batch; the oracle runs
+    the SAME regex cascade in DuckDB."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_CATEGORIZE_QUERY, sf_dir)
+
+
+ESQL_DATE_DIFF_QUERY = (
+    "FROM events "
+    '| EVAL d0 = DATE_PARSE("yyyy-MM-dd HH:mm:ss", '
+    '"2024-01-01 00:00:00") '
+    '| EVAL days = DATE_DIFF("day", d0, ts), '
+    'hours = DATE_DIFF("hour", d0, ts) '
+    "| EVAL g = GREATEST(days, 10), l = LEAST(hours, 200) "
+    "| STATS n = COUNT(*), hmax = MAX(hours), gmin = MIN(g), "
+    "lmax = MAX(l) BY days "
+    "| SORT days ASC")
+
+
+def q_esql_date_diff(sf_dir: str):
+    """ES|QL DATE_DIFF (complete fixed-size units, truncated toward
+    zero) + DATE_PARSE (the DATE_FORMAT Java-pattern subset inverted)
+    + GREATEST/LEAST (variadic elementwise, null-intolerant per the
+    scalar convention) in one pipeline: parse an anchor, difference
+    every event timestamp in days and hours, clamp through
+    GREATEST/LEAST, roll up per day. The oracle mirrors via
+    epoch-microsecond integer division (all diffs positive, so floor
+    == trunc) and guarded greatest/least."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_DATE_DIFF_QUERY, sf_dir)
+
+
 ESQL_STRINGS2_QUERY = (
     "FROM documents "
     '| EVAL lang2 = REVERSE(lang), head = LEFT(source, 4), '
@@ -10012,6 +10062,8 @@ QUERY_REGISTRY = {
     "esql_bucket": q_esql_bucket,
     "esql_string_functions2": q_esql_string_functions2,
     "esql_weighted_stats": q_esql_weighted_stats,
+    "esql_categorize": q_esql_categorize,
+    "esql_date_diff": q_esql_date_diff,
     "esql_ip_functions": q_esql_ip_functions,
     "esql_mv_list_functions": q_esql_mv_list_functions,
     "moore_lewis": q_moore_lewis,

@@ -38,7 +38,8 @@ TO_DOUBLE TO_STRING SUBSTRING CONCAT TRIM LTRIM RTRIM LEFT RIGHT
 REPLACE REVERSE SPLIT LOCATE REPEAT STARTS_WITH ENDS_WITH COALESCE
 FLOOR CEIL SQRT POW LOG10 EXP LOG SIN COS TAN SIGNUM E PI TAU
 BUCKET(x, n, min, max) DATE_TRUNC DATE_FORMAT DATE_EXTRACT
-CASE(c1, v1, …[, default]) MATCH(field, "query")
+DATE_PARSE(pattern, s) DATE_DIFF(unit, start, end) GREATEST LEAST
+CATEGORIZE(msg) CASE(c1, v1, …[, default]) MATCH(field, "query")
 CIDR_MATCH(ip, "net/len", …) IP_PREFIX(ip, len, 0)
 V_COSINE/V_DOT_PRODUCT/V_L1_NORM/V_L2_NORM(field, [q…])
 MV_COUNT/MV_SUM/MV_MIN/MV_MAX/MV_AVG/MV_FIRST/MV_LAST/MV_SORT/
@@ -610,6 +611,74 @@ def eval_expr(e, t: pa.Table):
                     f"ES|QL: DATE_EXTRACT part {part!r} not in "
                     f"{sorted(fns)}")
             return pc.cast(fns[part](args[1]), pa.int64())
+        if e.fn == "DATE_DIFF":
+            # DATE_DIFF("unit", start, end) — the difference
+            # end - start in COMPLETE multiples of the unit, truncated
+            # toward zero (the ES|QL 8.13 contract). Fixed-size units
+            # only (calendar year/month/quarter need field arithmetic
+            # the mini-dialect doesn't carry — documented deviation);
+            # aliases follow the ES unit table.
+            if not isinstance(e.args[0], Lit):
+                raise ValueError(
+                    "ES|QL: DATE_DIFF unit must be a literal")
+            unit = str(e.args[0].value).lower()
+            us = {"millisecond": 1_000, "ms": 1_000,
+                  "second": 1_000_000, "s": 1_000_000,
+                  "minute": 60_000_000, "m": 60_000_000,
+                  "hour": 3_600_000_000, "h": 3_600_000_000,
+                  "day": 86_400_000_000, "d": 86_400_000_000,
+                  "week": 604_800_000_000, "w": 604_800_000_000}
+            if unit not in us:
+                raise ValueError(
+                    f"ES|QL: DATE_DIFF unit {unit!r} not in "
+                    f"{sorted(set(us))} (fixed-size units only)")
+            a = pc.cast(pc.cast(args[1], pa.timestamp("us")), pa.int64())
+            b = pc.cast(pc.cast(args[2], pa.timestamp("us")), pa.int64())
+            d = pc.subtract(b, a)
+            # integer division truncating toward ZERO (Arrow's
+            # divide on int64 truncates toward zero, matching ES)
+            return pc.divide(d, pa.scalar(us[unit], pa.int64()))
+        if e.fn == "DATE_PARSE":
+            # DATE_PARSE("yyyy-MM-dd...", str) — the same Java-pattern
+            # subset as DATE_FORMAT, translated to strptime; one
+            # vectorized strptime per batch
+            if not isinstance(e.args[0], Lit):
+                raise ValueError(
+                    "ES|QL: DATE_PARSE pattern must be a literal")
+            pat = e.args[0].value
+            for java, c_ in (("yyyy", "%Y"), ("MM", "%m"),
+                             ("dd", "%d"), ("HH", "%H"),
+                             ("mm", "%M"), ("ss", "%S")):
+                pat = pat.replace(java, c_)
+            return pc.strptime(args[1], format=pat, unit="us",
+                               error_is_null=True)
+        if e.fn in ("GREATEST", "LEAST"):
+            # variadic elementwise max/min, null-intolerant (the ES|QL
+            # scalar-function convention: null in -> null out), so the
+            # SQL mirror is greatest/least wrapped in a null guard
+            arrs = [_arr(a, len(t)) for a in args]
+            fn = (pc.max_element_wise if e.fn == "GREATEST"
+                  else pc.min_element_wise)
+            out = fn(*arrs, skip_nulls=False)
+            return out
+        if e.fn == "CATEGORIZE":
+            # ES|QL 9.x CATEGORIZE(message) — the log-pattern grouping
+            # key. ES's ML categorizer is replaced by the DETERMINISTIC
+            # classic template heuristic (documented spec, exactly
+            # SQL-mirrorable): every whitespace token containing a
+            # digit becomes "*" (ids, counts, IPs, timestamps), runs
+            # of "*" and whitespace collapse, result is trimmed —
+            # the constant-token skeleton that groups "connection 42
+            # from 10.0.0.7" with "connection 17 from 10.9.3.1".
+            # Three RE2 passes, fully vectorized.
+            v = pc.cast(args[0], pa.string())
+            v = pc.replace_substring_regex(v, pattern=r"\S*\d\S*",
+                                           replacement="*")
+            v = pc.replace_substring_regex(
+                v, pattern=r"\*(?:\s+\*)+", replacement="*")
+            v = pc.replace_substring_regex(v, pattern=r"\s+",
+                                           replacement=" ")
+            return pc.utf8_trim_whitespace(v)
         if e.fn in ("CIDR_MATCH", "IP_PREFIX"):
             # ES|QL IPv4 functions over dotted-quad strings: pack the
             # octets to one int64 per row (vectorized split + cast),

@@ -935,6 +935,42 @@ def test_mv_list_manipulators():
         ev(parse_expr("MV_SLICE(v, 2, 1)"), t)
 
 
+def test_date_diff_parse_greatest_least_categorize():
+    """Round-5 scalar tail: DATE_DIFF (complete units, trunc toward
+    zero, both signs), DATE_PARSE (Java-pattern subset, bad input ->
+    null), GREATEST/LEAST (null-intolerant), CATEGORIZE (digit-token
+    template skeleton)."""
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({
+        "a": pa.array([1, 5, None, 3], pa.int64()),
+        "b": pa.array([4, 2, 7, None], pa.int64()),
+        "s": pa.array(["2024-01-02 03:04:05", "2024-02-29 00:00:00",
+                       None, "bad"]),
+        "msg": pa.array(["connection 42 from 10.0.0.7 port 2200",
+                         "connection 17 from 10.9.3.1 port 99",
+                         "user alice logged in", None]),
+    })
+    assert ev(parse_expr("GREATEST(a, b)"), t).to_pylist() == \
+        [4, 5, None, None]
+    assert ev(parse_expr("LEAST(a, b, 3)"), t).to_pylist() == \
+        [1, 2, None, None]
+    ts = ev(parse_expr('DATE_PARSE("yyyy-MM-dd HH:mm:ss", s)'), t)
+    assert [v and v.isoformat() for v in ts.to_pylist()] == \
+        ["2024-01-02T03:04:05", "2024-02-29T00:00:00", None, None]
+    t2 = t.append_column("ts", ts)
+    anchor = 'DATE_PARSE("yyyy-MM-dd HH:mm:ss", "2024-01-01 00:00:00")'
+    assert ev(parse_expr(f'DATE_DIFF("day", {anchor}, ts)'),
+              t2).to_pylist() == [1, 59, None, None]
+    # reversed order: negative, still truncated toward zero
+    assert ev(parse_expr(f'DATE_DIFF("hour", ts, {anchor})'),
+              t2).to_pylist() == [-27, -1416, None, None]
+    assert ev(parse_expr("CATEGORIZE(msg)"), t).to_pylist() == \
+        ["connection * from * port *", "connection * from * port *",
+         "user alice logged in", None]
+    with pytest.raises(ValueError, match="unit"):
+        ev(parse_expr(f'DATE_DIFF("month", {anchor}, ts)'), t2)
+
+
 def test_mv_sort_dedupe_inner_nulls():
     """Element-level (inner) nulls are dropped before the lexsort —
     a None inside a STRING list must not raise (object-array

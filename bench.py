@@ -379,6 +379,48 @@ def bench_pipelines() -> dict:
     return out
 
 
+def bench_dedup_incremental_split() -> dict:
+    """The dedup_incremental pipeline line mixes amortized store
+    construction with the per-delta probe; the 100-TB claim is about
+    the PROBE (arriving batches never re-shingle the existing corpus),
+    so time the two stages separately against a fresh store: 90% of
+    documents -> persisted bucket-partitioned MinHash band store, then
+    the 10% delta probes only its matching buckets + exact-Jaccard
+    verifies candidates."""
+    import shutil
+    from functools import partial
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from logsentinelai_ray.dedup.store import (build_minhash_store,
+                                               probe_minhash_store)
+
+    ds = rd.read_parquet(os.path.join(SF_DIR, "documents.parquet"),
+                         columns=["doc_id", "text"])
+
+    def keep(t: "pa.Table", in_delta: bool) -> "pa.Table":
+        mod = t["doc_id"].to_numpy(zero_copy_only=False) % 10
+        return t.filter(pa.array((mod == 0) == in_delta))
+
+    base = ds.map_batches(partial(keep, in_delta=False),
+                          batch_format="pyarrow")
+    delta = ds.map_batches(partial(keep, in_delta=True),
+                           batch_format="pyarrow")
+    store = "/tmp/lsai_bench_mhstore"
+    shutil.rmtree(store, ignore_errors=True)
+    t0 = time.monotonic()
+    build_minhash_store(base, store)
+    build_s = time.monotonic() - t0
+    t0 = time.monotonic()
+    out = probe_minhash_store(delta, store, base, threshold=0.5)
+    n_pairs = out.num_rows if hasattr(out, "num_rows") else len(out)
+    probe_s = time.monotonic() - t0
+    return {"dedup_store_build_s": round(build_s, 3),
+            "dedup_delta_probe_s": round(probe_s, 3),
+            "dedup_probe_pairs": int(n_pairs)}
+
+
 def run_once() -> dict:
     import logging
     import warnings
@@ -400,6 +442,7 @@ def run_once() -> dict:
         core = bench_index_and_query()
         probe_mid = host_probe()
         pipelines = bench_pipelines()
+        dedup_split = bench_dedup_incremental_split()
     finally:
         primer_stop(procs)
     ray.shutdown()
@@ -424,6 +467,7 @@ def run_once() -> dict:
         "bounded_cold_p99_ms": core.get("bounded_cold_p99_ms"),
         "bounded_warm_p99_ms": core.get("bounded_warm_p99_ms"),
         "bounded_cache": core.get("bounded_cache"),
+        **dedup_split,
         "stage_timings": core["stage_timings"],
         "host_probes": {"before": probe_before, "after_core": probe_mid,
                         "after": probe_after},

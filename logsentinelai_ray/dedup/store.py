@@ -44,16 +44,36 @@ _EMPTY_PAIRS = pa.table({"a": pa.array([], pa.int64()),
                          "jaccard": pa.array([], pa.float64())})
 
 
-def _band_rows(ds, meta: dict):
+def _emit_rows_task(t: pa.Table, meta: dict) -> pa.Table:
+    """Stateless per-task emit: rebuilds the (trivial, seeded) hash
+    coefficients per batch — bit-identical to the actor's rows because
+    both derive them from the same RandomState(seed)."""
+    emit = MinHashEmit(meta["text_col"], meta["id_col"], meta["n"],
+                       meta["num_perm"], meta["bands"],
+                       seed=meta["seed"])
+    return emit(t)
+
+
+def _band_rows(ds, meta: dict, use_actors: bool = True):
     """(band, bh, doc_id) LSH rows for ``ds`` under the store's
-    persisted emit params — the same actor-pool stage the one-shot
-    operator uses, so collisions are bit-identical across runs."""
-    rows = ds.map_batches(
-        MinHashEmit,
-        fn_constructor_args=(meta["text_col"], meta["id_col"], meta["n"],
-                             meta["num_perm"], meta["bands"]),
-        fn_constructor_kwargs={"seed": meta["seed"]},
-        batch_format="pyarrow", concurrency=(1, 4))
+    persisted emit params — the same stage the one-shot operator uses,
+    so collisions are bit-identical across runs. ``use_actors=False``
+    switches to a plain task pool: for a small PROBE delta the actor
+    pool's spin-up dominates the work, while coefficient setup is a
+    trivial seeded RNG draw any task can redo per batch (the build
+    path keeps the actor pool — there setup amortizes over the
+    corpus)."""
+    if use_actors:
+        rows = ds.map_batches(
+            MinHashEmit,
+            fn_constructor_args=(meta["text_col"], meta["id_col"],
+                                 meta["n"], meta["num_perm"],
+                                 meta["bands"]),
+            fn_constructor_kwargs={"seed": meta["seed"]},
+            batch_format="pyarrow", concurrency=(1, 4))
+    else:
+        rows = ds.map_batches(partial(_emit_rows_task, meta=meta),
+                              batch_format="pyarrow")
     # sort by bh inside each written file so parquet row-group stats
     # prune the probe's is_in filter
     return rows.map_batches(lambda t: t.sort_by("bh"),
@@ -150,7 +170,7 @@ def probe_minhash_store(delta_ds, store_dir: str, base_ds,
     assert meta["kind"] == "minhash", meta["kind"]
     id_col, text_col = meta["id_col"], meta["text_col"]
 
-    parts = list(_band_rows(delta_ds, meta)
+    parts = list(_band_rows(delta_ds, meta, use_actors=False)
                  .iter_batches(batch_format="pyarrow",
                                batch_size=1 << 20))
     if not parts:
@@ -170,15 +190,26 @@ def probe_minhash_store(delta_ds, store_dir: str, base_ds,
     a_ids, b_ids = cand[:, 0], cand[:, 1]
 
     sets: dict[int, np.ndarray] = {}
-    for ds, ids in ((base_ds, np.unique(a_ids)),
-                    (delta_ds, np.unique(b_ids))):
+
+    def _cand_sets(ds, ids):
         rows = list(ds.map_batches(
             partial(_cand_hash_rows, ids_ref=ray.put(ids),
                     text_col=text_col, id_col=id_col, n=meta["n"]),
             batch_format="pyarrow")
             .iter_batches(batch_format="pyarrow", batch_size=1 << 20))
-        if rows:
-            sets.update(_sets_from_rows(pa.concat_tables(rows)))
+        return _sets_from_rows(pa.concat_tables(rows)) if rows else {}
+
+    # the base and delta candidate-pruned passes are independent Ray
+    # pipelines — overlap them (two driver threads just iterate
+    # batches; the work runs in Ray tasks either way)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as tp:
+        futs = [tp.submit(_cand_sets, d, ids)
+                for d, ids in ((base_ds, np.unique(a_ids)),
+                               (delta_ds, np.unique(b_ids)))]
+        for f in futs:
+            sets.update(f.result())
     verified = rd.from_arrow(pa.table({
         "a": pa.array(a_ids, pa.int64()),
         "b": pa.array(b_ids, pa.int64()),

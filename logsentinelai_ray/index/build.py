@@ -519,10 +519,16 @@ def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int,
             "pos": pa.array(occ_pos, pa.int32()),
         })
 
+    # term rides the exchange DICTIONARY-ENCODED (int32 codes + one
+    # per-batch dictionary): the per-part slice gather then moves 4-byte
+    # codes instead of re-gathering strings, and parquet writes the
+    # dictionary pages directly — the same measured ~25% win the
+    # positions sidecar got from this in r4; encode_runs dictionary-
+    # encodes its input anyway, so the reduce side is unchanged
     content_terms = pa.table({
         "part": pa.array(term_parts[u_code], pa.int32()),
-        "term": pa.array(np.asarray(vocab, dtype=object)[u_code],
-                         pa.string()),
+        "term": pa.DictionaryArray.from_arrays(
+            pa.array(u_code.astype(np.int32)), enc.dictionary),
         "doc_id": pa.array(doc_ids[u_row], pa.int64()),
         "tf": pa.array(tf.astype(np.int32), pa.int32()),
         "dl": pa.array(dl_np[u_row].astype(np.int32), pa.int32()),
@@ -552,8 +558,8 @@ def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int,
         p_parts = _parts_for(p_vocab, P)
         field_tables.append(pa.table({
             "part": pa.array(p_parts[pu_code], pa.int32()),
-            "term": pa.array(np.asarray(p_vocab, dtype=object)[pu_code],
-                             pa.string()),
+            "term": pa.DictionaryArray.from_arrays(
+                pa.array(pu_code.astype(np.int32)), p_enc.dictionary),
             "doc_id": pa.array(doc_ids[pu_row], pa.int64()),
             "tf": pa.array(p_tf.astype(np.int32), pa.int32()),
             "dl": pa.array(p_dl[pu_row].astype(np.int32), pa.int32()),
@@ -562,18 +568,31 @@ def tokenize_emit(batch: pa.Table, cfg: IndexConfig, n_docs: int,
 
     # keyword-field postings for filters (lang / repo): tf=1, dl=1;
     # these are the analog of the Kibana keyword fields the reference
-    # dashboards filter on (SURVEY.md §1.2).
+    # dashboards filter on (SURVEY.md §1.2). Vectorized: prefix-join +
+    # dictionary_encode replace the old per-row Python f-string loop;
+    # partitions hash only the UNIQUE values and gather by code.
     for col, prefix in (("lang", "lang:"), ("repo", "repo:")):
-        fterms = [prefix + v for v in batch[col].to_pylist()]
+        farr = pc.binary_join_element_wise(
+            pa.scalar(prefix), pc.cast(batch[col], pa.string()), "")
+        fenc = farr.dictionary_encode()
+        if isinstance(fenc, pa.ChunkedArray):
+            fenc = fenc.combine_chunks()
+        f_parts = _parts_for(fenc.dictionary.to_pylist(), P)
+        f_codes = fenc.indices.to_numpy(zero_copy_only=False)
+        n_f = len(fenc)
         field_tables.append(pa.table({
-            "part": pa.array(_parts_for(fterms, P), pa.int32()),
-            "term": pa.array(fterms, pa.string()),
+            "part": pa.array(f_parts[f_codes], pa.int32()),
+            "term": fenc,
             "doc_id": pa.array(doc_ids, pa.int64()),
-            "tf": pa.array(np.ones(len(fterms), dtype=np.int32)),
-            "dl": pa.array(np.ones(len(fterms), dtype=np.int32)),
-            "is_field": pa.array(np.ones(len(fterms), dtype=bool)),
+            "tf": pa.array(np.ones(n_f, dtype=np.int32)),
+            "dl": pa.array(np.ones(n_f, dtype=np.int32)),
+            "is_field": pa.array(np.ones(n_f, dtype=bool)),
         }))
-    out = pa.concat_tables(field_tables)
+    # one unified dictionary per batch so the downstream per-part take
+    # gathers against a single dictionary (chunk-heterogeneous
+    # dictionaries would force per-slice unification)
+    out = pa.concat_tables(field_tables).unify_dictionaries() \
+        .combine_chunks()
     # salt: S contiguous doc-id ranges
     did = out["doc_id"].to_numpy(zero_copy_only=False)
     salt = np.minimum((did * cfg.salt_buckets) // n_docs,
@@ -622,7 +641,16 @@ def _emit_and_partition(batch: pa.Table, cfg: IndexConfig, n_docs: int,
                                  pa.scalar(0, pa.int32()))).as_py() or 0
     n_path_tokens = 0
     if cfg.index_path_field:
-        pmask = pc.starts_with(triples["term"], "p:")
+        # term is dictionary-encoded: run starts_with over the (small)
+        # dictionary once and gather the mask by code
+        tcol = triples["term"].combine_chunks()
+        if pa.types.is_dictionary(tcol.type):
+            dmask = pc.starts_with(tcol.dictionary, "p:") \
+                .to_numpy(zero_copy_only=False)
+            pmask = pa.array(
+                dmask[tcol.indices.to_numpy(zero_copy_only=False)])
+        else:
+            pmask = pc.starts_with(tcol, "p:")
         n_path_tokens = pc.sum(pc.if_else(pmask, triples["tf"],
                                           pa.scalar(0, pa.int32()))
                                ).as_py() or 0

@@ -84,7 +84,17 @@ def encode_runs(group: pa.Table, cfg: IndexConfig, avgdl: float) -> pa.Table:
     if not pa.types.is_dictionary(term_dict.type):
         term_dict = term_dict.dictionary_encode()
     codes = term_dict.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    terms = term_dict.dictionary.to_pylist()
+    # the exchange ships terms dictionary-encoded; a (part, salt) slice
+    # references only a subset of its files' (unified, batch-wide)
+    # dictionaries — keep the USED entries and remap codes dense, or
+    # the per-term arrays below misalign with the dictionary
+    used = np.unique(codes)
+    if used.size != len(term_dict.dictionary) \
+            or (used.size and int(used[-1]) != used.size - 1):
+        codes = np.searchsorted(used, codes)
+        terms = term_dict.dictionary.take(pa.array(used)).to_pylist()
+    else:
+        terms = term_dict.dictionary.to_pylist()
     doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
     tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
     dls = group["dl"].to_numpy(zero_copy_only=False).astype(np.int64)

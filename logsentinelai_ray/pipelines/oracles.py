@@ -5528,15 +5528,25 @@ ORACLE_SQL["esql_categorize"] = r"""
 ORACLE_SQL["esql_date_diff"] = """
     WITH e AS (
       SELECT epoch_us(ts)
-               - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS du
+               - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS du,
+             (year(ts) - 2023) * 12 + (month(ts) - 11) AS mraw,
+             -- intra-month position; DuckDB microsecond() includes
+             -- the seconds component (= (…*60+s)*1e6 + us)
+             (((day(ts) * 24 + hour(ts)) * 60 + minute(ts)) * 60)
+               * 1000000 + microsecond(ts) AS pos2
       FROM events
     ), d AS (
       SELECT du // 86400000000 AS days,
-             du // 3600000000 AS hours
+             du // 3600000000 AS hours,
+             mraw - CASE WHEN mraw > 0
+                          AND pos2 < ((15 * 24 + 12) * 60 * 60)
+                                       * CAST(1000000 AS BIGINT)
+                         THEN 1 ELSE 0 END AS months
       FROM e
     )
     SELECT days, count(*)::BIGINT AS n, max(hours) AS hmax,
            min(greatest(days, 10)) AS gmin,
-           max(least(hours, 200)) AS lmax
+           max(least(hours, 200)) AS lmax,
+           min(months) AS momin, max(months) AS momax
     FROM d GROUP BY 1 ORDER BY 1
 """

@@ -7769,23 +7769,30 @@ ESQL_DATE_DIFF_QUERY = (
     "FROM events "
     '| EVAL d0 = DATE_PARSE("yyyy-MM-dd HH:mm:ss", '
     '"2024-01-01 00:00:00") '
+    '| EVAL m0 = DATE_PARSE("yyyy-MM-dd HH:mm:ss", '
+    '"2023-11-15 12:00:00") '
     '| EVAL days = DATE_DIFF("day", d0, ts), '
-    'hours = DATE_DIFF("hour", d0, ts) '
+    'hours = DATE_DIFF("hour", d0, ts), '
+    'months = DATE_DIFF("month", m0, ts) '
     "| EVAL g = GREATEST(days, 10), l = LEAST(hours, 200) "
     "| STATS n = COUNT(*), hmax = MAX(hours), gmin = MIN(g), "
-    "lmax = MAX(l) BY days "
+    "lmax = MAX(l), momin = MIN(months), momax = MAX(months) BY days "
     "| SORT days ASC")
 
 
 def q_esql_date_diff(sf_dir: str):
-    """ES|QL DATE_DIFF (complete fixed-size units, truncated toward
-    zero) + DATE_PARSE (the DATE_FORMAT Java-pattern subset inverted)
-    + GREATEST/LEAST (variadic elementwise, null-intolerant per the
-    scalar convention) in one pipeline: parse an anchor, difference
-    every event timestamp in days and hours, clamp through
-    GREATEST/LEAST, roll up per day. The oracle mirrors via
+    """ES|QL DATE_DIFF (complete units, truncated toward zero; both
+    fixed-size AND calendar units — "month" counts complete calendar
+    months per ChronoUnit.between, minus one when the end's
+    intra-month day+time hasn't reached the start's) + DATE_PARSE
+    (the DATE_FORMAT Java-pattern subset inverted) + GREATEST/LEAST
+    (variadic elementwise, null-intolerant per the scalar convention)
+    in one pipeline. The oracle mirrors fixed units via
     epoch-microsecond integer division (all diffs positive, so floor
-    == trunc) and guarded greatest/least."""
+    == trunc) and the month unit via (Δyear*12 + Δmonth) with the
+    intra-month position packed exactly as the engine packs it
+    (DuckDB's microsecond() includes the seconds component, which
+    equals the engine's (…*60+second)*1e6+us term)."""
     from ..query.esql import execute_esql
 
     return execute_esql(ESQL_DATE_DIFF_QUERY, sf_dir)

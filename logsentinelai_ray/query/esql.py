@@ -614,10 +614,12 @@ def eval_expr(e, t: pa.Table):
         if e.fn == "DATE_DIFF":
             # DATE_DIFF("unit", start, end) — the difference
             # end - start in COMPLETE multiples of the unit, truncated
-            # toward zero (the ES|QL 8.13 contract). Fixed-size units
-            # only (calendar year/month/quarter need field arithmetic
-            # the mini-dialect doesn't carry — documented deviation);
-            # aliases follow the ES unit table.
+            # toward zero (the ES|QL 8.13 / java ChronoUnit.between
+            # contract); aliases follow the ES unit table. Calendar
+            # units (year/quarter/month) count complete calendar
+            # months — (Δyear*12 + Δmonth), minus one when the end's
+            # intra-month position (day + time) hasn't reached the
+            # start's — then trunc-divide by 3 / 12.
             if not isinstance(e.args[0], Lit):
                 raise ValueError(
                     "ES|QL: DATE_DIFF unit must be a literal")
@@ -628,16 +630,51 @@ def eval_expr(e, t: pa.Table):
                   "hour": 3_600_000_000, "h": 3_600_000_000,
                   "day": 86_400_000_000, "d": 86_400_000_000,
                   "week": 604_800_000_000, "w": 604_800_000_000}
-            if unit not in us:
+            cal = {"month": 1, "mo": 1, "quarter": 3, "qq": 3,
+                   "year": 12, "yy": 12, "yyyy": 12}
+            if unit in us:
+                a = pc.cast(pc.cast(args[1], pa.timestamp("us")),
+                            pa.int64())
+                b = pc.cast(pc.cast(args[2], pa.timestamp("us")),
+                            pa.int64())
+                d = pc.subtract(b, a)
+                # integer division truncating toward ZERO (Arrow's
+                # divide on int64 truncates toward zero, matching ES)
+                return pc.divide(d, pa.scalar(us[unit], pa.int64()))
+            if unit not in cal:
                 raise ValueError(
                     f"ES|QL: DATE_DIFF unit {unit!r} not in "
-                    f"{sorted(set(us))} (fixed-size units only)")
-            a = pc.cast(pc.cast(args[1], pa.timestamp("us")), pa.int64())
-            b = pc.cast(pc.cast(args[2], pa.timestamp("us")), pa.int64())
-            d = pc.subtract(b, a)
-            # integer division truncating toward ZERO (Arrow's
-            # divide on int64 truncates toward zero, matching ES)
-            return pc.divide(d, pa.scalar(us[unit], pa.int64()))
+                    f"{sorted(set(us) | set(cal))}")
+
+            def _ym_pos(ts):
+                ts = pc.cast(ts, pa.timestamp("us"))
+                ym = pc.add(pc.multiply(pc.cast(pc.year(ts), pa.int64()),
+                                        pa.scalar(12, pa.int64())),
+                            pc.cast(pc.month(ts), pa.int64()))
+                # intra-month position packed to one int64:
+                # (((day*24+h)*60+m)*60+s)*1e6 + us  (< 2.7e12)
+                pos = pc.cast(pc.day(ts), pa.int64())
+                for f, mul in ((pc.hour, 24), (pc.minute, 60),
+                               (pc.second, 60)):
+                    pos = pc.add(pc.multiply(pos, pa.scalar(
+                        mul, pa.int64())), pc.cast(f(ts), pa.int64()))
+                pos = pc.add(pc.multiply(pos, pa.scalar(
+                    1_000_000, pa.int64())),
+                    pc.cast(pc.microsecond(ts), pa.int64()))
+                return ym, pos
+            ym1, p1 = _ym_pos(args[1])
+            ym2, p2 = _ym_pos(args[2])
+            months = pc.subtract(ym2, ym1)
+            one = pa.scalar(1, pa.int64())
+            months = pc.if_else(
+                pc.and_(pc.greater(months, pa.scalar(0, pa.int64())),
+                        pc.less(p2, p1)),
+                pc.subtract(months, one), months)
+            months = pc.if_else(
+                pc.and_(pc.less(months, pa.scalar(0, pa.int64())),
+                        pc.greater(p2, p1)),
+                pc.add(months, one), months)
+            return pc.divide(months, pa.scalar(cal[unit], pa.int64()))
         if e.fn == "DATE_PARSE":
             # DATE_PARSE("yyyy-MM-dd...", str) — the same Java-pattern
             # subset as DATE_FORMAT, translated to strptime; one

@@ -968,7 +968,36 @@ def test_date_diff_parse_greatest_least_categorize():
         ["connection * from * port *", "connection * from * port *",
          "user alice logged in", None]
     with pytest.raises(ValueError, match="unit"):
-        ev(parse_expr(f'DATE_DIFF("month", {anchor}, ts)'), t2)
+        ev(parse_expr(f'DATE_DIFF("fortnight", {anchor}, ts)'), t2)
+
+
+def test_date_diff_calendar_units():
+    """DATE_DIFF calendar units count COMPLETE calendar months
+    (ChronoUnit.between): the month decrements when the end's
+    intra-month day+time hasn't reached the start's; quarter/year
+    trunc-divide months by 3/12 (toward zero, both signs)."""
+    import datetime as dt
+
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({
+        "a": pa.array([dt.datetime(2024, 1, 31, 12),
+                       dt.datetime(2024, 1, 1),
+                       dt.datetime(2023, 3, 15),
+                       dt.datetime(2024, 6, 1), None],
+                      pa.timestamp("us")),
+        "b": pa.array([dt.datetime(2024, 2, 29, 11),
+                       dt.datetime(2025, 1, 1),
+                       dt.datetime(2024, 3, 14, 23, 59),
+                       dt.datetime(2024, 3, 1),
+                       dt.datetime(2024, 1, 1)],
+                      pa.timestamp("us")),
+    })
+    assert ev(parse_expr('DATE_DIFF("month", a, b)'), t).to_pylist() \
+        == [0, 12, 11, -3, None]
+    assert ev(parse_expr('DATE_DIFF("quarter", a, b)'), t).to_pylist() \
+        == [0, 4, 3, -1, None]
+    assert ev(parse_expr('DATE_DIFF("year", a, b)'), t).to_pylist() \
+        == [0, 1, 0, 0, None]
 
 
 def test_mv_sort_dedupe_inner_nulls():

@@ -468,6 +468,10 @@ def run_once() -> dict:
         "bounded_warm_p99_ms": core.get("bounded_warm_p99_ms"),
         "bounded_cache": core.get("bounded_cache"),
         **dedup_split,
+        # batched-serving qps + the selective-WAND demo keys were only
+        # in --core-only output; the full record carries them too
+        **{k: v for k, v in core.items()
+           if k == "query_msearch_qps" or k.startswith("selective_")},
         "stage_timings": core["stage_timings"],
         "host_probes": {"before": probe_before, "after_core": probe_mid,
                         "after": probe_after},

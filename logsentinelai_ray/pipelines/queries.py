@@ -1836,29 +1836,74 @@ def _docs_count(sf_dir: str) -> int:
         os.path.join(sf_dir, "documents.parquet")).num_rows
 
 
+# below this many docs the boundary computation reads the 8-byte id
+# column in ONE task (100k ids = 800 KB — np.partition is microseconds
+# where Ray Data's all-to-all sort pays ~1-2 s of fixed exchange cost;
+# the same small-N cutover build.py uses for the docmap sort). Above
+# it, the distributed keys-only sort takes over — the 100-TB path.
+_SMALL_BOUNDARY_DOCS = 2_000_000
+
+
 def _corpus_boundary_keys(sf_dir, idxs):
     """Boundary ``repo`` keys at the given row indices of the
     repo-sorted corpus, computed from a KEYS-ONLY ``doc_id`` read:
     repo = "r" + zfill12(doc_id) is order-isomorphic to doc_id, so
     the boundary doc_ids ARE the boundary keys after formatting.
-    Only the 8-byte id column crosses the sort exchange — the corpus
-    text never leaves the parquet files and nothing is pinned in the
-    object store (r4 verdict: the fixtures' full-corpus
-    ``.materialize()`` was the last whole-corpus pin)."""
+    Only the 8-byte id column is ever touched — the corpus text never
+    leaves the parquet files and nothing is pinned in the object
+    store (r4 verdict: the fixtures' full-corpus ``.materialize()``
+    was the last whole-corpus pin)."""
+    import pyarrow.parquet as pq
+
+    n = _docs_count(sf_dir)
+    if n <= _SMALL_BOUNDARY_DOCS:
+        ids = np.sort(pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id"])["doc_id"].to_numpy())
+        # an index == n (tiny corpora: ILM's 2*ceil(n/3) == n for n
+        # in {1,2,4}) addresses the supremum — a sentinel sorting
+        # after every real "r"+digits key, so ranges starting at it
+        # are empty and ranges ending at it are unbounded
+        return [("r%012d" % ids[i]) if i < n else "r~" for i in idxs]
     keys = _read(sf_dir, "documents", columns=["doc_id"]) \
         .sort("doc_id")
     parts = keys.split_at_indices(list(idxs))
     out = []
     for p in parts[1:]:
         rows = p.take(1)
-        # a boundary index == dataset size (tiny corpora: ILM's
-        # 2*ceil(n/3) == n for n in {1,2,4}) leaves an empty tail
-        # part; the key "at index n" is the supremum, so emit a
-        # sentinel sorting after every real "r"+digits key — ranges
-        # starting at it are empty, ranges ending at it are unbounded
-        # (the pre-r4 slice code's semantics, minus the IndexError)
         out.append("r%012d" % rows[0]["doc_id"] if rows else "r~")
     return out
+
+
+def _write_key_chunks(src, boundaries, work: str, names) -> list[str]:
+    """ONE streaming pass over the corpusified source writes every
+    sorted-key chunk as a hive partition (``work/chunk=<name>/``) —
+    replacing one filtered re-read PER chunk (3 passes -> 1). Chunk
+    assignment is a vectorized searchsorted against the boundary
+    keys; the supremum sentinel naturally lands tail rows in the last
+    chunk."""
+    bnd = list(boundaries)
+
+    def assign(t: pa.Table) -> pa.Table:
+        keys = t["repo"]
+        c = pa.scalar(str(names[-1]), pa.string())
+        # nested if_else built back-to-front: the smallest boundary
+        # whose range contains the key wins — all Arrow kernels
+        for i in range(len(bnd) - 1, -1, -1):
+            c = pc.if_else(pc.less(keys, bnd[i]),
+                           pa.scalar(str(names[i]), pa.string()), c)
+        if isinstance(c, pa.Scalar):  # single-chunk degenerate case
+            c = pa.array([c.as_py()] * t.num_rows, pa.string())
+        return t.append_column("chunk", c)
+
+    src.map_batches(assign, batch_format="pyarrow") \
+        .write_parquet(work, partition_cols=["chunk"])
+    paths = []
+    for name in names:
+        p = os.path.join(work, f"chunk={name}")
+        os.makedirs(p, exist_ok=True)  # empty chunks still get a dir
+        paths.append(p)
+    return paths
 
 
 def _key_range(src, lo, hi):
@@ -2238,6 +2283,8 @@ def q_federated_search(sf_dir: str):
     import hashlib
     import shutil
 
+    import ray.data as rd
+
     from ..config import IndexConfig
     from ..index.build import build_index
     from ..query.federated import FederatedSearch
@@ -2254,17 +2301,20 @@ def q_federated_search(sf_dir: str):
             "/tmp/lsai_idx",
             hashlib.sha256(tag.encode()).hexdigest()[:16])
         shutil.rmtree(work, ignore_errors=True)
-        # keys-only median boundary (footer count + id-column sort);
-        # each member build then streams its key range straight from
-        # parquet — no corpus copy in the object store, no driver copy
+        # keys-only median boundary (footer count + id-column sort),
+        # then ONE streaming pass writes both member halves as hive
+        # partitions; each member build reads its pruned parquet —
+        # no corpus copy in the object store, no driver copy, no
+        # per-member corpusify re-read
         [half_key] = _corpus_boundary_keys(
             sf_dir, [_docs_count(sf_dir) // 2])
+        member_dirs = _write_key_chunks(
+            src, [half_key], os.path.join(work, "corpus"), ["a", "b"])
         cfg = IndexConfig(num_partitions=8, salt_buckets=4)
         members = []
-        for name, lo, hi in (("a", None, half_key),
-                             ("b", half_key, None)):
+        for name, cdir in zip(("a", "b"), member_dirs):
             d = os.path.join(work, name)
-            build_index(_key_range(src, lo, hi), d, cfg,
+            build_index(rd.read_parquet(cdir), d, cfg,
                         corpus_tag=f"{tag}-{name}")
             members.append(SearchEngine(d, num_shards=2))
         fed = FederatedSearch(members)
@@ -2302,18 +2352,13 @@ def q_rollover_search(sf_dir: str):
             hashlib.sha256(tag.encode()).hexdigest()[:16])
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(work)
-        # dataset-native thirds: footer count + keys-only boundary
-        # sort, then each chunk streams through a key-range filter
-        # into partitioned parquet — no driver-side corpus table and
-        # no object-store corpus pin (re-reads the pruned parquet per
-        # pass instead; r4 verdict item #1)
+        # dataset-native thirds: footer count + keys-only boundaries,
+        # then ONE streaming pass writes all three chunks as hive
+        # partitions — no driver-side corpus table, no object-store
+        # corpus pin, no per-chunk corpus re-read (r4 verdict item #1
+        # + its bench-regression follow-up)
         b = _corpus_boundary_keys(sf_dir, [n // 3, 2 * n // 3])
-        chunks = []
-        for i, (lo, hi) in enumerate(((None, b[0]), (b[0], b[1]),
-                                      (b[1], None))):
-            p = os.path.join(work, f"chunk{i}")
-            _key_range(src, lo, hi).write_parquet(p)
-            chunks.append(p)
+        chunks = _write_key_chunks(src, b, work, ["0", "1", "2"])
         roll = RolloverIndex(os.path.join(work, "alias"),
                              IndexConfig(num_partitions=8,
                                          salt_buckets=4),
@@ -2434,14 +2479,10 @@ def q_ilm_search(sf_dir: str):
         shutil.rmtree(work, ignore_errors=True)
         os.makedirs(work)
         # dataset-native chunking, as in q_rollover_search (footer
-        # count + keys-only boundaries; corpus never pinned)
+        # count + keys-only boundaries + one-pass partitioned write;
+        # corpus never pinned)
         b = _corpus_boundary_keys(sf_dir, [c, 2 * c])
-        chunks = []
-        for i, (lo, hi) in enumerate(((None, b[0]), (b[0], b[1]),
-                                      (b[1], None))):
-            p = os.path.join(work, f"chunk{i}")
-            _key_range(src, lo, hi).write_parquet(p)
-            chunks.append(p)
+        chunks = _write_key_chunks(src, b, work, ["0", "1", "2"])
         roll = RolloverIndex(os.path.join(work, "alias"),
                              IndexConfig(num_partitions=8,
                                          salt_buckets=4),

@@ -2311,6 +2311,9 @@ def q_federated_search(sf_dir: str):
         member_dirs = _write_key_chunks(
             src, [half_key], os.path.join(work, "corpus"), ["a", "b"])
         cfg = IndexConfig(num_partitions=8, salt_buckets=4)
+        # member builds stay sequential: overlapping them on driver
+        # threads races Ray Data's lazy fsspec imports (observed
+        # ImportError under two concurrent read_parquet plans)
         members = []
         for name, cdir in zip(("a", "b"), member_dirs):
             d = os.path.join(work, name)

@@ -1158,32 +1158,56 @@ class SearchEngine:
         strat = strategy or (
             "taat" if self.stats["n_docs"] <= self.taat_max_docs
             else "wand")
+        # union prefetch: one parallel shard round decodes/fetches
+        # every query's terms, then check RESIDENCY — the threaded
+        # fast path below must be pure read-only over the caches
+        # (a budget eviction mid-prefetch falls back to serial)
+        resident = True
         if all_terms:
             if strat == "taat":
                 self._ensure_contribs(all_terms)
+                resident = all(
+                    t in self._contrib_cache or t in self._absent_terms
+                    for t in all_terms)
             else:
-                self._fetch_terms(all_terms)
-        # batched TAAT: when the union prefetch left every query's
-        # terms resident, the per-query scoring is pure read-only
-        # numpy over shared decoded postings — run it on a thread
-        # pool (zeros/axpy/scatter/partition all release the GIL for
-        # these array sizes; measured ~4x over the serial loop at
-        # 100k docs x 17 queries). Filters resolve serially FIRST
-        # (they may fetch field postings = cache mutation); formatting
-        # stays on the caller thread. Ranks are bit-identical to the
-        # serial path: each query still adds ITS terms in sorted
-        # order into its own accumulator.
-        if strat == "taat" and all(
-                t in self._contrib_cache or t in self._absent_terms
-                for t in all_terms):
+                rows = self._fetch_terms(all_terms)
+                cacheable = [
+                    t for t, r in rows.items()
+                    if r["df"] <= self._WAND_CACHE_MAX_DF]
+                if cacheable:
+                    self._ensure_contribs(cacheable)
+                resident = (
+                    all(t in self._term_cache for t in all_terms)
+                    and all(t in self._contrib_cache
+                            or t in self._absent_terms
+                            for t in cacheable))
+        # batched scoring: per-query kernels over the SHARED decoded
+        # postings on a thread pool (the numpy accumulate / partition
+        # / WAND block work releases the GIL; measured ~4x over the
+        # serial loop at 100k docs x 17 queries). Filters resolve
+        # serially FIRST (they may fetch field postings = cache
+        # mutation); formatting stays on the caller thread. Ranks are
+        # bit-identical to the serial path — each query runs the same
+        # kernel with the same inputs.
+        if resident:
             fids = [self._filter_ids(r.get("filters")) for r in requests]
+            tomb = self._tombstones
 
             def _score(i: int):
                 fi = fids[i]
                 if fi is not None and fi.size == 0:
                     return []
-                return self._search_taat(qterms[i],
-                                         requests[i].get("k", 10), fi)
+                ts, k = qterms[i], requests[i].get("k", 10)
+                if strat == "taat":
+                    return self._search_taat(ts, k, fi)
+                cursors, decoded = self._wand_inputs(ts)
+                seed = (None
+                        if (requests[i].get("filters") or tomb.size)
+                        else self._wand_seed(ts, k))
+                return block_max_wand_vec(
+                    cursors, k, filter_ids=fi,
+                    exclude_ids=tomb if tomb.size else None,
+                    seed_threshold=seed, decoded=decoded)
 
             topks = list(self._pool().map(_score, range(len(requests))))
             outs = []

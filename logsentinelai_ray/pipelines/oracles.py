@@ -5550,3 +5550,20 @@ ORACLE_SQL["esql_date_diff"] = """
            min(months) AS momin, max(months) AS momax
     FROM d GROUP BY 1 ORDER BY 1
 """
+
+
+# esql_hash_functions: digests compared byte-for-byte; DuckDB's
+# bit_length/octet_length already count UTF-8 bytes, matching the
+# engine's binary_length semantics
+ORACLE_SQL["esql_hash_functions"] = """
+    WITH e AS (
+      SELECT md5(lang) AS h, sha256(lang) AS sh,
+             to_base64(encode(lang)) AS b,
+             decode(from_base64(to_base64(encode(lang)))) AS r,
+             bit_length(text) AS bl, octet_length(encode(source)) AS ob
+      FROM documents
+    )
+    SELECT h, sh, b, r, count(*)::BIGINT AS n,
+           sum(bl)::BIGINT AS bits, sum(ob)::BIGINT AS obytes
+    FROM e GROUP BY 1, 2, 3, 4 ORDER BY 1
+"""

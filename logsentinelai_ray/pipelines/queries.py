@@ -7842,6 +7842,28 @@ def q_esql_date_diff(sf_dir: str):
     return execute_esql(ESQL_DATE_DIFF_QUERY, sf_dir)
 
 
+ESQL_HASH_QUERY = (
+    "FROM documents "
+    "| EVAL h = MD5(lang), sh = SHA256(lang), b = TO_BASE64(lang), "
+    "r = FROM_BASE64(TO_BASE64(lang)), bl = BIT_LENGTH(text), "
+    "ob = BYTE_LENGTH(source) "
+    "| STATS n = COUNT(*), bits = SUM(bl), obytes = SUM(ob) "
+    "BY h, sh, b, r "
+    "| SORT h ASC")
+
+
+def q_esql_hash_functions(sf_dir: str):
+    """ES|QL 8.12-8.14 hashing/encoding surface — MD5 / SHA256 (the
+    HASH family), TO_BASE64/FROM_BASE64 (round-tripped), BIT_LENGTH /
+    BYTE_LENGTH (UTF-8 BYTE semantics, not codepoints) — grouped so
+    the digests themselves are oracle-compared byte-for-byte. Hashes
+    run per UNIQUE value and gather by dictionary code (the winnowing
+    md5 convention); lengths are one vectorized binary_length."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_HASH_QUERY, sf_dir)
+
+
 ESQL_STRINGS2_QUERY = (
     "FROM documents "
     '| EVAL lang2 = REVERSE(lang), head = LEFT(source, 4), '
@@ -10114,6 +10136,7 @@ QUERY_REGISTRY = {
     "esql_string_functions2": q_esql_string_functions2,
     "esql_weighted_stats": q_esql_weighted_stats,
     "esql_categorize": q_esql_categorize,
+    "esql_hash_functions": q_esql_hash_functions,
     "esql_date_diff": q_esql_date_diff,
     "esql_ip_functions": q_esql_ip_functions,
     "esql_mv_list_functions": q_esql_mv_list_functions,

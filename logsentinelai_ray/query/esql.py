@@ -35,15 +35,17 @@ predicates ``LIKE`` (*/? wildcards) / ``RLIKE`` (anchored regex) /
 ``[1, -0.5, …]`` for the vector functions. Functions:
 ``ROUND(x[, n]) ABS LENGTH TO_LOWER TO_UPPER TO_LONG TO_INTEGER
 TO_DOUBLE TO_STRING SUBSTRING CONCAT TRIM LTRIM RTRIM LEFT RIGHT
-REPLACE REVERSE SPLIT LOCATE REPEAT STARTS_WITH ENDS_WITH COALESCE
+REPLACE REVERSE SPLIT LOCATE REPEAT SPACE STARTS_WITH ENDS_WITH
+COALESCE MD5 SHA1 SHA256 TO_BASE64 FROM_BASE64 BIT_LENGTH BYTE_LENGTH
 FLOOR CEIL SQRT POW LOG10 EXP LOG SIN COS TAN SIGNUM E PI TAU
 BUCKET(x, n, min, max) DATE_TRUNC DATE_FORMAT DATE_EXTRACT
 DATE_PARSE(pattern, s) DATE_DIFF(unit, start, end) GREATEST LEAST
 CATEGORIZE(msg) CASE(c1, v1, …[, default]) MATCH(field, "query")
 CIDR_MATCH(ip, "net/len", …) IP_PREFIX(ip, len, 0)
 V_COSINE/V_DOT_PRODUCT/V_L1_NORM/V_L2_NORM(field, [q…])
-MV_COUNT/MV_SUM/MV_MIN/MV_MAX/MV_AVG/MV_FIRST/MV_LAST/MV_SORT/
-MV_DEDUPE/MV_SLICE``; aggregates ``COUNT COUNT_DISTINCT SUM MIN MAX
+MV_COUNT/MV_SUM/MV_MIN/MV_MAX/MV_AVG/MV_MEDIAN/MV_FIRST/MV_LAST/
+MV_SORT/MV_DEDUPE/MV_SLICE/MV_APPEND``; aggregates ``COUNT
+COUNT_DISTINCT SUM MIN MAX
 AVG MEDIAN PERCENTILE VALUES TOP WEIGHTED_AVG STD_DEV`` (each with a
 per-aggregate ``WHERE`` filter).
 """
@@ -539,6 +541,45 @@ def eval_expr(e, t: pa.Table):
                 raise ValueError(
                     "ES|QL: REPEAT count must be a literal")
             return pc.binary_repeat(args[0], int(e.args[1].value))
+        if e.fn == "SPACE":
+            if not isinstance(e.args[0], Lit):
+                raise ValueError("ES|QL: SPACE count must be a literal")
+            return pa.array([" " * int(e.args[0].value)] * len(t),
+                            pa.string())
+        if e.fn in ("BIT_LENGTH", "BYTE_LENGTH"):
+            # UTF-8 byte semantics (ES 8.11): binary_length counts
+            # bytes, not codepoints
+            nb = pc.cast(pc.binary_length(pc.cast(args[0], pa.string())),
+                         pa.int64())
+            return (pc.multiply(nb, pa.scalar(8, pa.int64()))
+                    if e.fn == "BIT_LENGTH" else nb)
+        if e.fn in ("MD5", "SHA1", "SHA256", "TO_BASE64",
+                    "FROM_BASE64"):
+            # per-UNIQUE-value Python transform gathered by dictionary
+            # code — the winnowing md5 convention: hash cost drops by
+            # the duplication factor, the gather is vectorized, and
+            # null rows pass through the null index
+            import base64
+            import hashlib
+
+            col = pc.cast(args[0], pa.string())
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            enc = col.dictionary_encode()
+            if isinstance(enc, pa.ChunkedArray):
+                enc = enc.combine_chunks()
+            vals = enc.dictionary.to_pylist()
+            if e.fn == "TO_BASE64":
+                uniq = [base64.b64encode(s.encode()).decode("ascii")
+                        for s in vals]
+            elif e.fn == "FROM_BASE64":
+                uniq = [base64.b64decode(s).decode("utf-8")
+                        for s in vals]
+            else:
+                algo = e.fn.lower()
+                uniq = [hashlib.new(algo, s.encode()).hexdigest()
+                        for s in vals]
+            return pa.array(uniq, pa.string()).take(enc.indices)
         if e.fn == "STARTS_WITH":
             if not isinstance(e.args[1], Lit):
                 raise ValueError("ES|QL: STARTS_WITH prefix must be "
@@ -816,6 +857,77 @@ def eval_expr(e, t: pa.Table):
             return pc.cast(pc.list_value_length(col), pa.int64())
         if e.fn in ("MV_SUM", "MV_MIN", "MV_MAX", "MV_AVG"):
             return _mv_reduce(args[0], e.fn[3:].lower())
+        if e.fn == "MV_MEDIAN":
+            # ES contract: middle value; even-length lists average the
+            # two middle values, rounded toward -inf for integer
+            # inputs. Flatten + drop inner nulls + one lexsort — no
+            # Python per row.
+            col = args[0]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            ln = pc.fill_null(pc.list_value_length(col), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = col.flatten()
+            parent = np.repeat(np.arange(len(col), dtype=np.int64), ln)
+            fvalid = pc.is_valid(flat).to_numpy(zero_copy_only=False)
+            if not fvalid.all():
+                flat = flat.filter(pa.array(fvalid))
+                parent = parent[fvalid]
+            is_int = pa.types.is_integer(flat.type)
+            fv = flat.to_numpy(zero_copy_only=False).astype(np.float64)
+            order = np.lexsort((fv, parent))
+            sp, sv = parent[order], fv[order]
+            cnt = np.bincount(sp, minlength=len(col))
+            starts = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            valid = cnt > 0
+            out = np.zeros(len(col), dtype=np.float64)
+            lo = starts + (cnt - 1) // 2
+            hi = starts + cnt // 2
+            safe = np.where(valid, lo, 0), np.where(valid, hi, 0)
+            out[valid] = ((sv[safe[0]] + sv[safe[1]]) / 2.0)[valid]
+            if is_int:
+                return pa.array(np.floor(out).astype(np.int64),
+                                mask=~valid)
+            return pa.array(out, mask=~valid)
+        if e.fn == "MV_APPEND":
+            # concatenate two list columns per row (ES 8.15); null in
+            # either input -> null row (the scalar convention)
+            a, b = args[0], args[1]
+            if isinstance(a, pa.ChunkedArray):
+                a = a.combine_chunks()
+            if isinstance(b, pa.ChunkedArray):
+                b = b.combine_chunks()
+            la = pc.fill_null(pc.list_value_length(a), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            lb = pc.fill_null(pc.list_value_length(b), 0) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
+            fa, fb = a.flatten(), b.flatten()
+            flat = pa.concat_arrays([fa, fb.cast(fa.type)])
+
+            def _ranges(dst0, src0, lens):
+                r = np.arange(int(lens.sum()), dtype=np.int64) \
+                    - np.repeat(np.cumsum(lens) - lens, lens)
+                return (np.repeat(dst0, lens) + r,
+                        np.repeat(src0, lens) + r)
+
+            total = la + lb
+            out_off = np.zeros(len(la) + 1, dtype=np.int64)
+            np.cumsum(total, out=out_off[1:])
+            sa = np.concatenate(([0], np.cumsum(la)[:-1]))
+            sb = np.concatenate(([0], np.cumsum(lb)[:-1]))
+            idx = np.empty(int(total.sum()), dtype=np.int64)
+            d, s = _ranges(out_off[:-1], sa, la)
+            idx[d] = s
+            d, s = _ranges(out_off[:-1] + la, sb, lb)
+            idx[d] = s + len(fa)
+            out = pa.ListArray.from_arrays(
+                pa.array(out_off, pa.int32()).cast(pa.int32()),
+                flat.take(pa.array(idx)))
+            nullmask = pc.or_(pc.is_null(a), pc.is_null(b))
+            if pc.any(nullmask).as_py():
+                out = pc.if_else(nullmask,
+                                 pa.scalar(None, type=out.type), out)
+            return out
         if e.fn in ("MV_FIRST", "MV_LAST"):
             col = args[0]
             if isinstance(col, pa.ChunkedArray):

@@ -971,6 +971,47 @@ def test_date_diff_parse_greatest_least_categorize():
         ev(parse_expr(f'DATE_DIFF("fortnight", {anchor}, ts)'), t2)
 
 
+def test_hash_encoding_and_mv_append_median():
+    """Round-5 function tail: MD5/SHA256 (hex digests), base64
+    round-trip, BIT_LENGTH/BYTE_LENGTH (UTF-8 bytes), SPACE,
+    MV_MEDIAN (even-count averages, int floor, inner nulls dropped),
+    MV_APPEND (row-level null propagation, inner nulls kept)."""
+    import hashlib
+
+    from logsentinelai_ray.query.esql import eval_expr as ev
+    t = pa.table({
+        "s": pa.array(["abc", "héllo", None, "abc"]),
+        "v": pa.array([[3, 1, 2], [5, 7], None, []],
+                      pa.list_(pa.int64())),
+        "w": pa.array([[10], [1, None, 9], None, [4]],
+                      pa.list_(pa.int64())),
+        "f": pa.array([[1.0, 2.0], [3.5], None, [2.0, 4.0, 9.0, 1.0]],
+                      pa.list_(pa.float64())),
+    })
+    md5 = ev(parse_expr("MD5(s)"), t).to_pylist()
+    assert md5[0] == hashlib.md5(b"abc").hexdigest() == md5[3]
+    assert md5[1] == hashlib.md5("héllo".encode()).hexdigest()
+    assert md5[2] is None
+    sha = ev(parse_expr("SHA256(s)"), t).to_pylist()
+    assert sha[0] == hashlib.sha256(b"abc").hexdigest()
+    assert ev(parse_expr("FROM_BASE64(TO_BASE64(s))"), t).to_pylist() \
+        == ["abc", "héllo", None, "abc"]
+    assert ev(parse_expr("BIT_LENGTH(s)"), t).to_pylist() == \
+        [24, 48, None, 24]
+    assert ev(parse_expr("BYTE_LENGTH(s)"), t).to_pylist() == \
+        [3, 6, None, 3]
+    assert ev(parse_expr('CONCAT("a", SPACE(3), "b")'),
+              t).to_pylist() == ["a   b"] * 4
+    assert ev(parse_expr("MV_MEDIAN(v)"), t).to_pylist() == \
+        [2, 6, None, None]
+    assert ev(parse_expr("MV_MEDIAN(w)"), t).to_pylist() == \
+        [10, 5, None, 4]
+    assert ev(parse_expr("MV_MEDIAN(f)"), t).to_pylist() == \
+        [1.5, 3.5, None, 3.0]
+    assert ev(parse_expr("MV_APPEND(v, w)"), t).to_pylist() == \
+        [[3, 1, 2, 10], [5, 7, 1, None, 9], None, [4]]
+
+
 def test_date_diff_calendar_units():
     """DATE_DIFF calendar units count COMPLETE calendar months
     (ChronoUnit.between): the month decrements when the end's

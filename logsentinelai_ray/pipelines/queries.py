@@ -1906,22 +1906,6 @@ def _write_key_chunks(src, boundaries, work: str, names) -> list[str]:
     return paths
 
 
-def _key_range(src, lo, hi):
-    """Corpus rows with repo in [lo, hi) (None = unbounded) as a
-    streaming map_batches filter — the dataset-native member/chunk
-    split used by the federated / rollover / ILM fixtures."""
-    def f(t: pa.Table) -> pa.Table:
-        m = None
-        if lo is not None:
-            m = pc.greater_equal(t["repo"], lo)
-        if hi is not None:
-            h = pc.less(t["repo"], hi)
-            m = h if m is None else pc.and_(m, h)
-        return t if m is None else t.filter(m)
-
-    return src.map_batches(f, batch_format="pyarrow")
-
-
 def _docs_engine(sf_dir: str):
     """Build (once per sf_dir) an index over documents mapped to the corpus
     shape with id-aligned keys: repo = f"r{doc_id:012d}" makes the engine's

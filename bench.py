@@ -368,7 +368,8 @@ def bench_pipelines() -> dict:
              # round-5: the reference's real sample corpora end-to-end
              # + the ES|QL 9.x tail (CATEGORIZE, DATE_DIFF family)
              "analyze_linux2k", "analyze_apache100",
-             "esql_categorize", "esql_date_diff", "esql_hash_functions"]
+             "esql_categorize", "esql_date_diff", "esql_hash_functions",
+             "esql_mad"]
     out = {}
     for name in names:
         t0 = time.monotonic()

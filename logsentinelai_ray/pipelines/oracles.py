@@ -5567,3 +5567,21 @@ ORACLE_SQL["esql_hash_functions"] = """
            sum(bl)::BIGINT AS bits, sum(ob)::BIGINT AS obytes
     FROM e GROUP BY 1, 2, 3, 4 ORDER BY 1
 """
+
+
+# esql_mad: two-level quantile_disc — the entry's exact element-pick
+# median convention on both levels, over integer centi-units
+ORACLE_SQL["esql_mad"] = """
+    WITH e AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v
+      FROM events
+    ), m AS (
+      SELECT event_type, quantile_disc(v, 0.5) AS med
+      FROM e GROUP BY 1
+    )
+    SELECT e.event_type,
+           quantile_disc(abs(e.v - m.med), 0.5)::BIGINT AS mad,
+           m.med::BIGINT AS med, count(*)::BIGINT AS n
+    FROM e JOIN m USING (event_type)
+    GROUP BY 1, m.med ORDER BY 1
+"""

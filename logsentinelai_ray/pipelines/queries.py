@@ -7848,6 +7848,26 @@ def q_esql_hash_functions(sf_dir: str):
     return execute_esql(ESQL_HASH_QUERY, sf_dir)
 
 
+ESQL_MAD_QUERY = (
+    "FROM events "
+    "| EVAL v = TO_LONG(ROUND(value * 100)) "
+    "| STATS mad = MEDIAN_ABSOLUTE_DEVIATION(v), med = MEDIAN(v), "
+    "n = COUNT(*) BY event_type "
+    "| SORT event_type ASC")
+
+
+def q_esql_mad(sf_dir: str):
+    """ES|QL MEDIAN_ABSOLUTE_DEVIATION — the robust-dispersion
+    aggregate (median of |x - median(x)|), computed in the STATS
+    map_groups kernel with BOTH medians under the repo's
+    quantile_disc convention over integer centi-units (every value an
+    exact element pick — scale-stable, order-free). The oracle
+    mirrors with a two-level quantile_disc."""
+    from ..query.esql import execute_esql
+
+    return execute_esql(ESQL_MAD_QUERY, sf_dir)
+
+
 ESQL_STRINGS2_QUERY = (
     "FROM documents "
     '| EVAL lang2 = REVERSE(lang), head = LEFT(source, 4), '
@@ -10121,6 +10141,7 @@ QUERY_REGISTRY = {
     "esql_weighted_stats": q_esql_weighted_stats,
     "esql_categorize": q_esql_categorize,
     "esql_hash_functions": q_esql_hash_functions,
+    "esql_mad": q_esql_mad,
     "esql_date_diff": q_esql_date_diff,
     "esql_ip_functions": q_esql_ip_functions,
     "esql_mv_list_functions": q_esql_mv_list_functions,

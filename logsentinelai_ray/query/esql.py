@@ -45,8 +45,9 @@ CIDR_MATCH(ip, "net/len", …) IP_PREFIX(ip, len, 0)
 V_COSINE/V_DOT_PRODUCT/V_L1_NORM/V_L2_NORM(field, [q…])
 MV_COUNT/MV_SUM/MV_MIN/MV_MAX/MV_AVG/MV_MEDIAN/MV_FIRST/MV_LAST/
 MV_SORT/MV_DEDUPE/MV_SLICE/MV_APPEND``; aggregates ``COUNT
-COUNT_DISTINCT SUM MIN MAX
-AVG MEDIAN PERCENTILE VALUES TOP WEIGHTED_AVG STD_DEV`` (each with a
+COUNT_DISTINCT SUM MIN MAX AVG MEDIAN
+MEDIAN_ABSOLUTE_DEVIATION PERCENTILE VALUES TOP WEIGHTED_AVG
+STD_DEV`` (each with a
 per-aggregate ``WHERE`` filter).
 """
 
@@ -1237,11 +1238,12 @@ def compile_grok(pattern: str) -> tuple[str, list, dict]:
 
 
 _AGG_FNS = ("COUNT", "SUM", "MIN", "MAX", "AVG", "COUNT_DISTINCT",
-            "MEDIAN", "PERCENTILE", "VALUES", "TOP", "WEIGHTED_AVG",
-            "STD_DEV")
+            "MEDIAN_ABSOLUTE_DEVIATION", "MEDIAN", "PERCENTILE",
+            "VALUES", "TOP", "WEIGHTED_AVG", "STD_DEV")
 # aggregates Ray's builtin Aggregate set can't express — the whole
 # STATS compiles to one groupby().map_groups group kernel instead
-_KERNEL_FNS = {"MEDIAN", "PERCENTILE", "VALUES", "TOP"}
+_KERNEL_FNS = {"MEDIAN", "MEDIAN_ABSOLUTE_DEVIATION",
+               "PERCENTILE", "VALUES", "TOP"}
 
 
 def _split_agg_where(s: str) -> tuple[str, str | None]:
@@ -2316,6 +2318,12 @@ def _stats_group_kernel(ds, c: Stats):
                     zero_copy_only=False))
                 if fn == "MEDIAN":
                     out[name] = [_qdisc(v, 0.5)]
+                elif fn == "MEDIAN_ABSOLUTE_DEVIATION":
+                    # median of |x - median(x)|, both medians under
+                    # the repo's quantile_disc convention
+                    med = _qdisc(v, 0.5)
+                    out[name] = [None if med is None else
+                                 _qdisc(np.sort(np.abs(v - med)), 0.5)]
                 elif fn == "PERCENTILE":
                     out[name] = [_qdisc(v, float(extras[0]) / 100.0)]
                 elif fn == "VALUES":

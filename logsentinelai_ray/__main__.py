@@ -215,7 +215,10 @@ def main(argv: list[str] | None = None) -> int:
              "linux-system / general-log console-script analog)")
     an.add_argument("--type", required=True,
                     choices=["httpd_access", "httpd_server",
-                             "linux_system", "general_log"])
+                             "linux_system", "general_log",
+                             "categorize"])
+    an.add_argument("--top", type=int, default=20,
+                    help="categorize: number of top templates")
     an.add_argument("files", nargs="+")
 
     g = sub.add_parser("gen", parents=[common],
@@ -240,9 +243,15 @@ def main(argv: list[str] | None = None) -> int:
     ray, owns_session = _ray_session(args.num_cpus)
     try:
         if args.cmd == "analyze":
-            from .analyze import analyze_files
+            if args.type == "categorize":
+                from .analyze import categorize_files
 
-            print(json.dumps(analyze_files(args.type, args.files)))
+                print(json.dumps(categorize_files(args.files,
+                                                  top=args.top)))
+            else:
+                from .analyze import analyze_files
+
+                print(json.dumps(analyze_files(args.type, args.files)))
         elif args.cmd == "build":
             from .config import IndexConfig
             from .index.build import build_index

@@ -164,3 +164,48 @@ def analyze_files(log_type: str, paths: list[str]) -> dict:
         "unique_sources": len(
             [k for k in c["source"] if k != "_null"]),
     }
+
+
+def categorize_files(paths: list[str], top: int = 20) -> dict:
+    """ES|QL 9.x CATEGORIZE over raw log files — log-template mining:
+    every line collapses to its constant-token skeleton (digit-bearing
+    tokens -> "*", runs collapsed; the deterministic spec shared with
+    the esql_categorize registry entry), then a distributed count per
+    template returns the ``top`` biggest categories. The read streams;
+    only per-batch (template, partial-count) rows cross the exchange.
+    The Kibana "Log Pattern Analysis" panel analog, pointed at real
+    files."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    ds = rd.read_text(paths)
+
+    def templ(t: pa.Table) -> pa.Table:
+        v = t["text"]
+        v = pc.replace_substring_regex(v, pattern=r"\S*\d\S*",
+                                       replacement="*")
+        v = pc.replace_substring_regex(v, pattern=r"\*(?:\s+\*)+",
+                                       replacement="*")
+        v = pc.replace_substring_regex(v, pattern=r"\s+",
+                                       replacement=" ")
+        v = pc.utf8_trim_whitespace(v)
+        g = (pa.table({"category": v}).group_by("category")
+             .aggregate([([], "count_all")]))
+        return pa.table({
+            "category": g["category"],
+            "pn": pc.cast(g["count_all"], pa.int64())})
+
+    full = (ds.map_batches(templ, batch_format="pyarrow")
+            .groupby("category")
+            .aggregate(Sum("pn", alias_name="n"))
+            .to_pandas())
+    agg = full.sort_values(["n", "category"],
+                           ascending=[False, True]).head(top)
+    return {
+        "log_type": "categorize",
+        "total_categories": int(len(full)),
+        "total_lines": int(full["n"].sum()) if len(full) else 0,
+        "top_categories": [
+            {"category": r["category"], "n": int(r["n"])}
+            for _, r in agg.iterrows()],
+    }

@@ -251,3 +251,24 @@ def test_analyze_reference_corpora(ray_session, capfd):
     assert out["detected_formats"] == ["apache_error:100",
                                        "syslog:100"]
     assert out["unique_sources"] == 5
+
+
+def test_analyze_categorize_templates(ray_session, capfd):
+    """`analyze --type categorize` — ES|QL 9.x CATEGORIZE pointed at a
+    real corpus: deterministic template mining over linux-2k.log,
+    counts pinned (the top template is the PAM auth-failure line with
+    its ids/hosts/timestamps collapsed to '*')."""
+    base = "/root/reference/sample-logs"
+    if not os.path.isdir(base):
+        pytest.skip("reference corpora not present")
+    out = _run(capfd, ["analyze", "--type", "categorize", "--top", "3",
+                       f"{base}/linux-2k.log"])[-1]
+    assert out["total_lines"] == 2000
+    assert out["total_categories"] == 156
+    top = out["top_categories"]
+    assert top[0]["category"] == (
+        "Jul * combo * authentication failure; logname= * "
+        "tty=NODEVssh ruser= * user=root")
+    assert top[0]["n"] == 247
+    assert len(top) == 3
+    assert top[0]["n"] >= top[1]["n"] >= top[2]["n"]

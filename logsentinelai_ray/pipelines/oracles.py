@@ -5585,3 +5585,23 @@ ORACLE_SQL["esql_mad"] = """
     FROM e JOIN m USING (event_type)
     GROUP BY 1, m.med ORDER BY 1
 """
+
+
+# analyze_categorize: the same three-pass RE2 template cascade over the
+# same raw reference corpus, top 20 by (n desc, category asc)
+ORACLE_SQL["analyze_categorize"] = r"""
+    WITH raw AS (
+      SELECT line FROM read_csv(
+          '/root/reference/sample-logs/linux-2k.log',
+          header=false, delim=chr(1), quote='', escape='',
+          columns={'line': 'VARCHAR'})
+    ), c AS (
+      SELECT trim(regexp_replace(regexp_replace(regexp_replace(
+                 line, '\S*\d\S*', '*', 'g'),
+                 '\*(?:\s+\*)+', '*', 'g'),
+                 '\s+', ' ', 'g')) AS category
+      FROM raw
+    )
+    SELECT category, count(*)::BIGINT AS n
+    FROM c GROUP BY 1 ORDER BY n DESC, category ASC LIMIT 20
+"""

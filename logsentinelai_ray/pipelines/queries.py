@@ -2359,6 +2359,26 @@ def q_rollover_search(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_analyze_categorize(sf_dir: str):
+    """ES|QL CATEGORIZE template mining over the reference's REAL
+    linux-2k corpus (the analyze CLI's categorize subtype as a
+    driver-checked entry): every raw line collapses to its
+    constant-token skeleton, counts aggregate distributed, top 20 by
+    (n desc, category asc). The oracle runs the SAME three-regex RE2
+    cascade in DuckDB over the SAME raw file. ``sf_dir`` unused —
+    fixed-size real data."""
+    from ..analyze import categorize_files
+
+    out = categorize_files(
+        [os.path.join(REF_SAMPLE_LOGS, "linux-2k.log")], top=20)
+    return pa.table({
+        "category": pa.array([r["category"]
+                              for r in out["top_categories"]],
+                             pa.string()),
+        "n": pa.array([r["n"] for r in out["top_categories"]],
+                      pa.int64())})
+
+
 def q_bm25_topk_stopped(sf_dir: str):
     """§2.11 extension surface — a custom ANALYZER option wired
     end-to-end: the index is built with ``stop_words=('the', 'a')``
@@ -10086,6 +10106,7 @@ QUERY_REGISTRY = {
     "ilm_search": q_ilm_search,
     "analyze_linux2k": q_analyze_linux2k,
     "analyze_apache100": q_analyze_apache100,
+    "analyze_categorize": q_analyze_categorize,
     "bm25_topk_stopped": q_bm25_topk_stopped,
     "bm25_topk_stemmed": q_bm25_topk_stemmed,
     "embedding_knn_pq": q_embedding_knn_pq,

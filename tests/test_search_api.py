@@ -263,6 +263,45 @@ def test_dense_hot_term_rows_bit_identical(engine, doc_tokens):
         assert s == acc[d]
 
 
+def test_msearch_property_equivalence(engine, doc_tokens):
+    """Property check over generated request batches: for ANY mix of
+    real tokens, absent terms, duplicate queries, varied k, and
+    filters, the threaded batch path must equal per-query search
+    bit-for-bit (hypothesis drives the mix; the engine fixture is
+    module-scoped so the corpus stays fixed)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = sorted({t for _d, toks in doc_tokens for t in toks[:6]})[:40]
+    word = st.sampled_from(vocab + ["zzzmissing", "qqqnope"])
+    req = st.builds(
+        lambda ws, k, f: {"text": " ".join(ws), "k": k,
+                          **({"filters": {"lang": f}} if f else {})},
+        st.lists(word, min_size=1, max_size=4),
+        st.integers(min_value=1, max_value=15),
+        st.sampled_from([None, "python", "go"]))
+
+    @settings(max_examples=20, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(reqs=st.lists(req, min_size=1, max_size=6))
+    def check(reqs):
+        for strategy in (None, "wand"):
+            batch = engine.msearch(reqs, with_meta=False,
+                                   strategy=strategy)
+            for qid, r in enumerate(reqs):
+                solo = engine.search(r["text"], k=r["k"],
+                                     filters=r.get("filters"),
+                                     with_meta=False,
+                                     strategy=strategy)
+                part = batch.filter(np.equal(
+                    batch["query_id"].to_numpy(zero_copy_only=False),
+                    qid)).drop_columns(["query_id"])
+                assert part.to_pydict() == solo.to_pydict(), \
+                    (qid, strategy, r)
+
+    check()
+
+
 def test_query_string_equals_boolean_search(engine, doc_tokens):
     """A query_string with only +must / -not / bare-should clauses must
     reproduce boolean_search exactly (same composition, same scorer)."""

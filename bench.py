@@ -369,7 +369,7 @@ def bench_pipelines() -> dict:
              # + the ES|QL 9.x tail (CATEGORIZE, DATE_DIFF family)
              "analyze_linux2k", "analyze_apache100",
              "esql_categorize", "esql_date_diff", "esql_hash_functions",
-             "esql_mad", "analyze_categorize"]
+             "esql_mad", "analyze_categorize", "msearch_template"]
     out = {}
     for name in names:
         t0 = time.monotonic()

@@ -5605,3 +5605,24 @@ ORACLE_SQL["analyze_categorize"] = r"""
     SELECT category, count(*)::BIGINT AS n
     FROM c GROUP BY 1 ORDER BY n DESC, category ASC LIMIT 20
 """
+
+
+# msearch_template: UNION ALL of the two rendered requests'
+# filtered-BM25 selects (rendering adds zero scoring surface); each
+# branch carries its own top-10 cut before the union
+ORACLE_SQL["msearch_template"] = _BM25_BASE + """
+    SELECT * FROM (
+      SELECT 0::BIGINT AS query_id, s.doc_id,
+             round(s.score, 6) AS score
+      FROM scores s JOIN documents d USING (doc_id)
+      WHERE d.lang = 'es'
+      ORDER BY s.score DESC, s.doc_id ASC LIMIT 10)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 1::BIGINT AS query_id, s.doc_id,
+             round(s.score, 6) AS score
+      FROM scores s JOIN documents d USING (doc_id)
+      WHERE d.lang = 'fr'
+      ORDER BY s.score DESC, s.doc_id ASC LIMIT 10)
+    ORDER BY query_id, score DESC, doc_id ASC
+"""

@@ -9034,6 +9034,26 @@ def q_search_template(sf_dir: str):
                      "score": _round6(res["score"])})
 
 
+def q_msearch_template(sf_dir: str):
+    """ES ``_msearch/template``: a BATCH of mustache-template requests
+    (same saved template, different params — the Kibana saved-search
+    re-run shape) rendered and executed in one call, stacked under
+    query_id. Rendering adds zero scoring surface, so the oracle is a
+    UNION ALL of the per-request filtered-BM25 selects."""
+    from ..query.template import msearch_template
+
+    eng = _docs_engine(sf_dir)
+    res = msearch_template(eng, [
+        {"source": SEARCH_TEMPLATE_SOURCE,
+         "params": {"qtext": BM25_QUERY_TEXT, "lang": "es"}},
+        {"source": SEARCH_TEMPLATE_SOURCE,
+         "params": {"qtext": BM25_QUERY_TEXT, "lang": "fr"}},
+    ])
+    return pa.table({"query_id": res["query_id"],
+                     "doc_id": res["doc_id"],
+                     "score": _round6(res["score"])})
+
+
 def q_dsl_search(sf_dir: str):
     """ES Query-DSL JSON executor (query/dsl.py): a verbatim ES request
     body — bool with a multi-term match must, a lang term filter and a
@@ -10074,6 +10094,7 @@ QUERY_REGISTRY = {
     "bm25_topk_filtered": q_bm25_topk_filtered,
     "alias_search": q_alias_search,
     "search_template": q_search_template,
+    "msearch_template": q_msearch_template,
     "profile_search": q_profile_search,
     "bm25_topk_terms_filter": q_bm25_topk_terms_filter,
     "collapse_by_lang": q_collapse_by_lang,

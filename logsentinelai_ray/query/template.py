@@ -69,3 +69,23 @@ def search_template(engine, source: str | dict,
     ``dsl_search`` directly."""
     body = render_template(source, params)
     return engine.dsl_search(body, with_meta=with_meta)
+
+
+def msearch_template(engine, requests: list[dict],
+                     with_meta: bool = False):
+    """``_msearch/template``: a batch of (source, params) template
+    requests rendered on the driver and executed back-to-back, results
+    stacked under a leading ``query_id`` column (the request's
+    position — the ``_msearch`` response-ordering contract). Each
+    body runs through the same verified DSL executor as
+    ``search_template``, so per-request results are identical to
+    issuing them one by one."""
+    import pyarrow as pa
+
+    outs = []
+    for qid, r in enumerate(requests):
+        body = render_template(r["source"], r.get("params"))
+        res = engine.dsl_search(body, with_meta=with_meta)
+        outs.append(res.add_column(
+            0, "query_id", pa.array([qid] * len(res), pa.int64())))
+    return pa.concat_tables(outs)

@@ -45,3 +45,25 @@ def test_search_template_equals_direct_dsl(engine):
             "filter": [{"term": {"lang": "python"}}]}},
          "size": 10})
     assert got.to_pydict() == direct.to_pydict()
+
+
+def test_msearch_template_equals_sequential(engine):
+    """_msearch/template must equal per-request search_template, per
+    query_id."""
+    import numpy as np
+
+    from logsentinelai_ray.query.template import (msearch_template,
+                                                  search_template)
+
+    src = ('{"query": {"bool": {"must": [{"match": {"content": '
+           '"{{qtext}}"}}]}}, "size": {{size}}{{^size}}5{{/size}}}')
+    reqs = [{"source": src, "params": {"qtext": "error merge"}},
+            {"source": src, "params": {"qtext": "import numpy",
+                                       "size": 3}}]
+    batch = msearch_template(engine, reqs)
+    for qid, r in enumerate(reqs):
+        solo = search_template(engine, r["source"], r["params"])
+        part = batch.filter(np.equal(
+            batch["query_id"].to_numpy(zero_copy_only=False), qid)) \
+            .drop_columns(["query_id"])
+        assert part.to_pydict() == solo.to_pydict(), qid
